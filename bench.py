@@ -1,0 +1,78 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line. The headline metric mirrors the reference's only published
+number (BASELINE.md): shuffle join + groupby-count + fetch-to-client
+(examples/Demo.ipynb, 10.72 s on 2x2M rows / 32 PEs) — here
+lineitem ⋈ orders → groupby(o_orderpriority).count → toPandas.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def bench_queries(spark, sf_dir):
+    """name -> callable returning a materialized (fetched) result."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    # headline first: the BASELINE-equivalent pipeline
+    names = [
+        "flagship_join_groupby_count",
+        "filter_expr",
+        "groupby_sum",
+        "groupby_extended",
+        "join_inner",
+        "sort_topk",
+        "datetime_filter",
+    ]
+    extra = [n for n in qs if n.startswith(("dedup_", "sim_", "text_",
+                                            "events_", "multimodal_"))]
+    out = {}
+    for n in names + extra:
+        if n in qs:
+            out[n] = qs[n]
+    return out
+
+
+def main():
+    from charmpandas_spark.session import get_spark
+
+    spark = get_spark(app_name="cps-bench")
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+
+    # warm the JVM/codegen paths so we measure steady-state, as the
+    # reference's notebook timing did (cluster already up).
+    spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")).count()
+
+    qs = bench_queries(spark, SF_DIR)
+    timings = {}
+    for name, fn in qs.items():
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = len(df.toPandas())  # fetch included, like the reference's get()
+        timings[name] = round(time.time() - t0, 4)
+        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    headline = timings.get("flagship_join_groupby_count", 0.0)
+    print(json.dumps({
+        "metric": "join_groupby_fetch_sec",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""SparkSession construction tuned for the charmpandas-spark engine.
+
+The reference (UIUC-PPL/charmpandas) manages its own elastic runtime:
+PE rescale, MetisLB chare migration, per-PE aggregator groups
+(reference: charmpandas/interface.py:431-693, src/server.hpp:26-49).
+On Spark all of that is session configuration: AQE replaces the
+histogram+greedy skew mitigation (src/partition.cpp:1444-1482),
+dynamic allocation replaces rescale, and Arrow-accelerated
+``toPandas`` replaces the Arrow-IPC CCS fetch path
+(src/serialize.hpp:10-47).
+
+Scale notes (100 TB target):
+- AQE on: runtime partition coalescing + skew-join splitting means the
+  static ``spark.sql.shuffle.partitions`` only needs to be an upper
+  bound; at cluster scale set it ~2-3x total cores and let AQE coalesce.
+- ``maxPartitionBytes`` 128m keeps scan tasks memory-bounded regardless
+  of input size.
+- Arrow batch transfer for every Python<->JVM hop.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF = {
+    # AQE: runtime re-planning (coalesce small partitions, split skewed
+    # ones, demote/promote join strategies). Replaces the reference's
+    # hand-rolled bucket histogram + greedy assignment.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for toPandas / pandas UDFs (the reference's data plane is
+    # Arrow IPC end-to-end; this is the Spark equivalent).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    # Deterministic timestamps across engines (oracle parity).
+    "spark.sql.session.timeZone": "UTC",
+    # Scan tasks stay memory-bounded at any input scale.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Broadcast small dimension tables aggressively (star-schema joins).
+    "spark.sql.autoBroadcastJoinThreshold": "67108864",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "charmpandas-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default
+    32) when no cluster master is configured; on a real cluster pass
+    ``None`` with a pre-set master URL and only the SQL conf applies.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        master = f"local[{cpus}]"
+    builder = builder.master(master)
+    conf = dict(DEFAULT_CONF)
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if str(cpus).isdigit() else 32
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

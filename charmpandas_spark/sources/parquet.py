@@ -1,0 +1,115 @@
+"""Parquet source (reference S1, SURVEY §2.1).
+
+The reference regex-matches files in a directory and hand-splits each
+file into equal row-ranges per chare with row-group skipping
+(src/partition.cpp:748-849, regex matcher src/partition.cpp:51-63).
+Spark's parquet source already splits by file/row-group and prunes
+columns+predicates at the scan, so the only thing to reproduce is the
+*regex path* semantics: Spark takes globs, not regexes, so when a
+path contains regex metacharacters we enumerate the directory and
+filter with ``re`` on the driver (file listing only — never data).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import re
+
+from pyspark.sql import SparkSession, functions as F
+
+from ..dataframe import DataFrame
+
+_GLOB_SAFE = re.compile(r"^[\w\-./*?\[\]{},= ]*$")
+_REGEX_HINTS = re.compile(r"[()|+^$\\]|\.\*|\.\+")
+
+
+def _expand_regex_path(path: str) -> list[str] | str:
+    """If ``path`` looks like a regex (reference semantics), enumerate
+    the parent directory and match basenames; else pass through to
+    Spark (plain path or glob)."""
+    if not _REGEX_HINTS.search(path):
+        return path
+    directory, pattern = os.path.split(path)
+    directory = directory or "."
+    try:
+        rx = re.compile(pattern)
+    except re.error:
+        return path
+    matches = sorted(
+        os.path.join(directory, f)
+        for f in os.listdir(directory)
+        if rx.fullmatch(f) or rx.match(f)
+    )
+    if not matches:
+        raise FileNotFoundError(f"no parquet files match regex {path!r}")
+    return matches
+
+
+def _nanos_timestamp_cols(first_file: str) -> list[str]:
+    """Parquet TIMESTAMP(NANOS) columns — Spark 4 rejects them at scan
+    (PARQUET_TYPE_ILLEGAL) while Arrow/DuckDB read them natively. We
+    detect them from the footer and read them as int64 nanoseconds
+    (``spark.sql.legacy.parquet.nanosAsLong``), then rebuild proper
+    timestamps with ``timestamp_micros(ns div 1000)`` — all JVM-side.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    try:
+        schema = pq.read_schema(first_file)
+    except Exception:
+        return []
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def _first_parquet_file(path: str) -> str:
+    if os.path.isdir(path):
+        for f in sorted(os.listdir(path)):
+            if f.endswith(".parquet"):
+                return os.path.join(path, f)
+    matched = sorted(_glob.glob(path))
+    return matched[0] if matched else path
+
+
+def read_parquet(
+    spark: SparkSession,
+    path: str | list[str],
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Lazy parquet scan -> DataFrame (reference: eager full-column
+    read, no pushdown — src/partition.cpp:812 reads ALL columns; here
+    Catalyst prunes columns and pushes predicates into the scan, the
+    single biggest win over the reference at 100 TB, SURVEY §4.1).
+    """
+    if isinstance(path, str):
+        path = _expand_regex_path(path)
+    paths = [path] if isinstance(path, str) else list(path)
+
+    ns_cols = _nanos_timestamp_cols(_first_parquet_file(paths[0]))
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sdf = spark.read.parquet(*paths)
+    for c in ns_cols:
+        if c in sdf.columns:
+            sdf = sdf.withColumn(
+                c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    if columns:
+        sdf = sdf.select(*columns)
+    return DataFrame(sdf)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Convenience loader for the driver testdata layout
+    (``{sf_dir}/{name}.parquet``, TESTDATA.md)."""
+    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by: list[str] | None = None) -> None:
+    """Sink (absent in the reference — SURVEY §2.1 'No sinks exist')."""
+    df.to_parquet(path, mode=mode, partition_by=partition_by)

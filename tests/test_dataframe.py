@@ -1,0 +1,137 @@
+"""End-to-end tests of the pandas-flavored API, modeled on the
+reference's only assert-based test (examples/test_datetime.py):
+public API in, pandas comparison out."""
+
+import datetime
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import charmpandas_spark as cps
+
+
+@pytest.fixture(scope="module")
+def li(spark, sf_dir):
+    return cps.read_table(spark, sf_dir, "lineitem")
+
+
+@pytest.fixture(scope="module")
+def li_pd(spark, sf_dir):
+    return cps.read_table(spark, sf_dir, "lineitem").get()
+
+
+def test_read_get_roundtrip(li, li_pd):
+    assert len(li_pd) == li.count()
+    assert "l_orderkey" in li.columns
+    # dtype preservation through read->fetch (test_datetime.py:69-71)
+    assert li_pd["l_orderkey"].dtype == np.int64
+    assert li_pd["l_quantity"].dtype == np.float64
+    assert pd.api.types.is_datetime64_any_dtype(li_pd["l_shipdate"])
+
+
+def test_column_arithmetic(li, li_pd):
+    df = cps.DataFrame(li.sdf)
+    df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"]) + 0.0
+    got = df.get()
+    want = li_pd["l_extendedprice"] * (1 - li_pd["l_discount"])
+    assert np.allclose(np.sort(got["rev"].values), np.sort(want.values))
+
+
+def test_comparisons_and_filter(li, li_pd):
+    for op, fn in [
+        ("lt", lambda c, v: c < v), ("le", lambda c, v: c <= v),
+        ("gt", lambda c, v: c > v), ("ge", lambda c, v: c >= v),
+        ("eq", lambda c, v: c == v), ("ne", lambda c, v: c != v),
+    ]:
+        got = li[fn(li["l_quantity"], 25.0)].count()
+        want = int(fn(li_pd["l_quantity"], 25.0).sum())
+        assert got == want, op
+
+
+def test_boolean_combinators(li, li_pd):
+    mask = (li["l_quantity"] > 10.0) & ~(li["l_returnflag"] == "A")
+    got = li[mask].count()
+    want = int(((li_pd["l_quantity"] > 10.0)
+                & (li_pd["l_returnflag"] != "A")).sum())
+    assert got == want
+
+
+def test_setitem_add_and_replace(li):
+    df = cps.DataFrame(li.sdf)
+    ncols = len(df.columns)
+    df["x"] = df["l_quantity"] * 2
+    assert len(df.columns) == ncols + 1  # add if new
+    df["x"] = df["l_quantity"] * 3      # replace if exists
+    assert len(df.columns) == ncols + 1
+    got = df.get()
+    assert np.allclose(got["x"], got["l_quantity"] * 3)
+
+
+def test_timestamp_literal_filter(li, li_pd):
+    # reference wire type Timestamp=3 (charmpandas/ast.py:55-61)
+    cut = datetime.datetime(1995, 6, 1)
+    got = li[li["l_shipdate"] >= cut].count()
+    want = int((li_pd["l_shipdate"] >= cut).sum())
+    assert got == want
+
+
+def test_int_literal_widening(spark, sf_dir):
+    # int32 column vs Python int literal (src/partition.cpp:689-694)
+    part = cps.read_table(spark, sf_dir, "part")
+    ppd = part.get()
+    got = part[part["p_size"] > 25].count()
+    assert got == int((ppd["p_size"] > 25).sum())
+
+
+def test_cross_dataframe_positional_alignment(spark, sf_dir):
+    # examples/create_table.py:17-18 semantics
+    d1 = cps.read_table(spark, sf_dir, "supplier")
+    d2 = cps.read_table(spark, sf_dir, "supplier")
+    d1["test"] = d1["s_acctbal"] + 2 * d2["s_acctbal"]
+    got = d1.get()
+    assert np.allclose(got["test"], 3 * got["s_acctbal"])
+
+
+def test_scalar_reductions(li, li_pd):
+    assert li["l_quantity"].sum() == pytest.approx(li_pd["l_quantity"].sum())
+    assert li["l_quantity"].count() == li_pd["l_quantity"].count()
+    assert li["l_quantity"].min() == li_pd["l_quantity"].min()
+    assert li["l_quantity"].max() == li_pd["l_quantity"].max()
+    assert li["l_quantity"].mean() == pytest.approx(li_pd["l_quantity"].mean())
+
+
+def test_sort_values_multikey(li, li_pd):
+    got = li.sort_values(["l_returnflag", "l_quantity"],
+                         ascending=[True, False]).limit(50).get()
+    want = li_pd.sort_values(["l_returnflag", "l_quantity"],
+                             ascending=[True, False]).head(50)
+    assert list(got["l_returnflag"]) == list(want["l_returnflag"])
+    assert np.allclose(got["l_quantity"].values, want["l_quantity"].values)
+
+
+def test_concat(li):
+    a = li[li["l_quantity"] > 40.0]
+    b = li[li["l_quantity"] <= 40.0]
+    assert cps.concat([a, b]).count() == li.count()
+
+
+def test_head_and_limit(li):
+    assert len(li.head(7)) == 7
+    assert li.limit(13).count() == 13
+
+
+def test_distinct_and_dropdup(spark, sf_dir):
+    cust = cps.read_table(spark, sf_dir, "customer")
+    cpd = cust.get()
+    got = cust[["c_mktsegment"]].distinct().count()
+    assert got == cpd["c_mktsegment"].nunique()
+    got2 = cust.drop_duplicates(["c_nationkey"]).count()
+    assert got2 == cpd["c_nationkey"].nunique()
+
+
+def test_rename_drop(li):
+    df = li.rename({"l_quantity": "qty"})
+    assert "qty" in df.columns and "l_quantity" not in df.columns
+    df2 = li.drop("l_tax", "l_discount")
+    assert "l_tax" not in df2.columns
