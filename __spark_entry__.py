@@ -115,13 +115,18 @@ def q_join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sdf
 
 
+def _dsum(col: str):
+    """Order-independent double sum: decimal-cast accumulation (exact,
+    so Spark's partition-order-dependent float summation can't flip
+    the hash vs the oracle), surfaced back as double."""
+    return F.sum(F.col(col).cast("decimal(18,6)")).cast("double")
+
+
 def q_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: grouped sum with the reference's `sum(col)` result naming."""
     li = _t(spark, sf_dir, "lineitem")
-    out = li.groupby(["l_returnflag", "l_linestatus"])["l_quantity"].sum()
-    sdf = out.sdf.select(
-        "l_returnflag", "l_linestatus",
-        (F.floor(F.col("sum(l_quantity)") * 100) / 100).alias("sum(l_quantity)"))
+    sdf = li.sdf.groupBy("l_returnflag", "l_linestatus").agg(
+        (F.floor(_dsum("l_quantity") * 100) / 100).alias("sum(l_quantity)"))
     return sdf
 
 
@@ -138,7 +143,8 @@ def q_groupby_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = li.sdf.groupBy("l_returnflag").agg(
         (F.floor(F.min("l_quantity") * 100) / 100).alias("min_qty"),
         (F.floor(F.max("l_quantity") * 100) / 100).alias("max_qty"),
-        (F.floor(F.avg("l_extendedprice") * 100) / 100).alias("avg_price"),
+        (F.floor(_dsum("l_extendedprice") / F.count("l_extendedprice")
+                 * 100) / 100).alias("avg_price"),
         (F.floor(F.percentile("l_quantity", 0.5) * 100) / 100).alias("median_qty"),
         F.countDistinct("l_orderkey").alias("distinct_orders"),
     )
@@ -149,9 +155,9 @@ def q_scalar_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: whole-column scalar sum/count as a one-row result."""
     li = _t(spark, sf_dir, "lineitem")
     sdf = li.sdf.agg(
-        (F.floor(F.sum("l_quantity") * 100) / 100).alias("sum_qty"),
+        (F.floor(_dsum("l_quantity") * 100) / 100).alias("sum_qty"),
         F.count("l_quantity").alias("count_qty"),
-        (F.floor(F.sum("l_extendedprice") * 100) / 100).alias("sum_price"),
+        (F.floor(_dsum("l_extendedprice") * 100) / 100).alias("sum_price"),
     )
     return sdf
 
@@ -206,6 +212,157 @@ def q_int_literal_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# beyond-reference: LLM-data-pipeline operators (north star)
+# ---------------------------------------------------------------------------
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via vectorized stopword n-gram scoring (no UDF)."""
+    from charmpandas_spark.functions.text import language_id
+    docs = _t(spark, sf_dir, "documents")
+    return docs.sdf.select("doc_id", language_id("text").alias("lang_pred"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (alpha/stopword/word-length/length)."""
+    from charmpandas_spark.functions.text import quality_score
+    docs = _t(spark, sf_dir, "documents")
+    return docs.sdf.select("doc_id", quality_score("text").alias("quality"))
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting."""
+    from charmpandas_spark.functions.text import (
+        regex_token_count, whitespace_token_count)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.sdf.select(
+        "doc_id",
+        whitespace_token_count("text").alias("ws_tokens"),
+        regex_token_count("text").alias("re_tokens"))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 fingerprint of normalized text (dedup foundation)."""
+    from charmpandas_spark.functions.text import fingerprint
+    docs = _t(spark, sf_dir, "documents")
+    return docs.sdf.select("doc_id", fingerprint("text").alias("fp"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup report: survivor id + copy count per content hash."""
+    from charmpandas_spark.functions.dedup import exact_dedup_survivors
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup_survivors(docs.sdf, "text", "doc_id")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-dup pairs (word 3-gram Jaccard >= 0.5) via the
+    inverted-index join — never a cross join."""
+    from charmpandas_spark.functions.dedup import ngram_jaccard_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs.sdf, "text", "doc_id", n=3,
+                               threshold=0.5)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)/LSH(4 bands) candidates verified with exact char-5
+    shingle Jaccard >= 0.7. md5 hashing for cross-engine parity
+    (production default is xxhash64)."""
+    from charmpandas_spark.functions.dedup import minhash_near_dup
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_near_dup(docs.sdf, "text", "doc_id", threshold=0.7,
+                            num_hashes=16, bands=4, k=5, hash_fn="md5")
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signatures (per-bit token majority vote)."""
+    from charmpandas_spark.functions.dedup import simhash
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs.sdf, "text", "doc_id", bits=32, hash_fn="md5")
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: exact all-pairs cosine >= 0.4."""
+    from charmpandas_spark.functions.similarity import cosine_pairs
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb.sdf, "embedding", "vec_id", threshold=0.4)
+
+
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 vs the vec_id=0 embedding."""
+    from charmpandas_spark.functions.similarity import cosine_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.sdf.filter(F.col("vec_id") == 0)
+               .select("embedding").first()["embedding"]]
+    return cosine_topk(emb.sdf, "embedding", "vec_id", qvec, k=10)
+
+
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-10 (random-hyperplane, Hamming<=1 probing)
+    vs the vec_id=0 embedding — the 100 TB scale path."""
+    from charmpandas_spark.functions.similarity import ann_lsh_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.sdf.filter(F.col("vec_id") == 0)
+               .select("embedding").first()["embedding"]]
+    return ann_lsh_topk(emb.sdf, "embedding", "vec_id", qvec, k=10,
+                        num_planes=6)
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column + typed metadata (octet length, content
+    hash) — built-ins only."""
+    from charmpandas_spark.functions.multimodal import attach_fake_media
+    docs = _t(spark, sf_dir, "documents")
+    m = attach_fake_media(docs.sdf, "text")
+    return m.select("doc_id",
+                    F.col("media_meta.n_bytes").alias("n_bytes"),
+                    F.col("media_meta.content_hash").alias("content_hash"))
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (chunked md5 'frames')."""
+    from charmpandas_spark.functions.multimodal import (
+        attach_fake_media, frame_sample)
+    docs = _t(spark, sf_dir, "documents")
+    m = attach_fake_media(docs.sdf, "text")
+    return frame_sample(m, "media", "doc_id", every_n_bytes=64,
+                        max_frames=8)
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation per event_type."""
+    from charmpandas_spark.streaming.windows import tumbling_window_agg
+    ev = _t(spark, sf_dir, "events")
+    exact = ev.sdf.withColumn("value", F.col("value").cast("decimal(18,6)"))
+    out = tumbling_window_agg(exact, "ts", ["event_type"], "1 hour")
+    return out.select(
+        "window_start", "event_type", "n_events",
+        (F.floor(F.col("sum_value").cast("double") * 10000) / 10000
+         ).alias("sum_value"))
+
+
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour window, 15-minute hop."""
+    from charmpandas_spark.streaming.windows import sliding_window_agg
+    ev = _t(spark, sf_dir, "events")
+    exact = ev.sdf.withColumn("value", F.col("value").cast("decimal(18,6)"))
+    out = sliding_window_agg(exact, "ts", ["event_type"], "1 hour",
+                             "15 minutes")
+    return out.select(
+        "window_start", "event_type", "n_events",
+        (F.floor(F.col("sum_value").cast("double") * 10000) / 10000
+         ).alias("sum_value"))
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session counts (native session_window, 4-hour gap)."""
+    from charmpandas_spark.streaming.windows import session_stats
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(ev.sdf, "ts", "user_id", "4 hours")
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -232,13 +389,253 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datetime_filter": q_datetime_filter,
         "distinct": q_distinct,
         "int_literal_widening": q_int_literal_widening,
+        "text_lang_id": q_text_lang_id,
+        "text_quality": q_text_quality,
+        "text_token_count": q_text_token_count,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "sim_topk": q_sim_topk,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_frames": q_multimodal_frames,
+        "events_window": q_events_window,
+        "events_sliding_window": q_events_sliding_window,
+        "events_sessionize": q_events_sessionize,
     }
 
 
+# ---------------------------------------------------------------------------
+# oracle SQL generators for the hash-pipeline queries (share one source
+# of truth with the Spark implementations via the *_sql builders)
+# ---------------------------------------------------------------------------
+
+def _cosine_sql(a: str, b: str) -> str:
+    lip = "list_inner_product"
+    return (f"{lip}({a}::DOUBLE[], {b}::DOUBLE[]) / "
+            f"(sqrt({lip}({a}::DOUBLE[], {a}::DOUBLE[])) * "
+            f"sqrt({lip}({b}::DOUBLE[], {b}::DOUBLE[])))")
+
+
+def _ngram_jaccard_sql(n: int = 3, threshold: float = 0.5) -> str:
+    from charmpandas_spark.functions.text import word_shingles_sql
+    jacc = ("FLOOR(CAST(common AS DOUBLE) / (sz_a + sz_b - common) "
+            "* 10000) / 10000")
+    return f"""
+        WITH base AS (SELECT doc_id, {word_shingles_sql('text', n)} AS sh
+                      FROM documents),
+        sz AS (SELECT doc_id, len(sh) AS sz, sh FROM base),
+        inv AS (SELECT doc_id, sz, unnest(sh) AS shingle FROM sz),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.sz AS sz_a, b.sz AS sz_b, count(*) AS common
+            FROM inv a JOIN inv b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4)
+        SELECT doc_a, doc_b, {jacc} AS jaccard
+        FROM pairs WHERE {jacc} >= {threshold}
+    """
+
+
+def _minhash_sql(num_hashes: int = 16, bands: int = 4, k: int = 5,
+                 threshold: float = 0.7) -> str:
+    from charmpandas_spark.functions.dedup import (
+        MINHASH_P, hash64_sql, minhash_params)
+    from charmpandas_spark.functions.text import char_shingles_sql
+    r = num_hashes // bands
+    base_h = hash64_sql("s", "0")
+    mins = ", ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_P}) AS m{j}"
+        for j, (a, b) in ((j, minhash_params(j))
+                          for j in range(num_hashes)))
+    band_keys = ", ".join(
+        "md5(concat_ws(','," + ",".join(
+            f"CAST(m{b * r + i} AS VARCHAR)" for i in range(r))
+        + f")) AS bk{b}"
+        for b in range(bands))
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, bk{b} AS band_key FROM keys"
+        for b in range(bands))
+    jacc = ("FLOOR(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) / "
+            "(len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) "
+            "* 10000) / 10000")
+    return f"""
+        WITH sh AS (SELECT doc_id, {char_shingles_sql('text', k)} AS sh
+                    FROM documents),
+        inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        hs AS (SELECT doc_id, ({base_h}) % {MINHASH_P} AS h FROM inv),
+        sig AS (SELECT doc_id, {mins} FROM hs GROUP BY doc_id),
+        keys AS (SELECT doc_id, {band_keys} FROM sig),
+        banded AS ({band_union}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id),
+        paired AS (
+            SELECT c.doc_a, c.doc_b, sa.sh AS sh_a, sb.sh AS sh_b
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b)
+        SELECT doc_a, doc_b, {jacc} AS jaccard
+        FROM paired WHERE {jacc} >= {threshold}
+    """
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    from charmpandas_spark.functions.dedup import hash64_sql
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    h = hash64_sql("tok", "0")
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits))
+    sig = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(bits))
+    return f"""
+        WITH toks AS (SELECT doc_id,
+                             unnest(string_split({norm}, ' ')) AS tok
+                      FROM documents),
+        h AS (SELECT doc_id, {h} AS h FROM toks WHERE tok <> ''),
+        v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+        SELECT doc_id AS doc, CAST({sig} AS BIGINT) AS simhash FROM v
+    """
+
+
+def _ann_lsh_sql(dims: int = 64, num_planes: int = 6, k: int = 10,
+                 seed: int = 71) -> str:
+    from charmpandas_spark.functions.similarity import _plane_component
+
+    def bucket_expr(vec: str) -> str:
+        terms = []
+        for p in range(num_planes):
+            plane = ",".join(repr(_plane_component(p, d, seed))
+                             for d in range(dims))
+            terms.append(
+                f"CASE WHEN list_inner_product({vec}::DOUBLE[], "
+                f"[{plane}]::DOUBLE[]) >= 0 THEN {1 << p} ELSE 0 END")
+        return " + ".join(terms)
+
+    probes = " OR ".join(
+        ["cand.b = qb.b"] + [f"cand.b = xor(qb.b, {1 << p})"
+                             for p in range(num_planes)])
+    cos = _cosine_sql("cand.embedding", "q.embedding")
+    return f"""
+        WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        qb AS (SELECT ({bucket_expr('embedding')}) AS b FROM q),
+        cand AS (SELECT vec_id, embedding,
+                        ({bucket_expr('embedding')}) AS b
+                 FROM embeddings)
+        SELECT cand.vec_id,
+               FLOOR(({cos}) * 10000) / 10000 AS cosine
+        FROM cand, qb, q
+        WHERE {probes}
+        ORDER BY cosine DESC, cand.vec_id ASC
+        LIMIT {k}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
+    from charmpandas_spark.functions.text import (
+        TOKEN_REGEX, fingerprint_sql, language_id_sql, quality_score_sql)
     join_cols = ('o_orderkey, o_orderpriority, l_orderkey, l_linenumber, '
                  'l_quantity')
+    cos_pair = _cosine_sql("a.embedding", "b.embedding")
+    cos_top = _cosine_sql("e.embedding", "q.embedding")
     return {
+        "text_lang_id": f"""
+            SELECT doc_id, {language_id_sql('text')} AS lang_pred
+            FROM documents
+        """,
+        "text_quality": f"""
+            SELECT doc_id, {quality_score_sql('text')} AS quality
+            FROM documents
+        """,
+        "text_token_count": f"""
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0 ELSE
+                        length(regexp_split_to_array(trim(text), '\\s+'))
+                        END AS INT) AS ws_tokens,
+                   CAST(length(regexp_extract_all(text, '{TOKEN_REGEX}'))
+                        AS INT) AS re_tokens
+            FROM documents
+        """,
+        "text_fingerprint": f"""
+            SELECT doc_id, {fingerprint_sql('text')} AS fp FROM documents
+        """,
+        "dedup_exact": f"""
+            SELECT {fingerprint_sql('text')} AS fp,
+                   MIN(doc_id) AS survivor_id,
+                   COUNT(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "dedup_ngram_jaccard": _ngram_jaccard_sql(3, 0.5),
+        "dedup_minhash": _minhash_sql(16, 4, 5, 0.7),
+        "dedup_simhash": _simhash_sql(32),
+        "dedup_embedding_cosine": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   FLOOR(({cos_pair}) * 10000) / 10000 AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE FLOOR(({cos_pair}) * 10000) / 10000 >= 0.4
+        """,
+        "sim_topk": f"""
+            WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   FLOOR(({cos_top}) * 10000) / 10000 AS cosine
+            FROM embeddings e, q
+            ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
+        """,
+        "sim_ann_lsh": _ann_lsh_sql(64, 6, 10),
+        "multimodal_meta": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   md5(text) AS content_hash
+            FROM documents
+        """,
+        "multimodal_frames": """
+            WITH f AS (SELECT doc_id, text,
+                              least(greatest(CAST(floor(
+                                  octet_length(encode(text)) / 64) AS INT),
+                                  1), 8) AS nf
+                       FROM documents)
+            SELECT doc_id, CAST(i AS INT) AS frame_idx,
+                   md5(substr(text, CAST(i * 64 + 1 AS INT), 64))
+                       AS frame_hash
+            FROM f CROSS JOIN range(0, 8) t(i) WHERE i < nf
+        """,
+        "events_window": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                         * 10000) / 10000 AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sliding_window": """
+            SELECT time_bucket(INTERVAL '15 minutes', ts)
+                       - k * INTERVAL '15 minutes' AS window_start,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                         * 10000) / 10000 AS sum_value
+            FROM events, range(0, 4) t(k)
+            GROUP BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH o AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w >= INTERVAL '4 hours'
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+            SELECT user_id,
+                   CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM o GROUP BY user_id
+        """,
         "scan_project":
             "SELECT l_orderkey, l_extendedprice, l_shipdate FROM lineitem",
         "filter_expr": """
@@ -295,7 +692,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "groupby_sum": """
             SELECT l_returnflag, l_linestatus,
-                   FLOOR(SUM(l_quantity) * 100) / 100 AS "sum(l_quantity)"
+                   FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                         AS DOUBLE) * 100) / 100 AS "sum(l_quantity)"
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "groupby_count": """
@@ -306,15 +704,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag,
                    FLOOR(MIN(l_quantity) * 100) / 100 AS min_qty,
                    FLOOR(MAX(l_quantity) * 100) / 100 AS max_qty,
-                   FLOOR(AVG(l_extendedprice) * 100) / 100 AS avg_price,
+                   FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                         AS DOUBLE) / COUNT(l_extendedprice) * 100) / 100
+                       AS avg_price,
                    ROUND(quantile_cont(l_quantity, 0.5), 2) AS median_qty,
                    COUNT(DISTINCT l_orderkey) AS distinct_orders
             FROM lineitem GROUP BY l_returnflag
         """,
         "scalar_reduction": """
-            SELECT FLOOR(SUM(l_quantity) * 100) / 100 AS sum_qty,
+            SELECT FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                         AS DOUBLE) * 100) / 100 AS sum_qty,
                    COUNT(l_quantity) AS count_qty,
-                   FLOOR(SUM(l_extendedprice) * 100) / 100 AS sum_price
+                   FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                         AS DOUBLE) * 100) / 100 AS sum_price
             FROM lineitem
         """,
         "sort_topk": """

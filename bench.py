@@ -34,14 +34,21 @@ def bench_queries(spark, sf_dir):
         "join_inner",
         "sort_topk",
         "datetime_filter",
+        "text_quality",
+        "text_lang_id",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_minhash",
+        "dedup_simhash",
+        "dedup_embedding_cosine",
+        "sim_topk",
+        "sim_ann_lsh",
+        "multimodal_frames",
+        "events_window",
+        "events_sliding_window",
+        "events_sessionize",
     ]
-    extra = [n for n in qs if n.startswith(("dedup_", "sim_", "text_",
-                                            "events_", "multimodal_"))]
-    out = {}
-    for n in names + extra:
-        if n in qs:
-            out[n] = qs[n]
-    return out
+    return {n: qs[n] for n in names if n in qs}
 
 
 def main():

@@ -1,0 +1,342 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families, all beyond the reference surface (north star):
+
+- exact:        md5-fingerprint groupwise keep-first
+- n-gram Jaccard: EXACT pairwise similarity at scale via an inverted
+                  shingle index (explode -> self-join -> count common),
+                  never a full cross join
+- MinHash+LSH:  signature -> bands -> bucket-join candidates -> verify
+- SimHash:      per-bit majority vote over token hashes
+- embedding:    cosine near-dup over ArrayType embeddings (see
+                similarity.py for the ANN scale path)
+
+Scale design:
+- Everything is DataFrame ops: explode/groupBy/join — Catalyst plans
+  the shuffles, AQE handles skewed shingles.
+- Hashing defaults to ``xxhash64`` (one JVM call, zero-copy). Pass
+  ``hash_fn='md5'`` for bit-identical cross-engine oracles (md5 is
+  the only 64-bit-derivable hash both Spark and DuckDB implement
+  identically).
+- The O(n^2) verify stage only ever runs on LSH/band candidates, not
+  the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame as SparkDF, Window, functions as F
+
+from .text import char_shingles, fingerprint, normalize_text, word_shingles
+
+__all__ = [
+    "spread",
+    "hash64",
+    "exact_dedup",
+    "exact_dedup_survivors",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_params",
+    "MINHASH_P",
+    "lsh_candidate_pairs",
+    "minhash_near_dup",
+    "simhash",
+    "simhash_near_dup",
+]
+
+
+def spread(df: SparkDF, partitions: int | None = None) -> SparkDF:
+    """Round-robin repartition small/single-file inputs so downstream
+    explode/hash/join pipelines parallelize across all cores. A table
+    read from one parquet file is ONE partition — every per-row-heavy
+    operator after it would run on a single task. At real scale inputs
+    already have many splits and AQE coalesces the excess, so this is
+    a no-op-ish guard, not a tuning knob."""
+    if partitions is None:
+        spark = df.sparkSession
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() >= partitions:
+        return df
+    return df.repartition(partitions)
+
+
+def hash64(col: Column, seed: int | Column = 0, hash_fn: str = "xxhash64") -> Column:
+    """64-bit hash of a string column.
+
+    ``xxhash64``: Spark-native, fastest (production path).
+    ``md5``: first 15 hex chars of md5 as a bigint — bit-identical in
+    DuckDB via ``('0x' || substr(md5(x),1,15))::BIGINT``; use for
+    cross-engine verification.
+    """
+    seed_col = F.lit(seed) if isinstance(seed, int) else seed
+    if hash_fn == "xxhash64":
+        return F.xxhash64(seed_col, col)
+    if hash_fn == "md5":
+        return F.conv(
+            F.substring(F.md5(F.concat(seed_col.cast("string"), F.lit(":"),
+                                       col).cast("binary")), 1, 15),
+            16, 10).cast("bigint")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+def hash64_sql(expr: str, seed: str = "0") -> str:
+    """DuckDB twin of ``hash64(..., hash_fn='md5')``."""
+    return (f"CAST(concat('0x', substr(md5(concat(CAST({seed} AS VARCHAR), "
+            f"':', {expr})), 1, 15)) AS BIGINT)")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: SparkDF, text_col: str, id_col: str) -> SparkDF:
+    """Keep the lowest-id row per identical (normalized) text.
+
+    One shuffle: window by fingerprint + row_number. At 100 TB the
+    fingerprint groupBy distributes by hash; no driver involvement.
+    """
+    w = Window.partitionBy("__cps_fp").orderBy(F.col(id_col).asc())
+    return (df.withColumn("__cps_fp", fingerprint(text_col))
+              .withColumn("__cps_rn", F.row_number().over(w))
+              .filter(F.col("__cps_rn") == 1)
+              .drop("__cps_fp", "__cps_rn"))
+
+
+def exact_dedup_survivors(df: SparkDF, text_col: str, id_col: str) -> SparkDF:
+    """(fingerprint, survivor_id, n_copies) per distinct content —
+    the dedup *report* rather than the deduped corpus."""
+    return (df.withColumn("fp", fingerprint(text_col))
+              .groupBy("fp")
+              .agg(F.min(id_col).alias("survivor_id"),
+                   F.count(F.lit(1)).alias("n_copies")))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, inverted-index join — no cross join)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: SparkDF,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    use_chars: bool = False,
+    k: int = 5,
+) -> SparkDF:
+    """All pairs (a < b) with Jaccard similarity of their distinct
+    n-gram shingle sets >= threshold.
+
+    EXACT algorithm, but scalable: explode distinct shingles into an
+    inverted index, self-join on the shingle (only docs sharing >= 1
+    shingle ever meet), count common shingles per pair, then
+    ``jacc = common / (|A| + |B| - common)``. Shuffles are on shingle
+    then on (a, b) — both well-distributed; a document-frequency cap
+    can be layered on to drop stop-shingles at extreme scale.
+    """
+    sh = char_shingles(text_col, k) if use_chars else word_shingles(text_col, n)
+    base = (spread(df).select(F.col(id_col).alias("doc"), sh.alias("sh"))
+              .withColumn("sz", F.size("sh")))
+    inv = base.select("doc", "sz", F.explode("sh").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    pairs = (a.join(b, on=[F.col("a.shingle") == F.col("b.shingle"),
+                           F.col("a.doc") < F.col("b.doc")])
+              .groupBy(F.col("a.doc").alias("doc_a"),
+                       F.col("b.doc").alias("doc_b"),
+                       F.col("a.sz").alias("sz_a"),
+                       F.col("b.sz").alias("sz_b"))
+              .agg(F.count(F.lit(1)).alias("common")))
+    jacc = (F.col("common")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("common")))
+    return (pairs.withColumn("jaccard", F.floor(jacc * 10000) / 10000)
+                 .filter(F.col("jaccard") >= threshold)
+                 .select("doc_a", "doc_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+#: Mersenne prime field for universal hashing: each shingle is hashed
+#: ONCE (md5/xxhash), then the j-th minhash derives arithmetically as
+#: (a_j * h + b_j) mod P — no per-seed rehash. a_j < P and h < P keep
+#: the product under 2^62 (ANSI-overflow-safe in both engines).
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_params(j: int) -> tuple[int, int]:
+    """Deterministic (a_j, b_j) universal-hash coefficients."""
+    a = (j * 2654435761 + 12345) % MINHASH_P
+    if a == 0:
+        a = 1
+    b = (j * 40503 + 7) % MINHASH_P
+    return a, b
+
+
+def minhash_signatures(
+    df: SparkDF,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    k: int = 5,
+    hash_fn: str = "xxhash64",
+) -> SparkDF:
+    """(doc, m0..m{H-1}) minhash signature per document.
+
+    Shape chosen for scale AND to defeat CollapseProject re-evaluation:
+    explode shingles -> hash each ONCE -> single groupBy(doc) with H
+    conditional mins (map-side partial aggregation). One shuffle on
+    doc id; md5/xxhash cost is O(total shingles), not O(H x shingles).
+    """
+    ex = spread(df).select(F.col(id_col).alias("doc"),
+                           F.explode(char_shingles(text_col, k)).alias("s"))
+    hashed = ex.select(
+        "doc", (hash64(F.col("s"), 0, hash_fn) % MINHASH_P).alias("h"))
+    mins = []
+    for j in range(num_hashes):
+        a, b = minhash_params(j)
+        mins.append(F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P)
+                    .alias(f"m{j}"))
+    return hashed.groupBy("doc").agg(*mins)
+
+
+def lsh_candidate_pairs(
+    df: SparkDF,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 5,
+    hash_fn: str = "xxhash64",
+) -> SparkDF:
+    """Candidate near-dup pairs: split the signature into ``bands``
+    equal rows-per-band chunks; docs agreeing on any full band meet in
+    a bucket join. Classic (b, r) S-curve selectivity."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    r = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k, hash_fn)
+    band_keys = [
+        F.md5(F.concat_ws(",", *[
+            F.col(f"m{b * r + i}").cast("string") for i in range(r)
+        ])).alias(f"bk{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc", F.posexplode(F.array(
+        *[bk for bk in band_keys])).alias("band_idx", "band_key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (a.join(b, on=[F.col("a.band_idx") == F.col("b.band_idx"),
+                          F.col("a.band_key") == F.col("b.band_key"),
+                          F.col("a.doc") < F.col("b.doc")])
+             .select(F.col("a.doc").alias("doc_a"),
+                     F.col("b.doc").alias("doc_b"))
+             .distinct())
+
+
+def minhash_near_dup(
+    df: SparkDF,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 5,
+    hash_fn: str = "xxhash64",
+) -> SparkDF:
+    """LSH candidates verified with EXACT Jaccard over char shingles —
+    the verify join only touches candidate pairs, so the expensive
+    set-intersection is O(candidates), not O(n^2)."""
+    cands = lsh_candidate_pairs(df, text_col, id_col, num_hashes, bands,
+                                k, hash_fn)
+    sh = spread(df).select(F.col(id_col).alias("doc"),
+                           char_shingles(text_col, k).alias("sh"))
+    joined = (cands
+              .join(sh.withColumnsRenamed({"doc": "doc_a", "sh": "sh_a"}),
+                    "doc_a")
+              .join(sh.withColumnsRenamed({"doc": "doc_b", "sh": "sh_b"}),
+                    "doc_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jacc = inter.cast("double") / union
+    return (joined.withColumn("jaccard", F.floor(jacc * 10000) / 10000)
+                  .filter(F.col("jaccard") >= threshold)
+                  .select("doc_a", "doc_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(
+    df: SparkDF,
+    text_col: str,
+    id_col: str,
+    bits: int = 48,
+    hash_fn: str = "xxhash64",
+) -> SparkDF:
+    """Per-document SimHash: hash each whitespace token of the
+    normalized text to 64 bits, take a per-bit majority vote over the
+    token multiset, assemble the sign vector into a ``bits``-wide
+    integer. Near-dup docs land within small Hamming distance.
+
+    Implemented as explode -> single groupBy with ``bits`` conditional
+    sums — one shuffle, map-side partial aggregation, no UDF.
+    """
+    if not 1 <= bits <= 62:
+        raise ValueError("bits must be in 1..62 (signed-long safe)")
+    toks = spread(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("tok"))
+    toks = toks.filter(F.col("tok") != "").withColumn(
+        "h", hash64(F.col("tok"), 0, hash_fn))
+    votes = [
+        F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("doc").agg(*votes)
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select("doc", sig.cast("bigint").alias("simhash"))
+
+
+def simhash_near_dup(
+    df: SparkDF,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bits: int = 48,
+    block_bits: int = 12,
+    hash_fn: str = "xxhash64",
+) -> SparkDF:
+    """Near-dup pairs by SimHash Hamming distance, using the
+    pigeonhole block trick: split the signature into
+    ``bits/block_bits`` blocks; any pair within ``max_hamming`` must
+    agree exactly on >= 1 block (when blocks > max_hamming), so
+    bucket-join on block value instead of cross-joining."""
+    sig = simhash(df, text_col, id_col, bits, hash_fn)
+    nblocks = bits // block_bits
+    if nblocks <= max_hamming:
+        raise ValueError("need bits/block_bits > max_hamming for the "
+                         "pigeonhole guarantee")
+    mask = (1 << block_bits) - 1
+    blocks = sig.select(
+        "doc", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftright("simhash", i * block_bits).bitwiseAND(F.lit(mask))
+            for i in range(nblocks)
+        ])).alias("block_idx", "block_val"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (a.join(b, on=[F.col("a.block_idx") == F.col("b.block_idx"),
+                          F.col("a.block_val") == F.col("b.block_val"),
+                          F.col("a.doc") < F.col("b.doc")])
+             .select(F.col("a.doc").alias("doc_a"),
+                     F.col("b.doc").alias("doc_b"),
+                     F.col("a.simhash").alias("sig_a"),
+                     F.col("b.simhash").alias("sig_b"))
+             .distinct())
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (cand.withColumn("hamming", ham)
+                .filter(F.col("hamming") <= max_hamming)
+                .select("doc_a", "doc_b", "hamming"))

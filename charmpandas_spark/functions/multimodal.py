@@ -1,0 +1,158 @@
+"""Multimodal (image/audio/video) column handling.
+
+Treats media as opaque ``binary`` columns + typed metadata, per the
+north star. The Spark-side plumbing — schemas, Arrow-batched
+``mapInPandas`` decode pipelines, partition sizing — is real and
+tested; the actual codec step is stubbed (no image/audio libraries in
+this container) behind ``decoder=`` hooks: the default is a
+clearly-marked deterministic fake, and passing a real decoder (e.g.
+PIL) slots straight in.
+
+Scale design: media bytes stay in executor memory only for the
+duration of one Arrow batch (``mapInPandas`` streams batches);
+metadata extraction is pure built-ins (octet_length/md5/substring);
+feature vectors come back as ``array<float>`` ready for
+similarity.py operators.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame as SparkDF, functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, FloatType, IntegerType, LongType, StringType,
+    StructField, StructType,
+)
+
+__all__ = [
+    "attach_fake_media",
+    "media_metadata",
+    "extract_features",
+    "decode_stub",
+    "frame_sample",
+    "MEDIA_META_SCHEMA",
+]
+
+#: typed metadata carried alongside every media payload
+MEDIA_META_SCHEMA = StructType([
+    StructField("media_type", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("content_hash", StringType()),
+])
+
+
+def attach_fake_media(df: SparkDF, text_col: str, out_col: str = "media",
+                      media_type: str = "image/fake") -> SparkDF:
+    """Deterministic media fixture: encodes a text column as the binary
+    payload (stand-in for real image/audio bytes) plus a typed
+    metadata struct. Purely for exercising the pipeline shape."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    meta = F.struct(
+        F.lit(media_type).alias("media_type"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("content_hash"),
+    )
+    return df.withColumn(out_col, payload).withColumn(f"{out_col}_meta", meta)
+
+
+def media_metadata(df: SparkDF, bin_col: str) -> SparkDF:
+    """Metadata extraction over a binary column — pure built-ins, no
+    Python: byte length, md5 content hash, magic byte."""
+    b = F.col(bin_col)
+    return df.select(
+        "*",
+        F.octet_length(b).cast("long").alias(f"{bin_col}_bytes"),
+        F.md5(b).alias(f"{bin_col}_md5"),
+        F.substring(b, 1, 1).cast("string").alias(f"{bin_col}_magic"),
+    )
+
+
+def decode_stub(payload: bytes) -> dict:
+    """STUB decoder. A real deployment replaces this with e.g.::
+
+        from PIL import Image; img = Image.open(io.BytesIO(payload))
+
+    No codec libraries exist in this container, so this produces a
+    deterministic fake "decode": width/height derived from the byte
+    length, channel statistics from a 16-bin byte histogram. The
+    surrounding Spark plumbing (schema, batching, partitioning) is
+    exactly what a real decoder runs in."""
+    n = len(payload)
+    hist = [0] * 16
+    for by in payload:
+        hist[by >> 4] += 1
+    total = max(n, 1)
+    return {
+        "width": int(n % 512) + 1,
+        "height": int(n % 384) + 1,
+        "histogram": [h / total for h in hist],
+    }
+
+
+DECODED_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("features", ArrayType(FloatType())),
+])
+
+
+def extract_features(
+    df: SparkDF,
+    bin_col: str,
+    id_col: str,
+    decoder: Callable[[bytes], dict] = decode_stub,
+    batch_size_hint: int | None = None,
+) -> SparkDF:
+    """Arrow-batched decode + feature extraction via ``mapInPandas``.
+
+    Each Arrow batch arrives as a pandas DataFrame; the decoder runs
+    per payload; output is (id, width, height, features:array<float>)
+    ready for ANN search. This is THE pattern for any real
+    image/audio/video decode at scale: Python only sees one batch at
+    a time, executors stream, no driver involvement."""
+    id_name, bin_name = id_col, bin_col
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decoder(p) for p in pdf[bin_name]]
+            yield pd.DataFrame({
+                "doc_id": pdf[id_name].astype("int64").values,
+                "width": [d["width"] for d in decoded],
+                "height": [d["height"] for d in decoded],
+                "features": [d["histogram"] for d in decoded],
+            })
+
+    return df.select(id_col, bin_col).mapInPandas(decode_batches,
+                                                  DECODED_SCHEMA)
+
+
+def frame_sample(
+    df: SparkDF,
+    bin_col: str,
+    id_col: str,
+    every_n_bytes: int = 1024,
+    max_frames: int = 8,
+) -> SparkDF:
+    """'Video frame' sampling stand-in: emit one row per sampled chunk
+    offset of the payload (a real implementation samples decoded
+    frames; the chunking/explode plumbing is identical). Pure
+    built-ins: sequence + transform + posexplode — no Python."""
+    b = F.col(bin_col)
+    n_frames = F.least(
+        F.greatest((F.octet_length(b) / every_n_bytes).cast("int"), F.lit(1)),
+        F.lit(max_frames))
+    offsets = F.sequence(F.lit(0), n_frames - 1)
+    frames = F.transform(
+        offsets,
+        lambda i: F.struct(
+            i.alias("frame_idx"),
+            F.md5(F.substring(b, i * every_n_bytes + 1, every_n_bytes)
+                  ).alias("frame_hash"),
+        ))
+    return (df.select(F.col(id_col), F.explode(frames).alias("f"))
+              .select(id_col, F.col("f.frame_idx").alias("frame_idx"),
+                      F.col("f.frame_hash").alias("frame_hash")))

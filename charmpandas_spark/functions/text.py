@@ -1,0 +1,203 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference surface (the reference has NO string functions at
+all — the ArrayOperation enum at src/operations.hpp:10-23 is its
+complete scalar-function inventory). These are the north-star
+LLM-pipeline operators: language ID, quality scoring, token counting,
+document fingerprinting.
+
+Design rules (100 TB):
+- Everything is built-in ``pyspark.sql.functions`` — JVM-side,
+  whole-stage-codegen'd, no Python in the hot path.
+- Deterministic across engines: hashing is md5 (identical in Spark and
+  DuckDB), ratios use FLOOR-based rounding (IEEE-exact both sides).
+- Each operator is a Column-in/Column-out function, so it composes
+  with filters/joins and Catalyst can prune/push around it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+__all__ = [
+    "normalize_text",
+    "whitespace_token_count",
+    "regex_token_count",
+    "language_id",
+    "quality_score",
+    "fingerprint",
+    "char_shingles",
+    "word_shingles",
+    "LANG_STOPWORDS",
+    "TOKEN_REGEX",
+]
+
+#: BPE-ish tokenizer regex: letter runs, single digits, punctuation
+#: marks — approximates byte-pair-encoding token boundaries closely
+#: enough for count-based filtering.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+#: Small high-frequency stopword sets per language for n-gram/stopword
+#: language ID. Word-boundary regexes keep this evaluable as one
+#: vectorized regexp_count per language.
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "it",
+           "with", "was", "on", "are", "this"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu",
+           "den", "von", "mit", "sich", "auf", "für"],
+    "fr": ["le", "la", "les", "et", "un", "une", "est", "que", "pour",
+           "dans", "qui", "pas", "sur", "avec"],
+    "es": ["el", "los", "las", "y", "que", "en", "un", "es", "por",
+           "con", "una", "para", "del", "se"],
+}
+
+
+def lang_pattern(lang: str) -> str:
+    """Word-boundary alternation regex for one language's stopwords."""
+    return r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase + collapse whitespace + trim — the canonical form used
+    by fingerprinting and dedup so trivial formatting differences don't
+    defeat near-dup detection."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def whitespace_token_count(col: Column | str) -> Column:
+    """Token count by whitespace splitting (0 for empty/blank)."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))).cast("int")
+
+
+def regex_token_count(col: Column | str) -> Column:
+    """BPE-ish token count: number of TOKEN_REGEX matches."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(TOKEN_REGEX)).cast("int")
+
+
+def language_id(col: Column | str) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hit
+    counts over the lowercased text; 'und' (undetermined) when no
+    stopword of any language matches. One vectorized regexp_count per
+    language — no UDF, fully codegen'd."""
+    c = F.col(col) if isinstance(col, str) else col
+    low = F.lower(c)
+    scores = {lang: F.regexp_count(low, F.lit(lang_pattern(lang)))
+              for lang in LANG_STOPWORDS}
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # deterministic tie-break: later-checked language wins ties only if
+    # strictly greater; iterate in reversed fixed order so 'en' wins
+    # ties (checked last => first when-match below).
+    for lang in reversed(list(LANG_STOPWORDS)):
+        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best == 0, F.lit("und")).otherwise(out)
+
+
+def language_id_sql(text_expr: str) -> str:
+    """DuckDB-SQL twin of :func:`language_id` (oracle generation)."""
+    score = {
+        lang: ("length(regexp_extract_all(lower(" + text_expr + "), "
+               f"'{lang_pattern(lang)}'))")
+        for lang in LANG_STOPWORDS
+    }
+    greatest = "greatest(" + ", ".join(score.values()) + ")"
+    out = "'und'"
+    for lang in reversed(list(LANG_STOPWORDS)):
+        out = (f"CASE WHEN {score[lang]} = {greatest} THEN '{lang}' "
+               f"ELSE {out} END")
+    return f"CASE WHEN {greatest} = 0 THEN 'und' ELSE {out} END"
+
+
+def quality_score(col: Column | str) -> Column:
+    """Document quality in [0,1]: weighted blend of alphabetic ratio,
+    stopword presence, word-length sanity, and length saturation.
+    Pure built-ins; ANSI-safe (no division by zero)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    safe_n = F.when(n == 0, F.lit(1)).otherwise(n).cast("double")
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")) / safe_n
+    words = whitespace_token_count(c)
+    safe_w = F.when(words == 0, F.lit(1)).otherwise(words).cast("double")
+    mean_wlen = F.length(F.regexp_replace(c, r"\s", "")) / safe_w
+    # word length sanity: 1 at mean length 5, linearly 0 by 1 or 15
+    wlen_term = F.greatest(
+        F.lit(0.0),
+        F.lit(1.0) - F.abs(mean_wlen - F.lit(5.0)) / F.lit(10.0))
+    stop_hits = F.regexp_count(F.lower(c), F.lit(lang_pattern("en")))
+    stop_term = F.least(F.lit(1.0), stop_hits.cast("double") / F.lit(8.0))
+    len_term = F.least(F.lit(1.0), n.cast("double") / F.lit(500.0))
+    raw = (F.lit(0.35) * alpha + F.lit(0.25) * stop_term
+           + F.lit(0.2) * wlen_term + F.lit(0.2) * len_term)
+    score = F.when(n == 0, F.lit(0.0)).otherwise(raw)
+    return F.floor(score * 10000) / 10000
+
+
+def quality_score_sql(t: str) -> str:
+    """DuckDB-SQL twin of :func:`quality_score`."""
+    n = f"length({t})"
+    safe_n = f"CAST(CASE WHEN {n} = 0 THEN 1 ELSE {n} END AS DOUBLE)"
+    alpha = f"length(regexp_replace({t}, '[^A-Za-z]', '', 'g')) / {safe_n}"
+    words = (f"CASE WHEN trim({t}) = '' THEN 0 ELSE "
+             f"length(regexp_split_to_array(trim({t}), '\\s+')) END")
+    safe_w = f"CAST(CASE WHEN ({words}) = 0 THEN 1 ELSE ({words}) END AS DOUBLE)"
+    mean_wlen = f"length(regexp_replace({t}, '\\s', '', 'g')) / {safe_w}"
+    wlen_term = f"greatest(0.0, 1.0 - abs(({mean_wlen}) - 5.0) / 10.0)"
+    stop_hits = (f"length(regexp_extract_all(lower({t}), "
+                 f"'{lang_pattern('en')}'))")
+    stop_term = f"least(1.0, CAST({stop_hits} AS DOUBLE) / 8.0)"
+    len_term = f"least(1.0, CAST({n} AS DOUBLE) / 500.0)"
+    raw = (f"0.35 * ({alpha}) + 0.25 * ({stop_term}) + 0.2 * ({wlen_term})"
+           f" + 0.2 * ({len_term})")
+    return (f"FLOOR((CASE WHEN {n} = 0 THEN 0.0 ELSE {raw} END) * 10000)"
+            f" / 10000")
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    md5 is bit-identical across Spark/DuckDB/Python — the foundation
+    for exact dedup and for seeding minhash."""
+    return F.md5(normalize_text(col).cast("binary"))
+
+
+def fingerprint_sql(t: str) -> str:
+    return f"md5(trim(regexp_replace(lower({t}), '\\s+', ' ', 'g')))"
+
+
+def char_shingles(col: Column | str, k: int = 5) -> Column:
+    """Distinct character k-shingles of the normalized text, as an
+    array column. Built with sequence+transform (JVM-side); documents
+    shorter than k yield a single whole-string shingle."""
+    norm = normalize_text(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.substring(norm, i, k)))
+
+
+def char_shingles_sql(t: str, k: int = 5) -> str:
+    norm = f"trim(regexp_replace(lower({t}), '\\s+', ' ', 'g'))"
+    return (f"list_distinct(list_transform("
+            f"range(1, greatest(length({norm}) - {k - 1}, 1) + 1), "
+            f"i -> substr({norm}, CAST(i AS INT), {k})))")
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined) of the normalized text."""
+    words = F.split(normalize_text(col), " ")
+    cnt = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    return F.array_distinct(F.transform(
+        idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")))
+
+
+def word_shingles_sql(t: str, n: int = 3) -> str:
+    norm = f"trim(regexp_replace(lower({t}), '\\s+', ' ', 'g'))"
+    words = f"string_split({norm}, ' ')"
+    return (f"list_distinct(list_transform("
+            f"range(0, greatest(length({words}) - {n}, 0) + 1), "
+            f"i -> array_to_string(list_slice({words}, "
+            f"CAST(i + 1 AS INT), CAST(i + {n} AS INT)), ' ')))")

@@ -1,0 +1,133 @@
+"""Windowed and sessionized event processing — batch AND streaming.
+
+The reference has no streaming at all (SURVEY §2.7: the only
+"streaming" is its CCS socket). These operators target the ``events``
+table shape (event_id, ts, user_id, event_type, value, props) and are
+written so the SAME transformation applies to a batch DataFrame or a
+``readStream`` DataFrame — the Structured Streaming contract.
+
+Scale design: tumbling/sliding windows are hash-partitioned by
+(window, keys) with partial aggregation; sessionization uses Spark's
+native ``session_window`` (streaming-capable, state-store backed)
+rather than a gaps-and-islands window sort, so it scales to
+out-of-core state and handles late data via watermarks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SparkDF, functions as F
+
+__all__ = [
+    "tumbling_window_agg",
+    "sliding_window_agg",
+    "sessionize",
+    "session_stats",
+    "stream_from_parquet",
+    "stream_tumbling_counts",
+]
+
+
+def tumbling_window_agg(
+    df: SparkDF,
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+    window: str = "1 hour",
+    value_col: str = "value",
+    watermark: str | None = None,
+) -> SparkDF:
+    """Tumbling-window count + sum. Works unchanged on batch and
+    streaming inputs; pass ``watermark`` for streaming late-data
+    bounds."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    keys = keys or []
+    return (df.groupBy(F.window(ts_col, window), *keys)
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum(value_col).alias("sum_value"))
+              .select(F.col("window.start").alias("window_start"),
+                      *keys, "n_events", "sum_value"))
+
+
+def sliding_window_agg(
+    df: SparkDF,
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    value_col: str = "value",
+    watermark: str | None = None,
+) -> SparkDF:
+    """Sliding (hopping) window aggregation."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    keys = keys or []
+    return (df.groupBy(F.window(ts_col, window, slide), *keys)
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum(value_col).alias("sum_value"))
+              .select(F.col("window.start").alias("window_start"),
+                      *keys, "n_events", "sum_value"))
+
+
+def sessionize(
+    df: SparkDF,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+    value_col: str = "value",
+    watermark: str | None = None,
+) -> SparkDF:
+    """Session windows per user: events closer than ``gap`` merge into
+    one session. Uses Spark's native ``session_window`` — the same
+    operator is streaming-capable with a watermark (state-store
+    backed), unlike a gaps-and-islands sort."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return (df.groupBy(F.session_window(ts_col, gap), F.col(user_col))
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum(value_col).alias("sum_value"),
+                   F.min(ts_col).alias("first_event"))
+              .select(user_col,
+                      F.col("session_window.start").alias("session_start"),
+                      "n_events", "sum_value"))
+
+
+def session_stats(
+    df: SparkDF,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+) -> SparkDF:
+    """Per-user session counts (n_sessions, total events)."""
+    sessions = sessionize(df, ts_col, user_col, gap)
+    return (sessions.groupBy(user_col)
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum("n_events").cast("bigint").alias("n_events")))
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming entry points
+# ---------------------------------------------------------------------------
+
+def stream_from_parquet(spark, path: str, schema=None,
+                        max_files_per_trigger: int = 1) -> SparkDF:
+    """File-source stream over a parquet directory (the standard way
+    to replay a table as a stream; schema required by streaming)."""
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path))
+
+
+def stream_tumbling_counts(
+    stream_df: SparkDF,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    keys: list[str] | None = None,
+):
+    """Streaming tumbling-window counts with watermarked late-data
+    handling. Returns the (unstarted) streaming DataFrame; callers
+    attach ``.writeStream`` with their sink/trigger."""
+    return tumbling_window_agg(stream_df, ts_col, keys or ["event_type"],
+                               window, watermark=watermark)

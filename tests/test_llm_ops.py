@@ -1,0 +1,270 @@
+"""Tests for the beyond-reference LLM-pipeline operators: text
+analysis, dedup, similarity, multimodal, windows/sessionization."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+import charmpandas_spark as cps
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return cps.read_table(spark, sf_dir, "documents").sdf
+
+
+@pytest.fixture(scope="module")
+def docs_pd(docs):
+    return docs.toPandas()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return cps.read_table(spark, sf_dir, "embeddings").sdf
+
+
+# -- text ---------------------------------------------------------------
+
+def test_fingerprint_matches_python_md5(docs, docs_pd):
+    from charmpandas_spark.functions.text import fingerprint
+    got = docs.select("doc_id", fingerprint("text").alias("fp")) \
+              .toPandas().set_index("doc_id")["fp"]
+    import re
+    for doc_id, text in docs_pd.set_index("doc_id")["text"].items():
+        norm = re.sub(r"\s+", " ", text.lower()).strip()
+        want = hashlib.md5(norm.encode()).hexdigest()
+        assert got[doc_id] == want
+
+
+def test_token_counts(docs, docs_pd):
+    from charmpandas_spark.functions.text import whitespace_token_count
+    got = docs.select("doc_id",
+                      whitespace_token_count("text").alias("n")) \
+              .toPandas().set_index("doc_id")["n"]
+    for doc_id, text in docs_pd.set_index("doc_id")["text"].items():
+        assert got[doc_id] == len(text.split())
+
+
+def test_language_id(spark, docs):
+    from charmpandas_spark.functions.text import language_id
+    # the driver's synthetic docs are language-agnostic word salad (the
+    # `lang` column does not reflect the text), so test on real samples
+    pdf = pd.DataFrame({"text": [
+        "the cat sat on the mat and it was happy with the dog",
+        "der Hund ist nicht zu Hause und die Katze ist mit den Kindern",
+        "le chat est dans la maison et les enfants sont pour la plage",
+        "el perro es grande y los gatos en la casa son por una razon",
+        "xyzzy plugh 12345",
+    ]})
+    out = [r.pred for r in spark.createDataFrame(pdf)
+           .select(language_id("text").alias("pred")).collect()]
+    assert out == ["en", "de", "fr", "es", "und"]
+    # deterministic + total on the synthetic corpus
+    got = docs.select(language_id("text").alias("p")).toPandas()["p"]
+    assert got.isin(["en", "de", "fr", "es", "und"]).all()
+
+
+def test_quality_score_bounds(docs):
+    from charmpandas_spark.functions.text import quality_score
+    stats = docs.select(quality_score("text").alias("q")) \
+                .agg(F.min("q"), F.max("q")).first()
+    assert 0.0 <= stats[0] and stats[1] <= 1.0
+
+
+# -- dedup --------------------------------------------------------------
+
+def test_exact_dedup_idempotent(spark, docs):
+    from charmpandas_spark.functions.dedup import exact_dedup
+    dup = docs.unionByName(docs.limit(50))  # plant 50 duplicates
+    out = exact_dedup(dup, "text", "doc_id")
+    assert out.count() == docs.count()
+
+
+def test_ngram_jaccard_pairs_match_bruteforce(spark, docs):
+    from charmpandas_spark.functions.dedup import ngram_jaccard_pairs
+    sample = docs.limit(60)
+    got = ngram_jaccard_pairs(sample, "text", "doc_id", n=3,
+                              threshold=0.1).toPandas()
+    pdf = sample.toPandas()
+    import re
+
+    def shingles(t):
+        w = re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+        return set(" ".join(w[i:i + 3]) for i in range(max(len(w) - 2, 1)))
+
+    sh = {r.doc_id: shingles(r.text) for r in pdf.itertuples()}
+    ids = sorted(sh)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            if inter:
+                j = inter / len(sh[a] | sh[b])
+                if np.floor(j * 10000) / 10000 >= 0.1:
+                    want[(a, b)] = np.floor(j * 10000) / 10000
+    got_pairs = {(r.doc_a, r.doc_b): r.jaccard for r in got.itertuples()}
+    assert got_pairs == want
+
+
+def test_minhash_finds_planted_near_dups(spark, docs):
+    from charmpandas_spark.functions.dedup import minhash_near_dup
+    from charmpandas_spark.functions.dedup import ngram_jaccard_pairs
+    got = minhash_near_dup(docs, "text", "doc_id", threshold=0.7,
+                           num_hashes=16, bands=4).toPandas()
+    exact = ngram_jaccard_pairs(docs, "text", "doc_id", use_chars=True,
+                                threshold=0.7).toPandas()
+    got_pairs = set(zip(got.doc_a, got.doc_b))
+    exact_pairs = set(zip(exact.doc_a, exact.doc_b))
+    # LSH with r=4 at s>=0.7: per-band hit prob ~0.24, miss prob ~(1-.24)^4
+    # => recall isn't guaranteed 1.0, but planted dups are ~0.99 sim
+    recall = len(got_pairs & exact_pairs) / max(len(exact_pairs), 1)
+    assert recall >= 0.9, (len(got_pairs), len(exact_pairs))
+    # verify stage guarantees no false positives
+    assert got_pairs <= exact_pairs or \
+        (got["jaccard"] >= 0.7).all()
+
+
+def test_simhash_hamming_close_for_similar(spark):
+    from charmpandas_spark.functions.dedup import simhash
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["the quick brown fox jumps over the lazy dog again and",
+                 "the quick brown fox jumps over the lazy cat again and",
+                 "completely different words entirely unrelated content"],
+    })
+    df = simhash(pdf.pipe(lambda p: _to_sdf(p)), "text", "doc_id",
+                 bits=48)
+    out = {r.doc: r.simhash for r in df.collect()}
+    ham12 = bin(out[1] ^ out[2]).count("1")
+    ham13 = bin(out[1] ^ out[3]).count("1")
+    assert ham12 < ham13
+
+
+_SPARK = None
+
+
+def _to_sdf(pdf):
+    return _SPARK.createDataFrame(pdf)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _stash_spark(spark):
+    global _SPARK
+    _SPARK = spark
+    yield
+
+
+# -- similarity ---------------------------------------------------------
+
+def test_cosine_topk_matches_numpy(emb):
+    from charmpandas_spark.functions.similarity import cosine_topk
+    pdf = emb.toPandas()
+    mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+    q = mat[pdf["vec_id"].tolist().index(0)]
+    cos = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    cosf = np.floor(cos * 10000) / 10000
+    order = sorted(zip(-cosf, pdf["vec_id"]))[:10]
+    want = [int(v) for _, v in order]
+    got = cosine_topk(emb, "embedding", "vec_id", list(q), 10).toPandas()
+    assert list(got["vec_id"]) == want
+
+
+def test_ann_lsh_mechanism(emb):
+    from charmpandas_spark.functions.similarity import (
+        ann_lsh_topk, cosine_topk)
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = cosine_topk(emb, "embedding", "vec_id", q, emb.count()) \
+        .toPandas().set_index("vec_id")["cosine"]
+    approx = ann_lsh_topk(emb, "embedding", "vec_id", q, 10,
+                          num_planes=6).toPandas()
+    # the query's own bucket is always probed -> vec 0 (cos=1.0) returned
+    assert 0 in set(approx["vec_id"])
+    # every returned score is the true cosine (LSH prunes candidates but
+    # never alters scoring)
+    for r in approx.itertuples():
+        assert exact[r.vec_id] == r.cosine
+    # note: recall vs exact top-k is inherently weak on uniform-random
+    # vectors (no cluster structure) — recall assertions belong on
+    # clustered fixtures, correctness of parity is covered by the
+    # sim_ann_lsh oracle query.
+
+
+def test_knn_join_shapes(emb):
+    from charmpandas_spark.functions.similarity import knn_join
+    small = emb.limit(40)
+    out = knn_join(small, small, "embedding", "vec_id", k=3,
+                   exact=True).toPandas()
+    assert set(out.columns) == {"qid", "nid", "cosine", "rank"}
+    assert out.groupby("qid")["rank"].max().le(3).all()
+    assert (out["qid"] != out["nid"]).all()
+
+
+# -- multimodal ---------------------------------------------------------
+
+def test_media_pipeline(docs):
+    from charmpandas_spark.functions.multimodal import (
+        attach_fake_media, extract_features, frame_sample, media_metadata)
+    m = attach_fake_media(docs.limit(20), "text")
+    meta = media_metadata(m, "media").toPandas()
+    assert (meta["media_bytes"] > 0).all()
+    feats = extract_features(m, "media", "doc_id").toPandas()
+    assert len(feats) == 20
+    assert all(len(f) == 16 for f in feats["features"])
+    assert np.allclose([sum(f) for f in feats["features"]], 1.0, atol=1e-5)
+    frames = frame_sample(m, "media", "doc_id", every_n_bytes=64).toPandas()
+    assert frames.groupby("doc_id").size().ge(1).all()
+
+
+def test_decode_stub_deterministic():
+    from charmpandas_spark.functions.multimodal import decode_stub
+    a = decode_stub(b"hello world" * 10)
+    b = decode_stub(b"hello world" * 10)
+    assert a == b
+
+
+# -- windows / sessions -------------------------------------------------
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return cps.read_table(spark, sf_dir, "events").sdf
+
+
+def test_tumbling_window_totals(events):
+    from charmpandas_spark.streaming.windows import tumbling_window_agg
+    out = tumbling_window_agg(events, "ts", ["event_type"], "1 hour")
+    total = out.agg(F.sum("n_events")).first()[0]
+    assert total == events.count()
+
+
+def test_sessionize_bounds(events):
+    from charmpandas_spark.streaming.windows import session_stats
+    out = session_stats(events, "ts", "user_id", "4 hours").toPandas()
+    per_user = events.groupBy("user_id").count().toPandas() \
+                     .set_index("user_id")["count"]
+    for r in out.itertuples():
+        assert 1 <= r.n_sessions <= per_user[r.user_id]
+        assert r.n_events == per_user[r.user_id]
+
+
+def test_streaming_window_matches_batch(spark, events, tmp_path):
+    """Structured Streaming path: replay events as a file stream,
+    aggregate with the SAME operator, compare to batch."""
+    from charmpandas_spark.streaming.windows import (
+        stream_from_parquet, tumbling_window_agg)
+    src = str(tmp_path / "events_src")
+    events.limit(2000).coalesce(1).write.parquet(src)
+    stream = stream_from_parquet(spark, src)
+    assert stream.isStreaming
+    agg = tumbling_window_agg(stream, "ts", ["event_type"], "1 hour",
+                              watermark="1 day")
+    q = (agg.writeStream.format("memory").queryName("win_test")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT sum(n_events) FROM win_test").first()[0]
+    batch = spark.read.parquet(src)
+    assert got == batch.count()
