@@ -212,6 +212,134 @@ def q_int_literal_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# composite analytics (multi-operator pipelines, TPC-H-style) + window
+# functions — extensions showing whole-plan optimization
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregation over expression
+    columns. Exact decimal accumulation; single shuffle."""
+    import datetime
+    li = _t(spark, sf_dir, "lineitem")
+    flt = li[li["l_shipdate"] <= datetime.datetime(1999, 9, 2)]
+    sdf = flt.sdf
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,6)")
+    charge = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              * (1 + F.col("l_tax"))).cast("decimal(18,6)")
+    out = (sdf.groupBy("l_returnflag", "l_linestatus").agg(
+        (F.floor(_dsum("l_quantity") * 100) / 100).alias("sum_qty"),
+        (F.floor(_dsum("l_extendedprice") * 100) / 100).alias("sum_base_price"),
+        (F.floor(F.sum(disc_price).cast("double") * 100) / 100
+         ).alias("sum_disc_price"),
+        (F.floor(F.sum(charge).cast("double") * 100) / 100).alias("sum_charge"),
+        (F.floor(_dsum("l_quantity") / F.count("l_quantity") * 100) / 100
+         ).alias("avg_qty"),
+        (F.floor(_dsum("l_discount") / F.count("l_discount") * 10000) / 10000
+         ).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    ))
+    return out
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-table join + filter + grouped revenue + top-k.
+    Dimension side broadcasts; single agg shuffle; global top-k."""
+    import datetime
+    cut = datetime.datetime(1998, 1, 1)
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = cust[cust["c_mktsegment"] == "BUILDING"]
+    o = orders[orders["o_orderdate"] < cut]
+    l = li[li["l_shipdate"] > cut]
+    j = c.merge(o, left_on="c_custkey", right_on="o_custkey") \
+         .merge(l, left_on="o_orderkey", right_on="l_orderkey")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,6)")
+    out = (j.sdf.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+           .agg((F.floor(F.sum(rev).cast("double") * 100) / 100)
+                .alias("revenue"))
+           .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+           .limit(10))
+    return out
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-table star join (region->nation->customer->
+    orders->lineitem) + grouped revenue per nation. All dimension
+    joins broadcast; one shuffle for the aggregation."""
+    import datetime
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    r = region[region["r_name"] == "ASIA"]
+    o = orders[orders["o_orderdate"] >= datetime.datetime(1996, 1, 1)]
+    j = (r.merge(nation, left_on="r_regionkey", right_on="n_regionkey")
+          .merge(cust, left_on="n_nationkey", right_on="c_nationkey")
+          .merge(o, left_on="c_custkey", right_on="o_custkey")
+          .merge(li, left_on="o_orderkey", right_on="l_orderkey"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,6)")
+    return (j.sdf.groupBy("n_name")
+            .agg((F.floor(F.sum(rev).cast("double") * 100) / 100)
+                 .alias("revenue")))
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function extension (reference has none — SURVEY §2.7):
+    top-3 orders by totalprice within each priority class."""
+    from pyspark.sql import Window
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (orders.sdf
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("o_orderpriority", "o_orderkey",
+                    (F.floor(F.col("o_totalprice") * 100) / 100
+                     ).alias("o_totalprice"), "rn"))
+
+
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(): days since each customer's previous order."""
+    from pyspark.sql import Window
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return (orders.sdf
+            .withColumn("days_since_prev",
+                        F.datediff("o_orderdate", prev).cast("bigint"))
+            .select("o_custkey", "o_orderkey", "days_since_prev"))
+
+
+def q_window_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 3-order spend per customer (frame-bounded window sum,
+    decimal-exact)."""
+    from pyspark.sql import Window
+    orders = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey").rowsBetween(-2, 0))
+    roll = F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w)
+    return (orders.sdf.select(
+        "o_custkey", "o_orderkey",
+        (F.floor(roll.cast("double") * 100) / 100).alias("rolling_spend")))
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extension: extract a JSON field from the events
+    props column, aggregate per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (ev.sdf.withColumn("k", k)
+            .groupBy("event_type")
+            .agg(F.sum("k").alias("sum_k"),
+                 F.count("k").alias("n")))
+
+
+# ---------------------------------------------------------------------------
 # beyond-reference: LLM-data-pipeline operators (north star)
 # ---------------------------------------------------------------------------
 
@@ -389,6 +517,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datetime_filter": q_datetime_filter,
         "distinct": q_distinct,
         "int_literal_widening": q_int_literal_widening,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "window_rank": q_window_rank,
+        "window_lag": q_window_lag,
+        "window_rolling": q_window_rolling,
+        "events_json": q_events_json,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
         "text_token_count": q_text_token_count,
@@ -545,6 +680,93 @@ def oracle_sql() -> dict[str, str]:
     cos_pair = _cosine_sql("a.embedding", "b.embedding")
     cos_top = _cosine_sql("e.embedding", "q.embedding")
     return {
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                         AS DOUBLE) * 100) / 100 AS sum_qty,
+                   FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                         AS DOUBLE) * 100) / 100 AS sum_base_price,
+                   FLOOR(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) * 100) / 100
+                       AS sum_disc_price,
+                   FLOOR(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) * 100)
+                       / 100 AS sum_charge,
+                   FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                         AS DOUBLE) / COUNT(l_quantity) * 100) / 100
+                       AS avg_qty,
+                   FLOOR(CAST(SUM(CAST(l_discount AS DECIMAL(18,6)))
+                         AS DOUBLE) / COUNT(l_discount) * 10000) / 10000
+                       AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1999-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3": """
+            SELECT o_orderkey, o_orderdate, o_orderpriority,
+                   FLOOR(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) * 100) / 100
+                       AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   FLOOR(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) * 100) / 100
+                       AS revenue
+            FROM region
+            JOIN nation ON r_regionkey = n_regionkey
+            JOIN customer ON n_nationkey = c_nationkey
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            GROUP BY n_name
+        """,
+        "window_rank": """
+            SELECT o_orderpriority, o_orderkey,
+                   FLOOR(o_totalprice * 100) / 100 AS o_totalprice, rn
+            FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                         row_number() OVER (
+                             PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice DESC, o_orderkey ASC)
+                             AS rn
+                  FROM orders)
+            WHERE rn <= 3
+        """,
+        "window_lag": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(datediff('day',
+                        lag(o_orderdate) OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey),
+                        o_orderdate) AS BIGINT) AS days_since_prev
+            FROM orders
+        """,
+        "window_rolling": """
+            SELECT o_custkey, o_orderkey,
+                   FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                         OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                         AS DOUBLE) * 100) / 100 AS rolling_spend
+            FROM orders
+        """,
+        "events_json": """
+            SELECT event_type,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k')
+                        AS BIGINT)) AS BIGINT) AS sum_k,
+                   COUNT(json_extract_string(props, '$.k')) AS n
+            FROM events GROUP BY event_type
+        """,
         "text_lang_id": f"""
             SELECT doc_id, {language_id_sql('text')} AS lang_pred
             FROM documents

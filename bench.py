@@ -34,6 +34,12 @@ def bench_queries(spark, sf_dir):
         "join_inner",
         "sort_topk",
         "datetime_filter",
+        "tpch_q1",
+        "tpch_q3",
+        "tpch_q5",
+        "window_rank",
+        "window_rolling",
+        "events_json",
         "text_quality",
         "text_lang_id",
         "dedup_exact",

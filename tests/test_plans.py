@@ -1,0 +1,76 @@
+"""Plan-quality regression tests: the reference had NO optimizer
+(SURVEY §4.1); staying lazy so Catalyst prunes/pushes/broadcasts is
+the core architectural win — lock it in."""
+
+import pytest
+
+import charmpandas_spark as cps
+from charmpandas_spark.plans.explain import (
+    join_strategies, num_exchanges, plan_report, pushed_filters,
+    scan_columns)
+
+
+@pytest.fixture(scope="module")
+def li(spark, sf_dir):
+    return cps.read_table(spark, sf_dir, "lineitem")
+
+
+def test_filter_pushdown_reaches_scan(li):
+    df = li[li["l_quantity"] > 30.0][["l_orderkey"]]
+    pf = pushed_filters(df.sdf)
+    assert any("l_quantity" in f for f in pf), pf
+
+
+def test_column_pruning(li):
+    df = li[["l_orderkey", "l_quantity"]]
+    cols = scan_columns(df.sdf)
+    assert cols and all(len(c) <= 2 for c in cols), cols
+
+
+def test_projection_pruned_through_groupby(li):
+    out = li.groupby("l_returnflag")["l_quantity"].sum()
+    cols = scan_columns(out.sdf)
+    # only the group key + agg input should be read (not all 11 cols)
+    assert cols and all(len(c) <= 2 for c in cols), cols
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    li = cps.read_table(spark, sf_dir, "lineitem")
+    orders = cps.read_table(spark, sf_dir, "orders")
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    strategies = join_strategies(j.sdf)
+    assert "BroadcastHashJoin" in strategies, strategies
+
+
+def test_groupby_single_shuffle(li):
+    out = li.groupby("l_returnflag")["l_quantity"].sum()
+    assert num_exchanges(out.sdf) == 1, plan_report(out.sdf)
+
+
+def test_flagship_two_shuffles_max(spark, sf_dir):
+    li = cps.read_table(spark, sf_dir, "lineitem")
+    orders = cps.read_table(spark, sf_dir, "orders")
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    out = j.groupby("o_orderpriority")["l_quantity"].count()
+    # broadcast join (0 exch) + aggregation (1 exch); a shuffled join
+    # would add 2 more
+    assert num_exchanges(out.sdf) <= 2, plan_report(out.sdf)
+
+
+def test_semi_join_prunes_right_side(spark, sf_dir):
+    orders = cps.read_table(spark, sf_dir, "orders")
+    li = cps.read_table(spark, sf_dir, "lineitem")
+    j = orders.merge(li, left_on="o_orderkey", right_on="l_orderkey",
+                     how="left_semi")
+    cols = scan_columns(j.sdf)
+    # the lineitem scan must read ONLY the join key
+    assert any(c == ["l_orderkey"] for c in cols), cols
+
+
+def test_filter_expr_stays_lazy_single_scan(li):
+    df = cps.DataFrame(li.sdf)
+    df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
+    out = df[df["rev"] > 100.0][["l_orderkey", "rev"]]
+    rep = plan_report(out.sdf)
+    assert len(rep["scan_columns"]) == 1  # one scan, no materialization
+    assert rep["exchanges"] == 0

@@ -1,0 +1,62 @@
+"""Source/sink round-trips: parquet (regex paths), CSV, JSON."""
+
+import os
+
+import pytest
+
+import charmpandas_spark as cps
+from charmpandas_spark.sources.text_sources import (
+    read_csv, read_json, write_csv, write_json)
+
+
+@pytest.fixture(scope="module")
+def nation(spark, sf_dir):
+    return cps.read_table(spark, sf_dir, "nation")
+
+
+def test_parquet_regex_read(spark, sf_dir):
+    df = cps.read_parquet(spark, os.path.join(sf_dir, r"nation\.parquet"))
+    assert df.count() == 25
+
+
+def test_parquet_roundtrip(spark, nation, tmp_path):
+    out = str(tmp_path / "nation_pq")
+    nation.to_parquet(out)
+    back = cps.read_parquet(spark, out)
+    assert back.count() == nation.count()
+    assert set(back.columns) == set(nation.columns)
+
+
+def test_parquet_partitioned_write(spark, nation, tmp_path):
+    out = str(tmp_path / "nation_part")
+    nation.to_parquet(out, partition_by="n_regionkey")
+    # partition pruning: reading one partition dir touches one region
+    sub = [d for d in os.listdir(out) if d.startswith("n_regionkey=")]
+    assert len(sub) == 5
+    back = cps.read_parquet(spark, out)
+    assert back.count() == 25
+
+
+def test_csv_roundtrip(spark, nation, tmp_path):
+    out = str(tmp_path / "nation_csv")
+    write_csv(nation, out)
+    back = read_csv(spark, out)
+    assert back.count() == 25
+    assert set(back.columns) == set(nation.columns)
+    # inferSchema restores integer keys
+    assert dict(back.dtypes)["n_nationkey"] == "int"
+
+
+def test_json_roundtrip(spark, nation, tmp_path):
+    out = str(tmp_path / "nation_json")
+    write_json(nation, out)
+    back = read_json(spark, out)
+    assert back.count() == 25
+    assert set(back.columns) == set(nation.columns)
+
+
+def test_json_with_schema_skips_inference(spark, nation, tmp_path):
+    out = str(tmp_path / "nation_json2")
+    write_json(nation, out)
+    back = read_json(spark, out, schema=nation.sdf.schema)
+    assert back.sdf.schema == nation.sdf.schema

@@ -1,0 +1,46 @@
+"""Audit the physical plans of every registered query.
+
+Prints, per query: shuffle count, join strategies, scan column widths,
+pushed filters, codegen stages. Use while iterating on operators —
+"the plan you'd want, not the first one that passed".
+
+Usage: python tools/plan_audit.py [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def main():
+    import __spark_entry__ as entry_mod
+    from charmpandas_spark.plans.explain import plan_report
+    from charmpandas_spark.session import get_spark
+
+    spark = get_spark(app_name="plan-audit", master="local[8]",
+                      shuffle_partitions=8)
+    only = set(sys.argv[1:])
+    for name, fn in entry_mod.queries().items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, SF_DIR)
+            r = plan_report(df)
+            scans = "/".join(str(len(c)) for c in r["scan_columns"])
+            joins = ",".join(r["joins"]) or "-"
+            pf = len(r["pushed_filters"])
+            print(f"{name:28s} exch={r['exchanges']:2d} "
+                  f"codegen={r['codegen_stages']:2d} scans[cols]={scans:8s} "
+                  f"joins={joins} pushed={pf}")
+        except Exception as e:
+            print(f"{name:28s} ERROR {e}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
