@@ -151,6 +151,17 @@ def q_groupby_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sdf
 
 
+def q_groupby_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: any/all grouped aggregates (reference enum src/types.hpp:17-29
+    had them server-side, unexposed)."""
+    ev = _t(spark, sf_dir, "events")
+    hi = (F.col("value") > 50.0)
+    return (ev.sdf.groupBy("event_type").agg(
+        F.bool_and(hi).alias("all_hi"),
+        F.bool_or(hi).alias("any_hi"),
+        F.bool_or(F.col("value") > 99.99).alias("any_extreme")))
+
+
 def q_scalar_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: whole-column scalar sum/count as a one-row result."""
     li = _t(spark, sf_dir, "lineitem")
@@ -401,6 +412,20 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                             num_hashes=16, bands=4, k=5, hash_fn="md5")
 
 
+def q_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production MinHash path: identical pipeline with xxhash64 base
+    hashing (one JVM intrinsic per shingle instead of md5+base-16
+    parse; ~10x faster). Hash-dependent candidate sets make it
+    non-SQL-expressible in DuckDB, so the driver records the weaker
+    rows-only check — cross-engine value parity is covered by
+    ``dedup_minhash`` (md5)."""
+    from charmpandas_spark.functions.dedup import minhash_near_dup
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_near_dup(docs.sdf, "text", "doc_id", threshold=0.7,
+                            num_hashes=16, bands=4, k=5,
+                            hash_fn="xxhash64")
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash signatures (per-bit token majority vote)."""
     from charmpandas_spark.functions.dedup import simhash
@@ -511,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_sum": q_groupby_sum,
         "groupby_count": q_groupby_count,
         "groupby_extended": q_groupby_extended,
+        "groupby_bool": q_groupby_bool,
         "scalar_reduction": q_scalar_reduction,
         "sort_topk": q_sort_topk,
         "concat": q_concat,
@@ -531,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_fast": q_dedup_minhash_fast,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "sim_topk": q_sim_topk,
@@ -597,6 +624,10 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 4, k: int = 5,
     jacc = ("FLOOR(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) / "
             "(len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) "
             "* 10000) / 10000")
+    est = ("(" + " + ".join(
+        f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END"
+        for j in range(num_hashes)) + f") / CAST({num_hashes} AS DOUBLE)")
+    pre_threshold = repr(threshold - 0.2)  # mirror est_slack exactly
     return f"""
         WITH sh AS (SELECT doc_id, {char_shingles_sql('text', k)} AS sh
                     FROM documents),
@@ -610,9 +641,15 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 4, k: int = 5,
             FROM banded a JOIN banded b
               ON a.band_idx = b.band_idx AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id),
+        pre AS (
+            SELECT c.doc_a, c.doc_b
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.doc_a
+            JOIN sig sb ON sb.doc_id = c.doc_b
+            WHERE {est} >= {pre_threshold}),
         paired AS (
             SELECT c.doc_a, c.doc_b, sa.sh AS sh_a, sb.sh AS sh_b
-            FROM cand c
+            FROM pre c
             JOIN sh sa ON sa.doc_id = c.doc_a
             JOIN sh sb ON sb.doc_id = c.doc_b)
         SELECT doc_a, doc_b, {jacc} AS jaccard
@@ -932,6 +969,13 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(l_quantity, 0.5), 2) AS median_qty,
                    COUNT(DISTINCT l_orderkey) AS distinct_orders
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "groupby_bool": """
+            SELECT event_type,
+                   bool_and(value > 50.0) AS all_hi,
+                   bool_or(value > 50.0) AS any_hi,
+                   bool_or(value > 99.99) AS any_extreme
+            FROM events GROUP BY event_type
         """,
         "scalar_reduction": """
             SELECT FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))

@@ -45,6 +45,7 @@ def bench_queries(spark, sf_dir):
         "dedup_exact",
         "dedup_ngram_jaccard",
         "dedup_minhash",
+        "dedup_minhash_fast",
         "dedup_simhash",
         "dedup_embedding_cosine",
         "sim_topk",

@@ -133,9 +133,14 @@ def ngram_jaccard_pairs(
     then on (a, b) — both well-distributed; a document-frequency cap
     can be layered on to drop stop-shingles at extreme scale.
     """
+    from pyspark import StorageLevel
+
     sh = char_shingles(text_col, k) if use_chars else word_shingles(text_col, n)
-    base = (spread(df).select(F.col(id_col).alias("doc"), sh.alias("sh"))
-              .withColumn("sz", F.size("sh")))
+    # persist the shingle projection: both sides of the inverted-index
+    # self-join read it, so the regexp+transform runs once.
+    base = (spread(df.select(F.col(id_col).alias("doc"), sh.alias("sh")))
+            .withColumn("sz", F.size("sh"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
     inv = base.select("doc", "sz", F.explode("sh").alias("shingle"))
     a, b = inv.alias("a"), inv.alias("b")
     pairs = (a.join(b, on=[F.col("a.shingle") == F.col("b.shingle"),
@@ -172,6 +177,29 @@ def minhash_params(j: int) -> tuple[int, int]:
     return a, b
 
 
+def shingle_table(df: SparkDF, text_col: str, id_col: str,
+                  k: int = 5) -> SparkDF:
+    """(doc, sh: array<string>) with the shingle computation placed
+    BELOW a repartition exchange, so every downstream branch reuses the
+    one materialized computation (ReusedExchange) instead of re-running
+    regexp+transform per branch."""
+    return spread(df.select(F.col(id_col).alias("doc"),
+                            char_shingles(text_col, k).alias("sh")))
+
+
+def _signatures_from_shingles(sh_df: SparkDF, num_hashes: int,
+                              hash_fn: str) -> SparkDF:
+    ex = sh_df.select("doc", F.explode("sh").alias("s"))
+    hashed = ex.select(
+        "doc", (hash64(F.col("s"), 0, hash_fn) % MINHASH_P).alias("h"))
+    mins = []
+    for j in range(num_hashes):
+        a, b = minhash_params(j)
+        mins.append(F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P)
+                    .alias(f"m{j}"))
+    return hashed.groupBy("doc").agg(*mins)
+
+
 def minhash_signatures(
     df: SparkDF,
     text_col: str,
@@ -186,17 +214,11 @@ def minhash_signatures(
     explode shingles -> hash each ONCE -> single groupBy(doc) with H
     conditional mins (map-side partial aggregation). One shuffle on
     doc id; md5/xxhash cost is O(total shingles), not O(H x shingles).
+    The H minhashes derive from the one base hash by universal hashing
+    in the Mersenne field (MINHASH_P).
     """
-    ex = spread(df).select(F.col(id_col).alias("doc"),
-                           F.explode(char_shingles(text_col, k)).alias("s"))
-    hashed = ex.select(
-        "doc", (hash64(F.col("s"), 0, hash_fn) % MINHASH_P).alias("h"))
-    mins = []
-    for j in range(num_hashes):
-        a, b = minhash_params(j)
-        mins.append(F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P)
-                    .alias(f"m{j}"))
-    return hashed.groupBy("doc").agg(*mins)
+    return _signatures_from_shingles(
+        shingle_table(df, text_col, id_col, k), num_hashes, hash_fn)
 
 
 def lsh_candidate_pairs(
@@ -213,8 +235,13 @@ def lsh_candidate_pairs(
     a bucket join. Classic (b, r) S-curve selectivity."""
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
-    r = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k, hash_fn)
+    return _candidates_from_signatures(sig, num_hashes, bands)
+
+
+def _candidates_from_signatures(sig: SparkDF, num_hashes: int,
+                                bands: int) -> SparkDF:
+    r = num_hashes // bands
     band_keys = [
         F.md5(F.concat_ws(",", *[
             F.col(f"m{b * r + i}").cast("string") for i in range(r)
@@ -242,14 +269,46 @@ def minhash_near_dup(
     k: int = 5,
     hash_fn: str = "xxhash64",
 ) -> SparkDF:
-    """LSH candidates verified with EXACT Jaccard over char shingles —
-    the verify join only touches candidate pairs, so the expensive
-    set-intersection is O(candidates), not O(n^2)."""
-    cands = lsh_candidate_pairs(df, text_col, id_col, num_hashes, bands,
-                                k, hash_fn)
-    sh = spread(df).select(F.col(id_col).alias("doc"),
-                           char_shingles(text_col, k).alias("sh"))
-    joined = (cands
+    """LSH candidates -> signature-agreement prefilter -> EXACT Jaccard
+    verify.
+
+    Three-stage funnel so each stage only pays for the previous one's
+    survivors: (1) band bucket join emits candidate id pairs; (2) the
+    already-computed signatures estimate similarity as the fraction of
+    agreeing minhashes, discarding candidates below
+    ``threshold - est_slack`` with two cheap broadcast joins; (3) only
+    the survivors pay the exact ``array_intersect`` set Jaccard. The
+    shingle arrays and the signature groupBy both sit behind exchanges,
+    so Spark's ReusedExchange materializes each once for all branches.
+    """
+    est_slack = 0.2
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    from pyspark import StorageLevel
+
+    # sh and sig each feed 2-3 plan branches; persist so the expensive
+    # shingle/hash computation runs once (MEMORY_AND_DISK: spills
+    # instead of OOM at scale; size = O(corpus shingles) resp.
+    # O(docs x H) — both bounded and far smaller than a recompute).
+    sh = shingle_table(df, text_col, id_col, k) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    sig = _signatures_from_shingles(sh, num_hashes, hash_fn) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    cands = _candidates_from_signatures(sig, num_hashes, bands)
+
+    sig_a = sig.select(F.col("doc").alias("doc_a"),
+                       *[F.col(f"m{j}").alias(f"a{j}")
+                         for j in range(num_hashes)])
+    sig_b = sig.select(F.col("doc").alias("doc_b"),
+                       *[F.col(f"m{j}").alias(f"b{j}")
+                         for j in range(num_hashes)])
+    est = sum(F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+              for j in range(num_hashes)) / F.lit(float(num_hashes))
+    pre = (cands.join(sig_a, "doc_a").join(sig_b, "doc_b")
+                .filter(est >= threshold - est_slack)
+                .select("doc_a", "doc_b"))
+
+    joined = (pre
               .join(sh.withColumnsRenamed({"doc": "doc_a", "sh": "sh_a"}),
                     "doc_a")
               .join(sh.withColumnsRenamed({"doc": "doc_b", "sh": "sh_b"}),
