@@ -64,9 +64,14 @@ def main():
     spark = get_spark(app_name="cps-bench")
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
 
-    # warm the JVM/codegen paths so we measure steady-state, as the
-    # reference's notebook timing did (cluster already up).
-    spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")).count()
+    # warm the JVM/codegen/shuffle paths so we measure steady-state, as
+    # the reference's notebook timing did (cluster already up, prior
+    # cells executed). Uses the small dimension tables only — no data
+    # from the measured queries is cached.
+    nation = spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
+    region = spark.read.parquet(os.path.join(SF_DIR, "region.parquet"))
+    (nation.join(region, nation.n_regionkey == region.r_regionkey)
+     .groupBy("r_name").count().toPandas())
 
     qs = bench_queries(spark, SF_DIR)
     timings = {}
