@@ -151,6 +151,24 @@ def q_groupby_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sdf
 
 
+def q_groupby_ts_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 with a timestamp groupby key (reference
+    examples/test_datetime.py:105-113 asserts exactly this works)."""
+    ev = _t(spark, sf_dir, "events")
+    out = ev.groupby("ts")["value"].count()
+    return out.to_spark()
+
+
+def q_join_timestamp_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 with a timestamp join key (reference
+    examples/test_datetime.py:94-102; ns wire type ast.py:55-61)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev[["ts", "event_id"]]
+    b = ev[["ts", "user_id"]]
+    j = a.merge(b, on="ts", how="inner")
+    return j[["ts", "event_id", "user_id"]].to_spark()
+
+
 def q_groupby_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: any/all grouped aggregates (reference enum src/types.hpp:17-29
     had them server-side, unexposed)."""
@@ -536,6 +554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_sum": q_groupby_sum,
         "groupby_count": q_groupby_count,
         "groupby_extended": q_groupby_extended,
+        "groupby_ts_key": q_groupby_ts_key,
+        "join_timestamp_key": q_join_timestamp_key,
         "groupby_bool": q_groupby_bool,
         "scalar_reduction": q_scalar_reduction,
         "sort_topk": q_sort_topk,
@@ -969,6 +989,15 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(l_quantity, 0.5), 2) AS median_qty,
                    COUNT(DISTINCT l_orderkey) AS distinct_orders
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "groupby_ts_key": """
+            SELECT ts, COUNT(value) AS "count(value)"
+            FROM events GROUP BY ts
+        """,
+        "join_timestamp_key": """
+            SELECT a.ts, a.event_id, b.user_id
+            FROM (SELECT ts, event_id FROM events) a
+            JOIN (SELECT ts, user_id FROM events) b ON a.ts = b.ts
         """,
         "groupby_bool": """
             SELECT event_type,

@@ -1,0 +1,67 @@
+"""Port of the reference's Demo.ipynb workload: two-table shuffle
+join on string keys + groupby-count + fetch, timed (the reference's
+only published number: 10.72 s on 2x2M rows / 32 PEs — BASELINE.md).
+
+Generates the same user_ids/ages schema as examples/datagen.py:5-24.
+"""
+
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import charmpandas_spark as cps  # noqa: E402
+
+N = int(os.environ.get("DEMO_ROWS", "2000000"))
+
+
+def generate(tmp: str) -> tuple[str, str]:
+    rs = np.random.RandomState(42)
+    ids = pd.DataFrame({
+        "first_name": [f"A{i}" for i in range(N)],
+        "last_name": [f"B{i}" for i in range(N)],
+        "user_id": np.arange(N, dtype="int32"),
+        "city": [f"C{i % 101}" for i in range(N)],
+    })
+    perm = rs.permutation(N)
+    ages = pd.DataFrame({
+        "first_name": ids["first_name"].values[perm],
+        "last_name": ids["last_name"].values[perm],
+        "age": (np.arange(N) % 100).astype("int32"),
+    })
+    p1 = os.path.join(tmp, "user_ids.parquet")
+    p2 = os.path.join(tmp, "ages.parquet")
+    ids.to_parquet(p1)
+    ages.to_parquet(p2)
+    return p1, p2
+
+
+def main():
+    spark = cps.get_spark()
+    with tempfile.TemporaryDirectory() as tmp:
+        print(f"generating 2x{N} rows ...")
+        p1, p2 = generate(tmp)
+        df_ids = cps.read_parquet(spark, p1)
+        df_ages = cps.read_parquet(spark, p2)
+
+        t0 = time.time()
+        joined = df_ages.merge(df_ids, on=["first_name", "last_name"],
+                               how="inner")
+        counts = joined.groupby("city")["user_id"].count()
+        result = counts.get()
+        elapsed = time.time() - t0
+        total = int(result["count(user_id)"].sum())
+        print(result.head(10).to_string())
+        print(f"Total time = {elapsed:.6f}s  (cities={len(result)}, "
+              f"sum(counts)={total})")
+        assert total == N
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
