@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame as SparkDF, Window, functions as F
 
-from .text import char_shingles, fingerprint, normalize_text, word_shingles
+from .text import fingerprint, normalize_text
 
 __all__ = [
     "spread",
@@ -135,10 +135,9 @@ def ngram_jaccard_pairs(
     """
     from pyspark import StorageLevel
 
-    sh = char_shingles(text_col, k) if use_chars else word_shingles(text_col, n)
     # persist the shingle projection: both sides of the inverted-index
-    # self-join read it, so the regexp+transform runs once.
-    base = (spread(df.select(F.col(id_col).alias("doc"), sh.alias("sh")))
+    # self-join read it, so the normalize+transform runs once.
+    base = (shingle_table(df, text_col, id_col, k, use_chars, n)
             .withColumn("sz", F.size("sh"))
             .persist(StorageLevel.MEMORY_AND_DISK))
     inv = base.select("doc", "sz", F.explode("sh").alias("shingle"))
@@ -178,13 +177,36 @@ def minhash_params(j: int) -> tuple[int, int]:
 
 
 def shingle_table(df: SparkDF, text_col: str, id_col: str,
-                  k: int = 5) -> SparkDF:
-    """(doc, sh: array<string>) with the shingle computation placed
-    BELOW a repartition exchange, so every downstream branch reuses the
-    one materialized computation (ReusedExchange) instead of re-running
-    regexp+transform per branch."""
-    return spread(df.select(F.col(id_col).alias("doc"),
-                            char_shingles(text_col, k).alias("sh")))
+                  k: int = 5, use_chars: bool = True, n: int = 3) -> SparkDF:
+    """(doc, sh: array<string>) shingle table, built in two phases
+    around the ``spread`` exchange:
+
+    1. BELOW the exchange: normalize the text (regexp) — materialized
+       into the shuffle payload.
+    2. ABOVE it: build shingles from the *bound* normalized column.
+
+    The phase split is load-bearing: higher-order-function lambdas
+    re-evaluate any referenced expression PER ARRAY ELEMENT, so
+    inlining ``normalize_text`` into the transform would run the
+    regexp ~len(text) times per row (measured 10x slowdown); the
+    exchange is a CollapseProject barrier that pins the normalize to
+    one evaluation per row. ``use_chars``: char k-shingles (robust to
+    small edits) vs word n-grams (~10x fewer shingles on prose)."""
+    normed = spread(df.select(F.col(id_col).alias("doc"),
+                              normalize_text(text_col).alias("__cps_norm")))
+    c = F.col("__cps_norm")
+    if use_chars:
+        idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1),
+                                              F.lit(1)))
+        sh = F.array_distinct(
+            F.transform(idx, lambda i: F.substring(c, i, k)))
+    else:
+        words = F.split(c, " ")
+        cnt = F.size(words)
+        idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+        sh = F.array_distinct(F.transform(
+            idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")))
+    return normed.select("doc", sh.alias("sh"))
 
 
 def _signatures_from_shingles(sh_df: SparkDF, num_hashes: int,
@@ -207,6 +229,8 @@ def minhash_signatures(
     num_hashes: int = 16,
     k: int = 5,
     hash_fn: str = "xxhash64",
+    use_chars: bool = True,
+    n: int = 3,
 ) -> SparkDF:
     """(doc, m0..m{H-1}) minhash signature per document.
 
@@ -218,7 +242,8 @@ def minhash_signatures(
     in the Mersenne field (MINHASH_P).
     """
     return _signatures_from_shingles(
-        shingle_table(df, text_col, id_col, k), num_hashes, hash_fn)
+        shingle_table(df, text_col, id_col, k, use_chars, n),
+        num_hashes, hash_fn)
 
 
 def lsh_candidate_pairs(
@@ -229,13 +254,16 @@ def lsh_candidate_pairs(
     bands: int = 4,
     k: int = 5,
     hash_fn: str = "xxhash64",
+    use_chars: bool = True,
+    n: int = 3,
 ) -> SparkDF:
     """Candidate near-dup pairs: split the signature into ``bands``
     equal rows-per-band chunks; docs agreeing on any full band meet in
     a bucket join. Classic (b, r) S-curve selectivity."""
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, k, hash_fn)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k,
+                             hash_fn, use_chars, n)
     return _candidates_from_signatures(sig, num_hashes, bands)
 
 
@@ -268,6 +296,8 @@ def minhash_near_dup(
     bands: int = 4,
     k: int = 5,
     hash_fn: str = "xxhash64",
+    use_chars: bool = True,
+    n: int = 3,
 ) -> SparkDF:
     """LSH candidates -> signature-agreement prefilter -> EXACT Jaccard
     verify.
@@ -290,7 +320,7 @@ def minhash_near_dup(
     # shingle/hash computation runs once (MEMORY_AND_DISK: spills
     # instead of OOM at scale; size = O(corpus shingles) resp.
     # O(docs x H) — both bounded and far smaller than a recompute).
-    sh = shingle_table(df, text_col, id_col, k) \
+    sh = shingle_table(df, text_col, id_col, k, use_chars, n) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     sig = _signatures_from_shingles(sh, num_hashes, hash_fn) \
         .persist(StorageLevel.MEMORY_AND_DISK)

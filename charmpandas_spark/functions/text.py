@@ -171,7 +171,12 @@ def fingerprint_sql(t: str) -> str:
 def char_shingles(col: Column | str, k: int = 5) -> Column:
     """Distinct character k-shingles of the normalized text, as an
     array column. Built with sequence+transform (JVM-side); documents
-    shorter than k yield a single whole-string shingle."""
+    shorter than k yield a single whole-string shingle.
+
+    PERF: as a Column expression the embedded normalize re-evaluates
+    per array element (HOF lambda semantics). For bulk corpora use
+    ``dedup.shingle_table``, which materializes the normalize behind
+    an exchange (one evaluation per row)."""
     norm = normalize_text(col)
     idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1)))
     return F.array_distinct(

@@ -1,0 +1,93 @@
+"""Sketch aggregations (error-bound tests vs exact) and as-of join
+(vs a pandas merge_asof oracle)."""
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+import charmpandas_spark as cps
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return cps.read_table(spark, sf_dir, "events").sdf
+
+
+def test_approx_distinct_within_bounds(events):
+    from charmpandas_spark.functions.sketches import approx_distinct
+    exact = events.select("user_id").distinct().count()
+    got = approx_distinct(events, "user_id", rsd=0.02) \
+        .first()["approx_user_id"]
+    assert abs(got - exact) / exact < 0.1
+
+
+def test_hll_sketch_merge_roundtrip(events):
+    from charmpandas_spark.functions.sketches import hll_merge, hll_sketch
+    # sketch per event_type, then merge -> global estimate
+    per_type = hll_sketch(events, "user_id", by=["event_type"])
+    est = hll_merge(per_type, "user_id_hll").first()["estimate"]
+    exact = events.select("user_id").distinct().count()
+    assert abs(est - exact) / exact < 0.1
+
+
+def test_approx_quantiles(events):
+    from charmpandas_spark.functions.sketches import approx_quantiles
+    got = approx_quantiles(events, "value", [0.5]).first()["value_quantiles"]
+    exact = events.agg(F.percentile("value", 0.5)).first()[0]
+    spread = events.agg(F.max("value") - F.min("value")).first()[0]
+    assert abs(got[0] - exact) / spread < 0.05
+
+
+def test_heavy_hitters(events):
+    from charmpandas_spark.functions.sketches import heavy_hitters
+    got = heavy_hitters(events, "event_type", k=2).toPandas()
+    exact = (events.groupBy("event_type").count()
+             .orderBy(F.col("count").desc()).toPandas())
+    assert list(got["event_type"]) == list(exact["event_type"][:2])
+    got_by = heavy_hitters(events, "user_id", k=3,
+                           by=["event_type"]).toPandas()
+    assert got_by.groupby("event_type").size().le(3).all()
+
+
+def test_asof_join_matches_pandas(spark, events):
+    from charmpandas_spark.operators.asof import asof_join
+    clicks = events.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    purchases = events.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", "value")
+    got = asof_join(clicks, purchases, "ts", "user_id", ["value"]) \
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+
+    cp = clicks.toPandas().sort_values("ts")
+    pp = purchases.toPandas().sort_values("ts")
+    want = pd.merge_asof(cp, pp, on="ts", by="user_id",
+                         direction="backward") \
+        .sort_values("event_id").reset_index(drop=True)
+    assert len(got) == len(want)
+    gv = got["value_asof"].fillna(-1.0).values
+    wv = want["value"].fillna(-1.0).values
+    assert (gv == wv).all()
+
+
+def test_asof_join_no_match_is_null(spark):
+    # NB: pd.Timestamp in a plain tuple is inferred as an opaque struct
+    # by createDataFrame (Spark 4) -> use datetime
+    import datetime
+    from charmpandas_spark.operators.asof import asof_join
+    left = spark.createDataFrame(
+        [(1, 10, datetime.datetime(2024, 1, 5))], ["id", "k", "ts"])
+    right = spark.createDataFrame(
+        [(10, datetime.datetime(2024, 1, 7), 5.0)], ["k", "ts", "v"])
+    out = asof_join(left, right, "ts", "k", ["v"]).first()
+    assert out["v_asof"] is None
+
+
+def test_asof_join_tie_at_equal_ts(spark):
+    import datetime
+    from charmpandas_spark.operators.asof import asof_join
+    t = datetime.datetime(2024, 1, 5)
+    left = spark.createDataFrame([(1, 10, t)], ["id", "k", "ts"])
+    right = spark.createDataFrame([(10, t, 9.0)], ["k", "ts", "v"])
+    out = asof_join(left, right, "ts", "k", ["v"]).first()
+    assert out["v_asof"] == 9.0  # <= semantics: equal ts matches
