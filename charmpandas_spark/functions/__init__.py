@@ -1,0 +1,45 @@
+from .dedup import (
+    exact_dedup,
+    exact_dedup_survivors,
+    lsh_candidate_pairs,
+    minhash_near_dup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingle_table,
+    simhash,
+    simhash_near_dup,
+)
+from .similarity import (
+    ann_lsh_topk,
+    cosine_pairs,
+    cosine_sim,
+    cosine_topk,
+    knn_join,
+)
+from .sketches import (
+    approx_distinct,
+    approx_quantiles,
+    heavy_hitters,
+    hll_merge,
+    hll_sketch,
+)
+from .text import (
+    fingerprint,
+    language_id,
+    normalize_text,
+    quality_score,
+    regex_token_count,
+    whitespace_token_count,
+)
+
+__all__ = [
+    "exact_dedup", "exact_dedup_survivors", "lsh_candidate_pairs",
+    "minhash_near_dup", "minhash_signatures", "ngram_jaccard_pairs",
+    "shingle_table", "simhash", "simhash_near_dup",
+    "ann_lsh_topk", "cosine_pairs", "cosine_sim", "cosine_topk",
+    "knn_join",
+    "approx_distinct", "approx_quantiles", "heavy_hitters",
+    "hll_merge", "hll_sketch",
+    "fingerprint", "language_id", "normalize_text", "quality_score",
+    "regex_token_count", "whitespace_token_count",
+]

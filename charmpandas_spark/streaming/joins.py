@@ -1,0 +1,65 @@
+"""Stream-stream and stream-static joins.
+
+Completes the streaming surface: watermarked stream-stream inner
+joins with a bounded time condition (Spark buffers each side in the
+state store only within the watermark + interval bounds), and
+stream-static enrichment joins (the static side is re-read per
+micro-batch; broadcast when small).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SparkDF, functions as F
+
+__all__ = ["stream_stream_join", "stream_static_join"]
+
+
+def stream_stream_join(
+    left: SparkDF,
+    right: SparkDF,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+    suffixes: tuple[str, str] = ("_l", "_r"),
+) -> SparkDF:
+    """Inner join two event streams on ``key`` where the right event
+    occurs within ``[left_ts - max_delay, left_ts]``.
+
+    Both sides are watermarked so Spark can expire buffered state —
+    without the time condition a stream-stream join would buffer
+    forever. Columns are suffixed like the engine's batch merge
+    (reference ``_l``/``_r`` convention, src/partition.cpp:1099-1102).
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    overlap = (set(lw.columns) & set(rw.columns)) - {key}
+    lw = lw.withColumnsRenamed({c: c + suffixes[0] for c in overlap})
+    rw = rw.withColumnsRenamed({c: c + suffixes[1] for c in overlap})
+    lts = left_ts + suffixes[0] if left_ts in overlap else left_ts
+    rts = right_ts + suffixes[1] if right_ts in overlap else right_ts
+    cond = (
+        (lw[key] == rw[key])
+        & (F.col(rts) <= F.col(lts))
+        & (F.col(rts) >= F.col(lts) - F.expr(f"INTERVAL {max_delay}"))
+    )
+    # the equality predicate must reference live columns on BOTH join
+    # inputs (Spark requires an equality for stream-stream state
+    # keying); drop the duplicate right key only after the join.
+    return lw.join(rw, on=cond, how="inner").drop(rw[key])
+
+
+def stream_static_join(
+    stream: SparkDF,
+    static: SparkDF,
+    on: str | list[str],
+    how: str = "left",
+    broadcast_static: bool = True,
+) -> SparkDF:
+    """Enrich a stream with a static dimension table (re-read each
+    micro-batch; broadcast by default — the standard pattern for
+    slowly-changing lookups)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    rhs = F.broadcast(static) if broadcast_static else static
+    return stream.join(rhs, on=keys, how=how)
