@@ -317,6 +317,41 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("revenue")))
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight multi-predicate filter + single scalar
+    aggregate — pure pushdown + one-row reduction."""
+    import datetime
+    li = _t(spark, sf_dir, "lineitem")
+    flt = li[(li["l_shipdate"] >= datetime.datetime(1996, 1, 1))
+             & (li["l_shipdate"] < datetime.datetime(1997, 1, 1))
+             & (li["l_discount"] >= 0.02) & (li["l_discount"] <= 0.06)
+             & (li["l_quantity"] < 24.0)]
+    rev = (F.col("l_extendedprice") * F.col("l_discount")) \
+        .cast("decimal(18,6)")
+    return flt.sdf.agg(
+        (F.floor(F.sum(rev).cast("double") * 100) / 100).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"))
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: join + conditional aggregation ratio."""
+    import datetime
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    flt = li[(li["l_shipdate"] >= datetime.datetime(1997, 1, 1))
+             & (li["l_shipdate"] < datetime.datetime(1997, 4, 1))]
+    j = flt.merge(part, left_on="l_partkey", right_on="p_partkey")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,6)")
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev) \
+        .otherwise(F.lit(0).cast("decimal(18,6)"))
+    return j.sdf.agg(
+        (F.floor(F.sum(promo).cast("double")
+                 / F.sum(rev).cast("double") * 1000000) / 1000000
+         ).alias("promo_ratio"),
+        F.count(F.lit(1)).alias("n_rows"))
+
+
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window function extension (reference has none — SURVEY §2.7):
     top-3 orders by totalprice within each priority class."""
@@ -584,6 +619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q14": q_tpch_q14,
         "window_rank": q_window_rank,
         "window_lag": q_window_lag,
         "window_rolling": q_window_rolling,
@@ -807,6 +844,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE r_name = 'ASIA'
               AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
             GROUP BY n_name
+        """,
+        "tpch_q6": """
+            SELECT FLOOR(CAST(SUM(CAST(l_extendedprice * l_discount
+                         AS DECIMAL(18,6))) AS DOUBLE) * 100) / 100
+                       AS revenue,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount >= 0.02 AND l_discount <= 0.06
+              AND l_quantity < 24.0
+        """,
+        "tpch_q14": """
+            SELECT FLOOR(
+                     CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+                     / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,6))) AS DOUBLE)
+                     * 1000000) / 1000000 AS promo_ratio,
+                   COUNT(*) AS n_rows
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
         """,
         "window_rank": """
             SELECT o_orderpriority, o_orderkey,

@@ -387,6 +387,27 @@ class DataFrame:
     def sample(self, fraction: float, seed: int = 42) -> "DataFrame":
         return DataFrame(self._sdf.sample(fraction=fraction, seed=seed))
 
+    def fillna(self, value, subset: list[str] | None = None) -> "DataFrame":
+        return DataFrame(self._sdf.fillna(value, subset=subset))
+
+    def dropna(self, how: str = "any",
+               subset: list[str] | None = None) -> "DataFrame":
+        return DataFrame(self._sdf.dropna(how=how, subset=subset))
+
+    def astype(self, dtypes: dict[str, str]) -> "DataFrame":
+        """Cast columns by name (pandas astype semantics)."""
+        out = self._sdf
+        for c, t in dtypes.items():
+            out = out.withColumn(c, F.col(c).cast(t))
+        return DataFrame(out)
+
+    def repartition(self, num: int, *cols: str) -> "DataFrame":
+        return DataFrame(self._sdf.repartition(num, *cols)
+                         if cols else self._sdf.repartition(num))
+
+    def coalesce(self, num: int) -> "DataFrame":
+        return DataFrame(self._sdf.coalesce(num))
+
     # -- actions -----------------------------------------------------------
     def get(self):
         """Materialize to client pandas — the reference's blocking

@@ -1,0 +1,73 @@
+"""IVF (inverted-file) approximate nearest neighbor — the k-means
+coarse-quantizer scale path, complementing the hyperplane-LSH variant
+in similarity.py.
+
+Build: cluster the corpus into ``nlist`` centroids (Spark ML KMeans,
+seeded/deterministic), assign every vector to its nearest centroid
+(the "inverted list"). Search: score the query against centroids
+only, then run the exact cosine top-k inside the ``nprobe`` closest
+lists. At 100 TB the inverted lists are written partitioned by
+centroid id, so a query reads nprobe/nlist of the data (partition
+pruning), and the centroid table (nlist x dim) broadcasts anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SparkDF, functions as F
+
+from .similarity import cosine_topk
+
+__all__ = ["ivf_build", "ivf_search"]
+
+
+def ivf_build(
+    df: SparkDF,
+    vec_col: str,
+    id_col: str,
+    nlist: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+):
+    """Fit the coarse quantizer and assign inverted lists.
+
+    Returns ``(assigned_df, centroids)``: the input with a
+    ``__cps_list`` centroid id column, and the centroid vectors as a
+    Python list (small: nlist x dim — broadcastable as literals).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = df.withColumn("__cps_feat",
+                         array_to_vector(F.col(vec_col).cast("array<double>")))
+    km = KMeans(k=nlist, seed=seed, maxIter=max_iter,
+                featuresCol="__cps_feat", predictionCol="__cps_list")
+    model = km.fit(feat)
+    assigned = model.transform(feat).drop("__cps_feat")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_search(
+    assigned: SparkDF,
+    centroids: list[list[float]],
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> SparkDF:
+    """Exact cosine top-k restricted to the ``nprobe`` inverted lists
+    whose centroids are closest (by cosine) to the query."""
+    import math
+
+    qn = math.sqrt(sum(q * q for q in query_vec)) or 1.0
+
+    def cent_score(c):
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return sum(q * x for q, x in zip(query_vec, c)) / (qn * cn)
+
+    probes = sorted(range(len(centroids)),
+                    key=lambda i: -cent_score(centroids[i]))[:nprobe]
+    cand = assigned.filter(F.col("__cps_list").isin(probes)) \
+                   .drop("__cps_list")
+    return cosine_topk(cand, vec_col, id_col, query_vec, k)

@@ -91,3 +91,30 @@ def test_asof_join_tie_at_equal_ts(spark):
     right = spark.createDataFrame([(10, t, 9.0)], ["k", "ts", "v"])
     out = asof_join(left, right, "ts", "k", ["v"]).first()
     assert out["v_asof"] == 9.0  # <= semantics: equal ts matches
+
+def test_ivf_build_and_search(spark, sf_dir):
+    from charmpandas_spark.functions.ivf import ivf_build, ivf_search
+    from charmpandas_spark.functions.similarity import cosine_topk
+    emb = cps.read_table(spark, sf_dir, "embeddings").sdf
+    assigned, centroids = ivf_build(emb, "embedding", "vec_id", nlist=8)
+    assert len(centroids) == 8
+    # every vector lands in exactly one list
+    assert assigned.count() == emb.count()
+    assert assigned.select("__cps_list").distinct().count() <= 8
+
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = ivf_search(assigned, centroids, "embedding", "vec_id", q,
+                     k=5, nprobe=3).toPandas()
+    # query's own vector is in a probed list (its centroid is closest)
+    assert 0 in set(got["vec_id"])
+    # scores are true cosines (IVF prunes, never rescores)
+    exact = cosine_topk(emb, "embedding", "vec_id", q, emb.count()) \
+        .toPandas().set_index("vec_id")["cosine"]
+    for r in got.itertuples():
+        assert exact[r.vec_id] == r.cosine
+    # full probe = exact top-k
+    full = ivf_search(assigned, centroids, "embedding", "vec_id", q,
+                      k=5, nprobe=8).toPandas()
+    want = cosine_topk(emb, "embedding", "vec_id", q, 5).toPandas()
+    assert list(full["vec_id"]) == list(want["vec_id"])
