@@ -180,6 +180,39 @@ def q_groupby_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("value") > 99.99).alias("any_extreme")))
 
 
+def q_groupby_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: CUBE grouping sets (subtotals + grand total rows
+    with NULL group markers)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.sdf.cube("l_returnflag", "l_linestatus")
+            .agg((F.floor(_dsum("l_quantity") * 100) / 100)
+                 .alias("sum_qty"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def q_groupby_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: ROLLUP hierarchy (priority -> status)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.sdf.rollup("o_orderpriority", "o_orderstatus")
+            .agg((F.floor(_dsum("o_totalprice") * 100) / 100)
+                 .alias("sum_price"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: pivot event values into per-type columns (explicit
+    value list for a deterministic schema)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    exact = ev.sdf.withColumn("v", F.col("value").cast("decimal(18,6)"))
+    p = (exact.groupBy("user_id").pivot("event_type", types)
+         .agg(F.sum("v")))
+    return p.select(
+        "user_id",
+        *[(F.floor(F.col(t).cast("double") * 10000) / 10000).alias(t)
+          for t in types])
+
+
 def q_scalar_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: whole-column scalar sum/count as a one-row result."""
     li = _t(spark, sf_dir, "lineitem")
@@ -610,6 +643,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_ts_key": q_groupby_ts_key,
         "join_timestamp_key": q_join_timestamp_key,
         "groupby_bool": q_groupby_bool,
+        "groupby_cube": q_groupby_cube,
+        "groupby_rollup": q_groupby_rollup,
+        "pivot": q_pivot,
         "scalar_reduction": q_scalar_reduction,
         "sort_topk": q_sort_topk,
         "concat": q_concat,
@@ -1093,6 +1129,39 @@ def oracle_sql() -> dict[str, str]:
                    bool_or(value > 50.0) AS any_hi,
                    bool_or(value > 99.99) AS any_extreme
             FROM events GROUP BY event_type
+        """,
+        "groupby_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                         AS DOUBLE) * 100) / 100 AS sum_qty,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "groupby_rollup": """
+            SELECT o_orderpriority, o_orderstatus,
+                   FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                         AS DOUBLE) * 100) / 100 AS sum_price,
+                   COUNT(*) AS n
+            FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        """,
+        "pivot": """
+            SELECT user_id,
+                   FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                         FILTER (WHERE event_type = 'click') AS DOUBLE)
+                         * 10000) / 10000 AS click,
+                   FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                         FILTER (WHERE event_type = 'view') AS DOUBLE)
+                         * 10000) / 10000 AS view,
+                   FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                         FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+                         * 10000) / 10000 AS purchase,
+                   FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                         FILTER (WHERE event_type = 'signup') AS DOUBLE)
+                         * 10000) / 10000 AS signup,
+                   FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                         FILTER (WHERE event_type = 'error') AS DOUBLE)
+                         * 10000) / 10000 AS error
+            FROM events GROUP BY user_id
         """,
         "scalar_reduction": """
             SELECT FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))

@@ -268,3 +268,27 @@ def test_streaming_window_matches_batch(spark, events, tmp_path):
     got = spark.sql("SELECT sum(n_events) FROM win_test").first()[0]
     batch = spark.read.parquet(src)
     assert got == batch.count()
+
+
+# -- vectorized UDF surface ---------------------------------------------
+
+def test_nfkc_normalize_udf(spark):
+    import unicodedata
+    from charmpandas_spark.functions.udfs import nfkc_normalize
+    vals = ["ﬁle", "Ｈｅｌｌｏ", "café", None, "plain"]
+    pdf = pd.DataFrame({"t": vals})
+    out = spark.createDataFrame(pdf).select(
+        nfkc_normalize("t").alias("n")).toPandas()["n"]
+    want = [unicodedata.normalize("NFKC", v) if v is not None else None
+            for v in vals]
+    assert list(out) == want
+
+
+def test_zscore_by_group(spark, sf_dir):
+    from charmpandas_spark.functions.udfs import zscore_by_group
+    li = cps.read_table(spark, sf_dir, "lineitem").sdf \
+        .select("l_returnflag", "l_quantity")
+    out = zscore_by_group(li, "l_returnflag", "l_quantity").toPandas()
+    for flag, grp in out.groupby("l_returnflag"):
+        assert abs(grp["zscore"].mean()) < 1e-9
+        assert abs(grp["zscore"].std() - 1.0) < 1e-6
