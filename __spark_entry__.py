@@ -443,23 +443,26 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID via vectorized stopword n-gram scoring (no UDF)."""
     from charmpandas_spark.functions.text import language_id
-    docs = _t(spark, sf_dir, "documents")
-    return docs.sdf.select("doc_id", language_id("text").alias("lang_pred"))
+    from charmpandas_spark.functions.dedup import spread
+    docs = spread(_t(spark, sf_dir, "documents").sdf)
+    return docs.select("doc_id", language_id("text").alias("lang_pred"))
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality scoring (alpha/stopword/word-length/length)."""
     from charmpandas_spark.functions.text import quality_score
-    docs = _t(spark, sf_dir, "documents")
-    return docs.sdf.select("doc_id", quality_score("text").alias("quality"))
+    from charmpandas_spark.functions.dedup import spread
+    docs = spread(_t(spark, sf_dir, "documents").sdf)
+    return docs.select("doc_id", quality_score("text").alias("quality"))
 
 
 def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish regex token counting."""
     from charmpandas_spark.functions.text import (
         regex_token_count, whitespace_token_count)
-    docs = _t(spark, sf_dir, "documents")
-    return docs.sdf.select(
+    from charmpandas_spark.functions.dedup import spread
+    docs = spread(_t(spark, sf_dir, "documents").sdf)
+    return docs.select(
         "doc_id",
         whitespace_token_count("text").alias("ws_tokens"),
         regex_token_count("text").alias("re_tokens"))
@@ -566,8 +569,9 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads (chunked md5 'frames')."""
     from charmpandas_spark.functions.multimodal import (
         attach_fake_media, frame_sample)
-    docs = _t(spark, sf_dir, "documents")
-    m = attach_fake_media(docs.sdf, "text")
+    from charmpandas_spark.functions.dedup import spread
+    docs = spread(_t(spark, sf_dir, "documents").sdf)
+    m = attach_fake_media(docs, "text")
     return frame_sample(m, "media", "doc_id", every_n_bytes=64,
                         max_frames=8)
 

@@ -322,6 +322,22 @@ class DataFrame:
         cond = [left_sdf[lmap[l]] == right_sdf[rmap[r]] for l, r in zip(lkeys, rkeys)]
         return DataFrame(left_sdf.join(right_sdf, on=cond, how=spark_how))
 
+    def merge_asof(
+        self,
+        other: "DataFrame",
+        on: str,
+        by: str | list[str],
+        value_cols: list[str] | None = None,
+        suffix: str = "_asof",
+    ) -> "DataFrame":
+        """pandas-style merge_asof: latest-at-or-before enrichment on
+        timestamp ``on`` per ``by`` key (operators/asof.py — join-free
+        window formulation)."""
+        from .operators.asof import asof_join
+
+        return DataFrame(asof_join(self._sdf, other.sdf, on, by,
+                                   value_cols, suffix))
+
     # -- groupby (SURVEY §2.4) ------------------------------------------
     def groupby(self, keys: str | list[str]) -> "GroupBy":
         keys = [keys] if isinstance(keys, str) else list(keys)
