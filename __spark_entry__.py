@@ -243,6 +243,53 @@ def q_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cps.concat([hi, lo]).to_spark()
 
 
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (extension — reference has no set ops beyond
+    concat): nations that appear in both customer and supplier."""
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    a = cust[["c_nationkey"]].rename({"c_nationkey": "nationkey"})
+    b = supp[["s_nationkey"]].rename({"s_nationkey": "nationkey"})
+    return a.intersect(b).to_spark()
+
+
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference: nation keys with customers but no suppliers."""
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    a = cust[["c_nationkey"]].rename({"c_nationkey": "nationkey"})
+    b = supp[["s_nationkey"]].rename({"s_nationkey": "nationkey"})
+    return a.except_(b).to_spark()
+
+
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface (the reference has ZERO string
+    functions — operations.hpp:10-23 is its complete scalar set)."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.sdf.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.substring("c_name", 1, 10).alias("name_prefix"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("joined"),
+        F.col("c_name").like("%0042%").alias("has_42"),
+    )
+
+
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional expressions + null handling (coalesce)."""
+    orders = _t(spark, sf_dir, "orders")
+    bucket = (F.when(F.col("o_totalprice") > 300000.0, "high")
+               .when(F.col("o_totalprice") > 100000.0, "mid")
+               .otherwise("low"))
+    return (orders.sdf
+            .select("o_orderkey", bucket.alias("price_bucket"),
+                    F.coalesce(F.col("o_orderstatus"), F.lit("?"))
+                     .alias("status"))
+            .groupBy("price_bucket", "status")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
 def q_datetime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2/P3 with timestamp literals (reference wire type Timestamp=3,
     charmpandas/ast.py:55-61) + date_trunc rollup."""
@@ -653,6 +700,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_reduction": q_scalar_reduction,
         "sort_topk": q_sort_topk,
         "concat": q_concat,
+        "intersect": q_intersect,
+        "except": q_except,
+        "string_functions": q_string_functions,
+        "case_when": q_case_when,
         "datetime_filter": q_datetime_filter,
         "distinct": q_distinct,
         "int_literal_widening": q_int_literal_widening,
@@ -1183,6 +1234,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity > 45.0
             UNION ALL
             SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity < 3.0
+        """,
+        "intersect": """
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT s_nationkey AS nationkey FROM supplier
+        """,
+        "except": """
+            SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT
+            SELECT s_nationkey AS nationkey FROM supplier
+        """,
+        "string_functions": """
+            SELECT c_custkey,
+                   upper(c_mktsegment) AS seg_upper,
+                   substr(c_name, 1, 10) AS name_prefix,
+                   CAST(length(c_name) AS INT) AS name_len,
+                   concat_ws('|', c_mktsegment, c_name) AS joined,
+                   c_name LIKE '%0042%' AS has_42
+            FROM customer
+        """,
+        "case_when": """
+            SELECT price_bucket, status, COUNT(*) AS n
+            FROM (SELECT o_orderkey,
+                         CASE WHEN o_totalprice > 300000.0 THEN 'high'
+                              WHEN o_totalprice > 100000.0 THEN 'mid'
+                              ELSE 'low' END AS price_bucket,
+                         coalesce(o_orderstatus, '?') AS status
+                  FROM orders)
+            GROUP BY price_bucket, status
         """,
         "datetime_filter": """
             SELECT date_trunc('month', o_orderdate) AS month,

@@ -381,6 +381,16 @@ class DataFrame:
     def distinct(self) -> "DataFrame":
         return DataFrame(self._sdf.distinct())
 
+    def intersect(self, other: "DataFrame") -> "DataFrame":
+        """Set intersection (distinct rows in both) — extension; the
+        reference has no set ops beyond concat (SURVEY §2.6)."""
+        return DataFrame(self._sdf.intersect(other.sdf))
+
+    def except_(self, other: "DataFrame") -> "DataFrame":
+        """Set difference (distinct rows in self not in other —
+        SQL EXCEPT semantics)."""
+        return DataFrame(self._sdf.subtract(other.sdf))
+
     def drop_duplicates(self, subset: list[str] | None = None) -> "DataFrame":
         return DataFrame(self._sdf.dropDuplicates(subset))
 

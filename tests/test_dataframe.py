@@ -135,3 +135,28 @@ def test_rename_drop(li):
     assert "qty" in df.columns and "l_quantity" not in df.columns
     df2 = li.drop("l_tax", "l_discount")
     assert "l_tax" not in df2.columns
+
+
+def test_intersect_except(spark, sf_dir):
+    cust = cps.read_table(spark, sf_dir, "customer")
+    supp = cps.read_table(spark, sf_dir, "supplier")
+    a = cust[["c_nationkey"]].rename({"c_nationkey": "k"})
+    b = supp[["s_nationkey"]].rename({"s_nationkey": "k"})
+    ca = set(cust.get()["c_nationkey"])
+    cb = set(supp.get()["s_nationkey"])
+    got_i = set(a.intersect(b).get()["k"])
+    got_e = set(a.except_(b).get()["k"])
+    assert got_i == (ca & cb)
+    assert got_e == (ca - cb)
+
+
+def test_merge_asof_api(spark, sf_dir):
+    ev = cps.read_table(spark, sf_dir, "events")
+    import pyspark.sql.functions as F
+    clicks = cps.DataFrame(ev.sdf.filter(F.col("event_type") == "click")
+                           .select("event_id", "user_id", "ts"))
+    purch = cps.DataFrame(ev.sdf.filter(F.col("event_type") == "purchase")
+                          .select("user_id", "ts", "value"))
+    out = clicks.merge_asof(purch, on="ts", by="user_id")
+    assert out.count() == clicks.count()
+    assert "value_asof" in out.columns
