@@ -140,15 +140,19 @@ def q_groupby_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: the server-ready-but-unexposed aggregate set
     (src/types.hpp:17-29) — min/max/avg/median/count_distinct."""
     li = _t(spark, sf_dir, "lineitem")
-    sdf = li.sdf.groupBy("l_returnflag").agg(
+    # countDistinct mixed with plain aggregates forces an EXPAND (every
+    # row duplicated per aggregate group) — split into two aggregations
+    # and broadcast-join the tiny per-group results instead.
+    base = li.sdf.groupBy("l_returnflag").agg(
         (F.floor(F.min("l_quantity") * 100) / 100).alias("min_qty"),
         (F.floor(F.max("l_quantity") * 100) / 100).alias("max_qty"),
         (F.floor(_dsum("l_extendedprice") / F.count("l_extendedprice")
                  * 100) / 100).alias("avg_price"),
         (F.floor(F.percentile("l_quantity", 0.5) * 100) / 100).alias("median_qty"),
-        F.countDistinct("l_orderkey").alias("distinct_orders"),
     )
-    return sdf
+    dist = li.sdf.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("distinct_orders"))
+    return base.join(F.broadcast(dist), "l_returnflag")
 
 
 def q_groupby_ts_key(spark: SparkSession, sf_dir: str) -> DataFrame:
