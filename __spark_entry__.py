@@ -436,6 +436,33 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"))
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with an inequality (orders
+    having a lineitem shipped >60 days after the order date) — a semi
+    join whose condition references both sides."""
+    orders = _t(spark, sf_dir, "orders").sdf
+    li = _t(spark, sf_dir, "lineitem").sdf
+    cond = [
+        li["l_orderkey"] == orders["o_orderkey"],
+        li["l_shipdate"] > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    ]
+    sel = orders.join(li, on=cond, how="left_semi")
+    return (sel.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders")))
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional counts per group."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    urgent = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+    return (j.sdf.groupBy("l_linestatus").agg(
+        F.sum(urgent).cast("bigint").alias("high_line_count"),
+        F.sum(1 - urgent).cast("bigint").alias("low_line_count")))
+
+
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window function extension (reference has none — SURVEY §2.7):
     top-3 orders by totalprice within each priority class."""
@@ -714,7 +741,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "tpch_q4": q_tpch_q4,
         "tpch_q6": q_tpch_q6,
+        "tpch_q12": q_tpch_q12,
         "tpch_q14": q_tpch_q14,
         "window_rank": q_window_rank,
         "window_lag": q_window_lag,
@@ -939,6 +968,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE r_name = 'ASIA'
               AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
             GROUP BY n_name
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders
+            FROM orders
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "tpch_q12": """
+            SELECT l_linestatus,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                        ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                        ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+                        AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY l_linestatus
         """,
         "tpch_q6": """
             SELECT FLOOR(CAST(SUM(CAST(l_extendedprice * l_discount
