@@ -610,6 +610,33 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(emb.sdf, "embedding", "vec_id", threshold=0.4)
 
 
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus dedup: drop the higher-id member of every
+    near-dup pair (word 3-gram Jaccard >= 0.5), return survivors."""
+    from charmpandas_spark.functions.dedup import dedup_corpus
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup_corpus(docs.sdf, "text", "doc_id", threshold=0.5, n=3)
+    return out.select("doc_id", "source", "n_chars")
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed data-curation filter: keep docs that are predicted
+    English, above a quality floor, and within a token budget — the
+    canonical pre-training filter chain, one codegen'd scan."""
+    from charmpandas_spark.functions.text import (
+        language_id, quality_score, whitespace_token_count)
+    from charmpandas_spark.functions.dedup import spread
+    docs = spread(_t(spark, sf_dir, "documents").sdf)
+    scored = docs.select(
+        "doc_id",
+        language_id("text").alias("lang_pred"),
+        quality_score("text").alias("quality"),
+        whitespace_token_count("text").alias("n_tokens"))
+    return scored.filter((F.col("lang_pred") == "en")
+                         & (F.col("quality") >= 0.5)
+                         & (F.col("n_tokens") >= 20))
+
+
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 vs the vec_id=0 embedding."""
     from charmpandas_spark.functions.similarity import cosine_topk
@@ -759,6 +786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_fast": q_dedup_minhash_fast,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_corpus": q_dedup_corpus,
+        "curation_pipeline": q_curation_pipeline,
         "sim_topk": q_sim_topk,
         "sim_ann_lsh": q_sim_ann_lsh,
         "multimodal_meta": q_multimodal_meta,
@@ -911,7 +940,8 @@ def _ann_lsh_sql(dims: int = 64, num_planes: int = 6, k: int = 10,
 
 def oracle_sql() -> dict[str, str]:
     from charmpandas_spark.functions.text import (
-        TOKEN_REGEX, fingerprint_sql, language_id_sql, quality_score_sql)
+        TOKEN_REGEX, fingerprint_sql, language_id_sql, quality_score_sql,
+        word_shingles_sql)
     join_cols = ('o_orderkey, o_orderpriority, l_orderkey, l_linenumber, '
                  'l_quantity')
     cos_pair = _cosine_sql("a.embedding", "b.embedding")
@@ -1082,6 +1112,37 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(({cos_pair}) * 10000) / 10000 AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE FLOOR(({cos_pair}) * 10000) / 10000 >= 0.4
+        """,
+        "dedup_corpus": f"""
+            WITH base AS (SELECT doc_id,
+                                 {word_shingles_sql('text', 3)} AS sh
+                          FROM documents),
+            sz AS (SELECT doc_id, len(sh) AS sz, sh FROM base),
+            inv AS (SELECT doc_id, sz, unnest(sh) AS shingle FROM sz),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.sz AS sz_a, b.sz AS sz_b, count(*) AS common
+                FROM inv a JOIN inv b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4),
+            losers AS (
+                SELECT DISTINCT doc_b FROM pairs
+                WHERE FLOOR(CAST(common AS DOUBLE)
+                      / (sz_a + sz_b - common) * 10000) / 10000 >= 0.5)
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT doc_b FROM losers)
+        """,
+        "curation_pipeline": f"""
+            WITH scored AS (
+                SELECT doc_id,
+                       {language_id_sql('text')} AS lang_pred,
+                       {quality_score_sql('text')} AS quality,
+                       CAST(CASE WHEN trim(text) = '' THEN 0 ELSE
+                            length(regexp_split_to_array(trim(text),
+                            '\\s+')) END AS INT) AS n_tokens
+                FROM documents)
+            SELECT * FROM scored
+            WHERE lang_pred = 'en' AND quality >= 0.5 AND n_tokens >= 20
         """,
         "sim_topk": f"""
             WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)

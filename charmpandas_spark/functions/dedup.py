@@ -156,6 +156,27 @@ def ngram_jaccard_pairs(
                  .select("doc_a", "doc_b", "jaccard"))
 
 
+def dedup_corpus(
+    df: SparkDF,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    n: int = 3,
+    use_chars: bool = False,
+    k: int = 5,
+) -> SparkDF:
+    """The end-to-end near-dup dedup a training pipeline actually
+    runs: find all pairs above the Jaccard threshold (exact,
+    inverted-index), then keep the lower-id member of every pair
+    (greedy survivor rule — deterministic; chains collapse toward the
+    lowest id). Returns the deduplicated corpus rows."""
+    pairs = ngram_jaccard_pairs(df, text_col, id_col, n, threshold,
+                                use_chars, k)
+    losers = pairs.select(F.col("doc_b").alias("__cps_loser")).distinct()
+    return df.join(losers, df[id_col] == F.col("__cps_loser"),
+                   "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
