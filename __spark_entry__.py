@@ -604,10 +604,24 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: exact all-pairs cosine >= 0.4."""
+    """Embedding near-dup, EXACT all-pairs baseline (O(n^2) — the
+    recall oracle for ``dedup_embedding_cosine_ann``, which is the
+    registered scale path; keep this one on samples only)."""
     from charmpandas_spark.functions.similarity import cosine_pairs
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_pairs(emb.sdf, "embedding", "vec_id", threshold=0.4)
+
+
+def q_dedup_embedding_cosine_ann(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Embedding near-dup, LSH scale path: random-hyperplane co-bucket
+    (8 tables x 4 planes) -> hash join on (table, bucket) -> exact
+    cosine on candidates only. Sub-quadratic; THE registered corpus
+    path — ``dedup_embedding_cosine`` is its exact-recall baseline."""
+    from charmpandas_spark.functions.similarity import cosine_pairs_ann
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_pairs_ann(emb.sdf, "embedding", "vec_id",
+                            threshold=0.4, num_tables=8, num_planes=4)
 
 
 def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -786,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_fast": q_dedup_minhash_fast,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_embedding_cosine_ann": q_dedup_embedding_cosine_ann,
         "dedup_corpus": q_dedup_corpus,
         "curation_pipeline": q_curation_pipeline,
         "sim_topk": q_sim_topk,
@@ -935,6 +950,45 @@ def _ann_lsh_sql(dims: int = 64, num_planes: int = 6, k: int = 10,
         WHERE {probes}
         ORDER BY cosine DESC, cand.vec_id ASC
         LIMIT {k}
+    """
+
+
+def _cosine_ann_sql(dims: int = 64, num_tables: int = 8,
+                    num_planes: int = 4, threshold: float = 0.4,
+                    seed: int = 71) -> str:
+    """DuckDB twin of ``cosine_pairs_ann`` — same deterministic
+    hyperplanes (seed + 101*t per table), same candidate rule (collide
+    in >= 1 table), same exact-cosine verify."""
+    from charmpandas_spark.functions.similarity import _plane_component
+
+    def bucket_expr(vec: str, t: int) -> str:
+        terms = []
+        for p in range(num_planes):
+            plane = ",".join(repr(_plane_component(p, d, seed + 101 * t))
+                             for d in range(dims))
+            terms.append(
+                f"CASE WHEN list_inner_product({vec}::DOUBLE[], "
+                f"[{plane}]::DOUBLE[]) >= 0 THEN {1 << p} ELSE 0 END")
+        return " + ".join(terms)
+
+    band_union = " UNION ALL ".join(
+        f"SELECT vec_id AS id, {t} AS tbl, "
+        f"({bucket_expr('embedding', t)}) AS bucket FROM embeddings"
+        for t in range(num_tables))
+    cos = _cosine_sql("ea.embedding", "eb.embedding")
+    return f"""
+        WITH banded AS ({band_union}),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM banded a JOIN banded b
+              ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id)
+        SELECT * FROM (
+            SELECT c.id_a, c.id_b,
+                   FLOOR(({cos}) * 10000) / 10000 AS cosine
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.id_a
+            JOIN embeddings eb ON eb.vec_id = c.id_b)
+        WHERE cosine >= {threshold}
     """
 
 
@@ -1113,6 +1167,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE FLOOR(({cos_pair}) * 10000) / 10000 >= 0.4
         """,
+        "dedup_embedding_cosine_ann": _cosine_ann_sql(64, 8, 4, 0.4),
         "dedup_corpus": f"""
             WITH base AS (SELECT doc_id,
                                  {word_shingles_sql('text', 3)} AS sh

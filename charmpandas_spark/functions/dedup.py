@@ -122,6 +122,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     use_chars: bool = False,
     k: int = 5,
+    max_df: int | None = None,
 ) -> SparkDF:
     """All pairs (a < b) with Jaccard similarity of their distinct
     n-gram shingle sets >= threshold.
@@ -130,8 +131,16 @@ def ngram_jaccard_pairs(
     inverted index, self-join on the shingle (only docs sharing >= 1
     shingle ever meet), count common shingles per pair, then
     ``jacc = common / (|A| + |B| - common)``. Shuffles are on shingle
-    then on (a, b) — both well-distributed; a document-frequency cap
-    can be layered on to drop stop-shingles at extreme scale.
+    then on (a, b) — both well-distributed.
+
+    ``max_df`` (default off) drops stop-shingles with document
+    frequency > max_df from the inverted index BEFORE the self-join —
+    the web-scale guard: the join emits Σ df(shingle)^2 rows, so one
+    shingle shared by 1M docs alone fans out 10^12 pairs. Capping is
+    conservative: shingle-set sizes stay uncapped, so ``common`` can
+    only shrink and every reported jaccard is a lower bound — capped
+    pairs are always a SUBSET of uncapped pairs at the same threshold
+    (near-dups sharing mostly-rare shingles are unaffected).
     """
     from pyspark import StorageLevel
 
@@ -141,6 +150,16 @@ def ngram_jaccard_pairs(
             .withColumn("sz", F.size("sh"))
             .persist(StorageLevel.MEMORY_AND_DISK))
     inv = base.select("doc", "sz", F.explode("sh").alias("shingle"))
+    if max_df is not None:
+        # df computed with a window over shingle (NOT a groupBy +
+        # self-join back: joining the index with a derivative of
+        # itself trips Spark's ambiguous-self-join resolution). The
+        # window shuffles on shingle — the exact partitioning the
+        # self-join below needs anyway.
+        w = Window.partitionBy("shingle")
+        inv = (inv.withColumn("__cps_df", F.count(F.lit(1)).over(w))
+                  .filter(F.col("__cps_df") <= max_df)
+                  .drop("__cps_df"))
     a, b = inv.alias("a"), inv.alias("b")
     pairs = (a.join(b, on=[F.col("a.shingle") == F.col("b.shingle"),
                            F.col("a.doc") < F.col("b.doc")])

@@ -25,6 +25,7 @@ __all__ = [
     "cosine_sim",
     "cosine_topk",
     "cosine_pairs",
+    "cosine_pairs_ann",
     "hyperplane_bucket",
     "ann_lsh_topk",
     "knn_join",
@@ -104,6 +105,63 @@ def cosine_pairs(
                      F.col("b.id").alias("id_b"),
                      (F.floor(sim * 10000) / 10000).alias("cosine"))
              .filter(F.col("cosine") >= threshold))
+
+
+def cosine_pairs_ann(
+    df: SparkDF,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    num_tables: int = 8,
+    num_planes: int = 4,
+    seed: int = 71,
+) -> SparkDF:
+    """LSH-bucketed embedding near-dup: the sub-quadratic scale path
+    that replaces ``cosine_pairs``'s all-pairs nested-loop join.
+
+    ``num_tables`` independent random-hyperplane hash tables (seeds
+    ``seed + 101*t``); a pair is a candidate iff it collides in >= 1
+    table. Candidates come out of a HASH JOIN on (table, bucket) —
+    never a BroadcastNestedLoopJoin — then only candidates pay the
+    exact cosine. Recall for a pair at angle theta is
+    ``1 - (1 - (1-theta/pi)^num_planes)^num_tables`` (S-curve: ~0.99
+    at cosine 0.9, ~0.65 at cosine 0.4 with the defaults).
+
+    At 100 TB: candidates scale with bucket occupancy (corpus/2^planes
+    per table), not corpus^2; the band explode is one shuffle on
+    (table, bucket) and AQE handles hot buckets. ``cosine_pairs`` is
+    retained as this function's exact verification oracle (recall
+    measurement), not a corpus path.
+    """
+    from .dedup import spread
+
+    dims = df.select(F.size(vec_col).alias("d")).first()["d"]
+    v = spread(df.select(F.col(id_col).alias("id"),
+                         F.col(vec_col).alias("vec"),
+                         l2_norm(F.col(vec_col)).alias("nrm")))
+    buckets = [hyperplane_bucket(F.col("vec"), dims, num_planes,
+                                 seed + 101 * t)
+               for t in range(num_tables)]
+    banded = v.select("id", F.posexplode(F.array(*buckets))
+                      .alias("tbl", "bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, on=[F.col("a.tbl") == F.col("b.tbl"),
+                          F.col("a.bucket") == F.col("b.bucket"),
+                          F.col("a.id") < F.col("b.id")])
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"))
+             .distinct())
+    va = v.select(F.col("id").alias("id_a"), F.col("vec").alias("va"),
+                  F.col("nrm").alias("na"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"),
+                  F.col("nrm").alias("nb"))
+    sim = F.when((F.col("na") == 0.0) | (F.col("nb") == 0.0),
+                 F.lit(None)).otherwise(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+    return (cand.join(va, "id_a").join(vb, "id_b")
+                .select("id_a", "id_b",
+                        (F.floor(sim * 10000) / 10000).alias("cosine"))
+                .filter(F.col("cosine") >= threshold))
 
 
 def _plane_component(p: int, d: int, seed: int = 71) -> float:

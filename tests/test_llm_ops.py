@@ -292,3 +292,75 @@ def test_zscore_by_group(spark, sf_dir):
     for flag, grp in out.groupby("l_returnflag"):
         assert abs(grp["zscore"].mean()) < 1e-9
         assert abs(grp["zscore"].std() - 1.0) < 1e-6
+
+
+# -- scale-path pins (round 2): each approximate/fast path is pinned to
+#    its exact/verified twin on real testdata ---------------------------
+
+@pytest.fixture(scope="module")
+def docs01(spark):
+    return cps.read_table(spark, "/root/testdata/sf0.01", "documents").sdf
+
+
+@pytest.fixture(scope="module")
+def emb01(spark):
+    return cps.read_table(spark, "/root/testdata/sf0.01", "embeddings").sdf
+
+
+def test_cosine_pairs_ann_subset_of_exact(emb01):
+    """The LSH-bucketed near-dup path must emit a SUBSET of the exact
+    all-pairs result with identical cosine values (no false positives
+    — the exact verify stage guarantees it), at useful recall."""
+    from charmpandas_spark.functions.similarity import (
+        cosine_pairs, cosine_pairs_ann)
+    exact = cosine_pairs(emb01, "embedding", "vec_id", threshold=0.4) \
+        .toPandas()
+    ann = cosine_pairs_ann(emb01, "embedding", "vec_id", threshold=0.4,
+                           num_tables=8, num_planes=4).toPandas()
+    exact_m = {(r.id_a, r.id_b): r.cosine for r in exact.itertuples()}
+    ann_m = {(r.id_a, r.id_b): r.cosine for r in ann.itertuples()}
+    assert set(ann_m) <= set(exact_m)
+    for pair, c in ann_m.items():
+        assert c == exact_m[pair]
+    # uniform-random embeddings (no planted structure): mechanism-level
+    # recall check only; S-curve predicts ~0.65+ at cosine 0.4
+    assert len(ann_m) / max(len(exact_m), 1) >= 0.5
+
+
+def test_minhash_fast_path_pinned_to_md5(docs01):
+    """dedup_minhash_fast (xxhash64) has no DuckDB oracle; pin it to
+    the oracle-verified md5 path instead. Same shingling, only hash_fn
+    differs -> verify stage computes the SAME exact jaccard, so the
+    survivor rows must match exactly on the planted near-dups."""
+    from charmpandas_spark.functions.dedup import minhash_near_dup
+    fast = minhash_near_dup(docs01, "text", "doc_id", threshold=0.7,
+                            num_hashes=16, bands=4, k=5,
+                            hash_fn="xxhash64").toPandas()
+    slow = minhash_near_dup(docs01, "text", "doc_id", threshold=0.7,
+                            num_hashes=16, bands=4, k=5,
+                            hash_fn="md5").toPandas()
+    fast_m = {(r.doc_a, r.doc_b): r.jaccard for r in fast.itertuples()}
+    slow_m = {(r.doc_a, r.doc_b): r.jaccard for r in slow.itertuples()}
+    # TESTDATA plants 25 near-dup pairs at jaccard ~0.99 at sf0.01
+    assert len(slow_m) == 25
+    assert fast_m == slow_m
+
+
+def test_ngram_jaccard_max_df_subset_and_recall(docs01):
+    """Capped inverted index: pairs(max_df) is a subset of the uncapped
+    result, and high-similarity (planted) pairs survive a df<=5 cap
+    that drops this corpus's hottest shingles (max df is 7 at sf0.01;
+    the small synthetic vocabulary makes every shingle relatively hot,
+    so a web-scale-style df<=2 cap would starve even true near-dups
+    here — cap choice is corpus-dependent by design)."""
+    from charmpandas_spark.functions.dedup import ngram_jaccard_pairs
+    full = ngram_jaccard_pairs(docs01, "text", "doc_id", n=3,
+                               threshold=0.5).toPandas()
+    capped = ngram_jaccard_pairs(docs01, "text", "doc_id", n=3,
+                                 threshold=0.5, max_df=5).toPandas()
+    full_pairs = set(zip(full.doc_a, full.doc_b))
+    capped_pairs = set(zip(capped.doc_a, capped.doc_b))
+    assert capped_pairs <= full_pairs
+    planted = set(zip(full[full.jaccard >= 0.9].doc_a,
+                      full[full.jaccard >= 0.9].doc_b))
+    assert planted and planted <= capped_pairs
