@@ -103,13 +103,16 @@ q_join_right_anti = _join_q("right_anti", swap=True)
 
 
 def q_join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1: multi-key self-join with `on=` (single surviving key cols) +
-    `_l`/`_r` collision suffixes on non-key columns."""
+    """J1: multi-key self-join with `on=` — BOTH key columns survive
+    with `_l`/`_r` suffixes like the reference (the client forwards
+    `on` as left_keys and right_keys to Acero,
+    src/partition.cpp:1099-1102), alongside suffixed payload cols."""
     li = _t(spark, sf_dir, "lineitem")
     a = li[["l_orderkey", "l_linenumber", "l_quantity"]]
     b = li[["l_orderkey", "l_linenumber", "l_quantity"]]
     j = a.merge(b, on=["l_orderkey", "l_linenumber"], how="inner")
-    sdf = j.sdf.select("l_orderkey", "l_linenumber",
+    sdf = j.sdf.select("l_orderkey_l", "l_orderkey_r",
+                       "l_linenumber_l", "l_linenumber_r",
                        (F.floor(F.col("l_quantity_l") * 100) / 100).alias("qty_l"),
                        (F.floor(F.col("l_quantity_r") * 100) / 100).alias("qty_r"))
     return sdf
@@ -170,7 +173,7 @@ def q_join_timestamp_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ev[["ts", "event_id"]]
     b = ev[["ts", "user_id"]]
     j = a.merge(b, on="ts", how="inner")
-    return j[["ts", "event_id", "user_id"]].to_spark()
+    return j[["ts_l", "ts_r", "event_id", "user_id"]].to_spark()
 
 
 def q_groupby_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1310,7 +1313,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
         """,
         "join_multikey": """
-            SELECT a.l_orderkey, a.l_linenumber,
+            SELECT a.l_orderkey AS l_orderkey_l,
+                   b.l_orderkey AS l_orderkey_r,
+                   a.l_linenumber AS l_linenumber_l,
+                   b.l_linenumber AS l_linenumber_r,
                    FLOOR(a.l_quantity * 100) / 100 AS qty_l,
                    FLOOR(b.l_quantity * 100) / 100 AS qty_r
             FROM lineitem a JOIN lineitem b
@@ -1334,7 +1340,8 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
                          AS DOUBLE) / COUNT(l_extendedprice) * 100) / 100
                        AS avg_price,
-                   ROUND(quantile_cont(l_quantity, 0.5), 2) AS median_qty,
+                   FLOOR(quantile_cont(l_quantity, 0.5) * 100) / 100
+                       AS median_qty,
                    COUNT(DISTINCT l_orderkey) AS distinct_orders
             FROM lineitem GROUP BY l_returnflag
         """,
@@ -1343,7 +1350,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY ts
         """,
         "join_timestamp_key": """
-            SELECT a.ts, a.event_id, b.user_id
+            SELECT a.ts AS ts_l, b.ts AS ts_r, a.event_id, b.user_id
             FROM (SELECT ts, event_id FROM events) a
             JOIN (SELECT ts, user_id FROM events) b ON a.ts = b.ts
         """,

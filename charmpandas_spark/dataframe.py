@@ -275,7 +275,11 @@ class DataFrame:
         ``Exchange(hashpartitioning) -> SortMergeJoin/ShuffledHashJoin``
         with AQE skew handling; broadcast conversion is free when one
         side is small. Collision suffixes default ``_l``/``_r``
-        (src/partition.cpp:1099-1102; pandas would use ``_x``/``_y``).
+        (src/partition.cpp:1099-1102; pandas would use ``_x``/``_y``),
+        and — matching the reference's observable output, not pandas —
+        ``on=`` keeps BOTH key columns as ``k_l``/``k_r`` (the client
+        forwards ``on`` as left_keys AND right_keys to Acero, which
+        emits both sides' keys).
         """
         if how in _SWAPPED_HOW:
             # right_semi/right_anti: result = rows of RIGHT with(out) a
@@ -296,13 +300,19 @@ class DataFrame:
         left_sdf, right_sdf = self._sdf, other._sdf
         if on is not None:
             keys = [on] if isinstance(on, str) else list(on)
-            if spark_how not in ("left_semi", "left_anti"):
-                left_sdf, right_sdf = _apply_suffixes(
-                    left_sdf, right_sdf, set(keys), suffixes
-                )
-            return DataFrame(left_sdf.join(right_sdf, on=keys, how=spark_how))
-
-        if left_on is None or right_on is None:
+            if spark_how in ("left_semi", "left_anti"):
+                # semi/anti emit only left-side columns; no collision.
+                return DataFrame(
+                    left_sdf.join(right_sdf, on=keys, how=spark_how))
+            # Reference parity: the client passes `on` as BOTH
+            # left_keys and right_keys into Acero
+            # (charmpandas/dataframe.py:192-209 ->
+            # src/partition.cpp:1099-1102), so both key columns
+            # survive as `k_l`/`k_r` — deliberately NOT pandas'
+            # single coalesced key column. Fall through to the
+            # left_on/right_on path, which suffixes the collision.
+            left_on, right_on = keys, keys
+        elif left_on is None or right_on is None:
             raise ValueError("merge requires `on` or both `left_on`/`right_on`")
         lkeys = [left_on] if isinstance(left_on, str) else list(left_on)
         rkeys = [right_on] if isinstance(right_on, str) else list(right_on)
@@ -580,9 +590,29 @@ def _apply_suffixes(
 
 def _with_row_index(sdf: SparkDF, name: str) -> SparkDF:
     """Contiguous 0-based row index via RDD zipWithIndex (two passes;
-    compat path for positional alignment only — never in hot queries)."""
+    compat path for positional alignment only — never in hot queries).
+
+    Positional alignment is only well-defined when the plan's row
+    order is deterministic — like the reference, where both frames
+    are identically-partitioned scans (partition.cpp keeps row order
+    per chare). A shuffle (join/groupBy/orderBy under AQE) makes
+    partition order nondeterministic and indices could pair wrong
+    rows silently, so warn loudly when one is present."""
+    import warnings
+
     from pyspark.sql.types import LongType, StructField, StructType
 
+    plan = sdf._jdf.queryExecution().analyzed().toString()
+    shuffly = ("Join", "Aggregate", "Repartition", "RepartitionByExpression",
+               "Window", "Distinct", "Deduplicate")
+    hits = sorted({n for n in shuffly if n + " " in plan or
+                   plan.startswith(n)})
+    if hits:
+        warnings.warn(
+            f"positional alignment over a plan containing {hits} is "
+            "order-nondeterministic under shuffles/AQE; align only "
+            "identically-partitioned scans (reference semantics)",
+            RuntimeWarning, stacklevel=3)
     schema = StructType(list(sdf.schema.fields) + [StructField(name, LongType(), False)])
     rdd = sdf.rdd.zipWithIndex().map(lambda ri: (*ri[0], ri[1]))
     return sdf.sparkSession.createDataFrame(rdd, schema)

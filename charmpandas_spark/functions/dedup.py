@@ -30,6 +30,7 @@ from .text import fingerprint, normalize_text
 
 __all__ = [
     "spread",
+    "release",
     "hash64",
     "exact_dedup",
     "exact_dedup_survivors",
@@ -57,6 +58,17 @@ def spread(df: SparkDF, partitions: int | None = None) -> SparkDF:
     if df.rdd.getNumPartitions() >= partitions:
         return df
     return df.repartition(partitions)
+
+
+def release(df: SparkDF) -> None:
+    """Unpersist the intermediates a dedup pipeline pinned
+    (``ngram_jaccard_pairs`` / ``minhash_near_dup`` attach their
+    persisted shingle/signature handles to the returned DataFrame).
+    Call after materializing the result in a long-lived session so
+    cached blocks don't accumulate until the ContextCleaner happens
+    to run; a no-op for DataFrames without pinned intermediates."""
+    for handle in getattr(df, "_cps_persisted", ()):
+        handle.unpersist()
 
 
 def hash64(col: Column, seed: int | Column = 0, hash_fn: str = "xxhash64") -> Column:
@@ -170,9 +182,11 @@ def ngram_jaccard_pairs(
               .agg(F.count(F.lit(1)).alias("common")))
     jacc = (F.col("common")
             / (F.col("sz_a") + F.col("sz_b") - F.col("common")))
-    return (pairs.withColumn("jaccard", F.floor(jacc * 10000) / 10000)
-                 .filter(F.col("jaccard") >= threshold)
-                 .select("doc_a", "doc_b", "jaccard"))
+    out = (pairs.withColumn("jaccard", F.floor(jacc * 10000) / 10000)
+                .filter(F.col("jaccard") >= threshold)
+                .select("doc_a", "doc_b", "jaccard"))
+    out._cps_persisted = [base]  # see release()
+    return out
 
 
 def dedup_corpus(
@@ -386,9 +400,11 @@ def minhash_near_dup(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jacc = inter.cast("double") / union
-    return (joined.withColumn("jaccard", F.floor(jacc * 10000) / 10000)
-                  .filter(F.col("jaccard") >= threshold)
-                  .select("doc_a", "doc_b", "jaccard"))
+    out = (joined.withColumn("jaccard", F.floor(jacc * 10000) / 10000)
+                 .filter(F.col("jaccard") >= threshold)
+                 .select("doc_a", "doc_b", "jaccard"))
+    out._cps_persisted = [sh, sig]  # see release()
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -46,25 +46,42 @@ def _expand_regex_path(path: str) -> list[str] | str:
     return matches
 
 
-def _nanos_timestamp_cols(first_file: str) -> list[str]:
-    """Parquet TIMESTAMP(NANOS) columns — Spark 4 rejects them at scan
-    (PARQUET_TYPE_ILLEGAL) while Arrow/DuckDB read them natively. We
-    detect them from the footer and read them as int64 nanoseconds
-    (``spark.sql.legacy.parquet.nanosAsLong``), then rebuild proper
-    timestamps with ``timestamp_micros(ns div 1000)`` — all JVM-side.
+def _ns_read_schema(first_file: str):
+    """(spark_schema, ns_cols) for a file containing TIMESTAMP(NANOS)
+    columns — Spark 4 rejects those at scan inference
+    (PARQUET_TYPE_ILLEGAL) while Arrow/DuckDB read them natively.
+
+    Fix is PER-READ, not global: build an explicit read schema from
+    the parquet footer with the ns columns typed ``long`` (Spark's
+    reader accepts TIMESTAMP(NANOS)->LongType when the schema is
+    user-supplied), then rebuild proper timestamps with
+    ``timestamp_micros(ns div 1000)`` — all JVM-side. No session conf
+    (``spark.sql.legacy.parquet.nanosAsLong``) is touched, so
+    unrelated ``spark.read.parquet`` calls in the same session keep
+    their normal loud-error behavior instead of silently returning
+    bigints. Returns (None, []) when the file has no ns columns.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_type
+    from pyspark.sql.types import LongType, StructField, StructType
 
     try:
         schema = pq.read_schema(first_file)
     except Exception:
-        return []
-    return [
-        f.name
-        for f in schema
-        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
-    ]
+        return None, []
+    ns_cols = [f.name for f in schema
+               if pa.types.is_timestamp(f.type) and f.type.unit == "ns"]
+    if not ns_cols:
+        return None, []
+    fields = []
+    for f in schema:
+        if f.name in ns_cols:
+            fields.append(StructField(f.name, LongType(), f.nullable))
+        else:
+            fields.append(StructField(f.name, from_arrow_type(f.type),
+                                      f.nullable))
+    return StructType(fields), ns_cols
 
 
 def _first_parquet_file(path: str) -> str:
@@ -90,10 +107,18 @@ def read_parquet(
         path = _expand_regex_path(path)
     paths = [path] if isinstance(path, str) else list(path)
 
-    ns_cols = _nanos_timestamp_cols(_first_parquet_file(paths[0]))
+    # sniff every path's first file (not just the first path's): a
+    # multi-path read where only a later path carries ns columns must
+    # still get the explicit schema.
+    ns_schema, ns_cols = None, []
+    for p in paths:
+        ns_schema, ns_cols = _ns_read_schema(_first_parquet_file(p))
+        if ns_cols:
+            break
+    reader = spark.read
     if ns_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    sdf = spark.read.parquet(*paths)
+        reader = reader.schema(ns_schema)
+    sdf = reader.parquet(*paths)
     for c in ns_cols:
         if c in sdf.columns:
             sdf = sdf.withColumn(

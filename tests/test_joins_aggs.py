@@ -49,9 +49,11 @@ def test_join_on_suffixes(frames):
     a = li[["l_orderkey", "l_quantity"]]
     b = li[["l_orderkey", "l_quantity"]]
     j = a.merge(b, on="l_orderkey", how="inner")
-    # single surviving key column + _l/_r suffixes
-    # (src/partition.cpp:1099-1102)
-    assert set(j.columns) == {"l_orderkey", "l_quantity_l", "l_quantity_r"}
+    # BOTH key columns survive with _l/_r suffixes, like the reference
+    # (on= forwards to Acero as left_keys AND right_keys,
+    # src/partition.cpp:1099-1102) — not pandas' coalesced single key
+    assert set(j.columns) == {"l_orderkey_l", "l_orderkey_r",
+                              "l_quantity_l", "l_quantity_r"}
 
 
 def test_join_semi_columns(frames):

@@ -364,3 +364,17 @@ def test_ngram_jaccard_max_df_subset_and_recall(docs01):
     planted = set(zip(full[full.jaccard >= 0.9].doc_a,
                       full[full.jaccard >= 0.9].doc_b))
     assert planted and planted <= capped_pairs
+
+
+def test_release_unpersists_intermediates(docs01):
+    from charmpandas_spark.functions.dedup import (
+        minhash_near_dup, release)
+    out = minhash_near_dup(docs01, "text", "doc_id", threshold=0.7,
+                           num_hashes=16, bands=4, k=5)
+    out.count()
+    handles = out._cps_persisted
+    assert all(h.storageLevel.useMemory or h.storageLevel.useDisk
+               for h in handles)
+    release(out)
+    assert all(not h.storageLevel.useMemory and not h.storageLevel.useDisk
+               for h in handles)
