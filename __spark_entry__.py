@@ -439,6 +439,70 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"))
 
 
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated aggregate subquery — the rows that
+    achieve the per-part minimum price. Decorrelated Spark-first: one
+    groupBy computes min(l_extendedprice) per part, joined back on
+    (partkey, price == min) — at scale that's one shuffle on partkey
+    reused by both the agg and the join; never a per-row subquery."""
+    li = _t(spark, sf_dir, "lineitem").sdf
+    part = _t(spark, sf_dir, "part").sdf
+    sup = _t(spark, sf_dir, "supplier").sdf
+    mins = (li.groupBy(F.col("l_partkey").alias("mk"))
+              .agg(F.min("l_extendedprice").alias("min_price")))
+    best = li.join(mins, (li.l_partkey == mins.mk)
+                   & (li.l_extendedprice == mins.min_price)) \
+             .select("l_partkey", "l_suppkey", "l_extendedprice")
+    return (best
+            .join(part, best.l_partkey == part.p_partkey)
+            .join(sup, best.l_suppkey == sup.s_suppkey)
+            .filter(F.col("p_size") <= 15)
+            .select("p_partkey", "p_name", "s_name",
+                    (F.floor(F.col("l_extendedprice") * 100) / 100)
+                    .alias("min_price")))
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: dedupe-within-join — distinct supplier count
+    per part attribute, with an anti-join supplier exclusion list
+    (Q16's NOT IN becomes a broadcastable left_anti join)."""
+    li = _t(spark, sf_dir, "lineitem").sdf
+    part = _t(spark, sf_dir, "part").sdf
+    sup = _t(spark, sf_dir, "supplier").sdf
+    excluded = sup.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    keep = li.select("l_partkey", "l_suppkey").join(
+        excluded.withColumnRenamed("s_suppkey", "l_suppkey"),
+        "l_suppkey", "left_anti")
+    pf = part.filter((F.col("p_brand") != "Brand#1")
+                     & (F.col("p_size") <= 25))
+    return (keep.join(pf, keep.l_partkey == pf.p_partkey)
+                .groupBy("p_brand", "p_type", "p_size")
+                .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: group-HAVING pushed back as a semi join —
+    large-quantity orders (HAVING sum > 250) filter orders via
+    left_semi on the tiny HAVING survivors, then re-aggregate with
+    customer context. Top-100 by totalprice, keyed deterministically."""
+    c = _t(spark, sf_dir, "customer").sdf
+    o = _t(spark, sf_dir, "orders").sdf
+    li = _t(spark, sf_dir, "lineitem").sdf
+    big = (li.groupBy("l_orderkey")
+             .agg(_dsum("l_quantity").alias("q"))
+             .filter(F.col("q") > 250)
+             .select(F.col("l_orderkey").alias("o_orderkey")))
+    j = (o.join(big, "o_orderkey", "left_semi")
+          .join(li, F.col("o_orderkey") == li.l_orderkey)
+          .join(c, F.col("o_custkey") == c.c_custkey))
+    agg = j.groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                    "o_totalprice") \
+           .agg((F.floor(_dsum("l_quantity") * 100) / 100)
+                .alias("sum_qty"))
+    return agg.orderBy(F.col("o_totalprice").desc(),
+                       F.col("o_orderkey").asc()).limit(100)
+
+
 def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: correlated EXISTS with an inequality (orders
     having a lineitem shipped >60 days after the order date) — a semi
@@ -698,6 +762,27 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                         max_frames=8)
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round-trip through the mapInPandas decode hook:
+    payloads are zlib-compressed text (Arrow-batched pandas_udf), the
+    decoder actually zlib-decompresses and derives byte-class counts
+    from the decoded bytes. The oracle recomputes the same counts
+    from the plaintext — decode correctness is value-checked, not
+    just shape-checked."""
+    from charmpandas_spark.functions.dedup import spread
+    from charmpandas_spark.functions.multimodal import (
+        attach_zlib_media, extract_features, zlib_text_decoder)
+    docs = spread(_t(spark, sf_dir, "documents").sdf)
+    m = attach_zlib_media(docs, "text")
+    feats = extract_features(m, "media", "doc_id",
+                             decoder=zlib_text_decoder)
+    return feats.select(
+        "doc_id", "width", "height",
+        F.col("features")[0].cast("bigint").alias("n_lower"),
+        F.col("features")[1].cast("bigint").alias("n_digit"),
+        F.col("features")[3].cast("bigint").alias("n_other"))
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregation per event_type."""
     from charmpandas_spark.streaming.windows import tumbling_window_agg
@@ -789,6 +874,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "tpch_q12": q_tpch_q12,
         "tpch_q14": q_tpch_q14,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q18": q_tpch_q18,
         "window_rank": q_window_rank,
         "window_lag": q_window_lag,
         "window_rolling": q_window_rolling,
@@ -810,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh": q_sim_ann_lsh,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
+        "multimodal_decode": q_multimodal_decode,
         "events_window": q_events_window,
         "events_sliding_window": q_events_sliding_window,
         "events_asof_join": q_events_asof_join,
@@ -1100,6 +1189,49 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
               AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
         """,
+        "tpch_q2": """
+            WITH mins AS (
+                SELECT l_partkey AS mk, MIN(l_extendedprice) AS min_price
+                FROM lineitem GROUP BY l_partkey),
+            best AS (
+                SELECT l_partkey, l_suppkey, l_extendedprice
+                FROM lineitem JOIN mins
+                  ON l_partkey = mk AND l_extendedprice = min_price)
+            SELECT p_partkey, p_name, s_name,
+                   FLOOR(l_extendedprice * 100) / 100 AS min_price
+            FROM best
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE p_size <= 15
+        """,
+        "tpch_q16": """
+            SELECT p_brand, p_type, p_size,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE l_suppkey NOT IN (
+                      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+              AND p_brand <> 'Brand#1' AND p_size <= 25
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "tpch_q18": """
+            WITH big AS (
+                SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+                HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                       AS DOUBLE) > 250)
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   o_totalprice,
+                   FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                         AS DOUBLE) * 100) / 100 AS sum_qty
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+            GROUP BY c_name, c_custkey, o_orderkey, o_orderdate,
+                     o_totalprice
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 100
+        """,
         "window_rank": """
             SELECT o_orderpriority, o_orderkey,
                    FLOOR(o_totalprice * 100) / 100 AS o_totalprice, rn
@@ -1226,6 +1358,22 @@ def oracle_sql() -> dict[str, str]:
                    md5(substr(text, CAST(i * 64 + 1 AS INT), 64))
                        AS frame_hash
             FROM f CROSS JOIN range(0, 8) t(i) WHERE i < nf
+        """,
+        "multimodal_decode": """
+            WITH c AS (
+                SELECT doc_id,
+                       CAST(octet_length(encode(text)) AS INT) AS width,
+                       CAST(length(regexp_replace(text, '[^a-z]', '',
+                            'g')) AS BIGINT) AS n_lower,
+                       CAST(length(regexp_replace(text, '[^0-9]', '',
+                            'g')) AS BIGINT) AS n_digit,
+                       CAST(length(text) - length(replace(text, ' ', ''))
+                            AS BIGINT) AS n_space
+                FROM documents)
+            SELECT doc_id, width, CAST(n_space AS INT) AS height,
+                   n_lower, n_digit,
+                   width - n_lower - n_digit - n_space AS n_other
+            FROM c
         """,
         "events_window": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

@@ -48,14 +48,140 @@ def bench_queries(spark, sf_dir):
         "dedup_minhash_fast",
         "dedup_simhash",
         "dedup_embedding_cosine",
+        "dedup_embedding_cosine_ann",
         "sim_topk",
         "sim_ann_lsh",
         "multimodal_frames",
+        "multimodal_decode",
         "events_window",
         "events_sliding_window",
         "events_sessionize",
+        "tpch_q2",
+        "tpch_q16",
+        "tpch_q18",
     ]
     return {n: qs[n] for n in names if n in qs}
+
+
+# ---------------------------------------------------------------------------
+# sf1 scaling probe: 10x the sf0.1 data (generated once, locally) and
+# re-run a representative slice — catches anything super-linear
+# (driver-side loops, persist-size cliffs) that sf0.1 hides.
+# ---------------------------------------------------------------------------
+
+SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "bench_sf1")
+SF1_QUERIES = ["flagship_join_groupby_count", "tpch_q1", "tpch_q18",
+               "dedup_ngram_jaccard", "dedup_minhash_fast", "sim_ann_lsh"]
+
+
+def _ensure_sf1(src_dir: str) -> bool:
+    """Materialize ~sf1 tables into ``bench_sf1/`` from the sf0.1
+    parquet: 10 key-shifted copies (referential integrity preserved:
+    lineitem and orders shift orderkeys in lockstep). Document text is
+    token-suffixed per copy so shingle document-frequency stays flat —
+    dedup work then scales linearly with the corpus, as it would on
+    real data, instead of quadratically on artificial 10x exact dupes.
+    Cached across runs; DuckDB does the generation in seconds."""
+    tables = ["lineitem", "orders", "customer", "documents", "embeddings"]
+    if all(os.path.exists(os.path.join(SF1_DIR, f"{t}.parquet"))
+           for t in tables):
+        return True
+    import duckdb
+
+    os.makedirs(SF1_DIR, exist_ok=True)
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{os.path.join(src_dir, t + '.parquet')}'")
+    ok = con.execute("SELECT max(l_orderkey) + 1 FROM lineitem").fetchone()[0]
+    did = con.execute("SELECT max(doc_id) + 1 FROM documents").fetchone()[0]
+    vid = con.execute("SELECT max(vec_id) + 1 FROM embeddings").fetchone()[0]
+    copies = {
+        "lineitem": f"SELECT s.* REPLACE (s.l_orderkey + t.i * {ok} "
+                    f"AS l_orderkey) FROM lineitem s CROSS JOIN "
+                    f"range(0, 10) t(i)",
+        "orders": f"SELECT s.* REPLACE (s.o_orderkey + t.i * {ok} "
+                  f"AS o_orderkey) FROM orders s CROSS JOIN "
+                  f"range(0, 10) t(i)",
+        "customer": "SELECT * FROM customer",
+        "documents": f"SELECT s.* REPLACE (s.doc_id + t.i * {did} AS "
+                     f"doc_id, regexp_replace(s.text, '(\\S+)', "
+                     f"'\\1' || t.i, 'g') AS text) FROM documents s "
+                     f"CROSS JOIN range(0, 10) t(i)",
+        "embeddings": f"SELECT s.* REPLACE (s.vec_id + t.i * {vid} AS "
+                      f"vec_id) FROM embeddings s CROSS JOIN "
+                      f"range(0, 10) t(i)",
+    }
+    for t, sql in copies.items():
+        con.execute(f"COPY ({sql}) TO "
+                    f"'{os.path.join(SF1_DIR, t + '.parquet')}' "
+                    f"(FORMAT PARQUET)")
+    return True
+
+
+def run_sf1_probe(spark) -> dict:
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    out = {}
+    for name in SF1_QUERIES:
+        t0 = time.time()
+        n = len(qs[name](spark, SF1_DIR).toPandas())
+        out[name] = round(time.time() - t0, 4)
+        print(f"# sf1 {name}: {out[name]:.2f}s ({n} rows)",
+              file=sys.stderr)
+    return out
+
+
+def run_skew_demo(spark, sf_dir: str) -> dict:
+    """Measured skew-mitigation delta on a 10M-row fact keyed by
+    events.user_id with one amplified hot key (50% of rows): skew-blind
+    shuffle join vs AQE's skew-join split vs explicit salted_join.
+    (The raw sf0.1 events table is uniform on user_id, so the hot key
+    is synthesized over the real key domain.) Broadcast is disabled so
+    the join genuinely shuffles, as it would when both sides are big."""
+    from pyspark.sql import functions as F
+
+    import charmpandas_spark as cps
+    from charmpandas_spark.operators.skew import salted_join
+
+    ev = cps.read_table(spark, sf_dir, "events").sdf
+    fact = (ev.select("user_id", "value", "event_type")
+              .crossJoin(spark.range(100).withColumnRenamed("id", "rep"))
+              .withColumn("user_id",
+                          F.when(F.rand(7) < 0.5, F.lit(342))
+                           .otherwise(F.col("user_id")))
+              .drop("rep"))
+    dim = ev.groupBy("user_id").agg(F.avg("value").alias("u_avg"))
+    fact.persist(), dim.persist()
+    fact.count(), dim.count()
+
+    def run(j):
+        return (j.groupBy("event_type")
+                 .agg(F.sum(F.col("value") * F.col("u_avg")).alias("s"))
+                 .collect())
+
+    out = {}
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        t0 = time.time()
+        run(fact.join(dim, "user_id"))
+        out["plain_skew_blind"] = round(time.time() - t0, 4)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        t0 = time.time()
+        run(fact.join(dim, "user_id"))
+        out["plain_aqe_skewjoin"] = round(time.time() - t0, 4)
+        t0 = time.time()
+        run(salted_join(fact, dim, "user_id", salt=32).sdf)
+        out["salted_join"] = round(time.time() - t0, 4)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        fact.unpersist(), dim.unpersist()
+    print(f"# skew_demo: {out}", file=sys.stderr)
+    return out
 
 
 def main():
@@ -72,6 +198,12 @@ def main():
     region = spark.read.parquet(os.path.join(SF_DIR, "region.parquet"))
     (nation.join(region, nation.n_regionkey == region.r_regionkey)
      .groupBy("r_name").count().toPandas())
+    # pre-warm the Python daemon worker pool too (one worker per core
+    # spawns lazily, ~6-8 s across 32 partitions — a fixed session
+    # cost that would otherwise land entirely on the first
+    # pandas_udf/mapInPandas query measured).
+    spark.range(0, 3200, 1, 32).mapInPandas(
+        lambda it: it, "id long").count()
 
     qs = bench_queries(spark, SF_DIR)
     timings = {}
@@ -83,13 +215,28 @@ def main():
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
     headline = timings.get("flagship_join_groupby_count", 0.0)
-    print(json.dumps({
+    result = {
         "metric": "join_groupby_fetch_sec",
         "value": headline,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    # extras only on the canonical sf0.1 run (the driver's round bench);
+    # disable with SPARK_GRAFT_BENCH_SF1=0 / SPARK_GRAFT_BENCH_SKEW=0.
+    if sf == 0.1:
+        if os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0":
+            try:
+                _ensure_sf1(SF_DIR)
+                result["sf1"] = run_sf1_probe(spark)
+            except Exception as exc:  # probe must never sink the bench
+                print(f"# sf1 probe failed: {exc}", file=sys.stderr)
+        if os.environ.get("SPARK_GRAFT_BENCH_SKEW", "1") != "0":
+            try:
+                result["skew_demo"] = run_skew_demo(spark, SF_DIR)
+            except Exception as exc:
+                print(f"# skew demo failed: {exc}", file=sys.stderr)
+    print(json.dumps(result))
     spark.stop()
 
 

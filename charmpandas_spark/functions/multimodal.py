@@ -29,9 +29,11 @@ from pyspark.sql.types import (
 
 __all__ = [
     "attach_fake_media",
+    "attach_zlib_media",
     "media_metadata",
     "extract_features",
     "decode_stub",
+    "zlib_text_decoder",
     "frame_sample",
     "MEDIA_META_SCHEMA",
 ]
@@ -56,6 +58,44 @@ def attach_fake_media(df: SparkDF, text_col: str, out_col: str = "media",
         F.md5(payload).alias("content_hash"),
     )
     return df.withColumn(out_col, payload).withColumn(f"{out_col}_meta", meta)
+
+
+def attach_zlib_media(df: SparkDF, text_col: str,
+                      out_col: str = "media") -> SparkDF:
+    """REAL encoded media fixture: the text zlib-compressed into the
+    binary payload via an Arrow-batched pandas_udf — so the decode
+    path downstream exercises an actual codec round-trip, not a
+    byte-identity fake. (zlib is the stdlib stand-in for image/audio
+    codecs absent from this container; the plumbing is identical.)"""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def _compress(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: zlib.compress(t.encode("utf-8"), 6))
+
+    return df.withColumn(out_col, _compress(F.col(text_col)))
+
+
+def zlib_text_decoder(payload: bytes) -> dict:
+    """REAL decoder for ``extract_features``' ``decoder=`` hook:
+    zlib-decompress the payload, then extract byte-class statistics
+    from the DECODED bytes. Feature values are exact small-integer
+    counts (representable losslessly in float32), so a cross-engine
+    oracle can recompute them from the plaintext bit-for-bit."""
+    import zlib
+
+    raw = zlib.decompress(payload)
+    n_lower = sum(1 for b in raw if 0x61 <= b <= 0x7A)
+    n_digit = sum(1 for b in raw if 0x30 <= b <= 0x39)
+    n_space = raw.count(0x20)
+    return {
+        "width": len(raw),
+        "height": n_space,
+        "histogram": [float(n_lower), float(n_digit), float(n_space),
+                      float(len(raw) - n_lower - n_digit - n_space)],
+    }
 
 
 def media_metadata(df: SparkDF, bin_col: str) -> SparkDF:

@@ -63,6 +63,15 @@ def get_spark(
         master = f"local[{cpus}]"
     builder = builder.master(master)
     conf = dict(DEFAULT_CONF)
+    if master.startswith("local"):
+        # local mode runs all task threads in ONE JVM; Spark's 1g
+        # default heap OOMs long before the machine does. Stay UNDER
+        # 32g: crossing it disables JVM compressed oops and measurably
+        # slows every pointer-heavy operator (observed 2-20x on
+        # broadcast joins). On a real cluster the submitter sizes
+        # executors instead.
+        conf["spark.driver.memory"] = os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", "24g")
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if str(cpus).isdigit() else 32
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)

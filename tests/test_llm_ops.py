@@ -378,3 +378,19 @@ def test_release_unpersists_intermediates(docs01):
     release(out)
     assert all(not h.storageLevel.useMemory and not h.storageLevel.useDisk
                for h in handles)
+
+
+def test_zlib_media_roundtrip(docs):
+    """attach_zlib_media produces genuinely compressed payloads and
+    zlib_text_decoder recovers byte-exact plaintext through the
+    Arrow-batched mapInPandas path."""
+    import zlib
+    from charmpandas_spark.functions.multimodal import (
+        attach_zlib_media, extract_features, zlib_text_decoder)
+    m = attach_zlib_media(docs.limit(20), "text")
+    row = m.select("text", "media").first()
+    assert bytes(row["media"]) != row["text"].encode()
+    assert zlib.decompress(bytes(row["media"])).decode() == row["text"]
+    feats = extract_features(m, "media", "doc_id",
+                             decoder=zlib_text_decoder).toPandas()
+    assert len(feats) == 20 and (feats["width"] > 0).all()
