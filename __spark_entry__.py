@@ -503,6 +503,114 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("o_orderkey").asc()).limit(100)
 
 
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution — left outer
+    join with a join-side predicate, then a two-level aggregation
+    (count per customer, histogram of counts)."""
+    c = _t(spark, sf_dir, "customer").sdf
+    o = _t(spark, sf_dir, "orders").sdf \
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left")
+                 .groupBy("c_custkey")
+                 .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+                    .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: small-quantity-order revenue — correlated
+    per-part average subquery, decorrelated into one groupBy joined
+    back (the partkey shuffle is shared by agg and probe)."""
+    li = _t(spark, sf_dir, "lineitem").sdf
+    part = _t(spark, sf_dir, "part").sdf
+    avg_q = (li.groupBy(F.col("l_partkey").alias("ak"))
+               .agg((_dsum("l_quantity") / F.count("l_quantity"))
+                    .alias("avg_qty")))
+    flt = (li.join(part.filter(F.col("p_brand") == "Brand#3"),
+                   li.l_partkey == part.p_partkey)
+             .join(avg_q, li.l_partkey == avg_q.ak)
+             .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty")))
+    return flt.agg(
+        (F.floor(_dsum("l_extendedprice") / 7.0 * 100) / 100)
+        .alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_rows"))
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-attribute predicates over a
+    join — three (brand, size, quantity) bands OR'd together."""
+    li = _t(spark, sf_dir, "lineitem").sdf
+    part = _t(spark, sf_dir, "part").sdf
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    band = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11)
+         & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#2")
+           & F.col("l_quantity").between(10, 20)
+           & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#3")
+           & F.col("l_quantity").between(20, 30)
+           & F.col("p_size").between(1, 15)))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,6)")
+    return j.filter(band).agg(
+        (F.floor(F.sum(rev).cast("double") * 100) / 100).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"))
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who alone were late on multi-supplier
+    orders — EXISTS (another supplier on the order) and NOT EXISTS
+    (another LATE supplier) become one semi and one anti join with a
+    mixed equi/non-equi condition. 'Late' = shipped > 60 days after
+    the order date (this schema has no receipt/commit dates)."""
+    li = _t(spark, sf_dir, "lineitem").sdf
+    o = _t(spark, sf_dir, "orders").sdf
+    sup = _t(spark, sf_dir, "supplier").sdf
+    lines = li.select("l_orderkey", "l_suppkey").distinct()
+    late = (li.join(o, li.l_orderkey == o.o_orderkey)
+              .filter(F.col("l_shipdate")
+                      > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+              .select("l_orderkey", "l_suppkey").distinct())
+    others = lines.select(F.col("l_orderkey").alias("ok"),
+                          F.col("l_suppkey").alias("sk"))
+    others_late = late.select(F.col("l_orderkey").alias("ok"),
+                              F.col("l_suppkey").alias("sk"))
+    cand = late.join(
+        others, (late.l_orderkey == others.ok)
+        & (late.l_suppkey != others.sk), "left_semi")
+    alone = cand.join(
+        others_late, (cand.l_orderkey == others_late.ok)
+        & (cand.l_suppkey != others_late.sk), "left_anti")
+    numwait = alone.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("numwait"))
+    out = (numwait.join(sup, numwait.l_suppkey == sup.s_suppkey)
+                  .select("s_name", "numwait"))
+    return out.orderBy(F.col("numwait").desc(),
+                       F.col("s_name").asc()).limit(10)
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar aggregate subquery (global positive-
+    balance average, broadcast as a 1-row frame into a non-equi join)
+    + NOT EXISTS anti join against high-value orders. (The plan's
+    BroadcastNestedLoopJoin is the 1-ROW scalar broadcast — a
+    constant-size build side, scale-safe by construction.)"""
+    c = _t(spark, sf_dir, "customer").sdf
+    o = _t(spark, sf_dir, "orders").sdf
+    avg_bal = (c.filter(F.col("c_acctbal") > 0)
+                .agg((_dsum("c_acctbal") / F.count(F.lit(1)))
+                     .alias("avg_bal")))
+    rich = c.join(F.broadcast(avg_bal),
+                  F.col("c_acctbal") > F.col("avg_bal"))
+    big = o.filter(F.col("o_totalprice") > 400000) \
+           .select(F.col("o_custkey").alias("c_custkey"))
+    lapsed = rich.join(big, "c_custkey", "left_anti")
+    return lapsed.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        (F.floor(_dsum("c_acctbal") * 100) / 100).alias("totacctbal"))
+
+
 def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: correlated EXISTS with an inequality (orders
     having a lineitem shipped >60 days after the order date) — a semi
@@ -700,6 +808,17 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "n_chars")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: exact word-3-gram Jaccard pairs
+    become edges; iterative distributed min-label propagation merges
+    chains (a~b~c one cluster); singletons keep their own id. Oracle
+    is a DuckDB recursive-CTE reachability closure — genuinely
+    different algorithm, same fixed point."""
+    from charmpandas_spark.functions.dedup import dedup_clusters
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_clusters(docs.sdf, "text", "doc_id", threshold=0.5, n=3)
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed data-curation filter: keep docs that are predicted
     English, above a quality floor, and within a token budget — the
@@ -877,6 +996,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q2": q_tpch_q2,
         "tpch_q16": q_tpch_q16,
         "tpch_q18": q_tpch_q18,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
         "window_rank": q_window_rank,
         "window_lag": q_window_lag,
         "window_rolling": q_window_rolling,
@@ -893,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_cosine_ann": q_dedup_embedding_cosine_ann,
         "dedup_corpus": q_dedup_corpus,
+        "dedup_clusters": q_dedup_clusters,
         "curation_pipeline": q_curation_pipeline,
         "sim_topk": q_sim_topk,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -1232,6 +1357,77 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_totalprice DESC, o_orderkey ASC
             LIMIT 100
         """,
+        "tpch_q13": """
+            SELECT c_count, COUNT(*) AS custdist
+            FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                  FROM customer LEFT JOIN orders
+                    ON c_custkey = o_custkey
+                   AND o_orderpriority <> '1-URGENT'
+                  GROUP BY c_custkey)
+            GROUP BY c_count
+        """,
+        "tpch_q17": """
+            WITH a AS (
+                SELECT l_partkey AS ak,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                            AS DOUBLE) / COUNT(l_quantity) AS avg_qty
+                FROM lineitem GROUP BY l_partkey)
+            SELECT FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                         AS DOUBLE) / 7.0 * 100) / 100 AS avg_yearly,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN a ON l_partkey = ak
+            WHERE p_brand = 'Brand#3' AND l_quantity < 0.2 * avg_qty
+        """,
+        "tpch_q19": """
+            SELECT FLOOR(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) * 100) / 100
+                       AS revenue,
+                   COUNT(*) AS n_rows
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11
+                   AND p_size BETWEEN 1 AND 5)
+               OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20
+                   AND p_size BETWEEN 1 AND 10)
+               OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30
+                   AND p_size BETWEEN 1 AND 15)
+        """,
+        "tpch_q21": """
+            WITH lines AS (
+                SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+            late AS (
+                SELECT DISTINCT l_orderkey, l_suppkey
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY),
+            alone AS (
+                SELECT a.l_orderkey, a.l_suppkey FROM late a
+                WHERE EXISTS (SELECT 1 FROM lines b
+                              WHERE b.l_orderkey = a.l_orderkey
+                                AND b.l_suppkey <> a.l_suppkey)
+                  AND NOT EXISTS (SELECT 1 FROM late c
+                                  WHERE c.l_orderkey = a.l_orderkey
+                                    AND c.l_suppkey <> a.l_suppkey))
+            SELECT s_name, COUNT(*) AS numwait
+            FROM alone JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name ASC
+            LIMIT 10
+        """,
+        "tpch_q22": """
+            WITH ab AS (
+                SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6)))
+                            AS DOUBLE) / COUNT(*) AS avg_bal
+                FROM customer WHERE c_acctbal > 0)
+            SELECT c_mktsegment, COUNT(*) AS numcust,
+                   FLOOR(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6)))
+                         AS DOUBLE) * 100) / 100 AS totacctbal
+            FROM customer, ab
+            WHERE c_acctbal > ab.avg_bal
+              AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_totalprice > 400000)
+            GROUP BY c_mktsegment
+        """,
         "window_rank": """
             SELECT o_orderpriority, o_orderkey,
                    FLOOR(o_totalprice * 100) / 100 AS o_totalprice, rn
@@ -1321,6 +1517,31 @@ def oracle_sql() -> dict[str, str]:
                       / (sz_a + sz_b - common) * 10000) / 10000 >= 0.5)
             SELECT doc_id, source, n_chars FROM documents
             WHERE doc_id NOT IN (SELECT doc_b FROM losers)
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE base AS (
+                SELECT doc_id, {word_shingles_sql('text', 3)} AS sh
+                FROM documents),
+            sz AS (SELECT doc_id, len(sh) AS sz, sh FROM base),
+            inv AS (SELECT doc_id, sz, unnest(sh) AS shingle FROM sz),
+            p AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.sz AS sz_a, b.sz AS sz_b, count(*) AS common
+                FROM inv a JOIN inv b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4),
+            jp AS (
+                SELECT doc_a, doc_b FROM p
+                WHERE FLOOR(CAST(common AS DOUBLE)
+                      / (sz_a + sz_b - common) * 10000) / 10000 >= 0.5),
+            edges AS (SELECT doc_a AS s, doc_b AS d FROM jp
+                      UNION SELECT doc_b, doc_a FROM jp),
+            reach(v, u) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT reach.v, e.d FROM reach
+                JOIN edges e ON reach.u = e.s)
+            SELECT v AS doc, MIN(u) AS cluster FROM reach GROUP BY v
         """,
         "curation_pipeline": f"""
             WITH scored AS (

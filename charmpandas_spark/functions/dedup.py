@@ -42,6 +42,8 @@ __all__ = [
     "minhash_near_dup",
     "simhash",
     "simhash_near_dup",
+    "connected_components",
+    "dedup_clusters",
 ]
 
 
@@ -408,8 +410,81 @@ def minhash_near_dup(
 
 
 # ---------------------------------------------------------------------------
-# SimHash
+# connected components (near-dup pairs -> dedup clusters)
 # ---------------------------------------------------------------------------
+
+def connected_components(edges: SparkDF, src: str, dst: str,
+                         max_iter: int = 20) -> SparkDF:
+    """(vertex, component) labeling by iterative min-label
+    propagation: every vertex repeatedly adopts the minimum label in
+    its neighborhood until a fixed point.
+
+    Scale design: each round is one distributed join + groupBy (both
+    shuffling on vertex id — AQE reuses the partitioning); the driver
+    only runs the O(diameter) loop and a scalar convergence probe per
+    round. Near-dup graphs have tiny diameters (dup clusters are
+    near-cliques), so 3-5 rounds is typical; ``max_iter`` bounds
+    pathological chains. Each round is ``localCheckpoint``-ed: the
+    lineage is CUT per round (without it the logical plan doubles
+    every iteration — measured ~900 exchanges in the final plan after
+    4 rounds). On a fault-tolerant cluster job, switch to a reliable
+    ``checkpoint`` dir: localCheckpoint trades executor-loss recovery
+    for speed.
+    """
+    from pyspark import StorageLevel
+
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.union(sym.select(F.col("b").alias("a"),
+                               F.col("a").alias("b"))) \
+             .persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (sym.select(F.col("a").alias("v")).distinct()
+                 .withColumn("lbl", F.col("v"))
+                 .localCheckpoint())
+    for _ in range(max_iter):
+        nbr_min = (sym.join(labels.select(F.col("v").alias("b"),
+                                          F.col("lbl").alias("b_lbl")),
+                            "b")
+                      .groupBy(F.col("a").alias("v"))
+                      .agg(F.min("b_lbl").alias("nbr_lbl")))
+        new_labels = (labels.join(nbr_min, "v", "left")
+                            .select("v",
+                                    F.least("lbl", "nbr_lbl")
+                                     .alias("lbl"))
+                            .localCheckpoint())
+        changed = (new_labels
+                   .join(labels.select(F.col("v").alias("v"),
+                                       F.col("lbl").alias("old_lbl")),
+                         "v")
+                   .filter(F.col("lbl") != F.col("old_lbl"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("v", F.col("lbl").alias("component"))
+
+
+def dedup_clusters(
+    df: SparkDF,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    n: int = 3,
+    use_chars: bool = False,
+    k: int = 5,
+) -> SparkDF:
+    """(doc, cluster) for EVERY document: near-dup pairs (exact n-gram
+    Jaccard via the inverted index) become edges, connected components
+    merge transitive chains (a~b, b~c => one cluster even when a!~c),
+    and untouched documents form singleton clusters. The canonical
+    keep-one-per-cluster dedup keeps ``doc == cluster`` rows."""
+    pairs = ngram_jaccard_pairs(df, text_col, id_col, n, threshold,
+                                use_chars, k)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    docs = df.select(F.col(id_col).alias("doc"))
+    return (docs.join(comp, comp.v == docs.doc, "left")
+                .select("doc",
+                        F.coalesce("component", "doc").alias("cluster")))
 
 def simhash(
     df: SparkDF,

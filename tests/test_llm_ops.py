@@ -394,3 +394,34 @@ def test_zlib_media_roundtrip(docs):
     feats = extract_features(m, "media", "doc_id",
                              decoder=zlib_text_decoder).toPandas()
     assert len(feats) == 20 and (feats["width"] > 0).all()
+
+
+def test_connected_components_match_union_find(docs01):
+    """Distributed min-label propagation vs a driver-side union-find
+    over the same edge list — identical clustering."""
+    from charmpandas_spark.functions.dedup import (
+        dedup_clusters, ngram_jaccard_pairs)
+    got = dedup_clusters(docs01, "text", "doc_id", threshold=0.5) \
+        .toPandas().set_index("doc")["cluster"].to_dict()
+    pairs = ngram_jaccard_pairs(docs01, "text", "doc_id",
+                                threshold=0.5).toPandas()
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.itertuples():
+        ra, rb = find(r.doc_a), find(r.doc_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    n_docs = docs01.count()
+    assert len(got) == n_docs
+    for doc, cluster in got.items():
+        assert cluster == find(doc)
+    # the planted near-dup pairs must actually cluster (25 pairs, a
+    # few chained into shared clusters -> >= 20 non-root members)
+    assert sum(1 for d, c in got.items() if d != c) >= 20
