@@ -678,6 +678,51 @@ def q_window_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(roll.cast("double") * 100) / 100).alias("rolling_spend")))
 
 
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window: per event_type, rolling 1-hour sum of
+    value ordered by event time. RANGE (not ROWS) so ties and uneven
+    spacing are handled by time distance — microsecond-exact on both
+    engines (unix_micros here, INTERVAL frame in the oracle)."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("event_type")
+         .orderBy(F.unix_micros("ts"))
+         .rangeBetween(-3_600_000_000, 0))
+    roll = F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+    return ev.sdf.select(
+        "event_id", "event_type",
+        (F.floor(roll.cast("double") * 10000) / 10000).alias("roll_1h"))
+
+
+def q_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar decomposition + aggregation: hourly event counts and
+    decimal-exact value sums from timestamp part extraction."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.sdf.groupBy(F.year("ts").alias("y"),
+                           F.month("ts").alias("m"),
+                           F.dayofmonth("ts").alias("d"),
+                           F.hour("ts").alias("h"))
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   (F.floor(_dsum("value") * 10000) / 10000)
+                   .alias("sum_value")))
+
+
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 vs the vec_id=0 embedding: k-means coarse
+    quantizer (seeded, deterministic per Spark version), nprobe=4 of
+    16 lists. No oracle — DuckDB cannot replay Spark MLlib's k-means;
+    rows-only here, and pytest pins full-probe IVF == exact top-k."""
+    from charmpandas_spark.functions.ivf import ivf_build, ivf_search
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.sdf.filter(F.col("vec_id") == 0)
+               .select("embedding").first()["embedding"]]
+    assigned, centroids = ivf_build(emb.sdf, "embedding", "vec_id",
+                                    nlist=16)
+    return ivf_search(assigned, centroids, "embedding", "vec_id",
+                      qvec, k=10, nprobe=4)
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extension: extract a JSON field from the events
     props column, aggregate per event_type."""
@@ -1004,6 +1049,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank": q_window_rank,
         "window_lag": q_window_lag,
         "window_rolling": q_window_rolling,
+        "window_range_frame": q_window_range_frame,
+        "datetime_parts": q_datetime_parts,
+        "sim_ivf": q_sim_ivf,
         "events_json": q_events_json,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
@@ -1356,6 +1404,25 @@ def oracle_sql() -> dict[str, str]:
                      o_totalprice
             ORDER BY o_totalprice DESC, o_orderkey ASC
             LIMIT 100
+        """,
+        "window_range_frame": """
+            SELECT event_id, event_type,
+                   FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+                       PARTITION BY event_type ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                             AND CURRENT ROW) AS DOUBLE) * 10000)
+                       / 10000 AS roll_1h
+            FROM events
+        """,
+        "datetime_parts": """
+            SELECT CAST(EXTRACT(YEAR FROM ts) AS INT) AS y,
+                   CAST(EXTRACT(MONTH FROM ts) AS INT) AS m,
+                   CAST(EXTRACT(DAY FROM ts) AS INT) AS d,
+                   CAST(EXTRACT(HOUR FROM ts) AS INT) AS h,
+                   COUNT(*) AS n_events,
+                   FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                         AS DOUBLE) * 10000) / 10000 AS sum_value
+            FROM events GROUP BY 1, 2, 3, 4
         """,
         "tpch_q13": """
             SELECT c_count, COUNT(*) AS custdist

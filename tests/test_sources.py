@@ -60,3 +60,18 @@ def test_json_with_schema_skips_inference(spark, nation, tmp_path):
     write_json(nation, out)
     back = read_json(spark, out, schema=nation.sdf.schema)
     assert back.sdf.schema == nation.sdf.schema
+
+
+def test_partition_pruning_in_plan(spark, nation, tmp_path):
+    """A filter on the partition column must become a PartitionFilter
+    at the scan (directories skipped at planning) — not a post-scan
+    filter. This is the mechanism that makes date/tenant-partitioned
+    100 TB layouts readable in seconds."""
+    out = str(tmp_path / "nation_pruned")
+    nation.to_parquet(out, partition_by="n_regionkey")
+    back = cps.read_parquet(spark, out)
+    flt = back[back["n_regionkey"] == 2]
+    plan = flt.sdf._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "n_regionkey" in plan.split("PartitionFilters")[1][:200]
+    assert flt.count() == 5

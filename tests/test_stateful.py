@@ -72,3 +72,57 @@ def test_compat_module(spark, sf_dir):
     assert "sum(rev)" in pdf.columns and len(pdf) > 0
     both = cpd.concat([df, df])
     assert both.count() == 2 * df.count()
+
+
+def test_streaming_exact_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Streamed content dedup (dropDuplicates state across
+    micro-batches) must collapse the same duplicates as the batch
+    exact_dedup path."""
+    from charmpandas_spark.streaming.dedup import streaming_exact_dedup
+    from charmpandas_spark.streaming.windows import stream_from_parquet
+
+    docs = cps.read_table(spark, sf_dir, "documents").sdf
+    src = str(tmp_path / "docs_src")
+    # plant duplicates split across files/micro-batches: the stream
+    # only dedups correctly if fingerprint state survives batches
+    docs.unionByName(docs.limit(30)).repartition(4) \
+        .write.parquet(src)
+    stream = stream_from_parquet(spark, src, max_files_per_trigger=1)
+    out = streaming_exact_dedup(stream, "text")
+    q = (out.writeStream.format("memory").queryName("dedup_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.sql("SELECT count(*) FROM dedup_stream").first()[0]
+    want = docs.select(
+        F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+    ).distinct().count()
+    assert got == want
+
+
+def test_streaming_dedup_watermarked_state(spark, sf_dir, tmp_path):
+    """Watermarked variant: dropDuplicatesWithinWatermark runs and
+    collapses in-window duplicates (state eviction is a runtime
+    behavior; here we pin the plumbing and in-window semantics)."""
+    from charmpandas_spark.streaming.dedup import streaming_exact_dedup
+    from charmpandas_spark.streaming.windows import stream_from_parquet
+
+    ev = cps.read_table(spark, sf_dir, "events").sdf
+    src = str(tmp_path / "ev_dedup_src")
+    sample = ev.select("ts", "event_type").limit(2000)
+    sample.unionByName(sample.limit(50)).repartition(3) \
+        .write.parquet(src)
+    stream = stream_from_parquet(spark, src, max_files_per_trigger=1)
+    out = streaming_exact_dedup(stream, "event_type", ts_col="ts",
+                                watermark_delay="3650 days")
+    q = (out.writeStream.format("memory").queryName("dedup_wm")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.sql("SELECT count(*) FROM dedup_wm").first()[0]
+    # the watermark delay covers the whole ts span, so every
+    # duplicate lands in-window -> one row per distinct value (with a
+    # short delay, re-emission after state eviction is the documented
+    # retention trade-off)
+    want = sample.select(
+        F.md5(F.trim(F.regexp_replace(F.lower("event_type"), r"\s+",
+                                      " ")))).distinct().count()
+    assert got == want
