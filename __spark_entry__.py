@@ -853,6 +853,42 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "n_chars")
 
 
+def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by frequency (per-partition
+    top-k before the final merge; ties broken by token)."""
+    from charmpandas_spark.functions.text import corpus_vocab
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_vocab(docs.sdf, "text", "doc_id", top_k=100)
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF weights (rational variant — exact cross-engine doubles;
+    see functions/text.py) for every (doc, term)."""
+    from charmpandas_spark.functions.text import tf_idf
+    docs = _t(spark, sf_dir, "documents")
+    return tf_idf(docs.sdf, "text", "doc_id")
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25% sample by key hash — reproducible across
+    runs, partitionings, and engines (unlike RNG-based df.sample)."""
+    from charmpandas_spark.functions.sampling import hash_sample
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs.sdf, "doc_id", 0.25, hash_fn="md5") \
+        .select("doc_id", "source", "n_chars")
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by hash range — stable
+    labels (appending new data never reshuffles old rows)."""
+    from charmpandas_spark.functions.sampling import assign_splits
+    docs = _t(spark, sf_dir, "documents")
+    out = assign_splits(docs.sdf, "doc_id",
+                        {"train": 0.8, "val": 0.1, "test": 0.1},
+                        hash_fn="md5")
+    return out.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clustering: exact word-3-gram Jaccard pairs
     become edges; iterative distributed min-label propagation merges
@@ -1057,6 +1093,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_token_count": q_text_token_count,
         "text_fingerprint": q_text_fingerprint,
+        "text_vocab": q_text_vocab,
+        "text_tfidf": q_text_tfidf,
+        "sample_hash": q_sample_hash,
+        "dataset_split": q_dataset_split,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
@@ -1258,6 +1298,7 @@ def _cosine_ann_sql(dims: int = 64, num_tables: int = 8,
 
 
 def oracle_sql() -> dict[str, str]:
+    from charmpandas_spark.functions import dedup as dedup_mod
     from charmpandas_spark.functions.text import (
         TOKEN_REGEX, fingerprint_sql, language_id_sql, quality_score_sql,
         word_shingles_sql)
@@ -1584,6 +1625,51 @@ def oracle_sql() -> dict[str, str]:
                       / (sz_a + sz_b - common) * 10000) / 10000 >= 0.5)
             SELECT doc_id, source, n_chars FROM documents
             WHERE doc_id NOT IN (SELECT doc_b FROM losers)
+        """,
+        "text_vocab": """
+            WITH toks AS (
+                SELECT unnest(string_split(trim(regexp_replace(
+                           lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+                FROM documents)
+            SELECT token, COUNT(*) AS freq FROM toks
+            WHERE token <> ''
+            GROUP BY token
+            ORDER BY freq DESC, token ASC
+            LIMIT 100
+        """,
+        "text_tfidf": """
+            WITH toks AS (
+                SELECT doc_id AS doc,
+                       unnest(string_split(trim(regexp_replace(
+                           lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+                FROM documents),
+            t AS (SELECT doc, term FROM toks WHERE term <> ''),
+            tf AS (SELECT doc, term, COUNT(*) AS cnt FROM t
+                   GROUP BY doc, term),
+            dl AS (SELECT doc, COUNT(*) AS dl FROM t GROUP BY doc),
+            dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT COUNT(*) AS n FROM documents)
+            SELECT tf.doc, tf.term,
+                   FLOOR((CAST(cnt AS DOUBLE) / dl)
+                         * (CAST(n AS DOUBLE) / df) * 1000000)
+                       / 1000000 AS weight
+            FROM tf JOIN dl USING (doc) JOIN dfreq USING (term), n
+        """,
+        "sample_hash": f"""
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE ({dedup_mod.hash64_sql("CAST(doc_id AS VARCHAR)")})
+                  % 10000 < 2500
+        """,
+        "dataset_split": f"""
+            WITH b AS (
+                SELECT ({dedup_mod.hash64_sql("CAST(doc_id AS VARCHAR)")})
+                       % 10000 AS bucket
+                FROM documents)
+            SELECT CASE WHEN bucket < 8000 THEN 'train'
+                        WHEN bucket < 9000 THEN 'val'
+                        ELSE 'test' END AS split,
+                   COUNT(*) AS n_docs
+            FROM b GROUP BY 1
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE base AS (

@@ -59,6 +59,18 @@ def bench_queries(spark, sf_dir):
         "tpch_q2",
         "tpch_q16",
         "tpch_q18",
+        "tpch_q13",
+        "tpch_q17",
+        "tpch_q19",
+        "tpch_q21",
+        "tpch_q22",
+        "dedup_clusters",
+        "window_range_frame",
+        "datetime_parts",
+        "text_vocab",
+        "text_tfidf",
+        "sample_hash",
+        "dataset_split",
     ]
     return {n: qs[n] for n in names if n in qs}
 

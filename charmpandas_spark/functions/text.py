@@ -28,6 +28,8 @@ __all__ = [
     "fingerprint",
     "char_shingles",
     "word_shingles",
+    "corpus_vocab",
+    "tf_idf",
     "LANG_STOPWORDS",
     "TOKEN_REGEX",
 ]
@@ -206,3 +208,54 @@ def word_shingles_sql(t: str, n: int = 3) -> str:
             f"range(0, greatest(length({words}) - {n}, 0) + 1), "
             f"i -> array_to_string(list_slice({words}, "
             f"CAST(i + 1 AS INT), CAST(i + {n} AS INT)), ' ')))")
+
+
+def corpus_vocab(df, text_col: str, id_col: str, top_k: int = 100):
+    """Top-``top_k`` corpus vocabulary by token frequency (tokens from
+    the normalized text). One explode + one groupBy; Spark's
+    orderBy+limit computes per-partition top-k before the final merge,
+    so the driver never sees more than top_k rows. Ties broken by
+    token text for determinism."""
+    from .dedup import spread
+
+    toks = (spread(df).select(
+                F.explode(F.split(normalize_text(text_col), " "))
+                 .alias("token"))
+            .filter(F.col("token") != ""))
+    return (toks.groupBy("token")
+                .agg(F.count(F.lit(1)).alias("freq"))
+                .orderBy(F.col("freq").desc(), F.col("token").asc())
+                .limit(top_k))
+
+
+def tf_idf(df, text_col: str, id_col: str):
+    """(doc, term, weight) TF-IDF-style weights over the corpus.
+
+    Weight = (term count / doc length) * (N / document frequency) —
+    the RATIONAL variant (no logarithm), so every factor is an exact
+    ratio of integers and the double arithmetic is bit-identical
+    across engines (ln's last-ulp behavior is libm-specific; for the
+    classic log-damped idf apply ``F.log`` on top and accept
+    approximate comparison). Three aggregations: tf on (doc, term),
+    doc length on doc, df on term — all hash-partitioned; N rides in
+    as a broadcast 1-row aggregate, never a driver collect."""
+    from .dedup import spread
+
+    toks = (spread(df).select(
+                F.col(id_col).alias("doc"),
+                F.explode(F.split(normalize_text(text_col), " "))
+                 .alias("term"))
+            .filter(F.col("term") != ""))
+    tf = toks.groupBy("doc", "term").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    doclen = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n"))
+    weight = (F.col("cnt").cast("double") / F.col("dl")) \
+        * (F.col("n").cast("double") / F.col("df"))
+    return (tf.join(doclen, "doc")
+              .join(dfreq, "term")
+              .crossJoin(F.broadcast(n_docs))
+              .select("doc", "term",
+                      (F.floor(weight * 1000000) / 1000000)
+                      .alias("weight")))

@@ -25,22 +25,39 @@ _REGEX_HINTS = re.compile(r"[()|+^$\\]|\.\*|\.\+")
 
 
 def _expand_regex_path(path: str) -> list[str] | str:
-    """If ``path`` looks like a regex (reference semantics), enumerate
-    the parent directory and match basenames; else pass through to
-    Spark (plain path or glob)."""
+    """If ``path`` looks like a regex (reference semantics,
+    src/partition.cpp:51-63), enumerate files and match; else pass
+    through to Spark (plain path or glob).
+
+    The regex may span DIRECTORY levels (the reference matches inside
+    arbitrary trees): the longest literal prefix anchors a walk and
+    the remainder matches the relative path, so
+    ``/data/part=(1|2)/.*\\.parquet`` works. A basename-only pattern
+    stays a cheap single-directory listing."""
     if not _REGEX_HINTS.search(path):
         return path
-    directory, pattern = os.path.split(path)
-    directory = directory or "."
+    parts = path.split("/")
+    first_rx = next((i for i, p in enumerate(parts)
+                     if _REGEX_HINTS.search(p)), len(parts) - 1)
+    base = "/".join(parts[:first_rx]) or "."
+    pattern = "/".join(parts[first_rx:])
     try:
         rx = re.compile(pattern)
     except re.error:
         return path
-    matches = sorted(
-        os.path.join(directory, f)
-        for f in os.listdir(directory)
-        if rx.fullmatch(f) or rx.match(f)
-    )
+    if "/" not in pattern:
+        names = os.listdir(base)
+        matches = sorted(
+            os.path.join(base, f) for f in names
+            if rx.fullmatch(f) or rx.match(f))
+    else:
+        matches = []
+        for root, _dirs, files in os.walk(base):
+            for f in files:
+                rel = os.path.relpath(os.path.join(root, f), base)
+                if rx.fullmatch(rel) or rx.match(rel):
+                    matches.append(os.path.join(base, rel))
+        matches.sort()
     if not matches:
         raise FileNotFoundError(f"no parquet files match regex {path!r}")
     return matches

@@ -425,3 +425,35 @@ def test_connected_components_match_union_find(docs01):
     # the planted near-dup pairs must actually cluster (25 pairs, a
     # few chained into shared clusters -> >= 20 non-root members)
     assert sum(1 for d, c in got.items() if d != c) >= 20
+
+
+def test_hash_sample_stable_under_repartition(docs):
+    """The sample is a function of the KEY only: repartitioning,
+    reordering, or re-running must select the exact same rows (the
+    property RNG-based df.sample lacks)."""
+    from charmpandas_spark.functions.sampling import hash_sample
+    a = set(r.doc_id for r in
+            hash_sample(docs, "doc_id", 0.3).select("doc_id").collect())
+    b = set(r.doc_id for r in
+            hash_sample(docs.repartition(7).orderBy(F.rand(1)),
+                        "doc_id", 0.3).select("doc_id").collect())
+    assert a == b and 0 < len(a) < docs.count()
+    # monotone: a smaller rate is a subset of a larger one
+    c = set(r.doc_id for r in
+            hash_sample(docs, "doc_id", 0.1).select("doc_id").collect())
+    assert c <= a
+
+
+def test_assign_splits_partition_of_corpus(docs):
+    """Splits are disjoint, exhaustive, and roughly proportional."""
+    from charmpandas_spark.functions.sampling import assign_splits
+    out = assign_splits(docs, "doc_id",
+                        {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+                 .collect()}
+    n = docs.count()
+    assert sum(counts.values()) == n
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and \
+        counts["train"] > counts["test"]

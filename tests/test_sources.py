@@ -75,3 +75,17 @@ def test_partition_pruning_in_plan(spark, nation, tmp_path):
     assert "PartitionFilters: [" in plan
     assert "n_regionkey" in plan.split("PartitionFilters")[1][:200]
     assert flt.count() == 5
+
+
+def test_regex_path_across_directories(spark, nation, tmp_path):
+    """Regex paths spanning directory levels walk the tree like the
+    reference's matcher (src/partition.cpp:51-63) — a partitioned
+    layout is selectable with one regex."""
+    out = str(tmp_path / "tree")
+    nation.to_parquet(out, partition_by="n_regionkey")
+    picked = cps.read_parquet(
+        spark, out + r"/n_regionkey=(1|3)/.*\.parquet")
+    assert picked.count() == 10
+    one_level = cps.read_parquet(
+        spark, out + r"/n_regionkey=2/part-.*\.parquet")
+    assert one_level.count() == 5
