@@ -1,0 +1,94 @@
+"""End-to-end training-data curation pipeline.
+
+The composed story the individual operators exist for: raw documents
+in, a deduplicated / filtered / split corpus out, every stage a
+distributed DataFrame transformation.
+
+    raw documents
+      -> quality + language filter        (text.py, codegen'd scan)
+      -> exact dedup                      (fingerprint keep-first)
+      -> near-dup clustering              (MinHash/LSH -> components)
+      -> keep one doc per cluster
+      -> deterministic train/val/test     (key-hash buckets)
+      -> partitioned parquet by split     (partition-pruned reads)
+
+Run: python examples/pipeline_demo.py [sf_dir] [out_dir]
+"""
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+import charmpandas_spark as cps
+from charmpandas_spark.functions.dedup import (
+    connected_components, exact_dedup, minhash_near_dup, release)
+from charmpandas_spark.functions.sampling import assign_splits
+from charmpandas_spark.functions.text import (
+    language_id, quality_score, whitespace_token_count)
+
+
+def curate(docs, threshold=0.7):
+    """documents -> (curated_df, stats dict)."""
+    stats = {"raw": docs.count()}
+
+    # 1. filter: predicted-English, quality floor, token budget — one
+    #    codegen'd pass over the scan, fully pushed down
+    kept = docs.filter(
+        (language_id("text") == "en")
+        & (quality_score("text") >= 0.4)
+        & (whitespace_token_count("text").between(10, 100_000)))
+    stats["after_filter"] = kept.count()
+
+    # 2. exact dedup (normalized-content fingerprint, keep lowest id)
+    kept = exact_dedup(kept, "text", "doc_id")
+    stats["after_exact_dedup"] = kept.count()
+
+    # 3. near-dup clusters: MinHash/LSH candidate pairs (verified with
+    #    exact Jaccard), transitive closure, keep one doc per cluster
+    pairs = minhash_near_dup(kept, "text", "doc_id",
+                             threshold=threshold)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    losers = comp.filter(F.col("v") != F.col("component")) \
+                 .select(F.col("v").alias("doc_id"))
+    kept = kept.join(losers, "doc_id", "left_anti")
+    release(pairs)
+    stats["after_near_dedup"] = kept.count()
+
+    # 4. stable split assignment (survives appends and reshuffles)
+    kept = assign_splits(kept, "doc_id",
+                         {"train": 0.9, "val": 0.05, "test": 0.05})
+    return kept, stats
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else None
+    spark = cps.get_spark(app_name="pipeline-demo")
+    docs = cps.read_table(spark, sf_dir, "documents").sdf
+
+    curated, stats = curate(docs)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        out = out_dir or os.path.join(tmp, "curated")
+        # 5. one partitioned sink: downstream trainers read their
+        #    split with partition pruning (no full scan)
+        curated.write.mode("overwrite").partitionBy("split").parquet(out)
+        splits = {r.split: r.n for r in
+                  spark.read.parquet(out).groupBy("split")
+                       .agg(F.count(F.lit(1)).alias("n")).collect()}
+        for k, v in stats.items():
+            print(f"{k:>18}: {v}")
+        print(f"{'splits':>18}: {splits}")
+        assert stats["raw"] >= stats["after_filter"] \
+            >= stats["after_exact_dedup"] >= stats["after_near_dedup"]
+        assert sum(splits.values()) == stats["after_near_dedup"]
+    print("pipeline demo passed")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
