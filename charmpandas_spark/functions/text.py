@@ -238,24 +238,33 @@ def tf_idf(df, text_col: str, id_col: str):
     classic log-damped idf apply ``F.log`` on top and accept
     approximate comparison). Three aggregations: tf on (doc, term),
     doc length on doc, df on term — all hash-partitioned; N rides in
-    as a broadcast 1-row aggregate, never a driver collect."""
+    as a broadcast 1-row aggregate, never a driver collect. ``toks``
+    and ``tf`` each feed two plan branches, so both are persisted
+    (the raw scan + explode would otherwise run 3x); call
+    ``dedup.release`` on the result to free them."""
+    from pyspark import StorageLevel
+
     from .dedup import spread
 
     toks = (spread(df).select(
                 F.col(id_col).alias("doc"),
                 F.explode(F.split(normalize_text(text_col), " "))
                  .alias("term"))
-            .filter(F.col("term") != ""))
+            .filter(F.col("term") != "")
+            .persist(StorageLevel.MEMORY_AND_DISK))
     tf = toks.groupBy("doc", "term").agg(
-        F.count(F.lit(1)).alias("cnt"))
+        F.count(F.lit(1)).alias("cnt")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     doclen = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n"))
     weight = (F.col("cnt").cast("double") / F.col("dl")) \
         * (F.col("n").cast("double") / F.col("df"))
-    return (tf.join(doclen, "doc")
-              .join(dfreq, "term")
-              .crossJoin(F.broadcast(n_docs))
-              .select("doc", "term",
-                      (F.floor(weight * 1000000) / 1000000)
-                      .alias("weight")))
+    out = (tf.join(doclen, "doc")
+             .join(dfreq, "term")
+             .crossJoin(F.broadcast(n_docs))
+             .select("doc", "term",
+                     (F.floor(weight * 1000000) / 1000000)
+                     .alias("weight")))
+    out._cps_persisted = [toks, tf]  # see dedup.release()
+    return out
