@@ -75,3 +75,58 @@ def test_concat_filter_partition_invariant(spark, keys, vals):
     assert cps.concat([hi, lo]).count() == len(pdf)
     # distinct count matches pandas regardless of duplicates
     assert df[["k"]].distinct().count() == pdf["k"].nunique()
+
+EDGES = st.lists(st.tuples(st.integers(0, 15), st.integers(0, 15)),
+                 min_size=1, max_size=30)
+
+
+@given(edges=EDGES)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_connected_components_match_union_find_random(spark, edges):
+    """Random graphs (self-loops, parallel edges, chains): distributed
+    min-label propagation == driver union-find."""
+    from charmpandas_spark.functions.dedup import connected_components
+    pdf = pd.DataFrame(edges, columns=["s", "d"])
+    comp = connected_components(
+        cps.DataFrame(spark.createDataFrame(pdf)).sdf, "s", "d") \
+        .toPandas().set_index("v")["component"].to_dict()
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    verts = set(v for e in edges for v in e)
+    assert set(comp) == verts
+    for v in verts:
+        assert comp[v] == find(v), (v, edges)
+
+
+@given(keys=st.lists(st.integers(0, 10_000), min_size=1, max_size=40,
+                     unique=True),
+       w=st.floats(min_value=0.05, max_value=0.9, allow_nan=False))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_assign_splits_total_and_determinism(spark, keys, w):
+    """Splits partition the input for arbitrary weights, and the
+    assignment is a pure function of (key, weights, seed)."""
+    from charmpandas_spark.functions.sampling import assign_splits
+    pdf = pd.DataFrame({"k": keys})
+    df = spark.createDataFrame(pdf)
+    r = round(w, 4)
+    weights = {"a": r, "b": 1.0 - r}
+    out1 = assign_splits(df, "k", weights).toPandas() \
+        .set_index("k")["split"].to_dict()
+    out2 = assign_splits(df.repartition(5), "k", weights).toPandas() \
+        .set_index("k")["split"].to_dict()
+    assert out1 == out2
+    assert len(out1) == len(keys) and set(out1.values()) <= {"a", "b"}
