@@ -74,3 +74,38 @@ def test_filter_expr_stays_lazy_single_scan(li):
     rep = plan_report(out.sdf)
     assert len(rep["scan_columns"]) == 1  # one scan, no materialization
     assert rep["exchanges"] == 0
+
+
+def test_cosine_ann_never_nested_loop(spark, sf_dir):
+    """The registered embedding near-dup path must candidate-join on
+    (table, bucket) — a hash-partitionable equi join — never fall back
+    to the O(n^2) BroadcastNestedLoopJoin of the exact baseline."""
+    from charmpandas_spark.functions.similarity import (
+        cosine_pairs, cosine_pairs_ann)
+    emb = cps.read_table(spark, sf_dir, "embeddings").sdf
+    ann = cosine_pairs_ann(emb, "embedding", "vec_id", threshold=0.4,
+                           num_tables=2, num_planes=2)
+    assert "BroadcastNestedLoopJoin" not in join_strategies(ann)
+    # and the exact baseline IS the nested loop (so the distinction
+    # is real, not vacuous)
+    exact = cosine_pairs(emb, "embedding", "vec_id", threshold=0.4)
+    assert "BroadcastNestedLoopJoin" in join_strategies(exact)
+
+
+def test_tpch_q2_shares_partkey_exchange(spark, sf_dir):
+    """The decorrelated min-subquery must not multiply exchanges:
+    one partkey aggregation exchange, dimension joins broadcast."""
+    import __spark_entry__ as entry
+    df = entry.q_tpch_q2(spark, sf_dir)
+    assert num_exchanges(df) <= 2, plan_report(df)
+    cols = scan_columns(df)
+    assert all(len(c) <= 4 for c in cols), cols
+
+
+def test_sample_hash_no_shuffle(spark, sf_dir):
+    """Hash sampling is a pure per-row filter — zero exchanges, rides
+    the scan."""
+    from charmpandas_spark.functions.sampling import hash_sample
+    docs = cps.read_table(spark, sf_dir, "documents").sdf
+    out = hash_sample(docs, "doc_id", 0.25)
+    assert num_exchanges(out) == 0, plan_report(out)
