@@ -983,6 +983,25 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("features")[3].cast("bigint").alias("n_other"))
 
 
+def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join (operator Spark lacks; bin-and-refine
+    composition in operators/interval.py — never a nested loop):
+    clicks within 24 hours AFTER an error by the same user, i.e.
+    event-to-episode attribution."""
+    from charmpandas_spark.operators.interval import interval_join
+    ev = _t(spark, sf_dir, "events").sdf
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error") \
+               .select(F.col("event_id").alias("error_id"), "user_id",
+                       F.col("ts").alias("w_start"),
+                       (F.col("ts") + F.expr("INTERVAL 24 HOURS"))
+                       .alias("w_end"))
+    out = interval_join(clicks, errors, "ts", "w_start", "w_end",
+                        on="user_id", granularity_sec=86_400)
+    return out.select("event_id", "error_id")
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregation per event_type."""
     from charmpandas_spark.streaming.windows import tumbling_window_agg
@@ -1115,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "events_sliding_window": q_events_sliding_window,
         "events_asof_join": q_events_asof_join,
+        "events_interval_join": q_events_interval_join,
         "events_sessionize": q_events_sessionize,
     }
 
@@ -1774,6 +1794,16 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
                             WHERE event_type = 'purchase') b
               ON a.user_id = b.user_id AND a.ts >= b.ts
+        """,
+        "events_interval_join": """
+            SELECT c.event_id, e.event_id AS error_id
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') c
+            JOIN (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'error') e
+              ON c.user_id = e.user_id
+             AND c.ts >= e.ts
+             AND c.ts <= e.ts + INTERVAL 24 HOUR
         """,
         "events_sessionize": """
             WITH o AS (

@@ -71,6 +71,7 @@ def bench_queries(spark, sf_dir):
         "text_tfidf",
         "sample_hash",
         "dataset_split",
+        "events_interval_join",
     ]
     return {n: qs[n] for n in names if n in qs}
 

@@ -118,3 +118,51 @@ def test_ivf_build_and_search(spark, sf_dir):
                       k=5, nprobe=8).toPandas()
     want = cosine_topk(emb, "embedding", "vec_id", q, 5).toPandas()
     assert list(full["vec_id"]) == list(want["vec_id"])
+
+
+def test_interval_join_matches_naive(spark, sf_dir):
+    """Bin-and-refine must emit exactly the naive non-equi join's rows
+    (which plans as a nested loop — the thing the operator avoids)."""
+    import charmpandas_spark as cps
+    from charmpandas_spark.operators.interval import interval_join
+    from charmpandas_spark.plans.explain import join_strategies
+    from pyspark.sql import functions as F
+
+    ev = cps.read_table(spark, sf_dir, "events").sdf
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error") \
+               .select(F.col("event_id").alias("error_id"), "user_id",
+                       F.col("ts").alias("s"),
+                       (F.col("ts") + F.expr("INTERVAL 6 HOURS"))
+                       .alias("e"))
+    fast = interval_join(clicks, errors, "ts", "s", "e",
+                         on="user_id", granularity_sec=3600)
+    naive = (clicks.join(errors.withColumnRenamed("user_id", "u2"),
+                         (F.col("user_id") == F.col("u2"))
+                         & (F.col("ts") >= F.col("s"))
+                         & (F.col("ts") <= F.col("e"))))
+    got = set((r.event_id, r.error_id)
+              for r in fast.select("event_id", "error_id").collect())
+    want = set((r.event_id, r.error_id)
+               for r in naive.select("event_id", "error_id").collect())
+    assert got == want and want
+    assert "BroadcastNestedLoopJoin" not in join_strategies(fast)
+    # with an equi key Catalyst extracts a hash join even for the
+    # naive form; WITHOUT one (global intervals) the naive range join
+    # IS a nested loop — and the binned form still equi-joins:
+    ck = clicks.limit(200)
+    ek = errors.limit(50)
+    naive_keyless = ck.join(
+        ek, (F.col("ts") >= F.col("s")) & (F.col("ts") <= F.col("e")))
+    fast_keyless = interval_join(ck, ek.drop("user_id"), "ts", "s",
+                                 "e", on=None, granularity_sec=3600)
+    assert "BroadcastNestedLoopJoin" in join_strategies(naive_keyless)
+    assert "BroadcastNestedLoopJoin" not in join_strategies(fast_keyless)
+    got_k = set((r.event_id, r.error_id)
+                for r in fast_keyless.select("event_id", "error_id")
+                                     .collect())
+    want_k = set((r.event_id, r.error_id)
+                 for r in naive_keyless.select("event_id", "error_id")
+                                       .collect())
+    assert got_k == want_k
