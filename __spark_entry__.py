@@ -503,6 +503,76 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("o_orderkey").asc()).limit(100)
 
 
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: volume shipped between two nation pairs — the
+    nation dimension joins TWICE under different roles (supplier
+    nation / customer nation), per-year revenue."""
+    li = _t(spark, sf_dir, "lineitem").sdf
+    o = _t(spark, sf_dir, "orders").sdf
+    c = _t(spark, sf_dir, "customer").sdf
+    s = _t(spark, sf_dir, "supplier").sdf
+    n = _t(spark, sf_dir, "nation").sdf
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_name").alias("cust_nation"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,6)")
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .join(c, o.o_custkey == c.c_custkey)
+           .join(s, li.l_suppkey == s.s_suppkey)
+           .join(n1, s.s_nationkey == F.col("s_nk"))
+           .join(n2, c.c_nationkey == F.col("c_nk"))
+           .filter(((F.col("supp_nation") == "NATION_1")
+                    & (F.col("cust_nation") == "NATION_2"))
+                   | ((F.col("supp_nation") == "NATION_2")
+                      & (F.col("cust_nation") == "NATION_1"))))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").alias("l_year"))
+             .agg((F.floor(F.sum(rev).cast("double") * 100) / 100)
+                  .alias("revenue")))
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer,
+    top 20 — join + filtered aggregation + deterministic top-k."""
+    li = _t(spark, sf_dir, "lineitem").sdf
+    o = _t(spark, sf_dir, "orders").sdf
+    c = _t(spark, sf_dir, "customer").sdf
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,6)")
+    j = (li.filter(F.col("l_returnflag") == "R")
+           .join(o, li.l_orderkey == o.o_orderkey)
+           .join(c, o.o_custkey == c.c_custkey))
+    agg = j.groupBy("c_custkey", "c_name", "c_mktsegment") \
+           .agg((F.floor(F.sum(rev).cast("double") * 100) / 100)
+                .alias("revenue"))
+    return agg.orderBy(F.col("revenue").desc(),
+                       F.col("c_custkey").asc()).limit(20)
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: top supplier by revenue — an aggregated view
+    probed by its own scalar MAX (1-row broadcast, same pattern as
+    Q22's scalar subquery; ties all surface, deterministically)."""
+    li = _t(spark, sf_dir, "lineitem").sdf
+    s = _t(spark, sf_dir, "supplier").sdf
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,6)")
+    revenue = (li.filter((F.col("l_shipdate")
+                          >= F.lit("1996-01-01").cast("timestamp"))
+                         & (F.col("l_shipdate")
+                            < F.lit("1996-04-01").cast("timestamp")))
+                 .groupBy(F.col("l_suppkey").alias("supplier_no"))
+                 .agg((F.floor(F.sum(rev).cast("double") * 100) / 100)
+                      .alias("total_revenue")))
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (revenue.join(F.broadcast(mx),
+                         F.col("total_revenue") == F.col("mx"))
+                   .join(s, F.col("supplier_no") == s.s_suppkey)
+                   .select("s_suppkey", "s_name", "total_revenue"))
+
+
 def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: customer order-count distribution — left outer
     join with a join-side predicate, then a two-level aggregation
@@ -1096,6 +1166,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q2": q_tpch_q2,
         "tpch_q16": q_tpch_q16,
         "tpch_q18": q_tpch_q18,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q15": q_tpch_q15,
         "tpch_q13": q_tpch_q13,
         "tpch_q17": q_tpch_q17,
         "tpch_q19": q_tpch_q19,
@@ -1484,6 +1557,50 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,6)))
                          AS DOUBLE) * 10000) / 10000 AS sum_value
             FROM events GROUP BY 1, 2, 3, 4
+        """,
+        "tpch_q7": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+                   FLOOR(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) * 100) / 100
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q10": """
+            SELECT c_custkey, c_name, c_mktsegment,
+                   FLOOR(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) * 100) / 100
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, c_mktsegment
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "tpch_q15": """
+            WITH revenue AS (
+                SELECT l_suppkey AS supplier_no,
+                       FLOOR(CAST(SUM(CAST(l_extendedprice *
+                             (1 - l_discount) AS DECIMAL(18,6)))
+                             AS DOUBLE) * 100) / 100 AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+                GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM revenue JOIN supplier ON supplier_no = s_suppkey
+            WHERE total_revenue = (SELECT MAX(total_revenue)
+                                   FROM revenue)
         """,
         "tpch_q13": """
             SELECT c_count, COUNT(*) AS custdist

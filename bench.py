@@ -64,6 +64,9 @@ def bench_queries(spark, sf_dir):
         "tpch_q19",
         "tpch_q21",
         "tpch_q22",
+        "tpch_q7",
+        "tpch_q10",
+        "tpch_q15",
         "dedup_clusters",
         "window_range_frame",
         "datetime_parts",
