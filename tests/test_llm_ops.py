@@ -457,3 +457,39 @@ def test_assign_splits_partition_of_corpus(docs):
     assert set(counts) == {"train", "val", "test"}
     assert counts["train"] > counts["val"] and \
         counts["train"] > counts["test"]
+
+
+def test_pipelines_tolerate_empty_input(spark):
+    """Every dedup/similarity/sampling pipeline must return an empty
+    (not crashed) result on an empty corpus — the all-filtered-out
+    partition case any real run eventually hits."""
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StringType, StructField,
+        StructType)
+    from charmpandas_spark.functions.dedup import (
+        connected_components, exact_dedup, minhash_near_dup,
+        ngram_jaccard_pairs)
+    from charmpandas_spark.functions.sampling import (
+        assign_splits, hash_sample)
+    from charmpandas_spark.functions.similarity import cosine_pairs_ann
+
+    docs = spark.createDataFrame(
+        [], StructType([StructField("doc_id", LongType()),
+                        StructField("text", StringType())]))
+    assert exact_dedup(docs, "text", "doc_id").count() == 0
+    assert ngram_jaccard_pairs(docs, "text", "doc_id").count() == 0
+    assert minhash_near_dup(docs, "text", "doc_id").count() == 0
+    edges = spark.createDataFrame(
+        [], StructType([StructField("a", LongType()),
+                        StructField("b", LongType())]))
+    assert connected_components(edges, "a", "b").count() == 0
+    assert hash_sample(docs, "doc_id", 0.5).count() == 0
+    assert assign_splits(docs, "doc_id", {"x": 1.0}).count() == 0
+    emb = spark.createDataFrame(
+        [(0, [0.0] * 4)],
+        StructType([StructField("vec_id", LongType()),
+                    StructField("embedding",
+                                ArrayType(FloatType()))]))
+    # zero-norm vectors: cosine is null, never a division error (ANSI)
+    assert cosine_pairs_ann(emb, "embedding", "vec_id",
+                            num_tables=2, num_planes=2).count() == 0
