@@ -970,6 +970,30 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs.sdf, "text", "doc_id", threshold=0.5, n=3)
 
 
+def q_dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: bipartite near-dup detection between a 'train'
+    corpus (even doc ids) and a 'benchmark' corpus (odd ids) — the
+    a-index vs b-index join never compares within a side. Also the
+    incremental-dedup primitive (new batch vs existing corpus)."""
+    from charmpandas_spark.functions.dedup import cross_corpus_pairs
+    docs = _t(spark, sf_dir, "documents").sdf
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    bench = docs.filter(F.col("doc_id") % 2 == 1)
+    return cross_corpus_pairs(train, bench, "text", "doc_id",
+                              n=3, threshold=0.5)
+
+
+def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (distribution profiling): bucket =
+    floor(value/10), count + decimal-exact sum per bucket."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.sdf.groupBy(F.floor(F.col("value") / 10)
+                           .cast("bigint").alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   (F.floor(_dsum("value") * 10000) / 10000)
+                   .alias("sum_value")))
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed data-curation filter: keep docs that are predicted
     English, above a quality floor, and within a token budget — the
@@ -1198,6 +1222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine_ann": q_dedup_embedding_cosine_ann,
         "dedup_corpus": q_dedup_corpus,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_contamination": q_dedup_contamination,
+        "events_histogram": q_events_histogram,
         "curation_pipeline": q_curation_pipeline,
         "sim_topk": q_sim_topk,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -1832,6 +1858,33 @@ def oracle_sql() -> dict[str, str]:
                 SELECT reach.v, e.d FROM reach
                 JOIN edges e ON reach.u = e.s)
             SELECT v AS doc, MIN(u) AS cluster FROM reach GROUP BY v
+        """,
+        "dedup_contamination": f"""
+            WITH base AS (
+                SELECT doc_id, {word_shingles_sql('text', 3)} AS sh
+                FROM documents),
+            sz AS (SELECT doc_id, len(sh) AS sz, sh FROM base),
+            inv AS (SELECT doc_id, sz, unnest(sh) AS shingle FROM sz),
+            p AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.sz AS sz_a, b.sz AS sz_b, count(*) AS common
+                FROM inv a JOIN inv b ON a.shingle = b.shingle
+                WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+                GROUP BY 1, 2, 3, 4)
+            SELECT doc_a, doc_b,
+                   FLOOR(CAST(common AS DOUBLE)
+                         / (sz_a + sz_b - common) * 10000) / 10000
+                       AS jaccard
+            FROM p
+            WHERE FLOOR(CAST(common AS DOUBLE)
+                  / (sz_a + sz_b - common) * 10000) / 10000 >= 0.5
+        """,
+        "events_histogram": """
+            SELECT CAST(FLOOR(value / 10) AS BIGINT) AS bucket,
+                   COUNT(*) AS n,
+                   FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                         AS DOUBLE) * 10000) / 10000 AS sum_value
+            FROM events GROUP BY 1
         """,
         "curation_pipeline": f"""
             WITH scored AS (

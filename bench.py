@@ -75,6 +75,8 @@ def bench_queries(spark, sf_dir):
         "sample_hash",
         "dataset_split",
         "events_interval_join",
+        "dedup_contamination",
+        "events_histogram",
     ]
     return {n: qs[n] for n in names if n in qs}
 

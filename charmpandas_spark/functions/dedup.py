@@ -35,6 +35,7 @@ __all__ = [
     "exact_dedup",
     "exact_dedup_survivors",
     "ngram_jaccard_pairs",
+    "cross_corpus_pairs",
     "minhash_signatures",
     "minhash_params",
     "MINHASH_P",
@@ -188,6 +189,56 @@ def ngram_jaccard_pairs(
                 .filter(F.col("jaccard") >= threshold)
                 .select("doc_a", "doc_b", "jaccard"))
     out._cps_persisted = [base]  # see release()
+    return out
+
+
+def cross_corpus_pairs(
+    df_a: SparkDF,
+    df_b: SparkDF,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    use_chars: bool = False,
+    k: int = 5,
+    max_df: int | None = None,
+) -> SparkDF:
+    """Bipartite near-dup pairs BETWEEN two corpora (exact n-gram
+    Jaccard): the decontamination primitive — find benchmark/eval
+    documents leaked into a training corpus (or overlap between two
+    crawls) without ever comparing within either side.
+
+    Same inverted-index shape as ``ngram_jaccard_pairs`` but the join
+    is a-side index vs b-side index, so cost is Σ df_a(s)*df_b(s) per
+    shared shingle — strictly cheaper than pooling the corpora and
+    filtering the self-join output. ``max_df`` caps each side's
+    document frequency independently."""
+    from pyspark import StorageLevel
+
+    def _inv(df, side):
+        base = (shingle_table(df, text_col, id_col, k, use_chars, n)
+                .withColumn("sz", F.size("sh")))
+        inv = base.select(F.col("doc").alias(f"doc_{side}"),
+                          F.col("sz").alias(f"sz_{side}"),
+                          F.explode("sh").alias("shingle"))
+        if max_df is not None:
+            w = Window.partitionBy("shingle")
+            inv = (inv.withColumn("__cps_df",
+                                  F.count(F.lit(1)).over(w))
+                      .filter(F.col("__cps_df") <= max_df)
+                      .drop("__cps_df"))
+        return inv.persist(StorageLevel.MEMORY_AND_DISK)
+
+    inv_a, inv_b = _inv(df_a, "a"), _inv(df_b, "b")
+    pairs = (inv_a.join(inv_b, "shingle")
+                  .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+                  .agg(F.count(F.lit(1)).alias("common")))
+    jacc = (F.col("common")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("common")))
+    out = (pairs.withColumn("jaccard", F.floor(jacc * 10000) / 10000)
+                .filter(F.col("jaccard") >= threshold)
+                .select("doc_a", "doc_b", "jaccard"))
+    out._cps_persisted = [inv_a, inv_b]  # see release()
     return out
 
 

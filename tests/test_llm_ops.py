@@ -493,3 +493,22 @@ def test_pipelines_tolerate_empty_input(spark):
     # zero-norm vectors: cosine is null, never a division error (ANSI)
     assert cosine_pairs_ann(emb, "embedding", "vec_id",
                             num_tables=2, num_planes=2).count() == 0
+
+
+def test_cross_corpus_pairs_match_restricted_full(docs01):
+    """Bipartite contamination pairs == the full-corpus pair set
+    restricted to cross-side pairs (same jaccard values)."""
+    from charmpandas_spark.functions.dedup import (
+        cross_corpus_pairs, ngram_jaccard_pairs)
+    full = ngram_jaccard_pairs(docs01, "text", "doc_id", n=3,
+                               threshold=0.5).toPandas()
+    a = docs01.filter(F.col("doc_id") % 2 == 0)
+    b = docs01.filter(F.col("doc_id") % 2 == 1)
+    cross = cross_corpus_pairs(a, b, "text", "doc_id", n=3,
+                               threshold=0.5).toPandas()
+    want = {frozenset((r.doc_a, r.doc_b)): r.jaccard
+            for r in full.itertuples()
+            if (r.doc_a % 2) != (r.doc_b % 2)}
+    got = {frozenset((r.doc_a, r.doc_b)): r.jaccard
+           for r in cross.itertuples()}
+    assert got == want and got
