@@ -894,12 +894,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup, EXACT all-pairs baseline (O(n^2) — the
-    recall oracle for ``dedup_embedding_cosine_ann``, which is the
-    registered scale path; keep this one on samples only)."""
+    """Embedding near-dup, EXACT all-pairs baseline — deterministically
+    hash-sampled to 50% of ids so the registered query is bounded (its
+    own contract: 'samples only'; the O(n^2) plan on the FULL table
+    lives solely in the pytest recall check of the ANN path).
+    ``dedup_embedding_cosine_ann`` is the registered scale path."""
+    from charmpandas_spark.functions.sampling import hash_sample
     from charmpandas_spark.functions.similarity import cosine_pairs
     emb = _t(spark, sf_dir, "embeddings")
-    return cosine_pairs(emb.sdf, "embedding", "vec_id", threshold=0.4)
+    sampled = hash_sample(emb.sdf, "vec_id", 0.5, hash_fn="md5")
+    return cosine_pairs(sampled, "embedding", "vec_id", threshold=0.4)
 
 
 def q_dedup_embedding_cosine_ann(spark: SparkSession,
@@ -1148,7 +1152,51 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering contract: the driver's CORRECTNESS artifact only checks the
+    # first ~50 entries, so queries that have never (or least recently) been
+    # driver-verified come FIRST; twice-proven relational staples rotate to
+    # the back.  Rotate again whenever new queries are added.
     return {
+        # --- never driver-checked (r1/r2 windows missed these) ---
+        "window_range_frame": q_window_range_frame,
+        "datetime_parts": q_datetime_parts,
+        "sim_ivf": q_sim_ivf,
+        "text_vocab": q_text_vocab,
+        "text_tfidf": q_text_tfidf,
+        "sample_hash": q_sample_hash,
+        "dataset_split": q_dataset_split,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_embedding_cosine_ann": q_dedup_embedding_cosine_ann,
+        "dedup_corpus": q_dedup_corpus,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_contamination": q_dedup_contamination,
+        "events_histogram": q_events_histogram,
+        "curation_pipeline": q_curation_pipeline,
+        "sim_topk": q_sim_topk,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_decode": q_multimodal_decode,
+        "events_window": q_events_window,
+        "events_sliding_window": q_events_sliding_window,
+        "events_asof_join": q_events_asof_join,
+        "events_interval_join": q_events_interval_join,
+        "events_sessionize": q_events_sessionize,
+        # --- checked only in round 1 ---
+        "window_lag": q_window_lag,
+        "window_rolling": q_window_rolling,
+        "events_json": q_events_json,
+        "text_lang_id": q_text_lang_id,
+        "text_quality": q_text_quality,
+        "text_token_count": q_text_token_count,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_fast": q_dedup_minhash_fast,
+        # --- new this round: inserted here to stay inside the window ---
+        # --- driver-verified green in round 2 (rotate back later) ---
         "scan_project": q_scan_project,
         "filter_expr": q_filter_expr,
         "flagship_join_groupby_count": q_flagship_join_groupby_count,
@@ -1199,42 +1247,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
         "window_rank": q_window_rank,
-        "window_lag": q_window_lag,
-        "window_rolling": q_window_rolling,
-        "window_range_frame": q_window_range_frame,
-        "datetime_parts": q_datetime_parts,
-        "sim_ivf": q_sim_ivf,
-        "events_json": q_events_json,
-        "text_lang_id": q_text_lang_id,
-        "text_quality": q_text_quality,
-        "text_token_count": q_text_token_count,
-        "text_fingerprint": q_text_fingerprint,
-        "text_vocab": q_text_vocab,
-        "text_tfidf": q_text_tfidf,
-        "sample_hash": q_sample_hash,
-        "dataset_split": q_dataset_split,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_minhash_fast": q_dedup_minhash_fast,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "dedup_embedding_cosine_ann": q_dedup_embedding_cosine_ann,
-        "dedup_corpus": q_dedup_corpus,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_contamination": q_dedup_contamination,
-        "events_histogram": q_events_histogram,
-        "curation_pipeline": q_curation_pipeline,
-        "sim_topk": q_sim_topk,
-        "sim_ann_lsh": q_sim_ann_lsh,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_decode": q_multimodal_decode,
-        "events_window": q_events_window,
-        "events_sliding_window": q_events_sliding_window,
-        "events_asof_join": q_events_asof_join,
-        "events_interval_join": q_events_interval_join,
-        "events_sessionize": q_events_sessionize,
     }
 
 
@@ -1764,9 +1776,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _minhash_sql(16, 4, 3, 0.7),
         "dedup_simhash": _simhash_sql(32),
         "dedup_embedding_cosine": f"""
+            WITH s AS (
+                SELECT * FROM embeddings
+                WHERE ({dedup_mod.hash64_sql("CAST(vec_id AS VARCHAR)")})
+                      % 10000 < 5000
+            )
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    FLOOR(({cos_pair}) * 10000) / 10000 AS cosine
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            FROM s a JOIN s b ON a.vec_id < b.vec_id
             WHERE FLOOR(({cos_pair}) * 10000) / 10000 >= 0.4
         """,
         "dedup_embedding_cosine_ann": _cosine_ann_sql(64, 8, 4, 0.4),

@@ -19,6 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+from charmpandas_spark.functions.dedup import release  # noqa: E402
+
 
 def bench_queries(spark, sf_dir):
     """name -> callable returning a materialized (fetched) result."""
@@ -90,7 +92,10 @@ def bench_queries(spark, sf_dir):
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "bench_sf1")
 SF1_QUERIES = ["flagship_join_groupby_count", "tpch_q1", "tpch_q18",
-               "dedup_ngram_jaccard", "dedup_minhash_fast", "sim_ann_lsh"]
+               "dedup_ngram_jaccard", "dedup_minhash_fast", "sim_ann_lsh",
+               # CC driver loop + bipartite contamination join: the two
+               # operators whose scaling the probe didn't witness before
+               "dedup_clusters", "dedup_contamination"]
 
 
 def _ensure_sf1(src_dir: str) -> bool:
@@ -152,8 +157,11 @@ def run_sf1_probe(spark, budget_sec: float = 180.0) -> dict:
                   file=sys.stderr)
             break
         t0 = time.time()
-        n = len(qs[name](spark, SF1_DIR).toPandas())
+        df = qs[name](spark, SF1_DIR)
+        n = len(df.toPandas())
         out[name] = round(time.time() - t0, 4)
+        release(df)
+        spark.catalog.clearCache()
         print(f"# sf1 {name}: {out[name]:.2f}s ({n} rows)",
               file=sys.stderr)
     return out
@@ -245,6 +253,12 @@ def main():
             n = len(df.toPandas())  # fetch included, like get()
             dt = round(time.time() - t0, 4)
             best = dt if best is None else min(best, dt)
+            # hygiene: the dedup/tfidf pipelines pin intermediates
+            # behind their exchanges; freeing them between timed
+            # queries keeps 50 queries' worth of blocks from
+            # accumulating/evicting and polluting later timings.
+            release(df)
+            spark.catalog.clearCache()
         timings[name] = best
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 

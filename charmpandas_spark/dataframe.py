@@ -602,11 +602,19 @@ def _with_row_index(sdf: SparkDF, name: str) -> SparkDF:
 
     from pyspark.sql.types import LongType, StructField, StructType
 
-    plan = sdf._jdf.queryExecution().analyzed().toString()
-    shuffly = ("Join", "Aggregate", "Repartition", "RepartitionByExpression",
-               "Window", "Distinct", "Deduplicate")
-    hits = sorted({n for n in shuffly if n + " " in plan or
-                   plan.startswith(n)})
+    import re
+
+    # structural match: a tree-string line starts with indentation art
+    # (":  +- ") followed by the node's class simple name — anchoring
+    # there can't false-positive on plan text such as string literals
+    # inside filter expressions ("... = 'Join me'").
+    tree = sdf._jdf.queryExecution().analyzed().treeString()
+    shuffly = {"Join", "Aggregate", "Repartition",
+               "RepartitionByExpression", "Window", "Distinct",
+               "Deduplicate"}
+    nodes = {m.group(1)
+             for m in re.finditer(r"^[\s:+|-]*'?(\w+)", tree, re.M)}
+    hits = sorted(nodes & shuffly)
     if hits:
         warnings.warn(
             f"positional alignment over a plan containing {hits} is "

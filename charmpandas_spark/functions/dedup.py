@@ -58,7 +58,18 @@ def spread(df: SparkDF, partitions: int | None = None) -> SparkDF:
     if partitions is None:
         spark = df.sparkSession
         partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    if df.rdd.getNumPartitions() >= partitions:
+    # Plan-side estimate: every call site feeds a projection of a file
+    # scan, so the input-file count bounds the scan's split count from
+    # below (large files split further via maxPartitionBytes — fine,
+    # the guard then just skips a redundant repartition less often than
+    # it could, never more). Avoids ``df.rdd.getNumPartitions()``,
+    # which forced physical planning + a Python RDD conversion on
+    # every dedup/similarity/text call.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= partitions:
         return df
     return df.repartition(partitions)
 
@@ -511,6 +522,17 @@ def connected_components(edges: SparkDF, src: str, dst: str,
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # min-label propagation needs O(diameter) rounds; exhausting
+        # max_iter with labels still moving means the returned
+        # components silently under-merge — surface it.
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing); returned "
+            f"components may be split — raise max_iter",
+            RuntimeWarning, stacklevel=2)
     sym.unpersist()
     return labels.select("v", F.col("lbl").alias("component"))
 
@@ -533,9 +555,14 @@ def dedup_clusters(
                                 use_chars, k)
     comp = connected_components(pairs, "doc_a", "doc_b")
     docs = df.select(F.col(id_col).alias("doc"))
-    return (docs.join(comp, comp.v == docs.doc, "left")
-                .select("doc",
-                        F.coalesce("component", "doc").alias("cluster")))
+    out = (docs.join(comp, comp.v == docs.doc, "left")
+               .select("doc",
+                       F.coalesce("component", "doc").alias("cluster")))
+    # keep the shingle table's persisted handle reachable so callers
+    # can free it via release(out) — dropping it here would leak the
+    # pinned blocks in long-lived sessions
+    out._cps_persisted = getattr(pairs, "_cps_persisted", ())
+    return out
 
 def simhash(
     df: SparkDF,

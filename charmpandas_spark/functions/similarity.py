@@ -135,7 +135,20 @@ def cosine_pairs_ann(
     """
     from .dedup import spread
 
-    dims = df.select(F.size(vec_col).alias("d")).first()["d"]
+    # dims probe: first() is None on an empty frame (reachable when an
+    # upstream filter drops the whole corpus) — return an empty pairs
+    # frame with the right schema instead of crashing on None["d"].
+    row = df.select(F.size(vec_col).alias("d")).first()
+    if row is None or row["d"] is None:
+        from pyspark.sql import types as T
+
+        id_t = df.schema[id_col].dataType
+        return df.sparkSession.createDataFrame([], T.StructType([
+            T.StructField("id_a", id_t),
+            T.StructField("id_b", id_t),
+            T.StructField("cosine", T.DoubleType()),
+        ]))
+    dims = row["d"]
     v = spread(df.select(F.col(id_col).alias("id"),
                          F.col(vec_col).alias("vec"),
                          l2_norm(F.col(vec_col)).alias("nrm")))
@@ -246,10 +259,13 @@ def knn_join(
                             l2_norm(F.col(vec_col)).alias("qn")))
     rv = right.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"),
                       l2_norm(F.col(vec_col)).alias("nn"))
-    if exact:
+    dims_row = (None if exact
+                else left.select(F.size(vec_col).alias("d")).first())
+    if exact or dims_row is None or dims_row["d"] is None:
+        # empty left side: the cross join is trivially empty and needs
+        # no dims probe, and it preserves the output schema exactly
         pairs = lv.crossJoin(rv)
     else:
-        dims_row = left.select(F.size(vec_col).alias("d")).first()
         dims = dims_row["d"]
         lb = lv.withColumn("b", hyperplane_bucket(F.col("qv"), dims,
                                                   num_planes, seed))

@@ -78,10 +78,26 @@ def join_strategies(df: SparkDF) -> list[str]:
         plan_string(df, "simple"))
 
 
-def codegen_stage_count(df: SparkDF) -> int:
+def codegen_stage_count(df: SparkDF, execute: bool = True) -> int:
     """Distinct whole-stage-codegen regions (formatted mode annotates
-    nodes with ``[codegen id : N]``)."""
-    return len(set(re.findall(r"codegen id : (\d+)", plan_string(df))))
+    nodes with ``[codegen id : N]``).
+
+    Under AQE the pre-execution plan is ``AdaptiveSparkPlan
+    isFinalPlan=false`` with no codegen annotations, so with
+    ``execute=True`` (default) an id-less adaptive plan is finalized
+    first by running it JVM-side (``executedPlan().executeTake(1)`` —
+    materializes the query stages, ships at most one row) and the
+    count is taken from the final plan. ``execute=False`` restores the
+    static, run-nothing probe."""
+    s = plan_string(df)
+    ids = set(re.findall(r"codegen id : (\d+)", s))
+    if not ids and execute and "AdaptiveSparkPlan" in s:
+        try:
+            df._jdf.queryExecution().executedPlan().executeTake(1)  # noqa: SLF001
+        except Exception:
+            return 0
+        ids = set(re.findall(r"codegen id : (\d+)", plan_string(df)))
+    return len(ids)
 
 
 def assert_pushdown(df: SparkDF, fragment: str) -> None:

@@ -128,10 +128,36 @@ def read_parquet(
     # multi-path read where only a later path carries ns columns must
     # still get the explicit schema.
     ns_schema, ns_cols = None, []
-    for p in paths:
-        ns_schema, ns_cols = _ns_read_schema(_first_parquet_file(p))
-        if ns_cols:
-            break
+    if len(paths) == 1:
+        ns_schema, ns_cols = _ns_read_schema(_first_parquet_file(paths[0]))
+    else:
+        sniffs = [_ns_read_schema(_first_parquet_file(p)) for p in paths]
+        if any(s[1] for s in sniffs):
+            # one explicit read schema is only safe when every path's
+            # footer agrees (a path with a different column set — or
+            # the same column at micros — would mis-scan through a
+            # foreign schema). Verify; fall back to per-path reads
+            # unioned by name when footers differ.
+            import pyarrow.parquet as pq
+
+            try:
+                footers = [pq.read_schema(_first_parquet_file(p))
+                           for p in paths]
+                homogeneous = all(
+                    f.equals(footers[0], check_metadata=False)
+                    for f in footers[1:])
+            except Exception:
+                homogeneous = False
+            if homogeneous:
+                ns_schema, ns_cols = next(s for s in sniffs if s[1])
+            else:
+                parts = [read_parquet(spark, p).sdf for p in paths]
+                out = parts[0]
+                for q in parts[1:]:
+                    out = out.unionByName(q, allowMissingColumns=True)
+                if columns:
+                    out = out.select(*columns)
+                return DataFrame(out)
     reader = spark.read
     if ns_cols:
         reader = reader.schema(ns_schema)

@@ -512,3 +512,65 @@ def test_cross_corpus_pairs_match_restricted_full(docs01):
     got = {frozenset((r.doc_a, r.doc_b)): r.jaccard
            for r in cross.itertuples()}
     assert got == want and got
+
+
+def test_empty_frame_guards_round3(spark):
+    """ADVICE r2: zero-ROW frames through the dims-probing paths.
+    ``cosine_pairs_ann`` / ``knn_join`` probe vector dims with
+    ``first()``, which returns None on an empty frame — both must
+    return an empty, correctly-schemaed result instead of crashing."""
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StructField, StructType)
+    from charmpandas_spark.functions.similarity import (
+        cosine_pairs_ann, knn_join)
+
+    emb = spark.createDataFrame(
+        [], StructType([StructField("vec_id", LongType()),
+                        StructField("embedding",
+                                    ArrayType(FloatType()))]))
+    pairs = cosine_pairs_ann(emb, "embedding", "vec_id",
+                             num_tables=2, num_planes=2)
+    assert pairs.count() == 0
+    assert pairs.columns == ["id_a", "id_b", "cosine"]
+    nn = knn_join(emb, emb, "embedding", "vec_id", k=3)
+    assert nn.count() == 0
+    assert set(nn.columns) == {"qid", "nid", "cosine", "rank"}
+
+
+def test_connected_components_warns_on_nonconvergence(spark):
+    """A chain longer than max_iter hops must not silently return
+    split components — it emits a RuntimeWarning (ADVICE r2)."""
+    import warnings
+
+    from charmpandas_spark.functions.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "a long, b long")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        labels = connected_components(chain, "a", "b", max_iter=2)
+        n = labels.select("component").distinct().count()
+    assert n > 1  # genuinely unconverged with 2 rounds
+    assert any("did not converge" in str(w.message) for w in caught)
+    # and with enough rounds it converges with no warning
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        ok = connected_components(chain, "a", "b")
+        assert ok.select("component").distinct().count() == 1
+    assert not any("did not converge" in str(w.message) for w in caught)
+
+
+def test_dedup_clusters_propagates_release_handle(docs01):
+    """dedup_clusters must keep the shingle table's persisted handle
+    reachable so release() can free it (ADVICE r2)."""
+    from charmpandas_spark.functions.dedup import dedup_clusters, release
+
+    out = dedup_clusters(docs01, "text", "doc_id", threshold=0.5)
+    out.count()
+    handles = list(getattr(out, "_cps_persisted", ()))
+    assert handles, "persisted shingle handle was dropped"
+    assert any(h.storageLevel.useMemory or h.storageLevel.useDisk
+               for h in handles)
+    release(out)
+    assert all(not (h.storageLevel.useMemory or h.storageLevel.useDisk)
+               for h in handles)

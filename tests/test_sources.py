@@ -89,3 +89,51 @@ def test_regex_path_across_directories(spark, nation, tmp_path):
     one_level = cps.read_parquet(
         spark, out + r"/n_regionkey=2/part-.*\.parquet")
     assert one_level.count() == 5
+
+
+def test_multipath_heterogeneous_ns_footers(spark, tmp_path):
+    """Multi-path read where one path carries TIMESTAMP(NANOS) and
+    another a DIFFERENT column set: one explicit schema cannot cover
+    both, so the reader must fall back to per-path reads unioned by
+    name (ADVICE r2) instead of mis-scanning path B through path A's
+    footer schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    a = str(tmp_path / "a.parquet")
+    b = str(tmp_path / "b.parquet")
+    pq.write_table(pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([1_000_000_000, 2_000_000_000],
+                       pa.timestamp("ns")),
+    }), a, coerce_timestamps=None)
+    pq.write_table(pa.table({
+        "id": pa.array([3, 4], pa.int64()),
+        "extra": pa.array(["x", "y"], pa.string()),
+    }), b)
+    df = cps.read_parquet(spark, [a, b])
+    pdf = df.get().sort_values("id").reset_index(drop=True)
+    assert len(pdf) == 4
+    assert {"id", "ts", "extra"} <= set(pdf.columns)
+    assert str(pdf["ts"][0]) == "1970-01-01 00:00:01"  # ns decoded
+    assert pdf["ts"].isna().tolist() == [False, False, True, True]
+    assert pdf["extra"].tolist()[:2] == [None, None]
+
+
+def test_multipath_homogeneous_ns_single_scan(spark, tmp_path):
+    """Identical ns-bearing footers across paths keep the one-schema
+    fast path (single multi-path scan, values decoded)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "id": pa.array([1], pa.int64()),
+        "ts": pa.array([1_500_000_000], pa.timestamp("ns")),
+    })
+    a, b = str(tmp_path / "h1.parquet"), str(tmp_path / "h2.parquet")
+    pq.write_table(t, a)
+    pq.write_table(t, b)
+    df = cps.read_parquet(spark, [a, b])
+    pdf = df.get()
+    assert len(pdf) == 2
+    assert str(pdf["ts"].iloc[0]).startswith("1970-01-01 00:00:01.5")
