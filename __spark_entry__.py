@@ -909,13 +909,18 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embedding_cosine_ann(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """Embedding near-dup, LSH scale path: random-hyperplane co-bucket
-    (8 tables x 4 planes) -> hash join on (table, bucket) -> exact
-    cosine on candidates only. Sub-quadratic; THE registered corpus
-    path — ``dedup_embedding_cosine`` is its exact-recall baseline."""
+    (12 tables x corpus-adaptive planes; r4: up from 8x4 whose
+    16-bucket tables let ~40% of ALL pairs through as candidates) ->
+    hash join on (table, bucket) -> exact cosine on candidates only.
+    Planes self-tune to max(8, ceil(log2(n))-3), which resolves to 8
+    at sf0.01/sf0.1 (n <= 2048: the oracle below is pinned to 8) and
+    grows at the sf1 probe so candidates scale ~linearly. THE
+    registered corpus path — ``dedup_embedding_cosine`` is its
+    exact-recall baseline."""
     from charmpandas_spark.functions.similarity import cosine_pairs_ann
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_pairs_ann(emb.sdf, "embedding", "vec_id",
-                            threshold=0.4, num_tables=8, num_planes=4)
+                            threshold=0.4, num_tables=12)
 
 
 def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1786,7 +1791,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s a JOIN s b ON a.vec_id < b.vec_id
             WHERE FLOOR(({cos_pair}) * 10000) / 10000 >= 0.4
         """,
-        "dedup_embedding_cosine_ann": _cosine_ann_sql(64, 8, 4, 0.4),
+        "dedup_embedding_cosine_ann": _cosine_ann_sql(64, 12, 8, 0.4),
         "dedup_corpus": f"""
             WITH base AS (SELECT doc_id,
                                  {word_shingles_sql('text', 3)} AS sh

@@ -95,7 +95,10 @@ SF1_QUERIES = ["flagship_join_groupby_count", "tpch_q1", "tpch_q18",
                "dedup_ngram_jaccard", "dedup_minhash_fast", "sim_ann_lsh",
                # CC driver loop + bipartite contamination join: the two
                # operators whose scaling the probe didn't witness before
-               "dedup_clusters", "dedup_contamination"]
+               "dedup_clusters", "dedup_contamination",
+               # r4: witness the adaptive-plane ANN path's ~linear
+               # candidate growth (VERDICT r3 #1)
+               "dedup_embedding_cosine_ann"]
 
 
 def _ensure_sf1(src_dir: str) -> bool:

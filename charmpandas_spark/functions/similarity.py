@@ -17,6 +17,8 @@ Three tiers:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame as SparkDF, Window, functions as F
 
 __all__ = [
@@ -27,6 +29,7 @@ __all__ = [
     "cosine_pairs",
     "cosine_pairs_ann",
     "hyperplane_bucket",
+    "hyperplane_buckets_batch",
     "ann_lsh_topk",
     "knn_join",
 ]
@@ -107,13 +110,29 @@ def cosine_pairs(
              .filter(F.col("cosine") >= threshold))
 
 
+def _probe_dims(df: SparkDF, vec_col: str) -> int | None:
+    """Vector dimensionality of the first non-null vector, or None if
+    the frame is empty / all vectors are null.
+
+    ``first()`` alone is not enough: on a NON-empty frame whose first
+    row happens to hold a null vector, ``F.size(null)`` is null in
+    Spark 3+ and the caller would mistake real data for an empty
+    corpus (ADVICE r3). Re-probe the non-null subset before giving up.
+    """
+    row = df.select(F.size(vec_col).alias("d")).first()
+    if row is not None and row["d"] is None:
+        row = (df.filter(F.col(vec_col).isNotNull())
+                 .select(F.size(vec_col).alias("d")).first())
+    return None if row is None else row["d"]
+
+
 def cosine_pairs_ann(
     df: SparkDF,
     vec_col: str,
     id_col: str,
     threshold: float = 0.95,
-    num_tables: int = 8,
-    num_planes: int = 4,
+    num_tables: int = 12,
+    num_planes: int | None = None,
     seed: int = 71,
 ) -> SparkDF:
     """LSH-bucketed embedding near-dup: the sub-quadratic scale path
@@ -124,22 +143,40 @@ def cosine_pairs_ann(
     table. Candidates come out of a HASH JOIN on (table, bucket) —
     never a BroadcastNestedLoopJoin — then only candidates pay the
     exact cosine. Recall for a pair at angle theta is
-    ``1 - (1 - (1-theta/pi)^num_planes)^num_tables`` (S-curve: ~0.99
-    at cosine 0.9, ~0.65 at cosine 0.4 with the defaults).
+    ``1 - (1 - (1-theta/pi)^num_planes)^num_tables``; at 12 tables x
+    8 planes: ~0.98 at cosine 0.9, ~0.88 at 0.8, ~0.38 at 0.5. An
+    unrelated (orthogonal-ish) pair becomes a candidate w.p.
+    ~num_tables/2^num_planes (~4.7% at 8 planes), vs ~40% at the old
+    8x4 defaults — per-table selectivity is what keeps the candidate
+    set sub-quadratic; tables buy recall back at high cosine, where
+    near-dups live.
+
+    ``num_planes=None`` (default) self-tunes to the corpus:
+    ``max(8, ceil(log2(n)) - 3)``, i.e. ~8+ rows per bucket per
+    table, so the candidate count grows ~LINEARLY with corpus size
+    (fixed planes would grow it quadratically — the per-pair
+    collision rate is constant). n <= ~2^11 resolves to 8 planes, so
+    small-corpus results (and their oracles) are stable; beyond that
+    each corpus doubling adds a plane. The count() this needs is a
+    parquet count-star (footer-only) on file sources.
 
     At 100 TB: candidates scale with bucket occupancy (corpus/2^planes
     per table), not corpus^2; the band explode is one shuffle on
-    (table, bucket) and AQE handles hot buckets. ``cosine_pairs`` is
-    retained as this function's exact verification oracle (recall
-    measurement), not a corpus path.
+    (table, bucket) and AQE handles hot buckets. ``v`` (vec + norm)
+    and the banded index feed 3+ plan branches (candidate self-join +
+    both verify joins), so both are pinned MEMORY_AND_DISK — without
+    this every branch recomputes num_tables*num_planes 64-dim
+    projection folds per row (HOF re-evaluation, the round-3 19.9 s
+    regression). Call ``dedup.release(out)`` to free them.
+    ``cosine_pairs`` is retained as this function's exact verification
+    oracle (recall measurement), not a corpus path.
     """
+    from pyspark import StorageLevel
+
     from .dedup import spread
 
-    # dims probe: first() is None on an empty frame (reachable when an
-    # upstream filter drops the whole corpus) — return an empty pairs
-    # frame with the right schema instead of crashing on None["d"].
-    row = df.select(F.size(vec_col).alias("d")).first()
-    if row is None or row["d"] is None:
+    dims = _probe_dims(df, vec_col)
+    if dims is None:
         from pyspark.sql import types as T
 
         id_t = df.schema[id_col].dataType
@@ -148,15 +185,18 @@ def cosine_pairs_ann(
             T.StructField("id_b", id_t),
             T.StructField("cosine", T.DoubleType()),
         ]))
-    dims = row["d"]
+    if num_planes is None:
+        import math
+
+        num_planes = max(8, math.ceil(math.log2(max(df.count(), 2))) - 3)
     v = spread(df.select(F.col(id_col).alias("id"),
                          F.col(vec_col).alias("vec"),
-                         l2_norm(F.col(vec_col)).alias("nrm")))
-    buckets = [hyperplane_bucket(F.col("vec"), dims, num_planes,
-                                 seed + 101 * t)
-               for t in range(num_tables)]
-    banded = v.select("id", F.posexplode(F.array(*buckets))
-                      .alias("tbl", "bucket"))
+                         l2_norm(F.col(vec_col)).alias("nrm"))) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    buckets = hyperplane_buckets_batch(dims, num_tables, num_planes, seed)
+    banded = (v.select("id", F.posexplode(buckets(F.col("vec")))
+                       .alias("tbl", "bucket"))
+               .persist(StorageLevel.MEMORY_AND_DISK))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (a.join(b, on=[F.col("a.tbl") == F.col("b.tbl"),
                           F.col("a.bucket") == F.col("b.bucket"),
@@ -171,10 +211,12 @@ def cosine_pairs_ann(
     sim = F.when((F.col("na") == 0.0) | (F.col("nb") == 0.0),
                  F.lit(None)).otherwise(
         dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
-    return (cand.join(va, "id_a").join(vb, "id_b")
-                .select("id_a", "id_b",
-                        (F.floor(sim * 10000) / 10000).alias("cosine"))
-                .filter(F.col("cosine") >= threshold))
+    out = (cand.join(va, "id_a").join(vb, "id_b")
+               .select("id_a", "id_b",
+                       (F.floor(sim * 10000) / 10000).alias("cosine"))
+               .filter(F.col("cosine") >= threshold))
+    out._cps_persisted = [v, banded]  # see dedup.release()
+    return out
 
 
 def _plane_component(p: int, d: int, seed: int = 71) -> float:
@@ -194,7 +236,17 @@ def hyperplane_bucket(vec_col: Column, dims: int, num_planes: int = 12,
                       seed: int = 71) -> Column:
     """Sign-random-projection bucket id: bit p = sign(vec . plane_p).
     Planes are literal arrays (broadcast as constants into codegen),
-    generated deterministically from (plane, dim) hashes."""
+    generated deterministically from (plane, dim) hashes.
+
+    JVM-side HOF fold — fine for a HANDFUL of planes (the single-table
+    probes: ``ann_lsh_topk``, ``knn_join``). Spark evaluates HOF
+    lambdas interpreted per array element, so cost is
+    ~planes x dims x rows lambda calls; for the multi-table banded
+    index (tables x planes projections per row) use
+    ``hyperplane_buckets_batch`` instead — same bits, Arrow-batched.
+    (A straight-line ``vec[0]*c0 + ...`` expression chain is NOT an
+    alternative: 96 projections x 64 dims builds a ~250k-node plan
+    that Catalyst chews on for minutes.)"""
     bucket = F.lit(0).cast("bigint")
     for p in range(num_planes):
         plane = [_plane_component(p, d, seed) for d in range(dims)]
@@ -204,6 +256,62 @@ def hyperplane_bucket(vec_col: Column, dims: int, num_planes: int = 12,
             F.lit(0.0), lambda acc, v: acc + v)
         bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(0)
     return bucket
+
+
+def hyperplane_buckets_batch(dims: int, num_tables: int,
+                             num_planes: int = 8, seed: int = 71):
+    """All ``num_tables`` hyperplane bucket ids in one vectorized pass:
+    returns a pandas_udf (array<float> -> array<bigint>, one bucket id
+    per table) for the banded ANN index, where the per-plane HOF fold
+    is quadratically too slow (tables x planes folds per row,
+    interpreted — the round-3 19.9 s ANN regression was 96 folds over
+    2000 rows costing 8 s alone).
+
+    Bit-parity with the fold (and with the DuckDB
+    ``list_inner_product`` oracle) is preserved by accumulating in
+    STRICT ascending-dimension order — ``acc += x_d * c_d`` one dim at
+    a time across the whole Arrow batch — never ``np.dot``/BLAS, whose
+    pairwise/SIMD summation rounds differently near a sign boundary.
+    Each step is an IEEE-double elementwise FMA-free mul+add, exactly
+    what the JVM fold and DuckDB compute.
+
+    Null/ragged/NaN-element vectors get bucket 0 in every table,
+    matching the fold's null propagation (null element -> null
+    projection -> the when() falls to otherwise(0) for every plane).
+
+    At 100 TB: embarrassingly parallel per Arrow batch, no shuffle,
+    ~dims x tables x planes flops/row in numpy — the classic
+    "vectorized Pandas UDF beats interpreted per-row by 100x" path.
+    Constructed lazily (module-level pandas_udf breaks executor
+    unpickling: return-type parsing needs a live session)."""
+    from pyspark.sql.functions import pandas_udf
+
+    comps = np.array(
+        [[_plane_component(p, d, seed + 101 * t) for d in range(dims)]
+         for t in range(num_tables) for p in range(num_planes)])
+
+    @pandas_udf("array<bigint>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        n = len(vecs)
+        x = np.zeros((n, dims))
+        ok = np.zeros(n, dtype=bool)
+        for i, v in enumerate(vecs):
+            if v is not None and len(v) == dims:
+                arr = np.asarray(v, dtype=np.float64)
+                if not np.isnan(arr).any():
+                    x[i] = arr
+                    ok[i] = True
+        acc = np.zeros((n, num_tables * num_planes))
+        for d in range(dims):  # strict dim order == the fold's order
+            acc += x[:, d:d + 1] * comps[:, d]
+        bits = (acc >= 0).reshape(n, num_tables, num_planes)
+        weights = np.left_shift(np.int64(1),
+                                np.arange(num_planes, dtype=np.int64))
+        buck = (bits.astype(np.int64) * weights).sum(axis=2)
+        buck[~ok] = 0
+        return pd.Series(list(buck))
+
+    return buckets
 
 
 def ann_lsh_topk(
@@ -259,14 +367,13 @@ def knn_join(
                             l2_norm(F.col(vec_col)).alias("qn")))
     rv = right.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"),
                       l2_norm(F.col(vec_col)).alias("nn"))
-    dims_row = (None if exact
-                else left.select(F.size(vec_col).alias("d")).first())
-    if exact or dims_row is None or dims_row["d"] is None:
-        # empty left side: the cross join is trivially empty and needs
-        # no dims probe, and it preserves the output schema exactly
+    dims = None if exact else _probe_dims(left, vec_col)
+    if dims is None:
+        # exact mode, or an empty/all-null left side: the cross join
+        # is trivially empty in the latter case and needs no dims
+        # probe, and it preserves the output schema exactly
         pairs = lv.crossJoin(rv)
     else:
-        dims = dims_row["d"]
         lb = lv.withColumn("b", hyperplane_bucket(F.col("qv"), dims,
                                                   num_planes, seed))
         rb = rv.withColumn("b", hyperplane_bucket(F.col("nv"), dims,

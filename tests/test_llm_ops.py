@@ -574,3 +574,47 @@ def test_dedup_clusters_propagates_release_handle(docs01):
     release(out)
     assert all(not (h.storageLevel.useMemory or h.storageLevel.useDisk)
                for h in handles)
+
+
+def test_hyperplane_batch_bits_match_jvm_fold(spark, emb01):
+    """The Arrow-batched bucket kernel (strict ascending-dim numpy
+    accumulation) must be BIT-identical to the JVM zip_with/aggregate
+    fold it replaced — same IEEE add order, so same sign at every
+    boundary. This is what keeps the ANN path on the DuckDB oracle."""
+    from charmpandas_spark.functions.similarity import (
+        hyperplane_bucket, hyperplane_buckets_batch)
+
+    tables, planes = 3, 8
+    batch = hyperplane_buckets_batch(64, tables, planes, seed=71)
+    got = (emb01.select("vec_id", batch(F.col("embedding")).alias("bk"))
+                .orderBy("vec_id").toPandas())
+    folds = [hyperplane_bucket(F.col("embedding"), 64, planes,
+                               71 + 101 * t).alias(f"b{t}")
+             for t in range(tables)]
+    want = emb01.select("vec_id", *folds).orderBy("vec_id").toPandas()
+    for t in range(tables):
+        assert list(want[f"b{t}"]) == [bk[t] for bk in got["bk"]]
+
+
+def test_cosine_ann_null_first_vector_not_empty(spark):
+    """ADVICE r3 (medium): a null vector in the FIRST row must not be
+    mistaken for an empty corpus — the dims probe re-probes the
+    non-null subset, and the null row simply contributes no pairs."""
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StructField, StructType)
+    from charmpandas_spark.functions.similarity import cosine_pairs_ann
+
+    schema = StructType([StructField("vec_id", LongType()),
+                         StructField("embedding",
+                                     ArrayType(FloatType()))])
+    dup = [1.0, 2.0, 3.0, 4.0]
+    rows = [(0, None), (1, dup), (2, dup), (3, [4.0, -3.0, 2.0, -1.0])]
+    emb = spark.createDataFrame(rows, schema).coalesce(1)
+    pairs = cosine_pairs_ann(emb, "embedding", "vec_id", threshold=0.9,
+                             num_tables=4, num_planes=2).toPandas()
+    assert [(r.id_a, r.id_b) for r in pairs.itertuples()] == [(1, 2)]
+    # all-null vectors: genuinely no probeable dims -> empty result
+    allnull = spark.createDataFrame([(0, None), (1, None)], schema)
+    empty = cosine_pairs_ann(allnull, "embedding", "vec_id")
+    assert empty.count() == 0
+    assert empty.columns == ["id_a", "id_b", "cosine"]
