@@ -1267,6 +1267,21 @@ def _cosine_sql(a: str, b: str) -> str:
             f"sqrt({lip}({b}::DOUBLE[], {b}::DOUBLE[])))")
 
 
+def _capped_inv_cte(side_filter: str = "", alias: str = "inv") -> str:
+    """DuckDB twin of the r4 auto ``max_df`` stop-shingle guard:
+    document-frequency window over the inverted index, capped at
+    ``max(100, ceil(0.01 * corpus_rows))`` — same formula as
+    ``dedup._auto_max_df``, computed dynamically so it matches at any
+    sf the driver runs."""
+    where = f" WHERE {side_filter}" if side_filter else ""
+    return f"""{alias} AS (SELECT doc_id, sz, shingle FROM (
+                SELECT doc_id, sz, shingle,
+                       COUNT(*) OVER (PARTITION BY shingle) AS dfreq
+                FROM inv0{where}) c
+            WHERE dfreq <= GREATEST(100, CEIL(0.01 *
+                  (SELECT COUNT(*) FROM documents{where}))))"""
+
+
 def _ngram_jaccard_sql(n: int = 3, threshold: float = 0.5) -> str:
     from charmpandas_spark.functions.text import word_shingles_sql
     jacc = ("FLOOR(CAST(common AS DOUBLE) / (sz_a + sz_b - common) "
@@ -1275,7 +1290,8 @@ def _ngram_jaccard_sql(n: int = 3, threshold: float = 0.5) -> str:
         WITH base AS (SELECT doc_id, {word_shingles_sql('text', n)} AS sh
                       FROM documents),
         sz AS (SELECT doc_id, len(sh) AS sz, sh FROM base),
-        inv AS (SELECT doc_id, sz, unnest(sh) AS shingle FROM sz),
+        inv0 AS (SELECT doc_id, sz, unnest(sh) AS shingle FROM sz),
+        {_capped_inv_cte()},
         pairs AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    a.sz AS sz_a, b.sz AS sz_b, count(*) AS common
@@ -1797,7 +1813,8 @@ def oracle_sql() -> dict[str, str]:
                                  {word_shingles_sql('text', 3)} AS sh
                           FROM documents),
             sz AS (SELECT doc_id, len(sh) AS sz, sh FROM base),
-            inv AS (SELECT doc_id, sz, unnest(sh) AS shingle FROM sz),
+            inv0 AS (SELECT doc_id, sz, unnest(sh) AS shingle FROM sz),
+            {_capped_inv_cte()},
             pairs AS (
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                        a.sz AS sz_a, b.sz AS sz_b, count(*) AS common
@@ -1861,7 +1878,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, {word_shingles_sql('text', 3)} AS sh
                 FROM documents),
             sz AS (SELECT doc_id, len(sh) AS sz, sh FROM base),
-            inv AS (SELECT doc_id, sz, unnest(sh) AS shingle FROM sz),
+            inv0 AS (SELECT doc_id, sz, unnest(sh) AS shingle FROM sz),
+            {_capped_inv_cte()},
             p AS (
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                        a.sz AS sz_a, b.sz AS sz_b, count(*) AS common
@@ -1886,12 +1904,13 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, {word_shingles_sql('text', 3)} AS sh
                 FROM documents),
             sz AS (SELECT doc_id, len(sh) AS sz, sh FROM base),
-            inv AS (SELECT doc_id, sz, unnest(sh) AS shingle FROM sz),
+            inv0 AS (SELECT doc_id, sz, unnest(sh) AS shingle FROM sz),
+            {_capped_inv_cte("doc_id % 2 = 0", "inv_a")},
+            {_capped_inv_cte("doc_id % 2 = 1", "inv_b")},
             p AS (
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                        a.sz AS sz_a, b.sz AS sz_b, count(*) AS common
-                FROM inv a JOIN inv b ON a.shingle = b.shingle
-                WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+                FROM inv_a a JOIN inv_b b ON a.shingle = b.shingle
                 GROUP BY 1, 2, 3, 4)
             SELECT doc_a, doc_b,
                    FLOOR(CAST(common AS DOUBLE)

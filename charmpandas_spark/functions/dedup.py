@@ -140,6 +140,14 @@ def exact_dedup_survivors(df: SparkDF, text_col: str, id_col: str) -> SparkDF:
 # n-gram Jaccard (exact, inverted-index join — no cross join)
 # ---------------------------------------------------------------------------
 
+def _auto_max_df(corpus_rows: int) -> int:
+    """Corpus-size-derived stop-shingle cap: >1% of documents, with a
+    floor of 100 (a df that tiny can't fan out — and it keeps
+    small-corpus results bit-identical to the uncapped ones)."""
+    import math
+
+    return max(100, math.ceil(0.01 * corpus_rows))
+
 def ngram_jaccard_pairs(
     df: SparkDF,
     text_col: str,
@@ -148,7 +156,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     use_chars: bool = False,
     k: int = 5,
-    max_df: int | None = None,
+    max_df: int | str | None = "auto",
 ) -> SparkDF:
     """All pairs (a < b) with Jaccard similarity of their distinct
     n-gram shingle sets >= threshold.
@@ -159,16 +167,30 @@ def ngram_jaccard_pairs(
     ``jacc = common / (|A| + |B| - common)``. Shuffles are on shingle
     then on (a, b) — both well-distributed.
 
-    ``max_df`` (default off) drops stop-shingles with document
-    frequency > max_df from the inverted index BEFORE the self-join —
-    the web-scale guard: the join emits Σ df(shingle)^2 rows, so one
-    shingle shared by 1M docs alone fans out 10^12 pairs. Capping is
-    conservative: shingle-set sizes stay uncapped, so ``common`` can
-    only shrink and every reported jaccard is a lower bound — capped
-    pairs are always a SUBSET of uncapped pairs at the same threshold
+    ``max_df`` drops stop-shingles with document frequency > max_df
+    from the inverted index BEFORE the self-join — the web-scale
+    guard: the join emits Σ df(shingle)^2 rows, so one shingle shared
+    by 1M docs alone fans out 10^12 pairs. Capping is conservative:
+    shingle-set sizes stay uncapped, so ``common`` can only shrink
+    and every reported jaccard is a lower bound — capped pairs are
+    always a SUBSET of uncapped pairs at the same threshold
     (near-dups sharing mostly-rare shingles are unaffected).
+
+    Default ``"auto"`` (r4: guard ON for the corpus-scale entry
+    points) resolves to ``max(100, ceil(0.01 * corpus_rows))`` — the
+    classic ">1% of documents = stop-gram" rule with a floor of 100
+    so small corpora (and their oracles/tests) are never affected.
+    Production pipelines with known hot n-grams should pass an
+    absolute cap instead; ``None`` disables the guard entirely.
+    WORD shingles only: char k-grams have near-corpus-wide df by
+    construction (every document contains " the "), so a df cap would
+    gut the similarity itself, not trim stop phrases — ``"auto"``
+    resolves to None for ``use_chars=True``; pass an int to force.
     """
     from pyspark import StorageLevel
+
+    if max_df == "auto":
+        max_df = None if use_chars else _auto_max_df(df.count())
 
     # persist the shingle projection: both sides of the inverted-index
     # self-join read it, so the normalize+transform runs once.
@@ -186,7 +208,13 @@ def ngram_jaccard_pairs(
         inv = (inv.withColumn("__cps_df", F.count(F.lit(1)).over(w))
                   .filter(F.col("__cps_df") <= max_df)
                   .drop("__cps_df"))
-    a, b = inv.alias("a"), inv.alias("b")
+    # Never broadcast an inverted index: Catalyst's size estimate
+    # predates the explode, so the 64 MB dim-table broadcast threshold
+    # happily ships millions of (doc, shingle) rows to the driver —
+    # fine-ish on local[32], a driver OOM on a cluster. The shuffle
+    # hint also reuses the max_df window's hash partitioning on
+    # shingle when the guard is on.
+    a, b = inv.alias("a"), inv.hint("shuffle_hash").alias("b")
     pairs = (a.join(b, on=[F.col("a.shingle") == F.col("b.shingle"),
                            F.col("a.doc") < F.col("b.doc")])
               .groupBy(F.col("a.doc").alias("doc_a"),
@@ -212,7 +240,7 @@ def cross_corpus_pairs(
     threshold: float = 0.5,
     use_chars: bool = False,
     k: int = 5,
-    max_df: int | None = None,
+    max_df: int | str | None = "auto",
 ) -> SparkDF:
     """Bipartite near-dup pairs BETWEEN two corpora (exact n-gram
     Jaccard): the decontamination primitive — find benchmark/eval
@@ -223,25 +251,44 @@ def cross_corpus_pairs(
     is a-side index vs b-side index, so cost is Σ df_a(s)*df_b(s) per
     shared shingle — strictly cheaper than pooling the corpora and
     filtering the self-join output. ``max_df`` caps each side's
-    document frequency independently."""
+    document frequency independently; ``"auto"`` (default, r4) picks
+    ``max(100, ceil(0.01 * side_rows))`` per side — see
+    ``ngram_jaccard_pairs`` for the subset-safety argument.
+
+    The index-vs-index join carries an explicit ``shuffle_hash``
+    hint: Catalyst's size estimate predates the explode, so it
+    happily BROADCASTS a multi-million-row inverted index (r4: 70 of
+    the 80 s the sf1 contamination probe used to cost; at real scale
+    it's a driver OOM). A shuffle on the shingle key is the only
+    join shape that survives two large corpora."""
     from pyspark import StorageLevel
 
     def _inv(df, side):
+        # persist the shingle ARRAYS before fanning out: sz and the
+        # explode both reference ``sh``, and CollapseProject would
+        # inline the whole shingle transform into each (2x the
+        # normalize+transform per row — r4: this, not join fan-out,
+        # was most of the 69 s sf1 contamination probe).
         base = (shingle_table(df, text_col, id_col, k, use_chars, n)
-                .withColumn("sz", F.size("sh")))
+                .withColumn("sz", F.size("sh"))
+                .persist(StorageLevel.MEMORY_AND_DISK))
         inv = base.select(F.col("doc").alias(f"doc_{side}"),
                           F.col("sz").alias(f"sz_{side}"),
                           F.explode("sh").alias("shingle"))
-        if max_df is not None:
+        if max_df == "auto":  # word shingles only — see ngram_jaccard_pairs
+            cap = None if use_chars else _auto_max_df(df.count())
+        else:
+            cap = max_df
+        if cap is not None:
             w = Window.partitionBy("shingle")
             inv = (inv.withColumn("__cps_df",
                                   F.count(F.lit(1)).over(w))
-                      .filter(F.col("__cps_df") <= max_df)
+                      .filter(F.col("__cps_df") <= cap)
                       .drop("__cps_df"))
-        return inv.persist(StorageLevel.MEMORY_AND_DISK)
+        return inv.persist(StorageLevel.MEMORY_AND_DISK), base
 
-    inv_a, inv_b = _inv(df_a, "a"), _inv(df_b, "b")
-    pairs = (inv_a.join(inv_b, "shingle")
+    (inv_a, base_a), (inv_b, base_b) = _inv(df_a, "a"), _inv(df_b, "b")
+    pairs = (inv_a.join(inv_b.hint("shuffle_hash"), "shingle")
                   .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
                   .agg(F.count(F.lit(1)).alias("common")))
     jacc = (F.col("common")
@@ -249,7 +296,7 @@ def cross_corpus_pairs(
     out = (pairs.withColumn("jaccard", F.floor(jacc * 10000) / 10000)
                 .filter(F.col("jaccard") >= threshold)
                 .select("doc_a", "doc_b", "jaccard"))
-    out._cps_persisted = [inv_a, inv_b]  # see release()
+    out._cps_persisted = [inv_a, inv_b, base_a, base_b]  # see release()
     return out
 
 
@@ -308,20 +355,28 @@ def shingle_table(df: SparkDF, text_col: str, id_col: str,
     inlining ``normalize_text`` into the transform would run the
     regexp ~len(text) times per row (measured 10x slowdown); the
     exchange is a CollapseProject barrier that pins the normalize to
-    one evaluation per row. ``use_chars``: char k-shingles (robust to
-    small edits) vs word n-grams (~10x fewer shingles on prose)."""
-    normed = spread(df.select(F.col(id_col).alias("doc"),
-                              normalize_text(text_col).alias("__cps_norm")))
-    c = F.col("__cps_norm")
+    one evaluation per row. For word shingles the SPLIT array is what
+    must be pinned below the exchange (r4: referencing
+    ``split(norm, ' ')`` as an expression inside the transform re-ran
+    the split once per shingle — the same pitfall one level up).
+    ``use_chars``: char k-shingles (robust to small edits) vs word
+    n-grams (~10x fewer shingles on prose)."""
     if use_chars:
+        normed = spread(df.select(
+            F.col(id_col).alias("doc"),
+            normalize_text(text_col).alias("__cps_norm")))
+        c = F.col("__cps_norm")
         idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1),
                                               F.lit(1)))
         sh = F.array_distinct(
             F.transform(idx, lambda i: F.substring(c, i, k)))
     else:
-        words = F.split(c, " ")
-        cnt = F.size(words)
-        idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+        normed = spread(df.select(
+            F.col(id_col).alias("doc"),
+            F.split(normalize_text(text_col), " ").alias("__cps_words")))
+        words = F.col("__cps_words")
+        idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n,
+                                              F.lit(0)))
         sh = F.array_distinct(F.transform(
             idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")))
     return normed.select("doc", sh.alias("sh"))

@@ -109,3 +109,14 @@ def test_sample_hash_no_shuffle(spark, sf_dir):
     docs = cps.read_table(spark, sf_dir, "documents").sdf
     out = hash_sample(docs, "doc_id", 0.25)
     assert num_exchanges(out) == 0, plan_report(out)
+
+
+def test_contamination_index_join_never_broadcast(spark, sf_dir):
+    """The bipartite inverted-index join must SHUFFLE on the shingle
+    key: Catalyst's size estimate predates the explode, so without
+    the shuffle_hash hint it broadcasts a multi-million-row index
+    (driver OOM at scale; 70 s of the r3 sf1 probe locally)."""
+    import __spark_entry__ as entry
+    df = entry.q_dedup_contamination(spark, sf_dir)
+    strategies = join_strategies(df)
+    assert not any("Broadcast" in s for s in strategies), strategies
