@@ -752,16 +752,24 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-framed window: per event_type, rolling 1-hour sum of
     value ordered by event time. RANGE (not ROWS) so ties and uneven
     spacing are handled by time distance — microsecond-exact on both
-    engines (unix_micros here, INTERVAL frame in the oracle)."""
-    from pyspark.sql import Window
+    engines (unix_micros here, INTERVAL frame in the oracle).
+
+    r4: two-phase chunked window (``chunked_range_agg``) instead of a
+    plain partitionBy(event_type) window — 5 event types means 5
+    single-task sorts, a genuine scale-killer; the chunked plan's
+    parallelism is event_types x time-chunks. Frame multisets are
+    identical, so the decimal sum (and the oracle row hash) is
+    unchanged."""
+    from charmpandas_spark.streaming.windows import chunked_range_agg
     ev = _t(spark, sf_dir, "events")
-    w = (Window.partitionBy("event_type")
-         .orderBy(F.unix_micros("ts"))
-         .rangeBetween(-3_600_000_000, 0))
-    roll = F.sum(F.col("value").cast("decimal(18,6)")).over(w)
-    return ev.sdf.select(
+    out = chunked_range_agg(
+        ev.sdf, ["event_type"], F.unix_micros("ts"),
+        {"__cps_roll": F.sum(F.col("value").cast("decimal(18,6)"))},
+        window=3_600_000_000)
+    return out.select(
         "event_id", "event_type",
-        (F.floor(roll.cast("double") * 10000) / 10000).alias("roll_1h"))
+        (F.floor(F.col("__cps_roll").cast("double") * 10000) / 10000)
+        .alias("roll_1h"))
 
 
 def q_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -24,7 +24,68 @@ __all__ = [
     "session_stats",
     "stream_from_parquet",
     "stream_tumbling_counts",
+    "chunked_range_agg",
 ]
+
+
+def chunked_range_agg(
+    df: SparkDF,
+    part_cols: list[str],
+    order_col,
+    aggs: dict,
+    window: int,
+    chunk_width: int | None = None,
+) -> SparkDF:
+    """Trailing RANGE-frame window aggregation that parallelizes past
+    the partition-key cardinality.
+
+    Equivalent to ``agg.over(Window.partitionBy(*part_cols)
+    .orderBy(order_col).rangeBetween(-window, 0))`` — but a plain
+    window makes every key a SINGLE sorted task, so with 5 event
+    types the 31 other cores idle, and at 100x the data each task is
+    a 100x bigger single-threaded sort (the r3 scale-killer flagged
+    for ``window_range_frame``).
+
+    Two-phase plan instead: bucket rows into time chunks of
+    ``chunk_width`` (>= window, default == window), and union each
+    row a second time tagged into the NEXT chunk as context-only.
+    The window then partitions by (keys..., chunk): every row's
+    trailing frame is fully contained in its own chunk plus the
+    context copies from the previous one — nothing older can be in a
+    frame because chunk_width >= window — and the RANGE condition
+    drops context rows that are too old. Own rows are kept, context
+    rows dropped after aggregation. Exactly one shuffle (on
+    keys+chunk, like the plain window's on keys), 2x the rows, and
+    parallelism = keys x time-chunks, which grows WITH the data
+    instead of being pinned at n_keys.
+
+    ``order_col``: numeric Column (e.g. ``F.unix_micros("ts")``) —
+    ``window``/``chunk_width`` are in its units. ``aggs``: output
+    name -> aggregate Column; any aggregate whose value depends only
+    on the frame CONTENTS (sum/count/min/max/avg) is exact — the
+    frame multiset is identical to the plain window's, so results
+    (including decimal sums) are bit-identical.
+    """
+    from pyspark.sql import Window
+
+    if chunk_width is None:
+        chunk_width = window
+    if chunk_width < window:
+        raise ValueError("chunk_width must be >= window so a frame "
+                         "never spans more than two chunks")
+    base = df.withColumn("__cps_t", order_col)
+    chunk = F.floor(F.col("__cps_t") / chunk_width)
+    own = (base.withColumn("__cps_chunk", chunk)
+               .withColumn("__cps_own", F.lit(True)))
+    ctx = (base.withColumn("__cps_chunk", chunk + 1)
+               .withColumn("__cps_own", F.lit(False)))
+    w = (Window.partitionBy(*part_cols, "__cps_chunk")
+               .orderBy("__cps_t").rangeBetween(-window, 0))
+    out = own.unionByName(ctx)
+    for name, agg in aggs.items():
+        out = out.withColumn(name, agg.over(w))
+    return (out.filter(F.col("__cps_own"))
+               .drop("__cps_t", "__cps_chunk", "__cps_own"))
 
 
 def tumbling_window_agg(

@@ -270,6 +270,38 @@ def test_streaming_window_matches_batch(spark, events, tmp_path):
     assert got == batch.count()
 
 
+@pytest.mark.parametrize("chunk_mult", [1, 3])
+def test_chunked_range_agg_matches_plain_window(events, chunk_mult):
+    """chunked_range_agg's frame multiset is identical to the plain
+    partitionBy(key) RANGE window — sums and counts must be
+    bit-identical, at chunk_width == window and a non-aligned 1.5x
+    (chunk_mult=3 with half-window units exercises frames that
+    straddle chunk boundaries at both offsets)."""
+    from pyspark.sql import Window
+    from charmpandas_spark.streaming.windows import chunked_range_agg
+
+    win = 3_600_000_000  # 1 hour in microseconds
+    w = (Window.partitionBy("event_type")
+         .orderBy(F.unix_micros("ts")).rangeBetween(-win, 0))
+    plain = events.select(
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).alias("s"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    ).toPandas().set_index("event_id").sort_index()
+
+    chunked = chunked_range_agg(
+        events, ["event_type"], F.unix_micros("ts"),
+        {"s": F.sum(F.col("value").cast("decimal(18,6)")),
+         "n": F.count(F.lit(1))},
+        window=win, chunk_width=win * chunk_mult // 2
+        if chunk_mult > 1 else win,
+    ).select("event_id", "s", "n") \
+     .toPandas().set_index("event_id").sort_index()
+
+    assert (plain["n"] == chunked["n"]).all()
+    assert (plain["s"] == chunked["s"]).all()
+
+
 # -- vectorized UDF surface ---------------------------------------------
 
 def test_nfkc_normalize_udf(spark):
