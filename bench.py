@@ -49,6 +49,11 @@ def bench_queries(spark, sf_dir):
         "dedup_minhash",
         "dedup_minhash_fast",
         "dedup_simhash",
+        # NOTE (r3): dedup_embedding_cosine switched to a documented
+        # deterministic 50% hash-sample contract in round 3 — its
+        # timings under this key are NOT comparable to BENCH_r01/r02
+        # (which ran all-pairs). Same key kept because the QUERY's
+        # contract changed, not the bench harness.
         "dedup_embedding_cosine",
         "dedup_embedding_cosine_ann",
         "sim_topk",

@@ -557,6 +557,7 @@ def connected_components(edges: SparkDF, src: str, dst: str,
     labels = (sym.select(F.col("a").alias("v")).distinct()
                  .withColumn("lbl", F.col("v"))
                  .localCheckpoint())
+    changed = 0  # max_iter <= 0 must hit the for/else warn, not NameError
     for _ in range(max_iter):
         nbr_min = (sym.join(labels.select(F.col("v").alias("b"),
                                           F.col("lbl").alias("b_lbl")),

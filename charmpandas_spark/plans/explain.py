@@ -78,17 +78,17 @@ def join_strategies(df: SparkDF) -> list[str]:
         plan_string(df, "simple"))
 
 
-def codegen_stage_count(df: SparkDF, execute: bool = True) -> int:
+def codegen_stage_count(df: SparkDF, execute: bool = False) -> int:
     """Distinct whole-stage-codegen regions (formatted mode annotates
     nodes with ``[codegen id : N]``).
 
     Under AQE the pre-execution plan is ``AdaptiveSparkPlan
-    isFinalPlan=false`` with no codegen annotations, so with
-    ``execute=True`` (default) an id-less adaptive plan is finalized
-    first by running it JVM-side (``executedPlan().executeTake(1)`` —
-    materializes the query stages, ships at most one row) and the
-    count is taken from the final plan. ``execute=False`` restores the
-    static, run-nothing probe."""
+    isFinalPlan=false`` with no codegen annotations. Passing
+    ``execute=True`` finalizes an id-less adaptive plan by RUNNING it
+    JVM-side (``executedPlan().executeTake(1)`` — materializes the
+    query stages, ships at most one row) and counts from the final
+    plan; that launches real jobs, so it is opt-in. The default is
+    the static, run-nothing probe, which may return 0 under AQE."""
     s = plan_string(df)
     ids = set(re.findall(r"codegen id : (\d+)", s))
     if not ids and execute and "AdaptiveSparkPlan" in s:
