@@ -1160,6 +1160,46 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(ev.sdf, "ts", "user_id", "4 hours")
 
 
+def q_events_merge_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas-style ``DataFrame.merge_asof`` through the compat API
+    (distinct from ``events_asof_join``, which calls the operator
+    directly): each VIEW event enriched with the user's most recent
+    at-or-before purchase value. Exercises the wrapper path
+    (dataframe.py merge_asof -> operators/asof.asof_join)."""
+    ev = _t(spark, sf_dir, "events")
+    views = ev[ev["event_type"] == "view"][["event_id", "user_id", "ts"]]
+    purchases = ev[ev["event_type"] == "purchase"][["user_id", "ts", "value"]]
+    out = views.merge_asof(purchases, on="ts", by="user_id",
+                           value_cols=["value"])
+    return out[["event_id", "user_id", "ts", "value_asof"]].sdf
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS via the pigeonhole block trick: 48-bit
+    signatures split into 4 x 12-bit blocks — any pair within Hamming
+    distance 3 must agree on >= 1 block, so the plan is a hash
+    bucket-join on block value (never a cross join), then exact
+    Hamming verify. EXACT-complete w.r.t. the brute-force oracle
+    because 4 blocks > max_hamming."""
+    from charmpandas_spark.functions.dedup import simhash_near_dup
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dup(docs.sdf, "text", "doc_id", max_hamming=3,
+                            bits=48, block_bits=12, hash_fn="md5")
+
+
+def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn_join EXACT baseline under the same deterministic
+    hash-sample contract as ``dedup_embedding_cosine``: the query side
+    is a 25% md5-hash sample, so the cross join is bounded at
+    0.25*n*m scored pairs (the un-sampled exact path exists only as a
+    labeled pytest baseline; the bucketed path is the scale path)."""
+    from charmpandas_spark.functions.sampling import hash_sample
+    from charmpandas_spark.functions.similarity import knn_join
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = hash_sample(emb.sdf, "vec_id", 0.25, hash_fn="md5")
+    return knn_join(qs, emb.sdf, "embedding", "vec_id", k=3, exact=True)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1170,6 +1210,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-verified come FIRST; twice-proven relational staples rotate to
     # the back.  Rotate again whenever new queries are added.
     return {
+        # --- new in r4: never driver-checked ---
+        "events_merge_asof": q_events_merge_asof,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "sim_knn_join": q_sim_knn_join,
         # --- never driver-checked (r1/r2 windows missed these) ---
         "window_range_frame": q_window_range_frame,
         "datetime_parts": q_datetime_parts,
@@ -1804,6 +1848,37 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _ngram_jaccard_sql(3, 0.5),
         "dedup_minhash": _minhash_sql(16, 4, 3, 0.7),
         "dedup_simhash": _simhash_sql(32),
+        # brute-force twin of the pigeonhole block-join: exact-complete
+        # because 4 blocks > max_hamming=3, so the bucketed Spark plan
+        # must find every <=3-Hamming pair the O(n^2) oracle finds
+        "dedup_simhash_pairs": f"""
+            WITH s AS ({_simhash_sql(48)})
+            SELECT a.doc AS doc_a, b.doc AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT)
+                       AS hamming
+            FROM s a JOIN s b ON a.doc < b.doc
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "sim_knn_join": f"""
+            WITH q AS (
+                SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                WHERE ({dedup_mod.hash64_sql("CAST(vec_id AS VARCHAR)")})
+                      % 10000 < 2500),
+            p AS (
+                SELECT q.qid, e.vec_id AS nid,
+                       FLOOR(({_cosine_sql('q.qv', 'e.embedding')})
+                             * 10000) / 10000 AS cosine
+                FROM q CROSS JOIN embeddings e
+                WHERE q.qid <> e.vec_id),
+            r AS (
+                SELECT qid, nid, cosine,
+                       CAST(row_number() OVER (
+                            PARTITION BY qid
+                            ORDER BY cosine DESC, nid ASC) AS INT)
+                           AS "rank"
+                FROM p)
+            SELECT qid, nid, cosine, "rank" FROM r WHERE "rank" <= 3
+        """,
         "dedup_embedding_cosine": f"""
             WITH s AS (
                 SELECT * FROM embeddings
@@ -2010,6 +2085,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.event_id, a.user_id, a.ts, b.value AS value_asof
             FROM (SELECT event_id, user_id, ts FROM events
                   WHERE event_type = 'click') a
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'purchase') b
+              ON a.user_id = b.user_id AND a.ts >= b.ts
+        """,
+        "events_merge_asof": """
+            SELECT a.event_id, a.user_id, a.ts, b.value AS value_asof
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'view') a
             ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
                             WHERE event_type = 'purchase') b
               ON a.user_id = b.user_id AND a.ts >= b.ts

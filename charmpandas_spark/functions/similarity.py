@@ -356,10 +356,13 @@ def knn_join(
     """k nearest neighbors in ``right`` for every row of ``left``.
 
     exact=True: block-nested-loop (crossJoin) + windowed top-k — the
-    O(n*m) baseline. exact=False: co-bucket by random hyperplanes
-    first, so only same-bucket pairs are scored (approximate; at scale
-    the bucket join replaces the cross join with a hash join on the
-    bucket id)."""
+    O(n*m) baseline. UNBOUNDED: corpus-scale callers must bound the
+    query side first (the registered ``sim_knn_join`` query
+    hash-samples ``left`` to 25% — the same deterministic-sample
+    contract as ``dedup_embedding_cosine``). exact=False: co-bucket by
+    random hyperplanes first, so only same-bucket pairs are scored
+    (approximate; at scale the bucket join replaces the cross join
+    with a hash join on the bucket id)."""
     from .dedup import spread
 
     lv = spread(left.select(F.col(id_col).alias("qid"),

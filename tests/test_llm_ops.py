@@ -144,6 +144,23 @@ def test_simhash_hamming_close_for_similar(spark):
     assert ham12 < ham13
 
 
+def test_simhash_near_dup_matches_brute_force(spark, sf_dir):
+    """Pigeonhole block bucket-join is exact-complete when
+    nblocks > max_hamming: pairs must equal the all-pairs scan."""
+    import itertools
+    import charmpandas_spark as cps
+    from charmpandas_spark.functions.dedup import simhash, simhash_near_dup
+
+    docs = cps.read_table(spark, sf_dir, "documents").sdf
+    got = simhash_near_dup(docs, "text", "doc_id", max_hamming=3,
+                           bits=48, block_bits=12).toPandas()
+    sigs = {r.doc: r.simhash
+            for r in simhash(docs, "text", "doc_id", bits=48).collect()}
+    brute = {(a, b) for a, b in itertools.combinations(sorted(sigs), 2)
+             if bin(sigs[a] ^ sigs[b]).count("1") <= 3}
+    assert set(zip(got.doc_a, got.doc_b)) == brute
+
+
 _SPARK = None
 
 
