@@ -1200,6 +1200,115 @@ def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(qs, emb.sdf, "embedding", "vec_id", k=3, exact=True)
 
 
+# -- streaming operators, driver-checkable twins ----------------------------
+# Each replays testdata through a REAL Structured Streaming query
+# (file source, several micro-batches, memory sink, availableNow) and
+# returns the final result as a batch frame — so the driver's DuckDB
+# oracle verifies the streaming path end-to-end, not a stand-in.
+
+def _replay_stream(spark: SparkSession, df: DataFrame, prefix: str,
+                   n_files: int = 4):
+    """Write ``df`` to a unique temp dir and open it as a file-source
+    stream, ``n_files`` files -> ``n_files`` micro-batches (state must
+    carry across batches for the result to be right)."""
+    import tempfile
+    import uuid
+
+    from charmpandas_spark.streaming.windows import stream_from_parquet
+    src = tempfile.mkdtemp(prefix=f"cps_{prefix}_")
+    df.repartition(n_files).write.mode("overwrite").parquet(src)
+    name = f"cps_{prefix}_{uuid.uuid4().hex[:8]}"
+    return stream_from_parquet(spark, src, max_files_per_trigger=1), name
+
+
+def _run_stream(spark: SparkSession, sink_df: DataFrame, name: str,
+                mode: str) -> None:
+    """Run a memory-sink availableNow stream to completion with a
+    sane state-partition count: an untuned (driver-like) session
+    defaults to 200 shuffle partitions, and every stateful micro-batch
+    pays per-partition state-store overhead — 8 is plenty for the
+    replay fixtures. Set/restore around the run; the state partition
+    count is fixed per-query at start, so restoring afterwards cannot
+    affect the stream, and batch plans compiled later see the
+    original conf."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try:
+        q = (sink_df.writeStream.format("memory").queryName(name)
+             .outputMode(mode).trigger(availableNow=True).start())
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set(key, old)
+
+
+def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming (applyInPandasWithState) running totals,
+    driver-checked against a plain GROUP BY oracle. Replays events as
+    4 micro-batches; per-user state (count, sum, max) must survive
+    batch boundaries in the state store. 'update' mode re-emits per
+    batch — the max-n_events row per user is the final state.
+
+    Determinism contract: ``value`` is quantized to integer
+    micro-units (exact decimal(18,6) cast, proven cross-engine)
+    BEFORE streaming, so the Python-side float accumulation is exact
+    integer arithmetic (< 2^53) — the oracle sums the same bigints."""
+    from charmpandas_spark.streaming.stateful import running_totals_stream
+    micros = (F.col("value").cast("decimal(18,6)") * 1000000) \
+        .cast("bigint").cast("double")
+    ev = _t(spark, sf_dir, "events").sdf.select(
+        "user_id", "ts", micros.alias("value"))
+    stream, name = _replay_stream(spark, ev, "runtot")
+    _run_stream(spark, running_totals_stream(stream), name, "update")
+    return spark.sql(f"""
+        SELECT user_id, n_events,
+               CAST(total_value AS BIGINT) AS total_micros,
+               CAST(max_value AS BIGINT) AS max_micros
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                  ORDER BY n_events DESC) AS rn FROM {name})
+        WHERE rn = 1""")
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the corpus unioned with a full id-shifted
+    copy (every text duplicated) is replayed as 4 micro-batches;
+    ``dropDuplicates`` state must collapse dupes ACROSS batches. The
+    which-copy-wins row identity is arrival-order-dependent, so the
+    registered result is the deterministic projection: one row per
+    surviving content fingerprint with its survivor count (1 iff the
+    dedup state worked)."""
+    from charmpandas_spark.functions.text import fingerprint
+    from charmpandas_spark.streaming.dedup import streaming_exact_dedup
+    docs = _t(spark, sf_dir, "documents").sdf.select("doc_id", "text")
+    both = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 1000000))
+    stream, name = _replay_stream(spark, both, "sdedup")
+    _run_stream(spark, streaming_exact_dedup(stream, "text"), name,
+                "append")
+    return (spark.table(name)
+            .groupBy(fingerprint("text").alias("fp"))
+            .agg(F.count(F.lit(1)).alias("n_kept")))
+
+
+def q_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (broadcast dim, re-read per
+    micro-batch): purchase events replayed as a stream, enriched with
+    the customer dimension. Stateless per-batch hash join — the result
+    set equals the batch join whatever the micro-batching, which is
+    exactly what the oracle checks."""
+    from charmpandas_spark.streaming.joins import stream_static_join
+    ev = _t(spark, sf_dir, "events").sdf \
+        .filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts")
+    cust = _t(spark, sf_dir, "customer").sdf.select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment")
+    stream, name = _replay_stream(spark, ev, "sjoin")
+    _run_stream(spark, stream_static_join(stream, cust, on="user_id",
+                                          how="left"), name, "append")
+    return spark.table(name).select("event_id", "user_id",
+                                    "c_name", "c_mktsegment")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1214,6 +1323,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_merge_asof": q_events_merge_asof,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "sim_knn_join": q_sim_knn_join,
+        "streaming_running_totals": q_streaming_running_totals,
+        "streaming_dedup": q_streaming_dedup,
+        "streaming_static_join": q_streaming_static_join,
         # --- never driver-checked (r1/r2 windows missed these) ---
         "window_range_frame": q_window_range_frame,
         "datetime_parts": q_datetime_parts,
@@ -1503,6 +1615,7 @@ def _cosine_ann_sql(dims: int = 64, num_tables: int = 8,
 
 def oracle_sql() -> dict[str, str]:
     from charmpandas_spark.functions import dedup as dedup_mod
+    from charmpandas_spark.functions import text as text_mod
     from charmpandas_spark.functions.text import (
         TOKEN_REGEX, fingerprint_sql, language_id_sql, quality_score_sql,
         word_shingles_sql)
@@ -2096,6 +2209,28 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
                             WHERE event_type = 'purchase') b
               ON a.user_id = b.user_id AND a.ts >= b.ts
+        """,
+        # streaming twins: the Spark side replays these through a real
+        # Structured Streaming query; the oracle states the batch
+        # semantics the stream must converge to
+        "streaming_running_totals": """
+            SELECT user_id, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                                 AS BIGINT)) AS BIGINT) AS total_micros,
+                   CAST(MAX(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                                 AS BIGINT)) AS BIGINT) AS max_micros
+            FROM events GROUP BY user_id
+        """,
+        "streaming_dedup": f"""
+            SELECT {text_mod.fingerprint_sql('text')} AS fp,
+                   CAST(1 AS BIGINT) AS n_kept
+            FROM documents GROUP BY 1
+        """,
+        "streaming_static_join": """
+            SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+            FROM (SELECT event_id, user_id FROM events
+                  WHERE event_type = 'purchase') e
+            LEFT JOIN customer c ON e.user_id = c.c_custkey
         """,
         "events_interval_join": """
             SELECT c.event_id, e.event_id AS error_id
