@@ -708,6 +708,126 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1 - urgent).cast("bigint").alias("low_line_count")))
 
 
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): 7-table snowflake —
+    nation joins TWICE (customer-side region scope, supplier-side
+    share attribution) — with a conditional-sum / total-sum ratio per
+    year. All five dims are broadcast-size; the only shuffle is the
+    year groupBy."""
+    li = _t(spark, sf_dir, "lineitem").sdf
+    o = _t(spark, sf_dir, "orders").sdf
+    c = _t(spark, sf_dir, "customer").sdf
+    s = _t(spark, sf_dir, "supplier").sdf
+    p = _t(spark, sf_dir, "part").sdf
+    n = _t(spark, sf_dir, "nation").sdf
+    r = _t(spark, sf_dir, "region").sdf
+    nc = n.select(F.col("n_nationkey").alias("c_nk"), "n_regionkey")
+    ns = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation"))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    j = (li.join(F.broadcast(p.filter(F.col("p_type") == "ECONOMY")),
+                 li.l_partkey == p.p_partkey)
+           .join(o.filter((F.col("o_orderdate") >= "1995-01-01")
+                          & (F.col("o_orderdate") <= "1996-12-31")),
+                 li.l_orderkey == o.o_orderkey)
+           .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .join(F.broadcast(nc), c.c_nationkey == F.col("c_nk"))
+           .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+                 F.col("n_regionkey") == r.r_regionkey)
+           .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+           .join(F.broadcast(ns), s.s_nationkey == F.col("s_nk")))
+    num = F.sum(F.when(F.col("supp_nation") == "NATION_1", vol)
+                 .otherwise(F.lit(0.0)).cast("decimal(18,6)"))
+    den = F.sum(vol.cast("decimal(18,6)"))
+    share = num.cast("double") / den.cast("double")
+    return (j.groupBy(F.year("o_orderdate").alias("o_year"))
+             .agg((F.floor(share * 10000) / 10000).alias("mkt_share")))
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year): the
+    multi-way fact join with a computed per-line profit. The testdata
+    has no partsupp, so supply cost is proxied as
+    ``0.2 * p_retailprice * l_quantity`` (same expression both
+    engines) — the SHAPE (fact x part-filter x supplier x nation,
+    profit agg by nation/year) is Q9's."""
+    li = _t(spark, sf_dir, "lineitem").sdf
+    p = _t(spark, sf_dir, "part").sdf
+    s = _t(spark, sf_dir, "supplier").sdf
+    n = _t(spark, sf_dir, "nation").sdf
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.col("p_retailprice") * 0.2 * F.col("l_quantity"))
+    j = (li.join(F.broadcast(p.filter(F.col("p_name").like("%gear%"))),
+                 li.l_partkey == p.p_partkey)
+           .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+           .join(F.broadcast(n), s.s_nationkey == n.n_nationkey))
+    return (j.groupBy(F.col("n_name").alias("nation"),
+                      F.year("l_shipdate").alias("o_year"))
+             .agg((F.floor(F.sum(amount.cast("decimal(18,6)"))
+                            .cast("double") * 100) / 100)
+                  .alias("profit")))
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): nation-scoped per-part value
+    HAVING-filtered against a GLOBAL scalar aggregate (broadcast of a
+    1-row frame — the cross-join-with-scalar plan). partsupp-less
+    adaptation: value = extendedprice x quantity from lineitem."""
+    li = _t(spark, sf_dir, "lineitem").sdf
+    s = _t(spark, sf_dir, "supplier").sdf
+    n = _t(spark, sf_dir, "nation").sdf
+    scoped = (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+                .join(F.broadcast(n.filter(F.col("n_name") == "NATION_3")),
+                      s.s_nationkey == n.n_nationkey)
+                .select("l_partkey",
+                        (F.col("l_extendedprice") * F.col("l_quantity"))
+                        .cast("decimal(18,6)").alias("v")))
+    agg = scoped.groupBy("l_partkey").agg(F.sum("v").alias("value_d"))
+    tot = scoped.agg(F.sum("v").alias("t"))
+    return (agg.join(F.broadcast(tot))
+               .filter(F.col("value_d").cast("double")
+                       > 0.002 * F.col("t").cast("double"))
+               .select("l_partkey",
+                       (F.floor(F.col("value_d").cast("double") * 100)
+                        / 100).alias("value")))
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (part promotion): nested correlated aggregate
+    feeding a semi-join — suppliers who shipped >10% of a filtered
+    part's ALL-TIME quantity within 1998 alone. Two aggregations at
+    different granularities joined on the correlation key
+    (l_partkey), then LEFT SEMI into supplier; no partsupp, so
+    availqty is replaced by the all-time shipped total."""
+    li = _t(spark, sf_dir, "lineitem").sdf
+    p = _t(spark, sf_dir, "part").sdf
+    s = _t(spark, sf_dir, "supplier").sdf
+    qty = F.col("l_quantity").cast("decimal(18,6)")
+    shipped = (li.filter((F.col("l_shipdate") >= "1998-01-01")
+                         & (F.col("l_shipdate") < "1999-01-01"))
+                 .join(F.broadcast(p.filter(F.col("p_name")
+                                            .like("small%"))),
+                       li.l_partkey == p.p_partkey)
+                 .groupBy("l_suppkey", "l_partkey")
+                 .agg(F.sum(qty).alias("q98")))
+    alltime = li.groupBy(F.col("l_partkey").alias("pk")) \
+                .agg(F.sum(qty).alias("qall"))
+    # the 1998+name-filtered aggregate is orders of magnitude smaller
+    # than the all-time per-part aggregate: broadcast it, and broadcast
+    # the surviving supplier keys into the semi-join — at scale neither
+    # side of those joins should shuffle the big aggregate twice
+    cand = (alltime.join(F.broadcast(shipped),
+                         shipped.l_partkey == F.col("pk"))
+                   .filter(F.col("q98").cast("double")
+                           > 0.1 * F.col("qall").cast("double"))
+                   .select("l_suppkey"))
+    return (s.join(F.broadcast(cand), s.s_suppkey == cand.l_suppkey,
+                   "left_semi")
+             .select("s_suppkey", "s_name",
+                     (F.floor(F.col("s_acctbal") * 100) / 100)
+                     .alias("s_acctbal")))
+
+
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window function extension (reference has none — SURVEY §2.7):
     top-3 orders by totalprice within each priority class."""
@@ -1326,6 +1446,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_running_totals": q_streaming_running_totals,
         "streaming_dedup": q_streaming_dedup,
         "streaming_static_join": q_streaming_static_join,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q20": q_tpch_q20,
         # --- never driver-checked (r1/r2 windows missed these) ---
         "window_range_frame": q_window_range_frame,
         "datetime_parts": q_datetime_parts,
@@ -1695,6 +1819,82 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY l_linestatus
+        """,
+        "tpch_q8": """
+            WITH an AS (
+                SELECT year(o.o_orderdate) AS o_year,
+                       l.l_extendedprice * (1 - l.l_discount) AS volume,
+                       ns.n_name AS supp_nation
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+                JOIN region r ON nc.n_regionkey = r.r_regionkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+                WHERE p.p_type = 'ECONOMY' AND r.r_name = 'ASIA'
+                  AND o.o_orderdate BETWEEN DATE '1995-01-01'
+                                        AND DATE '1996-12-31')
+            SELECT o_year,
+                   FLOOR(CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_1'
+                                   THEN volume ELSE 0 END
+                                   AS DECIMAL(18,6))) AS DOUBLE)
+                         / CAST(SUM(CAST(volume AS DECIMAL(18,6)))
+                                AS DOUBLE) * 10000) / 10000 AS mkt_share
+            FROM an GROUP BY o_year
+        """,
+        "tpch_q9": """
+            SELECT n.n_name AS nation, year(l.l_shipdate) AS o_year,
+                   FLOOR(CAST(SUM(CAST(
+                       l.l_extendedprice * (1 - l.l_discount)
+                       - p.p_retailprice * 0.2 * l.l_quantity
+                       AS DECIMAL(18,6))) AS DOUBLE) * 100) / 100
+                       AS profit
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE p.p_name LIKE '%gear%'
+            GROUP BY 1, 2
+        """,
+        "tpch_q11": """
+            WITH scoped AS (
+                SELECT l.l_partkey,
+                       CAST(l.l_extendedprice * l.l_quantity
+                            AS DECIMAL(18,6)) AS v
+                FROM lineitem l
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                WHERE n.n_name = 'NATION_3'),
+            agg AS (SELECT l_partkey, SUM(v) AS value_d
+                    FROM scoped GROUP BY 1),
+            tot AS (SELECT SUM(v) AS t FROM scoped)
+            SELECT l_partkey,
+                   FLOOR(CAST(value_d AS DOUBLE) * 100) / 100 AS value
+            FROM agg, tot
+            WHERE CAST(value_d AS DOUBLE) > 0.002 * CAST(t AS DOUBLE)
+        """,
+        "tpch_q20": """
+            WITH shipped AS (
+                SELECT l_suppkey, l_partkey,
+                       SUM(CAST(l_quantity AS DECIMAL(18,6))) AS q98
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_name LIKE 'small%'
+                  AND l_shipdate >= DATE '1998-01-01'
+                  AND l_shipdate < DATE '1999-01-01'
+                GROUP BY 1, 2),
+            alltime AS (SELECT l_partkey,
+                               SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                                   AS qall
+                        FROM lineitem GROUP BY 1)
+            SELECT s_suppkey, s_name,
+                   FLOOR(s_acctbal * 100) / 100 AS s_acctbal
+            FROM supplier
+            WHERE s_suppkey IN (
+                SELECT l_suppkey FROM shipped
+                JOIN alltime USING (l_partkey)
+                WHERE CAST(q98 AS DOUBLE) > 0.1 * CAST(qall AS DOUBLE))
         """,
         "tpch_q6": """
             SELECT FLOOR(CAST(SUM(CAST(l_extendedprice * l_discount

@@ -84,6 +84,15 @@ def bench_queries(spark, sf_dir):
         "events_interval_join",
         "dedup_contamination",
         "events_histogram",
+        # r4 additions (streaming twins excluded: their wall-clock is
+        # micro-batch replay overhead, not engine throughput)
+        "tpch_q8",
+        "tpch_q9",
+        "tpch_q11",
+        "tpch_q20",
+        "events_merge_asof",
+        "dedup_simhash_pairs",
+        "sim_knn_join",
     ]
     return {n: qs[n] for n in names if n in qs}
 
