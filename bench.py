@@ -184,13 +184,53 @@ def run_sf1_probe(spark, budget_sec: float = 180.0) -> dict:
     return out
 
 
+def _stage_max_task_ms(spark, since_epoch_ms: float):
+    """Straggler witness: max single-task duration (ms) across stages
+    completed since ``since_epoch_ms``, via the local UI REST API
+    (taskSummary quantiles=1.0). Returns None if the UI is disabled or
+    any call fails — the demo's timings stand on their own."""
+    try:
+        import datetime as dt
+        import json as js
+        from urllib.request import urlopen
+
+        base = spark.sparkContext.uiWebUrl
+        if not base:
+            return None
+        app = spark.sparkContext.applicationId
+        stages = js.load(urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=complete",
+            timeout=10))
+        mx = 0.0
+        for st in stages:
+            ct = st.get("completionTime")
+            if not ct:
+                continue
+            t = dt.datetime.strptime(
+                ct.replace("GMT", "+0000"),
+                "%Y-%m-%dT%H:%M:%S.%f%z").timestamp() * 1000
+            if t < since_epoch_ms:
+                continue
+            q = js.load(urlopen(
+                f"{base}/api/v1/applications/{app}/stages/"
+                f"{st['stageId']}/{st['attemptId']}/taskSummary"
+                f"?quantiles=1.0", timeout=10))
+            mx = max(mx, float(q["duration"][0]))
+        return round(mx)
+    except Exception:
+        return None
+
+
 def run_skew_demo(spark, sf_dir: str) -> dict:
     """Measured skew-mitigation delta on a 10M-row fact keyed by
-    events.user_id with one amplified hot key (50% of rows): skew-blind
-    shuffle join vs AQE's skew-join split vs explicit salted_join.
-    (The raw sf0.1 events table is uniform on user_id, so the hot key
-    is synthesized over the real key domain.) Broadcast is disabled so
-    the join genuinely shuffles, as it would when both sides are big."""
+    events.user_id with one amplified hot key (95% of rows — one
+    reducer owns 9.5M of 10M rows, so the straggler DOMINATES the
+    stage): skew-blind shuffle join vs AQE's skew-join split vs
+    explicit salted_join, each with the per-run max single-task time
+    as the straggler witness. (The raw sf0.1 events table is uniform
+    on user_id, so the hot key is synthesized over the real key
+    domain.) Broadcast is disabled so the join genuinely shuffles, as
+    it would when both sides are big."""
     from pyspark.sql import functions as F
 
     import charmpandas_spark as cps
@@ -200,33 +240,37 @@ def run_skew_demo(spark, sf_dir: str) -> dict:
     fact = (ev.select("user_id", "value", "event_type")
               .crossJoin(spark.range(100).withColumnRenamed("id", "rep"))
               .withColumn("user_id",
-                          F.when(F.rand(7) < 0.5, F.lit(342))
+                          F.when(F.rand(7) < 0.95, F.lit(342))
                            .otherwise(F.col("user_id")))
               .drop("rep"))
     dim = ev.groupBy("user_id").agg(F.avg("value").alias("u_avg"))
     fact.persist(), dim.persist()
     fact.count(), dim.count()
 
-    def run(j):
-        return (j.groupBy("event_type")
-                 .agg(F.sum(F.col("value") * F.col("u_avg")).alias("s"))
-                 .collect())
+    def run(j, label):
+        t0 = time.time()
+        (j.groupBy("event_type")
+          .agg(F.sum(F.col("value") * F.col("u_avg")).alias("s"))
+          .collect())
+        out[label] = round(time.time() - t0, 4)
+        mx = _stage_max_task_ms(spark, t0 * 1000)
+        if mx is not None:
+            out[label + "_max_task_ms"] = mx
 
     out = {}
     old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-        t0 = time.time()
-        run(fact.join(dim, "user_id"))
-        out["plain_skew_blind"] = round(time.time() - t0, 4)
+        run(fact.join(dim, "user_id"), "plain_skew_blind")
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-        t0 = time.time()
-        run(fact.join(dim, "user_id"))
-        out["plain_aqe_skewjoin"] = round(time.time() - t0, 4)
-        t0 = time.time()
-        run(salted_join(fact, dim, "user_id", salt=32).sdf)
-        out["salted_join"] = round(time.time() - t0, 4)
+        run(fact.join(dim, "user_id"), "plain_aqe_skewjoin")
+        # salting leaves no hot key for AQE to split; disabled anyway
+        # so the run measures the salt alone
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        run(salted_join(fact, dim, "user_id", salt=32).sdf,
+            "salted_join")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
         fact.unpersist(), dim.unpersist()
@@ -237,7 +281,10 @@ def run_skew_demo(spark, sf_dir: str) -> dict:
 def main():
     from charmpandas_spark.session import get_spark
 
-    spark = get_spark(app_name="cps-bench")
+    # UI on: the skew demo reads max-task-time (straggler witness)
+    # from the REST API; measured overhead is nil at this scale
+    spark = get_spark(app_name="cps-bench",
+                      extra_conf={"spark.ui.enabled": "true"})
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
 
     # warm the JVM/codegen/shuffle paths so we measure steady-state, as
