@@ -1434,12 +1434,16 @@ def q_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering contract: the driver's CORRECTNESS artifact only checks the
-    # first ~50 entries, so queries that have never (or least recently) been
-    # driver-verified come FIRST; twice-proven relational staples rotate to
-    # the back.  Rotate again whenever new queries are added.
+    # Ordering contract: the driver's CORRECTNESS artifact only checks
+    # the first ~50 entries, so ordering = (1) queries never
+    # driver-checked, (2) a §2 core slice re-proven every round
+    # (scan/flagship/a rotating half of the join suite/groupby), (3)
+    # the least-recently-checked backlog (r2-vintage rows), (4) the
+    # freshest greens (r3) at the back. The windowed subset shifts, but
+    # tools/check_correctness.py runs ALL of them locally each round
+    # (ADVICE r3: never depend on the driver's window size).
     return {
-        # --- new in r4: never driver-checked ---
+        # --- (1) new in r4: never driver-checked ---
         "events_merge_asof": q_events_merge_asof,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "sim_knn_join": q_sim_knn_join,
@@ -1450,7 +1454,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q9": q_tpch_q9,
         "tpch_q11": q_tpch_q11,
         "tpch_q20": q_tpch_q20,
-        # --- never driver-checked (r1/r2 windows missed these) ---
+        # --- (2) §2 core, re-proven every round; join suite rotates
+        #     halves (r4: left-ish half; right/semi/multikey were r3
+        #     green and sit at position ~51+ to lead the r5 window) ---
+        "scan_project": q_scan_project,
+        "flagship_join_groupby_count": q_flagship_join_groupby_count,
+        "join_inner": q_join_inner,
+        "join_left": q_join_left,
+        "join_full": q_join_full,
+        "join_left_anti": q_join_left_anti,
+        "groupby_sum": q_groupby_sum,
+        # --- (3) backlog: riding round-2 rows, oldest coverage ---
+        "groupby_extended": q_groupby_extended,
+        "groupby_ts_key": q_groupby_ts_key,
+        "join_timestamp_key": q_join_timestamp_key,
+        "groupby_bool": q_groupby_bool,
+        "groupby_cube": q_groupby_cube,
+        "groupby_rollup": q_groupby_rollup,
+        "pivot": q_pivot,
+        "scalar_reduction": q_scalar_reduction,
+        "sort_topk": q_sort_topk,
+        "except": q_except,
+        "string_functions": q_string_functions,
+        "case_when": q_case_when,
+        "datetime_filter": q_datetime_filter,
+        "int_literal_widening": q_int_literal_widening,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
+        "window_rank": q_window_rank,
+        # ~position 50: everything below rides its latest green row
+        # and leads the r5 window ---
+        "concat": q_concat,
+        "intersect": q_intersect,
+        "distinct": q_distinct,
+        "filter_expr": q_filter_expr,
+        "groupby_count": q_groupby_count,
+        "join_right": q_join_right,
+        "join_left_semi": q_join_left_semi,
+        "join_right_semi": q_join_right_semi,
+        "join_right_anti": q_join_right_anti,
+        "join_multikey": q_join_multikey,
+        # --- (4) r3-green, freshest: back of the rotation ---
         "window_range_frame": q_window_range_frame,
         "datetime_parts": q_datetime_parts,
         "sim_ivf": q_sim_ivf,
@@ -1476,7 +1536,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": q_events_asof_join,
         "events_interval_join": q_events_interval_join,
         "events_sessionize": q_events_sessionize,
-        # --- checked only in round 1 ---
         "window_lag": q_window_lag,
         "window_rolling": q_window_rolling,
         "events_json": q_events_json,
@@ -1488,58 +1547,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_fast": q_dedup_minhash_fast,
-        # --- new this round: inserted here to stay inside the window ---
-        # --- driver-verified green in round 2 (rotate back later) ---
-        "scan_project": q_scan_project,
-        "filter_expr": q_filter_expr,
-        "flagship_join_groupby_count": q_flagship_join_groupby_count,
-        "join_inner": q_join_inner,
-        "join_left": q_join_left,
-        "join_right": q_join_right,
-        "join_full": q_join_full,
-        "join_left_semi": q_join_left_semi,
-        "join_left_anti": q_join_left_anti,
-        "join_right_semi": q_join_right_semi,
-        "join_right_anti": q_join_right_anti,
-        "join_multikey": q_join_multikey,
-        "groupby_sum": q_groupby_sum,
-        "groupby_count": q_groupby_count,
-        "groupby_extended": q_groupby_extended,
-        "groupby_ts_key": q_groupby_ts_key,
-        "join_timestamp_key": q_join_timestamp_key,
-        "groupby_bool": q_groupby_bool,
-        "groupby_cube": q_groupby_cube,
-        "groupby_rollup": q_groupby_rollup,
-        "pivot": q_pivot,
-        "scalar_reduction": q_scalar_reduction,
-        "sort_topk": q_sort_topk,
-        "concat": q_concat,
-        "intersect": q_intersect,
-        "except": q_except,
-        "string_functions": q_string_functions,
-        "case_when": q_case_when,
-        "datetime_filter": q_datetime_filter,
-        "distinct": q_distinct,
-        "int_literal_widening": q_int_literal_widening,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q21": q_tpch_q21,
-        "tpch_q22": q_tpch_q22,
-        "window_rank": q_window_rank,
     }
 
 
