@@ -120,3 +120,41 @@ def test_contamination_index_join_never_broadcast(spark, sf_dir):
     df = entry.q_dedup_contamination(spark, sf_dir)
     strategies = join_strategies(df)
     assert not any("Broadcast" in s for s in strategies), strategies
+
+
+def test_tpch_q8_snowflake_all_broadcast(spark, sf_dir):
+    """The 7-table Q8 snowflake must broadcast every dimension: a
+    single shuffle (the year groupBy), no SortMergeJoin of the fact
+    against any dim."""
+    import __spark_entry__ as entry
+    df = entry.q_tpch_q8(spark, sf_dir)
+    strategies = join_strategies(df)
+    assert strategies and all(s == "BroadcastHashJoin"
+                              for s in strategies), strategies
+    assert num_exchanges(df) <= 1, plan_report(df)
+
+
+def test_tpch_q20_no_shuffle_join(spark, sf_dir):
+    """Q20's correlated-aggregate join: the small filtered aggregate
+    broadcasts into the all-time aggregate (no SMJ), and the semi-join
+    into supplier broadcasts the candidate keys."""
+    import __spark_entry__ as entry
+    df = entry.q_tpch_q20(spark, sf_dir)
+    strategies = join_strategies(df)
+    assert strategies and all(s == "BroadcastHashJoin"
+                              for s in strategies), strategies
+    # two aggregation exchanges are irreducible; nothing else shuffles
+    assert num_exchanges(df) <= 2, plan_report(df)
+
+
+def test_chunked_range_window_single_shuffle(spark, sf_dir):
+    """chunked_range_agg keeps the plain window's one-shuffle shape
+    (on keys+chunk) — the parallelism win must not cost an exchange."""
+    from pyspark.sql import functions as F
+
+    from charmpandas_spark.streaming.windows import chunked_range_agg
+    ev = cps.read_table(spark, sf_dir, "events").sdf
+    out = chunked_range_agg(
+        ev, ["event_type"], F.unix_micros("ts"),
+        {"s": F.sum("value")}, window=3_600_000_000)
+    assert num_exchanges(out) <= 1, plan_report(out)

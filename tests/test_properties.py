@@ -130,3 +130,36 @@ def test_assign_splits_total_and_determinism(spark, keys, w):
         .set_index("k")["split"].to_dict()
     assert out1 == out2
     assert len(out1) == len(keys) and set(out1.values()) <= {"a", "b"}
+
+
+@given(
+    ts=st.lists(st.integers(min_value=0, max_value=500),
+                min_size=1, max_size=30),
+    keys=KEYS,
+    window=st.integers(min_value=1, max_value=120),
+    mult_pct=st.integers(min_value=100, max_value=300),
+)
+@settings(**_SETTINGS)
+def test_chunked_range_agg_matches_pandas(spark, ts, keys, window,
+                                          mult_pct):
+    """chunked_range_agg == per-key trailing-range brute force, for
+    random timestamps (ties included), keys, window widths, and
+    chunk_width >= window — frames straddling chunk boundaries at any
+    offset must be exact."""
+    from pyspark.sql import functions as F
+
+    from charmpandas_spark.streaming.windows import chunked_range_agg
+
+    n = min(len(ts), len(keys))
+    pdf = pd.DataFrame({"rid": range(n), "k": keys[:n], "t": ts[:n]})
+    sdf = spark.createDataFrame(pdf)
+    got = chunked_range_agg(
+        sdf, ["k"], F.col("t").cast("long"),
+        {"s": F.sum("t"), "n": F.count(F.lit(1))},
+        window=window, chunk_width=window * mult_pct // 100,
+    ).toPandas().set_index("rid").sort_index()
+    for r in pdf.itertuples():
+        frame = pdf[(pdf.k == r.k) & (pdf.t <= r.t)
+                    & (pdf.t >= r.t - window)]
+        assert got.loc[r.rid, "n"] == len(frame), (r, window)
+        assert got.loc[r.rid, "s"] == frame["t"].sum(), (r, window)
