@@ -1320,6 +1320,33 @@ def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(qs, emb.sdf, "embedding", "vec_id", k=3, exact=True)
 
 
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: every document split into 32-token
+    chunks with 4-token overlap — zero-shuffle (rides the scan, the
+    posexplode fans out ~n_tokens/stride rows per doc)."""
+    from charmpandas_spark.functions.text import chunk_documents
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs.sdf, "text", "doc_id",
+                           max_tokens=32, overlap=4)
+
+
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: emails/IPv4s/phone shapes replaced with typed
+    placeholders. The corpus has no real PII, so each doc gets a
+    deterministic doc_id-derived contact line prepended, then the
+    SAME regexp_replace chain runs in both engines — the oracle
+    proves pattern-for-pattern parity, not just no-op passthrough."""
+    from charmpandas_spark.functions.text import redact_pii
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    synth = F.concat(
+        F.lit("user"), sid, F.lit("@corp.example.com ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 tel 555-123-4567 "), F.substring("text", 1, 60))
+    return docs.sdf.select(
+        "doc_id", redact_pii(synth).alias("redacted"))
+
+
 # -- streaming operators, driver-checkable twins ----------------------------
 # Each replays testdata through a REAL Structured Streaming query
 # (file source, several micro-batches, memory sink, availableNow) and
@@ -1454,6 +1481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q9": q_tpch_q9,
         "tpch_q11": q_tpch_q11,
         "tpch_q20": q_tpch_q20,
+        "text_chunks": q_text_chunks,
+        "text_redact_pii": q_text_redact_pii,
         # --- (2) §2 core, re-proven every round; join suite rotates
         #     halves (r4: left-ish half; right/semi/multikey were r3
         #     green and sit at position ~51+ to lead the r5 window) ---
@@ -2416,6 +2445,18 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
                             WHERE event_type = 'purchase') b
               ON a.user_id = b.user_id AND a.ts >= b.ts
+        """,
+        "text_chunks": text_mod.chunk_documents_sql(
+            "text", "doc_id", max_tokens=32, overlap=4),
+        "text_redact_pii": f"""
+            SELECT doc_id,
+                   {text_mod.redact_pii_sql(
+                       "concat('user', CAST(doc_id AS VARCHAR), "
+                       "'@corp.example.com ip 10.0.', "
+                       "CAST(doc_id % 256 AS VARCHAR), "
+                       "'.7 tel 555-123-4567 ', substr(text, 1, 60))")}
+                   AS redacted
+            FROM documents
         """,
         # streaming twins: the Spark side replays these through a real
         # Structured Streaming query; the oracle states the batch

@@ -93,6 +93,8 @@ def bench_queries(spark, sf_dir):
         "events_merge_asof",
         "dedup_simhash_pairs",
         "sim_knn_join",
+        "text_chunks",
+        "text_redact_pii",
     ]
     return {n: qs[n] for n in names if n in qs}
 

@@ -24,10 +24,12 @@ from .sketches import (
     hll_sketch,
 )
 from .text import (
+    chunk_documents,
     fingerprint,
     language_id,
     normalize_text,
     quality_score,
+    redact_pii,
     regex_token_count,
     whitespace_token_count,
 )
@@ -40,6 +42,7 @@ __all__ = [
     "knn_join",
     "approx_distinct", "approx_quantiles", "heavy_hitters",
     "hll_merge", "hll_sketch",
-    "fingerprint", "language_id", "normalize_text", "quality_score",
-    "regex_token_count", "whitespace_token_count",
+    "chunk_documents", "fingerprint", "language_id", "normalize_text",
+    "quality_score", "redact_pii", "regex_token_count",
+    "whitespace_token_count",
 ]

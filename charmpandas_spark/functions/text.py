@@ -268,3 +268,106 @@ def tf_idf(df, text_col: str, id_col: str):
                      .alias("weight")))
     out._cps_persisted = [toks, tf]  # see dedup.release()
     return out
+
+
+# ---------------------------------------------------------------------------
+# training-data preparation: chunking + PII redaction
+# ---------------------------------------------------------------------------
+
+def chunk_documents(
+    df: SparkDF,
+    text_col: str,
+    id_col: str,
+    max_tokens: int = 64,
+    overlap: int = 8,
+) -> SparkDF:
+    """Split documents into overlapping token-bounded chunks — the
+    standard pre-tokenization step for training-corpus assembly
+    (context-window packing wants bounded, slightly-overlapping
+    pieces, not whole documents).
+
+    Whitespace tokens over the normalized text; chunk k covers tokens
+    ``[k*stride, k*stride + max_tokens)`` with
+    ``stride = max_tokens - overlap``, so consecutive chunks share
+    ``overlap`` tokens and every token lands in >= 1 chunk. Output:
+    (doc, chunk_idx, chunk_text, n_tokens).
+
+    Scale: pure built-ins (split/sequence/posexplode/slice — JVM-side,
+    codegen), no shuffle at all: chunking rides the scan and the
+    explode multiplies rows ~n_tokens/stride per doc, embarrassingly
+    parallel at any corpus size.
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+    toks = F.col("__cps_toks")
+    starts = F.sequence(F.lit(0),
+                        F.greatest(F.size(toks) - 1, F.lit(0)),
+                        F.lit(stride))
+    return (df.select(F.col(id_col).alias("doc"),
+                      F.split(normalize_text(text_col), " ")
+                       .alias("__cps_toks"))
+              .select("doc", "__cps_toks",
+                      F.posexplode(starts).alias("chunk_idx",
+                                                 "__cps_start"))
+              .withColumn("__cps_toks",
+                          F.slice(toks, F.col("__cps_start") + 1,
+                                  max_tokens))
+              .select("doc", "chunk_idx",
+                      F.array_join("__cps_toks", " ").alias("chunk_text"),
+                      F.size("__cps_toks").alias("n_tokens")))
+
+
+def chunk_documents_sql(t: str, id_expr: str, max_tokens: int = 64,
+                        overlap: int = 8) -> str:
+    """DuckDB twin of :func:`chunk_documents` (same normalize, same
+    chunk geometry) for oracle verification."""
+    stride = max_tokens - overlap
+    norm = f"trim(regexp_replace(lower({t}), '\\s+', ' ', 'g'))"
+    return f"""
+        WITH toks AS (
+            SELECT {id_expr} AS doc,
+                   string_split({norm}, ' ') AS tk,
+                   len(string_split({norm}, ' ')) AS n
+            FROM documents),
+        st AS (
+            SELECT doc, tk, n, CAST(k AS INT) AS chunk_idx,
+                   CAST(k * {stride} AS INT) AS s
+            FROM toks CROSS JOIN range(0, 100000) r(k)
+            WHERE k * {stride} <= greatest(n - 1, 0))
+        SELECT doc, chunk_idx,
+               array_to_string(tk[s + 1 : least(s + {max_tokens}, n)], ' ')
+                   AS chunk_text,
+               CAST(least(s + {max_tokens}, n) - s AS INT) AS n_tokens
+        FROM st
+    """
+
+
+_PII_PATTERNS = [
+    # order matters: emails before bare domains, IPs before phones
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Redact common PII shapes (emails, IPv4s, phone-ish numbers)
+    with typed placeholders — the minimum-viable scrub pass a
+    training pipeline runs before anything else sees the text. Pure
+    ``regexp_replace`` chain: JVM-side, codegen, no shuffle; patterns
+    are RE2-compatible so the DuckDB oracle uses the SAME strings
+    (see ``redact_pii_sql``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, tag in _PII_PATTERNS:
+        c = F.regexp_replace(c, pat, tag)
+    return c
+
+
+def redact_pii_sql(t: str) -> str:
+    """DuckDB twin of :func:`redact_pii` — identical pattern chain."""
+    out = t
+    for pat, tag in _PII_PATTERNS:
+        sql_pat = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{sql_pat}', '{tag}', 'g')"
+    return out

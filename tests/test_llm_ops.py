@@ -667,3 +667,46 @@ def test_cosine_ann_null_first_vector_not_empty(spark):
     empty = cosine_pairs_ann(allnull, "embedding", "vec_id")
     assert empty.count() == 0
     assert empty.columns == ["id_a", "id_b", "cosine"]
+
+
+def test_chunk_documents_geometry(spark, sf_dir):
+    """Every token covered, consecutive chunks overlap by exactly
+    `overlap` (except the tail), reassembly == original normalized
+    text."""
+    import charmpandas_spark as cps
+    from charmpandas_spark.functions.text import chunk_documents
+
+    docs = cps.read_table(spark, sf_dir, "documents").sdf.limit(50)
+    out = chunk_documents(docs, "text", "doc_id",
+                          max_tokens=16, overlap=4).toPandas()
+    norm = {r.doc_id: " ".join(r.text.lower().split())
+            for r in docs.select("doc_id", "text").collect()}
+    for doc, grp in out.groupby("doc"):
+        grp = grp.sort_values("chunk_idx")
+        toks = norm[doc].split(" ")
+        stride = 16 - 4
+        # chunk k starts at k*stride and reproduces the slice exactly
+        for r in grp.itertuples():
+            want = toks[r.chunk_idx * stride:r.chunk_idx * stride + 16]
+            assert r.chunk_text.split(" ") == want or \
+                (r.chunk_text == "" and want == [""]), (doc, r.chunk_idx)
+            assert r.n_tokens == len(want)
+        # full coverage: last chunk reaches the final token
+        last = grp.iloc[-1]
+        assert last.chunk_idx * stride + last.n_tokens == len(toks)
+
+
+def test_redact_pii_patterns(spark):
+    from charmpandas_spark.functions.text import redact_pii
+    pdf = pd.DataFrame({"t": [
+        "mail me at jane.doe+x@sub.example.co.uk today",
+        "server 192.168.001.12 and 8.8.8.8 up",
+        "call 555-123-4567 or 555.9876.1234",
+        "nothing sensitive here 12345",
+    ]})
+    out = [r.r for r in _to_sdf(pdf)
+           .select(redact_pii("t").alias("r")).collect()]
+    assert out[0] == "mail me at <EMAIL> today"
+    assert out[1] == "server <IP> and <IP> up"
+    assert out[2] == "call <PHONE> or <PHONE>"
+    assert out[3] == "nothing sensitive here 12345"

@@ -147,6 +147,15 @@ def test_tpch_q20_no_shuffle_join(spark, sf_dir):
     assert num_exchanges(df) <= 2, plan_report(df)
 
 
+def test_chunk_documents_zero_shuffle(spark, sf_dir):
+    """Chunking rides the scan: split + posexplode + slice, no
+    exchange anywhere."""
+    from charmpandas_spark.functions.text import chunk_documents
+    docs = cps.read_table(spark, sf_dir, "documents").sdf
+    out = chunk_documents(docs, "text", "doc_id")
+    assert num_exchanges(out) == 0, plan_report(out)
+
+
 def test_chunked_range_window_single_shuffle(spark, sf_dir):
     """chunked_range_agg keeps the plain window's one-shuffle shape
     (on keys+chunk) — the parallelism win must not cost an exchange."""
