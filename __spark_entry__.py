@@ -1484,14 +1484,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": q_text_chunks,
         "text_redact_pii": q_text_redact_pii,
         # --- (2) §2 core, re-proven every round; join suite rotates
-        #     halves (r4: left-ish half; right/semi/multikey were r3
-        #     green and sit at position ~51+ to lead the r5 window) ---
+        #     (r4: inner+full; the rest were r3 green and sit at
+        #     position ~51+ to lead the r5 window) ---
         "scan_project": q_scan_project,
         "flagship_join_groupby_count": q_flagship_join_groupby_count,
         "join_inner": q_join_inner,
-        "join_left": q_join_left,
         "join_full": q_join_full,
-        "join_left_anti": q_join_left_anti,
         "groupby_sum": q_groupby_sum,
         # --- (3) backlog: riding round-2 rows, oldest coverage ---
         "groupby_extended": q_groupby_extended,
@@ -1534,6 +1532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct": q_distinct,
         "filter_expr": q_filter_expr,
         "groupby_count": q_groupby_count,
+        "join_left": q_join_left,
+        "join_left_anti": q_join_left_anti,
         "join_right": q_join_right,
         "join_left_semi": q_join_left_semi,
         "join_right_semi": q_join_right_semi,
