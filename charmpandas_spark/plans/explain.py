@@ -117,12 +117,18 @@ def assert_column_pruned(df: SparkDF, max_cols: int) -> None:
                 f"<= {max_cols} — projection not pruned")
 
 
-def plan_report(df: SparkDF) -> dict:
-    """One-call summary used by the plan-audit tool."""
+def plan_report(df: SparkDF, execute_for_codegen: bool = False) -> dict:
+    """One-call summary used by the plan-audit tool.
+
+    ``execute_for_codegen=True`` runs the query to finalize an AQE
+    plan so the codegen count is real (see
+    :func:`codegen_stage_count`); the default stays side-effect-free
+    for use inside test assertions."""
     return {
         "pushed_filters": pushed_filters(df),
         "scan_columns": scan_columns(df),
         "exchanges": num_exchanges(df),
         "joins": join_strategies(df),
-        "codegen_stages": codegen_stage_count(df),
+        "codegen_stages": codegen_stage_count(
+            df, execute=execute_for_codegen),
     }

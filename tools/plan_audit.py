@@ -30,7 +30,10 @@ def main():
             continue
         try:
             df = fn(spark, SF_DIR)
-            r = plan_report(df)
+            # execute: finalizes AQE plans so codegen counts are the
+            # real ones (sf0.01 here — cheap); the audit is explicitly
+            # a query-running diagnostic
+            r = plan_report(df, execute_for_codegen=True)
             scans = "/".join(str(len(c)) for c in r["scan_columns"])
             joins = ",".join(r["joins"]) or "-"
             pf = len(r["pushed_filters"])
