@@ -1320,6 +1320,25 @@ def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(qs, emb.sdf, "embedding", "vec_id", k=3, exact=True)
 
 
+def q_dedup_embedding_leakage(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Embedding-level train/test LEAKAGE: the corpus split into two
+    deterministic md5-hash halves (the same split ``dataset_split``
+    assigns), cross-pairs with cosine >= 0.4 found via the banded
+    hyperplane index restricted to cross-side candidates. The
+    embedding twin of ``dedup_contamination`` — catches paraphrase
+    leaks shingle dedup can't see."""
+    from charmpandas_spark.functions.sampling import hash_bucket
+    from charmpandas_spark.functions.similarity import (
+        cosine_pairs_ann_cross)
+    emb = _t(spark, sf_dir, "embeddings").sdf
+    bucket = hash_bucket(F.col("vec_id"), 0, "md5")
+    train = emb.filter(bucket < 5000)
+    test = emb.filter(bucket >= 5000)
+    return cosine_pairs_ann_cross(train, test, "embedding", "vec_id",
+                                  threshold=0.4, num_tables=12)
+
+
 def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: every document split into 32-token
     chunks with 4-token overlap — zero-shuffle (rides the scan, the
@@ -1483,6 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": q_tpch_q20,
         "text_chunks": q_text_chunks,
         "text_redact_pii": q_text_redact_pii,
+        "dedup_embedding_leakage": q_dedup_embedding_leakage,
         # --- (2) §2 core, re-proven every round; join suite rotates
         #     (r4: inner+full; the rest were r3 green and sit at
         #     position ~51+ to lead the r5 window) ---
@@ -1524,9 +1544,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": q_tpch_q19,
         "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
-        "window_rank": q_window_rank,
         # ~position 50: everything below rides its latest green row
         # and leads the r5 window ---
+        "window_rank": q_window_rank,
         "concat": q_concat,
         "intersect": q_intersect,
         "distinct": q_distinct,
@@ -1763,6 +1783,50 @@ def _cosine_ann_sql(dims: int = 64, num_tables: int = 8,
             SELECT DISTINCT a.id AS id_a, b.id AS id_b
             FROM banded a JOIN banded b
               ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id)
+        SELECT * FROM (
+            SELECT c.id_a, c.id_b,
+                   FLOOR(({cos}) * 10000) / 10000 AS cosine
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.id_a
+            JOIN embeddings eb ON eb.vec_id = c.id_b)
+        WHERE cosine >= {threshold}
+    """
+
+
+def _cosine_ann_cross_sql(dims: int = 64, num_tables: int = 12,
+                          num_planes: int = 8, threshold: float = 0.4,
+                          seed: int = 71) -> str:
+    """DuckDB twin of ``cosine_pairs_ann_cross`` over the md5-hash
+    train/test halves of embeddings: same banded index, candidates
+    restricted to cross-side collisions (side a = bucket < 5000)."""
+    from charmpandas_spark.functions import dedup as dedup_mod
+    from charmpandas_spark.functions.similarity import _plane_component
+
+    h = dedup_mod.hash64_sql("CAST(vec_id AS VARCHAR)")
+
+    def bucket_expr(vec: str, t: int) -> str:
+        terms = []
+        for p in range(num_planes):
+            plane = ",".join(repr(_plane_component(p, d, seed + 101 * t))
+                             for d in range(dims))
+            terms.append(
+                f"CASE WHEN list_inner_product({vec}::DOUBLE[], "
+                f"[{plane}]::DOUBLE[]) >= 0 THEN {1 << p} ELSE 0 END")
+        return " + ".join(terms)
+
+    band_union = " UNION ALL ".join(
+        f"SELECT vec_id AS id, ({h}) % 10000 < 5000 AS is_train, "
+        f"{t} AS tbl, ({bucket_expr('embedding', t)}) AS bucket "
+        f"FROM embeddings"
+        for t in range(num_tables))
+    cos = _cosine_sql("ea.embedding", "eb.embedding")
+    return f"""
+        WITH banded AS ({band_union}),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM banded a JOIN banded b
+              ON a.tbl = b.tbl AND a.bucket = b.bucket
+             AND a.is_train AND NOT b.is_train)
         SELECT * FROM (
             SELECT c.id_a, c.id_b,
                    FLOOR(({cos}) * 10000) / 10000 AS cosine
@@ -2240,6 +2304,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE FLOOR(({cos_pair}) * 10000) / 10000 >= 0.4
         """,
         "dedup_embedding_cosine_ann": _cosine_ann_sql(64, 12, 8, 0.4),
+        "dedup_embedding_leakage": _cosine_ann_cross_sql(64, 12, 8, 0.4),
         "dedup_corpus": f"""
             WITH base AS (SELECT doc_id,
                                  {word_shingles_sql('text', 3)} AS sh

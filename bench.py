@@ -95,6 +95,7 @@ def bench_queries(spark, sf_dir):
         "sim_knn_join",
         "text_chunks",
         "text_redact_pii",
+        "dedup_embedding_leakage",
     ]
     return {n: qs[n] for n in names if n in qs}
 

@@ -28,6 +28,7 @@ __all__ = [
     "cosine_topk",
     "cosine_pairs",
     "cosine_pairs_ann",
+    "cosine_pairs_ann_cross",
     "hyperplane_bucket",
     "hyperplane_buckets_batch",
     "ann_lsh_topk",
@@ -211,6 +212,91 @@ def cosine_pairs_ann(
     sim = F.when((F.col("na") == 0.0) | (F.col("nb") == 0.0),
                  F.lit(None)).otherwise(
         dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+    out = (cand.join(va, "id_a").join(vb, "id_b")
+               .select("id_a", "id_b",
+                       (F.floor(sim * 10000) / 10000).alias("cosine"))
+               .filter(F.col("cosine") >= threshold))
+    out._cps_persisted = [v, banded]  # see dedup.release()
+    return out
+
+
+def cosine_pairs_ann_cross(
+    df_a: SparkDF,
+    df_b: SparkDF,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    num_tables: int = 12,
+    num_planes: int | None = None,
+    seed: int = 71,
+) -> SparkDF:
+    """Cross-corpus embedding near-dup — train/test LEAKAGE detection
+    at the embedding level: pairs (one row from ``df_a``, one from
+    ``df_b``) with cosine >= ``threshold``, found via the same banded
+    hyperplane index as :func:`cosine_pairs_ann` but with candidates
+    restricted to pairs that SPAN the corpora (within-corpus dupes are
+    ``cosine_pairs_ann``'s job). The text-level twin is
+    ``dedup.cross_corpus_pairs``; this catches paraphrase-level leaks
+    that survive shingle dedup.
+
+    No id-ordering constraint: ids may overlap between corpora (an
+    identical id on both sides is a genuine leak and is reported).
+    One banded index build over the union (side-tagged), one hash
+    join on (table, bucket) with ``a.side < b.side``, exact cosine on
+    candidates — same sub-quadratic shape and persist/release
+    contract as the within-corpus path.
+    """
+    from pyspark import StorageLevel
+
+    from .dedup import spread
+
+    dims = _probe_dims(df_a, vec_col)
+    if dims is None:
+        dims = _probe_dims(df_b, vec_col)
+    if dims is None:
+        from pyspark.sql import types as T
+
+        id_t = df_a.schema[id_col].dataType
+        return df_a.sparkSession.createDataFrame([], T.StructType([
+            T.StructField("id_a", id_t),
+            T.StructField("id_b", id_t),
+            T.StructField("cosine", T.DoubleType()),
+        ]))
+    if num_planes is None:
+        import math
+
+        n = df_a.count() + df_b.count()
+        num_planes = max(8, math.ceil(math.log2(max(n, 2))) - 3)
+    tag = (df_a.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).alias("vec"))
+               .withColumn("side", F.lit(0))
+               .unionByName(
+                   df_b.select(F.col(id_col).alias("id"),
+                               F.col(vec_col).alias("vec"))
+                       .withColumn("side", F.lit(1))))
+    v = spread(tag.withColumn("nrm", l2_norm(F.col("vec")))) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    buckets = hyperplane_buckets_batch(dims, num_tables, num_planes, seed)
+    banded = (v.select("id", "side",
+                       F.posexplode(buckets(F.col("vec")))
+                       .alias("tbl", "bucket"))
+               .persist(StorageLevel.MEMORY_AND_DISK))
+    a = banded.filter(F.col("side") == 0).alias("a")
+    b = banded.filter(F.col("side") == 1).alias("b")
+    cand = (a.join(b, on=[F.col("a.tbl") == F.col("b.tbl"),
+                          F.col("a.bucket") == F.col("b.bucket")])
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"))
+             .distinct())
+    va = v.filter(F.col("side") == 0).select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vcta"),
+        F.col("nrm").alias("na"))
+    vb = v.filter(F.col("side") == 1).select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vctb"),
+        F.col("nrm").alias("nb"))
+    sim = F.when((F.col("na") == 0.0) | (F.col("nb") == 0.0),
+                 F.lit(None)).otherwise(
+        dot(F.col("vcta"), F.col("vctb")) / (F.col("na") * F.col("nb")))
     out = (cand.join(va, "id_a").join(vb, "id_b")
                .select("id_a", "id_b",
                        (F.floor(sim * 10000) / 10000).alias("cosine"))

@@ -376,6 +376,28 @@ def test_cosine_pairs_ann_subset_of_exact(emb01):
     assert len(ann_m) / max(len(exact_m), 1) >= 0.5
 
 
+def test_cosine_pairs_ann_cross_finds_planted_leak(spark, emb01):
+    """Cross-corpus leakage: a vector planted verbatim on both sides
+    collides in EVERY hash table (identical projections), so it MUST
+    be reported; all output pairs span the corpora with exact
+    cosines (floored 1.0 for the plant)."""
+    from charmpandas_spark.functions.similarity import (
+        cosine_pairs_ann_cross)
+    base = emb01.select("vec_id", "embedding")
+    a = base.filter(F.col("vec_id") < 250)
+    leak = (base.filter(F.col("vec_id") == 0)
+                .select((F.col("vec_id") + 100000).alias("vec_id"),
+                        "embedding"))
+    b = base.filter(F.col("vec_id") >= 250).unionByName(leak)
+    out = cosine_pairs_ann_cross(a, b, "embedding", "vec_id",
+                                 threshold=0.95, num_tables=4,
+                                 num_planes=6).toPandas()
+    assert (0, 100000) in set(zip(out.id_a, out.id_b))
+    assert (out.id_a < 250).all() and (out.id_b >= 250).all()
+    plant = out[(out.id_a == 0) & (out.id_b == 100000)]
+    assert (plant.cosine == 1.0).all()
+
+
 def test_minhash_fast_path_pinned_to_md5(docs01):
     """dedup_minhash_fast (xxhash64) has no DuckDB oracle; pin it to
     the oracle-verified md5 path instead. Same shingling, only hash_fn
