@@ -1320,6 +1320,45 @@ def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(qs, emb.sdf, "embedding", "vec_id", k=3, exact=True)
 
 
+def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink+source round-trip (SURVEY §2.1 extension — the
+    reference reads parquet only): nation written as headered CSV to
+    a temp dir, read back with an explicit schema (no inference
+    scan), values oracle-checked against the parquet original."""
+    import tempfile
+
+    from charmpandas_spark.sources.text_sources import read_csv, write_csv
+    n = _t(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="cps_csv_")
+    write_csv(n, path)
+    return read_csv(
+        spark, path,
+        schema="n_nationkey bigint, n_name string, n_regionkey bigint",
+    ).sdf
+
+
+def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink+source round-trip: supplier written as
+    line-delimited JSON (splittable at scale), read back with an
+    explicit schema; acctbal floored to dodge float-text round-trip
+    formatting differences."""
+    import tempfile
+
+    from charmpandas_spark.sources.text_sources import (
+        read_json, write_json)
+    s = _t(spark, sf_dir, "supplier")
+    path = tempfile.mkdtemp(prefix="cps_json_")
+    write_json(s, path)
+    out = read_json(
+        spark, path,
+        schema=("s_suppkey bigint, s_name string, s_nationkey bigint, "
+                "s_acctbal double"),
+    ).sdf
+    return out.select(
+        "s_suppkey", "s_name", "s_nationkey",
+        (F.floor(F.col("s_acctbal") * 100) / 100).alias("s_acctbal"))
+
+
 def q_dedup_embedding_leakage(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """Embedding-level train/test LEAKAGE: the corpus split into two
@@ -1503,6 +1542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": q_text_chunks,
         "text_redact_pii": q_text_redact_pii,
         "dedup_embedding_leakage": q_dedup_embedding_leakage,
+        "source_csv_roundtrip": q_source_csv_roundtrip,
+        "source_json_roundtrip": q_source_json_roundtrip,
         # --- (2) §2 core, re-proven every round; join suite rotates
         #     (r4: inner+full; the rest were r3 green and sit at
         #     position ~51+ to lead the r5 window) ---
@@ -1521,9 +1562,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot": q_pivot,
         "scalar_reduction": q_scalar_reduction,
         "sort_topk": q_sort_topk,
-        "except": q_except,
-        "string_functions": q_string_functions,
-        "case_when": q_case_when,
         "datetime_filter": q_datetime_filter,
         "int_literal_widening": q_int_literal_widening,
         "tpch_q1": q_tpch_q1,
@@ -1547,6 +1585,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ~position 50: everything below rides its latest green row
         # and leads the r5 window ---
         "window_rank": q_window_rank,
+        "except": q_except,
+        "string_functions": q_string_functions,
+        "case_when": q_case_when,
         "concat": q_concat,
         "intersect": q_intersect,
         "distinct": q_distinct,
@@ -2510,6 +2551,16 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
                             WHERE event_type = 'purchase') b
               ON a.user_id = b.user_id AND a.ts >= b.ts
+        """,
+        # round-trips: the Spark side re-reads its own CSV/JSON write;
+        # the oracle is simply the original table — equality proves
+        # the sink+source pair is lossless
+        "source_csv_roundtrip":
+            "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+        "source_json_roundtrip": """
+            SELECT s_suppkey, s_name, s_nationkey,
+                   FLOOR(s_acctbal * 100) / 100 AS s_acctbal
+            FROM supplier
         """,
         "text_chunks": text_mod.chunk_documents_sql(
             "text", "doc_id", max_tokens=32, overlap=4),

@@ -96,6 +96,8 @@ def bench_queries(spark, sf_dir):
         "text_chunks",
         "text_redact_pii",
         "dedup_embedding_leakage",
+        "source_csv_roundtrip",
+        "source_json_roundtrip",
     ]
     return {n: qs[n] for n in names if n in qs}
 
