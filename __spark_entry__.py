@@ -1323,13 +1323,15 @@ def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink+source round-trip (SURVEY §2.1 extension — the
     reference reads parquet only): nation written as headered CSV to
-    a temp dir, read back with an explicit schema (no inference
+    a temp dir (fixed path, overwritten per run — no /tmp
+    accumulation), read back with an explicit schema (no inference
     scan), values oracle-checked against the parquet original."""
+    import os
     import tempfile
 
     from charmpandas_spark.sources.text_sources import read_csv, write_csv
     n = _t(spark, sf_dir, "nation")
-    path = tempfile.mkdtemp(prefix="cps_csv_")
+    path = os.path.join(tempfile.gettempdir(), "cps_csv_roundtrip")
     write_csv(n, path)
     return read_csv(
         spark, path,
@@ -1340,14 +1342,15 @@ def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines sink+source round-trip: supplier written as
     line-delimited JSON (splittable at scale), read back with an
-    explicit schema; acctbal floored to dodge float-text round-trip
-    formatting differences."""
+    explicit schema (fixed temp path, overwritten per run); acctbal
+    floored to dodge float-text round-trip formatting differences."""
+    import os
     import tempfile
 
     from charmpandas_spark.sources.text_sources import (
         read_json, write_json)
     s = _t(spark, sf_dir, "supplier")
-    path = tempfile.mkdtemp(prefix="cps_json_")
+    path = os.path.join(tempfile.gettempdir(), "cps_json_roundtrip")
     write_json(s, path)
     out = read_json(
         spark, path,
@@ -1413,14 +1416,18 @@ def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _replay_stream(spark: SparkSession, df: DataFrame, prefix: str,
                    n_files: int = 4):
-    """Write ``df`` to a unique temp dir and open it as a file-source
-    stream, ``n_files`` files -> ``n_files`` micro-batches (state must
-    carry across batches for the result to be right)."""
+    """Write ``df`` to a FIXED per-prefix temp dir (overwritten on
+    every invocation, so repeated rounds/bench runs cannot accumulate
+    table copies in /tmp) and open it as a file-source stream,
+    ``n_files`` files -> ``n_files`` micro-batches (state must carry
+    across batches for the result to be right). Only the memory-sink
+    NAME is unique per run — sink tables can't be overwritten."""
+    import os
     import tempfile
     import uuid
 
     from charmpandas_spark.streaming.windows import stream_from_parquet
-    src = tempfile.mkdtemp(prefix=f"cps_{prefix}_")
+    src = os.path.join(tempfile.gettempdir(), f"cps_{prefix}_src")
     df.repartition(n_files).write.mode("overwrite").parquet(src)
     name = f"cps_{prefix}_{uuid.uuid4().hex[:8]}"
     return stream_from_parquet(spark, src, max_files_per_trigger=1), name

@@ -111,6 +111,16 @@ def cosine_pairs(
              .filter(F.col("cosine") >= threshold))
 
 
+def _null_element_masked(vec: Column) -> Column:
+    """Map vectors containing a null ELEMENT to null (whole vector),
+    so the Arrow-batched bucket kernel — where Arrow has already
+    collapsed null elements to NaN — still reproduces the JVM fold's
+    null propagation (bucket 0) instead of the NaN all-ones bucket.
+    One cheap HOF pass per row, JVM-side."""
+    return F.when(F.exists(vec, lambda e: e.isNull()),
+                  F.lit(None)).otherwise(vec)
+
+
 def _probe_dims(df: SparkDF, vec_col: str) -> int | None:
     """Vector dimensionality of the first non-null vector, or None if
     the frame is empty / all vectors are null.
@@ -195,7 +205,7 @@ def cosine_pairs_ann(
                          l2_norm(F.col(vec_col)).alias("nrm"))) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     buckets = hyperplane_buckets_batch(dims, num_tables, num_planes, seed)
-    banded = (v.select("id", F.posexplode(buckets(F.col("vec")))
+    banded = (v.select("id", F.posexplode(buckets(_null_element_masked(F.col("vec"))))
                        .alias("tbl", "bucket"))
                .persist(StorageLevel.MEMORY_AND_DISK))
     a, b = banded.alias("a"), banded.alias("b")
@@ -278,7 +288,7 @@ def cosine_pairs_ann_cross(
         .persist(StorageLevel.MEMORY_AND_DISK)
     buckets = hyperplane_buckets_batch(dims, num_tables, num_planes, seed)
     banded = (v.select("id", "side",
-                       F.posexplode(buckets(F.col("vec")))
+                       F.posexplode(buckets(_null_element_masked(F.col("vec"))))
                        .alias("tbl", "bucket"))
                .persist(StorageLevel.MEMORY_AND_DISK))
     a = banded.filter(F.col("side") == 0).alias("a")
@@ -361,9 +371,18 @@ def hyperplane_buckets_batch(dims: int, num_tables: int,
     Each step is an IEEE-double elementwise FMA-free mul+add, exactly
     what the JVM fold and DuckDB compute.
 
-    Null/ragged/NaN-element vectors get bucket 0 in every table,
-    matching the fold's null propagation (null element -> null
-    projection -> the when() falls to otherwise(0) for every plane).
+    Null/ragged vectors get bucket 0 in every table, matching the
+    fold's null propagation (null element -> null projection -> the
+    when() falls to otherwise(0) for every plane). NaN-element
+    vectors get the ALL-ONES bucket: the fold's projection is NaN,
+    and Spark SQL (like DuckDB) orders NaN above every number, so
+    ``proj >= 0`` is true for every plane. CAVEAT: Arrow's
+    list<double> -> numpy conversion collapses null ELEMENTS to NaN
+    before the kernel runs, so a vector with a null element is
+    indistinguishable from a NaN one here — feed this UDF through
+    :func:`_null_element_masked` (as the ANN call sites do) to map
+    null-element vectors to null JVM-side first, preserving the
+    fold's null-propagation semantics.
 
     At 100 TB: embarrassingly parallel per Arrow batch, no shuffle,
     ~dims x tables x planes flops/row in numpy — the classic
@@ -381,10 +400,13 @@ def hyperplane_buckets_batch(dims: int, num_tables: int,
         n = len(vecs)
         x = np.zeros((n, dims))
         ok = np.zeros(n, dtype=bool)
+        nan = np.zeros(n, dtype=bool)
         for i, v in enumerate(vecs):
             if v is not None and len(v) == dims:
                 arr = np.asarray(v, dtype=np.float64)
-                if not np.isnan(arr).any():
+                if np.isnan(arr).any():
+                    nan[i] = True
+                else:
                     x[i] = arr
                     ok[i] = True
         acc = np.zeros((n, num_tables * num_planes))
@@ -395,6 +417,12 @@ def hyperplane_buckets_batch(dims: int, num_tables: int,
                                 np.arange(num_planes, dtype=np.int64))
         buck = (bits.astype(np.int64) * weights).sum(axis=2)
         buck[~ok] = 0
+        # NaN-element vectors: the fold's projection is NaN and Spark
+        # SQL orders NaN ABOVE every number, so `when(proj >= 0)` sets
+        # EVERY plane bit — all-ones bucket, not 0 (which is only the
+        # null/ragged propagation). The DuckDB oracle agrees (NaN
+        # compares greatest there too).
+        buck[nan] = (1 << num_planes) - 1
         return pd.Series(list(buck))
 
     return buckets

@@ -321,7 +321,10 @@ def chunk_documents(
 def chunk_documents_sql(t: str, id_expr: str, max_tokens: int = 64,
                         overlap: int = 8) -> str:
     """DuckDB twin of :func:`chunk_documents` (same normalize, same
-    chunk geometry) for oracle verification."""
+    chunk geometry) for oracle verification. The CROSS JOIN
+    range(0, 100000) bounds chunk generation at 100k chunks/document
+    (~2.8M tokens at the registered stride) — an oracle-side-only cap,
+    comfortably above the test corpora; the Spark side is unbounded."""
     stride = max_tokens - overlap
     norm = f"trim(regexp_replace(lower({t}), '\\s+', ' ', 'g'))"
     return f"""

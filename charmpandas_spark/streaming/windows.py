@@ -59,12 +59,17 @@ def chunked_range_agg(
     parallelism = keys x time-chunks, which grows WITH the data
     instead of being pinned at n_keys.
 
-    ``order_col``: numeric Column (e.g. ``F.unix_micros("ts")``) —
-    ``window``/``chunk_width`` are in its units. ``aggs``: output
-    name -> aggregate Column; any aggregate whose value depends only
-    on the frame CONTENTS (sum/count/min/max/avg) is exact — the
-    frame multiset is identical to the plain window's, so results
-    (including decimal sums) are bit-identical.
+    ``order_col``: INTEGRAL Column (e.g. ``F.unix_micros("ts")``) —
+    ``window``/``chunk_width`` are in its units. Chunk ids are
+    computed in pure int64 arithmetic (``(t - pmod(t, w)) div w`` —
+    pmod makes the numerator an exact multiple, so the division is
+    exact), never via double division, which would silently
+    mis-bucket near chunk boundaries once values exceed 2^53 (e.g.
+    nanosecond epochs). ``aggs``: output name -> aggregate Column;
+    any aggregate whose value depends only on the frame CONTENTS
+    (sum/count/min/max/avg) is exact — the frame multiset is
+    identical to the plain window's, so results (including decimal
+    sums) are bit-identical.
     """
     from pyspark.sql import Window
 
@@ -73,8 +78,12 @@ def chunked_range_agg(
     if chunk_width < window:
         raise ValueError("chunk_width must be >= window so a frame "
                          "never spans more than two chunks")
-    base = df.withColumn("__cps_t", order_col)
-    chunk = F.floor(F.col("__cps_t") / chunk_width)
+    base = df.withColumn("__cps_t", order_col.cast("long"))
+    # int64-exact floor division (pmod makes the numerator an exact
+    # multiple; SQL `div` is integral) — double division would round
+    # near chunk boundaries above 2^53
+    chunk = F.expr(
+        f"(__cps_t - pmod(__cps_t, {chunk_width}L)) div {chunk_width}L")
     own = (base.withColumn("__cps_chunk", chunk)
                .withColumn("__cps_own", F.lit(True)))
     ctx = (base.withColumn("__cps_chunk", chunk + 1)

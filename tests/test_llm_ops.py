@@ -667,6 +667,41 @@ def test_hyperplane_batch_bits_match_jvm_fold(spark, emb01):
         assert list(want[f"b{t}"]) == [bk[t] for bk in got["bk"]]
 
 
+def test_hyperplane_batch_nan_null_parity_with_fold(spark):
+    """Degenerate vectors must bucket identically in the (masked)
+    batch kernel and the JVM fold: null element -> 0 (null
+    propagation; Arrow collapses null elements to NaN, so the call
+    sites mask them to null JVM-side first), NaN element -> all-ones
+    (Spark orders NaN above every number, so proj >= 0 holds for
+    every plane)."""
+    from pyspark.sql import types as T
+
+    from charmpandas_spark.functions.similarity import (
+        _null_element_masked, hyperplane_bucket,
+        hyperplane_buckets_batch)
+
+    dims, planes = 4, 6
+    rows = [
+        (1, [1.0, -2.0, 0.5, 3.0]),
+        (2, [1.0, float("nan"), 0.5, 3.0]),
+        (3, [1.0, None, 0.5, 3.0]),
+        (4, None),
+    ]
+    sdf = spark.createDataFrame(
+        rows, T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.ArrayType(T.DoubleType()))]))
+    batch = hyperplane_buckets_batch(dims, 1, planes, seed=71)
+    got = {r.id: r.bk[0] for r in
+           sdf.select("id", batch(_null_element_masked(F.col("v")))
+                      .alias("bk")).collect()}
+    fold = hyperplane_bucket(F.col("v"), dims, planes, seed=71)
+    want = {r.id: r.b for r in sdf.select("id", fold.alias("b")).collect()}
+    assert got == want
+    assert got[2] == (1 << planes) - 1  # NaN: every plane bit set
+    assert got[3] == 0 and got[4] == 0  # null propagation
+
+
 def test_cosine_ann_null_first_vector_not_empty(spark):
     """ADVICE r3 (medium): a null vector in the FIRST row must not be
     mistaken for an empty corpus — the dims probe re-probes the

@@ -86,6 +86,15 @@ def main():
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
             continue
+        finally:
+            # free MEMORY_AND_DISK pins (ANN/minhash intermediates) so
+            # a 100-query session doesn't accumulate executor caches
+            try:
+                from charmpandas_spark.functions.dedup import release
+
+                release(sdf)
+            except Exception:
+                pass
         if name not in oracles:
             print(f"SKIP {name}: no oracle (rows-only: {len(spark_pdf)})")
             continue
