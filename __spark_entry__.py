@@ -1502,6 +1502,48 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_kept")))
 
 
+def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM windowed inner join, driver-checked against the
+    batch interval join: clicks x purchases per user where the
+    purchase lands within [click - 1h, click].
+
+    Determinism contract: the REPLAY runs with an effectively
+    unbounded watermark (10 years), so no state is evicted and no
+    row is late whatever order the file source feeds the four
+    micro-batches in — the joined set is exactly the batch interval
+    join, which is what the oracle states. (A tight watermark is the
+    production setting for bounded state; its eviction semantics are
+    covered by ``tests/test_stream_joins.py``. A time-ordered replay
+    with watermark > bound is NOT sufficient here because the file
+    source orders batches by file modification time, which a
+    parallel write does not guarantee ascending.)"""
+    import os
+    import tempfile
+    import uuid
+
+    from charmpandas_spark.streaming.joins import stream_stream_join
+    from charmpandas_spark.streaming.windows import stream_from_parquet
+    ev = _t(spark, sf_dir, "events").sdf
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select("event_id", "user_id", "ts")
+    purch = ev.filter(F.col("event_type") == "purchase") \
+              .select(F.col("event_id").alias("p_event_id"),
+                      "user_id", "ts")
+    srcs = []
+    for tag, side in (("ssl", clicks), ("ssr", purch)):
+        path = os.path.join(tempfile.gettempdir(), f"cps_{tag}_src")
+        side.repartition(4).write.mode("overwrite").parquet(path)
+        srcs.append(stream_from_parquet(spark, path,
+                                        max_files_per_trigger=1))
+    out = stream_stream_join(srcs[0], srcs[1], key="user_id",
+                             max_delay="1 hour", watermark="3650 days")
+    name = f"cps_ssj_{uuid.uuid4().hex[:8]}"
+    _run_stream(spark, out.select(F.col("event_id").alias("click_id"),
+                                  F.col("p_event_id").alias("purchase_id")),
+                name, "append")
+    return spark.table(name)
+
+
 def q_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join (broadcast dim, re-read per
     micro-batch): purchase events replayed as a stream, enriched with
@@ -1542,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_running_totals": q_streaming_running_totals,
         "streaming_dedup": q_streaming_dedup,
         "streaming_static_join": q_streaming_static_join,
+        "streaming_stream_join": q_streaming_stream_join,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
         "tpch_q11": q_tpch_q11,
@@ -2602,6 +2645,16 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT event_id, user_id FROM events
                   WHERE event_type = 'purchase') e
             LEFT JOIN customer c ON e.user_id = c.c_custkey
+        """,
+        "streaming_stream_join": """
+            SELECT c.event_id AS click_id, p.event_id AS purchase_id
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') c
+            JOIN (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id
+             AND p.ts <= c.ts
+             AND p.ts >= c.ts - INTERVAL 1 HOUR
         """,
         "events_interval_join": """
             SELECT c.event_id, e.event_id AS error_id
