@@ -1391,6 +1391,16 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                            max_tokens=32, overlap=4)
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signals: per-doc top-bigram
+    fraction and distinct-token ratio (template/boilerplate
+    detectors). Two partial-aggregated shuffles; fractions are
+    floored rationals, null under 2 tokens."""
+    from charmpandas_spark.functions.text import repetition_stats
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs.sdf, "text", "doc_id")
+
+
 def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub pass: emails/IPv4s/phone shapes replaced with typed
     placeholders. The corpus has no real PII, so each doc gets a
@@ -1591,6 +1601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": q_tpch_q20,
         "text_chunks": q_text_chunks,
         "text_redact_pii": q_text_redact_pii,
+        "text_repetition": q_text_repetition,
         "dedup_embedding_leakage": q_dedup_embedding_leakage,
         "source_csv_roundtrip": q_source_csv_roundtrip,
         "source_json_roundtrip": q_source_json_roundtrip,
@@ -2612,6 +2623,8 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(s_acctbal * 100) / 100 AS s_acctbal
             FROM supplier
         """,
+        "text_repetition": text_mod.repetition_stats_sql(
+            "text", "doc_id"),
         "text_chunks": text_mod.chunk_documents_sql(
             "text", "doc_id", max_tokens=32, overlap=4),
         "text_redact_pii": f"""

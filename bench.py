@@ -98,6 +98,7 @@ def bench_queries(spark, sf_dir):
         "dedup_embedding_leakage",
         "source_csv_roundtrip",
         "source_json_roundtrip",
+        "text_repetition",
     ]
     return {n: qs[n] for n in names if n in qs}
 

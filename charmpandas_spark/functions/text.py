@@ -30,6 +30,9 @@ __all__ = [
     "word_shingles",
     "corpus_vocab",
     "tf_idf",
+    "chunk_documents",
+    "redact_pii",
+    "repetition_stats",
     "LANG_STOPWORDS",
     "TOKEN_REGEX",
 ]
@@ -374,3 +377,89 @@ def redact_pii_sql(t: str) -> str:
         sql_pat = pat.replace("'", "''")
         out = f"regexp_replace({out}, '{sql_pat}', '{tag}', 'g')"
     return out
+
+
+def repetition_stats(
+    df: SparkDF,
+    text_col: str,
+    id_col: str,
+) -> SparkDF:
+    """Gopher-style repetition signals per document: the fraction of
+    all word 2-grams taken by the single most frequent one
+    (``top_bigram_frac``) and the distinct-token ratio
+    (``distinct_token_frac``) — the standard template/boilerplate
+    detectors a web-corpus filter stack applies before training.
+
+    Bigrams are built JVM-side from the token array (one HOF pass per
+    row), then one shuffle on (doc, bigram) for the counts and one on
+    doc for the roll-up — both partial-aggregated map-side. Fractions
+    are exact rationals floored at 1e-6 (cross-engine parity); both
+    are null for documents with fewer than 2 tokens.
+    """
+    tk = F.col("__cps_toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tk) - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.element_at(tk, i),
+                              F.element_at(tk, i + 1)))
+    base = (df.select(F.col(id_col).alias("doc"),
+                      F.split(normalize_text(text_col), " ")
+                       .alias("__cps_toks"))
+              .select("doc",
+                      F.size(tk).alias("n_toks"),
+                      F.size(F.array_distinct(tk)).alias("n_distinct"),
+                      F.explode(
+                          F.when(F.size(tk) >= 2, grams)
+                           .otherwise(F.array().cast("array<string>")))
+                      .alias("gram")))
+    counts = base.groupBy("doc", "n_toks", "n_distinct", "gram") \
+                 .agg(F.count(F.lit(1)).alias("c"))
+    agg = counts.groupBy("doc", "n_toks", "n_distinct").agg(
+        F.max("c").alias("top_c"),
+        F.sum("c").alias("total"))
+    frac = lambda num, den: F.floor(  # noqa: E731
+        num.cast("double") / den.cast("double") * 1000000) / 1000000
+    out = df.select(F.col(id_col).alias("doc")).join(agg, "doc", "left")
+    return out.select(
+        "doc",
+        F.coalesce(F.col("total"), F.lit(0)).alias("n_bigrams"),
+        F.when(F.col("total") > 0,
+               frac(F.col("top_c"), F.col("total")))
+         .alias("top_bigram_frac"),
+        F.when(F.col("total") > 0,
+               frac(F.col("n_distinct"), F.col("n_toks")))
+         .alias("distinct_token_frac"))
+
+
+def repetition_stats_sql(t: str, id_expr: str) -> str:
+    """DuckDB twin of :func:`repetition_stats`."""
+    norm = f"trim(regexp_replace(lower({t}), '\\s+', ' ', 'g'))"
+    return f"""
+        WITH toks AS (
+            SELECT {id_expr} AS doc, string_split({norm}, ' ') AS tk
+            FROM documents),
+        st AS (SELECT doc, tk, len(tk) AS n_toks,
+                      len(list_distinct(tk)) AS n_distinct
+               FROM toks),
+        grams AS (
+            SELECT doc, n_toks, n_distinct,
+                   tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1]
+                       AS gram
+            FROM st CROSS JOIN range(1, 1000000) r(i)
+            WHERE i <= n_toks - 1),
+        counts AS (
+            SELECT doc, n_toks, n_distinct, gram, COUNT(*) AS c
+            FROM grams GROUP BY 1, 2, 3, 4),
+        agg AS (
+            SELECT doc, n_toks, n_distinct,
+                   MAX(c) AS top_c, SUM(c) AS total
+            FROM counts GROUP BY 1, 2, 3)
+        SELECT s.doc,
+               CAST(COALESCE(a.total, 0) AS BIGINT) AS n_bigrams,
+               CASE WHEN a.total > 0 THEN
+                   FLOOR(CAST(a.top_c AS DOUBLE) / a.total * 1000000)
+                       / 1000000 END AS top_bigram_frac,
+               CASE WHEN a.total > 0 THEN
+                   FLOOR(CAST(a.n_distinct AS DOUBLE) / a.n_toks
+                         * 1000000) / 1000000 END AS distinct_token_frac
+        FROM st s LEFT JOIN agg a USING (doc)
+    """

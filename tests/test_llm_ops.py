@@ -767,3 +767,33 @@ def test_redact_pii_patterns(spark):
     assert out[1] == "server <IP> and <IP> up"
     assert out[2] == "call <PHONE> or <PHONE>"
     assert out[3] == "nothing sensitive here 12345"
+
+
+def test_repetition_stats_matches_python(spark):
+    from collections import Counter
+
+    from charmpandas_spark.functions.text import repetition_stats
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["buy now buy now buy now",        # heavy repetition
+                 "all tokens here are unique",      # none
+                 "one",                             # <2 tokens -> null
+                 ""],                               # empty -> null
+    })
+    got = repetition_stats(_to_sdf(pdf), "text", "doc_id") \
+        .toPandas().set_index("doc").sort_index()
+    for r in pdf.itertuples():
+        toks = r.text.lower().split()
+        row = got.loc[r.doc_id]
+        if len(toks) < 2:
+            assert pd.isna(row.top_bigram_frac)
+            assert row.n_bigrams == 0
+            continue
+        bg = Counter(zip(toks, toks[1:]))
+        total = sum(bg.values())
+        assert row.n_bigrams == total
+        import math
+        assert row.top_bigram_frac == \
+            math.floor(max(bg.values()) / total * 1e6) / 1e6
+        assert row.distinct_token_frac == \
+            math.floor(len(set(toks)) / len(toks) * 1e6) / 1e6
