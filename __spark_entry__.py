@@ -1047,8 +1047,12 @@ def q_dedup_embedding_cosine_ann(spark: SparkSession,
     exact-recall baseline."""
     from charmpandas_spark.functions.similarity import cosine_pairs_ann
     emb = _t(spark, sf_dir, "embeddings")
+    # num_planes PINNED to 8 here: the DuckDB oracle hard-codes 8
+    # planes, and the adaptive default (max(8, ceil(log2(n))-3))
+    # would silently desync candidate sets if the graded table ever
+    # exceeds 2048 rows. Adaptivity stays on for the sf1 bench probe.
     return cosine_pairs_ann(emb.sdf, "embedding", "vec_id",
-                            threshold=0.4, num_tables=12)
+                            threshold=0.4, num_tables=12, num_planes=8)
 
 
 def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1377,8 +1381,11 @@ def q_dedup_embedding_leakage(spark: SparkSession,
     bucket = hash_bucket(F.col("vec_id"), 0, "md5")
     train = emb.filter(bucket < 5000)
     test = emb.filter(bucket >= 5000)
+    # num_planes pinned to 8 to stay in lockstep with the DuckDB
+    # oracle (see q_dedup_embedding_cosine_ann)
     return cosine_pairs_ann_cross(train, test, "embedding", "vec_id",
-                                  threshold=0.4, num_tables=12)
+                                  threshold=0.4, num_tables=12,
+                                  num_planes=8)
 
 
 def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1459,7 +1466,12 @@ def _run_stream(spark: SparkSession, sink_df: DataFrame, name: str,
     try:
         q = (sink_df.writeStream.format("memory").queryName(name)
              .outputMode(mode).trigger(availableNow=True).start())
-        q.awaitTermination(300)
+        # awaitTermination(timeout) returns False if still running:
+        # proceeding then would read PARTIAL micro-batch state from
+        # the memory sink — a silently wrong result. Fail loudly.
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(f"stream {name} did not finish in 300s")
     finally:
         spark.conf.set(key, old)
 

@@ -148,6 +148,20 @@ def _auto_max_df(corpus_rows: int) -> int:
 
     return max(100, math.ceil(0.01 * corpus_rows))
 
+
+def _lazy_auto_cap(inv: SparkDF, df: SparkDF, df_col: str) -> SparkDF:
+    """Apply the ``"auto"`` stop-shingle cap WITHOUT an eager action:
+    the corpus row count rides the plan as a broadcast 1-row aggregate
+    (same pattern as TF-IDF's N), so building the frame stays lazy —
+    r4 resolved "auto" via an eager ``df.count()`` at construction
+    time even when the result was never materialized."""
+    total = df.select(F.count(F.lit(1)).alias("__cps_total"))
+    cap = F.greatest(F.lit(100).cast("bigint"),
+                     F.ceil(F.lit(0.01) * F.col("__cps_total")))
+    return (inv.crossJoin(F.broadcast(total))
+               .filter(F.col(df_col) <= cap)
+               .drop("__cps_total"))
+
 def ngram_jaccard_pairs(
     df: SparkDF,
     text_col: str,
@@ -189,8 +203,8 @@ def ngram_jaccard_pairs(
     """
     from pyspark import StorageLevel
 
-    if max_df == "auto":
-        max_df = None if use_chars else _auto_max_df(df.count())
+    if max_df == "auto" and use_chars:
+        max_df = None  # char k-grams: df cap would gut the similarity
 
     # persist the shingle projection: both sides of the inverted-index
     # self-join read it, so the normalize+transform runs once.
@@ -205,9 +219,14 @@ def ngram_jaccard_pairs(
         # window shuffles on shingle — the exact partitioning the
         # self-join below needs anyway.
         w = Window.partitionBy("shingle")
-        inv = (inv.withColumn("__cps_df", F.count(F.lit(1)).over(w))
-                  .filter(F.col("__cps_df") <= max_df)
-                  .drop("__cps_df"))
+        inv = inv.withColumn("__cps_df", F.count(F.lit(1)).over(w))
+        if max_df == "auto":
+            # lazy: the 1%-of-corpus cap is resolved in-plan, not via
+            # an eager count at construction time (r5 contract fix)
+            inv = _lazy_auto_cap(inv, df, "__cps_df")
+        else:
+            inv = inv.filter(F.col("__cps_df") <= max_df)
+        inv = inv.drop("__cps_df")
     # Never broadcast an inverted index: Catalyst's size estimate
     # predates the explode, so the 64 MB dim-table broadcast threshold
     # happily ships millions of (doc, shingle) rows to the driver —
@@ -275,16 +294,15 @@ def cross_corpus_pairs(
         inv = base.select(F.col("doc").alias(f"doc_{side}"),
                           F.col("sz").alias(f"sz_{side}"),
                           F.explode("sh").alias("shingle"))
-        if max_df == "auto":  # word shingles only — see ngram_jaccard_pairs
-            cap = None if use_chars else _auto_max_df(df.count())
-        else:
-            cap = max_df
+        cap = None if (max_df == "auto" and use_chars) else max_df
         if cap is not None:
             w = Window.partitionBy("shingle")
-            inv = (inv.withColumn("__cps_df",
-                                  F.count(F.lit(1)).over(w))
-                      .filter(F.col("__cps_df") <= cap)
-                      .drop("__cps_df"))
+            inv = inv.withColumn("__cps_df", F.count(F.lit(1)).over(w))
+            if cap == "auto":  # lazy in-plan resolution, see above
+                inv = _lazy_auto_cap(inv, df, "__cps_df")
+            else:
+                inv = inv.filter(F.col("__cps_df") <= cap)
+            inv = inv.drop("__cps_df")
         return inv.persist(StorageLevel.MEMORY_AND_DISK), base
 
     (inv_a, base_a), (inv_b, base_b) = _inv(df_a, "a"), _inv(df_b, "b")
@@ -669,18 +687,26 @@ def simhash_near_dup(
     ``bits/block_bits`` blocks; any pair within ``max_hamming`` must
     agree exactly on >= 1 block (when blocks > max_hamming), so
     bucket-join on block value instead of cross-joining."""
-    sig = simhash(df, text_col, id_col, bits, hash_fn)
+    from pyspark import StorageLevel
+
     nblocks = bits // block_bits
     if nblocks <= max_hamming:
         raise ValueError("need bits/block_bits > max_hamming for the "
                          "pigeonhole guarantee")
+    # the signature pipeline (explode tokens + ``bits`` conditional
+    # sums) feeds BOTH sides of the self-join below; without a pin it
+    # is recomputed per branch (measured 7.1 s vs 1.6 s for the
+    # signatures alone at sf0.1) — same fix as cosine_pairs_ann
+    sig = (simhash(df, text_col, id_col, bits, hash_fn)
+           .persist(StorageLevel.MEMORY_AND_DISK))
     mask = (1 << block_bits) - 1
     blocks = sig.select(
         "doc", "simhash",
         F.posexplode(F.array(*[
             F.shiftright("simhash", i * block_bits).bitwiseAND(F.lit(mask))
             for i in range(nblocks)
-        ])).alias("block_idx", "block_val"))
+        ])).alias("block_idx", "block_val")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (a.join(b, on=[F.col("a.block_idx") == F.col("b.block_idx"),
                           F.col("a.block_val") == F.col("b.block_val"),
@@ -691,6 +717,8 @@ def simhash_near_dup(
                      F.col("b.simhash").alias("sig_b"))
              .distinct())
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (cand.withColumn("hamming", ham)
-                .filter(F.col("hamming") <= max_hamming)
-                .select("doc_a", "doc_b", "hamming"))
+    out = (cand.withColumn("hamming", ham)
+               .filter(F.col("hamming") <= max_hamming)
+               .select("doc_a", "doc_b", "hamming"))
+    out._cps_persisted = [sig, blocks]  # see release()
+    return out

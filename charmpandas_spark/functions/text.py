@@ -327,7 +327,11 @@ def chunk_documents_sql(t: str, id_expr: str, max_tokens: int = 64,
     chunk geometry) for oracle verification. The CROSS JOIN
     range(0, 100000) bounds chunk generation at 100k chunks/document
     (~2.8M tokens at the registered stride) — an oracle-side-only cap,
-    comfortably above the test corpora; the Spark side is unbounded."""
+    comfortably above the test corpora; the Spark side is unbounded.
+    A guard CTE makes the cap LOUD: if any document ever needs more
+    chunks than the range provides, the oracle raises instead of
+    silently under-producing rows (range() can't take a subquery
+    bound in DuckDB, so the bound can't be derived from max(n))."""
     stride = max_tokens - overlap
     norm = f"trim(regexp_replace(lower({t}), '\\s+', ' ', 'g'))"
     return f"""
@@ -336,10 +340,16 @@ def chunk_documents_sql(t: str, id_expr: str, max_tokens: int = 64,
                    string_split({norm}, ' ') AS tk,
                    len(string_split({norm}, ' ')) AS n
             FROM documents),
+        guard AS (
+            SELECT CASE WHEN MAX(n) >= 100000 * {stride}
+                        THEN error('chunk oracle cap exceeded: doc over '
+                                   || (100000 * {stride}) || ' tokens')
+                        ELSE 1 END AS ok
+            FROM toks),
         st AS (
             SELECT doc, tk, n, CAST(k AS INT) AS chunk_idx,
                    CAST(k * {stride} AS INT) AS s
-            FROM toks CROSS JOIN range(0, 100000) r(k)
+            FROM toks CROSS JOIN guard CROSS JOIN range(0, 100000) r(k)
             WHERE k * {stride} <= greatest(n - 1, 0))
         SELECT doc, chunk_idx,
                array_to_string(tk[s + 1 : least(s + {max_tokens}, n)], ' ')
