@@ -883,7 +883,7 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     from charmpandas_spark.streaming.windows import chunked_range_agg
     ev = _t(spark, sf_dir, "events")
     out = chunked_range_agg(
-        ev.sdf, ["event_type"], F.unix_micros("ts"),
+        ev.sdf, ["event_type"], "ts",
         {"__cps_roll": F.sum(F.col("value").cast("decimal(18,6)"))},
         window=3_600_000_000)
     return out.select(
@@ -1591,22 +1591,85 @@ def q_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's CORRECTNESS artifact only checks
-    # the first ~50 entries, so ordering = (1) queries never
-    # driver-checked, (2) a §2 core slice re-proven every round
-    # (scan/flagship/a rotating half of the join suite/groupby), (3)
-    # the least-recently-checked backlog (r2-vintage rows), (4) the
-    # freshest greens (r3) at the back. The windowed subset shifts, but
+    # the first ~50 entries, so ordering = (1) queries repaired or
+    # added this round, (2) the least-recently-driver-checked backlog,
+    # (3) a §2 core slice re-proven every round, (4) the freshest
+    # greens at the back. Rotated for r6 per VERDICT r5 item #4 (the
+    # r2/r3-vintage rows PHYSICALLY moved into positions 1-50).
     # tools/check_correctness.py runs ALL of them locally each round
     # (ADVICE r3: never depend on the driver's window size).
     return {
-        # --- (1) new in r4: never driver-checked ---
+        # --- (1) repaired this round (r5 NTZ breakage, VERDICT #1):
+        #     must re-prove green in the r6 window ---
+        "streaming_running_totals": q_streaming_running_totals,
+        "streaming_stream_join": q_streaming_stream_join,
+        "window_range_frame": q_window_range_frame,
+        "events_interval_join": q_events_interval_join,
+        # --- (2) least-recently-driver-checked (r2/r3 vintage, sat at
+        #     positions 51-66 through r5 — VERDICT r5 item #4) ---
+        "concat": q_concat,
+        "intersect": q_intersect,
+        "except": q_except,
+        "distinct": q_distinct,
+        "string_functions": q_string_functions,
+        "case_when": q_case_when,
+        "filter_expr": q_filter_expr,
+        "groupby_count": q_groupby_count,
+        "window_rank": q_window_rank,
+        "join_left": q_join_left,
+        "join_right": q_join_right,
+        "join_left_semi": q_join_left_semi,
+        "join_left_anti": q_join_left_anti,
+        "join_right_semi": q_join_right_semi,
+        "join_right_anti": q_join_right_anti,
+        "join_multikey": q_join_multikey,
+        "tpch_q22": q_tpch_q22,
+        # --- (3) SS2 core slice, re-proven every round ---
+        "scan_project": q_scan_project,
+        "flagship_join_groupby_count": q_flagship_join_groupby_count,
+        "groupby_sum": q_groupby_sum,
+        # --- (4) r3/r4-vintage backlog, next-least-recent ---
+        "datetime_parts": q_datetime_parts,
+        "text_vocab": q_text_vocab,
+        "text_tfidf": q_text_tfidf,
+        "sample_hash": q_sample_hash,
+        "dataset_split": q_dataset_split,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_corpus": q_dedup_corpus,
+        "events_histogram": q_events_histogram,
+        "curation_pipeline": q_curation_pipeline,
+        "sim_topk": q_sim_topk,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_decode": q_multimodal_decode,
+        "events_window": q_events_window,
+        "events_sliding_window": q_events_sliding_window,
+        "events_asof_join": q_events_asof_join,
+        "events_sessionize": q_events_sessionize,
+        "window_lag": q_window_lag,
+        "window_rolling": q_window_rolling,
+        "events_json": q_events_json,
+        "text_lang_id": q_text_lang_id,
+        "text_quality": q_text_quality,
+        "text_token_count": q_text_token_count,
+        "text_fingerprint": q_text_fingerprint,
+        # ~position 50 — everything below rides its latest green row
+        # (r4/r5 checks); tools/check_correctness.py still runs ALL ---
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_fast": q_dedup_minhash_fast,
+        "dedup_embedding_cosine_ann": q_dedup_embedding_cosine_ann,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_contamination": q_dedup_contamination,
+        "sim_ivf": q_sim_ivf,
         "events_merge_asof": q_events_merge_asof,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "sim_knn_join": q_sim_knn_join,
-        "streaming_running_totals": q_streaming_running_totals,
         "streaming_dedup": q_streaming_dedup,
         "streaming_static_join": q_streaming_static_join,
-        "streaming_stream_join": q_streaming_stream_join,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
         "tpch_q11": q_tpch_q11,
@@ -1617,15 +1680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_leakage": q_dedup_embedding_leakage,
         "source_csv_roundtrip": q_source_csv_roundtrip,
         "source_json_roundtrip": q_source_json_roundtrip,
-        # --- (2) §2 core, re-proven every round; join suite rotates
-        #     (r4: inner+full; the rest were r3 green and sit at
-        #     position ~51+ to lead the r5 window) ---
-        "scan_project": q_scan_project,
-        "flagship_join_groupby_count": q_flagship_join_groupby_count,
         "join_inner": q_join_inner,
         "join_full": q_join_full,
-        "groupby_sum": q_groupby_sum,
-        # --- (3) backlog: riding round-2 rows, oldest coverage ---
         "groupby_extended": q_groupby_extended,
         "groupby_ts_key": q_groupby_ts_key,
         "join_timestamp_key": q_join_timestamp_key,
@@ -1654,62 +1710,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": q_tpch_q17,
         "tpch_q19": q_tpch_q19,
         "tpch_q21": q_tpch_q21,
-        "tpch_q22": q_tpch_q22,
-        # ~position 50: everything below rides its latest green row
-        # and leads the r5 window ---
-        "window_rank": q_window_rank,
-        "except": q_except,
-        "string_functions": q_string_functions,
-        "case_when": q_case_when,
-        "concat": q_concat,
-        "intersect": q_intersect,
-        "distinct": q_distinct,
-        "filter_expr": q_filter_expr,
-        "groupby_count": q_groupby_count,
-        "join_left": q_join_left,
-        "join_left_anti": q_join_left_anti,
-        "join_right": q_join_right,
-        "join_left_semi": q_join_left_semi,
-        "join_right_semi": q_join_right_semi,
-        "join_right_anti": q_join_right_anti,
-        "join_multikey": q_join_multikey,
-        # --- (4) r3-green, freshest: back of the rotation ---
-        "window_range_frame": q_window_range_frame,
-        "datetime_parts": q_datetime_parts,
-        "sim_ivf": q_sim_ivf,
-        "text_vocab": q_text_vocab,
-        "text_tfidf": q_text_tfidf,
-        "sample_hash": q_sample_hash,
-        "dataset_split": q_dataset_split,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "dedup_embedding_cosine_ann": q_dedup_embedding_cosine_ann,
-        "dedup_corpus": q_dedup_corpus,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_contamination": q_dedup_contamination,
-        "events_histogram": q_events_histogram,
-        "curation_pipeline": q_curation_pipeline,
-        "sim_topk": q_sim_topk,
-        "sim_ann_lsh": q_sim_ann_lsh,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_decode": q_multimodal_decode,
-        "events_window": q_events_window,
-        "events_sliding_window": q_events_sliding_window,
-        "events_asof_join": q_events_asof_join,
-        "events_interval_join": q_events_interval_join,
-        "events_sessionize": q_events_sessionize,
-        "window_lag": q_window_lag,
-        "window_rolling": q_window_rolling,
-        "events_json": q_events_json,
-        "text_lang_id": q_text_lang_id,
-        "text_quality": q_text_quality,
-        "text_token_count": q_text_token_count,
-        "text_fingerprint": q_text_fingerprint,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_minhash_fast": q_dedup_minhash_fast,
     }
 
 

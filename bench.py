@@ -180,13 +180,19 @@ def run_sf1_probe(spark, budget_sec: float = 180.0) -> dict:
                   file=sys.stderr)
             break
         t0 = time.time()
-        df = qs[name](spark, SF1_DIR)
-        n = len(df.toPandas())
-        out[name] = round(time.time() - t0, 4)
-        release(df)
+        try:
+            df = qs[name](spark, SF1_DIR)
+            n = len(df.toPandas())
+            out[name] = round(time.time() - t0, 4)
+            release(df)
+            print(f"# sf1 {name}: {out[name]:.2f}s ({n} rows)",
+                  file=sys.stderr)
+        except Exception as exc:  # fault-isolate: one bad probe query
+            # must not sink the sf1 block (r5 lesson, VERDICT #2)
+            out[name] = {"err": f"{type(exc).__name__}: {exc}"[:200]}
+            print(f"# sf1 {name}: FAILED {out[name]['err']}",
+                  file=sys.stderr)
         spark.catalog.clearCache()
-        print(f"# sf1 {name}: {out[name]:.2f}s ({n} rows)",
-              file=sys.stderr)
     return out
 
 
@@ -297,19 +303,22 @@ def main():
     # the reference's notebook timing did (cluster already up, prior
     # cells executed). Uses the small dimension tables only — no data
     # from the measured queries is cached.
-    nation = spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
-    region = spark.read.parquet(os.path.join(SF_DIR, "region.parquet"))
-    (nation.join(region, nation.n_regionkey == region.r_regionkey)
-     .groupBy("r_name").count().toPandas())
-    # pre-warm the Python daemon worker pool too (one worker per core
-    # spawns lazily, ~6-8 s across 32 partitions — a fixed session
-    # cost that would otherwise land entirely on the first
-    # pandas_udf/mapInPandas query measured).
-    spark.range(0, 3200, 1, 32).mapInPandas(
-        lambda it: it, "id long").count()
+    try:
+        nation = spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
+        region = spark.read.parquet(os.path.join(SF_DIR, "region.parquet"))
+        (nation.join(region, nation.n_regionkey == region.r_regionkey)
+         .groupBy("r_name").count().toPandas())
+        # pre-warm the Python daemon worker pool too (one worker per
+        # core spawns lazily, ~6-8 s across 32 partitions — a fixed
+        # session cost that would otherwise land entirely on the first
+        # pandas_udf/mapInPandas query measured).
+        spark.range(0, 3200, 1, 32).mapInPandas(
+            lambda it: it, "id long").count()
+    except Exception as exc:  # warmup is best-effort, never fatal
+        print(f"# warmup failed: {exc}", file=sys.stderr)
 
     qs = bench_queries(spark, SF_DIR)
-    timings = {}
+    timings, errors = {}, {}
     for name, fn in qs.items():
         runs = 2 if name == "flagship_join_groupby_count" else 1
         best, n = None, 0
@@ -317,18 +326,27 @@ def main():
         # gate, and this host's vCPUs are timeshared (observed 2-4x
         # run-to-run noise) — min of two warm runs is the steady state
         # the reference's notebook timing also reports.
-        for _ in range(runs):
-            t0 = time.time()
-            df = fn(spark, SF_DIR)
-            n = len(df.toPandas())  # fetch included, like get()
-            dt = round(time.time() - t0, 4)
-            best = dt if best is None else min(best, dt)
-            # hygiene: the dedup/tfidf pipelines pin intermediates
-            # behind their exchanges; freeing them between timed
-            # queries keeps 50 queries' worth of blocks from
-            # accumulating/evicting and polluting later timings.
-            release(df)
+        try:
+            for _ in range(runs):
+                t0 = time.time()
+                df = fn(spark, SF_DIR)
+                n = len(df.toPandas())  # fetch included, like get()
+                dt = round(time.time() - t0, 4)
+                best = dt if best is None else min(best, dt)
+                # hygiene: the dedup/tfidf pipelines pin intermediates
+                # behind their exchanges; freeing them between timed
+                # queries keeps 50 queries' worth of blocks from
+                # accumulating/evicting and polluting later timings.
+                release(df)
+                spark.catalog.clearCache()
+        except Exception as exc:
+            # Per-query fault isolation (r5: one AnalysisException
+            # zeroed the whole round's bench artifact). Record the
+            # error, keep going, ALWAYS reach the final JSON line.
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
             spark.catalog.clearCache()
+            continue
         timings[name] = best
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
@@ -340,6 +358,8 @@ def main():
         "queries": timings,
         "sf": sf,
     }
+    if errors:
+        result["errors"] = errors
     # extras only on the canonical sf0.1 run (the driver's round bench);
     # disable with SPARK_GRAFT_BENCH_SF1=0 / SPARK_GRAFT_BENCH_SKEW=0.
     if sf == 0.1:
@@ -384,6 +404,8 @@ def main():
         ) if k in timings},
         "full": "BENCH_FULL.json",
     }
+    if errors:  # visible in the compact line, details in BENCH_FULL
+        compact["errors"] = sorted(errors)[:8]
     if "sf1" in result:
         compact["sf1"] = result["sf1"]
     if "skew_demo" in result:

@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame as SparkDF, functions as F
 
+from ..timestamps import epoch_micros
+
 __all__ = ["interval_join"]
 
 _BIN = "__cps_bin"
@@ -50,12 +52,12 @@ def interval_join(
     keys = [on] if isinstance(on, str) else list(on or [])
     g_us = granularity_sec * 1_000_000
     lb = left.withColumn(
-        _BIN, F.floor(F.unix_micros(F.col(ts_col)) / F.lit(g_us)))
+        _BIN, F.floor(epoch_micros(ts_col) / F.lit(g_us)))
     rb = right.withColumn(
         _BIN,
         F.explode(F.sequence(
-            F.floor(F.unix_micros(F.col(start_col)) / F.lit(g_us)),
-            F.floor(F.unix_micros(F.col(end_col)) / F.lit(g_us)))))
+            F.floor(epoch_micros(start_col) / F.lit(g_us)),
+            F.floor(epoch_micros(end_col) / F.lit(g_us)))))
     out = (lb.join(rb, keys + [_BIN])
              .filter((F.col(ts_col) >= F.col(start_col))
                      & (F.col(ts_col) <= F.col(end_col)))

@@ -19,6 +19,7 @@ import re
 from pyspark.sql import SparkSession, functions as F
 
 from ..dataframe import DataFrame
+from ..timestamps import ntz_to_ltz
 
 _GLOB_SAFE = re.compile(r"^[\w\-./*?\[\]{},= ]*$")
 _REGEX_HINTS = re.compile(r"[()|+^$\\]|\.\*|\.\+")
@@ -166,6 +167,10 @@ def read_parquet(
         if c in sdf.columns:
             sdf = sdf.withColumn(
                 c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    # Spark 4 infers tz-less parquet timestamps as TIMESTAMP_NTZ,
+    # which watermarks/unix_micros reject; normalize at ingest
+    # (lossless under the UTC session tz — timestamps.py).
+    sdf = ntz_to_ltz(sdf)
     if columns:
         sdf = sdf.select(*columns)
     return DataFrame(sdf)

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame as SparkDF
 
 from ..functions.text import fingerprint
+from ..timestamps import ensure_event_time
 
 __all__ = ["streaming_exact_dedup"]
 
@@ -42,6 +43,7 @@ def streaming_exact_dedup(
     """
     out = stream_df.withColumn(_FP, fingerprint(text_col))
     if ts_col is not None and stream_df.isStreaming:
-        out = out.withWatermark(ts_col, watermark_delay)
+        out = ensure_event_time(out, ts_col).withWatermark(
+            ts_col, watermark_delay)
         return out.dropDuplicatesWithinWatermark([_FP]).drop(_FP)
     return out.dropDuplicates([_FP]).drop(_FP)

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame as SparkDF, functions as F
 
+from ..timestamps import ensure_event_time
+
 __all__ = ["stream_stream_join", "stream_static_join"]
 
 
@@ -32,8 +34,8 @@ def stream_stream_join(
     forever. Columns are suffixed like the engine's batch merge
     (reference ``_l``/``_r`` convention, src/partition.cpp:1099-1102).
     """
-    lw = left.withWatermark(left_ts, watermark)
-    rw = right.withWatermark(right_ts, watermark)
+    lw = ensure_event_time(left, left_ts).withWatermark(left_ts, watermark)
+    rw = ensure_event_time(right, right_ts).withWatermark(right_ts, watermark)
     overlap = (set(lw.columns) & set(rw.columns)) - {key}
     lw = lw.withColumnsRenamed({c: c + suffixes[0] for c in overlap})
     rw = rw.withColumnsRenamed({c: c + suffixes[1] for c in overlap})

@@ -20,6 +20,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame as SparkDF, functions as F
 
+from ..timestamps import ensure_event_time
+
 __all__ = [
     "running_totals_stream",
     "running_totals_batch",
@@ -61,6 +63,7 @@ def running_totals_stream(
     state-store-backed, emitted each micro-batch ('update' mode)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    stream_df = ensure_event_time(stream_df, ts_col)
     return (stream_df.withWatermark(ts_col, watermark)
             .groupBy(F.col(user_col))
             .applyInPandasWithState(
@@ -117,6 +120,7 @@ def threshold_alerts_stream(
             "cum_dev": alerts_dev,
         })
 
+    stream_df = ensure_event_time(stream_df, ts_col)
     return (stream_df.withWatermark(ts_col, watermark)
             .groupBy(F.col(user_col))
             .applyInPandasWithState(

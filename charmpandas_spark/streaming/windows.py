@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame as SparkDF, functions as F
 
+from ..timestamps import ensure_event_time, ntz_to_ltz
+
 __all__ = [
     "tumbling_window_agg",
     "sliding_window_agg",
@@ -59,7 +61,9 @@ def chunked_range_agg(
     parallelism = keys x time-chunks, which grows WITH the data
     instead of being pinned at n_keys.
 
-    ``order_col``: INTEGRAL Column (e.g. ``F.unix_micros("ts")``) —
+    ``order_col``: INTEGRAL Column (e.g.
+    ``timestamps.epoch_micros("ts")``) — or a timestamp column NAME,
+    which is converted to epoch micros NTZ-safely —
     ``window``/``chunk_width`` are in its units. Chunk ids are
     computed in pure int64 arithmetic (``(t - pmod(t, w)) div w`` —
     pmod makes the numerator an exact multiple, so the division is
@@ -78,6 +82,12 @@ def chunked_range_agg(
     if chunk_width < window:
         raise ValueError("chunk_width must be >= window so a frame "
                          "never spans more than two chunks")
+    if isinstance(order_col, str):
+        # accept a raw timestamp column name (any flavor) and derive
+        # integral micros NTZ-safely; Column inputs must already be
+        # integral (documented contract below).
+        from ..timestamps import epoch_micros
+        order_col = epoch_micros(order_col)
     base = df.withColumn("__cps_t", order_col.cast("long"))
     # int64-exact floor division (pmod makes the numerator an exact
     # multiple; SQL `div` is integral) — double division would round
@@ -109,7 +119,7 @@ def tumbling_window_agg(
     streaming inputs; pass ``watermark`` for streaming late-data
     bounds."""
     if watermark:
-        df = df.withWatermark(ts_col, watermark)
+        df = ensure_event_time(df, ts_col).withWatermark(ts_col, watermark)
     keys = keys or []
     return (df.groupBy(F.window(ts_col, window), *keys)
               .agg(F.count(F.lit(1)).alias("n_events"),
@@ -129,7 +139,7 @@ def sliding_window_agg(
 ) -> SparkDF:
     """Sliding (hopping) window aggregation."""
     if watermark:
-        df = df.withWatermark(ts_col, watermark)
+        df = ensure_event_time(df, ts_col).withWatermark(ts_col, watermark)
     keys = keys or []
     return (df.groupBy(F.window(ts_col, window, slide), *keys)
               .agg(F.count(F.lit(1)).alias("n_events"),
@@ -151,7 +161,7 @@ def sessionize(
     operator is streaming-capable with a watermark (state-store
     backed), unlike a gaps-and-islands sort."""
     if watermark:
-        df = df.withWatermark(ts_col, watermark)
+        df = ensure_event_time(df, ts_col).withWatermark(ts_col, watermark)
     return (df.groupBy(F.session_window(ts_col, gap), F.col(user_col))
               .agg(F.count(F.lit(1)).alias("n_events"),
                    F.sum(value_col).alias("sum_value"),
@@ -184,9 +194,12 @@ def stream_from_parquet(spark, path: str, schema=None,
     to replay a table as a stream; schema required by streaming)."""
     if schema is None:
         schema = spark.read.parquet(path).schema
-    return (spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", max_files_per_trigger)
-            .parquet(path))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(path))
+    # normalize NTZ at the stream ingest boundary too (this path
+    # bypasses sources/parquet.read_parquet) — timestamps.py
+    return ntz_to_ltz(stream)
 
 
 def stream_tumbling_counts(
