@@ -121,6 +121,33 @@ def _null_element_masked(vec: Column) -> Column:
                   F.lit(None)).otherwise(vec)
 
 
+_P_MAX_AUTO = 24  # auto-tune bucket width cap: exact to 2^27-row corpora
+
+
+def _mask_auto_planes(banded: SparkDF, corpus: SparkDF) -> SparkDF:
+    """Apply the auto ``num_planes`` formula IN-PLAN: ride the corpus
+    count along as a 1-row broadcast (scale-free BNLJ, same pattern as
+    dedup's ``_lazy_auto_cap``) and keep the first
+    ``p = min(max(8, ceil(log2(n)) - 3), _P_MAX_AUTO)`` planes of each
+    ``_P_MAX_AUTO``-plane bucket via ``bucket mod 2^p`` (planes are
+    ordered LSB-first, so the modulus IS the p-plane bucket).
+    ``pow(2, p)`` is float but exact far beyond p=24. No job runs at
+    construction."""
+    cnt = corpus.agg(F.count(F.lit(1)).alias("__cps_n"))
+    p = F.least(
+        F.greatest(
+            F.lit(8),
+            (F.ceil(F.log2(F.greatest(F.col("__cps_n").cast("double"),
+                                      F.lit(2.0)))) - F.lit(3))
+            .cast("int")),
+        F.lit(_P_MAX_AUTO))
+    return (banded.crossJoin(F.broadcast(cnt))
+                  .withColumn("bucket",
+                              F.pmod(F.col("bucket"),
+                                     F.pow(F.lit(2.0), p).cast("bigint")))
+                  .drop("__cps_n"))
+
+
 def _probe_dims(df: SparkDF, vec_col: str) -> int | None:
     """Vector dimensionality of the first non-null vector, or None if
     the frame is empty / all vectors are null.
@@ -168,8 +195,15 @@ def cosine_pairs_ann(
     (fixed planes would grow it quadratically — the per-pair
     collision rate is constant). n <= ~2^11 resolves to 8 planes, so
     small-corpus results (and their oracles) are stable; beyond that
-    each corpus doubling adds a plane. The count() this needs is a
-    parquet count-star (footer-only) on file sources.
+    each corpus doubling adds a plane. r6: the corpus count resolves
+    IN-PLAN (a 1-row broadcast ride-along, like dedup's
+    ``_lazy_auto_cap``): the UDF emits ``_P_MAX_AUTO``-plane buckets
+    and the bucket key is the first-``p``-planes prefix
+    (``bucket mod 2^p`` — plane components don't depend on the plane
+    COUNT, so the prefix equals the p-plane bucket bit-for-bit).
+    Construction triggers zero jobs; beyond 2^27 rows the auto path
+    caps at ``_P_MAX_AUTO`` planes (pass explicit ``num_planes`` at
+    that scale).
 
     At 100 TB: candidates scale with bucket occupancy (corpus/2^planes
     per table), not corpus^2; the band explode is one shuffle on
@@ -186,28 +220,22 @@ def cosine_pairs_ann(
 
     from .dedup import spread
 
-    dims = _probe_dims(df, vec_col)
-    if dims is None:
-        from pyspark.sql import types as T
-
-        id_t = df.schema[id_col].dataType
-        return df.sparkSession.createDataFrame([], T.StructType([
-            T.StructField("id_a", id_t),
-            T.StructField("id_b", id_t),
-            T.StructField("cosine", T.DoubleType()),
-        ]))
-    if num_planes is None:
-        import math
-
-        num_planes = max(8, math.ceil(math.log2(max(df.count(), 2))) - 3)
     v = spread(df.select(F.col(id_col).alias("id"),
                          F.col(vec_col).alias("vec"),
                          l2_norm(F.col(vec_col)).alias("nrm"))) \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    buckets = hyperplane_buckets_batch(dims, num_tables, num_planes, seed)
-    banded = (v.select("id", F.posexplode(buckets(_null_element_masked(F.col("vec"))))
-                       .alias("tbl", "bucket"))
-               .persist(StorageLevel.MEMORY_AND_DISK))
+    buckets = hyperplane_buckets_batch(
+        None, num_tables,
+        _P_MAX_AUTO if num_planes is None else num_planes, seed)
+    # null(-element) vectors can only yield null cosine — keep them
+    # out of the index so an all-null corpus can't pile up in bucket 0
+    banded = (v.withColumn("__mv", _null_element_masked(F.col("vec")))
+               .filter(F.col("__mv").isNotNull())
+               .select("id", F.posexplode(buckets(F.col("__mv")))
+                       .alias("tbl", "bucket")))
+    if num_planes is None:
+        banded = _mask_auto_planes(banded, df)
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (a.join(b, on=[F.col("a.tbl") == F.col("b.tbl"),
                           F.col("a.bucket") == F.col("b.bucket"),
@@ -260,23 +288,6 @@ def cosine_pairs_ann_cross(
 
     from .dedup import spread
 
-    dims = _probe_dims(df_a, vec_col)
-    if dims is None:
-        dims = _probe_dims(df_b, vec_col)
-    if dims is None:
-        from pyspark.sql import types as T
-
-        id_t = df_a.schema[id_col].dataType
-        return df_a.sparkSession.createDataFrame([], T.StructType([
-            T.StructField("id_a", id_t),
-            T.StructField("id_b", id_t),
-            T.StructField("cosine", T.DoubleType()),
-        ]))
-    if num_planes is None:
-        import math
-
-        n = df_a.count() + df_b.count()
-        num_planes = max(8, math.ceil(math.log2(max(n, 2))) - 3)
     tag = (df_a.select(F.col(id_col).alias("id"),
                        F.col(vec_col).alias("vec"))
                .withColumn("side", F.lit(0))
@@ -286,11 +297,18 @@ def cosine_pairs_ann_cross(
                        .withColumn("side", F.lit(1))))
     v = spread(tag.withColumn("nrm", l2_norm(F.col("vec")))) \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    buckets = hyperplane_buckets_batch(dims, num_tables, num_planes, seed)
-    banded = (v.select("id", "side",
-                       F.posexplode(buckets(_null_element_masked(F.col("vec"))))
-                       .alias("tbl", "bucket"))
-               .persist(StorageLevel.MEMORY_AND_DISK))
+    buckets = hyperplane_buckets_batch(
+        None, num_tables,
+        _P_MAX_AUTO if num_planes is None else num_planes, seed)
+    banded = (v.withColumn("__mv", _null_element_masked(F.col("vec")))
+               .filter(F.col("__mv").isNotNull())
+               .select("id", "side",
+                       F.posexplode(buckets(F.col("__mv")))
+                       .alias("tbl", "bucket")))
+    if num_planes is None:
+        # auto planes over the UNION's row count (both corpora)
+        banded = _mask_auto_planes(banded, tag)
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.filter(F.col("side") == 0).alias("a")
     b = banded.filter(F.col("side") == 1).alias("b")
     cand = (a.join(b, on=[F.col("a.tbl") == F.col("b.tbl"),
@@ -354,7 +372,7 @@ def hyperplane_bucket(vec_col: Column, dims: int, num_planes: int = 12,
     return bucket
 
 
-def hyperplane_buckets_batch(dims: int, num_tables: int,
+def hyperplane_buckets_batch(dims: int | None, num_tables: int,
                              num_planes: int = 8, seed: int = 71):
     """All ``num_tables`` hyperplane bucket ids in one vectorized pass:
     returns a pandas_udf (array<float> -> array<bigint>, one bucket id
@@ -388,21 +406,49 @@ def hyperplane_buckets_batch(dims: int, num_tables: int,
     ~dims x tables x planes flops/row in numpy — the classic
     "vectorized Pandas UDF beats interpreted per-row by 100x" path.
     Constructed lazily (module-level pandas_udf breaks executor
-    unpickling: return-type parsing needs a live session)."""
+    unpickling: return-type parsing needs a live session).
+
+    ``dims=None`` defers dimensionality to RUN time: each executor
+    derives it from the first non-null vector it sees and caches the
+    plane matrix per dims (plane components depend only on
+    (plane, dim, seed), so every worker generates identical planes).
+    This removes the construction-time ``first()`` probe — building
+    the ANN plan triggers ZERO jobs (r5 verdict item #6). Vectors
+    whose length differs from the derived dims bucket to 0, exactly
+    like the probed-dims contract (corpora are expected uniform-dim).
+    """
     from pyspark.sql.functions import pandas_udf
 
-    comps = np.array(
-        [[_plane_component(p, d, seed + 101 * t) for d in range(dims)]
-         for t in range(num_tables) for p in range(num_planes)])
+    def _comps(d_: int) -> np.ndarray:
+        return np.array(
+            [[_plane_component(p, d, seed + 101 * t) for d in range(d_)]
+             for t in range(num_tables) for p in range(num_planes)])
+
+    comps = _comps(dims) if dims is not None else None
+    comps_cache: dict[int, np.ndarray] = {}
 
     @pandas_udf("array<bigint>")
     def buckets(vecs: pd.Series) -> pd.Series:
         n = len(vecs)
-        x = np.zeros((n, dims))
+        batch_dims = dims
+        if batch_dims is None:
+            for v in vecs:
+                if v is not None and len(v) > 0:
+                    batch_dims = len(v)
+                    break
+        if batch_dims is None:  # no valid vector in this batch
+            return pd.Series([np.zeros(num_tables, dtype=np.int64)] * n)
+        if comps is not None:
+            cm = comps
+        else:
+            cm = comps_cache.get(batch_dims)
+            if cm is None:
+                cm = comps_cache[batch_dims] = _comps(batch_dims)
+        x = np.zeros((n, batch_dims))
         ok = np.zeros(n, dtype=bool)
         nan = np.zeros(n, dtype=bool)
         for i, v in enumerate(vecs):
-            if v is not None and len(v) == dims:
+            if v is not None and len(v) == batch_dims:
                 arr = np.asarray(v, dtype=np.float64)
                 if np.isnan(arr).any():
                     nan[i] = True
@@ -410,8 +456,8 @@ def hyperplane_buckets_batch(dims: int, num_tables: int,
                     x[i] = arr
                     ok[i] = True
         acc = np.zeros((n, num_tables * num_planes))
-        for d in range(dims):  # strict dim order == the fold's order
-            acc += x[:, d:d + 1] * comps[:, d]
+        for d in range(batch_dims):  # strict dim order == fold's order
+            acc += x[:, d:d + 1] * cm[:, d]
         bits = (acc >= 0).reshape(n, num_tables, num_planes)
         weights = np.left_shift(np.int64(1),
                                 np.arange(num_planes, dtype=np.int64))
