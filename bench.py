@@ -314,6 +314,22 @@ def main():
         # pandas_udf/mapInPandas query measured).
         spark.range(0, 3200, 1, 32).mapInPandas(
             lambda it: it, "id long").count()
+        # ...and the CHAINED python-operator shape (pandas_udf feeding
+        # mapInPandas in one stage needs a second worker per core —
+        # another ~32 lazy spawns that would otherwise all land on
+        # multimodal_decode, the only chained-python query; r5 local
+        # profile showed it as a ~6 s first-hit cost).
+        from pyspark.sql import functions as _F
+        from pyspark.sql.functions import pandas_udf as _pudf
+        import pandas as _pd
+
+        @_pudf("binary")
+        def _warm_bin(s: _pd.Series) -> _pd.Series:
+            return s.map(lambda v: str(v).encode())
+
+        (spark.range(0, 3200, 1, 32)
+         .select(_warm_bin(_F.col("id")).alias("b"))
+         .mapInPandas(lambda it: it, "b binary").count())
     except Exception as exc:  # warmup is best-effort, never fatal
         print(f"# warmup failed: {exc}", file=sys.stderr)
 

@@ -86,10 +86,15 @@ def zlib_text_decoder(payload: bytes) -> dict:
     oracle can recompute them from the plaintext bit-for-bit."""
     import zlib
 
+    import numpy as np
+
     raw = zlib.decompress(payload)
-    n_lower = sum(1 for b in raw if 0x61 <= b <= 0x7A)
-    n_digit = sum(1 for b in raw if 0x30 <= b <= 0x39)
-    n_space = raw.count(0x20)
+    # numpy byte-class counts (C speed): the per-byte Python loop this
+    # replaces was ~40% of the decode kernel's time at sf0.01
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    n_lower = int(((arr >= 0x61) & (arr <= 0x7A)).sum())
+    n_digit = int(((arr >= 0x30) & (arr <= 0x39)).sum())
+    n_space = int((arr == 0x20).sum())
     return {
         "width": len(raw),
         "height": n_space,
@@ -117,18 +122,20 @@ def decode_stub(payload: bytes) -> dict:
 
     No codec libraries exist in this container, so this produces a
     deterministic fake "decode": width/height derived from the byte
-    length, channel statistics from a 16-bin byte histogram. The
-    surrounding Spark plumbing (schema, batching, partitioning) is
-    exactly what a real decoder runs in."""
+    length, channel statistics from a 16-bin byte histogram (numpy
+    bincount — C speed, same values as the per-byte loop it
+    replaced). The surrounding Spark plumbing (schema, batching,
+    partitioning) is exactly what a real decoder runs in."""
+    import numpy as np
+
     n = len(payload)
-    hist = [0] * 16
-    for by in payload:
-        hist[by >> 4] += 1
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr >> 4, minlength=16)
     total = max(n, 1)
     return {
         "width": int(n % 512) + 1,
         "height": int(n % 384) + 1,
-        "histogram": [h / total for h in hist],
+        "histogram": [float(h) / total for h in hist],
     }
 
 
