@@ -1398,6 +1398,55 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                            max_tokens=32, overlap=4)
 
 
+def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window PACKING (chunk -> pack-then-cut): 32/4 chunks
+    packed into 100-token training sequences via the DISTRIBUTED
+    prefix sum in ``text.pack_sequences`` (range partition + local
+    streamed cumsum + tiny per-partition offset window — never a
+    global single-task window). The oracle is the single-node global
+    window the distributed plan must match bit-for-bit."""
+    from charmpandas_spark.functions.text import (
+        chunk_documents, pack_sequences)
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs.sdf, "text", "doc_id",
+                             max_tokens=32, overlap=4)
+    return pack_sequences(chunks, "n_tokens", ("doc", "chunk_idx"),
+                          budget=100)
+
+
+def _synth_url() -> F.Column:
+    """Deterministic synthetic URL per document (the corpus carries no
+    real URLs): https://[cdn.]{source}.{com|org}/docs/{id}[/ads/...|
+    /body]?ref=r{id%5} — built identically in the DuckDB oracle."""
+    sid = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("cdn.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(".org")).otherwise(F.lit(".com")),
+        F.lit("/docs/"), sid,
+        F.when(F.col("doc_id") % 7 == 0, F.lit("/ads/banner"))
+         .otherwise(F.lit("/body")),
+        F.lit("?ref=r"), (F.col("doc_id") % 5).cast("string"))
+
+
+def q_url_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL curation chain: parse host/registrable-domain/path from
+    each document's (synthesized) URL, drop blocklisted domains via a
+    BROADCAST anti-join and ad-path rows via a pushable regex filter.
+    Zero shuffles on the corpus side — parse + filter ride the scan."""
+    from charmpandas_spark.functions.urls import (
+        filter_blocked_domains, parse_url_parts)
+    docs = _t(spark, sf_dir, "documents")
+    with_url = docs.sdf.withColumn("url", _synth_url())
+    kept = filter_blocked_domains(
+        with_url, "url",
+        blocked=["src3.com", "src7.org", "src11.com"],
+        path_block_regex="^/docs/[0-9]+/ads/")
+    return (parse_url_parts(kept, "url")
+            .select("doc_id", "url_host", "url_domain", "url_path"))
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filter signals: per-doc top-bigram
     fraction and distinct-token ratio (template/boilerplate
@@ -1601,6 +1650,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- (1) repaired this round (r5 NTZ breakage, VERDICT #1):
         #     must re-prove green in the r6 window ---
+        # new in r6, never driver-checked
+        "text_pack": q_text_pack,
+        "url_domain_filter": q_url_domain_filter,
         "streaming_running_totals": q_streaming_running_totals,
         "streaming_stream_join": q_streaming_stream_join,
         "window_range_frame": q_window_range_frame,
@@ -2639,6 +2691,41 @@ def oracle_sql() -> dict[str, str]:
             "text", "doc_id"),
         "text_chunks": text_mod.chunk_documents_sql(
             "text", "doc_id", max_tokens=32, overlap=4),
+        # the single-node global window the distributed prefix-sum
+        # packing must reproduce bit-for-bit
+        "text_pack": text_mod.pack_sequences_sql(
+            text_mod.chunk_documents_sql(
+                "text", "doc_id", max_tokens=32, overlap=4),
+            budget=100),
+        "url_domain_filter": """
+            WITH u AS (
+                SELECT doc_id,
+                       'https://'
+                       || CASE WHEN doc_id % 4 = 0 THEN 'cdn.' ELSE '' END
+                       || source
+                       || CASE WHEN doc_id % 3 = 0 THEN '.org'
+                               ELSE '.com' END
+                       || '/docs/' || CAST(doc_id AS VARCHAR)
+                       || CASE WHEN doc_id % 7 = 0 THEN '/ads/banner'
+                               ELSE '/body' END
+                       || '?ref=r' || CAST(doc_id % 5 AS VARCHAR) AS url
+                FROM documents),
+            parts AS (
+                SELECT doc_id, url,
+                       regexp_extract(url, '^https?://([^/?#]+)', 1)
+                           AS url_host,
+                       regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1)
+                           AS url_path
+                FROM u)
+            SELECT doc_id, url_host,
+                   regexp_extract(url_host, '([^.]+\\.[^.]+)$', 1)
+                       AS url_domain,
+                   url_path
+            FROM parts
+            WHERE regexp_extract(url_host, '([^.]+\\.[^.]+)$', 1)
+                      NOT IN ('src3.com', 'src7.org', 'src11.com')
+              AND NOT regexp_matches(url_path, '^/docs/[0-9]+/ads/')
+        """,
         "text_redact_pii": f"""
             SELECT doc_id,
                    {text_mod.redact_pii_sql(

@@ -99,6 +99,9 @@ def bench_queries(spark, sf_dir):
         "source_csv_roundtrip",
         "source_json_roundtrip",
         "text_repetition",
+        # r6 additions
+        "text_pack",
+        "url_domain_filter",
     ]
     return {n: qs[n] for n in names if n in qs}
 

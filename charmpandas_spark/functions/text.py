@@ -31,6 +31,7 @@ __all__ = [
     "corpus_vocab",
     "tf_idf",
     "chunk_documents",
+    "pack_sequences",
     "redact_pii",
     "repetition_stats",
     "LANG_STOPWORDS",
@@ -356,6 +357,127 @@ def chunk_documents_sql(t: str, id_expr: str, max_tokens: int = 64,
                    AS chunk_text,
                CAST(least(s + {max_tokens}, n) - s AS INT) AS n_tokens
         FROM st
+    """
+
+
+def pack_sequences(
+    chunks,
+    token_col: str = "n_tokens",
+    order_cols: tuple[str, ...] = ("doc", "chunk_idx"),
+    budget: int = 2048,
+    num_partitions: int | None = None,
+):
+    """Context-window PACKING: concatenate chunks in global
+    ``order_cols`` order and cut fixed ``budget``-token training
+    sequences (the GPT-style pack-then-cut pipeline step right after
+    :func:`chunk_documents`). Each chunk is assigned the sequence in
+    which it STARTS (``seq_id``) and its token offset within that
+    sequence (``seq_offset``); a chunk whose tokens straddle a cut
+    continues into the next sequence (``n_seqs`` > 1).
+
+    Scale design — a DISTRIBUTED PREFIX SUM, because the naive
+    ``sum().over(Window.orderBy(...))`` global window collapses the
+    whole corpus into ONE sorted task:
+
+    1. range-repartition on ``order_cols`` (one shuffle; ranges are
+       globally ordered and non-overlapping),
+    2. sort within partitions (local, no shuffle) and stream a
+       running exclusive cumsum per partition via ``mapInPandas``
+       (the batch iterator spans the whole partition in order),
+    3. per-partition token totals (map-side partial agg of the SAME
+       shuffle output — the exchange is reused, not recomputed) feed
+       a tiny ≤num_partitions-row running-offset window (single task
+       over partition COUNT, not data) broadcast back,
+    4. global start = partition offset + local cumsum; seq_id/offset
+       are pure arithmetic.
+
+    Parallelism is bounded by data size at every step; the only
+    single-task structure holds one row per PARTITION. ``order_cols``
+    must be a unique key (ties across a range boundary would make
+    the order — and the packing — nondeterministic).
+    """
+    from pyspark import TaskContext
+    from pyspark.sql import Window
+
+    sdf = chunks
+    spark = sdf.sparkSession
+    if num_partitions is None:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    oc = list(order_cols)
+    ranged = (sdf.repartitionByRange(num_partitions, *oc)
+                 .sortWithinPartitions(*oc))
+
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType)
+    out_schema = StructType(list(sdf.schema.fields) + [
+        StructField("__cps_start", LongType()),
+        StructField("__cps_pid", IntegerType())])
+    tname = token_col
+
+    def cumsum_stream(batches):
+        import pandas as _pd  # noqa: F401 (worker-side)
+        pid = TaskContext.get().partitionId()
+        run = 0
+        for pdf in batches:
+            t = pdf[tname].astype("int64")
+            pdf = pdf.copy()
+            pdf["__cps_start"] = t.cumsum() - t + run
+            pdf["__cps_pid"] = pid
+            run += int(t.sum())
+            yield pdf
+
+    local = ranged.mapInPandas(cumsum_stream, out_schema)
+    totals = (ranged
+              .select(F.spark_partition_id().alias("__cps_pid"),
+                      F.col(tname))
+              .groupBy("__cps_pid")
+              .agg(F.sum(tname).cast("long").alias("__cps_ptot")))
+    w_off = (Window.orderBy("__cps_pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.select(
+        "__cps_pid",
+        F.coalesce(F.sum("__cps_ptot").over(w_off), F.lit(0))
+         .alias("__cps_poff"))
+    start = (F.col("__cps_poff") + F.col("__cps_start")).alias("__s")
+    out = (local.join(F.broadcast(offsets), "__cps_pid")
+                .withColumn("__s", start)
+                .select(*sdf.columns,
+                        F.floor(F.col("__s") / budget)
+                         .cast("long").alias("seq_id"),
+                        F.pmod(F.col("__s"), F.lit(budget))
+                         .cast("long").alias("seq_offset"),
+                        (F.floor((F.col("__s") + F.greatest(
+                            F.col(tname).cast("long"), F.lit(1)) - 1)
+                            / budget) - F.floor(F.col("__s") / budget)
+                         + 1).cast("int").alias("n_seqs")))
+    return out
+
+
+def pack_sequences_sql(chunks_cte: str, budget: int,
+                       token_col: str = "n_tokens",
+                       order_cols: tuple[str, ...] = ("doc", "chunk_idx"),
+                       ) -> str:
+    """DuckDB twin of :func:`pack_sequences`: the single-node global
+    window the distributed prefix sum must match bit-for-bit.
+    ``chunks_cte`` is a complete CTE body producing the chunk rows
+    (e.g. the :func:`chunk_documents_sql` query)."""
+    ob = ", ".join(order_cols)
+    return f"""
+        WITH chunks AS ({chunks_cte}),
+        s AS (
+            SELECT *, COALESCE(SUM({token_col}) OVER (
+                       ORDER BY {ob}
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS st
+            FROM chunks)
+        SELECT * EXCLUDE (st),
+               CAST(FLOOR(st / {budget}) AS BIGINT) AS seq_id,
+               CAST(st % {budget} AS BIGINT) AS seq_offset,
+               CAST(FLOOR((st + GREATEST({token_col}, 1) - 1)
+                          / {budget})
+                    - FLOOR(st / {budget}) + 1 AS INT) AS n_seqs
+        FROM s
     """
 
 

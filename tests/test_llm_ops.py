@@ -797,3 +797,107 @@ def test_repetition_stats_matches_python(spark):
             math.floor(max(bg.values()) / total * 1e6) / 1e6
         assert row.distinct_token_frac == \
             math.floor(len(set(toks)) / len(toks) * 1e6) / 1e6
+
+
+# ---------------------------------------------------------------------------
+# r6: context-window packing + URL/domain filtering
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_matches_single_node_reference(spark):
+    """The distributed prefix sum must equal the trivial sequential
+    pack over the globally-ordered chunk list."""
+    from charmpandas_spark.functions.text import pack_sequences
+    rows = [(d, c, 1 + (d * 7 + c * 3) % 40)
+            for d in range(20) for c in range(d % 5 + 1)]
+    pdf = pd.DataFrame(rows, columns=["doc", "chunk_idx", "n_tokens"])
+    budget = 64
+    got = (pack_sequences(_to_sdf(pdf), "n_tokens",
+                          ("doc", "chunk_idx"), budget=budget,
+                          num_partitions=7)
+           .toPandas().sort_values(["doc", "chunk_idx"])
+           .reset_index(drop=True))
+    start = 0
+    exp = []
+    for r in pdf.sort_values(["doc", "chunk_idx"]).itertuples():
+        end = start + r.n_tokens
+        exp.append((start // budget, start % budget,
+                    (end - 1) // budget - start // budget + 1))
+        start = end
+    assert list(map(tuple, got[["seq_id", "seq_offset",
+                                "n_seqs"]].values)) == exp
+
+
+def test_pack_sequences_budget_invariants(spark, sf_dir):
+    """On real chunks: offsets stay inside the budget, seq_ids are
+    dense from 0, and total token mass equals the last chunk's end."""
+    import charmpandas_spark as cps
+    from charmpandas_spark.functions.text import (
+        chunk_documents, pack_sequences)
+    from pyspark.sql import functions as F
+    docs = cps.read_table(spark, sf_dir, "documents").sdf
+    chunks = chunk_documents(docs, "text", "doc_id",
+                             max_tokens=32, overlap=4)
+    out = pack_sequences(chunks, budget=100)
+    agg = out.agg(
+        F.max("seq_offset").alias("mx_off"),
+        F.min("seq_id").alias("mn_seq"),
+        F.max("seq_id").alias("mx_seq"),
+        F.countDistinct("seq_id").alias("n_seq"),
+        F.sum("n_tokens").alias("tok")).first()
+    assert agg.mx_off < 100 and agg.mn_seq == 0
+    # every sequence between 0 and max is hit (packing leaves no gaps)
+    assert agg.n_seq == agg.mx_seq + 1
+    assert agg.tok > 100  # multiple sequences actually produced
+
+
+def test_pack_sequences_no_global_single_task_window(spark, sf_dir):
+    """The point of the operator: the plan must contain NO
+    partition-less Window (whole-corpus single-task sort). The only
+    global window runs over the per-PARTITION totals (tiny)."""
+    import charmpandas_spark as cps
+    from charmpandas_spark.functions.text import (
+        chunk_documents, pack_sequences)
+    docs = cps.read_table(spark, sf_dir, "documents").sdf
+    chunks = chunk_documents(docs, "text", "doc_id")
+    out = pack_sequences(chunks, budget=256)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+    # windows in the plan must only consume the __cps_ptot side
+    for m in re.finditer(r"Window \[[^\]]*\]", plan):
+        assert "__cps_ptot" in m.group(0), m.group(0)
+
+
+def test_url_parse_and_blocklist(spark):
+    from charmpandas_spark.functions.urls import (
+        filter_blocked_domains, parse_url_parts)
+    pdf = pd.DataFrame({"id": [1, 2, 3, 4, 5], "url": [
+        "https://www.good.com/a/b?x=1",
+        "https://cdn.spam.net/ads/banner",
+        "http://deep.sub.good.com/c",
+        "https://spam.net/landing",
+        "not a url at all",
+    ]})
+    parts = parse_url_parts(_to_sdf(pdf), "url").toPandas() \
+        .set_index("id")
+    assert parts.loc[1, "url_host"] == "www.good.com"
+    assert parts.loc[1, "url_domain"] == "good.com"
+    assert parts.loc[1, "url_path"] == "/a/b"
+    assert parts.loc[3, "url_domain"] == "good.com"
+    kept = filter_blocked_domains(_to_sdf(pdf), "url", ["spam.net"]) \
+        .toPandas()
+    assert sorted(kept["id"]) == [1, 3, 5]  # unparseable row KEPT
+    kept2 = filter_blocked_domains(
+        _to_sdf(pdf), "url", ["spam.net"],
+        path_block_regex="^/a/").toPandas()
+    assert sorted(kept2["id"]) == [3, 5]
+
+
+def test_url_filter_broadcasts_blocklist(spark, sf_dir):
+    """The anti-join must broadcast the blocklist side — the corpus
+    never shuffles for a domain filter."""
+    import __spark_entry__ as entry
+    from charmpandas_spark.plans.explain import (
+        join_strategies, num_exchanges)
+    df = entry.q_url_domain_filter(spark, sf_dir)
+    assert "BroadcastHashJoin" in join_strategies(df)
+    assert num_exchanges(df) == 0
