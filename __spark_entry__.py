@@ -1419,6 +1419,23 @@ def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                           budget=100)
 
 
+def q_text_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NO-SPLIT greedy packing (SFT-style: a chunk never straddles
+    bins): next-fit within ``doc % 64`` groups — exact greedy per
+    group, parallel across groups, one shuffle. The oracle replays
+    the same next-fit recurrence as a DuckDB RECURSIVE CTE (depth =
+    max rows per group, ~tens at sf0.01), so even this inherently
+    sequential operator is value-checked cross-engine."""
+    from charmpandas_spark.functions.text import (
+        chunk_documents, pack_greedy)
+    docs = _t(spark, sf_dir, "documents")
+    chunks = (chunk_documents(docs.sdf, "text", "doc_id",
+                              max_tokens=32, overlap=4)
+              .withColumn("grp", F.col("doc") % 64))
+    return pack_greedy(chunks, "n_tokens", ("doc", "chunk_idx"),
+                       budget=100, group_col="grp")
+
+
 def _synth_url() -> F.Column:
     """Deterministic synthetic URL per document (the corpus carries no
     real URLs): https://[cdn.]{source}.{com|org}/docs/{id}[/ads/...|
@@ -1657,6 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     must re-prove green in the r6 window ---
         # new in r6, never driver-checked
         "text_pack": q_text_pack,
+        "text_pack_greedy": q_text_pack_greedy,
         "url_domain_filter": q_url_domain_filter,
         "streaming_running_totals": q_streaming_running_totals,
         "streaming_stream_join": q_streaming_stream_join,
@@ -2711,6 +2729,38 @@ def oracle_sql() -> dict[str, str]:
             text_mod.chunk_documents_sql(
                 "text", "doc_id", max_tokens=32, overlap=4),
             budget=100),
+        # next-fit greedy replayed as a recursive CTE: anchor = each
+        # group's first chunk; step joins rn = prev + 1 and applies
+        # the same open-new-bin-on-overflow recurrence as
+        # text.pack_greedy's python loop
+        "text_pack_greedy": f"""
+            WITH RECURSIVE chunks AS ({text_mod.chunk_documents_sql(
+                "text", "doc_id", max_tokens=32, overlap=4)}),
+            g AS (SELECT *, doc % 64 AS grp FROM chunks),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY grp ORDER BY doc, chunk_idx) AS rn
+                  FROM g),
+            pack AS (
+                SELECT grp, rn, doc, chunk_idx, chunk_text, n_tokens,
+                       CAST(0 AS BIGINT) AS local_bin,
+                       CAST(n_tokens AS BIGINT) AS fill
+                FROM r WHERE rn = 1
+                UNION ALL
+                SELECT r.grp, r.rn, r.doc, r.chunk_idx, r.chunk_text,
+                       r.n_tokens,
+                       CASE WHEN p.fill > 0 AND p.fill + r.n_tokens > 100
+                            THEN p.local_bin + 1 ELSE p.local_bin END,
+                       CASE WHEN p.fill > 0 AND p.fill + r.n_tokens > 100
+                            THEN CAST(r.n_tokens AS BIGINT)
+                            ELSE p.fill + r.n_tokens END
+                FROM r JOIN pack p
+                  ON r.grp = p.grp AND r.rn = p.rn + 1)
+            SELECT doc, chunk_idx, chunk_text, n_tokens, grp,
+                   grp * 4294967296 + local_bin AS bin_id,
+                   fill AS bin_fill,
+                   n_tokens > 100 AS overflow
+            FROM pack
+        """,
         "url_domain_filter": """
             WITH u AS (
                 SELECT doc_id,

@@ -101,6 +101,7 @@ def bench_queries(spark, sf_dir):
         "text_repetition",
         # r6 additions
         "text_pack",
+        "text_pack_greedy",
         "url_domain_filter",
     ]
     return {n: qs[n] for n in names if n in qs}

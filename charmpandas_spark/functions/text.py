@@ -32,6 +32,7 @@ __all__ = [
     "tf_idf",
     "chunk_documents",
     "pack_sequences",
+    "pack_greedy",
     "redact_pii",
     "repetition_stats",
     "LANG_STOPWORDS",
@@ -451,6 +452,76 @@ def pack_sequences(
                             F.col(tname).cast("long"), F.lit(1)) - 1)
                             / budget) - F.floor(F.col("__s") / budget)
                          + 1).cast("int").alias("n_seqs")))
+    return out
+
+
+def pack_greedy(
+    chunks,
+    token_col: str = "n_tokens",
+    order_cols: tuple[str, ...] = ("doc", "chunk_idx"),
+    budget: int = 2048,
+    group_col: str | None = None,
+    num_groups: int = 1024,
+):
+    """NO-SPLIT packing: greedy next-fit — chunks are never cut; a
+    new bin opens whenever the next chunk would overflow ``budget``
+    (SFT-style packing, where an example must not straddle
+    sequences). Chunks LARGER than the budget get a bin of their own
+    (callers should pre-filter or pre-chunk; they are flagged with
+    ``overflow = true``).
+
+    Greedy packing is inherently sequential, so it cannot be a
+    window function; the scale shape is PARTITIONED greed: rows
+    group by ``group_col`` (default: a deterministic hash of the
+    leading order column into ``num_groups`` buckets), each group is
+    packed independently — exact greedy within a group, parallel
+    across groups, one shuffle total. Bin ids are (group, local_bin)
+    pairs encoded as ``group * 2^32 + local``, globally unique. The
+    packing-efficiency loss vs single-stream greedy is at most one
+    partially-filled trailing bin PER GROUP — negligible when
+    groups >> budget tokens.
+
+    Next-fit (not first-fit-decreasing) is deliberate: it preserves
+    ``order_cols`` order inside every bin, which training pipelines
+    want (document chunks stay adjacent), and it is
+    deterministic with a trivial sequential reference.
+    """
+    from pyspark.sql.types import (
+        BooleanType, LongType, StructField, StructType)
+
+    sdf = chunks
+    if group_col is None:
+        sdf = sdf.withColumn(
+            "__cps_grp",
+            F.pmod(F.xxhash64(F.col(order_cols[0])), F.lit(num_groups)))
+        group_col = "__cps_grp"
+    out_schema = StructType(list(sdf.schema.fields) + [
+        StructField("bin_id", LongType()),
+        StructField("bin_fill", LongType()),
+        StructField("overflow", BooleanType())])
+    oc, tname, gname = list(order_cols), token_col, group_col
+
+    def pack_group(_key, pdf):
+        pdf = pdf.sort_values(oc).reset_index(drop=True)
+        grp = int(pdf[gname].iloc[0])
+        bins, fills, over = [], [], []
+        local, fill = 0, 0
+        for t in pdf[tname].astype("int64"):
+            t = int(t)
+            if fill > 0 and fill + t > budget:
+                local, fill = local + 1, 0
+            bins.append(grp * (1 << 32) + local)
+            fill += t
+            fills.append(fill)
+            over.append(t > budget)
+        pdf = pdf.copy()
+        pdf["bin_id"], pdf["bin_fill"], pdf["overflow"] = bins, fills, over
+        return pdf
+
+    out = (sdf.groupBy(gname)
+              .applyInPandas(pack_group, out_schema))
+    if gname == "__cps_grp":
+        out = out.drop("__cps_grp")
     return out
 
 

@@ -56,15 +56,17 @@ def registrable_domain(url: Column | str) -> Column:
 def parse_url_parts(df: SparkDF, url_col: str,
                     prefix: str = "url_") -> SparkDF:
     """Decompose a URL column into host / registrable domain / path /
-    query — all native expressions, no shuffle."""
+    query — all native expressions, no shuffle. The domain derives
+    from the already-parsed host column (one URL parse per part, not
+    a re-parse per derived column)."""
+    h = f"{prefix}host"
     return df.select(
         "*",
-        url_host(url_col).alias(f"{prefix}host"),
-        registrable_domain(url_col).alias(f"{prefix}domain"),
+        url_host(url_col).alias(h),
         url_path(url_col).alias(f"{prefix}path"),
         F.try_parse_url(F.col(url_col), F.lit("QUERY")).alias(
             f"{prefix}query"),
-    )
+    ).withColumn(f"{prefix}domain", F.substring_index(F.col(h), ".", -2))
 
 
 def filter_blocked_domains(

@@ -901,3 +901,37 @@ def test_url_filter_broadcasts_blocklist(spark, sf_dir):
     df = entry.q_url_domain_filter(spark, sf_dir)
     assert "BroadcastHashJoin" in join_strategies(df)
     assert num_exchanges(df) == 0
+
+
+def test_pack_greedy_matches_sequential_reference(spark):
+    """Partitioned next-fit == per-group sequential greedy; no chunk
+    is ever split, bins never exceed budget except single-chunk
+    overflow bins."""
+    from charmpandas_spark.functions.text import pack_greedy
+    rows = [(d, c, 5 + (d * 11 + c * 7) % 90)
+            for d in range(30) for c in range(d % 4 + 1)]
+    pdf = pd.DataFrame(rows, columns=["doc", "chunk_idx", "n_tokens"])
+    pdf["grp"] = pdf["doc"] % 5
+    budget = 100
+    got = (pack_greedy(_to_sdf(pdf), "n_tokens", ("doc", "chunk_idx"),
+                       budget=budget, group_col="grp")
+           .toPandas().sort_values(["doc", "chunk_idx"])
+           .reset_index(drop=True))
+    # sequential reference per group
+    exp = {}
+    for g, sub in pdf.sort_values(["doc", "chunk_idx"]).groupby("grp"):
+        local, fill = 0, 0
+        for r in sub.itertuples():
+            if fill > 0 and fill + r.n_tokens > budget:
+                local, fill = local + 1, 0
+            fill += r.n_tokens
+            exp[(r.doc, r.chunk_idx)] = (g * (1 << 32) + local, fill,
+                                         r.n_tokens > budget)
+    for r in got.itertuples():
+        assert (r.bin_id, r.bin_fill, r.overflow) == \
+            exp[(r.doc, r.chunk_idx)]
+    # bins never exceed budget unless a single overflowing chunk
+    per_bin = got.groupby("bin_id").agg(tok=("n_tokens", "sum"),
+                                        n=("n_tokens", "size"))
+    bad = per_bin[(per_bin.tok > budget) & (per_bin.n > 1)]
+    assert bad.empty, bad
