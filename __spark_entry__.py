@@ -1676,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack": q_text_pack,
         "text_pack_greedy": q_text_pack_greedy,
         "url_domain_filter": q_url_domain_filter,
+        "sim_ivf": q_sim_ivf,  # oracle NEW in r6 (full-probe contract)
         "streaming_running_totals": q_streaming_running_totals,
         "streaming_stream_join": q_streaming_stream_join,
         "window_range_frame": q_window_range_frame,
@@ -1739,7 +1740,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine_ann": q_dedup_embedding_cosine_ann,
         "dedup_clusters": q_dedup_clusters,
         "dedup_contamination": q_dedup_contamination,
-        "sim_ivf": q_sim_ivf,
         "events_merge_asof": q_events_merge_asof,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "sim_knn_join": q_sim_knn_join,

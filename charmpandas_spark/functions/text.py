@@ -384,11 +384,17 @@ def pack_sequences(
        globally ordered and non-overlapping),
     2. sort within partitions (local, no shuffle) and stream a
        running exclusive cumsum per partition via ``mapInPandas``
-       (the batch iterator spans the whole partition in order),
-    3. per-partition token totals (map-side partial agg of the SAME
-       shuffle output — the exchange is reused, not recomputed) feed
-       a tiny ≤num_partitions-row running-offset window (single task
-       over partition COUNT, not data) broadcast back,
+       (the batch iterator spans the whole partition in order); the
+       cumsum output is pinned MEMORY_AND_DISK because BOTH the data
+       path and the totals path consume it — without the pin,
+       Catalyst's column pruning specializes the two subtrees and
+       the scan+chunk+shuffle+cumsum would run twice (measured: 2
+       scans, zero ReusedExchange). Call ``dedup.release(out)`` to
+       free it, as with the dedup/similarity pipelines,
+    3. per-partition token totals (map-side partial agg of the
+       pinned cumsum) feed a tiny ≤num_partitions-row running-offset
+       window (single task over partition COUNT, not data) broadcast
+       back,
     4. global start = partition offset + local cumsum; seq_id/offset
        are pure arithmetic.
 
@@ -428,10 +434,11 @@ def pack_sequences(
             run += int(t.sum())
             yield pdf
 
-    local = ranged.mapInPandas(cumsum_stream, out_schema)
-    totals = (ranged
-              .select(F.spark_partition_id().alias("__cps_pid"),
-                      F.col(tname))
+    from pyspark import StorageLevel
+
+    local = (ranged.mapInPandas(cumsum_stream, out_schema)
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    totals = (local
               .groupBy("__cps_pid")
               .agg(F.sum(tname).cast("long").alias("__cps_ptot")))
     w_off = (Window.orderBy("__cps_pid")
@@ -452,6 +459,7 @@ def pack_sequences(
                             F.col(tname).cast("long"), F.lit(1)) - 1)
                             / budget) - F.floor(F.col("__s") / budget)
                          + 1).cast("int").alias("n_seqs")))
+    out._cps_persisted = [local]  # see dedup.release()
     return out
 
 

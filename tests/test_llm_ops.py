@@ -811,11 +811,13 @@ def test_pack_sequences_matches_single_node_reference(spark):
             for d in range(20) for c in range(d % 5 + 1)]
     pdf = pd.DataFrame(rows, columns=["doc", "chunk_idx", "n_tokens"])
     budget = 64
-    got = (pack_sequences(_to_sdf(pdf), "n_tokens",
-                          ("doc", "chunk_idx"), budget=budget,
-                          num_partitions=7)
-           .toPandas().sort_values(["doc", "chunk_idx"])
-           .reset_index(drop=True))
+    from charmpandas_spark.functions.dedup import release
+    out = pack_sequences(_to_sdf(pdf), "n_tokens",
+                         ("doc", "chunk_idx"), budget=budget,
+                         num_partitions=7)
+    got = (out.toPandas().sort_values(["doc", "chunk_idx"])
+              .reset_index(drop=True))
+    release(out)
     start = 0
     exp = []
     for r in pdf.sort_values(["doc", "chunk_idx"]).itertuples():
@@ -844,6 +846,8 @@ def test_pack_sequences_budget_invariants(spark, sf_dir):
         F.max("seq_id").alias("mx_seq"),
         F.countDistinct("seq_id").alias("n_seq"),
         F.sum("n_tokens").alias("tok")).first()
+    from charmpandas_spark.functions.dedup import release
+    release(out)
     assert agg.mx_off < 100 and agg.mn_seq == 0
     # every sequence between 0 and max is hit (packing leaves no gaps)
     assert agg.n_seq == agg.mx_seq + 1
@@ -865,6 +869,11 @@ def test_pack_sequences_no_global_single_task_window(spark, sf_dir):
     # windows in the plan must only consume the __cps_ptot side
     for m in re.finditer(r"Window \[[^\]]*\]", plan):
         assert "__cps_ptot" in m.group(0), m.group(0)
+    # both consumers of the cumsum read the MEMORY_AND_DISK pin —
+    # without it the chunk subtree computes twice (r6 plan audit)
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    from charmpandas_spark.functions.dedup import release
+    release(out)
 
 
 def test_url_parse_and_blocklist(spark):
