@@ -1329,6 +1329,28 @@ def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(qs, emb.sdf, "embedding", "vec_id", k=3, exact=True)
 
 
+def q_sink_clustered_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-aware sink round-trip: orders written range-CLUSTERED on
+    o_custkey (each file owns a disjoint contiguous key range, sorted
+    within — the layout parquet min/max row-group pruning needs),
+    read back and value-checked against the original. File-layout
+    invariants (disjoint ranges, maxRecordsPerFile, point predicate
+    hits one file) are pinned in pytest via the parquet footers."""
+    import os
+    import tempfile
+
+    from charmpandas_spark.sources.parquet import write_clustered
+    orders = _t(spark, sf_dir, "orders")
+    path = os.path.join(tempfile.gettempdir(), "cps_clustered_roundtrip")
+    proj = orders.sdf.select(
+        "o_orderkey", "o_custkey",
+        (F.floor(F.col("o_totalprice").cast("double") * 100) / 100)
+        .alias("o_totalprice"))
+    write_clustered(proj, path, cluster_by="o_custkey",
+                    sort_by=["o_custkey", "o_orderkey"])
+    return spark.read.parquet(path)
+
+
 def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink+source round-trip (SURVEY §2.1 extension — the
     reference reads parquet only): nation written as headered CSV to
@@ -1677,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_greedy": q_text_pack_greedy,
         "url_domain_filter": q_url_domain_filter,
         "sim_ivf": q_sim_ivf,  # oracle NEW in r6 (full-probe contract)
+        "sink_clustered_roundtrip": q_sink_clustered_roundtrip,
         "streaming_running_totals": q_streaming_running_totals,
         "streaming_stream_join": q_streaming_stream_join,
         "window_range_frame": q_window_range_frame,
@@ -2714,6 +2737,12 @@ def oracle_sql() -> dict[str, str]:
         # the sink+source pair is lossless
         "source_csv_roundtrip":
             "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+        "sink_clustered_roundtrip": """
+            SELECT o_orderkey, o_custkey,
+                   FLOOR(CAST(o_totalprice AS DOUBLE) * 100) / 100
+                       AS o_totalprice
+            FROM orders
+        """,
         "source_json_roundtrip": """
             SELECT s_suppkey, s_name, s_nationkey,
                    FLOOR(s_acctbal * 100) / 100 AS s_acctbal

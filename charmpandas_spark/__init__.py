@@ -23,6 +23,7 @@ Typical use::
 from .session import get_spark
 from .dataframe import DataFrame, Field, GroupBy
 from .operations import concat, read_parquet, read_table
+from .sources.parquet import write_clustered, write_parquet
 
 __version__ = "0.1.0"
 
@@ -34,4 +35,6 @@ __all__ = [
     "concat",
     "read_parquet",
     "read_table",
+    "write_parquet",
+    "write_clustered",
 ]

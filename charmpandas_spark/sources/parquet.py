@@ -186,3 +186,52 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
                   partition_by: list[str] | None = None) -> None:
     """Sink (absent in the reference — SURVEY §2.1 'No sinks exist')."""
     df.to_parquet(path, mode=mode, partition_by=partition_by)
+
+
+def write_clustered(
+    df,
+    path: str,
+    cluster_by: str | list[str],
+    sort_by: str | list[str] | None = None,
+    partition_by: str | list[str] | None = None,
+    max_records_per_file: int | None = None,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Layout-aware parquet sink: range-repartition on ``cluster_by``
+    then sort within each output file on ``sort_by`` (defaults to the
+    cluster keys), so every file owns a contiguous, internally-sorted
+    key range.
+
+    Why this matters at 100 TB: parquet stores per-row-group min/max
+    statistics, and readers (this engine, Trino, DuckDB, ...) skip
+    row groups whose stats exclude the predicate. A hash-partitioned
+    unsorted write scatters every key range across every file —
+    stats cover everything, nothing prunes. After a clustered write,
+    a point/range predicate on the cluster key touches ~1 file and
+    ~1 row group instead of all of them. ``max_records_per_file``
+    bounds file size for downstream listing/parallelism;
+    ``partition_by`` composes directory-level partition pruning on
+    low-cardinality keys with row-group pruning on high-cardinality
+    ones (the standard date/id two-level layout).
+    """
+    sdf = getattr(df, "sdf", df)
+    ck = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+    sk = (ck if sort_by is None
+          else [sort_by] if isinstance(sort_by, str) else list(sort_by))
+    # no num_files: AQE sizes the range shuffle output by bytes (the
+    # right default at scale). Explicit num_files pins the file count
+    # (an explicit repartition count is exempt from AQE coalescing).
+    if num_files is None:
+        out = sdf.repartitionByRange(*ck)
+    else:
+        out = sdf.repartitionByRange(num_files, *ck)
+    out = out.sortWithinPartitions(*sk)
+    w = out.write.mode(mode)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", int(max_records_per_file))
+    if partition_by:
+        pb = ([partition_by] if isinstance(partition_by, str)
+              else list(partition_by))
+        w = w.partitionBy(*pb)
+    w.parquet(path)

@@ -5,6 +5,7 @@ import os
 import pytest
 
 import charmpandas_spark as cps
+from pyspark.sql import functions as F
 from charmpandas_spark.sources.text_sources import (
     read_csv, read_json, write_csv, write_json)
 
@@ -137,3 +138,46 @@ def test_multipath_homogeneous_ns_single_scan(spark, tmp_path):
     pdf = df.get()
     assert len(pdf) == 2
     assert str(pdf["ts"].iloc[0]).startswith("1970-01-01 00:00:01.5")
+
+
+def test_write_clustered_layout_and_roundtrip(spark, sf_dir, tmp_path):
+    """Clustered sink: files own disjoint contiguous key ranges (the
+    property row-group/min-max pruning needs), data round-trips
+    losslessly, and maxRecordsPerFile bounds file size."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    import charmpandas_spark as cps
+    dst = str(tmp_path / "orders_clustered")
+    orders = cps.read_table(spark, sf_dir, "orders")
+    cps.write_clustered(orders, dst, cluster_by="o_custkey",
+                        sort_by=["o_custkey", "o_orderkey"],
+                        max_records_per_file=5000, num_files=6)
+    files = sorted(glob.glob(dst + "/*.parquet"))
+    assert len(files) > 1  # genuinely clustered across several files
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        assert md.num_rows <= 5000
+        col_idx = next(i for i in range(md.num_columns)
+                       if md.row_group(0).column(i).path_in_schema
+                       == "o_custkey")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min), maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint contiguous key ranges
+    # point predicate: exactly one file's range can contain the key
+    probe = ranges[len(ranges) // 2][0]
+    containing = [r for r in ranges if r[0] <= probe <= r[1]]
+    assert len(containing) == 1
+    # lossless roundtrip
+    back = cps.read_parquet(spark, dst)
+    assert back.sdf.count() == orders.sdf.count()
+    a = orders.sdf.agg(F.sum("o_orderkey"), F.sum("o_custkey")).first()
+    b = back.sdf.agg(F.sum("o_orderkey"), F.sum("o_custkey")).first()
+    assert tuple(a) == tuple(b)
