@@ -103,6 +103,7 @@ def bench_queries(spark, sf_dir):
         "text_pack",
         "text_pack_greedy",
         "url_domain_filter",
+        "sink_clustered_roundtrip",
     ]
     return {n: qs[n] for n in names if n in qs}
 
