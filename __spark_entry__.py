@@ -1351,6 +1351,25 @@ def q_sink_clustered_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) key computation over (l_orderkey, l_partkey)
+    with data-driven ranges riding IN-PLAN as a 1-row broadcast
+    min/max aggregate. Pure shift/mask/floor arithmetic — the DuckDB
+    oracle regenerates the identical expression term-for-term with
+    scalar subqueries for the ranges, proving the multi-column
+    layout key is bit-identical cross-engine."""
+    from charmpandas_spark.operators.zorder import zorder_key
+    li = _t(spark, sf_dir, "lineitem")
+    rng = li.sdf.agg(
+        F.min("l_orderkey").alias("lo0"), F.max("l_orderkey").alias("hi0"),
+        F.min("l_partkey").alias("lo1"), F.max("l_partkey").alias("hi1"))
+    keyed = li.sdf.crossJoin(F.broadcast(rng))
+    z = zorder_key(["l_orderkey", "l_partkey"],
+                   [F.col("lo0"), F.col("lo1")],
+                   [F.col("hi0"), F.col("hi1")], bits=16)
+    return keyed.select("l_orderkey", "l_linenumber", z.alias("zkey"))
+
+
 def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink+source round-trip (SURVEY §2.1 extension — the
     reference reads parquet only): nation written as headered CSV to
@@ -1700,6 +1719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domain_filter": q_url_domain_filter,
         "sim_ivf": q_sim_ivf,  # oracle NEW in r6 (full-probe contract)
         "sink_clustered_roundtrip": q_sink_clustered_roundtrip,
+        "zorder_key": q_zorder_key,
         "streaming_running_totals": q_streaming_running_totals,
         "streaming_stream_join": q_streaming_stream_join,
         "window_range_frame": q_window_range_frame,
@@ -1815,6 +1835,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle SQL generators for the hash-pipeline queries (share one source
 # of truth with the Spark implementations via the *_sql builders)
 # ---------------------------------------------------------------------------
+
+def _zorder_key_oracle() -> str:
+    """DuckDB twin of ``q_zorder_key`` via the shared SQL generator."""
+    from charmpandas_spark.operators.zorder import zorder_key_sql
+    zsql = zorder_key_sql(
+        ["l_orderkey", "l_partkey"],
+        ["(SELECT MIN(l_orderkey) FROM lineitem)",
+         "(SELECT MIN(l_partkey) FROM lineitem)"],
+        ["(SELECT MAX(l_orderkey) FROM lineitem)",
+         "(SELECT MAX(l_partkey) FROM lineitem)"], bits=16)
+    return (f"SELECT l_orderkey, l_linenumber, {zsql} AS zkey "
+            f"FROM lineitem")
+
 
 def _cosine_sql(a: str, b: str) -> str:
     lip = "list_inner_product"
@@ -2743,6 +2776,7 @@ def oracle_sql() -> dict[str, str]:
                        AS o_totalprice
             FROM orders
         """,
+        "zorder_key": _zorder_key_oracle(),
         "source_json_roundtrip": """
             SELECT s_suppkey, s_name, s_nationkey,
                    FLOOR(s_acctbal * 100) / 100 AS s_acctbal

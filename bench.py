@@ -104,6 +104,7 @@ def bench_queries(spark, sf_dir):
         "text_pack_greedy",
         "url_domain_filter",
         "sink_clustered_roundtrip",
+        "zorder_key",
     ]
     return {n: qs[n] for n in names if n in qs}
 

@@ -181,3 +181,61 @@ def test_write_clustered_layout_and_roundtrip(spark, sf_dir, tmp_path):
     a = orders.sdf.agg(F.sum("o_orderkey"), F.sum("o_custkey")).first()
     b = back.sdf.agg(F.sum("o_orderkey"), F.sum("o_custkey")).first()
     assert tuple(a) == tuple(b)
+
+
+def test_write_zordered_layout(spark, sf_dir, tmp_path):
+    """Z-ordered sink: the Morton key matches a python reference, and
+    files own disjoint z-ranges — so BOTH interleaved columns get
+    usable min/max pruning, not just a sort prefix."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    import charmpandas_spark as cps
+    from charmpandas_spark.operators.zorder import (
+        write_zordered, zorder_key)
+
+    li = cps.read_table(spark, sf_dir, "lineitem")
+    # key math vs python reference on a literal-range sample
+    bits = 8
+    sample = (li.sdf.select("l_orderkey", "l_partkey").limit(200)
+              .withColumn("z", zorder_key(
+                  ["l_orderkey", "l_partkey"], [0, 0],
+                  [6000, 200], bits=bits))
+              .toPandas())
+
+    def ref(a, b):
+        maxv = (1 << bits) - 1
+        sa = min(max(int((float(a) - 0) / 6000 * maxv), 0), maxv)
+        sb = min(max(int(float(b) / 200 * maxv), 0), maxv)
+        z = 0
+        for k in range(bits):
+            z |= ((sa >> k) & 1) << (2 * k)
+            z |= ((sb >> k) & 1) << (2 * k + 1)
+        return z
+
+    for r in sample.itertuples():
+        assert r.z == ref(r.l_orderkey, r.l_partkey), r
+
+    dst = str(tmp_path / "li_z")
+    write_zordered(li, dst, ["l_orderkey", "l_partkey"],
+                   num_files=5, keep_key=True)
+    files = sorted(glob.glob(dst + "/*.parquet"))
+    assert len(files) == 5
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        ci = next(i for i in range(md.num_columns)
+                  if md.row_group(0).column(i).path_in_schema == "__cps_z")
+        st = [md.row_group(g).column(ci).statistics
+              for g in range(md.num_row_groups)]
+        ranges.append((min(s.min for s in st), max(s.max for s in st)))
+    ranges.sort()
+    for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
+        assert h1 <= l2  # disjoint z ranges
+    # dropped-key default: files carry no layout column
+    dst2 = str(tmp_path / "li_z2")
+    write_zordered(li, dst2, ["l_orderkey", "l_partkey"], num_files=3)
+    back = cps.read_parquet(spark, dst2)
+    assert "__cps_z" not in back.sdf.columns
+    assert back.sdf.count() == li.sdf.count()
