@@ -1351,6 +1351,28 @@ def q_sink_clustered_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-N per-group sampling (5 docs per source):
+    smallest (md5-hash, key) per group — reproducible across runs,
+    partitionings, and engines, unlike RNG ``sampleBy``. One shuffle,
+    partial top-k per group."""
+    from charmpandas_spark.functions.sampling import stratified_sample
+    docs = _t(spark, sf_dir, "documents")
+    return (stratified_sample(docs.sdf, "source", "doc_id",
+                              n_per_group=5, hash_fn="md5")
+            .select("doc_id", "source"))
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality signals (unigram-LM family, rational
+    arithmetic): per-doc mean corpus token frequency + rare-token
+    fraction. Vocab joins via SHUFFLE_HASH (never broadcast — it can
+    be 10^8 rows at corpus scale); corpus total rides in-plan."""
+    from charmpandas_spark.functions.text import token_frequency_stats
+    docs = _t(spark, sf_dir, "documents")
+    return token_frequency_stats(docs.sdf, "text", "doc_id")
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) key computation over (l_orderkey, l_partkey)
     with data-driven ranges riding IN-PLAN as a 1-row broadcast
@@ -1720,6 +1742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf": q_sim_ivf,  # oracle NEW in r6 (full-probe contract)
         "sink_clustered_roundtrip": q_sink_clustered_roundtrip,
         "zorder_key": q_zorder_key,
+        "stratified_sample": q_stratified_sample,
+        "text_token_stats": q_text_token_stats,
         "streaming_running_totals": q_streaming_running_totals,
         "streaming_stream_join": q_streaming_stream_join,
         "window_range_frame": q_window_range_frame,
@@ -2777,6 +2801,19 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         "zorder_key": _zorder_key_oracle(),
+        "stratified_sample": f"""
+            WITH h AS (
+                SELECT doc_id, source,
+                       ({dedup_mod.hash64_sql("CAST(doc_id AS VARCHAR)")})
+                           AS hv
+                FROM documents),
+            r AS (SELECT doc_id, source, row_number() OVER (
+                      PARTITION BY source ORDER BY hv, doc_id) AS rk
+                  FROM h)
+            SELECT doc_id, source FROM r WHERE rk <= 5
+        """,
+        "text_token_stats": text_mod.token_frequency_stats_sql(
+            "text", "doc_id"),
         "source_json_roundtrip": """
             SELECT s_suppkey, s_name, s_nationkey,
                    FLOOR(s_acctbal * 100) / 100 AS s_acctbal

@@ -105,6 +105,8 @@ def bench_queries(spark, sf_dir):
         "url_domain_filter",
         "sink_clustered_roundtrip",
         "zorder_key",
+        "stratified_sample",
+        "text_token_stats",
     ]
     return {n: qs[n] for n in names if n in qs}
 

@@ -18,7 +18,8 @@ from pyspark.sql import Column, DataFrame as SparkDF, functions as F
 
 from .dedup import hash64
 
-__all__ = ["hash_bucket", "hash_sample", "assign_splits"]
+__all__ = ["hash_bucket", "hash_sample", "assign_splits",
+           "stratified_sample"]
 
 #: buckets per unit of rate (rate resolution 0.01%)
 _BUCKETS = 10_000
@@ -73,3 +74,33 @@ def assign_splits(
             else expr.when(cond, F.lit(label))
         lo = hi
     return df.withColumn(out_col, expr.otherwise(F.lit(list(weights)[-1])))
+
+
+def stratified_sample(
+    df: SparkDF,
+    group_col: str,
+    key_col: str,
+    n_per_group: int,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> SparkDF:
+    """Deterministic fixed-size per-group sample: the ``n_per_group``
+    rows with the smallest (key-hash, key) per group — balanced
+    class/domain/source subsets (eval sets, per-domain quality
+    probes) that are REPRODUCIBLE across runs, partitionings, and
+    engines, unlike ``sampleBy``'s RNG.
+
+    The hash order is uniform-pseudorandom in the key, so this is a
+    bona-fide uniform sample per group; the key tiebreak makes it
+    total. One shuffle (hash-partition by group); per-group work is
+    a partial top-k (the window's rank prunes map-side under AQE) —
+    no group ever needs to fit anywhere whole except its top-k.
+    """
+    from pyspark.sql import Window
+
+    h = hash64(F.col(key_col).cast("string"), seed, hash_fn)
+    w = (Window.partitionBy(group_col)
+         .orderBy(h.asc(), F.col(key_col).asc()))
+    return (df.withColumn("__cps_rk", F.row_number().over(w))
+              .filter(F.col("__cps_rk") <= n_per_group)
+              .drop("__cps_rk"))

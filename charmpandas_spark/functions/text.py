@@ -30,6 +30,7 @@ __all__ = [
     "word_shingles",
     "corpus_vocab",
     "tf_idf",
+    "token_frequency_stats",
     "chunk_documents",
     "pack_sequences",
     "pack_greedy",
@@ -358,6 +359,75 @@ def chunk_documents_sql(t: str, id_expr: str, max_tokens: int = 64,
                    AS chunk_text,
                CAST(least(s + {max_tokens}, n) - s AS INT) AS n_tokens
         FROM st
+    """
+
+
+def token_frequency_stats(df, text_col: str, id_col: str):
+    """Corpus-statistics quality signals (the unigram-LM family of
+    filters, rational-arithmetic edition): per document,
+
+    - ``n_tokens``,
+    - ``mean_tok_freq``: mean corpus frequency of the doc's tokens
+      (commonness — wordlike text scores near natural-language
+      frequencies, gibberish scores near 1/corpus),
+    - ``rare_frac``: fraction of tokens whose corpus count <= 2
+      (OOV/noise proxy — the practical 'perplexity-ish' junk
+      detector without a log, so every value is two IEEE divisions
+      + floor, bit-identical in the DuckDB oracle).
+
+    Plan shape (100 TB): explode -> vocab aggregation (one shuffle,
+    map-side combined) -> SHUFFLE_HASH join of the exploded tokens
+    against the vocab (hinted: the vocab can be 10^8 rows — never
+    broadcast it; same policy as the dedup inverted index) -> per-doc
+    aggregation (second shuffle). The corpus-total rides in-plan as a
+    1-row broadcast.
+    """
+    toks = (df.select(F.col(id_col).alias("doc"),
+                      F.explode(F.split(normalize_text(text_col), " "))
+                      .alias("tok"))
+              .filter(F.col("tok") != ""))
+    vocab = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("__cps_tc"))
+    total = vocab.agg(F.sum("__cps_tc").alias("__cps_tot"))
+    joined = (toks.join(vocab.hint("shuffle_hash"), "tok")
+                  .crossJoin(F.broadcast(total)))
+    return (joined.groupBy("doc")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum("__cps_tc").alias("__cps_sum"),
+                 F.sum(F.when(F.col("__cps_tc") <= 2, 1).otherwise(0))
+                  .alias("__cps_rare"),
+                 F.first("__cps_tot").alias("__cps_tot"))
+            .select(
+                "doc", "n_tokens",
+                (F.floor(F.col("__cps_sum").cast("double")
+                         / F.col("n_tokens") / F.col("__cps_tot")
+                         * 100_000_000) / 100_000_000)
+                .alias("mean_tok_freq"),
+                (F.floor(F.col("__cps_rare").cast("double")
+                         / F.col("n_tokens") * 1_000_000) / 1_000_000)
+                .alias("rare_frac")))
+
+
+def token_frequency_stats_sql(t: str, id_expr: str) -> str:
+    """DuckDB twin of :func:`token_frequency_stats` — same normalize,
+    same rational arithmetic, same floor rounding."""
+    norm = f"trim(regexp_replace(lower({t}), '\\s+', ' ', 'g'))"
+    return f"""
+        WITH toks AS (
+            SELECT {id_expr} AS doc, unnest(string_split({norm}, ' ')) AS tok
+            FROM documents),
+        tf AS (SELECT doc, tok FROM toks WHERE tok <> ''),
+        vocab AS (SELECT tok, COUNT(*) AS tc FROM tf GROUP BY tok),
+        total AS (SELECT SUM(tc) AS tot FROM vocab)
+        SELECT f.doc, COUNT(*) AS n_tokens,
+               FLOOR(CAST(SUM(v.tc) AS DOUBLE) / COUNT(*)
+                     / ANY_VALUE(total.tot) * 100000000) / 100000000
+                   AS mean_tok_freq,
+               FLOOR(CAST(SUM(CASE WHEN v.tc <= 2 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*) * 1000000) / 1000000
+                   AS rare_frac
+        FROM tf f JOIN vocab v USING (tok) CROSS JOIN total
+        GROUP BY f.doc
     """
 
 

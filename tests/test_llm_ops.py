@@ -944,3 +944,51 @@ def test_pack_greedy_matches_sequential_reference(spark):
                                         n=("n_tokens", "size"))
     bad = per_bin[(per_bin.tok > budget) & (per_bin.n > 1)]
     assert bad.empty, bad
+
+
+def test_stratified_sample_fixed_n_and_stable(spark):
+    from charmpandas_spark.functions.sampling import stratified_sample
+    pdf = pd.DataFrame({
+        "k": list(range(300)),
+        "g": [f"g{i % 7}" for i in range(300)],
+    })
+    out = stratified_sample(_to_sdf(pdf), "g", "k", 10).toPandas()
+    assert out.groupby("g").size().tolist() == [10] * 7
+    # deterministic under different partitionings
+    out2 = stratified_sample(_to_sdf(pdf).repartition(13), "g", "k",
+                             10).toPandas()
+    assert (set(map(tuple, out[["g", "k"]].values))
+            == set(map(tuple, out2[["g", "k"]].values)))
+    # group smaller than n: keeps all its rows
+    small = pdf[pdf["k"] < 5]
+    got = stratified_sample(_to_sdf(small), "g", "k", 10).toPandas()
+    assert len(got) == 5
+
+
+def test_token_frequency_stats_matches_python(spark):
+    import math
+
+    from collections import Counter
+
+    from charmpandas_spark.functions.text import token_frequency_stats
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["the the the common words",
+                 "zzqq xylo unseen gibberish tokens",
+                 "the common zzqq"],
+    })
+    got = (token_frequency_stats(_to_sdf(pdf), "text", "doc_id")
+           .toPandas().set_index("doc").sort_index())
+    all_toks = [t for s in pdf["text"] for t in s.lower().split()]
+    vocab = Counter(all_toks)
+    total = sum(vocab.values())
+    for r in pdf.itertuples():
+        toks = r.text.lower().split()
+        mean_freq = sum(vocab[t] for t in toks) / len(toks) / total
+        rare = sum(1 for t in toks if vocab[t] <= 2) / len(toks)
+        row = got.loc[r.doc_id]
+        assert row.n_tokens == len(toks)
+        assert row.mean_tok_freq == math.floor(mean_freq * 1e8) / 1e8
+        assert row.rare_frac == math.floor(rare * 1e6) / 1e6
+    # junk doc has higher rare_frac than common-word doc
+    assert got.loc[2].rare_frac > got.loc[1].rare_frac
