@@ -5,11 +5,13 @@ in, a deduplicated / filtered / split corpus out, every stage a
 distributed DataFrame transformation.
 
     raw documents
+      -> URL/domain blocklist filter      (urls.py, broadcast anti-join)
       -> quality + language filter        (text.py, codegen'd scan)
       -> exact dedup                      (fingerprint keep-first)
       -> near-dup clustering              (MinHash/LSH -> components)
       -> keep one doc per cluster
       -> deterministic train/val/test     (key-hash buckets)
+      -> chunk + pack into context windows (distributed prefix sum)
       -> partitioned parquet by split     (partition-pruned reads)
 
 Run: python examples/pipeline_demo.py [sf_dir] [out_dir]
@@ -28,12 +30,22 @@ from charmpandas_spark.functions.dedup import (
     connected_components, exact_dedup, minhash_near_dup, release)
 from charmpandas_spark.functions.sampling import assign_splits
 from charmpandas_spark.functions.text import (
-    language_id, quality_score, whitespace_token_count)
+    chunk_documents, language_id, pack_sequences, quality_score,
+    whitespace_token_count)
+from charmpandas_spark.functions.urls import filter_blocked_domains
 
 
 def curate(docs, threshold=0.7):
     """documents -> (curated_df, stats dict)."""
     stats = {"raw": docs.count()}
+
+    # 0. provenance filter: drop blocklisted domains before paying for
+    #    anything else (synthetic URLs here — see q_url_domain_filter)
+    sid = F.col("doc_id").cast("string")
+    docs = docs.withColumn("url", F.concat(
+        F.lit("https://www."), F.col("source"), F.lit(".com/d/"), sid))
+    docs = filter_blocked_domains(docs, "url", ["src13.com"])
+    stats["after_url_filter"] = docs.count()
 
     # 1. filter: predicted-English, quality floor, token budget — one
     #    codegen'd pass over the scan, fully pushed down
@@ -72,6 +84,18 @@ def main():
 
     curated, stats = curate(docs)
 
+    # 6. context-window assembly for the train split: chunk, then pack
+    #    into fixed 512-token sequences (distributed prefix sum)
+    train = curated.filter(F.col("split") == "train")
+    packed = pack_sequences(
+        chunk_documents(train, "text", "doc_id", max_tokens=64,
+                        overlap=8),
+        budget=512)
+    stats["train_chunks"] = packed.count()
+    stats["train_sequences"] = packed.agg(
+        (F.max("seq_id") + 1).alias("n")).first()["n"]
+    release(packed)
+
     with tempfile.TemporaryDirectory() as tmp:
         out = out_dir or os.path.join(tmp, "curated")
         # 5. one partitioned sink: downstream trainers read their
@@ -83,8 +107,10 @@ def main():
         for k, v in stats.items():
             print(f"{k:>18}: {v}")
         print(f"{'splits':>18}: {splits}")
-        assert stats["raw"] >= stats["after_filter"] \
+        assert stats["raw"] >= stats["after_url_filter"] \
+            >= stats["after_filter"] \
             >= stats["after_exact_dedup"] >= stats["after_near_dedup"]
+        assert stats["train_sequences"] <= stats["train_chunks"]
         assert sum(splits.values()) == stats["after_near_dedup"]
     print("pipeline demo passed")
     spark.stop()

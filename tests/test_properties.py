@@ -163,3 +163,60 @@ def test_chunked_range_agg_matches_pandas(spark, ts, keys, window,
                     & (pdf.t >= r.t - window)]
         assert got.loc[r.rid, "n"] == len(frame), (r, window)
         assert got.loc[r.rid, "s"] == frame["t"].sum(), (r, window)
+
+
+TOKENS = st.lists(st.integers(min_value=0, max_value=120),
+                  min_size=1, max_size=40)
+
+
+@given(tokens=TOKENS, budget=st.integers(min_value=8, max_value=64))
+@settings(**_SETTINGS)
+def test_pack_sequences_matches_sequential(spark, tokens, budget):
+    """Distributed prefix-sum packing == the trivial sequential pack
+    for arbitrary token-count lists (incl. zeros and > budget)."""
+    from charmpandas_spark.functions.dedup import release
+    from charmpandas_spark.functions.text import pack_sequences
+    pdf = pd.DataFrame({"doc": list(range(len(tokens))),
+                        "chunk_idx": [0] * len(tokens),
+                        "n_tokens": tokens})
+    out = pack_sequences(cps.DataFrame(spark.createDataFrame(pdf)).sdf,
+                         "n_tokens", ("doc", "chunk_idx"),
+                         budget=budget, num_partitions=3)
+    got = out.toPandas().sort_values("doc").reset_index(drop=True)
+    release(out)
+    start = 0
+    for i, t in enumerate(tokens):
+        assert got.loc[i, "seq_id"] == start // budget
+        assert got.loc[i, "seq_offset"] == start % budget
+        end = start + max(t, 1)
+        assert got.loc[i, "n_seqs"] == \
+            (end - 1) // budget - start // budget + 1
+        start += t
+
+
+@given(tokens=st.lists(st.integers(min_value=1, max_value=90),
+                       min_size=1, max_size=40),
+       budget=st.integers(min_value=10, max_value=60))
+@settings(**_SETTINGS)
+def test_pack_greedy_invariants(spark, tokens, budget):
+    """Greedy next-fit: multi-chunk bins never exceed the budget;
+    every chunk is assigned exactly once; bins are contiguous in
+    order within each group."""
+    from charmpandas_spark.functions.text import pack_greedy
+    pdf = pd.DataFrame({"doc": list(range(len(tokens))),
+                        "chunk_idx": [0] * len(tokens),
+                        "n_tokens": tokens,
+                        "grp": [i % 3 for i in range(len(tokens))]})
+    got = (pack_greedy(cps.DataFrame(spark.createDataFrame(pdf)).sdf,
+                       "n_tokens", ("doc", "chunk_idx"),
+                       budget=budget, group_col="grp")
+           .toPandas())
+    assert len(got) == len(tokens)
+    per_bin = got.groupby("bin_id").agg(tok=("n_tokens", "sum"),
+                                        n=("n_tokens", "size"))
+    over = per_bin[(per_bin.tok > budget) & (per_bin.n > 1)]
+    assert over.empty, over
+    # within a group, bin local-ids increase monotonically in doc order
+    for _, sub in got.sort_values("doc").groupby("grp"):
+        locals_ = (sub["bin_id"] % (1 << 32)).tolist()
+        assert locals_ == sorted(locals_)
