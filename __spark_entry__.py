@@ -29,6 +29,41 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> cps.DataFrame:
     return cps.read_table(spark, sf_dir, name)
 
 
+def _tmp_sink(name: str) -> str:
+    """Per-PROCESS temp sink path for the sink/round-trip/stream-replay
+    queries. Unique per pid so concurrent sessions (driver correctness
+    check + a stray bench) can't clobber each other's files mid-read
+    (r6 ADVICE), while staying FIXED within a process so repeated runs
+    of the same query overwrite instead of accumulating. Everything
+    lives under one base dir so ``cleanup_temp_sinks`` can reclaim the
+    page cache + disk between bench queries in one rmtree."""
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), f"cps_tmp_{os.getpid()}")
+    os.makedirs(base, exist_ok=True)
+    return os.path.join(base, name)
+
+
+def cleanup_temp_sinks(spark: SparkSession | None = None) -> None:
+    """Remove this process's temp-sink dir and drop any ``cps_*``
+    memory-sink temp views. bench.py calls this between timed queries:
+    the r6 driver sweep showed the tail sink queries 4-5x slower than
+    solo, consistent with ~70 queries of /tmp parquet writes + memory
+    sinks accumulating (page-cache pressure / catalog bloat)."""
+    import shutil
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), f"cps_tmp_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    if spark is not None:
+        try:
+            for tbl in spark.catalog.listTables():
+                if tbl.name.startswith("cps_") and tbl.isTemporary:
+                    spark.catalog.dropTempView(tbl.name)
+        except Exception:
+            pass  # cleanup is best-effort, never fatal
+
+
 # ---------------------------------------------------------------------------
 # entry: flagship query (reference Demo.ipynb — join on key + groupby +
 # count; here lineitem ⋈ orders on orderkey → count per o_orderpriority)
@@ -1336,12 +1371,9 @@ def q_sink_clustered_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     read back and value-checked against the original. File-layout
     invariants (disjoint ranges, maxRecordsPerFile, point predicate
     hits one file) are pinned in pytest via the parquet footers."""
-    import os
-    import tempfile
-
     from charmpandas_spark.sources.parquet import write_clustered
     orders = _t(spark, sf_dir, "orders")
-    path = os.path.join(tempfile.gettempdir(), "cps_clustered_roundtrip")
+    path = _tmp_sink("clustered_roundtrip")
     proj = orders.sdf.select(
         "o_orderkey", "o_custkey",
         (F.floor(F.col("o_totalprice").cast("double") * 100) / 100)
@@ -1398,12 +1430,9 @@ def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     a temp dir (fixed path, overwritten per run — no /tmp
     accumulation), read back with an explicit schema (no inference
     scan), values oracle-checked against the parquet original."""
-    import os
-    import tempfile
-
     from charmpandas_spark.sources.text_sources import read_csv, write_csv
     n = _t(spark, sf_dir, "nation")
-    path = os.path.join(tempfile.gettempdir(), "cps_csv_roundtrip")
+    path = _tmp_sink("csv_roundtrip")
     write_csv(n, path)
     return read_csv(
         spark, path,
@@ -1416,13 +1445,10 @@ def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     line-delimited JSON (splittable at scale), read back with an
     explicit schema (fixed temp path, overwritten per run); acctbal
     floored to dodge float-text round-trip formatting differences."""
-    import os
-    import tempfile
-
     from charmpandas_spark.sources.text_sources import (
         read_json, write_json)
     s = _t(spark, sf_dir, "supplier")
-    path = os.path.join(tempfile.gettempdir(), "cps_json_roundtrip")
+    path = _tmp_sink("json_roundtrip")
     write_json(s, path)
     out = read_json(
         spark, path,
@@ -1573,12 +1599,10 @@ def _replay_stream(spark: SparkSession, df: DataFrame, prefix: str,
     ``n_files`` files -> ``n_files`` micro-batches (state must carry
     across batches for the result to be right). Only the memory-sink
     NAME is unique per run — sink tables can't be overwritten."""
-    import os
-    import tempfile
     import uuid
 
     from charmpandas_spark.streaming.windows import stream_from_parquet
-    src = os.path.join(tempfile.gettempdir(), f"cps_{prefix}_src")
+    src = _tmp_sink(f"{prefix}_src")
     df.repartition(n_files).write.mode("overwrite").parquet(src)
     name = f"cps_{prefix}_{uuid.uuid4().hex[:8]}"
     return stream_from_parquet(spark, src, max_files_per_trigger=1), name
@@ -1673,8 +1697,6 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     with watermark > bound is NOT sufficient here because the file
     source orders batches by file modification time, which a
     parallel write does not guarantee ascending.)"""
-    import os
-    import tempfile
     import uuid
 
     from charmpandas_spark.streaming.joins import stream_stream_join
@@ -1687,7 +1709,7 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "user_id", "ts")
     srcs = []
     for tag, side in (("ssl", clicks), ("ssr", purch)):
-        path = os.path.join(tempfile.gettempdir(), f"cps_{tag}_src")
+        path = _tmp_sink(f"{tag}_src")
         side.repartition(4).write.mode("overwrite").parquet(path)
         srcs.append(stream_from_parquet(spark, path,
                                         max_files_per_trigger=1))
