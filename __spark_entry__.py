@@ -1527,35 +1527,66 @@ def q_text_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _synth_url() -> F.Column:
     """Deterministic synthetic URL per document (the corpus carries no
-    real URLs): https://[cdn.]{source}.{com|org}/docs/{id}[/ads/...|
-    /body]?ref=r{id%5} — built identically in the DuckDB oracle."""
+    real URLs): https://[cdn.]{source}{suffix}/docs/{id}[/ads/...|
+    /body]?ref=r{id%5} — built identically in the DuckDB oracle.
+    r7: the suffix cycles through .co.uk / .com.au / .org / .com so
+    multi-label public suffixes are actually present — the case the
+    PSL lookup exists for (a last-two-labels heuristic folds every
+    *.co.uk site into 'co.uk')."""
     sid = F.col("doc_id").cast("string")
+    suffix = (F.when(F.col("doc_id") % 5 == 0, F.lit(".co.uk"))
+               .when(F.col("doc_id") % 5 == 1, F.lit(".com.au"))
+               .when(F.col("doc_id") % 3 == 0, F.lit(".org"))
+               .otherwise(F.lit(".com")))
     return F.concat(
         F.lit("https://"),
         F.when(F.col("doc_id") % 4 == 0, F.lit("cdn.")).otherwise(F.lit("")),
-        F.col("source"),
-        F.when(F.col("doc_id") % 3 == 0, F.lit(".org")).otherwise(F.lit(".com")),
+        F.col("source"), suffix,
         F.lit("/docs/"), sid,
         F.when(F.col("doc_id") % 7 == 0, F.lit("/ads/banner"))
          .otherwise(F.lit("/body")),
         F.lit("?ref=r"), (F.col("doc_id") % 5).cast("string"))
 
 
+def _psl_values_sql() -> str:
+    """Render the packaged PSL rule table (same driver-side compile
+    the Spark side broadcasts: key, normal/wildcard ps, exception ps)
+    as a DuckDB VALUES list for the url_domain_filter oracle."""
+    from charmpandas_spark.functions.urls import _compile_psl
+    from charmpandas_spark.functions.psl_data import PSL_RULES
+
+    rows = []
+    for i, (key, _k, nps, eps) in enumerate(_compile_psl(PSL_RULES)):
+        n = "CAST(NULL AS INT)" if nps is None else str(nps)
+        e = "CAST(NULL AS INT)" if eps is None else str(eps)
+        rows.append(f"('{key}', {n}, {e})")
+    return ", ".join(rows)
+
+
 def q_url_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL curation chain: parse host/registrable-domain/path from
-    each document's (synthesized) URL, drop blocklisted domains via a
-    BROADCAST anti-join and ad-path rows via a pushable regex filter.
-    Zero shuffles on the corpus side — parse + filter ride the scan."""
+    """URL curation chain with PSL-correct registrable domains (r7;
+    r6 used the last-two-labels heuristic): parse host / PSL
+    registrable-domain / path from each document's (synthesized) URL,
+    drop blocklisted domains via a BROADCAST anti-join and ad-path
+    rows via a pushable regex filter. The blocklist includes
+    ``.co.uk`` / ``.com.au`` entries the heuristic could NEVER match
+    (it folds every *.co.uk host to 'co.uk'). Zero shuffles on the
+    corpus side — the PSL lookup itself is broadcast joins. The
+    DuckDB oracle re-implements the full PSL algorithm (exception >
+    longest rule > default) independently over the same rule table."""
     from charmpandas_spark.functions.urls import (
-        filter_blocked_domains, parse_url_parts)
+        filter_blocked_domains, url_host, url_path,
+        with_registrable_domain)
     docs = _t(spark, sf_dir, "documents")
     with_url = docs.sdf.withColumn("url", _synth_url())
     kept = filter_blocked_domains(
         with_url, "url",
-        blocked=["src3.com", "src7.org", "src11.com"],
-        path_block_regex="^/docs/[0-9]+/ads/")
-    return (parse_url_parts(kept, "url")
-            .select("doc_id", "url_host", "url_domain", "url_path"))
+        blocked=["src3.com", "src7.org", "src11.com",
+                 "src5.co.uk", "src12.com.au"],
+        path_block_regex="^/docs/[0-9]+/ads/", psl=True)
+    return (with_registrable_domain(kept, "url", out_col="url_domain")
+            .select("doc_id", url_host("url").alias("url_host"),
+                    "url_domain", url_path("url").alias("url_path")))
 
 
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2883,13 +2914,22 @@ def oracle_sql() -> dict[str, str]:
                    n_tokens > 100 AS overflow
             FROM pack
         """,
-        "url_domain_filter": """
+        # PSL semantics (r7): an INDEPENDENT SQL implementation of the
+        # public-suffix algorithm — candidate last-k-label substrings,
+        # exception rule wins, else longest rule, default ps=1,
+        # registrable = last ps+1 labels — over the same packaged rule
+        # table the Spark side broadcast-joins (rendered as VALUES by
+        # _psl_values_sql). Correlated subqueries over a ~150-row
+        # VALUES table: trivially cheap at oracle scale.
+        "url_domain_filter": f"""
             WITH u AS (
                 SELECT doc_id,
                        'https://'
                        || CASE WHEN doc_id % 4 = 0 THEN 'cdn.' ELSE '' END
                        || source
-                       || CASE WHEN doc_id % 3 = 0 THEN '.org'
+                       || CASE WHEN doc_id % 5 = 0 THEN '.co.uk'
+                               WHEN doc_id % 5 = 1 THEN '.com.au'
+                               WHEN doc_id % 3 = 0 THEN '.org'
                                ELSE '.com' END
                        || '/docs/' || CAST(doc_id AS VARCHAR)
                        || CASE WHEN doc_id % 7 = 0 THEN '/ads/banner'
@@ -2902,14 +2942,38 @@ def oracle_sql() -> dict[str, str]:
                            AS url_host,
                        regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1)
                            AS url_path
-                FROM u)
-            SELECT doc_id, url_host,
-                   regexp_extract(url_host, '([^.]+\\.[^.]+)$', 1)
-                       AS url_domain,
-                   url_path
-            FROM parts
-            WHERE regexp_extract(url_host, '([^.]+\\.[^.]+)$', 1)
-                      NOT IN ('src3.com', 'src7.org', 'src11.com')
+                FROM u),
+            rules(key, nps, eps) AS (VALUES {_psl_values_sql()}),
+            cand AS (
+                SELECT p.*, lower(url_host) AS h,
+                       len(string_split(lower(url_host), '.')) AS nlab,
+                       regexp_extract(lower(url_host),
+                           '([^.]+)$', 1) AS k1,
+                       regexp_extract(lower(url_host),
+                           '([^.]+\\.[^.]+)$', 1) AS k2,
+                       regexp_extract(lower(url_host),
+                           '([^.]+\\.[^.]+\\.[^.]+)$', 1) AS k3
+                FROM parts p),
+            ps AS (
+                SELECT cand.*, COALESCE(
+                    (SELECT max(eps) FROM rules r WHERE r.eps IS NOT NULL
+                        AND r.key IN (cand.k1, cand.k2, cand.k3)),
+                    (SELECT max(nps) FROM rules r WHERE r.nps IS NOT NULL
+                        AND r.key IN (cand.k1, cand.k2, cand.k3)),
+                    1) AS psn
+                FROM cand),
+            dom AS (
+                SELECT doc_id, url_host, url_path,
+                       CASE WHEN nlab > psn THEN array_to_string(
+                           list_slice(string_split(h, '.'),
+                                      nlab - psn, nlab), '.')
+                       END AS url_domain
+                FROM ps)
+            SELECT doc_id, url_host, url_domain, url_path
+            FROM dom
+            WHERE (url_domain IS NULL OR url_domain NOT IN
+                   ('src3.com', 'src7.org', 'src11.com',
+                    'src5.co.uk', 'src12.com.au'))
               AND NOT regexp_matches(url_path, '^/docs/[0-9]+/ads/')
         """,
         "text_redact_pii": f"""

@@ -15,21 +15,32 @@ Design (100 TB):
   10^4-10^7 rows — megabytes — vs a 10^11-row corpus; never shuffle
   the corpus for it). ``broadcast=False`` switches to a shuffled
   anti-join for a pathological blocklist too big to broadcast.
-- Registrable domain = last two labels (``host`` minus subdomains), a
-  documented heuristic stand-in for a full public-suffix-list lookup
-  (the PSL is ~230 kB of public data; plugging it in means swapping
-  ``registrable_domain`` for a broadcast map join against the list —
-  same plan shape).
+- Registrable domain: ``with_registrable_domain`` implements the full
+  public-suffix-list algorithm (publicsuffix.org semantics: normal /
+  ``*.`` wildcard / ``!`` exception rules, longest-match wins,
+  exception beats wildcard, default rule ``*``) as a chain of
+  BROADCAST left joins — one per distinct rule-key label count (3 for
+  the packaged subset, ≤5 for the full list), each joining the host's
+  last-k-labels substring against a ≤10k-row rule table. Zero corpus
+  shuffle; the rule resolution (exception > longest) is pure
+  ``coalesce``/``greatest`` column arithmetic. ``registrable_domain``
+  (last-two-labels) remains as the join-free heuristic for callers
+  that don't need ccTLD correctness.
 """
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame as SparkDF, functions as F
+
+from charmpandas_spark.functions.psl_data import PSL_RULES
 
 __all__ = [
     "url_host",
     "url_path",
     "registrable_domain",
+    "with_registrable_domain",
     "parse_url_parts",
     "filter_blocked_domains",
 ]
@@ -47,10 +58,95 @@ def url_path(url: Column | str) -> Column:
 
 def registrable_domain(url: Column | str) -> Column:
     """Last-two-labels registrable domain of the URL's host
-    (``a.b.example.com`` -> ``example.com``); see module docstring
-    for the public-suffix-list upgrade path."""
+    (``a.b.example.com`` -> ``example.com``) — join-free HEURISTIC:
+    wrong for multi-label public suffixes (``a.example.co.uk`` ->
+    ``co.uk``). Use ``with_registrable_domain`` (PSL semantics) when
+    ccTLD correctness matters."""
     host = url_host(url)
     return F.substring_index(host, ".", -2)
+
+
+def _compile_psl(rules) -> list[tuple[str, int, int | None, int | None]]:
+    """Driver-side compile of PSL rule strings into one row per lookup
+    key: ``(key, key_labels, norm_ps, exc_ps)`` where ``*_ps`` is the
+    public-suffix label count WHEN this key matches a host's trailing
+    labels. Encoding: normal rule ``co.uk`` -> key ``co.uk``, ps = 2;
+    wildcard ``*.ck`` -> key ``ck``, ps = 2 (the ``*`` consumes one
+    host label); exception ``!www.ck`` -> key ``www.ck``, ps = 1 (rule
+    minus its leftmost label). ps equals the PSL's rule label count in
+    every case, so max(ps) IS the spec's longest-rule-wins; exceptions
+    carry a separate column because they win outright."""
+    merged: dict[str, list[int | None]] = {}
+    for raw in rules:
+        r = raw.strip().lower()
+        if not r or r.startswith("//"):
+            continue
+        exc = r.startswith("!")
+        body = r.lstrip("!")
+        wild = body.startswith("*.")
+        key = body[2:] if wild else body
+        k = key.count(".") + 1
+        ps = (k - 1) if exc else (k + 1 if wild else k)
+        ent = merged.setdefault(key, [None, None])
+        idx = 1 if exc else 0
+        ent[idx] = ps if ent[idx] is None else max(ent[idx], ps)
+    return [(key, key.count(".") + 1, e[0], e[1])
+            for key, e in sorted(merged.items())]
+
+
+def with_registrable_domain(
+    df: SparkDF,
+    url_col: str | Column,
+    out_col: str = "url_domain",
+    rules=None,
+    host: Column | None = None,
+) -> SparkDF:
+    """Add the PSL-correct registrable domain of ``url_col`` (or of an
+    explicit ``host`` column) as ``out_col``.
+
+    Plan (100 TB): one tiny BROADCAST left join per distinct rule-key
+    label count — the host's last-k-labels substring (pure
+    ``substring_index``, codegen) against a ≤10k-row pre-merged rule
+    table; no corpus shuffle anywhere. Rule precedence (exception
+    wins, else longest rule) is ``coalesce(exc, greatest(norms), 1)``
+    column arithmetic; the registrable domain is then the host's last
+    ``ps+1`` labels via ``slice``/``array_join``. NULL when the host
+    is null/unparseable or IS itself a public suffix (PSL contract).
+
+    ``rules`` defaults to the packaged ``psl_data.PSL_RULES`` subset;
+    pass ``parse_psl_text(open('public_suffix_list.dat').read())`` for
+    the full current list (same plan, bigger broadcast).
+    """
+    spark = df.sparkSession
+    comp = _compile_psl(PSL_RULES if rules is None else rules)
+    if not comp:
+        raise ValueError("empty PSL rule list")
+    hcol = F.lower(host if host is not None else url_host(url_col))
+    H = "__cps_pslhost"
+    out = df.withColumn(H, hcol)
+    norm_cols, exc_cols, drops = [], [], [H]
+    max_k = max(k for _, k, _, _ in comp)
+    for k in range(1, max_k + 1):
+        sub = [(key, nps, eps) for key, kk, nps, eps in comp if kk == k]
+        if not sub:
+            continue
+        kn, nn, en = (f"__cps_pslk{k}", f"__cps_psln{k}", f"__cps_psle{k}")
+        rdf = spark.createDataFrame(
+            sub, schema=f"{kn} string, {nn} int, {en} int")
+        out = out.join(
+            F.broadcast(rdf),
+            F.substring_index(F.col(H), ".", -k) == F.col(kn), "left")
+        norm_cols.append(F.col(nn))
+        exc_cols.append(F.col(en))
+        drops += [kn, nn, en]
+    norm_ps = norm_cols[0] if len(norm_cols) == 1 else F.greatest(*norm_cols)
+    exc_ps = exc_cols[0] if len(exc_cols) == 1 else F.greatest(*exc_cols)
+    ps = F.coalesce(exc_ps, norm_ps, F.lit(1))
+    labs = F.split(F.col(H), r"\.")
+    nlab = F.size(labs)
+    dom = F.when(F.col(H).isNotNull() & (nlab > ps),
+                 F.array_join(F.slice(labs, nlab - ps, ps + 1), "."))
+    return out.withColumn(out_col, dom).drop(*drops)
 
 
 def parse_url_parts(df: SparkDF, url_col: str,
@@ -75,10 +171,23 @@ def filter_blocked_domains(
     blocked: SparkDF | list[str],
     path_block_regex: str | None = None,
     broadcast: bool = True,
+    psl: bool = False,
+    rules=None,
+    domain_extractor: Column | Callable[[Column], Column] | None = None,
 ) -> SparkDF:
     """Drop rows whose registrable domain is in ``blocked`` (a
     1-column DataFrame or a literal list), and optionally rows whose
     URL path matches ``path_block_regex``.
+
+    Domain semantics (precedence order):
+    - ``domain_extractor``: a Column, or a callable given the URL
+      Column, returning the domain to match — full custom override.
+    - ``psl=True`` (or an explicit ``rules`` list): public-suffix-list
+      registrable domains via ``with_registrable_domain`` — the
+      correct choice for ccTLDs (a ``co.uk`` blocklist entry would
+      otherwise match EVERY .co.uk site, and ``example.co.uk`` would
+      never match at all).
+    - default: the last-two-labels heuristic (join-free).
 
     The domain check is a LEFT ANTI join — broadcast by default (the
     blocklist is the small side by construction). The path regex is a
@@ -93,10 +202,19 @@ def filter_blocked_domains(
     else:
         blocked = blocked.toDF("__cps_bdom")
     bl = F.broadcast(blocked) if broadcast else blocked
-    out = (df.withColumn("__cps_dom", registrable_domain(url_col))
-             .join(bl, F.col("__cps_dom") == F.col("__cps_bdom"),
-                   "left_anti")
-             .drop("__cps_dom"))
+    if domain_extractor is not None:
+        dom = (domain_extractor(F.col(url_col))
+               if callable(domain_extractor) else domain_extractor)
+        tagged = df.withColumn("__cps_dom", dom)
+    elif psl or rules is not None:
+        tagged = with_registrable_domain(df, url_col,
+                                         out_col="__cps_dom",
+                                         rules=rules)
+    else:
+        tagged = df.withColumn("__cps_dom", registrable_domain(url_col))
+    out = (tagged.join(bl, F.col("__cps_dom") == F.col("__cps_bdom"),
+                       "left_anti")
+                 .drop("__cps_dom"))
     if path_block_regex is not None:
         out = out.filter(
             ~F.coalesce(url_path(url_col), F.lit(""))

@@ -901,6 +901,87 @@ def test_url_parse_and_blocklist(spark):
     assert sorted(kept2["id"]) == [3, 5]
 
 
+def test_psl_registrable_domain(spark):
+    """Full public-suffix-list semantics (r7, VERDICT #3): multi-label
+    ccTLD suffixes, wildcard rules, exception rules, default rule,
+    host == public suffix -> NULL, case-insensitivity, private-section
+    hosting suffixes."""
+    from charmpandas_spark.functions.urls import with_registrable_domain
+    cases = [
+        # (host, expected registrable domain)
+        ("a.b.example.co.uk", "example.co.uk"),   # multi-label suffix
+        ("example.co.uk", "example.co.uk"),
+        ("co.uk", None),                          # host IS the suffix
+        ("a.b.example.com", "example.com"),       # plain gTLD
+        ("example.jp", "example.jp"),             # default rule '*'
+        ("foo.ck", None),                         # wildcard *.ck
+        ("bar.foo.ck", "bar.foo.ck"),             # suffix = foo.ck
+        ("www.ck", "www.ck"),                     # exception !www.ck
+        ("a.www.ck", "www.ck"),
+        ("city.kawasaki.jp", "city.kawasaki.jp"),  # exc > wildcard
+        ("sub.city.kawasaki.jp", "city.kawasaki.jp"),
+        ("foo.kawasaki.jp", None),                # *.kawasaki.jp
+        ("user.github.io", "user.github.io"),     # private section
+        ("Mixed.Example.CO.UK", "example.co.uk"),  # case-folded
+    ]
+    pdf = pd.DataFrame({
+        "id": range(len(cases)),
+        "url": [f"https://{h}/p" for h, _ in cases]})
+    got = (with_registrable_domain(_to_sdf(pdf), "url")
+           .toPandas().set_index("id")["url_domain"])
+    for i, (host, want) in enumerate(cases):
+        have = got.loc[i]
+        assert (have is None or pd.isna(have)) if want is None \
+            else have == want, f"{host}: {have!r} != {want!r}"
+
+
+def test_psl_blocklist_and_custom_extractor(spark):
+    """co.uk-family blocklist entries match under psl=True (the
+    heuristic can never match them); domain_extractor overrides the
+    extraction entirely (r6 ADVICE)."""
+    from pyspark.sql import functions as F
+    from charmpandas_spark.functions.urls import (
+        filter_blocked_domains, url_host)
+    pdf = pd.DataFrame({"id": [1, 2, 3, 4], "url": [
+        "https://a.example.co.uk/x",    # blocked under PSL
+        "https://other.co.uk/x",        # NOT blocked (different reg dom)
+        "https://example.com/x",
+        "https://sub.example.com/x",
+    ]})
+    kept = filter_blocked_domains(
+        _to_sdf(pdf), "url", ["example.co.uk"], psl=True).toPandas()
+    assert sorted(kept["id"]) == [2, 3, 4]
+    # heuristic folds both .co.uk rows to 'co.uk': entry never matches
+    kept_h = filter_blocked_domains(
+        _to_sdf(pdf), "url", ["example.co.uk"]).toPandas()
+    assert sorted(kept_h["id"]) == [1, 2, 3, 4]
+    # custom extractor: block on the FULL host
+    kept_c = filter_blocked_domains(
+        _to_sdf(pdf), "url", ["sub.example.com"],
+        domain_extractor=lambda u: url_host(u)).toPandas()
+    assert sorted(kept_c["id"]) == [1, 2, 3]
+    # custom rules list replaces the packaged table
+    kept_r = filter_blocked_domains(
+        _to_sdf(pdf), "url", ["example.com"],
+        rules=["co.uk"]).toPandas()
+    assert sorted(kept_r["id"]) == [1, 2]
+
+
+def test_psl_text_parser():
+    from charmpandas_spark.functions.psl_data import parse_psl_text
+    text = """// comment
+com
+// ===BEGIN PRIVATE DOMAINS===
+github.io
+
+*.example
+!except.example
+"""
+    assert parse_psl_text(text) == [
+        "com", "github.io", "*.example", "!except.example"]
+    assert parse_psl_text(text, icann_only=True) == ["com"]
+
+
 def test_url_filter_broadcasts_blocklist(spark, sf_dir):
     """The anti-join must broadcast the blocklist side — the corpus
     never shuffles for a domain filter."""
