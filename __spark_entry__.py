@@ -1548,6 +1548,52 @@ def _synth_url() -> F.Column:
         F.lit("?ref=r"), (F.col("doc_id") % 5).cast("string"))
 
 
+# Pinned BPE merge table for the text_bpe_tokens query (rank = list
+# position). Hand-curated over the corpus vocabulary to exercise every
+# algorithm branch: multi-step full merges (t+h, th+e -> 'the'),
+# chained partial merges (tab+le), rank precedence, and an
+# overlapping-pair case ('a','a'). Production callers learn their own
+# table via bpe.learn_bpe_from_corpus.
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("t", "a"), ("a", "b"), ("ta", "b"),
+    ("l", "e"), ("tab", "le"), ("s", "c"), ("sc", "a"), ("sca", "n"),
+    ("v", "a"), ("va", "l"), ("u", "e"), ("val", "ue"), ("w", "i"),
+    ("n", "d"), ("wi", "nd"), ("o", "w"), ("wind", "ow"), ("e", "r"),
+    ("q", "u"), ("qu", "er"), ("quer", "y"), ("a", "a"), ("r", "o"),
+    ("ro", "w"), ("f", "a"), ("fa", "st"), ("s", "t"), ("d", "at"),
+    ("a", "t"), ("dat", "a"),
+]
+
+
+def _bpe_map_sql() -> str:
+    """The pinned merge table as a DuckDB MAP literal 'a|b' -> rank."""
+    return ("map {" + ", ".join(
+        f"'{a}|{b}': {i}" for i, (a, b) in enumerate(_BPE_MERGES))
+        + "}")
+
+
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocab-driven BPE token counting (r7, VERDICT #4): per-doc
+    whitespace word count + BPE token count under the pinned merge
+    table. The Spark side is an Arrow-batched pandas_udf with a
+    per-distinct-word memo (Python cost scales with VOCABULARY, not
+    corpus — the only sane shape for a 10^11-row corpus whose word
+    distribution is Zipfian). The DuckDB oracle replays the exact
+    merge recurrence — (lowest-rank, leftmost) pair, one merge per
+    step — as a RECURSIVE CTE over (doc, word) states, so the
+    segmentation itself is value-checked cross-engine, not just
+    plumbing. Convention pinned in bpe.py's module docstring."""
+    from charmpandas_spark.functions.bpe import bpe_token_count
+    docs = _t(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    n_words = F.size(F.filter(F.split(low, " "),
+                              lambda w: w != "")).cast("int")
+    return docs.sdf.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        bpe_token_count(F.col("text"), _BPE_MERGES).alias("n_bpe"))
+
+
 def _psl_values_sql() -> str:
     """Render the packaged PSL rule table (same driver-side compile
     the Spark side broadcasts: key, normal/wildcard ps, exception ps)
@@ -1786,13 +1832,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_correctness.py runs ALL of them locally each round
     # (ADVICE r3: never depend on the driver's window size).
     return {
-        # --- (1) repaired this round (r5 NTZ breakage, VERDICT #1):
-        #     must re-prove green in the r6 window ---
-        # new in r6, never driver-checked
+        # --- (1) NEW or CHANGED in r7: must prove green this round ---
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "url_domain_filter": q_url_domain_filter,  # PSL semantics now
+        # --- (2) least-recently-driver-checked backlog (r3/r4
+        #     vintage: last seen in a driver window in r4 or earlier;
+        #     rode "latest green" rows at positions 51+ through r6).
+        #     Superset of the VERDICT r6 item-7 named set. ---
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_fast": q_dedup_minhash_fast,  # rows-only twin
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_contamination": q_dedup_contamination,
+        "dedup_embedding_cosine_ann": q_dedup_embedding_cosine_ann,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_embedding_leakage": q_dedup_embedding_leakage,
+        "events_merge_asof": q_events_merge_asof,
+        "sim_knn_join": q_sim_knn_join,
+        "streaming_dedup": q_streaming_dedup,
+        "streaming_static_join": q_streaming_static_join,
+        "source_csv_roundtrip": q_source_csv_roundtrip,
+        "source_json_roundtrip": q_source_json_roundtrip,
+        "text_chunks": q_text_chunks,
+        "text_redact_pii": q_text_redact_pii,
+        "text_repetition": q_text_repetition,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q20": q_tpch_q20,
+        # --- (3) r5-vintage backlog (checked r5, not since) ---
+        "join_inner": q_join_inner,
+        "join_full": q_join_full,
+        "groupby_extended": q_groupby_extended,
+        "groupby_ts_key": q_groupby_ts_key,
+        "join_timestamp_key": q_join_timestamp_key,
+        "groupby_bool": q_groupby_bool,
+        "groupby_cube": q_groupby_cube,
+        "groupby_rollup": q_groupby_rollup,
+        "pivot": q_pivot,
+        "scalar_reduction": q_scalar_reduction,
+        "sort_topk": q_sort_topk,
+        "datetime_filter": q_datetime_filter,
+        "int_literal_widening": q_int_literal_widening,
+        "events_sessionize": q_events_sessionize,
+        "window_lag": q_window_lag,
+        "window_rolling": q_window_rolling,
+        "events_json": q_events_json,
+        "text_lang_id": q_text_lang_id,
+        "text_quality": q_text_quality,
+        "text_token_count": q_text_token_count,
+        "text_fingerprint": q_text_fingerprint,
+        # --- (4) SS2 core slice, re-proven every round ---
+        "scan_project": q_scan_project,
+        "flagship_join_groupby_count": q_flagship_join_groupby_count,
+        "groupby_sum": q_groupby_sum,
+        # --- (5) TPC-H backlog head (r5 vintage) ---
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        # ~position 50 — everything below was green in the r6 driver
+        # window (or is later TPC-H backlog) and rides that row;
+        # tools/check_correctness.py still runs ALL of them locally
+        # every round ---
+        "tpch_q5": q_tpch_q5,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
+        # r6-window greens
         "text_pack": q_text_pack,
         "text_pack_greedy": q_text_pack_greedy,
-        "url_domain_filter": q_url_domain_filter,
-        "sim_ivf": q_sim_ivf,  # oracle NEW in r6 (full-probe contract)
+        "sim_ivf": q_sim_ivf,
         "sink_clustered_roundtrip": q_sink_clustered_roundtrip,
         "zorder_key": q_zorder_key,
         "stratified_sample": q_stratified_sample,
@@ -1801,8 +1922,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stream_join": q_streaming_stream_join,
         "window_range_frame": q_window_range_frame,
         "events_interval_join": q_events_interval_join,
-        # --- (2) least-recently-driver-checked (r2/r3 vintage, sat at
-        #     positions 51-66 through r5 — VERDICT r5 item #4) ---
         "concat": q_concat,
         "intersect": q_intersect,
         "except": q_except,
@@ -1819,12 +1938,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_right_semi": q_join_right_semi,
         "join_right_anti": q_join_right_anti,
         "join_multikey": q_join_multikey,
-        "tpch_q22": q_tpch_q22,
-        # --- (3) SS2 core slice, re-proven every round ---
-        "scan_project": q_scan_project,
-        "flagship_join_groupby_count": q_flagship_join_groupby_count,
-        "groupby_sum": q_groupby_sum,
-        # --- (4) r3/r4-vintage backlog, next-least-recent ---
         "datetime_parts": q_datetime_parts,
         "text_vocab": q_text_vocab,
         "text_tfidf": q_text_tfidf,
@@ -1843,68 +1956,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "events_sliding_window": q_events_sliding_window,
         "events_asof_join": q_events_asof_join,
-        "events_sessionize": q_events_sessionize,
-        "window_lag": q_window_lag,
-        "window_rolling": q_window_rolling,
-        "events_json": q_events_json,
-        "text_lang_id": q_text_lang_id,
-        "text_quality": q_text_quality,
-        "text_token_count": q_text_token_count,
-        "text_fingerprint": q_text_fingerprint,
-        # ~position 50 — everything below rides its latest green row
-        # (r4/r5 checks); tools/check_correctness.py still runs ALL ---
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_minhash_fast": q_dedup_minhash_fast,
-        "dedup_embedding_cosine_ann": q_dedup_embedding_cosine_ann,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_contamination": q_dedup_contamination,
-        "events_merge_asof": q_events_merge_asof,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "sim_knn_join": q_sim_knn_join,
-        "streaming_dedup": q_streaming_dedup,
-        "streaming_static_join": q_streaming_static_join,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q20": q_tpch_q20,
-        "text_chunks": q_text_chunks,
-        "text_redact_pii": q_text_redact_pii,
-        "text_repetition": q_text_repetition,
-        "dedup_embedding_leakage": q_dedup_embedding_leakage,
-        "source_csv_roundtrip": q_source_csv_roundtrip,
-        "source_json_roundtrip": q_source_json_roundtrip,
-        "join_inner": q_join_inner,
-        "join_full": q_join_full,
-        "groupby_extended": q_groupby_extended,
-        "groupby_ts_key": q_groupby_ts_key,
-        "join_timestamp_key": q_join_timestamp_key,
-        "groupby_bool": q_groupby_bool,
-        "groupby_cube": q_groupby_cube,
-        "groupby_rollup": q_groupby_rollup,
-        "pivot": q_pivot,
-        "scalar_reduction": q_scalar_reduction,
-        "sort_topk": q_sort_topk,
-        "datetime_filter": q_datetime_filter,
-        "int_literal_widening": q_int_literal_widening,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q21": q_tpch_q21,
     }
 
 
@@ -2913,6 +2964,55 @@ def oracle_sql() -> dict[str, str]:
                    fill AS bin_fill,
                    n_tokens > 100 AS overflow
             FROM pack
+        """,
+        # BPE segmentation replayed as a RECURSIVE CTE (r7): state =
+        # (doc, word, token-list); each step merges the
+        # (lowest-rank, leftmost) pair via the pinned MAP literal;
+        # fixpoint rows (no ranked pair left) aggregate to per-doc
+        # counts. Mirrors bpe.bpe_apply exactly — see bpe.py docstring
+        # for the convention.
+        "text_bpe_tokens": f"""
+            WITH RECURSIVE
+            words AS (
+                SELECT doc_id, wi, w FROM (
+                    SELECT doc_id,
+                           unnest(string_split(lower(text), ' ')) AS w,
+                           generate_subscripts(
+                               string_split(lower(text), ' '), 1) AS wi
+                    FROM documents) t0 WHERE w <> ''),
+            bpe AS (
+                SELECT doc_id, wi, string_split(w, '') AS toks
+                FROM words
+                UNION ALL
+                SELECT doc_id, wi,
+                       list_concat(list_concat(
+                           list_slice(toks, 1, pos - 1),
+                           [toks[pos] || toks[pos + 1]]),
+                           list_slice(toks, pos + 2, len(toks)))
+                FROM (
+                    SELECT doc_id, wi, toks,
+                           list_position(rks, list_min(
+                               list_filter(rks,
+                                   x -> x IS NOT NULL))) AS pos
+                    FROM (SELECT doc_id, wi, toks,
+                                 list_transform(
+                                     generate_series(1, len(toks) - 1),
+                                     i -> {_bpe_map_sql()}[
+                                         toks[i] || '|' || toks[i+1]][1])
+                                     AS rks
+                          FROM bpe) t1) t2
+                WHERE pos IS NOT NULL),
+            fin AS (
+                SELECT doc_id, wi, len(toks) AS n FROM bpe
+                WHERE len(list_filter(list_transform(
+                          generate_series(1, len(toks) - 1),
+                          i -> {_bpe_map_sql()}[
+                              toks[i] || '|' || toks[i+1]][1]),
+                          x -> x IS NOT NULL)) = 0)
+            SELECT doc_id,
+                   CAST(count(*) AS INT) AS n_words,
+                   CAST(sum(n) AS INT) AS n_bpe
+            FROM fin GROUP BY doc_id
         """,
         # PSL semantics (r7): an INDEPENDENT SQL implementation of the
         # public-suffix algorithm — candidate last-k-label substrings,

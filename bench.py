@@ -130,6 +130,8 @@ def bench_queries(spark, sf_dir):
         "text_pack_greedy",
         "stratified_sample",
         "text_token_stats",
+        # r7 additions
+        "text_bpe_tokens",
     ]
     return {n: qs[n] for n in names if n in qs}
 
