@@ -1258,6 +1258,29 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("features")[3].cast("bigint").alias("n_other"))
 
 
+def q_multimodal_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second REAL codec through the decode hook (r7, VERDICT #6):
+    text rendered as spec-compliant 24-bit BMP images (headers +
+    bottom-up pixel rows), decoded back by an actual header-parse +
+    numpy pixel-array decoder inside mapInPandas. Dimensions come
+    from the BMP header; byte-class counts from the decoded logical
+    pixels. The oracle recomputes everything from the plaintext:
+    width is the fixed 16, height is ceil(len/48), and the zero pad
+    lands in n_other — so a header-parse bug, a row-flip bug, or a
+    padding bug each flips the hash."""
+    from charmpandas_spark.functions.dedup import spread
+    from charmpandas_spark.functions.multimodal import (
+        attach_bmp_media, bmp_decoder, extract_features)
+    docs = spread(_t(spark, sf_dir, "documents").sdf)
+    m = attach_bmp_media(docs, "text")
+    feats = extract_features(m, "media", "doc_id", decoder=bmp_decoder)
+    return feats.select(
+        "doc_id", "width", "height",
+        F.col("features")[0].cast("bigint").alias("n_lower"),
+        F.col("features")[1].cast("bigint").alias("n_digit"),
+        F.col("features")[3].cast("bigint").alias("n_other"))
+
+
 def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-containment join (operator Spark lacks; bin-and-refine
     composition in operators/interval.py — never a nested loop):
@@ -1834,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- (1) NEW or CHANGED in r7: must prove green this round ---
         "text_bpe_tokens": q_text_bpe_tokens,
+        "multimodal_bmp": q_multimodal_bmp,
         "url_domain_filter": q_url_domain_filter,  # PSL semantics now
         # --- (2) least-recently-driver-checked backlog (r3/r4
         #     vintage: last seen in a driver window in r4 or earlier;
@@ -2857,6 +2881,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, width, CAST(n_space AS INT) AS height,
                    n_lower, n_digit,
                    width - n_lower - n_digit - n_space AS n_other
+            FROM c
+        """,
+        # BMP twin: width fixed at 16 px (48 B rows, no alignment
+        # pad), height = ceil(bytes/48) min 1, zero pad counted in
+        # n_other = 48*height - lower - digit - space.
+        "multimodal_bmp": """
+            WITH c AS (
+                SELECT doc_id,
+                       CAST(octet_length(encode(text)) AS BIGINT) AS len,
+                       CAST(length(regexp_replace(text, '[^a-z]', '',
+                            'g')) AS BIGINT) AS n_lower,
+                       CAST(length(regexp_replace(text, '[^0-9]', '',
+                            'g')) AS BIGINT) AS n_digit,
+                       CAST(length(text) - length(replace(text, ' ', ''))
+                            AS BIGINT) AS n_space
+                FROM documents)
+            SELECT doc_id, CAST(16 AS INT) AS width,
+                   CAST(greatest((len + 47) // 48, 1) AS INT) AS height,
+                   n_lower, n_digit,
+                   48 * greatest((len + 47) // 48, 1)
+                       - n_lower - n_digit - n_space AS n_other
             FROM c
         """,
         "events_window": """

@@ -132,6 +132,7 @@ def bench_queries(spark, sf_dir):
         "text_token_stats",
         # r7 additions
         "text_bpe_tokens",
+        "multimodal_bmp",
     ]
     return {n: qs[n] for n in names if n in qs}
 
