@@ -408,14 +408,21 @@ def hyperplane_buckets_batch(dims: int | None, num_tables: int,
     Constructed lazily (module-level pandas_udf breaks executor
     unpickling: return-type parsing needs a live session).
 
-    ``dims=None`` defers dimensionality to RUN time: each executor
-    derives it from the first non-null vector it sees and caches the
-    plane matrix per dims (plane components depend only on
+    ``dims=None`` defers dimensionality to RUN time: each vector is
+    bucketed in its OWN length's plane space, with plane matrices
+    cached per dims (plane components depend only on
     (plane, dim, seed), so every worker generates identical planes).
     This removes the construction-time ``first()`` probe — building
-    the ANN plan triggers ZERO jobs (r5 verdict item #6). Vectors
-    whose length differs from the derived dims bucket to 0, exactly
-    like the probed-dims contract (corpora are expected uniform-dim).
+    the ANN plan triggers ZERO jobs (r5 verdict item #6) — and, since
+    a vector's buckets depend on nothing but the vector itself, the
+    result is DETERMINISTIC however the corpus is partitioned or
+    batched (r6 ADVICE: the earlier derive-from-first-in-batch rule
+    made mixed-dim corpora partitioning-dependent). Uniform corpora
+    behave identically to the probed-dims contract; on mixed corpora,
+    same-length vectors share planes (can collide = candidates) while
+    different-length vectors — never true cosine neighbors — hash in
+    disjoint spaces. With EXPLICIT ``dims``, vectors of any other
+    length still bucket to 0 (the declared-schema contract).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -430,46 +437,46 @@ def hyperplane_buckets_batch(dims: int | None, num_tables: int,
     @pandas_udf("array<bigint>")
     def buckets(vecs: pd.Series) -> pd.Series:
         n = len(vecs)
-        batch_dims = dims
-        if batch_dims is None:
-            for v in vecs:
-                if v is not None and len(v) > 0:
-                    batch_dims = len(v)
-                    break
-        if batch_dims is None:  # no valid vector in this batch
-            return pd.Series([np.zeros(num_tables, dtype=np.int64)] * n)
-        if comps is not None:
-            cm = comps
-        else:
-            cm = comps_cache.get(batch_dims)
-            if cm is None:
-                cm = comps_cache[batch_dims] = _comps(batch_dims)
-        x = np.zeros((n, batch_dims))
-        ok = np.zeros(n, dtype=bool)
-        nan = np.zeros(n, dtype=bool)
+        out = np.zeros((n, num_tables), dtype=np.int64)
+        # rows grouped by their OWN dimensionality -> deterministic
+        # buckets regardless of batch composition (r6 ADVICE)
+        groups: dict[int, list[tuple[int, np.ndarray]]] = {}
+        nan_rows: list[int] = []
         for i, v in enumerate(vecs):
-            if v is not None and len(v) == batch_dims:
-                arr = np.asarray(v, dtype=np.float64)
-                if np.isnan(arr).any():
-                    nan[i] = True
-                else:
-                    x[i] = arr
-                    ok[i] = True
-        acc = np.zeros((n, num_tables * num_planes))
-        for d in range(batch_dims):  # strict dim order == fold's order
-            acc += x[:, d:d + 1] * cm[:, d]
-        bits = (acc >= 0).reshape(n, num_tables, num_planes)
+            if v is None or len(v) == 0:
+                continue  # null/empty -> 0 (null propagation)
+            if dims is not None and len(v) != dims:
+                continue  # ragged vs declared schema -> 0
+            arr = np.asarray(v, dtype=np.float64)
+            if np.isnan(arr).any():
+                # NaN-element vectors: the fold's projection is NaN
+                # and Spark SQL orders NaN ABOVE every number, so
+                # `when(proj >= 0)` sets EVERY plane bit — all-ones
+                # bucket, not 0 (which is only the null/ragged
+                # propagation). The DuckDB oracle agrees (NaN
+                # compares greatest there too).
+                nan_rows.append(i)
+                continue
+            groups.setdefault(len(arr), []).append((i, arr))
         weights = np.left_shift(np.int64(1),
                                 np.arange(num_planes, dtype=np.int64))
-        buck = (bits.astype(np.int64) * weights).sum(axis=2)
-        buck[~ok] = 0
-        # NaN-element vectors: the fold's projection is NaN and Spark
-        # SQL orders NaN ABOVE every number, so `when(proj >= 0)` sets
-        # EVERY plane bit — all-ones bucket, not 0 (which is only the
-        # null/ragged propagation). The DuckDB oracle agrees (NaN
-        # compares greatest there too).
-        buck[nan] = (1 << num_planes) - 1
-        return pd.Series(list(buck))
+        for d_, rows in groups.items():
+            if comps is not None:
+                cm = comps
+            else:
+                cm = comps_cache.get(d_)
+                if cm is None:
+                    cm = comps_cache[d_] = _comps(d_)
+            idxs = [i for i, _ in rows]
+            x = np.stack([a for _, a in rows])
+            acc = np.zeros((len(rows), num_tables * num_planes))
+            for d in range(d_):  # strict dim order == fold's order
+                acc += x[:, d:d + 1] * cm[:, d]
+            bits = (acc >= 0).reshape(len(rows), num_tables, num_planes)
+            out[idxs] = (bits.astype(np.int64) * weights).sum(axis=2)
+        if nan_rows:
+            out[nan_rows] = (1 << num_planes) - 1
+        return pd.Series(list(out))
 
     return buckets
 

@@ -563,9 +563,18 @@ def pack_greedy(
     ``order_cols`` order inside every bin, which training pipelines
     want (document chunks stay adjacent), and it is
     deterministic with a trivial sequential reference.
+
+    Group-column contract (r6 ADVICE): a user-supplied ``group_col``
+    must be integral with values in ``[0, 2^31)`` — the value is the
+    high half of ``bin_id`` (``group * 2^32 + local``), keeping bin
+    ids interpretable and collision-free. Non-integral columns raise
+    at plan time and out-of-range values raise inside the task;
+    arbitrary keys (strings, negatives) should go through the default
+    path, which hashes via ``pmod(xxhash64(...))``.
     """
     from pyspark.sql.types import (
-        BooleanType, LongType, StructField, StructType)
+        BooleanType, ByteType, IntegerType, LongType, ShortType,
+        StructField, StructType)
 
     sdf = chunks
     if group_col is None:
@@ -573,6 +582,15 @@ def pack_greedy(
             "__cps_grp",
             F.pmod(F.xxhash64(F.col(order_cols[0])), F.lit(num_groups)))
         group_col = "__cps_grp"
+    else:
+        gtype = sdf.schema[group_col].dataType
+        if not isinstance(gtype, (ByteType, ShortType, IntegerType,
+                                  LongType)):
+            raise TypeError(
+                f"pack_greedy group_col {group_col!r} must be an "
+                f"integer column in [0, 2^31) (got {gtype.simpleString()}"
+                f"); hash arbitrary keys first, e.g. "
+                f"pmod(xxhash64(col), n_groups)")
     out_schema = StructType(list(sdf.schema.fields) + [
         StructField("bin_id", LongType()),
         StructField("bin_fill", LongType()),
@@ -582,6 +600,11 @@ def pack_greedy(
     def pack_group(_key, pdf):
         pdf = pdf.sort_values(oc).reset_index(drop=True)
         grp = int(pdf[gname].iloc[0])
+        if not (0 <= grp < (1 << 31)):
+            raise ValueError(
+                f"pack_greedy group value {grp} outside [0, 2^31): "
+                f"bin_id = group * 2^32 + local would collide or "
+                f"overflow; hash the group column first")
         bins, fills, over = [], [], []
         local, fill = 0, 0
         for t in pdf[tname].astype("int64"):

@@ -766,6 +766,58 @@ def test_hyperplane_batch_nan_null_parity_with_fold(spark):
     assert got[3] == 0 and got[4] == 0  # null propagation
 
 
+def test_hyperplane_mixed_dims_deterministic(spark):
+    """r6 ADVICE: with dims=None, buckets must depend only on the
+    vector itself — same values whatever the partitioning/batch
+    composition, and same-length vectors share plane space."""
+    from pyspark.sql import types as T
+
+    from charmpandas_spark.functions.similarity import (
+        hyperplane_buckets_batch)
+    rows = [(i, [float(i % 7) - 3.0] * (3 if i % 2 else 5))
+            for i in range(40)]
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.ArrayType(T.DoubleType()))])
+    batch = hyperplane_buckets_batch(None, 2, 8, seed=13)
+
+    def run(nparts):
+        sdf = spark.createDataFrame(rows, schema).repartition(nparts)
+        return {r.id: tuple(r.bk) for r in
+                sdf.select("id", batch(F.col("v")).alias("bk"))
+                   .collect()}
+
+    a, b, c = run(1), run(7), run(40)
+    assert a == b == c
+    # same-dim vectors with identical values collide; the two dim
+    # families produce (deterministically) their own bucket values
+    assert a[1] == a[15]          # both 3-dim, same values (i%7 equal)
+    assert a[0] == a[14]          # both 5-dim, same values
+    # explicit dims still zeroes ragged vectors
+    batch5 = hyperplane_buckets_batch(5, 2, 8, seed=13)
+    sdf = spark.createDataFrame(rows, schema)
+    z = {r.id: tuple(r.bk) for r in
+         sdf.select("id", batch5(F.col("v")).alias("bk")).collect()}
+    assert all(z[i] == (0, 0) for i in range(1, 40, 2))  # 3-dim rows
+
+
+def test_pack_greedy_group_contract(spark):
+    """r6 ADVICE: non-integer group columns raise at plan time;
+    out-of-range group values raise in-task instead of silently
+    colliding in the bin_id encoding."""
+    from charmpandas_spark.functions.text import pack_greedy
+    pdf = pd.DataFrame({"doc": [1, 2], "chunk_idx": [0, 0],
+                        "n_tokens": [5, 6],
+                        "gs": ["a", "b"], "gi": [-1, 2]})
+    sdf = _to_sdf(pdf)
+    with pytest.raises(TypeError, match="integer column"):
+        pack_greedy(sdf, "n_tokens", ("doc", "chunk_idx"),
+                    budget=10, group_col="gs")
+    with pytest.raises(Exception, match="outside"):
+        pack_greedy(sdf, "n_tokens", ("doc", "chunk_idx"),
+                    budget=10, group_col="gi").collect()
+
+
 def test_cosine_ann_null_first_vector_not_empty(spark):
     """ADVICE r3 (medium): a null vector in the FIRST row must not be
     mistaken for an empty corpus — the dims probe re-probes the
