@@ -43,6 +43,76 @@ def test_running_totals_stream_matches_batch(spark, events, tmp_path):
     assert (got["max_value"] == want["max_value"]).all()
 
 
+def test_rocksdb_state_checkpoint_restart(spark, sf_dir, tmp_path):
+    """RocksDB state store + checkpoint-restart (r6 VERDICT stretch):
+    a streaming dedup runs under the RocksDB provider with a durable
+    checkpoint, the query STOPS, new files arrive containing exact
+    duplicates of already-seen documents plus genuinely new ones, and
+    a RESTARTED query (same checkpoint) must suppress the old
+    fingerprints — state provably survived the restart. The
+    checkpoint's state dir must contain RocksDB artifacts (zip
+    snapshots / changelog), proving the provider actually engaged."""
+    import glob
+    import os
+
+    from charmpandas_spark.streaming.dedup import streaming_exact_dedup
+    from charmpandas_spark.streaming.state import use_rocksdb_state
+    from charmpandas_spark.streaming.windows import stream_from_parquet
+
+    docs = (cps.read_table(spark, sf_dir, "documents").sdf
+            .select("doc_id", "text").orderBy("doc_id").limit(75)
+            .toPandas())
+    a, b_new = docs.iloc[:50], docs.iloc[50:]
+    src = str(tmp_path / "rdb_src")
+    out = str(tmp_path / "rdb_out")
+    ckpt = str(tmp_path / "rdb_ckpt")
+    os.makedirs(src)
+    first = spark.createDataFrame(a)
+    first.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = stream_from_parquet(spark, src,
+                                     max_files_per_trigger=1)
+        with use_rocksdb_state(spark):
+            q = (streaming_exact_dedup(stream, "text")
+                 .writeStream.format("parquet")
+                 .option("path", out)
+                 .option("checkpointLocation", ckpt)
+                 .outputMode("append")
+                 .trigger(availableNow=True).start())
+            assert q.awaitTermination(180), "stream did not finish"
+
+    run_once()
+    got1 = spark.read.parquet(out)
+    assert got1.count() == 50
+
+    # new arrivals: every already-seen doc again (exact dupes) + 25 new
+    dupes_plus_new = pd.concat(
+        [a.assign(doc_id=a["doc_id"] + 100000), b_new])
+    spark.createDataFrame(dupes_plus_new).coalesce(1) \
+        .write.mode("append").parquet(src)
+    run_once()  # RESTART from the same checkpoint
+
+    got2 = spark.read.parquet(out).toPandas()
+    # 50 originals + 25 new; the 50 re-sent texts suppressed by state
+    # that crossed the restart boundary
+    assert len(got2) == 75
+    assert set(got2["text"]) == set(docs["text"])
+    assert not (set(got2["doc_id"])
+                & set((a["doc_id"] + 100000).tolist()))
+
+    # provider witness: RocksDB writes zip snapshots (+ changelog
+    # files when changelog checkpointing is on) under state/
+    arts = glob.glob(os.path.join(ckpt, "state", "**", "*.zip"),
+                     recursive=True)
+    arts += glob.glob(os.path.join(ckpt, "state", "**", "*.changelog"),
+                      recursive=True)
+    assert arts, "no RocksDB snapshot/changelog artifacts in checkpoint"
+    # ...and the HDFS-backed provider's .delta files must be absent
+    assert not glob.glob(os.path.join(ckpt, "state", "**", "*.delta"),
+                         recursive=True)
+
+
 def test_threshold_alerts_stream(spark, events, tmp_path):
     from charmpandas_spark.streaming.stateful import threshold_alerts_stream
     from charmpandas_spark.streaming.windows import stream_from_parquet
