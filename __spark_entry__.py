@@ -1617,6 +1617,37 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_token_count(F.col("text"), _BPE_MERGES).alias("n_bpe"))
 
 
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher A1 document-quality rules (Rae et al. 2021, public):
+    word-count bounds, mean word length, alpha-word fraction,
+    required-stopword hits, symbol ratio, bullet/ellipsis line
+    fractions, combined keep decision. Pure higher-order-array +
+    regexp Column expressions — scan-local, zero shuffle, codegen'd;
+    the oracle recomputes every signal independently in DuckDB list
+    functions."""
+    from charmpandas_spark.functions.quality import gopher_quality
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_quality(docs.sdf, "text", "doc_id")
+
+
+def q_quality_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 SS2.2 cleaning (Raffel et al. 2020, public): line filter
+    (terminal punctuation + >=5 words + no 'javascript') then page
+    filter (no 'lorem ipsum'/brace, >=3 sentences). The synthetic
+    documents are single-line word salad, so the query first
+    synthesizes line structure deterministically — plain substring
+    replace of ' table ' with '.\\n', identical left-to-right
+    non-overlapping semantics in Spark and DuckDB — then applies the
+    rules; the oracle applies the same transform + an independent
+    DuckDB re-implementation."""
+    from charmpandas_spark.functions.quality import c4_clean
+    docs = _t(spark, sf_dir, "documents")
+    with_lines = docs.sdf.withColumn(
+        "text2",
+        F.replace(F.col("text"), F.lit(" table "), F.lit(".\n")))
+    return c4_clean(with_lines, "text2", "doc_id")
+
+
 def _psl_values_sql() -> str:
     """Render the packaged PSL rule table (same driver-side compile
     the Spark side broadcasts: key, normal/wildcard ps, exception ps)
@@ -1859,6 +1890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokens": q_text_bpe_tokens,
         "multimodal_bmp": q_multimodal_bmp,
         "url_domain_filter": q_url_domain_filter,  # PSL semantics now
+        "quality_gopher": q_quality_gopher,
+        "quality_c4": q_quality_c4,
         # --- (2) least-recently-driver-checked backlog (r3/r4
         #     vintage: last seen in a driver window in r4 or earlier;
         #     rode "latest green" rows at positions 51+ through r6).
@@ -2240,6 +2273,8 @@ def oracle_sql() -> dict[str, str]:
     from charmpandas_spark.functions.text import (
         TOKEN_REGEX, fingerprint_sql, language_id_sql, quality_score_sql,
         word_shingles_sql)
+    from charmpandas_spark.functions.quality import (
+        c4_clean_sql, gopher_quality_sql)
     join_cols = ('o_orderkey, o_orderpriority, l_orderkey, l_linenumber, '
                  'l_quantity')
     cos_pair = _cosine_sql("a.embedding", "b.embedding")
@@ -2636,6 +2671,15 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": f"""
             SELECT doc_id, {quality_score_sql('text')} AS quality
             FROM documents
+        """,
+        "quality_gopher": f"""
+            {gopher_quality_sql('text', 'doc_id')} FROM documents
+        """,
+        "quality_c4": f"""
+            {c4_clean_sql('text2', 'doc_id')} FROM (
+                SELECT doc_id,
+                       replace(text, ' table ', '.' || chr(10)) AS text2
+                FROM documents)
         """,
         "text_token_count": f"""
             SELECT doc_id,

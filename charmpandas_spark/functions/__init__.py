@@ -23,6 +23,11 @@ from .sketches import (
     hll_merge,
     hll_sketch,
 )
+from .quality import (
+    c4_clean,
+    gopher_quality,
+    gopher_signals,
+)
 from .text import (
     chunk_documents,
     fingerprint,
@@ -42,6 +47,7 @@ __all__ = [
     "knn_join",
     "approx_distinct", "approx_quantiles", "heavy_hitters",
     "hll_merge", "hll_sketch",
+    "c4_clean", "gopher_quality", "gopher_signals",
     "chunk_documents", "fingerprint", "language_id", "normalize_text",
     "quality_score", "redact_pii", "regex_token_count",
     "whitespace_token_count",

@@ -1,0 +1,251 @@
+"""Heuristic document-quality filter rules for LLM training corpora.
+
+Implements the two public rule families every large-scale text
+pipeline starts from:
+
+- **Gopher rules** (Rae et al. 2021, arXiv:2112.11446, Appendix A1):
+  document-level signals — word count bounds, mean word length,
+  symbol-to-word ratio, bullet/ellipsis line fractions, fraction of
+  words containing an alphabetic character, required-stopword count —
+  combined into a keep/drop decision.
+- **C4 rules** (Raffel et al. 2020, arXiv:1910.10683, §2.2):
+  line-level cleaning — keep only lines ending in terminal
+  punctuation with at least ``min_line_words`` words and no
+  "javascript"; then page-level filters — drop pages containing
+  "lorem ipsum" or "{", or with fewer than ``min_sentences``
+  sentences after cleaning.
+
+All signals are pure ``pyspark.sql.functions`` Column expressions
+(higher-order array functions + regexp counts) — JVM-side, fully
+codegen'd, no UDFs, no shuffle: at 100 TB these run at scan speed and
+the filter predicate rides into the parquet scan. Each function has a
+``_sql`` DuckDB twin for the oracle gate; float ratios use the
+repo-wide ``floor(x*10000)/10000`` convention so both engines agree
+bit-for-bit (no round-half divergence).
+
+The reference system has no text-quality surface (its engine stops at
+relational opcodes); this module is part of the training-data-pipeline
+layer the task brief asks for beyond reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame as SparkDF, functions as F
+
+__all__ = [
+    "GOPHER_STOPWORDS",
+    "gopher_signals",
+    "gopher_quality",
+    "gopher_quality_sql",
+    "c4_clean",
+    "c4_clean_sql",
+]
+
+# The 8 required English stopwords from Gopher A1 ("must contain at
+# least 2 of: ...").
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+_BULLET_RE = r"^\s*[-*•‣▪]"
+_ELLIPSIS_RE = r"(\.\.\.|…)\s*$"
+
+
+def _floor4(c: Column) -> Column:
+    return F.floor(c * 10000) / 10000
+
+
+def _words(c: Column) -> Column:
+    """Whitespace tokens with empties dropped (leading/trailing
+    whitespace would otherwise produce '' entries)."""
+    return F.filter(F.split(c, r"\s+"), lambda w: w != F.lit(""))
+
+
+def gopher_signals(col: Column | str) -> dict[str, Column]:
+    """Per-document Gopher quality signals as named Columns.
+
+    Returned keys: ``n_words``, ``mean_word_len``, ``alpha_word_frac``,
+    ``stopword_hits``, ``symbol_word_ratio``, ``bullet_line_frac``,
+    ``ellipsis_line_frac``. Ratios floor-rounded to 4 decimals.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    words = _words(c)
+    n_words = F.size(words).cast("int")
+    safe_w = F.when(n_words == 0, F.lit(1)).otherwise(n_words) \
+        .cast("double")
+    # sum of word lengths == total non-whitespace chars (cheaper than
+    # aggregating the array)
+    char_sum = F.length(F.regexp_replace(c, r"\s", ""))
+    alpha_words = F.size(F.filter(
+        words, lambda w: w.rlike("[A-Za-z]")))
+    lowered = F.transform(words, F.lower)
+    stop_hits = None
+    for s in GOPHER_STOPWORDS:
+        term = F.array_contains(lowered, s).cast("int")
+        stop_hits = term if stop_hits is None else stop_hits + term
+    n_hash = F.regexp_count(c, F.lit("#"))
+    n_ellipsis = F.regexp_count(c, F.lit(r"\.\.\."))
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    safe_l = F.when(n_lines == 0, F.lit(1)).otherwise(n_lines) \
+        .cast("double")
+    bullet_lines = F.size(F.filter(
+        lines, lambda ln: ln.rlike(_BULLET_RE)))
+    ellipsis_lines = F.size(F.filter(
+        lines, lambda ln: ln.rlike(_ELLIPSIS_RE)))
+    return {
+        "n_words": n_words,
+        "mean_word_len": _floor4(char_sum / safe_w),
+        "alpha_word_frac": _floor4(alpha_words / safe_w),
+        "stopword_hits": stop_hits.cast("int"),
+        "symbol_word_ratio": _floor4((n_hash + n_ellipsis) / safe_w),
+        "bullet_line_frac": _floor4(bullet_lines / safe_l),
+        "ellipsis_line_frac": _floor4(ellipsis_lines / safe_l),
+    }
+
+
+def gopher_quality(df: SparkDF, text_col: str, id_col: str,
+                   min_words: int = 50, max_words: int = 100_000
+                   ) -> SparkDF:
+    """Gopher A1 document filter: id + all signals + ``keep`` (1/0).
+
+    Thresholds are the published ones: mean word length in [3, 10],
+    symbol-to-word ratio <= 0.1, <= 90% bullet lines, <= 30% ellipsis
+    lines, >= 80% words containing an alphabetic character, >= 2 of
+    the 8 required stopwords; word-count bounds parameterized
+    (published: [50, 100k]).
+
+    Everything is a scan-local projection — a downstream
+    ``.filter("keep = 1")`` prunes at the scan with zero shuffle.
+    """
+    s = gopher_signals(text_col)
+    keep = (
+        (s["n_words"] >= min_words) & (s["n_words"] <= max_words)
+        & (s["mean_word_len"] >= 3) & (s["mean_word_len"] <= 10)
+        & (s["symbol_word_ratio"] <= 0.1)
+        & (s["bullet_line_frac"] <= 0.9)
+        & (s["ellipsis_line_frac"] <= 0.3)
+        & (s["alpha_word_frac"] >= 0.8)
+        & (s["stopword_hits"] >= 2)
+    )
+    return df.select(
+        F.col(id_col),
+        *[c.alias(k) for k, c in s.items()],
+        keep.cast("int").alias("keep"),
+    )
+
+
+def gopher_quality_sql(t: str, id_expr: str, min_words: int = 50,
+                       max_words: int = 100_000) -> str:
+    """DuckDB-SQL twin of :func:`gopher_quality` (oracle generation)."""
+    words = f"list_filter(regexp_split_to_array({t}, '\\s+'), w -> w <> '')"
+    n_words = f"CAST(length({words}) AS INT)"
+    safe_w = (f"CAST(CASE WHEN {n_words} = 0 THEN 1 ELSE {n_words} END"
+              f" AS DOUBLE)")
+    char_sum = f"length(regexp_replace({t}, '\\s', '', 'g'))"
+    alpha_words = (f"length(list_filter({words}, "
+                   f"w -> regexp_matches(w, '[A-Za-z]')))")
+    lowered = f"list_transform({words}, w -> lower(w))"
+    stop_hits = " + ".join(
+        f"CAST(list_contains({lowered}, '{s}') AS INT)"
+        for s in GOPHER_STOPWORDS)
+    n_hash = f"length(regexp_extract_all({t}, '#'))"
+    n_ell = f"length(regexp_extract_all({t}, '\\.\\.\\.'))"
+    lines = f"regexp_split_to_array({t}, '\\n')"
+    n_lines = f"length({lines})"
+    safe_l = (f"CAST(CASE WHEN {n_lines} = 0 THEN 1 ELSE {n_lines} END"
+              f" AS DOUBLE)")
+    bullet = (f"length(list_filter({lines}, "
+              f"x -> regexp_matches(x, '{_BULLET_RE}')))")
+    ell_l = (f"length(list_filter({lines}, "
+             f"x -> regexp_matches(x, '{_ELLIPSIS_RE}')))")
+
+    def floor4(x: str) -> str:
+        return f"FLOOR(({x}) * 10000) / 10000"
+
+    mean_wlen = floor4(f"{char_sum} / {safe_w}")
+    alpha_frac = floor4(f"{alpha_words} / {safe_w}")
+    sym_ratio = floor4(f"({n_hash} + {n_ell}) / {safe_w}")
+    bullet_frac = floor4(f"{bullet} / {safe_l}")
+    ell_frac = floor4(f"{ell_l} / {safe_l}")
+    keep = (f"({n_words} >= {min_words} AND {n_words} <= {max_words} "
+            f"AND ({mean_wlen}) >= 3 AND ({mean_wlen}) <= 10 "
+            f"AND ({sym_ratio}) <= 0.1 AND ({bullet_frac}) <= 0.9 "
+            f"AND ({ell_frac}) <= 0.3 AND ({alpha_frac}) >= 0.8 "
+            f"AND ({stop_hits}) >= 2)")
+    return (
+        f"SELECT {id_expr}, {n_words} AS n_words, "
+        f"{mean_wlen} AS mean_word_len, "
+        f"{alpha_frac} AS alpha_word_frac, "
+        f"CAST({stop_hits} AS INT) AS stopword_hits, "
+        f"{sym_ratio} AS symbol_word_ratio, "
+        f"{bullet_frac} AS bullet_line_frac, "
+        f"{ell_frac} AS ellipsis_line_frac, "
+        f"CAST({keep} AS INT) AS keep"
+    )
+
+
+# terminal-punctuation line ending: . ! ? or a double quote (C4's
+# rule; the single-quote variant is omitted so the pattern embeds
+# cleanly in single-quoted SQL literals on the oracle side)
+_TERMINAL_RE = r'[.!?"]\s*$'
+
+
+def c4_clean(df: SparkDF, text_col: str, id_col: str,
+             min_line_words: int = 5, min_sentences: int = 3
+             ) -> SparkDF:
+    """C4 §2.2 cleaning: line filter + page filter, zero shuffle.
+
+    Line rules (kept iff ALL hold): ends in terminal punctuation
+    (``. ! ? " '``), has >= ``min_line_words`` words, does not contain
+    the word "javascript" (case-insensitive). Page rules (on the
+    cleaned text): drop pages containing "lorem ipsum" or "{", or
+    with fewer than ``min_sentences`` sentences (terminal-punctuation
+    count).
+
+    Returns ``id, n_lines, n_kept_lines, clean_text, page_keep`` —
+    callers filter ``page_keep = 1`` and project ``clean_text``.
+    """
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+    kept = F.filter(lines, lambda ln: (
+        ln.rlike(_TERMINAL_RE)
+        & (F.size(_words(ln)) >= min_line_words)
+        & ~F.lower(ln).rlike(r"\bjavascript\b")))
+    clean = F.array_join(kept, "\n")
+    sentences = F.regexp_count(clean, F.lit(r"[.!?]"))
+    page_keep = (
+        ~F.lower(clean).contains("lorem ipsum")
+        & ~clean.contains("{")
+        & (sentences >= min_sentences))
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_kept_lines"),
+        clean.alias("clean_text"),
+        page_keep.cast("int").alias("page_keep"),
+    )
+
+
+def c4_clean_sql(t: str, id_expr: str, min_line_words: int = 5,
+                 min_sentences: int = 3) -> str:
+    """DuckDB-SQL twin of :func:`c4_clean`."""
+    lines = f"regexp_split_to_array({t}, '\\n')"
+    line_words = ("length(list_filter(regexp_split_to_array(x, "
+                  "'\\s+'), w -> w <> ''))")
+    kept = (f"list_filter({lines}, x -> "
+            f"regexp_matches(x, '{_TERMINAL_RE}') "
+            f"AND {line_words} >= {min_line_words} "
+            f"AND NOT regexp_matches(lower(x), '\\bjavascript\\b'))")
+    # DuckDB array_to_string([]) is NULL; Spark array_join([]) is ''
+    clean = f"COALESCE(array_to_string({kept}, chr(10)), '')"
+    sentences = f"length(regexp_extract_all({clean}, '[.!?]'))"
+    page_keep = (f"(NOT contains(lower({clean}), 'lorem ipsum') "
+                 f"AND NOT contains({clean}, '{{') "
+                 f"AND {sentences} >= {min_sentences})")
+    return (
+        f"SELECT {id_expr}, "
+        f"CAST(length({lines}) AS INT) AS n_lines, "
+        f"CAST(length({kept}) AS INT) AS n_kept_lines, "
+        f"{clean} AS clean_text, "
+        f"CAST({page_keep} AS INT) AS page_keep"
+    )

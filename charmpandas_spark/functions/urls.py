@@ -100,27 +100,42 @@ def with_registrable_domain(
     out_col: str = "url_domain",
     rules=None,
     host: Column | None = None,
+    strategy: str = "auto",
+    map_literal_max: int = 2048,
 ) -> SparkDF:
     """Add the PSL-correct registrable domain of ``url_col`` (or of an
     explicit ``host`` column) as ``out_col``.
 
-    Plan (100 TB): one tiny BROADCAST left join per distinct rule-key
-    label count — the host's last-k-labels substring (pure
-    ``substring_index``, codegen) against a ≤10k-row pre-merged rule
-    table; no corpus shuffle anywhere. Rule precedence (exception
-    wins, else longest rule) is ``coalesce(exc, greatest(norms), 1)``
-    column arithmetic; the registrable domain is then the host's last
+    Two physical strategies, both zero-corpus-shuffle:
+
+    - ``map`` (default for ≤ ``map_literal_max`` rule keys): per
+      label-count lookup of the host's last-k-labels substring in a
+      LITERAL map expression via ``try_element_at`` — no joins, no
+      broadcast exchanges, fully codegen'd; the whole domain
+      derivation rides the scan stage. The packaged 163-key subset
+      compiles to ~5 kB of plan literals.
+    - ``join`` (for the full ~10k-rule list, where plan-literal bloat
+      would hurt): one tiny BROADCAST left join per distinct rule-key
+      label count against a pre-merged rule table.
+
+    Rule precedence (exception wins, else longest rule) is
+    ``coalesce(exc, greatest(norms), 1)`` column arithmetic in both
+    strategies; the registrable domain is then the host's last
     ``ps+1`` labels via ``slice``/``array_join``. NULL when the host
     is null/unparseable or IS itself a public suffix (PSL contract).
 
     ``rules`` defaults to the packaged ``psl_data.PSL_RULES`` subset;
     pass ``parse_psl_text(open('public_suffix_list.dat').read())`` for
-    the full current list (same plan, bigger broadcast).
+    the full current list.
     """
     spark = df.sparkSession
     comp = _compile_psl(PSL_RULES if rules is None else rules)
     if not comp:
         raise ValueError("empty PSL rule list")
+    if strategy not in ("auto", "map", "join"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    use_map = (strategy == "map"
+               or (strategy == "auto" and len(comp) <= map_literal_max))
     hcol = F.lower(host if host is not None else url_host(url_col))
     H = "__cps_pslhost"
     out = df.withColumn(H, hcol)
@@ -130,17 +145,31 @@ def with_registrable_domain(
         sub = [(key, nps, eps) for key, kk, nps, eps in comp if kk == k]
         if not sub:
             continue
+        lastk = F.substring_index(F.col(H), ".", -k)
+        if use_map:
+            for vals, cols in (([(key, nps) for key, nps, _ in sub
+                                 if nps is not None], norm_cols),
+                               ([(key, eps) for key, _, eps in sub
+                                 if eps is not None], exc_cols)):
+                if not vals:
+                    continue
+                m = F.map_from_arrays(
+                    F.array(*[F.lit(key) for key, _ in vals]),
+                    F.array(*[F.lit(ps) for _, ps in vals]))
+                cols.append(F.try_element_at(m, lastk))
+            continue
         kn, nn, en = (f"__cps_pslk{k}", f"__cps_psln{k}", f"__cps_psle{k}")
         rdf = spark.createDataFrame(
             sub, schema=f"{kn} string, {nn} int, {en} int")
-        out = out.join(
-            F.broadcast(rdf),
-            F.substring_index(F.col(H), ".", -k) == F.col(kn), "left")
+        out = out.join(F.broadcast(rdf), lastk == F.col(kn), "left")
         norm_cols.append(F.col(nn))
         exc_cols.append(F.col(en))
         drops += [kn, nn, en]
-    norm_ps = norm_cols[0] if len(norm_cols) == 1 else F.greatest(*norm_cols)
-    exc_ps = exc_cols[0] if len(exc_cols) == 1 else F.greatest(*exc_cols)
+    norm_ps = (norm_cols[0] if len(norm_cols) == 1
+               else F.greatest(*norm_cols))
+    exc_ps = (F.lit(None).cast("int") if not exc_cols
+              else exc_cols[0] if len(exc_cols) == 1
+              else F.greatest(*exc_cols))
     ps = F.coalesce(exc_ps, norm_ps, F.lit(1))
     labs = F.split(F.col(H), r"\.")
     nlab = F.size(labs)

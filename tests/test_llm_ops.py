@@ -1268,3 +1268,105 @@ def test_token_frequency_stats_matches_python(spark):
         assert row.rare_frac == math.floor(rare * 1e6) / 1e6
     # junk doc has higher rare_frac than common-word doc
     assert got.loc[2].rare_frac > got.loc[1].rare_frac
+
+
+# ---------------------------------------------------------------------------
+# quality rules (Gopher A1 / C4 SS2.2)
+# ---------------------------------------------------------------------------
+
+def test_gopher_rules_each_signal(spark):
+    from charmpandas_spark.functions.quality import gopher_quality
+
+    good = " ".join(["the", "words", "and", "have", "with"] * 12)  # 60 words
+    docs = [
+        (0, good),                                   # passes everything
+        (1, "short text the and"),                   # < min_words
+        (2, " ".join(["####"] * 60)),                # symbol ratio + no alpha
+        (3, "\n".join(["- bullet point here ok"] * 10)
+            + "\nthe and of plain line"),            # >90% bullet lines? 10/11
+        (4, "\n".join(["trailing off the and..."] * 6)
+            + "\n" + good),                          # 6/7 ellipsis lines
+        (5, " ".join(["supercalifragilistic"] * 60)), # mean word len > 10
+    ]
+    pdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: r.asDict()
+           for r in gopher_quality(pdf, "text", "doc_id",
+                                   min_words=50).collect()}
+    assert out[0]["keep"] == 1
+    assert out[1]["keep"] == 0 and out[1]["n_words"] == 4
+    assert out[2]["keep"] == 0 and out[2]["alpha_word_frac"] == 0.0
+    assert out[3]["keep"] == 0 and out[3]["bullet_line_frac"] > 0.9
+    assert out[4]["keep"] == 0 and out[4]["ellipsis_line_frac"] > 0.3
+    assert out[5]["keep"] == 0 and out[5]["mean_word_len"] > 10
+    # stopword gate: strip stopwords from the good doc
+    no_stop = " ".join(["lorem"] * 60)
+    one = gopher_quality(
+        spark.createDataFrame([(9, no_stop)], ["doc_id", "text"]),
+        "text", "doc_id", min_words=50).collect()[0]
+    assert one.stopword_hits == 0 and one.keep == 0
+
+
+def test_c4_line_and_page_rules(spark):
+    from charmpandas_spark.functions.quality import c4_clean
+
+    keep_line = "this line has enough words and ends properly."
+    docs = [
+        (0, "\n".join([keep_line] * 4)),             # all kept, 4 sentences
+        (1, keep_line + "\nno terminal punctuation here\n"
+            + "short one.\n"                          # < 5 words
+            + "uses javascript on the page.\n"        # javascript line
+            + keep_line + "\n" + keep_line),
+        (2, "\n".join([keep_line] * 2)),             # only 2 sentences -> drop
+        (3, ("lorem ipsum dolor sit amet consectetur."
+             "\n" + keep_line + "\n" + keep_line)),  # lorem ipsum page
+        (4, "func() { return 1; } is code really ok."
+            + "\n" + keep_line + "\n" + keep_line),  # brace page
+    ]
+    pdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: r.asDict()
+           for r in c4_clean(pdf, "text", "doc_id").collect()}
+    assert out[0]["page_keep"] == 1 and out[0]["n_kept_lines"] == 4
+    assert out[1]["n_lines"] == 6 and out[1]["n_kept_lines"] == 3
+    assert out[1]["page_keep"] == 1
+    assert "javascript" not in out[1]["clean_text"]
+    assert "no terminal" not in out[1]["clean_text"]
+    assert out[2]["page_keep"] == 0                  # too few sentences
+    assert out[3]["page_keep"] == 0                  # lorem ipsum
+    assert out[4]["page_keep"] == 0                  # brace survives line filter
+    assert out[4]["n_kept_lines"] == 3
+
+
+def test_quality_rules_scan_local_plan(spark, sf_dir):
+    """Both rule sets must stay scan-local: no Exchange in the plan."""
+    from charmpandas_spark.functions.quality import c4_clean, gopher_quality
+    import os
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    for out in (gopher_quality(docs, "text", "doc_id"),
+                c4_clean(docs, "text", "doc_id")):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+def test_psl_map_and_join_strategies_agree(spark):
+    """The literal-map and broadcast-join PSL strategies are two
+    physical plans for one function: identical output on the
+    wildcard/exception/ccTLD corner cases, and the map path adds ZERO
+    joins/exchanges (the whole derivation rides the scan)."""
+    from charmpandas_spark.functions.urls import with_registrable_domain
+    from charmpandas_spark.plans.explain import (
+        join_strategies, num_exchanges)
+    hosts = ["a.b.example.co.uk", "co.uk", "foo.ck", "www.ck",
+             "a.www.ck", "city.kawasaki.jp", "foo.kawasaki.jp",
+             "x.example.com", "example.jp", None]
+    pdf = pd.DataFrame({"id": range(len(hosts)),
+                        "url": [None if h is None else f"http://{h}/"
+                                for h in hosts]})
+    sdf = _to_sdf(pdf)
+    a = with_registrable_domain(sdf, "url", strategy="map") \
+        .toPandas().set_index("id")["url_domain"]
+    b = with_registrable_domain(sdf, "url", strategy="join") \
+        .toPandas().set_index("id")["url_domain"]
+    assert a.fillna("<null>").equals(b.fillna("<null>"))
+    mapped = with_registrable_domain(sdf, "url", strategy="map")
+    assert join_strategies(mapped) == []
+    assert num_exchanges(mapped) == 0
