@@ -1617,6 +1617,22 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_token_count(F.col("text"), _BPE_MERGES).alias("n_bpe"))
 
 
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed k-means over the embeddings corpus
+    (semantic clustering for curation: bucket, then sample/balance
+    per cluster). 3 full Lloyd iterations + final assignment, k=8.
+    The arithmetic is bit-reproducible across engines (integer
+    quantization -> exact shuffle-order-independent sums; explicit
+    left-associated distance chains), so the DuckDB oracle replays
+    the ENTIRE iteration as chained CTEs and hash-matches the final
+    assignment — the algorithm is value-checked, not just the
+    plumbing. Each iteration is one map-side-combined aggregation;
+    driver state is k x dim doubles (see functions/kmeans.py)."""
+    from charmpandas_spark.functions.kmeans import kmeans_fit_predict
+    emb = _t(spark, sf_dir, "embeddings").sdf
+    return kmeans_fit_predict(emb, "embedding", "vec_id", k=8, iters=3)
+
+
 def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher A1 document-quality rules (Rae et al. 2021, public):
     word-count bounds, mean word length, alpha-word fraction,
@@ -1892,6 +1908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domain_filter": q_url_domain_filter,  # PSL semantics now
         "quality_gopher": q_quality_gopher,
         "quality_c4": q_quality_c4,
+        "embedding_kmeans": q_embedding_kmeans,
         # --- (2) least-recently-driver-checked backlog (r3/r4
         #     vintage: last seen in a driver window in r4 or earlier;
         #     rode "latest green" rows at positions 51+ through r6).
@@ -2273,6 +2290,7 @@ def oracle_sql() -> dict[str, str]:
     from charmpandas_spark.functions.text import (
         TOKEN_REGEX, fingerprint_sql, language_id_sql, quality_score_sql,
         word_shingles_sql)
+    from charmpandas_spark.functions.kmeans import kmeans_oracle_sql
     from charmpandas_spark.functions.quality import (
         c4_clean_sql, gopher_quality_sql)
     join_cols = ('o_orderkey, o_orderpriority, l_orderkey, l_linenumber, '
@@ -2681,6 +2699,8 @@ def oracle_sql() -> dict[str, str]:
                        replace(text, ' table ', '.' || chr(10)) AS text2
                 FROM documents)
         """,
+        "embedding_kmeans": kmeans_oracle_sql(
+            "embeddings", "embedding", "vec_id", dim=64, k=8, iters=3),
         "text_token_count": f"""
             SELECT doc_id,
                    CAST(CASE WHEN trim(text) = '' THEN 0 ELSE

@@ -133,6 +133,9 @@ def bench_queries(spark, sf_dir):
         # r7 additions
         "text_bpe_tokens",
         "multimodal_bmp",
+        "quality_gopher",
+        "quality_c4",
+        "embedding_kmeans",
     ]
     return {n: qs[n] for n in names if n in qs}
 

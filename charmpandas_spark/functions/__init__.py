@@ -23,6 +23,9 @@ from .sketches import (
     hll_merge,
     hll_sketch,
 )
+from .kmeans import (
+    kmeans_fit_predict,
+)
 from .quality import (
     c4_clean,
     gopher_quality,
@@ -48,6 +51,7 @@ __all__ = [
     "approx_distinct", "approx_quantiles", "heavy_hitters",
     "hll_merge", "hll_sketch",
     "c4_clean", "gopher_quality", "gopher_signals",
+    "kmeans_fit_predict",
     "chunk_documents", "fingerprint", "language_id", "normalize_text",
     "quality_score", "redact_pii", "regex_token_count",
     "whitespace_token_count",

@@ -1,0 +1,206 @@
+"""Deterministic distributed k-means over embedding columns.
+
+Semantic-clustering building block for corpus curation (bucket a
+corpus by embedding cluster, then sample/balance/dedup per cluster).
+Complements the IVF coarse quantizer in ivf.py (Spark ML KMeans,
+seeded but engine-internal): this variant is **bit-deterministic
+across engines**, so the full Lloyd iteration — not just the
+plumbing — is value-checked against a DuckDB replay in the oracle
+gate.
+
+Determinism design (why every step is exact):
+
+- Inputs are **quantized to integers** (``floor(x * scale)`` as
+  BIGINT): integer sums are exact in ANY aggregation order, so the
+  shuffle's reduction order can't perturb centroid updates.
+- Centroid components are ``CAST(SUM AS DOUBLE) / COUNT`` — one IEEE
+  division of exact integers, identical in Spark / DuckDB / Python.
+- Distances are explicit LEFT-ASSOCIATED addition chains of
+  ``(x_d - c_d) * (x_d - c_d)`` terms (no ``pow``, no ``list_sum``):
+  both engines evaluate term-by-term in index order, bit-identically.
+- Argmin ties break to the smallest centroid id on both sides
+  (strict ``<`` fold here == ``ORDER BY dist, j`` there).
+- Init is the ``k`` smallest-``id`` rows; empty clusters keep their
+  previous centroid.
+
+Scale (100 TB): each Lloyd iteration is ONE map-side-combined
+aggregation over the corpus (the canonical distributed k-means);
+centroids (k x dim doubles) travel driver->executors as plan
+literals — the only driver-side state, k*dim*8 bytes. The quantized
+corpus projection is persisted once and reused by all ``iters + 1``
+passes. The per-iteration ``collect()`` is k rows — bounded by k,
+not the corpus (same contract as the connected-components
+convergence probe).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame as SparkDF, functions as F
+
+__all__ = ["kmeans_fit_predict", "kmeans_oracle_sql"]
+
+
+def _quantize(vec_col: str, scale: int) -> Column:
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale).cast("long"))
+
+
+def _dist_expr(qcol: str, centroid: list[float], dim: int) -> Column:
+    """Squared distance via zip_with + aggregate: evaluates terms in
+    index order with a left-associated accumulator — bit-identical to
+    the oracle's explicit ``t1 + t2 + ...`` chain (the 0.0 seed is
+    exact: every term is a square, so >= +0.0) — while keeping the
+    expression tree O(1) instead of O(dim) per centroid (an explicit
+    chain times k centroids made codegen the dominant cost)."""
+    carr = F.array(*[F.lit(float(c)) for c in centroid])
+    diffs = F.zip_with(F.col(qcol).cast("array<double>"), carr,
+                       lambda x, c: (x - c) * (x - c))
+    return F.aggregate(diffs, F.lit(0.0), lambda a, t: a + t)
+
+
+def kmeans_fit_predict(
+    df: SparkDF,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 3,
+    scale: int = 1000,
+) -> SparkDF:
+    """Lloyd k-means over ``vec_col``; returns ``(id_col, cluster)``.
+
+    ``iters`` full (assign, update) rounds on the quantized vectors,
+    then a final assignment under the last centroids. Deterministic:
+    same data -> same clustering, on any partitioning, any engine
+    (see module docstring). ``scale`` sets quantization granularity
+    (1000 => 3 decimal places survive).
+    """
+    from pyspark import StorageLevel
+
+    q = df.select(F.col(id_col).alias("__cps_kid"),
+                  _quantize(vec_col, scale).alias("__cps_kq"))
+    q = q.persist(StorageLevel.MEMORY_AND_DISK)
+    init = q.orderBy("__cps_kid").limit(k).collect()
+    if len(init) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(init)}")
+    dim = len(init[0]["__cps_kq"])
+    cents: list[list[float]] = [
+        [float(v) for v in row["__cps_kq"]] for row in init]
+
+    def assign(cur: list[list[float]]) -> SparkDF:
+        # project the k distances ONCE as columns, then argmin over
+        # the column refs — folding the raw expressions into a
+        # when-chain would nest each chain exponentially (the
+        # accumulator appears twice per step) and blow up the plan
+        dists = q.select(
+            "*", *[_dist_expr("__cps_kq", c, dim).alias(f"__cps_kd{j}")
+                   for j, c in enumerate(cur)])
+        best = F.least(*[F.col(f"__cps_kd{j}") for j in range(k)])
+        cl = F
+        for j in range(k):
+            cl = cl.when(F.col(f"__cps_kd{j}") == best, F.lit(j))
+        return dists.withColumn("__cps_kc", cl.cast("int")) \
+                    .drop(*[f"__cps_kd{j}" for j in range(k)])
+
+    for _ in range(iters):
+        assigned = assign(cents)
+        sums = assigned.groupBy("__cps_kc").agg(
+            F.count(F.lit(1)).alias("__cps_kn"),
+            *[F.sum(F.element_at("__cps_kq", d + 1)).alias(f"__s{d}")
+              for d in range(dim)])
+        rows = {r["__cps_kc"]: r for r in sums.collect()}
+        cents = [
+            ([r[f"__s{d}"] / r["__cps_kn"] for d in range(dim)]
+             if (r := rows.get(j)) is not None else cents[j])
+            for j in range(k)]
+    return assign(cents).select(F.col("__cps_kid").alias(id_col),
+                                F.col("__cps_kc").alias("cluster"))
+
+
+def kmeans_oracle_sql(
+    t: str,
+    vec_expr: str,
+    id_expr: str,
+    dim: int,
+    k: int = 8,
+    iters: int = 3,
+    scale: int = 1000,
+) -> str:
+    """DuckDB-SQL replay of :func:`kmeans_fit_predict` — the same
+    quantization, init, iteration count, tie-break, and
+    empty-cluster rule, with the identical left-associated
+    arithmetic, generated as ``iters`` chained CTE stages."""
+    qcols = ", ".join(
+        f"CAST(FLOOR(CAST({vec_expr}[{d + 1}] AS DOUBLE) * {scale}) "
+        f"AS BIGINT) AS q{d}" for d in range(dim))
+    dist = " + ".join(
+        f"(CAST(q.q{d} AS DOUBLE) - c.c{d}) * "
+        f"(CAST(q.q{d} AS DOUBLE) - c.c{d})" for d in range(dim))
+    parts = [
+        f"q AS (SELECT {id_expr} AS id, {qcols} FROM {t})",
+        ("c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS j, "
+         + ", ".join(f"CAST(q{d} AS DOUBLE) AS c{d}"
+                     for d in range(dim))
+         + f" FROM (SELECT * FROM q ORDER BY id LIMIT {k}))"),
+    ]
+    for it in range(iters):
+        parts.append(
+            f"a{it} AS (SELECT * EXCLUDE (rn) FROM ("
+            f"SELECT q.*, c.j AS cl, row_number() OVER ("
+            f"PARTITION BY q.id ORDER BY {dist}, c.j) AS rn "
+            f"FROM q CROSS JOIN c{it} c) WHERE rn = 1)")
+        upd = ", ".join(
+            f"CAST(SUM(q{d}) AS DOUBLE) / COUNT(*) AS c{d}"
+            for d in range(dim))
+        parts.append(
+            f"u{it} AS (SELECT cl AS j, {upd} FROM a{it} GROUP BY cl)")
+        coal = ", ".join(
+            f"COALESCE(u.c{d}, p.c{d}) AS c{d}" for d in range(dim))
+        parts.append(
+            f"c{it + 1} AS (SELECT p.j, {coal} FROM c{it} p "
+            f"LEFT JOIN u{it} u ON p.j = u.j)")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f" SELECT id AS {id_expr}, CAST(cl AS INT) AS cluster "
+        + f"FROM (SELECT q.id, c.j AS cl, row_number() OVER ("
+        + f"PARTITION BY q.id ORDER BY {dist}, c.j) AS rn "
+        + f"FROM q CROSS JOIN c{iters} c) WHERE rn = 1")
+
+
+# cross-check helper used by tests: plain-Python replay of the same
+# recurrence (exact ints + IEEE doubles), independent of both engines
+def kmeans_reference(vectors: dict[int, list[float]], k: int = 8,
+                     iters: int = 3, scale: int = 1000
+                     ) -> dict[int, int]:
+    q = {i: [math.floor(float(x) * scale) for x in v]
+         for i, v in vectors.items()}
+    ids = sorted(q)
+    dim = len(q[ids[0]])
+    cents = [[float(v) for v in q[i]] for i in ids[:k]]
+
+    def assign_one(vec):
+        best_j, best_d = 0, None
+        for j, c in enumerate(cents):
+            d = 0.0
+            for a, b in zip(vec, c):
+                diff = float(a) - b
+                d = d + diff * diff
+            if best_d is None or d < best_d:
+                best_j, best_d = j, d
+        return best_j
+
+    for _ in range(iters):
+        sums = {}
+        for i in ids:
+            j = assign_one(q[i])
+            s = sums.setdefault(j, [0] * (dim + 1))
+            for d in range(dim):
+                s[d] += q[i][d]
+            s[dim] += 1
+        cents = [
+            ([s[d] / s[dim] for d in range(dim)]
+             if (s := sums.get(j)) is not None else cents[j])
+            for j in range(k)]
+    return {i: assign_one(q[i]) for i in ids}

@@ -1370,3 +1370,46 @@ def test_psl_map_and_join_strategies_agree(spark):
     mapped = with_registrable_domain(sdf, "url", strategy="map")
     assert join_strategies(mapped) == []
     assert num_exchanges(mapped) == 0
+
+
+# ---------------------------------------------------------------------------
+# deterministic k-means
+# ---------------------------------------------------------------------------
+
+def test_kmeans_matches_python_reference_and_partitioning(spark):
+    """The distributed Lloyd loop must equal the sequential Python
+    replay bit-for-bit, and be invariant to input partitioning (the
+    quantized integer sums make reduction order irrelevant)."""
+    import random
+
+    from charmpandas_spark.functions.kmeans import (
+        kmeans_fit_predict, kmeans_reference)
+    rng = random.Random(7)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(120)}
+    pdf = pd.DataFrame({"vid": list(vecs), "v": [vecs[i] for i in vecs]})
+    sdf = _to_sdf(pdf)
+    want = kmeans_reference(vecs, k=4, iters=2)
+    for parts in (1, 7):
+        got = {r.vid: r.cluster
+               for r in kmeans_fit_predict(
+                   sdf.repartition(parts), "v", "vid",
+                   k=4, iters=2).collect()}
+        assert got == want
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """Two identical init centroids -> one cluster drains on the
+    first update; it must keep its old centroid (not crash or shrink
+    k) on both the Spark side and the Python reference."""
+    from charmpandas_spark.functions.kmeans import (
+        kmeans_fit_predict, kmeans_reference)
+    # ids 0,1 identical -> centroid 1 never wins a tie (argmin takes
+    # the smaller j), so cluster 1 is empty after iteration 1
+    vecs = {0: [0.0, 0.0], 1: [0.0, 0.0], 2: [5.0, 5.0],
+            3: [5.1, 5.0], 4: [0.1, 0.0]}
+    pdf = pd.DataFrame({"vid": list(vecs), "v": [vecs[i] for i in vecs]})
+    got = {r.vid: r.cluster
+           for r in kmeans_fit_predict(_to_sdf(pdf), "v", "vid",
+                                       k=2, iters=3).collect()}
+    assert got == kmeans_reference(vecs, k=2, iters=3)
+    assert set(got.values()) == {0, 1} or set(got.values()) == {0}
