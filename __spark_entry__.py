@@ -1617,6 +1617,37 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_token_count(F.col("text"), _BPE_MERGES).alias("n_bpe"))
 
 
+def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink+source round-trip (SURVEY §2.1 extension): customer
+    written as ORC (Spark-native vectorized JVM reader, stripe-level
+    min/max pruning like parquet row groups), read back and
+    value-checked against the parquet original. Doubles round-trip
+    bit-exactly (binary columnar on both sides)."""
+    from charmpandas_spark.sources.orc import read_orc, write_orc
+    c = _t(spark, sf_dir, "customer")
+    path = _tmp_sink("orc_roundtrip")
+    write_orc(c, path)
+    return read_orc(spark, path).sdf.select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal")
+
+
+def q_corpus_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distribution profiling per group: interpolated
+    percentiles of l_extendedprice by return flag via Spark's exact
+    ``percentile`` aggregate (sort-based, matches DuckDB
+    ``quantile_cont`` linear interpolation), floor-rounded for
+    cross-engine float parity. The APPROXIMATE one-pass path for
+    100 TB (``percentile_approx`` / KLL-style sketches) lives in
+    functions/sketches.py with error-bound tests — this exact twin
+    is the oracle-checkable anchor those bounds are tested against."""
+    li = _t(spark, sf_dir, "lineitem").sdf
+    ps = [0.25, 0.5, 0.75, 0.95, 0.99]
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[(F.floor(F.percentile("l_extendedprice", F.lit(p)) * 100)
+           / 100).alias(f"p{int(p * 100)}") for p in ps])
+
+
 def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic distributed k-means over the embeddings corpus
     (semantic clustering for curation: bucket, then sample/balance
@@ -1909,6 +1940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gopher": q_quality_gopher,
         "quality_c4": q_quality_c4,
         "embedding_kmeans": q_embedding_kmeans,
+        "source_orc_roundtrip": q_source_orc_roundtrip,
+        "corpus_percentiles": q_corpus_percentiles,
         # --- (2) least-recently-driver-checked backlog (r3/r4
         #     vintage: last seen in a driver window in r4 or earlier;
         #     rode "latest green" rows at positions 51+ through r6).
@@ -2701,6 +2734,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_kmeans": kmeans_oracle_sql(
             "embeddings", "embedding", "vec_id", dim=64, k=8, iters=3),
+        "source_orc_roundtrip": """
+            SELECT c_custkey, c_name, c_nationkey, c_acctbal
+            FROM customer
+        """,
+        "corpus_percentiles": """
+            SELECT l_returnflag, COUNT(*) AS n,
+                   FLOOR(quantile_cont(l_extendedprice, 0.25) * 100)
+                       / 100 AS p25,
+                   FLOOR(quantile_cont(l_extendedprice, 0.50) * 100)
+                       / 100 AS p50,
+                   FLOOR(quantile_cont(l_extendedprice, 0.75) * 100)
+                       / 100 AS p75,
+                   FLOOR(quantile_cont(l_extendedprice, 0.95) * 100)
+                       / 100 AS p95,
+                   FLOOR(quantile_cont(l_extendedprice, 0.99) * 100)
+                       / 100 AS p99
+            FROM lineitem GROUP BY l_returnflag
+        """,
         "text_token_count": f"""
             SELECT doc_id,
                    CAST(CASE WHEN trim(text) = '' THEN 0 ELSE

@@ -136,6 +136,8 @@ def bench_queries(spark, sf_dir):
         "quality_gopher",
         "quality_c4",
         "embedding_kmeans",
+        "source_orc_roundtrip",
+        "corpus_percentiles",
     ]
     return {n: qs[n] for n in names if n in qs}
 

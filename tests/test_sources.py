@@ -351,3 +351,26 @@ def test_write_zordered_layout(spark, sf_dir, tmp_path):
     back = cps.read_parquet(spark, dst2)
     assert "__cps_z" not in back.sdf.columns
     assert back.sdf.count() == li.sdf.count()
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir):
+    """ORC sink/source round-trip preserves values bit-exactly, and a
+    predicate on the read-back reaches the ORC scan as a pushed
+    filter (stripe-level pruning at scale)."""
+    import os
+    import tempfile
+
+    from charmpandas_spark.sources.orc import read_orc, write_orc
+    import charmpandas_spark as cps
+    c = cps.read_table(spark, sf_dir, "customer")
+    path = os.path.join(tempfile.gettempdir(),
+                        f"cps_test_orc_{os.getpid()}")
+    write_orc(c, path)
+    back = read_orc(spark, path)
+    a = c.sdf.orderBy("c_custkey").toPandas()
+    b = back.sdf.orderBy("c_custkey").toPandas()[a.columns.tolist()]
+    assert a.equals(b)
+    filtered = back.sdf.filter(back.sdf.c_custkey > 100)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(c_custkey), GreaterThan(c_custkey," \
+        in plan
