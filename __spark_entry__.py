@@ -1617,6 +1617,20 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_token_count(F.col("text"), _BPE_MERGES).alias("n_bpe"))
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (public: Abbas et al. 2023):
+    deterministic k-means clusters the corpus, then exact cosine
+    pairing WITHIN clusters only — candidate set bounded by
+    sum(|cluster|^2), the published trick for web-scale embedding
+    dedup. The oracle replays the whole composite: the Lloyd-loop
+    CTE chain + a within-cluster self-join with list_inner_product
+    cosine — both the clustering and the pairing are value-checked."""
+    from charmpandas_spark.functions.kmeans import semantic_near_dup
+    emb = _t(spark, sf_dir, "embeddings").sdf
+    return semantic_near_dup(emb, "embedding", "vec_id",
+                             k=8, iters=3, threshold=0.25)
+
+
 def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC sink+source round-trip (SURVEY §2.1 extension): customer
     written as ORC (Spark-native vectorized JVM reader, stripe-level
@@ -1942,6 +1956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_kmeans": q_embedding_kmeans,
         "source_orc_roundtrip": q_source_orc_roundtrip,
         "corpus_percentiles": q_corpus_percentiles,
+        "dedup_semantic": q_dedup_semantic,
         # --- (2) least-recently-driver-checked backlog (r3/r4
         #     vintage: last seen in a driver window in r4 or earlier;
         #     rode "latest green" rows at positions 51+ through r6).
@@ -2323,7 +2338,8 @@ def oracle_sql() -> dict[str, str]:
     from charmpandas_spark.functions.text import (
         TOKEN_REGEX, fingerprint_sql, language_id_sql, quality_score_sql,
         word_shingles_sql)
-    from charmpandas_spark.functions.kmeans import kmeans_oracle_sql
+    from charmpandas_spark.functions.kmeans import (
+        kmeans_oracle_sql, semantic_near_dup_oracle_sql)
     from charmpandas_spark.functions.quality import (
         c4_clean_sql, gopher_quality_sql)
     join_cols = ('o_orderkey, o_orderpriority, l_orderkey, l_linenumber, '
@@ -2734,6 +2750,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_kmeans": kmeans_oracle_sql(
             "embeddings", "embedding", "vec_id", dim=64, k=8, iters=3),
+        "dedup_semantic": semantic_near_dup_oracle_sql(
+            "embeddings", "embedding", "vec_id", dim=64,
+            k=8, iters=3, threshold=0.25),
         "source_orc_roundtrip": """
             SELECT c_custkey, c_name, c_nationkey, c_acctbal
             FROM customer

@@ -138,6 +138,7 @@ def bench_queries(spark, sf_dir):
         "embedding_kmeans",
         "source_orc_roundtrip",
         "corpus_percentiles",
+        "dedup_semantic",
     ]
     return {n: qs[n] for n in names if n in qs}
 

@@ -39,7 +39,9 @@ import math
 
 from pyspark.sql import Column, DataFrame as SparkDF, functions as F
 
-__all__ = ["kmeans_fit_predict", "kmeans_oracle_sql"]
+__all__ = ["kmeans_fit_predict", "kmeans_oracle_sql",
+           "kmeans_oracle_parts", "semantic_near_dup",
+           "semantic_near_dup_oracle_sql"]
 
 
 def _quantize(vec_col: str, scale: int) -> Column:
@@ -119,7 +121,7 @@ def kmeans_fit_predict(
                                 F.col("__cps_kc").alias("cluster"))
 
 
-def kmeans_oracle_sql(
+def kmeans_oracle_parts(
     t: str,
     vec_expr: str,
     id_expr: str,
@@ -127,11 +129,10 @@ def kmeans_oracle_sql(
     k: int = 8,
     iters: int = 3,
     scale: int = 1000,
-) -> str:
-    """DuckDB-SQL replay of :func:`kmeans_fit_predict` — the same
-    quantization, init, iteration count, tie-break, and
-    empty-cluster rule, with the identical left-associated
-    arithmetic, generated as ``iters`` chained CTE stages."""
+) -> tuple[list[str], str]:
+    """CTE parts + final-assignment SELECT for the DuckDB replay of
+    :func:`kmeans_fit_predict` — split out so composite oracles
+    (e.g. semantic near-dup) can embed the assignment as a CTE."""
     qcols = ", ".join(
         f"CAST(FLOOR(CAST({vec_expr}[{d + 1}] AS DOUBLE) * {scale}) "
         f"AS BIGINT) AS q{d}" for d in range(dim))
@@ -161,12 +162,109 @@ def kmeans_oracle_sql(
         parts.append(
             f"c{it + 1} AS (SELECT p.j, {coal} FROM c{it} p "
             f"LEFT JOIN u{it} u ON p.j = u.j)")
+    final = (
+        f"SELECT id AS {id_expr}, CAST(cl AS INT) AS cluster "
+        f"FROM (SELECT q.id, c.j AS cl, row_number() OVER ("
+        f"PARTITION BY q.id ORDER BY {dist}, c.j) AS rn "
+        f"FROM q CROSS JOIN c{iters} c) WHERE rn = 1")
+    return parts, final
+
+
+def kmeans_oracle_sql(
+    t: str,
+    vec_expr: str,
+    id_expr: str,
+    dim: int,
+    k: int = 8,
+    iters: int = 3,
+    scale: int = 1000,
+) -> str:
+    """DuckDB-SQL replay of :func:`kmeans_fit_predict` — the same
+    quantization, init, iteration count, tie-break, and
+    empty-cluster rule, with the identical left-associated
+    arithmetic, generated as ``iters`` chained CTE stages."""
+    parts, final = kmeans_oracle_parts(t, vec_expr, id_expr, dim, k,
+                                       iters, scale)
+    return "WITH " + ",\n".join(parts) + " " + final
+
+
+def semantic_near_dup(
+    df: SparkDF,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.2,
+    scale: int = 1000,
+) -> SparkDF:
+    """SemDeDup-style semantic near-dup (Abbas et al. 2023,
+    arXiv:2303.09540, public): k-means-cluster the corpus, then exact
+    cosine pairing WITHIN clusters only — the cluster step caps the
+    candidate set at sum(|cluster|^2) instead of |corpus|^2, which is
+    the published trick that makes embedding dedup tractable at
+    scale. Returns ``(id_a, id_b, cluster, cosine)`` for pairs with
+    floor-rounded cosine >= ``threshold``, id_a < id_b.
+
+    Scale notes: the pair search is a hash join on cluster id, so
+    parallelism = k — size ``k`` so clusters fit an executor
+    (SemDeDup's own regime: k in the tens of thousands at web scale;
+    candidate pairs stay bounded because cluster diameter, not corpus
+    size, drives match counts). Norms are computed once per row below
+    the join; the assignment joins back to the corpus by id (one
+    co-shuffle).
+    """
+    from .similarity import cosine_sim
+
+    asg = kmeans_fit_predict(df, vec_col, id_col, k, iters, scale)
+    tagged = df.select(F.col(id_col), F.col(vec_col)).join(asg, id_col)
+    a = tagged.select(F.col(id_col).alias("id_a"), "cluster",
+                      F.col(vec_col).alias("__cps_va"))
+    b = tagged.select(F.col(id_col).alias("id_b"),
+                      F.col("cluster").alias("__cps_cb"),
+                      F.col(vec_col).alias("__cps_vb"))
+    pairs = a.join(b, (F.col("cluster") == F.col("__cps_cb"))
+                   & (F.col("id_a") < F.col("id_b")))
+    cos = F.floor(cosine_sim(F.col("__cps_va"),
+                             F.col("__cps_vb")) * 10000) / 10000
+    return (pairs.select("id_a", "id_b", "cluster",
+                         cos.alias("cosine"))
+                 .filter(F.col("cosine") >= threshold))
+
+
+def semantic_near_dup_oracle_sql(
+    t: str,
+    vec_expr: str,
+    id_expr: str,
+    dim: int,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.2,
+    scale: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`semantic_near_dup`: the k-means CTE
+    replay + a within-cluster self-join with list_inner_product
+    cosine, floor-rounded with the repo-wide convention."""
+    parts, final = kmeans_oracle_parts(t, vec_expr, id_expr, dim, k,
+                                       iters, scale)
+    lip = "list_inner_product"
+
+    def cos(x: str, y: str) -> str:
+        return (f"{lip}({x}::DOUBLE[], {y}::DOUBLE[]) / "
+                f"(sqrt({lip}({x}::DOUBLE[], {x}::DOUBLE[])) * "
+                f"sqrt({lip}({y}::DOUBLE[], {y}::DOUBLE[])))")
+
+    c = cos("va.vec", "vb.vec")
     return (
         "WITH " + ",\n".join(parts)
-        + f" SELECT id AS {id_expr}, CAST(cl AS INT) AS cluster "
-        + f"FROM (SELECT q.id, c.j AS cl, row_number() OVER ("
-        + f"PARTITION BY q.id ORDER BY {dist}, c.j) AS rn "
-        + f"FROM q CROSS JOIN c{iters} c) WHERE rn = 1")
+        + f", asg AS ({final})"
+        + f", v AS (SELECT s.{id_expr} AS id, {vec_expr} AS vec, "
+        + f"asg.cluster FROM {t} s JOIN asg "
+        + f"ON s.{id_expr} = asg.{id_expr}) "
+        + f"SELECT va.id AS id_a, vb.id AS id_b, va.cluster, "
+        + f"FLOOR(({c}) * 10000) / 10000 AS cosine "
+        + f"FROM v va JOIN v vb ON va.cluster = vb.cluster "
+        + f"AND va.id < vb.id "
+        + f"WHERE FLOOR(({c}) * 10000) / 10000 >= {threshold}")
 
 
 # cross-check helper used by tests: plain-Python replay of the same

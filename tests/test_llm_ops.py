@@ -1413,3 +1413,22 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
                                        k=2, iters=3).collect()}
     assert got == kmeans_reference(vecs, k=2, iters=3)
     assert set(got.values()) == {0, 1} or set(got.values()) == {0}
+
+
+def test_semantic_near_dup_within_cluster_only(spark):
+    """Pairs come only from same-cluster rows, every pair clears the
+    threshold, and planted near-duplicates are found."""
+    import random
+
+    from charmpandas_spark.functions.kmeans import (
+        kmeans_reference, semantic_near_dup)
+    rng = random.Random(3)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(60)}
+    vecs[100] = [v * 1.01 for v in vecs[5]]   # planted near-dup of 5
+    pdf = pd.DataFrame({"vid": list(vecs), "v": [vecs[i] for i in vecs]})
+    got = semantic_near_dup(_to_sdf(pdf), "v", "vid", k=4, iters=2,
+                            threshold=0.9).collect()
+    asg = kmeans_reference(vecs, k=4, iters=2)
+    assert all(asg[r.id_a] == asg[r.id_b] == r.cluster for r in got)
+    assert all(r.cosine >= 0.9 for r in got)
+    assert any({r.id_a, r.id_b} == {5, 100} for r in got)
