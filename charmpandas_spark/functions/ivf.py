@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame as SparkDF, functions as F
 
 from .similarity import cosine_topk
 
-__all__ = ["ivf_build", "ivf_search"]
+__all__ = ["ivf_build", "ivf_search", "ivf_write", "ivf_read_search"]
 
 
 def ivf_build(
@@ -71,3 +71,32 @@ def ivf_search(
     cand = assigned.filter(F.col("__cps_list").isin(probes)) \
                    .drop("__cps_list")
     return cosine_topk(cand, vec_col, id_col, query_vec, k)
+
+
+def ivf_write(assigned, path: str, mode: str = "overwrite") -> None:
+    """Materialize the inverted lists PARTITIONED BY centroid id —
+    one directory per list. This is the on-disk half of the IVF
+    claim: a search filtered to ``nprobe`` lists prunes whole
+    partitions at planning time, so at 100 TB a query touches
+    nprobe/nlist of the bytes no matter how big the corpus gets
+    (``tests/test_sketches_asof.py::test_ivf_partitioned_scan_prunes``
+    asserts the pruning from the scan node, not just argues it)."""
+    assigned.write.mode(mode).partitionBy("__cps_list").parquet(path)
+
+
+def ivf_read_search(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> SparkDF:
+    """Search a previously ``ivf_write``-materialized index: the
+    ``__cps_list IN probes`` predicate lands in the scan's partition
+    filters (directory-level pruning — non-probed lists are never
+    opened)."""
+    return ivf_search(spark.read.parquet(path), centroids, vec_col,
+                      id_col, query_vec, k=k, nprobe=nprobe)

@@ -166,3 +166,41 @@ def test_interval_join_matches_naive(spark, sf_dir):
                  for r in naive_keyless.select("event_id", "error_id")
                                        .collect())
     assert got_k == want_k
+
+
+def test_ivf_partitioned_scan_prunes(spark, sf_dir):
+    """The on-disk IVF index must PRUNE at the directory level: a
+    search probing nprobe of nlist lists reads only nprobe partition
+    directories (witnessed from the scan node's partition count and
+    filters, not argued), and returns the same rows as the in-memory
+    search."""
+    import os
+    import tempfile
+
+    from charmpandas_spark.functions.ivf import (
+        ivf_build, ivf_read_search, ivf_search, ivf_write)
+    emb = cps.read_table(spark, sf_dir, "embeddings").sdf
+    assigned, centroids = ivf_build(emb, "embedding", "vec_id", nlist=8)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"cps_test_ivf_{os.getpid()}")
+    ivf_write(assigned, path)
+    n_dirs = len([d for d in os.listdir(path)
+                  if d.startswith("__cps_list=")])
+    assert n_dirs == 8
+
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = ivf_read_search(spark, path, centroids, "embedding",
+                          "vec_id", q, k=5, nprobe=2)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # partition filter reached the scan...
+    assert "PartitionFilters" in plan and "__cps_list" in plan
+    got_pdf = got.toPandas()   # execute so scan metrics populate
+    # ...and the scan read exactly nprobe of the nlist directories
+    scan = got._jdf.queryExecution().executedPlan().collectLeaves() \
+        .head()
+    n_parts = scan.metrics().apply("numPartitions").value()
+    assert n_parts == 2, f"expected 2 probed partitions, read {n_parts}"
+    want = ivf_search(assigned, centroids, "embedding", "vec_id", q,
+                      k=5, nprobe=2).toPandas()
+    assert list(got_pdf["vec_id"]) == list(want["vec_id"])
