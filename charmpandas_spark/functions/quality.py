@@ -104,14 +104,17 @@ def gopher_signals(col: Column | str) -> dict[str, Column]:
 
 
 def gopher_quality(df: SparkDF, text_col: str, id_col: str,
-                   min_words: int = 50, max_words: int = 100_000
-                   ) -> SparkDF:
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_stopwords: int = 2) -> SparkDF:
     """Gopher A1 document filter: id + all signals + ``keep`` (1/0).
 
     Thresholds are the published ones: mean word length in [3, 10],
     symbol-to-word ratio <= 0.1, <= 90% bullet lines, <= 30% ellipsis
-    lines, >= 80% words containing an alphabetic character, >= 2 of
-    the 8 required stopwords; word-count bounds parameterized
+    lines, >= 80% words containing an alphabetic character, >=
+    ``min_stopwords`` of the 8 required stopwords (published: 2;
+    parameterized because a corpus whose vocabulary lacks most
+    English stopwords — like the synthetic test corpus — would
+    otherwise zero out); word-count bounds parameterized
     (published: [50, 100k]).
 
     Everything is a scan-local projection — a downstream
@@ -125,7 +128,7 @@ def gopher_quality(df: SparkDF, text_col: str, id_col: str,
         & (s["bullet_line_frac"] <= 0.9)
         & (s["ellipsis_line_frac"] <= 0.3)
         & (s["alpha_word_frac"] >= 0.8)
-        & (s["stopword_hits"] >= 2)
+        & (s["stopword_hits"] >= min_stopwords)
     )
     return df.select(
         F.col(id_col),
@@ -135,7 +138,8 @@ def gopher_quality(df: SparkDF, text_col: str, id_col: str,
 
 
 def gopher_quality_sql(t: str, id_expr: str, min_words: int = 50,
-                       max_words: int = 100_000) -> str:
+                       max_words: int = 100_000,
+                       min_stopwords: int = 2) -> str:
     """DuckDB-SQL twin of :func:`gopher_quality` (oracle generation)."""
     words = f"list_filter(regexp_split_to_array({t}, '\\s+'), w -> w <> '')"
     n_words = f"CAST(length({words}) AS INT)"
@@ -171,7 +175,7 @@ def gopher_quality_sql(t: str, id_expr: str, min_words: int = 50,
             f"AND ({mean_wlen}) >= 3 AND ({mean_wlen}) <= 10 "
             f"AND ({sym_ratio}) <= 0.1 AND ({bullet_frac}) <= 0.9 "
             f"AND ({ell_frac}) <= 0.3 AND ({alpha_frac}) >= 0.8 "
-            f"AND ({stop_hits}) >= 2)")
+            f"AND ({stop_hits}) >= {min_stopwords})")
     return (
         f"SELECT {id_expr}, {n_words} AS n_words, "
         f"{mean_wlen} AS mean_word_len, "

@@ -6,10 +6,13 @@ distributed DataFrame transformation.
 
     raw documents
       -> URL/domain blocklist filter      (urls.py, broadcast anti-join)
-      -> quality + language filter        (text.py, codegen'd scan)
+      -> quality + language filter        (text.py + Gopher rules,
+                                           one codegen'd scan pass)
       -> exact dedup                      (fingerprint keep-first)
       -> near-dup clustering              (MinHash/LSH -> components)
       -> keep one doc per cluster
+      -> semantic dedup                   (k-means + within-cluster
+                                           cosine, SemDeDup-style)
       -> deterministic train/val/test     (key-hash buckets)
       -> chunk + pack into context windows (distributed prefix sum)
       -> partitioned parquet by split     (partition-pruned reads)
@@ -28,6 +31,8 @@ from pyspark.sql import functions as F
 import charmpandas_spark as cps
 from charmpandas_spark.functions.dedup import (
     connected_components, exact_dedup, minhash_near_dup, release)
+from charmpandas_spark.functions.kmeans import semantic_near_dup
+from charmpandas_spark.functions.quality import gopher_quality
 from charmpandas_spark.functions.sampling import assign_splits
 from charmpandas_spark.functions.text import (
     chunk_documents, language_id, pack_sequences, quality_score,
@@ -35,8 +40,8 @@ from charmpandas_spark.functions.text import (
 from charmpandas_spark.functions.urls import filter_blocked_domains
 
 
-def curate(docs, threshold=0.7):
-    """documents -> (curated_df, stats dict)."""
+def curate(docs, threshold=0.7, embeddings=None):
+    """documents (+ optional embeddings) -> (curated_df, stats)."""
     stats = {"raw": docs.count()}
 
     # 0. provenance filter: drop blocklisted domains before paying for
@@ -47,12 +52,18 @@ def curate(docs, threshold=0.7):
     docs = filter_blocked_domains(docs, "url", ["src13.com"])
     stats["after_url_filter"] = docs.count()
 
-    # 1. filter: predicted-English, quality floor, token budget — one
-    #    codegen'd pass over the scan, fully pushed down
+    # 1. filter: predicted-English, quality floor, token budget, plus
+    #    the Gopher A1 rule set — still ONE codegen'd pass over the
+    #    scan, fully pushed down (gopher signals are scan-local)
     kept = docs.filter(
         (language_id("text") == "en")
         & (quality_score("text") >= 0.4)
         & (whitespace_token_count("text").between(10, 100_000)))
+    # min_stopwords=1: the synthetic vocabulary carries only 'the'
+    gq = gopher_quality(kept, "text", "doc_id", min_words=10,
+                        min_stopwords=1)
+    kept = kept.join(gq.filter(F.col("keep") == 1).select("doc_id"),
+                     "doc_id")
     stats["after_filter"] = kept.count()
 
     # 2. exact dedup (normalized-content fingerprint, keep lowest id)
@@ -70,6 +81,18 @@ def curate(docs, threshold=0.7):
     release(pairs)
     stats["after_near_dedup"] = kept.count()
 
+    # 3b. semantic dedup (SemDeDup-style): embedding-space near-dups
+    #     the text-level passes can't see — k-means buckets cap the
+    #     candidate set, keep the lower id of each close pair
+    if embeddings is not None:
+        emb = embeddings.join(
+            kept.select(F.col("doc_id").alias("vec_id")), "vec_id")
+        sem = semantic_near_dup(emb, "embedding", "vec_id",
+                                k=8, iters=2, threshold=0.3)
+        sem_losers = sem.select(F.col("id_b").alias("doc_id")).distinct()
+        kept = kept.join(sem_losers, "doc_id", "left_anti")
+    stats["after_semantic_dedup"] = kept.count()
+
     # 4. stable split assignment (survives appends and reshuffles)
     kept = assign_splits(kept, "doc_id",
                          {"train": 0.9, "val": 0.05, "test": 0.05})
@@ -81,8 +104,9 @@ def main():
     out_dir = sys.argv[2] if len(sys.argv) > 2 else None
     spark = cps.get_spark(app_name="pipeline-demo")
     docs = cps.read_table(spark, sf_dir, "documents").sdf
+    emb = cps.read_table(spark, sf_dir, "embeddings").sdf
 
-    curated, stats = curate(docs)
+    curated, stats = curate(docs, embeddings=emb)
 
     # 6. context-window assembly for the train split: chunk, then pack
     #    into fixed 512-token sequences (distributed prefix sum)
@@ -109,9 +133,11 @@ def main():
         print(f"{'splits':>18}: {splits}")
         assert stats["raw"] >= stats["after_url_filter"] \
             >= stats["after_filter"] \
-            >= stats["after_exact_dedup"] >= stats["after_near_dedup"]
+            >= stats["after_exact_dedup"] \
+            >= stats["after_near_dedup"] \
+            >= stats["after_semantic_dedup"]
         assert stats["train_sequences"] <= stats["train_chunks"]
-        assert sum(splits.values()) == stats["after_near_dedup"]
+        assert sum(splits.values()) == stats["after_semantic_dedup"]
     print("pipeline demo passed")
     spark.stop()
 
