@@ -1617,6 +1617,34 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_token_count(F.col("text"), _BPE_MERGES).alias("n_bpe"))
 
 
+_MIXTURE_RATES = {"src1": 0.25, "src3": 0.0, "src5": 0.75}
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture downsampling (training-mixture source weights):
+    per-source deterministic keep rates via a literal-map cut over
+    the stable key hash — zero shuffle, zero joins, the filter rides
+    the scan. md5 hash variant so the DuckDB oracle replays the
+    bucket assignment bit-for-bit (same contract as sample_hash)."""
+    from charmpandas_spark.functions.sampling import mixture_sample
+    docs = _t(spark, sf_dir, "documents").sdf
+    return mixture_sample(docs, "source", "doc_id", _MIXTURE_RATES,
+                          default_rate=0.5, hash_fn="md5") \
+        .select("doc_id", "source")
+
+
+def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negatives: 2 pseudo-random non-self
+    documents per anchor via bucket-probe join + min-of-struct
+    reduction (no contiguous-id assumption, no global sort; shuffle
+    bounded by n*k). md5 hash variant so the DuckDB oracle replays
+    bucket assignment, probe, and tie-break bit-for-bit."""
+    from charmpandas_spark.functions.sampling import negative_sample
+    docs = _t(spark, sf_dir, "documents").sdf
+    return negative_sample(docs, "doc_id", k=2, buckets=16,
+                           hash_fn="md5")
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (public: Abbas et al. 2023):
     deterministic k-means clusters the corpus, then exact cosine
@@ -1957,6 +1985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_orc_roundtrip": q_source_orc_roundtrip,
         "corpus_percentiles": q_corpus_percentiles,
         "dedup_semantic": q_dedup_semantic,
+        "mixture_sample": q_mixture_sample,
+        "negative_sample": q_negative_sample,
         # --- (2) least-recently-driver-checked backlog (r3/r4
         #     vintage: last seen in a driver window in r4 or earlier;
         #     rode "latest green" rows at positions 51+ through r6).
@@ -2340,6 +2370,8 @@ def oracle_sql() -> dict[str, str]:
         word_shingles_sql)
     from charmpandas_spark.functions.kmeans import (
         kmeans_oracle_sql, semantic_near_dup_oracle_sql)
+    from charmpandas_spark.functions.sampling import (
+        mixture_sample_sql, negative_sample_sql)
     from charmpandas_spark.functions.quality import (
         c4_clean_sql, gopher_quality_sql)
     join_cols = ('o_orderkey, o_orderpriority, l_orderkey, l_linenumber, '
@@ -2750,6 +2782,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_kmeans": kmeans_oracle_sql(
             "embeddings", "embedding", "vec_id", dim=64, k=8, iters=3),
+        "mixture_sample": f"""
+            SELECT doc_id, source FROM documents
+            WHERE {mixture_sample_sql('source', 'doc_id', _MIXTURE_RATES,
+                                      default_rate=0.5)}
+        """,
+        "negative_sample": negative_sample_sql(
+            "documents", "doc_id", k=2, buckets=16),
         "dedup_semantic": semantic_near_dup_oracle_sql(
             "embeddings", "embedding", "vec_id", dim=64,
             k=8, iters=3, threshold=0.25),

@@ -139,6 +139,8 @@ def bench_queries(spark, sf_dir):
         "source_orc_roundtrip",
         "corpus_percentiles",
         "dedup_semantic",
+        "mixture_sample",
+        "negative_sample",
     ]
     return {n: qs[n] for n in names if n in qs}
 

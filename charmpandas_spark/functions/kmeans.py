@@ -213,19 +213,25 @@ def semantic_near_dup(
     the join; the assignment joins back to the corpus by id (one
     co-shuffle).
     """
-    from .similarity import cosine_sim
+    from .similarity import dot, l2_norm
 
     asg = kmeans_fit_predict(df, vec_col, id_col, k, iters, scale)
     tagged = df.select(F.col(id_col), F.col(vec_col)).join(asg, id_col)
+    # norms once per ROW below the join (not per pair above it) —
+    # same value either way, ~3x less float work in the pair stage
     a = tagged.select(F.col(id_col).alias("id_a"), "cluster",
-                      F.col(vec_col).alias("__cps_va"))
+                      F.col(vec_col).alias("__cps_va"),
+                      l2_norm(F.col(vec_col)).alias("__cps_na"))
     b = tagged.select(F.col(id_col).alias("id_b"),
                       F.col("cluster").alias("__cps_cb"),
-                      F.col(vec_col).alias("__cps_vb"))
+                      F.col(vec_col).alias("__cps_vb"),
+                      l2_norm(F.col(vec_col)).alias("__cps_nb"))
     pairs = a.join(b, (F.col("cluster") == F.col("__cps_cb"))
                    & (F.col("id_a") < F.col("id_b")))
-    cos = F.floor(cosine_sim(F.col("__cps_va"),
-                             F.col("__cps_vb")) * 10000) / 10000
+    na, nb = F.col("__cps_na"), F.col("__cps_nb")
+    raw = F.when((na == 0.0) | (nb == 0.0), F.lit(None)).otherwise(
+        dot(F.col("__cps_va"), F.col("__cps_vb")) / (na * nb))
+    cos = F.floor(raw * 10000) / 10000
     return (pairs.select("id_a", "id_b", "cluster",
                          cos.alias("cosine"))
                  .filter(F.col("cosine") >= threshold))

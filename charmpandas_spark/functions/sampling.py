@@ -19,7 +19,8 @@ from pyspark.sql import Column, DataFrame as SparkDF, functions as F
 from .dedup import hash64
 
 __all__ = ["hash_bucket", "hash_sample", "assign_splits",
-           "stratified_sample"]
+           "stratified_sample", "mixture_sample", "mixture_sample_sql",
+           "negative_sample", "negative_sample_sql"]
 
 #: buckets per unit of rate (rate resolution 0.01%)
 _BUCKETS = 10_000
@@ -104,3 +105,140 @@ def stratified_sample(
     return (df.withColumn("__cps_rk", F.row_number().over(w))
               .filter(F.col("__cps_rk") <= n_per_group)
               .drop("__cps_rk"))
+
+
+def mixture_sample(
+    df: SparkDF,
+    group_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> SparkDF:
+    """Data-mixture downsampling: per-group keep rates — the
+    "source weights" step of assembling a training mixture (e.g.
+    web 10%, books 100%, code 50%). Same determinism contract as
+    ``hash_sample`` (stable across runs/partitionings/engines), and
+    the same zero-shuffle plan: the per-group cut resolves through a
+    literal map (``try_element_at`` — no join, rides the scan), so
+    re-weighting a 10^11-row corpus is a scan-speed filter.
+
+    Groups absent from ``rates`` keep ``default_rate`` of their rows.
+    """
+    for g, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {g!r} must be in [0, 1]")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError("default_rate must be in [0, 1]")
+    cuts = F.map_from_arrays(
+        F.array(*[F.lit(str(g)) for g in rates]),
+        F.array(*[F.lit(int(round(r * _BUCKETS)))
+                  for r in rates.values()]))
+    cut = F.coalesce(
+        F.try_element_at(cuts, F.col(group_col).cast("string")),
+        F.lit(int(round(default_rate * _BUCKETS))))
+    return df.filter(hash_bucket(F.col(key_col), seed, hash_fn) < cut)
+
+
+def mixture_sample_sql(group_expr: str, key_expr: str,
+                       rates: dict[str, float],
+                       default_rate: float = 1.0,
+                       seed: int = 0) -> str:
+    """DuckDB twin of ``mixture_sample(..., hash_fn='md5')``: a WHERE
+    predicate string (caller wraps in SELECT)."""
+    from .dedup import hash64_sql
+
+    cut = f"{int(round(default_rate * _BUCKETS))}"
+    for g, r in reversed(list(rates.items())):
+        cut = (f"CASE WHEN CAST({group_expr} AS VARCHAR) = '{g}' "
+               f"THEN {int(round(r * _BUCKETS))} ELSE {cut} END")
+    h = hash64_sql(f"CAST({key_expr} AS VARCHAR)", str(seed))
+    bucket = (f"((({h}) % {_BUCKETS}) + {_BUCKETS}) % {_BUCKETS}")
+    return f"({bucket}) < ({cut})"
+
+
+def negative_sample(
+    df: SparkDF,
+    id_col: str,
+    k: int = 4,
+    buckets: int = 64,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> SparkDF:
+    """Deterministic random negatives for contrastive training: for
+    each anchor row and slot i in [0, k), pick one pseudo-random
+    OTHER row — ``(anchor_id, slot, neg_id)``. (Semantic HARD
+    negatives are the complement: ``similarity.knn_join`` top-k.)
+
+    Mechanism (no contiguous-id assumption, no global sort, no
+    driver state): candidates hash once into ``buckets`` buckets;
+    each (anchor, slot) probes bucket ``hash(anchor#slot) % buckets``
+    and takes the candidate minimizing ``(hash(anchor#slot#cand),
+    cand)``, excluding the anchor itself. One hash join on the
+    bucket key plus one map-side-combinable min-of-struct aggregate
+    — both shuffle-bounded by n*k, never n^2.
+
+    Size ``buckets`` ~ corpus/64: join fan-out per (anchor, slot) is
+    n/buckets candidates. A slot whose probed bucket holds no other
+    row emits nothing (probability (1 - 1/buckets)^(n-1) — negligible
+    when buckets << n; document the contract, don't hide it).
+    """
+    from .dedup import hash64
+
+    if k < 1 or buckets < 1:
+        raise ValueError("k and buckets must be >= 1")
+    a = F.col("anchor_id").cast("string")
+    slots = df.select(
+        F.col(id_col).alias("anchor_id"),
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("slot"))
+    probe = F.pmod(
+        hash64(F.concat(a, F.lit("#"), F.col("slot").cast("string")),
+               seed, hash_fn), F.lit(buckets))
+    slots = slots.withColumn("__cps_pb", probe)
+    cands = df.select(
+        F.col(id_col).alias("__cps_cand"),
+        F.pmod(hash64(F.col(id_col).cast("string"), seed + 1, hash_fn),
+               F.lit(buckets)).alias("__cps_cb"))
+    joined = slots.join(cands, F.col("__cps_pb") == F.col("__cps_cb")) \
+                  .filter(F.col("__cps_cand") != F.col("anchor_id"))
+    tie = hash64(
+        F.concat(a, F.lit("#"), F.col("slot").cast("string"),
+                 F.lit("#"), F.col("__cps_cand").cast("string")),
+        seed + 2, hash_fn)
+    return (joined.groupBy("anchor_id", "slot")
+            .agg(F.min(F.struct(tie.alias("h"),
+                                F.col("__cps_cand").alias("c")))
+                 .alias("__m"))
+            .select("anchor_id", "slot",
+                    F.col("__m.c").alias("neg_id")))
+
+
+def negative_sample_sql(t: str, id_expr: str, k: int = 4,
+                        buckets: int = 64, seed: int = 0) -> str:
+    """DuckDB twin of ``negative_sample(..., hash_fn='md5')``."""
+    from .dedup import hash64_sql
+
+    def pmod(e: str) -> str:
+        return f"(((({e}) % {buckets}) + {buckets}) % {buckets})"
+
+    slot_vals = ", ".join(f"({i})" for i in range(k))
+    a = "CAST(s.anchor_id AS VARCHAR)"
+    probe = pmod(hash64_sql(
+        f"concat({a}, '#', CAST(s.slot AS VARCHAR))", str(seed)))
+    cb = pmod(hash64_sql(f"CAST(c.cand AS VARCHAR)", str(seed + 1)))
+    tie = hash64_sql(
+        f"concat({a}, '#', CAST(s.slot AS VARCHAR), '#', "
+        f"CAST(c.cand AS VARCHAR))", str(seed + 2))
+    return f"""
+        SELECT anchor_id, slot, neg_id FROM (
+            SELECT s.anchor_id, s.slot, c.cand AS neg_id,
+                   row_number() OVER (
+                       PARTITION BY s.anchor_id, s.slot
+                       ORDER BY {tie}, c.cand) AS rn
+            FROM (SELECT {id_expr} AS anchor_id, v.slot
+                  FROM {t}, (VALUES {slot_vals}) v(slot)) s
+            JOIN (SELECT {id_expr} AS cand FROM {t}) c
+              ON {probe} = {cb}
+            WHERE c.cand <> s.anchor_id) WHERE rn = 1
+    """

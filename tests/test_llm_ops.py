@@ -1432,3 +1432,58 @@ def test_semantic_near_dup_within_cluster_only(spark):
     assert all(asg[r.id_a] == asg[r.id_b] == r.cluster for r in got)
     assert all(r.cosine >= 0.9 for r in got)
     assert any({r.id_a, r.id_b} == {5, 100} for r in got)
+
+
+def test_mixture_sample_rates_and_plan(spark, sf_dir):
+    """Per-source keep rates are honored (0 -> drops all, 1 -> keeps
+    all, mid-rates within hash-uniform tolerance), the sample is
+    deterministic, and the plan stays scan-local (no exchange, no
+    join — the rate map resolves as a literal)."""
+    import os
+
+    from charmpandas_spark.functions.sampling import mixture_sample
+    from charmpandas_spark.plans.explain import (
+        join_strategies, num_exchanges)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    rates = {"src0": 0.0, "src1": 1.0, "src2": 0.3}
+    out = mixture_sample(docs, "source", "doc_id", rates,
+                         default_rate=0.6)
+    assert num_exchanges(out) == 0 and join_strategies(out) == []
+    base = {r.source: r.n for r in docs.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r.source: r.n for r in out.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got.get("src0", 0) == 0
+    assert got.get("src1", 0) == base.get("src1", 0)
+    for src, n in base.items():
+        want = rates.get(src, 0.6)
+        if want in (0.0, 1.0) or n < 10:
+            continue
+        assert abs(got.get(src, 0) / n - want) < 0.35
+    # deterministic: second evaluation identical
+    again = mixture_sample(docs, "source", "doc_id", rates,
+                           default_rate=0.6)
+    assert sorted(r.doc_id for r in out.select("doc_id").collect()) \
+        == sorted(r.doc_id for r in again.select("doc_id").collect())
+
+
+def test_negative_sample_properties(spark, sf_dir):
+    """Every anchor gets k negatives, never itself, deterministically
+    (same result on a different partitioning); md5 and xxhash64
+    variants share the structure, not the picks."""
+    import os
+
+    from charmpandas_spark.functions.sampling import negative_sample
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n = docs.count()
+    out = negative_sample(docs, "doc_id", k=3, buckets=8).toPandas()
+    assert len(out) == 3 * n           # buckets << n: no empty probes
+    assert (out.anchor_id != out.neg_id).all()
+    assert set(out.slot) == {0, 1, 2}
+    again = negative_sample(docs.repartition(13), "doc_id", k=3,
+                            buckets=8).toPandas()
+    a = out.sort_values(["anchor_id", "slot"]).reset_index(drop=True)
+    b = again.sort_values(["anchor_id", "slot"]).reset_index(drop=True)
+    assert a.equals(b)
+    # negatives are spread, not collapsed onto a few candidates
+    assert out.neg_id.nunique() > n // 10
