@@ -1633,6 +1633,20 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
 
 
+def q_quality_quantile_keep(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Keep the top 40% of documents per source by quality score —
+    the "train on the best X%" curation cut, deterministic via
+    percent_rank over (floored score desc, id). One shuffle; the
+    floored score makes tie sets identical cross-engine."""
+    from charmpandas_spark.functions.quality import quantile_keep
+    from charmpandas_spark.functions.text import quality_score
+    docs = _t(spark, sf_dir, "documents").sdf
+    scored = docs.select("doc_id", "source",
+                         quality_score("text").alias("quality"))
+    return quantile_keep(scored, "quality", "doc_id", 0.4, by="source")
+
+
 def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic contrastive negatives: 2 pseudo-random non-self
     documents per anchor via bucket-probe join + min-of-struct
@@ -1987,6 +2001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": q_dedup_semantic,
         "mixture_sample": q_mixture_sample,
         "negative_sample": q_negative_sample,
+        "quality_quantile_keep": q_quality_quantile_keep,
         # --- (2) least-recently-driver-checked backlog (r3/r4
         #     vintage: last seen in a driver window in r4 or earlier;
         #     rode "latest green" rows at positions 51+ through r6).
@@ -2373,7 +2388,7 @@ def oracle_sql() -> dict[str, str]:
     from charmpandas_spark.functions.sampling import (
         mixture_sample_sql, negative_sample_sql)
     from charmpandas_spark.functions.quality import (
-        c4_clean_sql, gopher_quality_sql)
+        c4_clean_sql, gopher_quality_sql, quantile_keep_sql)
     join_cols = ('o_orderkey, o_orderpriority, l_orderkey, l_linenumber, '
                  'l_quantity')
     cos_pair = _cosine_sql("a.embedding", "b.embedding")
@@ -2789,6 +2804,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "negative_sample": negative_sample_sql(
             "documents", "doc_id", k=2, buckets=16),
+        "quality_quantile_keep": quantile_keep_sql(
+            f"(SELECT doc_id, source, {quality_score_sql('text')} "
+            f"AS quality FROM documents)",
+            "quality", "doc_id", 0.4, by="source",
+            cols="doc_id, source, quality"),
         "dedup_semantic": semantic_near_dup_oracle_sql(
             "embeddings", "embedding", "vec_id", dim=64,
             k=8, iters=3, threshold=0.25),

@@ -141,6 +141,7 @@ def bench_queries(spark, sf_dir):
         "dedup_semantic",
         "mixture_sample",
         "negative_sample",
+        "quality_quantile_keep",
     ]
     return {n: qs[n] for n in names if n in qs}
 

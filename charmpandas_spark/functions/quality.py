@@ -39,6 +39,8 @@ __all__ = [
     "gopher_quality_sql",
     "c4_clean",
     "c4_clean_sql",
+    "quantile_keep",
+    "quantile_keep_sql",
 ]
 
 # The 8 required English stopwords from Gopher A1 ("must contain at
@@ -252,4 +254,46 @@ def c4_clean_sql(t: str, id_expr: str, min_line_words: int = 5,
         f"CAST(length({kept}) AS INT) AS n_kept_lines, "
         f"{clean} AS clean_text, "
         f"CAST({page_keep} AS INT) AS page_keep"
+    )
+
+
+def quantile_keep(
+    df: SparkDF,
+    score_col: str,
+    id_col: str,
+    keep_frac: float,
+    by: str | None = None,
+) -> SparkDF:
+    """Keep the top ``keep_frac`` of rows by ``score_col`` (optionally
+    per ``by`` group) — the "train on the best X% by quality score"
+    curation step. Deterministic: ties order by ``(score desc, id)``,
+    and the cut uses ``percent_rank`` so the kept fraction is exact
+    on any partitioning.
+
+    One shuffle (hash by group for the window); per-group work is a
+    sort — at 100 TB prefer a two-pass variant (approx quantile cut
+    from ``sketches.approx_quantiles``, then a scan-local filter)
+    when groups are huge; this exact form is the oracle-checkable
+    anchor for that approximation.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 <= keep_frac <= 1.0:
+        raise ValueError("keep_frac must be in [0, 1]")
+    w = Window.partitionBy(*([by] if by else [])).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc())
+    return (df.withColumn("__cps_pr", F.percent_rank().over(w))
+              .filter(F.col("__cps_pr") <= keep_frac)
+              .drop("__cps_pr"))
+
+
+def quantile_keep_sql(t: str, score_expr: str, id_expr: str,
+                      keep_frac: float, by: str | None = None,
+                      cols: str = "*") -> str:
+    """DuckDB twin of :func:`quantile_keep`."""
+    part = f"PARTITION BY {by} " if by else ""
+    return (
+        f"SELECT {cols} FROM (SELECT *, percent_rank() OVER ({part}"
+        f"ORDER BY {score_expr} DESC, {id_expr} ASC) AS pr FROM {t}) "
+        f"WHERE pr <= {keep_frac}"
     )

@@ -1487,3 +1487,24 @@ def test_negative_sample_properties(spark, sf_dir):
     assert a.equals(b)
     # negatives are spread, not collapsed onto a few candidates
     assert out.neg_id.nunique() > n // 10
+
+
+def test_quantile_keep_fraction_and_determinism(spark):
+    """Kept fraction is exact per group, top scores survive, and the
+    cut is partitioning-invariant."""
+    from charmpandas_spark.functions.quality import quantile_keep
+    rows = [(g * 100 + i, f"g{g}", float(i % 50)) for g in range(3)
+            for i in range(100)]
+    pdf = pd.DataFrame(rows, columns=["id", "grp", "score"])
+    sdf = _to_sdf(pdf)
+    out = quantile_keep(sdf, "score", "id", 0.25, by="grp").toPandas()
+    per = out.groupby("grp").size()
+    # percent_rank <= 0.25 with 100 rows keeps ranks 1..25+ties' head
+    assert all(20 <= n <= 30 for n in per)
+    assert out.score.min() >= 37            # only the top quartile
+    again = quantile_keep(sdf.repartition(11), "score", "id", 0.25,
+                          by="grp").toPandas()
+    assert sorted(out.id) == sorted(again.id)
+    # global (no by) path
+    g = quantile_keep(sdf, "score", "id", 0.1).toPandas()
+    assert len(g) <= len(pdf) * 0.15
