@@ -1281,6 +1281,30 @@ def q_multimodal_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("features")[3].cast("bigint").alias("n_other"))
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE through the decode hook: the BMP corpus decoded
+    and nearest-neighbor downsampled 2x in both dimensions inside
+    mapInPandas (real pixel-array striding, the thumbnail/feature
+    prep step), byte-class stats from the DOWNSAMPLED pixels. The
+    oracle replays the kept-position arithmetic from the plaintext —
+    byte p survives iff (p div 48) and ((p mod 48) div 3) are both
+    even — so stride/off-by-one bugs in either dimension flip the
+    hash. (Corpus is ASCII, so char positions == byte positions on
+    the oracle side.)"""
+    from charmpandas_spark.functions.dedup import spread
+    from charmpandas_spark.functions.multimodal import (
+        attach_bmp_media, bmp_resize_decoder, extract_features)
+    docs = spread(_t(spark, sf_dir, "documents").sdf)
+    m = attach_bmp_media(docs, "text")
+    feats = extract_features(m, "media", "doc_id",
+                             decoder=bmp_resize_decoder(2))
+    return feats.select(
+        "doc_id", "width", "height",
+        F.col("features")[0].cast("bigint").alias("n_lower"),
+        F.col("features")[1].cast("bigint").alias("n_digit"),
+        F.col("features")[3].cast("bigint").alias("n_other"))
+
+
 def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-containment join (operator Spark lacks; bin-and-refine
     composition in operators/interval.py — never a nested loop):
@@ -2002,6 +2026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "negative_sample": q_negative_sample,
         "quality_quantile_keep": q_quality_quantile_keep,
+        "multimodal_resize": q_multimodal_resize,
         # --- (2) least-recently-driver-checked backlog (r3/r4
         #     vintage: last seen in a driver window in r4 or earlier;
         #     rode "latest green" rows at positions 51+ through r6).
@@ -3096,6 +3121,39 @@ def oracle_sql() -> dict[str, str]:
                    48 * greatest((len + 47) // 48, 1)
                        - n_lower - n_digit - n_space AS n_other
             FROM c
+        """,
+        "multimodal_resize": """
+            WITH c AS (
+                SELECT doc_id, text,
+                       CAST(length(text) AS BIGINT) AS len,
+                       greatest((CAST(length(text) AS BIGINT) + 47)
+                                // 48, 1) AS h
+                FROM documents),
+            k AS (
+                SELECT doc_id, len, h,
+                       list_filter(range(0, CAST(48 * h AS BIGINT)),
+                                   p -> (p // 48) % 2 = 0
+                                        AND ((p % 48) // 3) % 2 = 0)
+                           AS kept,
+                       text
+                FROM c)
+            SELECT doc_id, CAST(8 AS INT) AS width,
+                   CAST((h + 1) // 2 AS INT) AS height,
+                   CAST(length(list_filter(kept, p -> p < len AND
+                        ascii(substr(text, CAST(p + 1 AS INT), 1))
+                        BETWEEN 97 AND 122)) AS BIGINT) AS n_lower,
+                   CAST(length(list_filter(kept, p -> p < len AND
+                        ascii(substr(text, CAST(p + 1 AS INT), 1))
+                        BETWEEN 48 AND 57)) AS BIGINT) AS n_digit,
+                   CAST(length(kept)
+                        - length(list_filter(kept, p -> p < len AND
+                          ascii(substr(text, CAST(p + 1 AS INT), 1))
+                          IN (32) OR p < len AND
+                          ascii(substr(text, CAST(p + 1 AS INT), 1))
+                          BETWEEN 97 AND 122 OR p < len AND
+                          ascii(substr(text, CAST(p + 1 AS INT), 1))
+                          BETWEEN 48 AND 57)) AS BIGINT) AS n_other
+            FROM k
         """,
         "events_window": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

@@ -142,6 +142,7 @@ def bench_queries(spark, sf_dir):
         "mixture_sample",
         "negative_sample",
         "quality_quantile_keep",
+        "multimodal_resize",
     ]
     return {n: qs[n] for n in names if n in qs}
 

@@ -183,6 +183,59 @@ def bmp_decoder(payload: bytes) -> dict:
     }
 
 
+def bmp_resize_decoder(factor: int = 2) -> Callable[[bytes], dict]:
+    """Decode-and-RESIZE hook: parse the BMP like :func:`bmp_decoder`,
+    then nearest-neighbor downsample the pixel array by ``factor``
+    (every factor-th row, every factor-th pixel — the real
+    thumbnail/feature-prep step an image pipeline runs), and derive
+    byte-class statistics from the DOWNSAMPLED logical pixels.
+
+    Output dims are ceil(w/factor) x ceil(h/factor). Exact integer
+    features again, so the oracle can replay the kept-position
+    arithmetic from the plaintext: byte p of the padded text survives
+    iff (p div row_bytes) % factor == 0 and ((p mod row_bytes) div 3)
+    % factor == 0 — a header bug, a stride bug, or an off-by-one in
+    either dimension flips the hash."""
+    import struct
+
+    import numpy as np
+
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+
+    def dec(payload: bytes) -> dict:
+        magic, _fs, _r1, _r2, off = struct.unpack_from("<2sIHHI",
+                                                       payload, 0)
+        if magic != b"BM":
+            raise ValueError("not a BMP payload")
+        _hsz, w, h, _pl, bpp, comp, _sz = struct.unpack_from(
+            "<IiiHHII", payload, 14)
+        if bpp != 24 or comp != 0:
+            raise ValueError("unsupported BMP variant")
+        top_down = h < 0
+        h = abs(h)
+        row_bytes = ((w * 3 + 3) // 4) * 4
+        arr = np.frombuffer(payload, dtype=np.uint8,
+                            count=row_bytes * h, offset=off)
+        rows = arr.reshape(h, row_bytes)[:, :w * 3]
+        logical = rows if top_down else rows[::-1]
+        ds = logical[::factor].reshape(-1, w, 3)[:, ::factor, :]
+        flat = ds.reshape(-1)
+        n_lower = int(((flat >= 0x61) & (flat <= 0x7A)).sum())
+        n_digit = int(((flat >= 0x30) & (flat <= 0x39)).sum())
+        n_space = int((flat == 0x20).sum())
+        return {
+            "width": (w + factor - 1) // factor,
+            "height": (h + factor - 1) // factor,
+            "histogram": [float(n_lower), float(n_digit),
+                          float(n_space),
+                          float(flat.size - n_lower - n_digit
+                                - n_space)],
+        }
+
+    return dec
+
+
 def media_metadata(df: SparkDF, bin_col: str) -> SparkDF:
     """Metadata extraction over a binary column — pure built-ins, no
     Python: byte length, md5 content hash, magic byte."""

@@ -1508,3 +1508,38 @@ def test_quantile_keep_fraction_and_determinism(spark):
     # global (no by) path
     g = quantile_keep(sdf, "score", "id", 0.1).toPandas()
     assert len(g) <= len(pdf) * 0.15
+
+
+def test_bmp_resize_decoder_strides(spark):
+    """factor=1 equals the plain decoder; factor=2 keeps exactly the
+    even rows x even pixels (verified against a numpy replay of the
+    padded text layout)."""
+    import numpy as np
+
+    from charmpandas_spark.functions.multimodal import (
+        attach_bmp_media, bmp_decoder, bmp_resize_decoder,
+        extract_features)
+    texts = ["abc123 xyz" * 20, "q", "0" * 97]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    m = attach_bmp_media(_to_sdf(pdf), "text")
+    f1 = extract_features(m, "media", "doc_id",
+                          decoder=bmp_resize_decoder(1)).toPandas()
+    f0 = extract_features(m, "media", "doc_id",
+                          decoder=bmp_decoder).toPandas()
+    assert f1.sort_values("doc_id").reset_index(drop=True).equals(
+        f0.sort_values("doc_id").reset_index(drop=True))
+    f2 = extract_features(m, "media", "doc_id",
+                          decoder=bmp_resize_decoder(2)) \
+        .toPandas().set_index("doc_id")
+    for i, t in enumerate(texts):
+        data = t.encode()
+        h = max((len(data) + 47) // 48, 1)
+        padded = np.frombuffer(data + b"\0" * (48 * h - len(data)),
+                               dtype=np.uint8).reshape(h, 16, 3)
+        ds = padded[::2, ::2, :].reshape(-1)
+        row = f2.loc[i]
+        assert (row.width, row.height) == (8, (h + 1) // 2)
+        assert row.features[0] == float(
+            ((ds >= 0x61) & (ds <= 0x7A)).sum())
+        assert row.features[1] == float(
+            ((ds >= 0x30) & (ds <= 0x39)).sum())
