@@ -1305,6 +1305,27 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("features")[3].cast("bigint").alias("n_other"))
 
 
+def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality through the decode hook: the corpus rendered as
+    16-bit mono PCM in spec-compliant RIFF/WAVE containers, decoded
+    by a real chunk-walking parser inside mapInPandas; exact integer
+    amplitude stats (sum of |samples|, peak-sample count) that the
+    oracle recomputes from the plaintext byte pairs — a header bug,
+    an endianness bug, or a chunk-walk bug flips the hash."""
+    from charmpandas_spark.functions.dedup import spread
+    from charmpandas_spark.functions.multimodal import (
+        attach_wav_media, extract_features, wav_decoder)
+    docs = spread(_t(spark, sf_dir, "documents").sdf)
+    m = attach_wav_media(docs, "text")
+    feats = extract_features(m, "media", "doc_id", decoder=wav_decoder)
+    return feats.select(
+        "doc_id",
+        F.col("width").alias("sample_rate"),
+        F.col("height").cast("bigint").alias("n_samples"),
+        F.col("features")[0].cast("bigint").alias("sum_abs"),
+        F.col("features")[2].cast("bigint").alias("n_peak"))
+
+
 def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-containment join (operator Spark lacks; bin-and-refine
     composition in operators/interval.py — never a nested loop):
@@ -1679,7 +1700,7 @@ def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket assignment, probe, and tie-break bit-for-bit."""
     from charmpandas_spark.functions.sampling import negative_sample
     docs = _t(spark, sf_dir, "documents").sdf
-    return negative_sample(docs, "doc_id", k=2, buckets=16,
+    return negative_sample(docs, "doc_id", k=2, buckets=64,
                            hash_fn="md5")
 
 
@@ -2027,6 +2048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_sample": q_negative_sample,
         "quality_quantile_keep": q_quality_quantile_keep,
         "multimodal_resize": q_multimodal_resize,
+        "multimodal_wav": q_multimodal_wav,
         # --- (2) least-recently-driver-checked backlog (r3/r4
         #     vintage: last seen in a driver window in r4 or earlier;
         #     rode "latest green" rows at positions 51+ through r6).
@@ -2828,7 +2850,7 @@ def oracle_sql() -> dict[str, str]:
                                       default_rate=0.5)}
         """,
         "negative_sample": negative_sample_sql(
-            "documents", "doc_id", k=2, buckets=16),
+            "documents", "doc_id", k=2, buckets=64),
         "quality_quantile_keep": quantile_keep_sql(
             f"(SELECT doc_id, source, {quality_score_sql('text')} "
             f"AS quality FROM documents)",
@@ -3154,6 +3176,28 @@ def oracle_sql() -> dict[str, str]:
                           ascii(substr(text, CAST(p + 1 AS INT), 1))
                           BETWEEN 48 AND 57)) AS BIGINT) AS n_other
             FROM k
+        """,
+        "multimodal_wav": """
+            WITH c AS (
+                SELECT doc_id, text,
+                       CAST(length(text) AS BIGINT) AS len
+                FROM documents),
+            s AS (
+                SELECT doc_id, len,
+                       list_transform(range(0, (len + 1) // 2),
+                           i -> ascii(substr(text,
+                                    CAST(2 * i + 1 AS INT), 1))
+                                + 256 * (CASE WHEN 2 * i + 2 <= len
+                                    THEN ascii(substr(text,
+                                         CAST(2 * i + 2 AS INT), 1))
+                                    ELSE 0 END)) AS vals
+                FROM c)
+            SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+                   CAST((len + 1) // 2 AS BIGINT) AS n_samples,
+                   CAST(list_sum(vals) AS BIGINT) AS sum_abs,
+                   CAST(length(list_filter(vals,
+                        v -> v = list_max(vals))) AS BIGINT) AS n_peak
+            FROM s
         """,
         "events_window": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

@@ -143,6 +143,7 @@ def bench_queries(spark, sf_dir):
         "negative_sample",
         "quality_quantile_keep",
         "multimodal_resize",
+        "multimodal_wav",
     ]
     return {n: qs[n] for n in names if n in qs}
 

@@ -1543,3 +1543,29 @@ def test_bmp_resize_decoder_strides(spark):
             ((ds >= 0x61) & (ds <= 0x7A)).sum())
         assert row.features[1] == float(
             ((ds >= 0x30) & (ds <= 0x39)).sum())
+
+
+def test_wav_codec_roundtrip(spark):
+    """RIFF/WAVE attach + decode: header fields parsed, samples
+    little-endian int16, stats match a struct-level replay."""
+    import numpy as np
+
+    from charmpandas_spark.functions.multimodal import (
+        attach_wav_media, extract_features, wav_decoder)
+    texts = ["hello world", "x", "abc" * 33]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    m = attach_wav_media(_to_sdf(pdf), "text", sample_rate=16000)
+    out = extract_features(m, "media", "doc_id",
+                           decoder=wav_decoder) \
+        .toPandas().set_index("doc_id")
+    for i, t in enumerate(texts):
+        data = t.encode()
+        if len(data) % 2:
+            data += b"\0"
+        samples = np.frombuffer(data, dtype="<i2")
+        row = out.loc[i]
+        assert row.width == 16000
+        assert row.height == len(samples)
+        assert row.features[0] == float(np.abs(
+            samples.astype(np.int64)).sum())
+        assert row.features[2] == float((samples == samples.max()).sum())
