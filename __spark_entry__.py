@@ -2020,6 +2020,143 @@ def q_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     "c_name", "c_mktsegment")
 
 
+
+
+# ---------------------------------------------------------------------------
+# r7 wave 2: line dedup, expectations, merge, shards, compaction
+# ---------------------------------------------------------------------------
+
+def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate dedup (CCNet/RefinedWeb): drop lines
+    whose normalized form appears in >= 2 distinct documents, then
+    reassemble docs in order. The synthetic corpus carries no
+    newlines, so the entry first segments each document into 3-word
+    pseudo-lines (identically in the oracle); with a ~30-word
+    vocabulary, plenty of 3-grams repeat across docs, so the filter
+    genuinely fires. Two shuffles (line-df agg + per-doc reassembly)
+    and a broadcast join of the small boilerplate set."""
+    from charmpandas_spark.functions.dedup import line_dedup
+    docs = _t(spark, sf_dir, "documents").sdf
+    lined = docs.select(
+        "doc_id",
+        F.regexp_replace("text", r"((?:\S+ ){2}\S+) ", "$1\n")
+         .alias("text"))
+    return line_dedup(lined, "text", "doc_id", max_doc_freq=2)
+
+
+def _expect_rules():
+    """Shared rule list for the expectations entry (fk dimension is
+    filled in per engine: DataFrame Spark-side, view name oracle-side)."""
+    return [
+        ("not_null", "o_custkey"),
+        ("range", "o_totalprice", 0.0, 100000.0),
+        ("regex", "o_orderpriority", "^[1-5]-"),
+        ("in_set", "o_orderstatus", ["O", "F", "P"]),
+        ("unique", "o_orderkey"),
+    ]
+
+
+def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations: 5 row-level rules in ONE
+    aggregation pass (conditional sums ride the same partial agg) + a
+    referential-integrity rule as a broadcast anti-join count; one
+    (rule, violations, total, ok) row each."""
+    from charmpandas_spark.functions.expect import validate
+    orders = _t(spark, sf_dir, "orders").sdf
+    customer = _t(spark, sf_dir, "customer").sdf
+    rules = _expect_rules() + [("fk", "o_custkey", customer, "c_custkey")]
+    return validate(orders, rules)
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (CDC upsert) as a pure DataFrame transform: a
+    deterministic change batch (updated price for every 10th order +
+    brand-new keys for every 97th) merged into orders. Uses the
+    ``broadcast_source=True`` plan — updates apply via broadcast LEFT
+    join with ZERO base-table shuffle, inserts via an anti-join on a
+    keys-only projection; the oracle is the equivalent full-outer SQL."""
+    from charmpandas_spark.operators.merge import merge_into
+    orders = _t(spark, sf_dir, "orders").sdf.select(
+        "o_orderkey", "o_custkey",
+        (F.floor(F.col("o_totalprice") * 100) / 100).alias("o_totalprice"),
+        "o_orderstatus")
+    upd = (orders.where(F.col("o_orderkey") % 10 == 0)
+                 .withColumn("o_totalprice",
+                             F.floor(F.col("o_totalprice") * F.lit(1.1)
+                                     * 100) / 100)
+                 .withColumn("o_orderstatus", F.lit("U")))
+    new = (orders.where(F.col("o_orderkey") % 97 == 0)
+                 .select((F.col("o_orderkey") + 100000000)
+                         .alias("o_orderkey"),
+                         "o_custkey",
+                         F.lit(42.0).alias("o_totalprice"),
+                         F.lit("N").alias("o_orderstatus")))
+    source = upd.unionByName(new).withColumn("batch_tag", F.lit("b1"))
+    return merge_into(orders, source, ["o_orderkey"],
+                      broadcast_source=True)
+
+
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard assignment: documents packed into ~2000-token
+    shards by global token offset (documents never split) via the
+    distributed prefix sum — the per-shard (n_docs, tokens) summary
+    is checked against the single-node global-window oracle. The
+    file-layout side (one file per shard dir) is pinned in pytest."""
+    from charmpandas_spark.functions.text import (
+        assign_shards, whitespace_token_count)
+    docs = _t(spark, sf_dir, "documents").sdf
+    toks = docs.select("doc_id",
+                       whitespace_token_count("text").alias("n_tok"))
+    sh = assign_shards(toks, "n_tok", ("doc_id",), 2000)
+    return (sh.groupBy("shard")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("n_tok").cast("long").alias("tokens")))
+
+
+def q_sink_compacted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round-trip: documents deliberately
+    shattered into 64 tiny files, compacted back to ~byte-sized
+    output derived from the Hadoop content summary (cluster_by
+    upgrades the layout to range-clustered in the same pass), then
+    value-checked against the original. File-count/layout invariants
+    are pinned in pytest."""
+    from charmpandas_spark.sources.parquet import compact_files
+    docs = _t(spark, sf_dir, "documents").sdf.select(
+        "doc_id", "source", "n_chars")
+    small = _tmp_sink("compact_small")
+    big = _tmp_sink("compact_out")
+    docs.repartition(64).write.mode("overwrite").parquet(small)
+    compact_files(spark, small, big, target_file_bytes=4 << 20,
+                  cluster_by="doc_id")
+    return spark.read.parquet(big)
+
+
+
+
+def q_text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search as a scan-local higher-order-function
+    predicate (split + filtered index sequence): ZERO shuffle, zero
+    UDF — the sliding token-sequence test (overlapping occurrences
+    counted) rides the parquet scan inside codegen. The Spark-first
+    inverse of building a phrase index."""
+    from charmpandas_spark.functions.sparse import phrase_match
+    docs = _t(spark, sf_dir, "documents").sdf
+    return phrase_match(docs, "text", "doc_id", "batch batch")
+
+
+def q_sim_sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical more-like-this: top-5 corpus docs per query doc
+    by TF-cosine^2 over an inverted (doc, term, tf) index —
+    SHUFFLE_HASH term join, never broadcast. Ranking is EXACT (dot
+    and squared norms are int64; one IEEE division) so even a top-k
+    similarity JOIN is value-checked cross-engine — the usual
+    float-summation tie flips can't happen."""
+    from charmpandas_spark.functions.sparse import tf_cosine_topk
+    docs = _t(spark, sf_dir, "documents").sdf
+    return tf_cosine_topk(docs, docs.where("doc_id % 101 = 0"),
+                          "text", "doc_id", k=5)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2035,6 +2172,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (ADVICE r3: never depend on the driver's window size).
     return {
         # --- (1) NEW or CHANGED in r7: must prove green this round ---
+        "text_line_dedup": q_text_line_dedup,
+        "quality_expectations": q_quality_expectations,
+        "merge_upsert": q_merge_upsert,
+        "shard_assignment": q_shard_assignment,
+        "sink_compacted_roundtrip": q_sink_compacted_roundtrip,
+        "text_phrase_search": q_text_phrase_search,
+        "sim_sparse_topk": q_sim_sparse_topk,
         "text_bpe_tokens": q_text_bpe_tokens,
         "multimodal_bmp": q_multimodal_bmp,
         "url_domain_filter": q_url_domain_filter,  # PSL semantics now
@@ -2436,11 +2580,55 @@ def oracle_sql() -> dict[str, str]:
         mixture_sample_sql, negative_sample_sql)
     from charmpandas_spark.functions.quality import (
         c4_clean_sql, gopher_quality_sql, quantile_keep_sql)
+    from charmpandas_spark.functions.dedup import line_dedup_sql
+    from charmpandas_spark.functions.expect import validate_sql
+    from charmpandas_spark.functions.text import assign_shards_sql
+    from charmpandas_spark.operators.merge import merge_into_sql
+    from charmpandas_spark.functions.sparse import (
+        phrase_match_sql, tf_cosine_topk_sql)
     join_cols = ('o_orderkey, o_orderpriority, l_orderkey, l_linenumber, '
                  'l_quantity')
     cos_pair = _cosine_sql("a.embedding", "b.embedding")
     cos_top = _cosine_sql("e.embedding", "q.embedding")
+    seg_docs = ("(SELECT doc_id, regexp_replace(text, "
+                r"'((?:\S+ ){2}\S+) ', '\1' || chr(10), 'g') AS text "
+                "FROM documents)")
+    line_dedup_oracle = line_dedup_sql(seg_docs, "doc_id", "text", 2)
+    expect_rules = _expect_rules() + [
+        ("fk", "o_custkey", "customer", "c_custkey")]
+    merge_tproj = ("(SELECT o_orderkey, o_custkey, "
+                   "floor(o_totalprice * 100) / 100 AS o_totalprice, "
+                   "o_orderstatus FROM orders)")
+    merge_src = ("(SELECT o_orderkey, o_custkey, "
+                 "floor(o_totalprice * 1.1 * 100) / 100 AS o_totalprice, "
+                 "'U' AS o_orderstatus, 'b1' AS batch_tag "
+                 "FROM tproj WHERE o_orderkey % 10 = 0 "
+                 "UNION ALL "
+                 "SELECT o_orderkey + 100000000, o_custkey, 42.0, 'N', 'b1' "
+                 "FROM tproj WHERE o_orderkey % 97 = 0)")
+    merge_cols = ["o_orderkey", "o_custkey", "o_totalprice",
+                  "o_orderstatus"]
+    shard_inner = ("SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 "
+                   r"ELSE length(regexp_split_to_array(trim(text), '\s+')) "
+                   "END AS INT) AS n_tok FROM documents")
     return {
+        "text_line_dedup": line_dedup_oracle,
+        "quality_expectations": validate_sql("orders", expect_rules),
+        "merge_upsert": (
+            "WITH tproj AS " + merge_tproj + ", src AS " + merge_src + " "
+            + merge_into_sql("tproj", "src", ["o_orderkey"], merge_cols,
+                             merge_cols + ["batch_tag"])),
+        "shard_assignment": (
+            "SELECT shard, count(*) AS n_docs, "
+            "CAST(sum(n_tok) AS BIGINT) AS tokens FROM ("
+            + assign_shards_sql(shard_inner, 2000, "n_tok", ("doc_id",))
+            + ") GROUP BY shard"),
+        "sink_compacted_roundtrip":
+            "SELECT doc_id, source, n_chars FROM documents",
+        "text_phrase_search": phrase_match_sql(
+            "documents", "doc_id", "text", "batch batch"),
+        "sim_sparse_topk": tf_cosine_topk_sql(
+            "documents", "doc_id", "text", "doc_id % 101 = 0", 5),
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))

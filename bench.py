@@ -144,6 +144,14 @@ def bench_queries(spark, sf_dir):
         "quality_quantile_keep",
         "multimodal_resize",
         "multimodal_wav",
+        # r7 wave 2
+        "text_line_dedup",
+        "quality_expectations",
+        "merge_upsert",
+        "shard_assignment",
+        "sink_compacted_roundtrip",
+        "text_phrase_search",
+        "sim_sparse_topk",
     ]
     return {n: qs[n] for n in names if n in qs}
 

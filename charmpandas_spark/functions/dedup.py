@@ -45,6 +45,8 @@ __all__ = [
     "simhash_near_dup",
     "connected_components",
     "dedup_clusters",
+    "line_dedup",
+    "line_dedup_sql",
 ]
 
 
@@ -722,3 +724,104 @@ def simhash_near_dup(
                .select("doc_a", "doc_b", "hamming"))
     out._cps_persisted = [sig, blocks]  # see release()
     return out
+
+
+# ---------------------------------------------------------------------------
+# line-level boilerplate dedup (CCNet / RefinedWeb style)
+# ---------------------------------------------------------------------------
+
+def line_dedup(
+    df: SparkDF,
+    text_col: str,
+    id_col: str,
+    max_doc_freq: int = 2,
+    line_sep: str = "\n",
+    broadcast_boilerplate: bool = True,
+) -> SparkDF:
+    """Remove boilerplate lines — lines whose normalized form appears
+    in >= ``max_doc_freq`` DISTINCT documents — and reassemble each
+    document from its surviving lines (CCNet's paragraph dedup /
+    RefinedWeb's line-level filtering; headers, nav bars, cookie
+    banners all die here).
+
+    Per document: (doc, text, n_lines, n_dropped) where ``text`` is
+    the surviving lines joined by ``line_sep`` in original order
+    ('' when every line was boilerplate — the doc row is kept so the
+    caller can drop or count hollowed-out docs). Blank lines are
+    exempt from frequency counting and always survive.
+
+    Scale: two unavoidable shuffles — the exploded lines groupBy
+    normalized line for document frequency, and the per-doc
+    reassembly groupBy. The df>= cap side (true boilerplate) is a
+    tiny fraction of distinct lines, so it rejoins the corpus as a
+    broadcast LEFT join (set ``broadcast_boilerplate=False`` on
+    corpora where even the boilerplate set is huge — same plan, hash
+    join instead). Reassembly is collect_list of (pos, line) structs
+    + array_sort — no window, no global sort; per-doc line counts
+    bound the struct arrays exactly like the source documents bound
+    memory.
+    """
+    import re as _re
+
+    doc = F.col(id_col).alias("doc")
+    lines = (df.select(doc,
+                       F.posexplode(F.split(F.col(text_col),
+                                            _re.escape(line_sep), -1))
+                        .alias("pos", "line"))
+               .withColumn("__cps_key", F.trim(F.lower("line"))))
+    boiler = (lines.where(F.col("__cps_key") != "")
+                   .groupBy("__cps_key")
+                   .agg(F.count_distinct("doc").alias("__cps_df"))
+                   .where(F.col("__cps_df") >= max_doc_freq)
+                   .select("__cps_key", F.lit(True).alias("__cps_drop")))
+    if broadcast_boilerplate:
+        boiler = F.broadcast(boiler)
+    marked = lines.join(boiler, "__cps_key", "left")
+    kept_struct = F.when(F.col("__cps_drop").isNull(),
+                         F.struct("pos", "line"))
+    return (marked.groupBy("doc")
+                  .agg(F.coalesce(
+                           F.array_join(
+                               F.transform(
+                                   F.array_sort(F.collect_list(kept_struct)),
+                                   lambda s: s["line"]),
+                               line_sep),
+                           F.lit("")).alias("text"),
+                       F.count(F.lit(1)).alias("n_lines"),
+                       F.sum(F.when(F.col("__cps_drop").isNotNull(), 1)
+                              .otherwise(0)).cast("bigint")
+                        .alias("n_dropped")))
+
+
+def line_dedup_sql(t: str, id_expr: str, text_expr: str,
+                   max_doc_freq: int = 2, sep_chr: str = "chr(10)") -> str:
+    """DuckDB twin of :func:`line_dedup` (same normalization, same
+    blank-line exemption, same keep-order reassembly)."""
+    return f"""
+        WITH base AS (
+            SELECT {id_expr} AS doc,
+                   string_split({text_expr}, {sep_chr}) AS ls
+            FROM {t}),
+        ln AS (
+            SELECT doc, ls, UNNEST(range(1, len(ls) + 1)) AS pos
+            FROM base),
+        lx AS (
+            SELECT doc, CAST(pos AS INT) AS pos, ls[pos] AS line,
+                   trim(lower(ls[pos])) AS key
+            FROM ln),
+        boiler AS (
+            SELECT key FROM lx WHERE key <> ''
+            GROUP BY key HAVING count(DISTINCT doc) >= {max_doc_freq}),
+        marked AS (
+            SELECT lx.doc, lx.pos, lx.line,
+                   (b.key IS NOT NULL) AS dropped
+            FROM lx LEFT JOIN boiler b USING (key))
+        SELECT doc,
+               coalesce(string_agg(line, {sep_chr} ORDER BY pos)
+                            FILTER (WHERE NOT dropped), '') AS text,
+               count(*) AS n_lines,
+               CAST(coalesce(sum(CASE WHEN dropped THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_dropped
+        FROM marked
+        GROUP BY doc
+    """

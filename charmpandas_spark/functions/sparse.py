@@ -1,0 +1,240 @@
+"""Sparse LEXICAL similarity and phrase search — the term-space
+complement to the dense-embedding operators in ``similarity.py``.
+
+Two families:
+
+- :func:`phrase_match` — exact token-sequence search as a scan-local
+  higher-order-function expression: ZERO shuffle, the phrase test
+  rides the parquet scan inside whole-stage codegen. The Spark-first
+  answer to "which documents contain this phrase" is not an index
+  lookup, it's a predicate the scan evaluates in place.
+- :func:`term_postings` / :func:`tf_cosine_topk` — a distributed
+  inverted index (doc, term, tf) and a "more-like-this" top-k join
+  over it. Similarity is TF-cosine**2 computed in EXACT integer
+  arithmetic (dot, |a|^2, |b|^2 are all int64 sums), so the ranking
+  is bit-identical across engines/partitionings — no floating-point
+  summation-order tie flips, which is what usually makes top-k joins
+  impossible to oracle-check.
+
+Scale design: postings are one explode + one groupBy; the query-side
+⋈ corpus-side term join uses a SHUFFLE_HASH hint (a term list is
+never broadcast — Zipf vocabularies are huge); ``max_df`` drops
+stop-terms the same way the n-gram Jaccard index caps stop-shingles
+(a term in half the corpus contributes candidates quadratically but
+similarity negligibly). Candidate pair growth is bounded by the
+df-capped postings, never |corpus|^2.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame as SparkDF, Window, functions as F
+
+from .text import normalize_text
+
+__all__ = [
+    "phrase_match",
+    "phrase_match_sql",
+    "term_postings",
+    "term_postings_sql",
+    "tf_cosine_topk",
+    "tf_cosine_topk_sql",
+]
+
+
+# ---------------------------------------------------------------------------
+# phrase search (scan-local, zero shuffle)
+# ---------------------------------------------------------------------------
+
+def _normalize_phrase(phrase: str) -> list[str]:
+    import re
+
+    terms = re.sub(r"\s+", " ", phrase.lower()).strip().split(" ")
+    if not terms or terms == [""]:
+        raise ValueError("empty phrase")
+    return terms
+
+
+def phrase_match(df: SparkDF, text_col: str, id_col: str,
+                 phrase: str) -> SparkDF:
+    """Documents containing the exact (normalized) token sequence
+    ``phrase``, with occurrence counts — OVERLAPPING occurrences
+    included (a sliding positional test, not substring replace).
+
+    Pure Column expressions: split + a filtered index sequence with a
+    conjunction lambda. No join, no shuffle, no UDF — at 100 TB this
+    is a predicate pushed through the scan, embarrassingly parallel.
+    """
+    terms = _normalize_phrase(phrase)
+    k = len(terms)
+    toks = F.split(normalize_text(text_col), " ")
+    n = F.size(toks)
+    # positions i (1-based) where toks[i..i+k-1] == terms
+    hit = lambda i: reduce(
+        lambda a, b: a & b,
+        [F.element_at(toks, i + j) == F.lit(t)
+         for j, t in enumerate(terms)])
+    matches = F.when(
+        n >= k,
+        F.size(F.filter(F.sequence(F.lit(1), n - (k - 1)), hit))
+    ).otherwise(F.lit(0)).cast("int")
+    return (df.select(F.col(id_col).alias("doc"),
+                      matches.alias("n_matches"))
+              .where(F.col("n_matches") > 0))
+
+
+def phrase_match_sql(t: str, id_expr: str, text_expr: str,
+                     phrase: str) -> str:
+    """DuckDB twin of :func:`phrase_match` (same positional sliding
+    test, so overlapping occurrences agree)."""
+    terms = _normalize_phrase(phrase)
+    k = len(terms)
+    norm = (f"trim(regexp_replace(lower({text_expr}), "
+            "'\\s+', ' ', 'g'))")
+    conj = " AND ".join(f"tk[i + {j}] = '{t}'"
+                        for j, t in enumerate(terms))
+    return f"""
+        WITH tkz AS (
+            SELECT {id_expr} AS doc, string_split({norm}, ' ') AS tk
+            FROM {t})
+        SELECT doc,
+               CAST(len(list_filter(range(1, len(tk) - {k - 1} + 1),
+                                    i -> {conj})) AS INT) AS n_matches
+        FROM tkz
+        WHERE len(list_filter(range(1, len(tk) - {k - 1} + 1),
+                              i -> {conj})) > 0
+    """
+
+
+# ---------------------------------------------------------------------------
+# inverted index + sparse top-k similarity join
+# ---------------------------------------------------------------------------
+
+def term_postings(df: SparkDF, text_col: str, id_col: str) -> SparkDF:
+    """(doc, term, tf) inverted-index postings over normalized
+    whitespace tokens. One explode + one groupBy (single shuffle);
+    empty tokens dropped."""
+    return (df.select(F.col(id_col).alias("doc"),
+                      F.explode(F.split(normalize_text(text_col), " "))
+                       .alias("term"))
+              .where(F.col("term") != "")
+              .groupBy("doc", "term")
+              .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+
+
+def term_postings_sql(t: str, id_expr: str, text_expr: str) -> str:
+    norm = (f"trim(regexp_replace(lower({text_expr}), "
+            "'\\s+', ' ', 'g'))")
+    return f"""
+        SELECT {id_expr} AS doc, UNNEST(string_split({norm}, ' ')) AS term
+        FROM {t}
+    """
+
+
+def tf_cosine_topk(
+    corpus: SparkDF,
+    queries: SparkDF,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    max_df: int | None = None,
+) -> SparkDF:
+    """More-like-this: for each query document, the top-``k`` corpus
+    documents by TF-cosine**2 similarity
+    ``dot(q,c)^2 / (|q|^2 * |c|^2)`` over term-frequency vectors.
+
+    EXACT ranking: dot and both squared norms are int64 sums, their
+    double quotient is a single correctly-rounded IEEE division —
+    bit-identical in any engine — and ties break on ascending corpus
+    doc id. Self-pairs are excluded.
+
+    Plan: postings join on term (SHUFFLE_HASH — term dimension is
+    never broadcast), partial-aggregated dot per (query, corpus) pair,
+    norm joins on doc, one window per query doc for top-k. ``max_df``
+    drops corpus stop-terms before the join (the n-gram index's
+    stop-shingle trick); candidate growth is sum over terms of
+    df(term)*qf(term), never |corpus|^2.
+    """
+    cp = term_postings(corpus, text_col, id_col)
+    qp = term_postings(queries, text_col, id_col)
+    if max_df is not None:
+        dfc = (cp.groupBy("term")
+                 .agg(F.count(F.lit(1)).alias("__df"))
+                 .where(F.col("__df") <= max_df)
+                 .select("term"))
+        cp = cp.join(dfc.hint("shuffle_hash"), "term")
+
+    cn = cp.groupBy("doc").agg(F.sum(F.col("tf") * F.col("tf"))
+                                .alias("n2"))
+    qn = qp.groupBy("doc").agg(F.sum(F.col("tf") * F.col("tf"))
+                                .alias("n2"))
+
+    q = qp.select(F.col("doc").alias("q_doc"), "term",
+                  F.col("tf").alias("q_tf"))
+    c = cp.select(F.col("doc").alias("c_doc"), "term",
+                  F.col("tf").alias("c_tf"))
+    dots = (q.join(c.hint("shuffle_hash"), "term")
+             .where(F.col("q_doc") != F.col("c_doc"))
+             .groupBy("q_doc", "c_doc")
+             .agg(F.sum(F.col("q_tf") * F.col("c_tf")).alias("dot")))
+    scored = (dots
+              .join(qn.select(F.col("doc").alias("q_doc"),
+                              F.col("n2").alias("q_n2")), "q_doc")
+              .join(cn.select(F.col("doc").alias("c_doc"),
+                              F.col("n2").alias("c_n2")), "c_doc")
+              .withColumn("score",
+                          (F.col("dot") * F.col("dot")).cast("double")
+                          / (F.col("q_n2") * F.col("c_n2"))
+                            .cast("double")))
+    w = Window.partitionBy("q_doc").orderBy(F.col("score").desc(),
+                                            F.col("c_doc").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select("q_doc", "c_doc", "dot",
+                          (F.floor(F.col("score") * 1_000_000)
+                           / 1_000_000).alias("score"),
+                          F.col("rank").cast("int").alias("rank")))
+
+
+def tf_cosine_topk_sql(t: str, id_expr: str, text_expr: str,
+                       query_pred: str, k: int = 5) -> str:
+    """DuckDB twin of :func:`tf_cosine_topk` (no ``max_df``; queries
+    are the rows of ``t`` satisfying ``query_pred``). Integer dot /
+    norms make the ranking exact, so the window agrees with Spark."""
+    postings = term_postings_sql(t, id_expr, text_expr)
+    return f"""
+        WITH terms AS ({postings}),
+        p AS (
+            SELECT doc, term, CAST(count(*) AS BIGINT) AS tf
+            FROM terms WHERE term <> ''
+            GROUP BY doc, term),
+        norms AS (
+            SELECT doc, sum(tf * tf) AS n2 FROM p GROUP BY doc),
+        qdocs AS (
+            SELECT {id_expr} AS doc FROM {t} WHERE {query_pred}),
+        dots AS (
+            SELECT q.doc AS q_doc, c.doc AS c_doc,
+                   CAST(sum(q.tf * c.tf) AS BIGINT) AS dot
+            FROM p q
+            JOIN p c USING (term)
+            WHERE q.doc IN (SELECT doc FROM qdocs)
+              AND q.doc <> c.doc
+            GROUP BY q.doc, c.doc),
+        scored AS (
+            SELECT d.*,
+                   CAST(dot * dot AS DOUBLE)
+                       / CAST(nq.n2 * nc.n2 AS DOUBLE) AS score
+            FROM dots d
+            JOIN norms nq ON nq.doc = d.q_doc
+            JOIN norms nc ON nc.doc = d.c_doc),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY q_doc
+                       ORDER BY score DESC, c_doc ASC) AS rank
+            FROM scored)
+        SELECT q_doc, c_doc, dot,
+               FLOOR(score * 1000000) / 1000000 AS score,
+               CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {k}
+    """

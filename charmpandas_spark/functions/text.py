@@ -767,3 +767,71 @@ def repetition_stats_sql(t: str, id_expr: str) -> str:
                          * 1000000) / 1000000 END AS distinct_token_frac
         FROM st s LEFT JOIN agg a USING (doc)
     """
+
+
+def assign_shards(
+    df,
+    token_col: str,
+    order_cols: tuple[str, ...],
+    shard_tokens: int,
+    num_partitions: int | None = None,
+):
+    """Assign each row (document) to a training SHARD so consecutive
+    shards hold ~``shard_tokens`` tokens each — the unit a trainer
+    streams (one shard ≈ one data-loader file). A document belongs
+    to the shard where its global token-offset STARTS, so documents
+    are never split; a shard can exceed the budget by at most one
+    document's tokens.
+
+    Built on :func:`pack_sequences`'s distributed prefix sum — same
+    scale shape (range shuffle + per-partition streamed cumsum +
+    per-partition offset broadcast), no global single-task window.
+    Output: the input columns + ``shard`` (bigint). Call
+    ``dedup.release(out)`` after the action to free the pinned
+    cumsum intermediate.
+    """
+    packed = pack_sequences(df, token_col=token_col,
+                            order_cols=order_cols, budget=shard_tokens,
+                            num_partitions=num_partitions)
+    out = packed.select(*df.columns, F.col("seq_id").alias("shard"))
+    out._cps_persisted = getattr(packed, "_cps_persisted", [])
+    return out
+
+
+def assign_shards_sql(rows_cte: str, shard_tokens: int, token_col: str,
+                      order_cols: tuple[str, ...]) -> str:
+    """DuckDB twin of :func:`assign_shards` (global window cumsum)."""
+    ob = ", ".join(order_cols)
+    return f"""
+        WITH rows_in AS ({rows_cte})
+        SELECT * EXCLUDE (__st),
+               CAST(FLOOR(__st / {shard_tokens}) AS BIGINT) AS shard
+        FROM (SELECT *, COALESCE(SUM({token_col}) OVER (
+                          ORDER BY {ob}
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS __st
+              FROM rows_in)
+    """
+
+
+def write_token_shards(
+    df,
+    path: str,
+    token_col: str,
+    order_cols: tuple[str, ...],
+    shard_tokens: int,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize :func:`assign_shards` as a ``shard=N``-partitioned
+    parquet layout with ONE file per shard: the hash repartition on
+    ``shard`` lands each shard's rows in a single task, so each
+    partition directory holds a single right-sized file — exactly
+    what a data loader wants to memory-map sequentially. Shard count
+    grows with corpus tokens / ``shard_tokens``, so parallelism is
+    corpus-proportional at any scale.
+    """
+    out = assign_shards(df, token_col, order_cols, shard_tokens)
+    (out.repartition(F.col("shard"))
+        .write.mode(mode).partitionBy("shard").parquet(path))
+    from .dedup import release
+    release(out)

@@ -235,3 +235,68 @@ def write_clustered(
               else list(partition_by))
         w = w.partitionBy(*pb)
     w.parquet(path)
+
+
+def compact_files(
+    spark,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 << 20,
+    cluster_by: str | list[str] | None = None,
+    mode: str = "overwrite",
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory into
+    ~``target_file_bytes``-sized files (copy-on-write — the rewrite
+    lands at ``out_path``; the caller swaps directories after
+    validating, which is also why ``out_path`` must differ from
+    ``path``).
+
+    Why it exists: streaming sinks, per-batch merges, and
+    over-parallel writes leave thousands of tiny files; at 100 TB
+    the *listing* alone stalls planning, and every scan pays
+    per-file open/footer costs. The output file count is derived
+    from the layout's actual byte size (Hadoop FileSystem content
+    summary — works on HDFS/S3A/local alike), not row counts, so
+    compaction converges in one pass. With ``cluster_by`` the
+    rewrite range-partitions + sorts, upgrading the layout to a
+    prunable one (see :func:`write_clustered`) in the same pass;
+    otherwise a round-robin repartition just right-sizes files.
+
+    Returns {files_before, bytes_before, files_after, target_files}.
+    """
+    import math
+
+    if out_path == path:
+        raise ValueError("compact_files is copy-on-write: out_path "
+                         "must differ from path")
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    def data_files(p: str) -> int:
+        """Non-hidden data files only (_SUCCESS/_metadata excluded)."""
+        jp = jvm.org.apache.hadoop.fs.Path(p)
+        sts = jp.getFileSystem(hconf).listStatus(jp)
+        return sum(1 for st in sts
+                   if st.isFile()
+                   and not st.getPath().getName().startswith(("_", ".")))
+
+    src = jvm.org.apache.hadoop.fs.Path(path)
+    fs = src.getFileSystem(hconf)
+    summary = fs.getContentSummary(src)
+    bytes_before = int(summary.getLength())
+    files_before = data_files(path)
+    n_out = max(1, math.ceil(bytes_before / target_file_bytes))
+
+    df = spark.read.parquet(path)
+    if cluster_by:
+        ck = ([cluster_by] if isinstance(cluster_by, str)
+              else list(cluster_by))
+        out = (df.repartitionByRange(n_out, *ck)
+                 .sortWithinPartitions(*ck))
+    else:
+        out = df.repartition(n_out)
+    out.write.mode(mode).parquet(out_path)
+
+    return {"files_before": files_before,
+            "bytes_before": bytes_before,
+            "files_after": data_files(out_path),
+            "target_files": n_out}

@@ -1,0 +1,80 @@
+"""Tests for sparse lexical similarity + phrase search."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_phrase_match_overlapping_and_normalization(spark):
+    from charmpandas_spark.functions.sparse import phrase_match
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"),        # "a b a" overlaps: positions 1 and 3
+         (2, "A  B a"),           # normalization: case + whitespace
+         (3, "a c b a"),          # no match
+         (4, "")],
+        "doc_id long, text string")
+    out = {r["doc"]: r["n_matches"]
+           for r in phrase_match(df, "text", "doc_id", "a b a").collect()}
+    assert out == {1: 2, 2: 1}
+
+
+def test_phrase_match_no_shuffle(spark):
+    """The phrase test must ride the scan: no exchange in the plan."""
+    from charmpandas_spark.functions.sparse import phrase_match
+
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.lit("x y z").alias("text"))
+    plan = (phrase_match(df, "text", "doc_id", "x y")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+def test_phrase_match_empty_phrase_raises(spark):
+    from charmpandas_spark.functions.sparse import phrase_match
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        phrase_match(df, "text", "doc_id", "   ")
+
+
+def test_tf_cosine_topk_exact_small(spark):
+    from charmpandas_spark.functions.sparse import tf_cosine_topk
+
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"),
+         (2, "apple banana apple"),      # identical tf vector to 1
+         (3, "apple cherry"),
+         (4, "durian durian")],          # disjoint from 1
+        "doc_id long, text string")
+    q = df.where("doc_id = 1")
+    out = {r["c_doc"]: (r["dot"], r["score"], r["rank"])
+           for r in tf_cosine_topk(df, q, "text", "doc_id", k=3).collect()}
+    # doc 2 is identical: dot = 2*2+1*1 = 5, n2 both 5 -> score 1.0
+    assert out[2][0] == 5 and out[2][1] == 1.0 and out[2][2] == 1
+    # doc 3 shares "apple": dot = 2, score = 4/(5*2) = 0.4
+    assert out[3] == (2, 0.4, 2)
+    # doc 4 shares nothing: absent entirely
+    assert 4 not in out
+
+
+def test_tf_cosine_topk_max_df_drops_stop_terms(spark):
+    from charmpandas_spark.functions.sparse import tf_cosine_topk
+
+    # "the" appears in every doc; with max_df=2 it can't generate
+    # candidates, so docs sharing only "the" produce no pair.
+    df = spark.createDataFrame(
+        [(1, "the apple"), (2, "the banana"), (3, "the apple pie")],
+        "doc_id long, text string")
+    q = df.where("doc_id = 1")
+    out = tf_cosine_topk(df, q, "text", "doc_id", k=3, max_df=2).collect()
+    assert {r["c_doc"] for r in out} == {3}  # shares "apple", not just "the"
+
+
+def test_term_postings_counts(spark):
+    from charmpandas_spark.functions.sparse import term_postings
+
+    df = spark.createDataFrame([(7, "x y  X")], "doc_id long, text string")
+    rows = {(r["term"]): r["tf"]
+            for r in term_postings(df, "text", "doc_id").collect()}
+    assert rows == {"x": 2, "y": 1}
