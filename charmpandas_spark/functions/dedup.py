@@ -763,12 +763,19 @@ def line_dedup(
     """
     import re as _re
 
+    from pyspark import StorageLevel
+
     doc = F.col(id_col).alias("doc")
     lines = (df.select(doc,
                        F.posexplode(F.split(F.col(text_col),
                                             _re.escape(line_sep), -1))
                         .alias("pos", "line"))
-               .withColumn("__cps_key", F.trim(F.lower("line"))))
+               .withColumn("__cps_key", F.trim(F.lower("line")))
+               # BOTH consumers (the line-df aggregate and the rejoin)
+               # read this subtree; without the pin the scan+explode
+               # runs twice over the corpus (plan-audited: 2 scans,
+               # 2 Generates). Call release() after the action.
+               .persist(StorageLevel.MEMORY_AND_DISK))
     boiler = (lines.where(F.col("__cps_key") != "")
                    .groupBy("__cps_key")
                    .agg(F.count_distinct("doc").alias("__cps_df"))
@@ -779,18 +786,20 @@ def line_dedup(
     marked = lines.join(boiler, "__cps_key", "left")
     kept_struct = F.when(F.col("__cps_drop").isNull(),
                          F.struct("pos", "line"))
-    return (marked.groupBy("doc")
-                  .agg(F.coalesce(
-                           F.array_join(
-                               F.transform(
-                                   F.array_sort(F.collect_list(kept_struct)),
-                                   lambda s: s["line"]),
-                               line_sep),
-                           F.lit("")).alias("text"),
-                       F.count(F.lit(1)).alias("n_lines"),
-                       F.sum(F.when(F.col("__cps_drop").isNotNull(), 1)
-                              .otherwise(0)).cast("bigint")
-                        .alias("n_dropped")))
+    out = (marked.groupBy("doc")
+                 .agg(F.coalesce(
+                          F.array_join(
+                              F.transform(
+                                  F.array_sort(F.collect_list(kept_struct)),
+                                  lambda s: s["line"]),
+                              line_sep),
+                          F.lit("")).alias("text"),
+                      F.count(F.lit(1)).alias("n_lines"),
+                      F.sum(F.when(F.col("__cps_drop").isNotNull(), 1)
+                             .otherwise(0)).cast("bigint")
+                       .alias("n_dropped")))
+    out._cps_persisted = [lines]  # see release()
+    return out
 
 
 def line_dedup_sql(t: str, id_expr: str, text_expr: str,

@@ -152,6 +152,20 @@ def test_line_dedup_drops_boilerplate_keeps_order(spark):
     assert out[4]["text"] == "" and out[4]["n_dropped"] == 2
 
 
+def test_line_dedup_single_materialization(spark):
+    """Both consumers (line-df agg + rejoin) must read the PINNED
+    exploded-lines subtree — without the pin the scan+explode runs
+    twice over the corpus."""
+    from charmpandas_spark.functions.dedup import line_dedup, release
+
+    df = spark.createDataFrame([(1, "a\nb"), (2, "a\nc")],
+                               "doc_id long, text string")
+    out = line_dedup(df, "text", "doc_id", max_doc_freq=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2
+    release(out)
+
+
 def test_line_dedup_custom_separator_is_literal(spark):
     """line_sep is escaped before hitting Spark's regex split — '. '
     must not behave as wildcard-dot."""
