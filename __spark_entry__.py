@@ -2157,6 +2157,88 @@ def q_sim_sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "text", "doc_id", k=5)
 
 
+
+
+def _replay_stream_ordered(spark: SparkSession, df: DataFrame,
+                           prefix: str, ts_ms_col: str,
+                           sentinel_row, n_files: int = 4):
+    """Time-ORDERED stream replay with watermark-finality sentinels:
+    the frame is split into ``n_files`` time-range files whose forced
+    mtimes make the file source deliver oldest range first (a real
+    stream delivers events in rough time order — that is the
+    watermark contract; a random repartition replay feeds wildly late
+    data instead). Two far-future sentinel files (built by
+    ``sentinel_row(ms)``) form the final micro-batches: the first
+    pushes the watermark past every pending event-time timer, the
+    second gives the timers a batch to fire in."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+    import uuid
+
+    from charmpandas_spark.streaming.windows import stream_from_parquet
+
+    src = _tmp_sink(f"{prefix}_src")
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+    now = int(_time.time())
+    qs_ = [i / n_files for i in range(1, n_files)]
+    bounds = df.approxQuantile(ts_ms_col, qs_, 0.0)
+    cuts = [float("-inf")] + bounds + [float("inf")]
+    hi = 0
+    for i in range(n_files):
+        sl = df.where((F.col(ts_ms_col) > cuts[i])
+                      & (F.col(ts_ms_col) <= cuts[i + 1]))
+        sdir = _tmp_sink(f"{prefix}_slice{i}")
+        sl.coalesce(1).write.mode("overwrite").parquet(sdir)
+        part = glob.glob(os.path.join(sdir, "*.parquet"))[0]
+        dst = os.path.join(src, f"m{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (now - 600 + i, now - 600 + i))
+    hi = df.agg(F.max(ts_ms_col)).collect()[0][0]
+    for i, off_h in enumerate((30, 60)):
+        sent_ms = int(hi) + off_h * 3600 * 1000
+        sdir = _tmp_sink(f"{prefix}_sent{i}")
+        sentinel_row(sent_ms).coalesce(1).write.mode("overwrite")             .parquet(sdir)
+        part = glob.glob(os.path.join(sdir, "*.parquet"))[0]
+        dst = os.path.join(src, f"zz_sentinel{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (now + 100 * (i + 1), now + 100 * (i + 1)))
+    name = f"cps_{prefix}_{uuid.uuid4().hex[:8]}"
+    return stream_from_parquet(spark, src, max_files_per_trigger=1), name
+
+
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming SESSIONIZATION (applyInPandasWithState +
+    EventTimeTimeout): closed sessions emitted when a later event
+    passes the 4h gap OR when the watermark expires an idle user's
+    timer — the flush no 'update'-mode aggregate can express. Events
+    replay as 4 time-range micro-batches plus 2 sentinel batches
+    (watermark push + timer-fire); all arithmetic is epoch-millis
+    (timezone-proof). The oracle is the batch lag/cumsum session
+    closure."""
+    from charmpandas_spark.streaming.stateful import sessionize_stream
+    from charmpandas_spark.timestamps import epoch_micros
+
+    gap_ms = 4 * 3600 * 1000
+    ev = _t(spark, sf_dir, "events").sdf.select(
+        "user_id", "ts",
+        (epoch_micros("ts") / 1000).cast("long").alias("ts_ms"))
+
+    def sentinel(ms: int) -> DataFrame:
+        return spark.range(1).select(
+            F.lit(-1).cast("long").alias("user_id"),
+            F.timestamp_millis(F.lit(ms)).alias("ts"),
+            F.lit(ms).cast("long").alias("ts_ms"))
+
+    stream, name = _replay_stream_ordered(spark, ev, "sess", "ts_ms",
+                                          sentinel)
+    _run_stream(spark, sessionize_stream(stream, gap_ms), name, "append")
+    return (spark.table(name).where("user_id >= 0")
+            .select("user_id", "start_ms", "end_ms", "n_events"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2179,6 +2261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_compacted_roundtrip": q_sink_compacted_roundtrip,
         "text_phrase_search": q_text_phrase_search,
         "sim_sparse_topk": q_sim_sparse_topk,
+        "streaming_sessionize": q_streaming_sessionize,
         "text_bpe_tokens": q_text_bpe_tokens,
         "multimodal_bmp": q_multimodal_bmp,
         "url_domain_filter": q_url_domain_filter,  # PSL semantics now
@@ -2629,6 +2712,26 @@ def oracle_sql() -> dict[str, str]:
             "documents", "doc_id", "text", "batch batch"),
         "sim_sparse_topk": tf_cosine_topk_sql(
             "documents", "doc_id", "text", "doc_id % 101 = 0", 5),
+        "streaming_sessionize": """
+            WITH e AS (
+                SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+            m AS (
+                SELECT user_id, ts_ms,
+                       CASE WHEN lag(ts_ms) OVER w IS NULL
+                              OR ts_ms - lag(ts_ms) OVER w > 14400000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
+            s AS (
+                SELECT *, SUM(new_s) OVER (
+                           PARTITION BY user_id ORDER BY ts_ms
+                           ROWS UNBOUNDED PRECEDING) AS sess
+                FROM m)
+            SELECT user_id, MIN(ts_ms) AS start_ms,
+                   MAX(ts_ms) AS end_ms,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, sess
+        """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))

@@ -26,6 +26,8 @@ __all__ = [
     "running_totals_stream",
     "running_totals_batch",
     "threshold_alerts_stream",
+    "sessionize_stream",
+    "sessionize_batch",
 ]
 
 _RUNNING_OUT_SCHEMA = ("user_id bigint, n_events bigint, "
@@ -129,3 +131,119 @@ def threshold_alerts_stream(
                 stateStructType=_ALERT_STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+_SESSION_OUT_SCHEMA = ("user_id bigint, start_ms bigint, end_ms bigint, "
+                       "n_events bigint")
+_SESSION_STATE_SCHEMA = "start_ms bigint, last_ms bigint, n bigint"
+
+
+def sessionize_stream(
+    stream_df: SparkDF,
+    gap_ms: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    ts_ms_col: str = "ts_ms",
+    watermark: str = "10 minutes",
+) -> SparkDF:
+    """Stateful streaming SESSIONIZATION emitting CLOSED sessions
+    (append mode): per-user state (session start, last event, count)
+    lives in the state store; a session closes when a later event
+    arrives past the gap, or when the event-time watermark passes
+    ``last + gap`` (EventTimeTimeout) — so sessions of users who
+    simply stop emitting still flush, which 'update'-mode running
+    aggregates can't express.
+
+    Timezone-proof by construction: the caller supplies ``ts_ms_col``
+    (true epoch millis, ``timestamps.epoch_micros``-derived JVM-side);
+    all Python-side arithmetic and the timeout registration use epoch
+    millis only — the naive-pandas-timestamp/session-timezone trap
+    (the r5 NTZ breakage class) can't reach this operator. Output
+    session bounds are epoch millis; convert with
+    ``F.timestamp_millis`` downstream.
+
+    Ordering contract: events must arrive in rough global time order
+    across micro-batches (the watermark contract every stream source
+    provides; bounded intra-batch disorder is fine — each batch is
+    sorted before the walk). An event arriving later than the
+    watermark allows may extend or merge a session the batch oracle
+    would have split; the batch twin is the gold standard.
+
+    Scale: state partitions by user across executors; each
+    micro-batch touches only keys present in the batch plus expiring
+    timers; watermark bounds state lifetime to ``gap + delay``.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state):
+        if state.hasTimedOut:
+            start_ms, last_ms, n = state.get
+            state.remove()
+            yield pd.DataFrame({"user_id": [key[0]],
+                                "start_ms": [start_ms],
+                                "end_ms": [last_ms],
+                                "n_events": [n]})
+            return
+        if state.exists:
+            start_ms, last_ms, n = state.get
+        else:
+            start_ms = last_ms = None
+            n = 0
+        closed_start, closed_end, closed_n = [], [], []
+        for pdf in pdf_iter:
+            for tm in sorted(int(v) for v in pdf[ts_ms_col]):
+                if start_ms is None:
+                    start_ms, last_ms, n = tm, tm, 1
+                elif tm - last_ms > gap_ms:
+                    closed_start.append(start_ms)
+                    closed_end.append(last_ms)
+                    closed_n.append(n)
+                    start_ms, last_ms, n = tm, tm, 1
+                else:
+                    last_ms = tm
+                    n += 1
+        state.update((start_ms, last_ms, n))
+        # the timer must be strictly beyond the current watermark or
+        # Spark rejects it; a session already expired relative to the
+        # watermark then fires on the next batch
+        state.setTimeoutTimestamp(max(last_ms + gap_ms,
+                                      state.getCurrentWatermarkMs() + 1))
+        yield pd.DataFrame({"user_id": [key[0]] * len(closed_n),
+                            "start_ms": closed_start,
+                            "end_ms": closed_end,
+                            "n_events": closed_n})
+
+    stream_df = ensure_event_time(stream_df, ts_col)
+    return (stream_df.withWatermark(ts_col, watermark)
+            .groupBy(F.col(user_col))
+            .applyInPandasWithState(
+                fn,
+                outputStructType=_SESSION_OUT_SCHEMA,
+                stateStructType=_SESSION_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+def sessionize_batch(df: SparkDF, gap_ms: int,
+                     user_col: str = "user_id",
+                     ts_ms_col: str = "ts_ms") -> SparkDF:
+    """Batch twin of :func:`sessionize_stream` (same output schema):
+    lag -> gap flag -> running session id -> per-session aggregate.
+    The verification oracle for the streaming path. Window partitions
+    by user (high cardinality — parallelism grows with users)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_ms_col)
+    new_s = F.when(
+        F.lag(ts_ms_col).over(w).isNull()
+        | ((F.col(ts_ms_col) - F.lag(ts_ms_col).over(w)) > gap_ms),
+        1).otherwise(0)
+    ws = Window.partitionBy(user_col).orderBy(ts_ms_col) \
+               .rowsBetween(Window.unboundedPreceding, 0)
+    return (df.withColumn("__new_s", new_s)
+              .withColumn("__sess", F.sum("__new_s").over(ws))
+              .groupBy(F.col(user_col).alias("user_id"), "__sess")
+              .agg(F.min(ts_ms_col).alias("start_ms"),
+                   F.max(ts_ms_col).alias("end_ms"),
+                   F.count(F.lit(1)).alias("n_events"))
+              .drop("__sess"))

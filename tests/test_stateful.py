@@ -196,3 +196,75 @@ def test_streaming_dedup_watermarked_state(spark, sf_dir, tmp_path):
         F.md5(F.trim(F.regexp_replace(F.lower("event_type"), r"\s+",
                                       " ")))).distinct().count()
     assert got == want
+
+
+def test_sessionize_stream_matches_batch(spark, events, tmp_path):
+    """Streaming sessionization (EventTimeTimeout closed-session
+    emission) must reproduce the batch lag/cumsum sessionization
+    exactly after a multi-batch replay. Finality: two sentinel files
+    with forced-later mtimes form the last two micro-batches — the
+    first pushes the watermark past every session's (last + gap), the
+    second gives the timers a batch to fire in."""
+    import glob
+    import os
+    import shutil
+
+    from charmpandas_spark.streaming.stateful import (
+        sessionize_batch, sessionize_stream)
+    from charmpandas_spark.streaming.windows import stream_from_parquet
+    from charmpandas_spark.timestamps import epoch_micros
+
+    gap_ms = 4 * 3600 * 1000
+    ev = (events.limit(3000)
+          .select("user_id", "ts",
+                  (epoch_micros("ts") / 1000).cast("long").alias("ts_ms")))
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    # a stream delivers events roughly in time order (that's the
+    # watermark contract); replay as 4 TIME-RANGE files, file mtimes
+    # forcing the source to process them oldest-range first
+    import time as _time
+    now = int(_time.time())
+    bounds = ev.approxQuantile("ts_ms", [0.25, 0.5, 0.75], 0.0)
+    cuts = [float("-inf")] + bounds + [float("inf")]
+    for i in range(4):
+        sl = ev.where((F.col("ts_ms") > cuts[i])
+                      & (F.col("ts_ms") <= cuts[i + 1]))
+        sdir = str(tmp_path / f"main{i}")
+        sl.coalesce(1).write.parquet(sdir)
+        part = glob.glob(sdir + "/*.parquet")[0]
+        dst = os.path.join(src, f"m{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (now - 300 + i, now - 300 + i))
+
+    # sentinels: far-future events of a user id absent from the data
+    hi = ev.agg(F.max("ts_ms")).collect()[0][0]
+    margin = 3600 * 1000
+    for i, off in enumerate((gap_ms + 2 * margin, gap_ms + 4 * margin)):
+        sent_ms = hi + off
+        sdir = str(tmp_path / f"sent{i}")
+        (spark.range(1)
+         .select(F.lit(-1).cast("long").alias("user_id"),
+                 F.timestamp_millis(F.lit(sent_ms)).alias("ts"),
+                 F.lit(sent_ms).cast("long").alias("ts_ms"))
+         .coalesce(1).write.parquet(sdir))
+        part = glob.glob(sdir + "/*.parquet")[0]
+        dst = os.path.join(src, f"zz_sentinel{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (now + 100 * (i + 1), now + 100 * (i + 1)))
+
+    stream = stream_from_parquet(spark, src, max_files_per_trigger=1)
+    out = sessionize_stream(stream, gap_ms)
+    q = (out.writeStream.format("memory").queryName("sess_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(180)
+
+    got = (spark.table("sess_out").where("user_id >= 0")
+           .toPandas()
+           .sort_values(["user_id", "start_ms"]).reset_index(drop=True))
+    want = (sessionize_batch(ev, gap_ms)
+            .toPandas()
+            .sort_values(["user_id", "start_ms"]).reset_index(drop=True))
+    assert len(got) == len(want) and len(want) > 0
+    for c in ("user_id", "start_ms", "end_ms", "n_events"):
+        assert got[c].tolist() == want[c].tolist(), c
