@@ -2239,6 +2239,19 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", "start_ms", "end_ms", "n_events"))
 
 
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span profiling (exact substring dedup signal, Lee et
+    al.): fraction of each document's 4-token rolling spans that also
+    appear verbatim in >= 2 other docs. Scan-local HOF span
+    generation, pinned one-materialization explode, SHUFFLE_HASH
+    rejoin of the (potentially corpus-sized) duplicated-span set."""
+    from charmpandas_spark.functions.dedup import duplicate_spans
+    docs = _t(spark, sf_dir, "documents").sdf
+    return duplicate_spans(docs, "text", "doc_id", k=4, min_docs=2)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2262,6 +2275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_phrase_search": q_text_phrase_search,
         "sim_sparse_topk": q_sim_sparse_topk,
         "streaming_sessionize": q_streaming_sessionize,
+        "dedup_spans": q_dedup_spans,
         "text_bpe_tokens": q_text_bpe_tokens,
         "multimodal_bmp": q_multimodal_bmp,
         "url_domain_filter": q_url_domain_filter,  # PSL semantics now
@@ -2663,7 +2677,8 @@ def oracle_sql() -> dict[str, str]:
         mixture_sample_sql, negative_sample_sql)
     from charmpandas_spark.functions.quality import (
         c4_clean_sql, gopher_quality_sql, quantile_keep_sql)
-    from charmpandas_spark.functions.dedup import line_dedup_sql
+    from charmpandas_spark.functions.dedup import (
+        duplicate_spans_sql, line_dedup_sql)
     from charmpandas_spark.functions.expect import validate_sql
     from charmpandas_spark.functions.text import assign_shards_sql
     from charmpandas_spark.operators.merge import merge_into_sql
@@ -2696,6 +2711,8 @@ def oracle_sql() -> dict[str, str]:
                    "END AS INT) AS n_tok FROM documents")
     return {
         "text_line_dedup": line_dedup_oracle,
+        "dedup_spans": duplicate_spans_sql(
+            "documents", "doc_id", "text", 4, 2),
         "quality_expectations": validate_sql("orders", expect_rules),
         "merge_upsert": (
             "WITH tproj AS " + merge_tproj + ", src AS " + merge_src + " "

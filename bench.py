@@ -152,6 +152,7 @@ def bench_queries(spark, sf_dir):
         "sink_compacted_roundtrip",
         "text_phrase_search",
         "sim_sparse_topk",
+        "dedup_spans",
     ]
     return {n: qs[n] for n in names if n in qs}
 

@@ -47,6 +47,8 @@ __all__ = [
     "dedup_clusters",
     "line_dedup",
     "line_dedup_sql",
+    "duplicate_spans",
+    "duplicate_spans_sql",
 ]
 
 
@@ -833,4 +835,95 @@ def line_dedup_sql(t: str, id_expr: str, text_expr: str,
                     AS BIGINT) AS n_dropped
         FROM marked
         GROUP BY doc
+    """
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span profiling (exact substring dedup, Lee et al. style)
+# ---------------------------------------------------------------------------
+
+def duplicate_spans(
+    df: SparkDF,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+) -> SparkDF:
+    """Per-document DUPLICATED-SPAN profile: the fraction of a
+    document's k-token spans (rolling windows, stride 1) that also
+    appear verbatim in >= ``min_docs`` distinct documents — the
+    "Deduplicating Training Data Makes Language Models Better"
+    signal, as a profile a curation pipeline can threshold on (docs
+    that are mostly recycled spans get cut even when no WHOLE
+    document is a near-duplicate).
+
+    Output: (doc, n_spans, n_dup_spans, dup_frac). Documents shorter
+    than k tokens contribute one truncated span.
+
+    Scale: spans are scan-local HOF expressions (no UDF); the pinned
+    exploded-spans subtree feeds both the span document-frequency
+    aggregate and the rejoin (same one-materialization contract as
+    :func:`line_dedup`); the duplicated-span set joins back under a
+    SHUFFLE_HASH hint (it is corpus-sized in the worst case — never
+    broadcast). Two shuffles total. Call ``release()`` after the
+    action.
+    """
+    from pyspark import StorageLevel
+
+    words = F.split(normalize_text(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0)))
+    span_arr = F.transform(
+        idx, lambda i: F.array_join(F.slice(words, i + 1, k), " "))
+    spans = (df.select(F.col(id_col).alias("doc"),
+                       F.explode(span_arr).alias("span"))
+               .persist(StorageLevel.MEMORY_AND_DISK))
+    dup = (spans.groupBy("span")
+                .agg(F.count_distinct("doc").alias("__cps_nd"))
+                .where(F.col("__cps_nd") >= min_docs)
+                .select("span", F.lit(True).alias("__cps_dup")))
+    marked = spans.join(dup.hint("shuffle_hash"), "span", "left")
+    ndup = F.sum(F.when(F.col("__cps_dup").isNotNull(), 1).otherwise(0))
+    out = (marked.groupBy("doc")
+                 .agg(F.count(F.lit(1)).alias("n_spans"),
+                      ndup.cast("bigint").alias("n_dup_spans"))
+                 .withColumn("dup_frac",
+                             F.floor(F.lit(1_000_000)
+                                     * F.col("n_dup_spans")
+                                     / F.col("n_spans")) / 1_000_000))
+    out._cps_persisted = [spans]  # see release()
+    return out
+
+
+def duplicate_spans_sql(t: str, id_expr: str, text_expr: str,
+                        k: int = 8, min_docs: int = 2) -> str:
+    """DuckDB twin of :func:`duplicate_spans` (same span geometry,
+    same truncated-tail behavior, exact int/int division)."""
+    norm = (f"trim(regexp_replace(lower({text_expr}), "
+            "'\\s+', ' ', 'g'))")
+    return f"""
+        WITH w AS (
+            SELECT {id_expr} AS doc, string_split({norm}, ' ') AS words
+            FROM {t}),
+        sp AS (
+            SELECT doc,
+                   UNNEST(list_transform(
+                       range(0, greatest(len(words) - {k}, 0) + 1),
+                       i -> array_to_string(
+                           list_slice(words, CAST(i + 1 AS INT),
+                                      CAST(i + {k} AS INT)), ' ')))
+                       AS span
+            FROM w),
+        d AS (
+            SELECT span FROM sp
+            GROUP BY span HAVING count(DISTINCT doc) >= {min_docs}),
+        m AS (
+            SELECT sp.doc, (d.span IS NOT NULL) AS dup
+            FROM sp LEFT JOIN d USING (span))
+        SELECT doc, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_spans,
+               FLOOR(1000000 * CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END)
+                                    AS DOUBLE) / count(*)) / 1000000
+                   AS dup_frac
+        FROM m GROUP BY doc
     """

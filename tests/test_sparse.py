@@ -78,3 +78,21 @@ def test_term_postings_counts(spark):
     rows = {(r["term"]): r["tf"]
             for r in term_postings(df, "text", "doc_id").collect()}
     assert rows == {"x": 2, "y": 1}
+
+
+def test_duplicate_spans_profile(spark):
+    from charmpandas_spark.functions.dedup import duplicate_spans, release
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta xx"),
+         (2, "zz alpha beta gamma delta"),   # shares the 4-gram with 1
+         (3, "one two three four five"),     # unique spans
+         (4, "tiny doc")],                   # shorter than k: 1 span
+        "doc_id long, text string")
+    out = duplicate_spans(df, "text", "doc_id", k=4, min_docs=2)
+    got = {r["doc"]: (r["n_spans"], r["n_dup_spans"]) for r in out.collect()}
+    # docs 1/2: 2 spans each, exactly one ("alpha beta gamma delta") shared
+    assert got[1] == (2, 1) and got[2] == (2, 1)
+    assert got[3] == (2, 0)
+    assert got[4] == (1, 0)
+    release(out)
