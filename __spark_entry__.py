@@ -2252,6 +2252,42 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(docs, "text", "doc_id", k=4, min_docs=2)
 
 
+
+
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (audit complement of MERGE): classify keys as
+    insert/delete/update between two deterministic orders snapshots.
+    One full-outer shuffle join; null-safe per-column comparison is
+    scan-local."""
+    from charmpandas_spark.operators.merge import table_diff
+    orders = _t(spark, sf_dir, "orders").sdf.select(
+        "o_orderkey", "o_custkey",
+        (F.floor(F.col("o_totalprice") * 100) / 100).alias("o_totalprice"))
+    new = (orders.where("o_orderkey % 13 != 0")
+                 .withColumn("o_totalprice",
+                             F.when(F.col("o_orderkey") % 7 == 0,
+                                    F.floor(F.col("o_totalprice")
+                                            * F.lit(1.05) * 100) / 100)
+                              .otherwise(F.col("o_totalprice"))))
+    ins = spark.range(5).select(
+        (F.col("id") + 900000000).alias("o_orderkey"),
+        F.lit(1).cast("long").alias("o_custkey"),
+        F.lit(10.0).alias("o_totalprice"))
+    return table_diff(orders, new.unionByName(ins), ["o_orderkey"])
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase, each stage
+    chained within 7 days of the previous stage's first completion.
+    Per-stage conditional min aggregates joined on the user key (the
+    joined side shrinks down the funnel); epoch-micros arithmetic
+    end to end."""
+    from charmpandas_spark.operators.funnel import funnel_counts
+    events = _t(spark, sf_dir, "events").sdf
+    return funnel_counts(events, ["view", "click", "purchase"],
+                         within_us=7 * 24 * 3600 * 1_000_000)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2276,6 +2312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_sparse_topk": q_sim_sparse_topk,
         "streaming_sessionize": q_streaming_sessionize,
         "dedup_spans": q_dedup_spans,
+        "table_diff": q_table_diff,
+        "events_funnel": q_events_funnel,
         "text_bpe_tokens": q_text_bpe_tokens,
         "multimodal_bmp": q_multimodal_bmp,
         "url_domain_filter": q_url_domain_filter,  # PSL semantics now
@@ -2681,7 +2719,9 @@ def oracle_sql() -> dict[str, str]:
         duplicate_spans_sql, line_dedup_sql)
     from charmpandas_spark.functions.expect import validate_sql
     from charmpandas_spark.functions.text import assign_shards_sql
-    from charmpandas_spark.operators.merge import merge_into_sql
+    from charmpandas_spark.operators.merge import (
+        merge_into_sql, table_diff_sql)
+    from charmpandas_spark.operators.funnel import funnel_counts_sql
     from charmpandas_spark.functions.sparse import (
         phrase_match_sql, tf_cosine_topk_sql)
     join_cols = ('o_orderkey, o_orderpriority, l_orderkey, l_linenumber, '
@@ -2713,6 +2753,20 @@ def oracle_sql() -> dict[str, str]:
         "text_line_dedup": line_dedup_oracle,
         "dedup_spans": duplicate_spans_sql(
             "documents", "doc_id", "text", 4, 2),
+        "table_diff": table_diff_sql(
+            "(SELECT o_orderkey, o_custkey, "
+            "floor(o_totalprice * 100) / 100 AS o_totalprice FROM orders)",
+            "(SELECT o_orderkey, o_custkey, "
+            "CASE WHEN o_orderkey % 7 = 0 THEN "
+            "floor(floor(o_totalprice * 100) / 100 * 1.05 * 100) / 100 "
+            "ELSE floor(o_totalprice * 100) / 100 END AS o_totalprice "
+            "FROM orders WHERE o_orderkey % 13 != 0 "
+            "UNION ALL SELECT 900000000 + i, 1, 10.0 "
+            "FROM range(0, 5) r(i))",
+            ["o_orderkey"], ["o_custkey", "o_totalprice"]),
+        "events_funnel": funnel_counts_sql(
+            "events", ["view", "click", "purchase"],
+            within_us=7 * 24 * 3600 * 1_000_000),
         "quality_expectations": validate_sql("orders", expect_rules),
         "merge_upsert": (
             "WITH tproj AS " + merge_tproj + ", src AS " + merge_src + " "

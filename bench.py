@@ -153,6 +153,8 @@ def bench_queries(spark, sf_dir):
         "text_phrase_search",
         "sim_sparse_topk",
         "dedup_spans",
+        "table_diff",
+        "events_funnel",
     ]
     return {n: qs[n] for n in names if n in qs}
 

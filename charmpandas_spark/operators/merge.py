@@ -30,7 +30,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame as SparkDF, functions as F
 
-__all__ = ["merge_into", "merge_into_sql"]
+__all__ = ["merge_into", "merge_into_sql", "table_diff", "table_diff_sql"]
 
 
 def merge_into(
@@ -157,5 +157,75 @@ def merge_into_sql(target: str, source: str, on: Sequence[str],
         FROM (SELECT *, TRUE AS __k FROM {target}) t
         FULL OUTER JOIN (SELECT *, TRUE AS __k FROM {source}) s
           ON {keys}
+        {where}
+    """
+
+
+def table_diff(
+    old: SparkDF,
+    new: SparkDF,
+    on: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+    include_unchanged: bool = False,
+) -> SparkDF:
+    """Snapshot diff: classify every key as ``insert`` (only in
+    ``new``), ``delete`` (only in ``old``), ``update`` (in both, some
+    compared column differs null-safely) or ``unchanged`` — the audit
+    complement of :func:`merge_into` (what DID that merge change?).
+
+    Output: the key columns + ``change_type``; ``unchanged`` rows are
+    dropped unless ``include_unchanged`` (at 100 TB the interesting
+    rows are the tiny minority — don't materialize the rest).
+
+    Scale: ONE full-outer shuffle join on the keys; the per-column
+    null-safe comparison is a scan-local expression. For
+    append-mostly tables partitioned on time, partition-prune both
+    sides to the overlapping window before diffing.
+    """
+    on = list(on)
+    if compare_cols is None:
+        compare_cols = [c for c in old.columns
+                        if c in new.columns and c not in on]
+    o = old.alias("o").withColumn("__cps_o", F.lit(True))
+    n = new.alias("n").withColumn("__cps_n", F.lit(True))
+    j = o.join(n, on=[F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+                      for k in on],
+               how="full_outer")
+    differs = F.lit(False)
+    for c in compare_cols:
+        differs = differs | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    change = (F.when(F.col("__cps_o").isNull(), F.lit("insert"))
+               .when(F.col("__cps_n").isNull(), F.lit("delete"))
+               .when(differs, F.lit("update"))
+               .otherwise(F.lit("unchanged")))
+    out = j.select(*[F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}"))
+                     .alias(k) for k in on],
+                   change.alias("change_type"))
+    if not include_unchanged:
+        out = out.where(F.col("change_type") != "unchanged")
+    return out
+
+
+def table_diff_sql(old: str, new: str, on: Sequence[str],
+                   compare_cols: Sequence[str],
+                   include_unchanged: bool = False) -> str:
+    """DuckDB twin of :func:`table_diff`."""
+    on = list(on)
+    keys = " AND ".join(f"o.{k} IS NOT DISTINCT FROM n.{k}" for k in on)
+    differs = " OR ".join(f"o.{c} IS DISTINCT FROM n.{c}"
+                          for c in compare_cols) or "FALSE"
+    sel_keys = ", ".join(f"coalesce(o.{k}, n.{k}) AS {k}" for k in on)
+    where = ("" if include_unchanged
+             else "WHERE change_type <> 'unchanged'")
+    return f"""
+        SELECT * FROM (
+            SELECT {sel_keys},
+                   CASE WHEN o.__k IS NULL THEN 'insert'
+                        WHEN n.__k IS NULL THEN 'delete'
+                        WHEN {differs} THEN 'update'
+                        ELSE 'unchanged' END AS change_type
+            FROM (SELECT *, TRUE AS __k FROM {old}) o
+            FULL OUTER JOIN (SELECT *, TRUE AS __k FROM {new}) n
+              ON {keys})
         {where}
     """

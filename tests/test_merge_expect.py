@@ -291,3 +291,50 @@ def test_compact_files_clustered_layout(spark, sf_dir):
             assert h1 <= l2  # disjoint contiguous key ranges
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# table diff + funnel
+# ---------------------------------------------------------------------------
+
+def test_table_diff_classification(spark):
+    from charmpandas_spark.operators.merge import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], "k long, v string")
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, None), (9, "z")], "k long, v string")
+    got = {r["k"]: r["change_type"]
+           for r in table_diff(old, new, ["k"]).collect()}
+    # 1 unchanged (dropped), 3 unchanged null-safely (dropped)
+    assert got == {2: "update", 4: "delete", 9: "insert"}
+    full = {r["k"]: r["change_type"]
+            for r in table_diff(old, new, ["k"],
+                                include_unchanged=True).collect()}
+    assert full[1] == "unchanged" and full[3] == "unchanged"
+
+
+def test_funnel_chained_windows(spark):
+    """A stage-B event BEFORE the first stage-A event must not count,
+    and each window anchors on the previous stage's completion."""
+    import datetime as dt
+
+    from charmpandas_spark.operators.funnel import funnel_counts
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # u1: clean A -> B -> C
+        (1, "A", t0), (1, "B", t0 + h), (1, "C", t0 + 2 * h),
+        # u2: B precedes first A -> funnel stalls at A
+        (2, "B", t0), (2, "A", t0 + h),
+        # u3: B too late (outside 2h window)
+        (3, "A", t0), (3, "B", t0 + 3 * h),
+        # u4: A -> B, C missing
+        (4, "A", t0), (4, "B", t0 + h),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = funnel_counts(df, ["A", "B", "C"],
+                        within_us=2 * 3600 * 1_000_000).collect()[0]
+    assert out["n_A"] == 4 and out["n_B"] == 2 and out["n_C"] == 1
+    assert out["conversion"] == 0.25
