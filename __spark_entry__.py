@@ -2035,8 +2035,8 @@ def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary, plenty of 3-grams repeat across docs, so the filter
     genuinely fires. Two shuffles (line-df agg + per-doc reassembly)
     and a broadcast join of the small boilerplate set."""
-    from charmpandas_spark.functions.dedup import line_dedup
-    docs = _t(spark, sf_dir, "documents").sdf
+    from charmpandas_spark.functions.dedup import line_dedup, spread
+    docs = spread(_t(spark, sf_dir, "documents").sdf)
     lined = docs.select(
         "doc_id",
         F.regexp_replace("text", r"((?:\S+ ){2}\S+) ", "$1\n")
@@ -2102,9 +2102,10 @@ def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed prefix sum — the per-shard (n_docs, tokens) summary
     is checked against the single-node global-window oracle. The
     file-layout side (one file per shard dir) is pinned in pytest."""
+    from charmpandas_spark.functions.dedup import spread
     from charmpandas_spark.functions.text import (
         assign_shards, whitespace_token_count)
-    docs = _t(spark, sf_dir, "documents").sdf
+    docs = spread(_t(spark, sf_dir, "documents").sdf)
     toks = docs.select("doc_id",
                        whitespace_token_count("text").alias("n_tok"))
     sh = assign_shards(toks, "n_tok", ("doc_id",), 2000)
@@ -2139,8 +2140,9 @@ def q_text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     UDF — the sliding token-sequence test (overlapping occurrences
     counted) rides the parquet scan inside codegen. The Spark-first
     inverse of building a phrase index."""
+    from charmpandas_spark.functions.dedup import spread
     from charmpandas_spark.functions.sparse import phrase_match
-    docs = _t(spark, sf_dir, "documents").sdf
+    docs = spread(_t(spark, sf_dir, "documents").sdf)
     return phrase_match(docs, "text", "doc_id", "batch batch")
 
 
@@ -2151,8 +2153,9 @@ def q_sim_sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and squared norms are int64; one IEEE division) so even a top-k
     similarity JOIN is value-checked cross-engine — the usual
     float-summation tie flips can't happen."""
+    from charmpandas_spark.functions.dedup import spread
     from charmpandas_spark.functions.sparse import tf_cosine_topk
-    docs = _t(spark, sf_dir, "documents").sdf
+    docs = spread(_t(spark, sf_dir, "documents").sdf)
     return tf_cosine_topk(docs, docs.where("doc_id % 101 = 0"),
                           "text", "doc_id", k=5)
 
@@ -2247,8 +2250,8 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     appear verbatim in >= 2 other docs. Scan-local HOF span
     generation, pinned one-materialization explode, SHUFFLE_HASH
     rejoin of the (potentially corpus-sized) duplicated-span set."""
-    from charmpandas_spark.functions.dedup import duplicate_spans
-    docs = _t(spark, sf_dir, "documents").sdf
+    from charmpandas_spark.functions.dedup import duplicate_spans, spread
+    docs = spread(_t(spark, sf_dir, "documents").sdf)
     return duplicate_spans(docs, "text", "doc_id", k=4, min_docs=2)
 
 

@@ -1,4 +1,5 @@
 from .dedup import (
+    duplicate_spans,
     exact_dedup,
     exact_dedup_survivors,
     lsh_candidate_pairs,
@@ -6,9 +7,11 @@ from .dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     shingle_table,
+    line_dedup,
     simhash,
     simhash_near_dup,
 )
+from .expect import validate
 from .similarity import (
     ann_lsh_topk,
     cosine_pairs,
@@ -31,7 +34,13 @@ from .quality import (
     gopher_quality,
     gopher_signals,
 )
+from .sparse import (
+    phrase_match,
+    term_postings,
+    tf_cosine_topk,
+)
 from .text import (
+    assign_shards,
     chunk_documents,
     fingerprint,
     language_id,
@@ -40,19 +49,22 @@ from .text import (
     redact_pii,
     regex_token_count,
     whitespace_token_count,
+    write_token_shards,
 )
 
 __all__ = [
+    "duplicate_spans", "line_dedup",
     "exact_dedup", "exact_dedup_survivors", "lsh_candidate_pairs",
     "minhash_near_dup", "minhash_signatures", "ngram_jaccard_pairs",
     "shingle_table", "simhash", "simhash_near_dup",
     "ann_lsh_topk", "cosine_pairs", "cosine_sim", "cosine_topk",
     "knn_join",
+    "phrase_match", "term_postings", "tf_cosine_topk", "validate",
     "approx_distinct", "approx_quantiles", "heavy_hitters",
     "hll_merge", "hll_sketch",
     "c4_clean", "gopher_quality", "gopher_signals",
     "kmeans_fit_predict",
-    "chunk_documents", "fingerprint", "language_id", "normalize_text",
-    "quality_score", "redact_pii", "regex_token_count",
-    "whitespace_token_count",
+    "assign_shards", "chunk_documents", "fingerprint", "language_id",
+    "normalize_text", "quality_score", "redact_pii",
+    "regex_token_count", "whitespace_token_count", "write_token_shards",
 ]
