@@ -2291,6 +2291,31 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                          within_us=7 * 24 * 3600 * 1_000_000)
 
 
+
+
+_CLS_WEIGHTS = [
+    ("data", 500000), ("query", 400000), ("table", 300000),
+    ("spark", 250000), ("join", 200000), ("slow", -400000),
+    ("error", -500000), ("dup", -600000), ("batch", 100000),
+    ("stream", 150000),
+]
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear bag-of-words classifier quality filter (the GPT-3 /
+    CCNet production-filter shape): integer micro-unit weight table
+    broadcast-joined onto per-doc term frequencies, exact int64 dot
+    product, threshold keep/drop — no cross-engine float flips
+    possible."""
+    from charmpandas_spark.functions.dedup import spread
+    from charmpandas_spark.functions.quality import classifier_score
+    docs = spread(_t(spark, sf_dir, "documents").sdf)
+    w = spark.createDataFrame(_CLS_WEIGHTS, "term string, w_micro long")
+    return classifier_score(docs, "text", "doc_id", w,
+                            bias_micro=-1_000_000,
+                            threshold_micro=2_000_000)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2317,6 +2342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "table_diff": q_table_diff,
         "events_funnel": q_events_funnel,
+        "quality_classifier": q_quality_classifier,
         "text_bpe_tokens": q_text_bpe_tokens,
         "multimodal_bmp": q_multimodal_bmp,
         "url_domain_filter": q_url_domain_filter,  # PSL semantics now
@@ -2717,7 +2743,8 @@ def oracle_sql() -> dict[str, str]:
     from charmpandas_spark.functions.sampling import (
         mixture_sample_sql, negative_sample_sql)
     from charmpandas_spark.functions.quality import (
-        c4_clean_sql, gopher_quality_sql, quantile_keep_sql)
+        c4_clean_sql, classifier_score_sql, gopher_quality_sql,
+        quantile_keep_sql)
     from charmpandas_spark.functions.dedup import (
         duplicate_spans_sql, line_dedup_sql)
     from charmpandas_spark.functions.expect import validate_sql
@@ -2770,6 +2797,10 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": funnel_counts_sql(
             "events", ["view", "click", "purchase"],
             within_us=7 * 24 * 3600 * 1_000_000),
+        "quality_classifier": classifier_score_sql(
+            "documents", "doc_id", "text",
+            ", ".join(f"('{t}', {w})" for t, w in _CLS_WEIGHTS),
+            bias_micro=-1_000_000, threshold_micro=2_000_000),
         "quality_expectations": validate_sql("orders", expect_rules),
         "merge_upsert": (
             "WITH tproj AS " + merge_tproj + ", src AS " + merge_src + " "

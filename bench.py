@@ -155,6 +155,7 @@ def bench_queries(spark, sf_dir):
         "dedup_spans",
         "table_diff",
         "events_funnel",
+        "quality_classifier",
     ]
     return {n: qs[n] for n in names if n in qs}
 
@@ -187,6 +188,11 @@ SF1_QUERIES = {
     # r4: witness the adaptive-plane ANN path's ~linear
     # candidate growth (VERDICT r3 #1)
     "dedup_embedding_cosine_ann": 26.1,
+    # r7 wave-2 ops (warm best-of-2 minima, multi-file sf1 layout)
+    "text_line_dedup": 2.0,
+    "sim_sparse_topk": 5.4,
+    "dedup_spans": 4.6,
+    "shard_assignment": 0.7,
 }
 
 
@@ -199,11 +205,18 @@ def _ensure_sf1(src_dir: str) -> bool:
     real data, instead of quadratically on artificial 10x exact dupes.
     Cached across runs; DuckDB does the generation in seconds."""
     tables = ["lineitem", "orders", "customer", "documents", "embeddings"]
-    if all(os.path.exists(os.path.join(SF1_DIR, f"{t}.parquet"))
-           for t in tables):
+    paths = [os.path.join(SF1_DIR, f"{t}.parquet") for t in tables]
+    if all(os.path.isdir(p) for p in paths):
         return True
+    import shutil
+
     import duckdb
 
+    for p in paths:  # drop a stale single-file (pre-r7) layout
+        if os.path.isfile(p):
+            os.unlink(p)
+        elif os.path.isdir(p):
+            shutil.rmtree(p)
     os.makedirs(SF1_DIR, exist_ok=True)
     con = duckdb.connect()
     for t in tables:
@@ -215,23 +228,37 @@ def _ensure_sf1(src_dir: str) -> bool:
     copies = {
         "lineitem": f"SELECT s.* REPLACE (s.l_orderkey + t.i * {ok} "
                     f"AS l_orderkey) FROM lineitem s CROSS JOIN "
-                    f"range(0, 10) t(i)",
+                    f"range({{lo}}, {{hi}}) t(i)",
         "orders": f"SELECT s.* REPLACE (s.o_orderkey + t.i * {ok} "
                   f"AS o_orderkey) FROM orders s CROSS JOIN "
-                  f"range(0, 10) t(i)",
+                  f"range({{lo}}, {{hi}}) t(i)",
         "customer": "SELECT * FROM customer",
         "documents": f"SELECT s.* REPLACE (s.doc_id + t.i * {did} AS "
                      f"doc_id, regexp_replace(s.text, '(\\S+)', "
                      f"'\\1' || t.i, 'g') AS text) FROM documents s "
-                     f"CROSS JOIN range(0, 10) t(i)",
+                     f"CROSS JOIN range({{lo}}, {{hi}}) t(i)",
         "embeddings": f"SELECT s.* REPLACE (s.vec_id + t.i * {vid} AS "
                       f"vec_id) FROM embeddings s CROSS JOIN "
-                      f"range(0, 10) t(i)",
+                      f"range({{lo}}, {{hi}}) t(i)",
     }
     for t, sql in copies.items():
-        con.execute(f"COPY ({sql}) TO "
-                    f"'{os.path.join(SF1_DIR, t + '.parquet')}' "
-                    f"(FORMAT PARQUET)")
+        # ``<table>.parquet`` is a DIRECTORY of one file per key-shift
+        # copy, not one monolith: a single ~110 MB lineitem file under
+        # the session's 128 MB maxPartitionBytes is ONE scan task,
+        # which serializes every scan-bound sf1 probe (observed:
+        # tpch_q1 18.2 s single-file vs ~3 s multi-file — a fixture
+        # artifact, not a plan cost; real 100 TB layouts are many
+        # files >> one split each).
+        dest = os.path.join(SF1_DIR, t + ".parquet")
+        os.makedirs(dest, exist_ok=True)
+        shards = [(0, 1)] if "{lo}" not in sql else \
+            [(i, i + 1) for i in range(10)]
+        for j, (lo, hi) in enumerate(shards):
+            part = sql.format(lo=lo, hi=hi) if "{lo}" in sql else sql
+            con.execute(
+                f"COPY ({part}) TO "
+                f"'{os.path.join(dest, f'part-{j:02d}.parquet')}' "
+                f"(FORMAT PARQUET, ROW_GROUP_SIZE 250000)")
     return True
 
 

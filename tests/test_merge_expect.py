@@ -338,3 +338,19 @@ def test_funnel_chained_windows(spark):
                         within_us=2 * 3600 * 1_000_000).collect()[0]
     assert out["n_A"] == 4 and out["n_B"] == 2 and out["n_C"] == 1
     assert out["conversion"] == 0.25
+
+
+def test_classifier_score_exact_and_oov(spark):
+    from charmpandas_spark.functions.quality import classifier_score
+
+    docs = spark.createDataFrame(
+        [(1, "good good bad zzz"), (2, "zzz qqq"), (3, "bad bad")],
+        "doc_id long, text string")
+    w = spark.createDataFrame([("good", 1_000_000), ("bad", -500_000)],
+                              "term string, w_micro long")
+    got = {r["doc"]: (r["score_micro"], r["keep"])
+           for r in classifier_score(docs, "text", "doc_id", w,
+                                     threshold_micro=1).collect()}
+    assert got[1] == (1_500_000, True)    # 2*1e6 - 0.5e6, zzz OOV = 0
+    assert got[2] == (0, False)           # all OOV
+    assert got[3] == (-1_000_000, False)
