@@ -2316,6 +2316,25 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                             threshold_micro=2_000_000)
 
 
+
+
+def q_sparse_postings_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted inverted index: postings written PARTITIONED BY
+    md5-derived term-hash bucket, then a 2-term lookup whose bucket
+    predicate is computed client-side and prunes partition
+    directories at planning time (pytest witnesses the scan reads
+    exactly the predicted buckets; this entry value-checks the
+    content against recomputed postings)."""
+    from charmpandas_spark.functions.dedup import spread
+    from charmpandas_spark.functions.sparse import (
+        postings_lookup, postings_write)
+    docs = spread(_t(spark, sf_dir, "documents").sdf)
+    path = _tmp_sink("postings_idx")
+    postings_write(docs, "text", "doc_id", path, num_buckets=16)
+    return postings_lookup(spark, path, ["data", "join"],
+                           num_buckets=16)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2343,6 +2362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": q_table_diff,
         "events_funnel": q_events_funnel,
         "quality_classifier": q_quality_classifier,
+        "sparse_postings_lookup": q_sparse_postings_lookup,
         "text_bpe_tokens": q_text_bpe_tokens,
         "multimodal_bmp": q_multimodal_bmp,
         "url_domain_filter": q_url_domain_filter,  # PSL semantics now
@@ -2797,6 +2817,16 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": funnel_counts_sql(
             "events", ["view", "click", "purchase"],
             within_us=7 * 24 * 3600 * 1_000_000),
+        "sparse_postings_lookup": """
+            WITH terms AS (
+                SELECT doc_id AS doc,
+                       UNNEST(string_split(trim(regexp_replace(
+                           lower(text), '\s+', ' ', 'g')), ' ')) AS term
+                FROM documents)
+            SELECT doc, term, CAST(count(*) AS BIGINT) AS tf
+            FROM terms WHERE term IN ('data', 'join')
+            GROUP BY doc, term
+        """,
         "quality_classifier": classifier_score_sql(
             "documents", "doc_id", "text",
             ", ".join(f"('{t}', {w})" for t, w in _CLS_WEIGHTS),

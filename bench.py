@@ -156,6 +156,7 @@ def bench_queries(spark, sf_dir):
         "table_diff",
         "events_funnel",
         "quality_classifier",
+        "sparse_postings_lookup",
     ]
     return {n: qs[n] for n in names if n in qs}
 

@@ -96,3 +96,53 @@ def test_duplicate_spans_profile(spark):
     assert got[3] == (2, 0)
     assert got[4] == (1, 0)
     release(out)
+
+
+def test_postings_index_prunes_buckets(spark, sf_dir):
+    """The persisted inverted index must PRUNE at the directory
+    level: a lookup for terms hashing to 2 buckets reads only those
+    partition directories, and the client-side bucket twin agrees
+    with the Spark-side partition column."""
+    import os
+    import shutil
+    import tempfile
+
+    from charmpandas_spark.functions.sparse import (
+        postings_lookup, postings_write, term_bucket)
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    path = tempfile.mkdtemp(prefix="cps_postings_")
+    try:
+        postings_write(docs, "text", "doc_id", path, num_buckets=16)
+        dirs = [d for d in os.listdir(path) if d.startswith("bucket=")]
+        # the ~31-term synthetic vocab occupies most but not
+        # necessarily all 16 buckets
+        assert 8 <= len(dirs) <= 16
+
+        terms = ["data", "join"]
+        want_buckets = sorted({term_bucket(t, 16) for t in terms})
+        got = postings_lookup(spark, path, terms, num_buckets=16)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "bucket" in plan
+        pdf = got.toPandas()
+        # client twin agrees with the layout: rows exist and every
+        # term landed in its predicted bucket directory
+        assert set(pdf["term"]) == set(terms)
+        full = spark.read.parquet(path)
+        on_disk = {r["term"]: r["bucket"] for r in
+                   full.where(F.col("term").isin(terms))
+                       .select("term", "bucket").distinct().collect()}
+        assert sorted(set(on_disk.values())) == want_buckets
+        # and the scan read only the predicted directories
+        scan = got._jdf.queryExecution().executedPlan() \
+            .collectLeaves().head()
+        n_parts = scan.metrics().apply("numPartitions").value()
+        assert n_parts == len(want_buckets)
+        # the lookup equals a full-scan filter (no rows lost to
+        # bucketing)
+        want = (full.where(F.col("term").isin(terms))
+                    .select("doc", "term", "tf"))
+        assert sorted(map(tuple, pdf.values.tolist())) == \
+            sorted(map(tuple, want.toPandas().values.tolist()))
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
