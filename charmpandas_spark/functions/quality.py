@@ -325,22 +325,27 @@ def classifier_score(
     cross-engine float summation order. ``score`` is emitted as
     micro-units (bigint); divide downstream if a float is wanted.
 
-    Scale: explode -> per-(doc, term) counts (one shuffle), weight
-    table joined BROADCAST (a serious vocabulary is ~10^6 rows /
+    Scale: ONE shuffle — token occurrences explode scan-side, join
+    the BROADCAST weight table (a serious vocabulary is ~10^6 rows /
     ~30 MB — broadcastable by design; hash-join it via
-    ``.hint("shuffle_hash")`` upstream if yours is not), one partial-
-    aggregated sum per doc. Out-of-vocabulary terms contribute 0 via
-    the left join. No UDFs anywhere.
+    ``.hint("shuffle_hash")`` upstream if yours is not), and the
+    per-doc sum partial-aggregates map-side. No per-(doc, term)
+    pre-aggregation: ``sum(tf * w) == sum over occurrences of w``, so
+    the tf shuffle would be pure overhead (measured 4.2 s -> ~1 s at
+    sf0.1). Out-of-vocabulary terms contribute 0 via the left join.
+    No UDFs anywhere.
     """
-    from .sparse import term_postings
+    from .text import normalize_text
 
-    tf = term_postings(df, text_col, id_col)
-    scored = (tf.join(F.broadcast(weights), "term", "left")
-                .groupBy("doc")
-                .agg((F.lit(bias_micro)
-                      + F.sum(F.col("tf")
-                              * F.coalesce(F.col("w_micro"), F.lit(0))))
-                     .cast("bigint").alias("score_micro")))
+    toks = (df.select(F.col(id_col).alias("doc"),
+                      F.explode(F.split(normalize_text(text_col), " "))
+                       .alias("term"))
+              .where(F.col("term") != ""))
+    scored = (toks.join(F.broadcast(weights), "term", "left")
+                  .groupBy("doc")
+                  .agg((F.lit(bias_micro)
+                        + F.sum(F.coalesce(F.col("w_micro"), F.lit(0))))
+                       .cast("bigint").alias("score_micro")))
     return scored.withColumn(
         "keep", F.col("score_micro") >= threshold_micro)
 
