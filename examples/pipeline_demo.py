@@ -30,13 +30,15 @@ from pyspark.sql import functions as F
 
 import charmpandas_spark as cps
 from charmpandas_spark.functions.dedup import (
-    connected_components, exact_dedup, minhash_near_dup, release)
+    connected_components, duplicate_spans, exact_dedup, line_dedup,
+    minhash_near_dup, release)
 from charmpandas_spark.functions.kmeans import semantic_near_dup
-from charmpandas_spark.functions.quality import gopher_quality
+from charmpandas_spark.functions.quality import (
+    classifier_score, gopher_quality)
 from charmpandas_spark.functions.sampling import assign_splits
 from charmpandas_spark.functions.text import (
     chunk_documents, language_id, pack_sequences, quality_score,
-    whitespace_token_count)
+    whitespace_token_count, write_token_shards)
 from charmpandas_spark.functions.urls import filter_blocked_domains
 
 
@@ -51,6 +53,41 @@ def curate(docs, threshold=0.7, embeddings=None):
         F.lit("https://www."), F.col("source"), F.lit(".com/d/"), sid))
     docs = filter_blocked_domains(docs, "url", ["src13.com"])
     stats["after_url_filter"] = docs.count()
+
+    # 0b. line-level boilerplate dedup (CCNet-style): drop lines
+    #     repeated across >= 3 docs, reassemble in order. The
+    #     synthetic corpus has no newlines, so segment into 3-word
+    #     pseudo-lines first (same trick as q_text_line_dedup).
+    seg = docs.withColumn("text", F.regexp_replace(
+        "text", r"((?:\S+ ){2}\S+) ", "$1\n"))
+    cleaned = (line_dedup(seg, "text", "doc_id", max_doc_freq=3)
+               .withColumnRenamed("doc", "doc_id")
+               .filter(F.col("text") != "")
+               .withColumn("text", F.regexp_replace("text", r"\n", " ")))
+    docs = docs.drop("text").join(
+        cleaned.select("doc_id", "text"), "doc_id")
+    stats["after_line_dedup"] = docs.count()
+
+    # 0c. duplicated-span profile: cut docs that are mostly recycled
+    #     4-gram spans even if no whole-document near-dup fires
+    prof = duplicate_spans(docs, "text", "doc_id", k=4, min_docs=2)
+    hollow = prof.filter(F.col("dup_frac") > 0.8) \
+                 .select(F.col("doc").alias("doc_id"))
+    docs = docs.join(hollow, "doc_id", "left_anti")
+    release(prof)
+    stats["after_span_filter"] = docs.count()
+
+    # 0d. classifier quality score (integer micro-unit linear model):
+    #     one broadcast join + one shuffle, exact keep/drop
+    w = docs.sparkSession.createDataFrame(
+        [("data", 400_000), ("query", 300_000), ("table", 200_000),
+         ("error", -300_000), ("dup", -400_000)],
+        "term string, w_micro long")
+    cls = classifier_score(docs, "text", "doc_id", w,
+                           threshold_micro=-2_000_000)
+    docs = docs.join(cls.filter("keep").select(F.col("doc").alias("doc_id")),
+                     "doc_id")
+    stats["after_classifier"] = docs.count()
 
     # 1. filter: predicted-English, quality floor, token budget, plus
     #    the Gopher A1 rule set — still ONE codegen'd pass over the
@@ -120,6 +157,18 @@ def main():
         (F.max("seq_id") + 1).alias("n")).first()["n"]
     release(packed)
 
+    # 6b. token-budget SHARD write of the train split: one file per
+    #     ~4k-token shard (what a data loader memory-maps)
+    with tempfile.TemporaryDirectory() as shard_tmp:
+        toks = train.select(
+            "doc_id", whitespace_token_count("text").alias("n_tok"))
+        write_token_shards(toks, os.path.join(shard_tmp, "shards"),
+                           "n_tok", ("doc_id",), shard_tokens=4000)
+        n_shards = len([d for d in os.listdir(
+            os.path.join(shard_tmp, "shards"))
+            if d.startswith("shard=")])
+        stats["train_shards"] = n_shards
+
     with tempfile.TemporaryDirectory() as tmp:
         out = out_dir or os.path.join(tmp, "curated")
         # 5. one partitioned sink: downstream trainers read their
@@ -132,6 +181,9 @@ def main():
             print(f"{k:>18}: {v}")
         print(f"{'splits':>18}: {splits}")
         assert stats["raw"] >= stats["after_url_filter"] \
+            >= stats["after_line_dedup"] \
+            >= stats["after_span_filter"] \
+            >= stats["after_classifier"] \
             >= stats["after_filter"] \
             >= stats["after_exact_dedup"] \
             >= stats["after_near_dedup"] \
