@@ -220,3 +220,67 @@ def test_pack_greedy_invariants(spark, tokens, budget):
     for _, sub in got.sort_values("doc").groupby("grp"):
         locals_ = (sub["bin_id"] % (1 << 32)).tolist()
         assert locals_ == sorted(locals_)
+
+
+@given(t_keys=st.lists(st.integers(0, 8), min_size=1, max_size=15,
+                       unique=True),
+       s_keys=st.lists(st.integers(0, 12), min_size=0, max_size=10,
+                       unique=True),
+       vals=st.lists(st.integers(-100, 100), min_size=1, max_size=15))
+@settings(**_SETTINGS)
+def test_merge_into_matches_dict_semantics(spark, t_keys, s_keys, vals):
+    """merge_into == dict.update + inserts, on random unique-keyed
+    frames, under BOTH physical plans."""
+    from charmpandas_spark.operators.merge import merge_into
+
+    tgt = {k: v for k, v in zip(t_keys, vals)}
+    src = {k: k * 7 - 3 for k in s_keys}
+    want = dict(tgt)
+    want.update(src)
+
+    target = spark.createDataFrame([(k, v) for k, v in tgt.items()],
+                                   "k long, v long")
+    source = spark.createDataFrame([(k, v) for k, v in src.items()],
+                                   "k long, v long") \
+        if src else spark.createDataFrame([], "k long, v long")
+    for bc in (False, True):
+        got = {r["k"]: r["v"]
+               for r in merge_into(target, source, ["k"],
+                                   broadcast_source=bc).collect()}
+        assert got == want, f"broadcast={bc}"
+
+
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", ""]),
+             min_size=1, max_size=6),
+    min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_line_dedup_matches_python_reference(spark, docs):
+    """line_dedup == a sequential python replay of the df>=K rule
+    (blank lines exempt, order preserved, hollow docs kept)."""
+    from collections import defaultdict
+
+    from charmpandas_spark.functions.dedup import line_dedup, release
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    # python reference
+    df_count = defaultdict(set)
+    for i, lines in enumerate(docs):
+        for ln in lines:
+            key = ln.strip().lower()
+            if key:
+                df_count[key].add(i)
+    boiler = {k for k, s in df_count.items() if len(s) >= 2}
+    want = {}
+    for i, lines in enumerate(docs):
+        kept = [ln for ln in lines
+                if ln.strip().lower() not in boiler]
+        dropped = len(lines) - len(kept)
+        want[i] = ("\n".join(kept), len(lines), dropped)
+
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    out = line_dedup(sdf, "text", "doc_id", max_doc_freq=2)
+    got = {r["doc"]: (r["text"], r["n_lines"], r["n_dropped"])
+           for r in out.collect()}
+    release(out)
+    assert got == want
