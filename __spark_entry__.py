@@ -2335,6 +2335,23 @@ def q_sparse_postings_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
                            num_buckets=16)
 
 
+
+
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered set-similarity join (AllPairs/PPJoin family):
+    word-3-gram shingle sets ordered by ascending document frequency,
+    only the ``|d| - ceil(t|d|) + 1``-term prefix indexed — a
+    LOSSLESS candidate filter (the oracle is brute-force pairwise
+    Jaccard, so equality proves losslessness), with the hottest
+    postings lists never indexed at all. Exact verify on candidates
+    only."""
+    from charmpandas_spark.functions.dedup import (
+        jaccard_pairs_prefix, spread)
+    docs = spread(_t(spark, sf_dir, "documents").sdf)
+    return jaccard_pairs_prefix(docs, "text", "doc_id",
+                                threshold=0.6, shingle_n=3)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2363,6 +2380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "quality_classifier": q_quality_classifier,
         "sparse_postings_lookup": q_sparse_postings_lookup,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "text_bpe_tokens": q_text_bpe_tokens,
         "multimodal_bmp": q_multimodal_bmp,
         "url_domain_filter": q_url_domain_filter,  # PSL semantics now
@@ -2766,7 +2784,7 @@ def oracle_sql() -> dict[str, str]:
         c4_clean_sql, classifier_score_sql, gopher_quality_sql,
         quantile_keep_sql)
     from charmpandas_spark.functions.dedup import (
-        duplicate_spans_sql, line_dedup_sql)
+        duplicate_spans_sql, jaccard_pairs_prefix_sql, line_dedup_sql)
     from charmpandas_spark.functions.expect import validate_sql
     from charmpandas_spark.functions.text import assign_shards_sql
     from charmpandas_spark.operators.merge import (
@@ -2803,6 +2821,8 @@ def oracle_sql() -> dict[str, str]:
         "text_line_dedup": line_dedup_oracle,
         "dedup_spans": duplicate_spans_sql(
             "documents", "doc_id", "text", 4, 2),
+        "dedup_jaccard_prefix": jaccard_pairs_prefix_sql(
+            "documents", "doc_id", "text", 0.6, 3),
         "table_diff": table_diff_sql(
             "(SELECT o_orderkey, o_custkey, "
             "floor(o_totalprice * 100) / 100 AS o_totalprice FROM orders)",

@@ -157,6 +157,7 @@ def bench_queries(spark, sf_dir):
         "events_funnel",
         "quality_classifier",
         "sparse_postings_lookup",
+        "dedup_jaccard_prefix",
     ]
     return {n: qs[n] for n in names if n in qs}
 

@@ -146,3 +146,24 @@ def test_postings_index_prunes_buckets(spark, sf_dir):
             sorted(map(tuple, want.toPandas().values.tolist()))
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_jaccard_prefix_filter_is_lossless(spark, sf_dir):
+    """The prefix filter must generate every pair the full inverted
+    index finds: outputs equal ngram_jaccard_pairs (same shingles,
+    same threshold) on the corpus."""
+    import os
+
+    from charmpandas_spark.functions.dedup import (
+        jaccard_pairs_prefix, ngram_jaccard_pairs, release)
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    a = jaccard_pairs_prefix(docs, "text", "doc_id",
+                             threshold=0.5, shingle_n=3)
+    b = ngram_jaccard_pairs(docs, "text", "doc_id", n=3,
+                            threshold=0.5, max_df=None)
+    pa = {(r["doc_a"], r["doc_b"]) for r in a.collect()}
+    pb = {(r["doc_a"], r["doc_b"]) for r in b.collect()}
+    assert pa == pb and len(pa) > 0
+    release(a)
+    release(b)
