@@ -2352,6 +2352,22 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 threshold=0.6, shingle_n=3)
 
 
+
+
+def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample per event_type: one (group, bucket)
+    aggregate joined against a generated dense scaffold (distinct
+    groups x full bucket range, bounds riding the plan as a broadcast
+    1-row aggregate) so empty hours exist as zero rows — what a
+    monitoring chart or seasonal model actually consumes. Value sums
+    go through DECIMAL(18,6) (tpch_q1 convention) so zero-filled
+    totals are cross-engine exact."""
+    from charmpandas_spark.operators.resample import resample_events
+    events = _t(spark, sf_dir, "events").sdf
+    return resample_events(events, "ts", ["event_type"],
+                           3600 * 1_000_000, value_col="value")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2381,6 +2397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "sparse_postings_lookup": q_sparse_postings_lookup,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        "events_resample": q_events_resample,
         "text_bpe_tokens": q_text_bpe_tokens,
         "multimodal_bmp": q_multimodal_bmp,
         "url_domain_filter": q_url_domain_filter,  # PSL semantics now
@@ -2790,6 +2807,7 @@ def oracle_sql() -> dict[str, str]:
     from charmpandas_spark.operators.merge import (
         merge_into_sql, table_diff_sql)
     from charmpandas_spark.operators.funnel import funnel_counts_sql
+    from charmpandas_spark.operators.resample import resample_events_sql
     from charmpandas_spark.functions.sparse import (
         phrase_match_sql, tf_cosine_topk_sql)
     join_cols = ('o_orderkey, o_orderpriority, l_orderkey, l_linenumber, '
@@ -2823,6 +2841,8 @@ def oracle_sql() -> dict[str, str]:
             "documents", "doc_id", "text", 4, 2),
         "dedup_jaccard_prefix": jaccard_pairs_prefix_sql(
             "documents", "doc_id", "text", 0.6, 3),
+        "events_resample": resample_events_sql(
+            "events", "ts", "event_type", 3600 * 1_000_000, "value"),
         "table_diff": table_diff_sql(
             "(SELECT o_orderkey, o_custkey, "
             "floor(o_totalprice * 100) / 100 AS o_totalprice FROM orders)",

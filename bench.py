@@ -158,6 +158,7 @@ def bench_queries(spark, sf_dir):
         "quality_classifier",
         "sparse_postings_lookup",
         "dedup_jaccard_prefix",
+        "events_resample",
     ]
     return {n: qs[n] for n in names if n in qs}
 

@@ -1,6 +1,7 @@
 from .bucketing import bucketed_join, read_bucketed, write_bucketed
 from .funnel import funnel_counts, funnel_times
 from .merge import merge_into, table_diff
+from .resample import resample_events
 from .skew import broadcast_join, salted_join
 
 __all__ = [
@@ -11,6 +12,7 @@ __all__ = [
     "funnel_times",
     "merge_into",
     "table_diff",
+    "resample_events",
     "broadcast_join",
     "salted_join",
 ]

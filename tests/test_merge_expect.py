@@ -354,3 +354,25 @@ def test_classifier_score_exact_and_oov(spark):
     assert got[1] == (1_500_000, True)    # 2*1e6 - 0.5e6, zzz OOV = 0
     assert got[2] == (0, False)           # all OOV
     assert got[3] == (-1_000_000, False)
+
+
+def test_resample_gap_filling(spark):
+    import datetime as dt
+
+    from charmpandas_spark.operators.resample import resample_events
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows = [("a", t0, 1.0), ("a", t0, 2.0),      # bucket 0: 2 events
+            ("a", t0 + 3 * h, 5.0),              # buckets 1-2 empty
+            ("b", t0 + h, 7.0)]                  # b: only bucket 1
+    df = spark.createDataFrame(rows, "g string, ts timestamp, value double")
+    out = resample_events(df, "ts", ["g"], 3600 * 1_000_000, "value")
+    got = {(r["g"], r["bucket"] - min(x["bucket"] for x in out.collect())):
+           (r["n_events"], r["total"]) for r in out.collect()}
+    # dense: every group x bucket 0..3 exists
+    assert len(got) == 8
+    assert got[("a", 0)] == (2, 3.0)
+    assert got[("a", 1)] == (0, 0.0) and got[("a", 2)] == (0, 0.0)
+    assert got[("a", 3)] == (1, 5.0)
+    assert got[("b", 1)] == (1, 7.0) and got[("b", 0)] == (0, 0.0)
