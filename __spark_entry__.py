@@ -2368,6 +2368,78 @@ def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                            3600 * 1_000_000, value_col="value")
 
 
+def q_quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality scoring (CCNet-style perplexity
+    cut, log-free): self-learned Laplace-smoothed bigram model, each
+    document scored in EXACT integer micro-units — see
+    ``functions/lm.py`` for why micro-unit probabilities replace log
+    probs (cross-engine determinism). Two groupBys to learn, two
+    shuffle-hash joins to score; a real deployment learns on a
+    reference corpus and scores the crawl with the same plan."""
+    from charmpandas_spark.functions.lm import bigram_lm_score
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_lm_score(docs.sdf, "text", "doc_id")
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan column profiler over lineitem: rows / nulls / exact
+    distinct / min / max for 3 numeric + 2 string columns, all in a
+    SINGLE aggregate job (pytest pins the one-job shape)."""
+    from charmpandas_spark.functions.profile import profile_columns
+    li = _t(spark, sf_dir, "lineitem")
+    return profile_columns(li.sdf, ["l_orderkey", "l_quantity",
+                                    "l_extendedprice", "l_returnflag",
+                                    "l_linestatus"])
+
+
+def q_histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 20-bin equi-width histogram of events.value — bounds ride
+    the plan as a broadcast 1-row min/max aggregate, bin assignment is
+    a fixed-order IEEE double expression (bit-identical in DuckDB),
+    empty bins zero-filled from a sequence scaffold, not a 2nd scan."""
+    from charmpandas_spark.functions.profile import histogram_equiwidth
+    events = _t(spark, sf_dir, "events")
+    return histogram_equiwidth(events.sdf, "value", 20)
+
+
+def q_decontam_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style benchmark decontamination: per-document count /
+    micro-fraction of distinct word 5-grams that appear anywhere in
+    the held-out "benchmark" slice (sources src0/src1). 13-grams are
+    the published knob; 5 keeps a non-degenerate hit signal on the
+    short synthetic docs. One explode + one shuffle-hash join + one
+    groupBy — never pairwise."""
+    from charmpandas_spark.functions.dedup import decontaminate
+    docs = _t(spark, sf_dir, "documents").sdf
+    bench_pred = F.col("source").isin("src0", "src1")
+    return decontaminate(docs.where(~bench_pred), docs.where(bench_pred),
+                         "text", "doc_id", n=5)
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: dense cosine top-10 (embeddings) and sparse
+    TF-cosine top-10 (document text) fused per query with reciprocal-
+    rank fusion — integer micro-unit RRF scores, so the fused ranking
+    is cross-engine exact. Queries = ids < 10 (doc_id and vec_id are
+    aligned in the testdata). The legs keep their own plans; fusion
+    itself is one groupBy over |queries| x k x 2 rows."""
+    from charmpandas_spark.functions.fusion import rrf_fuse
+    from charmpandas_spark.functions.similarity import knn_join
+    from charmpandas_spark.functions.sparse import tf_cosine_topk
+    emb = _t(spark, sf_dir, "embeddings").sdf
+    docs = _t(spark, sf_dir, "documents").sdf
+    dense = knn_join(emb.where(F.col("vec_id") < 10), emb,
+                     "embedding", "vec_id", k=10, exact=True)
+    sparse = tf_cosine_topk(docs, docs.where(F.col("doc_id") < 10),
+                            "text", "doc_id", k=10)
+    return rrf_fuse(
+        [dense.select(F.col("qid").alias("q_id"),
+                      F.col("nid").alias("item_id"), "rank"),
+         sparse.select(F.col("q_doc").alias("q_id"),
+                       F.col("c_doc").alias("item_id"), "rank")],
+        k0=60, top_k=10)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2383,6 +2455,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (ADVICE r3: never depend on the driver's window size).
     return {
         # --- (1) NEW or CHANGED in r7: must prove green this round ---
+        "quality_lm_score": q_quality_lm_score,
+        "hybrid_rrf": q_hybrid_rrf,
+        "table_profile": q_table_profile,
+        "histogram_value": q_histogram_value,
+        "decontam_ngrams": q_decontam_ngrams,
         "text_line_dedup": q_text_line_dedup,
         "quality_expectations": q_quality_expectations,
         "merge_upsert": q_merge_upsert,
@@ -2835,7 +2912,57 @@ def oracle_sql() -> dict[str, str]:
     shard_inner = ("SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 "
                    r"ELSE length(regexp_split_to_array(trim(text), '\s+')) "
                    "END AS INT) AS n_tok FROM documents")
+    from charmpandas_spark.functions.dedup import decontaminate_sql
+    from charmpandas_spark.functions.lm import bigram_lm_score_sql
+    from charmpandas_spark.functions.profile import (
+        histogram_equiwidth_sql, profile_columns_sql)
+    dense_leg = f"""
+            WITH p AS (
+                SELECT q.vec_id AS q_id, e.vec_id AS item_id,
+                       FLOOR(({_cosine_sql('q.embedding', 'e.embedding')})
+                             * 10000) / 10000 AS cosine
+                FROM embeddings q CROSS JOIN embeddings e
+                WHERE q.vec_id < 10 AND q.vec_id <> e.vec_id)
+            SELECT q_id, item_id,
+                   CAST(row_number() OVER (
+                        PARTITION BY q_id
+                        ORDER BY cosine DESC, item_id ASC) AS BIGINT)
+                       AS rnk
+            FROM p QUALIFY rnk <= 10"""
+    sparse_leg = tf_cosine_topk_sql("documents", "doc_id", "text",
+                                    "doc_id < 10", k=10)
     return {
+        "quality_lm_score": bigram_lm_score_sql(
+            "documents", "doc_id", "text"),
+        "table_profile": profile_columns_sql(
+            "lineitem",
+            ["l_orderkey", "l_quantity", "l_extendedprice",
+             "l_returnflag", "l_linestatus"],
+            numeric={"l_orderkey", "l_quantity", "l_extendedprice"}),
+        "histogram_value": histogram_equiwidth_sql(
+            "events", "value", 20),
+        "decontam_ngrams": decontaminate_sql(
+            "documents", "source NOT IN ('src0', 'src1')",
+            "source IN ('src0', 'src1')", "doc_id", "text", n=5),
+        "hybrid_rrf": f"""
+            WITH dense AS ({dense_leg}),
+            sparse AS (
+                SELECT q_doc AS q_id, c_doc AS item_id,
+                       CAST("rank" AS BIGINT) AS rnk
+                FROM ({sparse_leg})),
+            u AS (SELECT * FROM dense UNION ALL SELECT * FROM sparse),
+            fused AS (
+                SELECT q_id, item_id,
+                       CAST(count(*) AS BIGINT) AS n_legs,
+                       CAST(sum(CAST(FLOOR(1000000 / (60.0 + rnk))
+                                     AS BIGINT)) AS BIGINT) AS rrf_micro
+                FROM u GROUP BY q_id, item_id)
+            SELECT q_id, item_id, n_legs, rrf_micro,
+                   CAST(row_number() OVER (
+                        PARTITION BY q_id
+                        ORDER BY rrf_micro DESC, item_id ASC) AS INT)
+                       AS fused_rank
+            FROM fused QUALIFY fused_rank <= 10""",
         "text_line_dedup": line_dedup_oracle,
         "dedup_spans": duplicate_spans_sql(
             "documents", "doc_id", "text", 4, 2),
@@ -2857,7 +2984,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": funnel_counts_sql(
             "events", ["view", "click", "purchase"],
             within_us=7 * 24 * 3600 * 1_000_000),
-        "sparse_postings_lookup": """
+        "sparse_postings_lookup": r"""
             WITH terms AS (
                 SELECT doc_id AS doc,
                        UNNEST(string_split(trim(regexp_replace(

@@ -1,4 +1,5 @@
 from .dedup import (
+    decontaminate,
     duplicate_spans,
     exact_dedup,
     exact_dedup_survivors,
@@ -12,6 +13,9 @@ from .dedup import (
     simhash_near_dup,
 )
 from .expect import validate
+from .fusion import rrf_fuse
+from .lm import bigram_lm, bigram_lm_score
+from .profile import histogram_equiwidth, profile_columns
 from .similarity import (
     ann_lsh_topk,
     cosine_pairs,
@@ -53,7 +57,9 @@ from .text import (
 )
 
 __all__ = [
-    "duplicate_spans", "line_dedup",
+    "decontaminate", "duplicate_spans", "line_dedup",
+    "rrf_fuse", "bigram_lm", "bigram_lm_score",
+    "histogram_equiwidth", "profile_columns",
     "exact_dedup", "exact_dedup_survivors", "lsh_candidate_pairs",
     "minhash_near_dup", "minhash_signatures", "ngram_jaccard_pairs",
     "shingle_table", "simhash", "simhash_near_dup",

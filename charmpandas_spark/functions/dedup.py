@@ -51,6 +51,8 @@ __all__ = [
     "duplicate_spans_sql",
     "jaccard_pairs_prefix",
     "jaccard_pairs_prefix_sql",
+    "decontaminate",
+    "decontaminate_sql",
 ]
 
 
@@ -1055,4 +1057,74 @@ def jaccard_pairs_prefix_sql(t: str, id_expr: str, text_expr: str,
         JOIN sizes sb ON sb.doc = doc_b
         WHERE CAST(ovl AS DOUBLE) / (sa.sz + sb.sz - ovl)
               >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap flagging)
+# ---------------------------------------------------------------------------
+
+def decontaminate(corpus: SparkDF, benchmark: SparkDF, text_col: str,
+                  id_col: str, n: int = 13) -> SparkDF:
+    """Per-corpus-document overlap against a benchmark/eval set's
+    word n-grams — the GPT-3-style decontamination primitive (Brown
+    et al. 2020 use 13-grams): ``(doc, n_ngrams, n_hits,
+    hit_micro_frac)`` where ``n_hits`` counts the document's DISTINCT
+    n-grams that appear anywhere in the benchmark and
+    ``hit_micro_frac = floor(1e6 * n_hits / n_ngrams)`` (integer
+    micro-units — exact across engines). Filter ``n_hits > 0`` (or a
+    fraction threshold) to drop contaminated documents.
+
+    Differs from :func:`cross_corpus_pairs` by shape and cost: no
+    pairs, no Jaccard — the benchmark side collapses to a DISTINCT
+    shingle set, the join is corpus-shingles LEFT JOIN that set on the
+    shingle key, and the result aggregates straight back to one row
+    per document. Cost is one explode + one shuffle-hash join + one
+    groupBy — nothing quadratic anywhere, benchmark never broadcast
+    (eval suites are small today, but a "benchmark" can be another
+    crawl). Shingles shorter than ``n`` words still produce one
+    whole-document gram (shingle_table's padding rule), so short docs
+    are checked too, exactly like the Jaccard family."""
+    cs = (shingle_table(corpus, text_col, id_col, use_chars=False, n=n)
+          .select("doc", F.explode("sh").alias("s")))
+    bs = (shingle_table(benchmark, text_col, id_col,
+                        use_chars=False, n=n)
+          .select(F.explode("sh").alias("s"))
+          .distinct()
+          .withColumn("__hit", F.lit(1)))
+    return (cs.join(bs.hint("shuffle_hash"), "s", "left")
+              .groupBy("doc")
+              .agg(F.count(F.lit(1)).alias("n_ngrams"),
+                   F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                    .alias("n_hits"))
+              .select("doc", "n_ngrams", "n_hits",
+                      F.floor(F.col("n_hits") * F.lit(1_000_000)
+                              / F.col("n_ngrams"))
+                       .alias("hit_micro_frac")))
+
+
+def decontaminate_sql(corpus_t: str, corpus_pred: str, bench_pred: str,
+                      id_expr: str, text_expr: str, n: int = 13) -> str:
+    """DuckDB twin of :func:`decontaminate` where corpus and benchmark
+    are predicate-split halves of one table (how the registered query
+    uses it)."""
+    from .text import word_shingles_sql
+
+    sh = word_shingles_sql(text_expr, n)
+    return f"""
+        WITH cs AS (
+            SELECT {id_expr} AS doc, unnest({sh}) AS s
+            FROM {corpus_t} WHERE {corpus_pred}),
+        bs AS (
+            SELECT DISTINCT unnest({sh}) AS s
+            FROM {corpus_t} WHERE {bench_pred}),
+        hits AS (
+            SELECT cs.doc,
+                   CASE WHEN bs.s IS NULL THEN 0 ELSE 1 END AS hit
+            FROM cs LEFT JOIN bs ON cs.s = bs.s)
+        SELECT doc, CAST(count(*) AS BIGINT) AS n_ngrams,
+               CAST(sum(hit) AS BIGINT) AS n_hits,
+               CAST(FLOOR(sum(hit) * 1000000.0 / count(*)) AS BIGINT)
+                   AS hit_micro_frac
+        FROM hits GROUP BY doc
     """

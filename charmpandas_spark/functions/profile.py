@@ -1,0 +1,172 @@
+"""Dataset profiling — the "look before you train" operators: one-scan
+per-column statistics and exact equi-width histograms. At 100 TB a
+profile must be ONE pass over the data with partial aggregation, never
+a per-column loop of jobs; both operators here compile to a single
+scan + single reduce.
+
+The reference engine has no profiler — this is beyond-reference
+pipeline surface (every curation run starts by profiling the crawl).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame as SparkDF, functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "profile_columns",
+    "profile_columns_sql",
+    "histogram_equiwidth",
+    "histogram_equiwidth_sql",
+]
+
+
+def profile_columns(df: SparkDF, cols: list[str] | None = None) -> SparkDF:
+    """Long-format profile ``(column, n_rows, n_null, n_distinct,
+    min_num, max_num, min_str, max_str)`` for each requested column —
+    numeric min/max as double, string min/max verbatim (never
+    cross-format a double through a string: engine float formatting
+    differs, values don't).
+
+    ONE job: every statistic for every column is an aggregate in a
+    single ``agg`` (partial-aggregated map-side), and the long format
+    is an inline-table explode of the 1-row result — no per-column
+    scan loop, no driver round trips. ``n_distinct`` is exact
+    (count_distinct expands to one Expand node inside the same
+    aggregate, Spark's standard multi-distinct plan).
+    """
+    if cols is None:
+        cols = [f.name for f in df.schema.fields
+                if isinstance(f.dataType,
+                              (T.NumericType, T.StringType))]
+    aggs = []
+    for c in cols:
+        numeric = isinstance(df.schema[c].dataType, T.NumericType)
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            (F.min(F.col(c)).cast("double") if numeric
+             else F.lit(None).cast("double")).alias(f"__mn_{c}"),
+            (F.max(F.col(c)).cast("double") if numeric
+             else F.lit(None).cast("double")).alias(f"__mx_{c}"),
+            (F.lit(None).cast("string") if numeric
+             else F.min(F.col(c))).alias(f"__ms_{c}"),
+            (F.lit(None).cast("string") if numeric
+             else F.max(F.col(c))).alias(f"__xs_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.col(f"__n_{c}").alias("n_rows"),
+                 F.col(f"__nn_{c}").alias("n_null"),
+                 F.col(f"__nd_{c}").alias("n_distinct"),
+                 F.col(f"__mn_{c}").alias("min_num"),
+                 F.col(f"__mx_{c}").alias("max_num"),
+                 F.col(f"__ms_{c}").alias("min_str"),
+                 F.col(f"__xs_{c}").alias("max_str"))
+        for c in cols])
+    return (one.select(F.explode(rows).alias("p"))
+               .select("p.*"))
+
+
+def profile_columns_sql(t: str, cols: list[str],
+                        numeric: set[str]) -> str:
+    """DuckDB twin: UNION ALL of per-column aggregates (DuckDB fuses
+    them over one scan; the Spark side's single-agg shape is the part
+    under test, the twin only has to agree on values)."""
+    parts = []
+    for c in cols:
+        mn = (f"CAST(min({c}) AS DOUBLE)" if c in numeric
+              else "CAST(NULL AS DOUBLE)")
+        mx = (f"CAST(max({c}) AS DOUBLE)" if c in numeric
+              else "CAST(NULL AS DOUBLE)")
+        ms = ("CAST(NULL AS VARCHAR)" if c in numeric else f"min({c})")
+        xs = ("CAST(NULL AS VARCHAR)" if c in numeric else f"max({c})")
+        parts.append(f"""
+            SELECT '{c}' AS column,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null,
+                   CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                   {mn} AS min_num, {mx} AS max_num,
+                   {ms} AS min_str, {xs} AS max_str
+            FROM {t}""")
+    return " UNION ALL ".join(parts)
+
+
+def histogram_equiwidth(df: SparkDF, col: str, bins: int,
+                        lo: float | None = None,
+                        hi: float | None = None) -> SparkDF:
+    """Exact equi-width histogram ``(bin, lo, hi, n)`` with ``bins``
+    buckets over ``[lo, hi]`` (bounds default to the column min/max,
+    riding the plan as a broadcast 1-row aggregate — no eager job).
+
+    Bin assignment is ``least(bins-1, floor((x - lo) * bins /
+    (hi - lo)))`` — three IEEE double ops in a fixed order, so the
+    assignment is bit-identical across engines (the histogram oracle
+    mirrors the exact expression). One scan, one partial-aggregated
+    groupBy on a small integer key; empty bins are filled by a
+    sequence explode of the bounds row, not a second scan."""
+    c = F.col(col).cast("double")
+    if lo is None or hi is None:
+        bounds = df.agg(F.min(c).cast("double").alias("__lo"),
+                        F.max(c).cast("double").alias("__hi"))
+    else:
+        bounds = df.sparkSession.range(1).select(
+            F.lit(float(lo)).alias("__lo"), F.lit(float(hi)).alias("__hi"))
+    b = df.select(c.alias("__x")).where(F.col("__x").isNotNull()) \
+          .crossJoin(F.broadcast(bounds)) \
+          .where((F.col("__x") >= F.col("__lo"))
+                 & (F.col("__x") <= F.col("__hi")))
+    width_bin = F.least(
+        F.lit(bins - 1),
+        F.floor((F.col("__x") - F.col("__lo")) * F.lit(float(bins))
+                / (F.col("__hi") - F.col("__lo"))).cast("int"))
+    counts = (b.select(width_bin.alias("bin"))
+               .groupBy("bin").agg(F.count(F.lit(1)).alias("n")))
+    scaffold = (bounds
+                .select(F.explode(F.sequence(F.lit(0), F.lit(bins - 1)))
+                         .alias("bin"), "__lo", "__hi")
+                .select("bin",
+                        (F.col("__lo") + F.col("bin")
+                         * (F.col("__hi") - F.col("__lo"))
+                         / F.lit(float(bins))).alias("lo"),
+                        (F.col("__lo") + (F.col("bin") + 1)
+                         * (F.col("__hi") - F.col("__lo"))
+                         / F.lit(float(bins))).alias("hi")))
+    return (scaffold.join(counts, "bin", "left")
+            .select(F.col("bin").cast("int").alias("bin"), "lo", "hi",
+                    F.coalesce(F.col("n"), F.lit(0)).alias("n")))
+
+
+def histogram_equiwidth_sql(t: str, x_expr: str, bins: int) -> str:
+    """DuckDB twin (auto bounds): identical double-op order for the
+    bin assignment and the scaffold bounds."""
+    return f"""
+        WITH bounds AS (
+            SELECT CAST(min({x_expr}) AS DOUBLE) AS b_lo,
+                   CAST(max({x_expr}) AS DOUBLE) AS b_hi
+            FROM {t}),
+        pts AS (
+            SELECT CAST({x_expr} AS DOUBLE) AS x FROM {t}
+            WHERE {x_expr} IS NOT NULL),
+        counts AS (
+            SELECT LEAST({bins - 1},
+                         CAST(FLOOR((x - b_lo) * CAST({bins} AS DOUBLE)
+                                    / (b_hi - b_lo)) AS INT)) AS bin,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM pts, bounds
+            WHERE x >= b_lo AND x <= b_hi
+            GROUP BY 1),
+        scaffold AS (
+            SELECT u.b AS bin,
+                   b_lo + u.b * (b_hi - b_lo) / CAST({bins} AS DOUBLE)
+                       AS lo,
+                   b_lo + (u.b + 1) * (b_hi - b_lo)
+                       / CAST({bins} AS DOUBLE) AS hi
+            FROM bounds, unnest(range(0, {bins})) AS u(b))
+        SELECT CAST(s.bin AS INT) AS bin, s.lo, s.hi,
+               COALESCE(c.n, 0) AS n
+        FROM scaffold s LEFT JOIN counts c ON s.bin = c.bin
+    """

@@ -1,0 +1,199 @@
+"""Wave-3 operators: column profiling, histograms, RRF fusion,
+bigram-LM scoring, benchmark decontamination."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+
+# ---------------------------------------------------------------------------
+# profiling
+# ---------------------------------------------------------------------------
+
+def test_profile_columns_values_and_single_job(spark):
+    from charmpandas_spark.functions.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, 2.0, "a"), (2, None, "b"), (2, 4.0, None), (3, 4.0, "a")],
+        "k bigint, x double, s string")
+    out = {r["column"]: r for r in
+           profile_columns(df, ["k", "x", "s"]).collect()}
+    assert out["k"]["n_rows"] == 4 and out["k"]["n_null"] == 0
+    assert out["k"]["n_distinct"] == 3
+    assert out["k"]["min_num"] == 1.0 and out["k"]["max_num"] == 3.0
+    assert out["k"]["min_str"] is None
+    assert out["x"]["n_null"] == 1 and out["x"]["n_distinct"] == 2
+    assert out["s"]["n_null"] == 1
+    assert out["s"]["min_str"] == "a" and out["s"]["max_str"] == "b"
+    assert out["s"]["min_num"] is None
+    # ONE aggregate over one scan: no join, no second Exchange chain
+    plan = profile_columns(df, ["k", "x", "s"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_profile_columns_defaults_to_profilable_columns(spark):
+    from charmpandas_spark.functions.profile import profile_columns
+
+    df = spark.createDataFrame([(1, "a", [1, 2])],
+                               "k bigint, s string, arr array<int>")
+    cols = [r["column"] for r in profile_columns(df).collect()]
+    assert cols == ["k", "s"]  # array column skipped
+
+
+def test_histogram_equiwidth_exact_counts_and_empty_bins(spark):
+    from charmpandas_spark.functions.profile import histogram_equiwidth
+
+    vals = [0.0, 0.5, 1.0, 9.9, 10.0, None]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    rows = {r["bin"]: r for r in
+            histogram_equiwidth(df, "x", 5).collect()}
+    assert len(rows) == 5  # scaffold fills empty bins
+    assert rows[0]["n"] == 3          # 0.0, 0.5, 1.0 < 2.0
+    assert rows[4]["n"] == 2          # 9.9 and hi-edge 10.0
+    assert rows[1]["n"] == rows[2]["n"] == rows[3]["n"] == 0
+    assert rows[0]["lo"] == 0.0 and rows[4]["hi"] == 10.0
+
+
+def test_histogram_explicit_bounds_clip(spark):
+    from charmpandas_spark.functions.profile import histogram_equiwidth
+
+    df = spark.range(0, 100).select(F.col("id").cast("double").alias("x"))
+    rows = histogram_equiwidth(df, "x", 4, lo=0.0, hi=40.0).collect()
+    assert sum(r["n"] for r in rows) == 41  # 0..40 inclusive in range
+    assert [r["n"] for r in sorted(rows, key=lambda r: r["bin"])] == \
+        [10, 10, 10, 11]
+
+
+# ---------------------------------------------------------------------------
+# RRF fusion
+# ---------------------------------------------------------------------------
+
+def _leg(spark, rows):
+    return spark.createDataFrame(
+        [Row(q_id=q, item_id=i, rank=r) for q, i, r in rows])
+
+
+def test_rrf_fuse_matches_python_reference(spark):
+    from charmpandas_spark.functions.fusion import rrf_fuse
+
+    a = [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1)]
+    b = [(1, 11, 1), (1, 13, 2), (2, 21, 1), (2, 20, 2)]
+    out = rrf_fuse([_leg(spark, a), _leg(spark, b)], k0=60).collect()
+    got = {(r["q_id"], r["item_id"]): (r["n_legs"], r["rrf_micro"],
+                                       r["fused_rank"]) for r in out}
+    import collections
+    scores = collections.defaultdict(lambda: [0, 0])
+    for leg in (a, b):
+        for q, i, r in leg:
+            scores[(q, i)][0] += 1
+            scores[(q, i)][1] += 1_000_000 // (60 + r)
+    for q in {1, 2}:
+        items = sorted(((v[1], -i) for (qq, i), v in scores.items()
+                        if qq == q), reverse=True)
+        for rank, (micro, neg_i) in enumerate(items, 1):
+            assert got[(q, -neg_i)] == (scores[(q, -neg_i)][0],
+                                        micro, rank)
+
+
+def test_rrf_fuse_top_k_and_single_leg(spark):
+    from charmpandas_spark.functions.fusion import rrf_fuse
+
+    a = [(1, i, i) for i in range(1, 8)]
+    out = rrf_fuse([_leg(spark, a)], top_k=3).collect()
+    assert sorted(r["item_id"] for r in out) == [1, 2, 3]
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+
+
+# ---------------------------------------------------------------------------
+# bigram LM scoring
+# ---------------------------------------------------------------------------
+
+def test_bigram_lm_score_matches_python_reference(spark):
+    from charmpandas_spark.functions.lm import bigram_lm_score
+
+    texts = {1: "the cat sat on the mat",
+             2: "the cat sat",
+             3: "a dog barked at the cat",
+             4: "zzz",                       # no bigram -> excluded
+             5: "the cat sat on the mat"}
+    df = spark.createDataFrame(list(texts.items()), "doc_id bigint, t string")
+    out = {r["doc"]: r for r in
+           bigram_lm_score(df, "t", "doc_id").collect()}
+
+    # sequential reference
+    import collections
+    bigrams = collections.Counter()
+    for t in texts.values():
+        ws = t.split()
+        for a, b in zip(ws, ws[1:]):
+            bigrams[(a, b)] += 1
+    ctx = collections.Counter()
+    for (a, _), c in bigrams.items():
+        ctx[a] += c
+    vocab = {w for t in texts.values() for ws in [t.split()]
+             for pair in zip(ws, ws[1:]) for w in pair}
+    v = len(vocab)
+    for doc, t in texts.items():
+        ws = t.split()
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            assert doc not in out
+            continue
+        mps = [int((bigrams[(a, b)] + 1) * 1_000_000
+                   // (ctx[a] + v)) for a, b in pairs]
+        assert out[doc]["n_bigrams"] == len(pairs)
+        assert out[doc]["sum_micro_p"] == sum(mps)
+        assert out[doc]["avg_micro_p"] == sum(mps) // len(pairs)
+    # repeated text scores identically; unseen-heavy text scores lower
+    assert out[1]["avg_micro_p"] == out[5]["avg_micro_p"]
+    assert out[3]["avg_micro_p"] < out[1]["avg_micro_p"]
+
+
+def test_bigram_lm_external_model_scores_new_docs(spark):
+    from charmpandas_spark.functions.lm import bigram_lm, bigram_lm_score
+
+    ref = spark.createDataFrame(
+        [(1, "good clean text here"), (2, "good clean text again")],
+        "doc_id bigint, t string")
+    model = bigram_lm(ref, "t", "doc_id")
+    new = spark.createDataFrame(
+        [(10, "good clean text here"), (11, "totally unseen words")],
+        "doc_id bigint, t string")
+    out = {r["doc"]: r["avg_micro_p"] for r in
+           bigram_lm_score(new, "t", "doc_id", model=model).collect()}
+    assert out[10] > out[11]  # reference-like text scores higher
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_flags_overlap_exactly(spark):
+    from charmpandas_spark.functions.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id bigint, t string")
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),   # full overlap
+         (2, "xx alpha beta gamma yy"),                # partial
+         (3, "completely different words entirely")],  # clean
+        "doc_id bigint, t string")
+    out = {r["doc"]: r for r in
+           decontaminate(corpus, bench, "t", "doc_id", n=3).collect()}
+    assert out[1]["n_hits"] == out[1]["n_ngrams"] == 4
+    assert out[1]["hit_micro_frac"] == 1_000_000
+    assert out[2]["n_hits"] == 1 and out[2]["n_ngrams"] == 3
+    assert out[3]["n_hits"] == 0 and out[3]["hit_micro_frac"] == 0
+
+
+def test_decontaminate_benchmark_never_broadcast(spark, sf_dir):
+    from charmpandas_spark.functions.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("source") == "src0")
+    corpus = docs.where(F.col("source") != "src0")
+    plan = decontaminate(corpus, bench, "text", "doc_id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan  # shuffle_hash hint holds
