@@ -2383,8 +2383,10 @@ def q_quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-scan column profiler over lineitem: rows / nulls / exact
-    distinct / min / max for 3 numeric + 2 string columns, all in a
-    SINGLE aggregate job (pytest pins the one-job shape)."""
+    distinct / min / max for 3 numeric + 2 string columns in one job —
+    long-format explode + two-level HASH aggregation instead of the
+    Expand/multi-distinct plan (measured 8 s -> ~1 s at sf0.1; pytest
+    pins the no-Expand shape)."""
     from charmpandas_spark.functions.profile import profile_columns
     li = _t(spark, sf_dir, "lineitem")
     return profile_columns(li.sdf, ["l_orderkey", "l_quantity",

@@ -159,6 +159,12 @@ def bench_queries(spark, sf_dir):
         "sparse_postings_lookup",
         "dedup_jaccard_prefix",
         "events_resample",
+        # r7 wave 3
+        "quality_lm_score",
+        "hybrid_rrf",
+        "table_profile",
+        "histogram_value",
+        "decontam_ngrams",
     ]
     return {n: qs[n] for n in names if n in qs}
 

@@ -28,46 +28,47 @@ def profile_columns(df: SparkDF, cols: list[str] | None = None) -> SparkDF:
     cross-format a double through a string: engine float formatting
     differs, values don't).
 
-    ONE job: every statistic for every column is an aggregate in a
-    single ``agg`` (partial-aggregated map-side), and the long format
-    is an inline-table explode of the 1-row result — no per-column
-    scan loop, no driver round trips. ``n_distinct`` is exact
-    (count_distinct expands to one Expand node inside the same
-    aggregate, Spark's standard multi-distinct plan).
+    ONE scan, one job, no Expand: a single ``agg`` with N exact
+    ``count_distinct``s compiles to Spark's multi-distinct plan — a
+    |cols|+1-way Expand of every row followed by WIDE SortAggregates
+    (string min/max buffers disqualify hash aggregation), measured
+    ~8 s on 600 k rows. Instead the row is exploded once into a
+    NARROW long format ``(column, vnum, vstr, isnull)`` and profiled
+    with a two-level HASH aggregation: level 1 groups by value
+    (map-side partials collapse the stream to ~distinct values per
+    column before the only full-width shuffle), level 2 folds the
+    per-value counts into the per-column stats — ``n_distinct`` is a
+    row count of level 1, min/max run over distinct values only.
+    Same exactness, hash-aggregable all the way down, and the shuffle
+    volume is bounded by distinct values, not rows x columns.
     """
     if cols is None:
         cols = [f.name for f in df.schema.fields
                 if isinstance(f.dataType,
                               (T.NumericType, T.StringType))]
-    aggs = []
+    entries = []
     for c in cols:
         numeric = isinstance(df.schema[c].dataType, T.NumericType)
-        aggs += [
-            F.count(F.lit(1)).alias(f"__n_{c}"),
-            F.sum(F.col(c).isNull().cast("bigint")).alias(f"__nn_{c}"),
-            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
-            (F.min(F.col(c)).cast("double") if numeric
-             else F.lit(None).cast("double")).alias(f"__mn_{c}"),
-            (F.max(F.col(c)).cast("double") if numeric
-             else F.lit(None).cast("double")).alias(f"__mx_{c}"),
-            (F.lit(None).cast("string") if numeric
-             else F.min(F.col(c))).alias(f"__ms_{c}"),
-            (F.lit(None).cast("string") if numeric
-             else F.max(F.col(c))).alias(f"__xs_{c}"),
-        ]
-    one = df.agg(*aggs)
-    rows = F.array(*[
-        F.struct(F.lit(c).alias("column"),
-                 F.col(f"__n_{c}").alias("n_rows"),
-                 F.col(f"__nn_{c}").alias("n_null"),
-                 F.col(f"__nd_{c}").alias("n_distinct"),
-                 F.col(f"__mn_{c}").alias("min_num"),
-                 F.col(f"__mx_{c}").alias("max_num"),
-                 F.col(f"__ms_{c}").alias("min_str"),
-                 F.col(f"__xs_{c}").alias("max_str"))
-        for c in cols])
-    return (one.select(F.explode(rows).alias("p"))
-               .select("p.*"))
+        entries.append(F.struct(
+            F.lit(c).alias("column"),
+            (F.col(c).cast("double") if numeric
+             else F.lit(None).cast("double")).alias("vnum"),
+            (F.col(c) if not numeric
+             else F.lit(None).cast("string")).alias("vstr"),
+            F.col(c).isNull().cast("bigint").alias("isnull")))
+    long = (df.select(F.explode(F.array(*entries)).alias("e"))
+              .select("e.*"))
+    per_value = (long.groupBy("column", "vnum", "vstr", "isnull")
+                     .agg(F.count(F.lit(1)).alias("cnt")))
+    return (per_value.groupBy("column")
+            .agg(F.sum("cnt").alias("n_rows"),
+                 F.sum(F.col("cnt") * F.col("isnull")).alias("n_null"),
+                 F.count(F.when(F.col("isnull") == 0, F.lit(1)))
+                  .alias("n_distinct"),
+                 F.min("vnum").alias("min_num"),
+                 F.max("vnum").alias("max_num"),
+                 F.min("vstr").alias("min_str"),
+                 F.max("vstr").alias("max_str")))
 
 
 def profile_columns_sql(t: str, cols: list[str],

@@ -25,10 +25,18 @@ def test_profile_columns_values_and_single_job(spark):
     assert out["s"]["n_null"] == 1
     assert out["s"]["min_str"] == "a" and out["s"]["max_str"] == "b"
     assert out["s"]["min_num"] is None
-    # ONE aggregate over one scan: no join, no second Exchange chain
+    # one scan, no join, and no Expand/multi-distinct fallback (the
+    # 8s-at-sf0.1 plan). The ROW-VOLUME level-1 aggregate must be a
+    # HashAggregate (narrow value keys, long buffer); only the
+    # per-distinct-value level 2 may sort-aggregate (string min/max
+    # buffers), and it runs over ~distinct values, not rows.
     plan = profile_columns(df, ["k", "x", "s"]) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+    assert "Expand" not in plan
+    assert "HashAggregate" in plan
+    pre_shuffle = plan.split("Exchange")[-1]  # below the 1st exchange
+    assert "SortAggregate" not in pre_shuffle
 
 
 def test_profile_columns_defaults_to_profilable_columns(spark):
