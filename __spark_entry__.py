@@ -2442,6 +2442,55 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         k0=60, top_k=10)
 
 
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over the undirected customer-supplier
+    bipartite graph (an edge per distinct (custkey, suppkey) trading
+    pair from orders x lineitem) — EXACT integer micro-unit ranks, so
+    the iterative rank propagation is cross-engine checkable against a
+    DuckDB unrolled-recurrence oracle. 2 shuffles per iteration, edges
+    hash-partitioned once and never moved again."""
+    from charmpandas_spark.operators.pagerank import pagerank
+    li = _t(spark, sf_dir, "lineitem").sdf
+    o = _t(spark, sf_dir, "orders").sdf
+    pairs = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+               .select(F.concat(F.lit("c"), F.col("o_custkey"))
+                        .alias("c"),
+                       F.concat(F.lit("s"), F.col("l_suppkey"))
+                        .alias("s")))
+    edges = (pairs.select(F.col("c").alias("src"),
+                          F.col("s").alias("dst"))
+                  .union(pairs.select(F.col("s").alias("src"),
+                                      F.col("c").alias("dst"))))
+    return pagerank(edges, iterations=3)
+
+
+_CURATION_RULES_SQL = {
+    "min_words": ("CASE WHEN trim(text) = '' THEN 0 ELSE "
+                  r"length(regexp_split_to_array(trim(text), '\s+')) "
+                  "END >= 10"),
+    "is_en": "lang = 'en'",
+    "max_chars": "n_chars <= 800",
+    "no_brace": "strpos(text, '{') = 0",
+}
+
+
+def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reason-coded curation filtering over documents: per-row keep
+    flag + comma-joined failed-rule names for 4 rules (min words,
+    language, length cap, no template braces) — all scan-local Column
+    logic, zero shuffle (pytest pins no-Exchange)."""
+    from charmpandas_spark.functions.quality import curation_report
+    from charmpandas_spark.functions.text import whitespace_token_count
+    docs = _t(spark, sf_dir, "documents").sdf
+    rules = {
+        "min_words": whitespace_token_count("text") >= 10,
+        "is_en": F.col("lang") == "en",
+        "max_chars": F.col("n_chars") <= 800,
+        "no_brace": F.instr(F.col("text"), "{") == 0,
+    }
+    return curation_report(docs, "doc_id", rules)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2459,6 +2508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (1) NEW or CHANGED in r7: must prove green this round ---
         "quality_lm_score": q_quality_lm_score,
         "hybrid_rrf": q_hybrid_rrf,
+        "graph_pagerank": q_graph_pagerank,
+        "curation_report": q_curation_report,
         "table_profile": q_table_profile,
         "histogram_value": q_histogram_value,
         "decontam_ngrams": q_decontam_ngrams,
@@ -2933,9 +2984,22 @@ def oracle_sql() -> dict[str, str]:
             FROM p QUALIFY rnk <= 10"""
     sparse_leg = tf_cosine_topk_sql("documents", "doc_id", "text",
                                     "doc_id < 10", k=10)
+    from charmpandas_spark.functions.quality import curation_report_sql
+    from charmpandas_spark.operators.pagerank import pagerank_sql
+    pr_edges = """
+        SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+               's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        UNION ALL
+        SELECT 's' || CAST(l_suppkey AS VARCHAR),
+               'c' || CAST(o_custkey AS VARCHAR)
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""
     return {
         "quality_lm_score": bigram_lm_score_sql(
             "documents", "doc_id", "text"),
+        "graph_pagerank": pagerank_sql(pr_edges, iterations=3),
+        "curation_report": curation_report_sql(
+            "documents", "doc_id", _CURATION_RULES_SQL),
         "table_profile": profile_columns_sql(
             "lineitem",
             ["l_orderkey", "l_quantity", "l_extendedprice",

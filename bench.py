@@ -165,6 +165,8 @@ def bench_queries(spark, sf_dir):
         "table_profile",
         "histogram_value",
         "decontam_ngrams",
+        "graph_pagerank",
+        "curation_report",
     ]
     return {n: qs[n] for n in names if n in qs}
 

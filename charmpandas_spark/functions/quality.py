@@ -43,6 +43,8 @@ __all__ = [
     "quantile_keep_sql",
     "classifier_score",
     "classifier_score_sql",
+    "curation_report",
+    "curation_report_sql",
 ]
 
 # The 8 required English stopwords from Gopher A1 ("must contain at
@@ -372,4 +374,51 @@ def classifier_score_sql(t: str, id_expr: str, text_expr: str,
                    >= {threshold_micro} AS keep
         FROM tf LEFT JOIN w USING (term)
         GROUP BY doc
+    """
+
+
+# ---------------------------------------------------------------------------
+# reason-coded curation report
+# ---------------------------------------------------------------------------
+
+def curation_report(df: SparkDF, id_col: str,
+                    rules: "dict[str, Column]") -> SparkDF:
+    """Reason-coded filtering: instead of silently dropping rows,
+    report PER ROW which rules failed — ``(id, keep, n_failed,
+    fail_reasons)`` with ``fail_reasons`` a comma-joined list in rule
+    order (empty string when the row passes). What an operated
+    pipeline actually needs: per-rule drop attribution, the ability to
+    audit a kill decision months later, and one-line re-filtering
+    (``WHERE keep``) without re-running the rules.
+
+    Each rule maps name -> PASS predicate Column. Entirely scan-local
+    Column expressions — no shuffle, no UDF; the report rides the
+    scan and costs what the predicates cost. A NULL predicate result
+    counts as a failure (ANSI three-valued logic would otherwise let
+    a null-text row pass every rule)."""
+    flags = [F.when(cond.isNull() | ~cond, F.lit(name))
+             for name, cond in rules.items()]
+    arr = F.filter(F.array(*flags), lambda x: x.isNotNull())
+    return df.select(
+        F.col(id_col),
+        (F.size(arr) == 0).alias("keep"),
+        F.size(arr).cast("int").alias("n_failed"),
+        F.array_join(arr, ",").alias("fail_reasons"))
+
+
+def curation_report_sql(t: str, id_expr: str,
+                        rules: "dict[str, str]") -> str:
+    """DuckDB twin of :func:`curation_report` — each rule a SQL PASS
+    predicate; identical null-fails semantics and reason order."""
+    fails = [f"CASE WHEN COALESCE(({pred}), FALSE) THEN NULL "
+             f"ELSE '{name}' END"
+             for name, pred in rules.items()]
+    arr = (f"list_filter([{', '.join(fails)}], x -> x IS NOT NULL)")
+    return f"""
+        SELECT {id_expr} AS {id_expr},
+               len({arr}) = 0 AS keep,
+               CAST(len({arr}) AS INT) AS n_failed,
+               COALESCE(array_to_string({arr}, ','), '')
+                   AS fail_reasons
+        FROM {t}
     """

@@ -205,3 +205,92 @@ def test_decontaminate_benchmark_never_broadcast(spark, sf_dir):
     plan = decontaminate(corpus, bench, "text", "doc_id") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in plan  # shuffle_hash hint holds
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+def _pr_reference(edges, iterations=3, num=17, den=20):
+    """Sequential integer micro-unit PageRank replay."""
+    M = 1_000_000
+    e = sorted(set(edges))
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    deg = {}
+    for s, _ in e:
+        deg[s] = deg.get(s, 0) + 1
+    r = {n: M for n in nodes}
+    base = ((den - num) * M) // den
+    for _ in range(iterations):
+        s = {n: 0 for n in nodes}
+        for a, b in e:
+            s[b] += r[a] // deg[a]
+        r = {n: base + (num * s[n]) // den for n in nodes}
+    return r
+
+
+def test_pagerank_matches_sequential_reference(spark):
+    from charmpandas_spark.functions.dedup import release
+    from charmpandas_spark.operators.pagerank import pagerank
+
+    # directed graph with a dangling node (4), a hub (1), a dup edge
+    edges = [(1, 2), (1, 3), (2, 1), (3, 1), (3, 4), (1, 2)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    out = pagerank(df, iterations=3)
+    got = {r["node"]: r["rank_micro"] for r in out.collect()}
+    release(out)
+    assert got == _pr_reference(edges)
+    # hub node 1 outranks the dangling leaf 4's feeder
+    assert got[1] == max(got.values())
+
+
+def test_pagerank_deterministic_under_repartition(spark):
+    from charmpandas_spark.functions.dedup import release
+    from charmpandas_spark.operators.pagerank import pagerank
+
+    import random
+    rng = random.Random(7)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(300)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    a = pagerank(df, iterations=4)
+    b = pagerank(df.repartition(13), iterations=4)
+    ga = {r["node"]: r["rank_micro"] for r in a.collect()}
+    gb = {r["node"]: r["rank_micro"] for r in b.collect()}
+    release(a), release(b)
+    assert ga == gb  # integer arithmetic: partitioning-independent
+
+
+# ---------------------------------------------------------------------------
+# curation report
+# ---------------------------------------------------------------------------
+
+def test_curation_report_reasons_and_null_fail(spark):
+    from pyspark.sql import functions as F
+    from charmpandas_spark.functions.quality import curation_report
+
+    df = spark.createDataFrame(
+        [(1, "good long text", 10), (2, "x", 10),
+         (3, None, 10), (4, "fine", None)],
+        "id bigint, t string, v int")
+    rules = {
+        "long_enough": F.length("t") >= 4,
+        "has_v": F.col("v").isNotNull(),
+    }
+    out = {r["id"]: r for r in curation_report(df, "id", rules).collect()}
+    assert out[1]["keep"] and out[1]["fail_reasons"] == ""
+    assert not out[2]["keep"] and out[2]["fail_reasons"] == "long_enough"
+    # NULL predicate (null text) counts as a failure, not a pass
+    assert not out[3]["keep"] and out[3]["fail_reasons"] == "long_enough"
+    assert out[4]["fail_reasons"] == "has_v" and out[4]["n_failed"] == 1
+
+
+def test_curation_report_is_scan_local(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from charmpandas_spark.functions.quality import curation_report
+    import charmpandas_spark as cps
+
+    docs = cps.read_table(spark, sf_dir, "documents").sdf
+    plan = curation_report(
+        docs, "doc_id", {"en": F.col("lang") == "en"}) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # zero shuffle: rides the scan
