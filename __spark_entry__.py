@@ -2164,7 +2164,8 @@ def q_sim_sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _replay_stream_ordered(spark: SparkSession, df: DataFrame,
                            prefix: str, ts_ms_col: str,
-                           sentinel_row, n_files: int = 4):
+                           sentinel_row, n_files: int = 4,
+                           sentinel_offsets_h: tuple = (30, 60)):
     """Time-ORDERED stream replay with watermark-finality sentinels:
     the frame is split into ``n_files`` time-range files whose forced
     mtimes make the file source deliver oldest range first (a real
@@ -2200,7 +2201,7 @@ def _replay_stream_ordered(spark: SparkSession, df: DataFrame,
         shutil.copy(part, dst)
         os.utime(dst, (now - 600 + i, now - 600 + i))
     hi = df.agg(F.max(ts_ms_col)).collect()[0][0]
-    for i, off_h in enumerate((30, 60)):
+    for i, off_h in enumerate(sentinel_offsets_h):
         sent_ms = int(hi) + off_h * 3600 * 1000
         sdir = _tmp_sink(f"{prefix}_sent{i}")
         sentinel_row(sent_ms).coalesce(1).write.mode("overwrite")             .parquet(sdir)
@@ -2442,6 +2443,66 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         k0=60, top_k=10)
 
 
+def q_streaming_stream_join_outer(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: clicks x purchases per user
+    within [click - 1h, click], null-padded for clicks that never
+    convert. Unlike the inner variant's unbounded-watermark contract,
+    outer emission REQUIRES the watermark to pass (unmatched rows sit
+    in state until ``left_ts + delay`` expires), so the replay is
+    time-ordered (disjoint ascending slices -> zero late rows under a
+    tight 1h watermark) and BOTH streams end with far-future sentinel
+    batches that push the min-of-sources watermark past every pending
+    left row — then the outer nulls flush. Sentinels (user_id -1) are
+    filtered from the result; the oracle is the batch LEFT interval
+    join."""
+    from charmpandas_spark.streaming.joins import stream_stream_join_outer
+    from charmpandas_spark.timestamps import epoch_micros
+
+    ev = _t(spark, sf_dir, "events").sdf
+    sides = {}
+    for tag, etype in (("ssol", "click"), ("ssor", "purchase")):
+        side = (ev.filter(F.col("event_type") == etype)
+                  .select("event_id", "user_id", "ts",
+                          (epoch_micros("ts") / 1000).cast("long")
+                          .alias("ts_ms")))
+
+        def sentinel(ms: int) -> DataFrame:
+            return spark.range(1).select(
+                F.lit(-1).cast("long").alias("event_id"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.timestamp_millis(F.lit(ms)).alias("ts"),
+                F.lit(ms).cast("long").alias("ts_ms"))
+
+        # three sentinel batches, not the timer-family's two: join
+        # OUTER state flushes lag the watermark by an extra batch
+        # (wm from batch k's data applies to eviction in batch k+1),
+        # and the last real flush observably needs one more batch
+        # beyond the push+fire pair
+        sides[tag], _ = _replay_stream_ordered(
+            spark, side, tag, "ts_ms", sentinel,
+            sentinel_offsets_h=(30, 60, 90))
+    out = stream_stream_join_outer(sides["ssol"], sides["ssor"],
+                                   key="user_id", max_delay="1 hour",
+                                   watermark="1 hour")
+    import uuid
+    name = f"cps_ssjo_{uuid.uuid4().hex[:8]}"
+    # the sentinel filter MUST NOT be part of the streaming plan:
+    # Catalyst pushes `user_id != -1` through the left-outer join into
+    # the left file-source scan, the sentinel file's row-group stats
+    # (all -1) skip it at the scan, and the LEFT watermark then never
+    # passes the real data — the final unmatched clicks sit in state
+    # forever (observed: exactly the last 2 rows missing). Filter on
+    # the materialized sink table instead.
+    _run_stream(spark,
+                out.select("user_id",
+                           F.col("event_id_l").alias("click_id"),
+                           F.col("event_id_r").alias("purchase_id")),
+                name, "append")
+    return (spark.table(name).where(F.col("user_id") != -1)
+            .select("click_id", "purchase_id"))
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-iteration PageRank over the undirected customer-supplier
     bipartite graph (an edge per distinct (custkey, suppkey) trading
@@ -2510,6 +2571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "graph_pagerank": q_graph_pagerank,
         "curation_report": q_curation_report,
+        "streaming_stream_join_outer": q_streaming_stream_join_outer,
         "table_profile": q_table_profile,
         "histogram_value": q_histogram_value,
         "decontam_ngrams": q_decontam_ngrams,
@@ -2998,6 +3060,17 @@ def oracle_sql() -> dict[str, str]:
         "quality_lm_score": bigram_lm_score_sql(
             "documents", "doc_id", "text"),
         "graph_pagerank": pagerank_sql(pr_edges, iterations=3),
+        "streaming_stream_join_outer": """
+            WITH c AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+            p AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase')
+            SELECT c.event_id AS click_id, p.event_id AS purchase_id
+            FROM c LEFT JOIN p
+              ON c.user_id = p.user_id
+             AND p.ts <= c.ts
+             AND p.ts >= c.ts - INTERVAL 1 HOUR
+        """,
         "curation_report": curation_report_sql(
             "documents", "doc_id", _CURATION_RULES_SQL),
         "table_profile": profile_columns_sql(

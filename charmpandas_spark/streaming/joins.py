@@ -13,7 +13,8 @@ from pyspark.sql import DataFrame as SparkDF, functions as F
 
 from ..timestamps import ensure_event_time
 
-__all__ = ["stream_stream_join", "stream_static_join"]
+__all__ = ["stream_stream_join", "stream_stream_join_outer",
+           "stream_static_join"]
 
 
 def stream_stream_join(
@@ -50,6 +51,51 @@ def stream_stream_join(
     # inputs (Spark requires an equality for stream-stream state
     # keying); drop the duplicate right key only after the join.
     return lw.join(rw, on=cond, how="inner").drop(rw[key])
+
+
+def stream_stream_join_outer(
+    left: SparkDF,
+    right: SparkDF,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "1 hour",
+    watermark: str = "1 hour",
+    suffixes: tuple[str, str] = ("_l", "_r"),
+) -> SparkDF:
+    """LEFT OUTER stream-stream join — :func:`stream_stream_join`'s
+    condition, plus null-padded rows for left events that never see a
+    match. The outer rows cannot emit eagerly (a match may still
+    arrive): Spark holds each left row in state until the watermark
+    passes ``left_ts + max_delay``, then emits it with nulls. That is
+    why ``watermark`` here defaults TIGHT (1 h), not effectively
+    unbounded like the inner variant's replay contract — an unbounded
+    watermark never passes anything, so unmatched rows would be
+    buffered forever and the outer half of the join would be silent.
+    Replays must instead advance the watermark past the data with
+    far-future sentinel batches on BOTH streams (the min of the
+    per-source watermarks is what gates emission)."""
+    lw = ensure_event_time(left, left_ts).withWatermark(left_ts, watermark)
+    rw = ensure_event_time(right, right_ts).withWatermark(right_ts,
+                                                          watermark)
+    overlap = (set(lw.columns) & set(rw.columns)) - {key}
+    lw = lw.withColumnsRenamed({c: c + suffixes[0] for c in overlap})
+    rw = rw.withColumnsRenamed({c: c + suffixes[1] for c in overlap})
+    lts = left_ts + suffixes[0] if left_ts in overlap else left_ts
+    rts = right_ts + suffixes[1] if right_ts in overlap else right_ts
+    # rename the RIGHT key instead of dropping it post-join: when both
+    # sides derive from the SAME stream (a filtered self-replay),
+    # lw[key] and rw[key] resolve to one attribute id and
+    # ``drop(rw[key])`` silently keeps the RIGHT (null-padded) copy —
+    # unmatched rows then lose their key. A rename is unambiguous.
+    rkey = key + "__cps_r"
+    rw = rw.withColumnRenamed(key, rkey)
+    cond = (
+        (lw[key] == rw[rkey])
+        & (F.col(rts) <= F.col(lts))
+        & (F.col(rts) >= F.col(lts) - F.expr(f"INTERVAL {max_delay}"))
+    )
+    return lw.join(rw, on=cond, how="leftOuter").drop(rkey)
 
 
 def stream_static_join(

@@ -68,3 +68,64 @@ def test_stream_stream_join_matches_batch(spark, events, tmp_path):
     assert got == want
     cols = spark.table("s2_join").columns
     assert "ts_l" in cols and "ts_r" in cols  # _l/_r suffix convention
+
+def test_stream_stream_outer_join_emits_unmatched(spark, tmp_path):
+    """LEFT OUTER variant: matched rows join, unmatched left rows
+    emit null-padded once the (sentinel-advanced) watermark passes.
+    Single-source replay: one early click with a matching view, one
+    early click without, plus a far-future sentinel row that drags
+    the watermark past both so the outer null flushes before
+    availableNow stops."""
+    import glob
+    import os
+    import shutil
+
+    from charmpandas_spark.streaming.joins import stream_stream_join_outer
+    from charmpandas_spark.streaming.windows import stream_from_parquet
+
+    base = 1_700_000_000_000  # ms
+    rows = [
+        (1, 100, base),                 # click, has view 10 min before
+        (2, 200, base + 60_000),        # click, NO matching view
+        (3, 100, base - 600_000),       # view for user 100
+    ]
+    src = str(tmp_path / "s2o_src")
+    os.makedirs(src)
+    # three files in time order, then two sentinel files (watermark
+    # push + flush batch), forced mtimes so the file source delivers
+    # them last
+    for i, (eid, uid, ms) in enumerate(sorted(rows, key=lambda r: r[2])):
+        df = spark.createDataFrame([(eid, uid, ms)],
+                                   "event_id long, user_id long, ts_ms long") \
+            .select("event_id", "user_id",
+                    F.timestamp_millis(F.col("ts_ms")).alias("ts"))
+        d = str(tmp_path / f"s2o_{i}")
+        df.coalesce(1).write.parquet(d)
+        shutil.copy(glob.glob(d + "/*.parquet")[0], f"{src}/m{i}.parquet")
+        os.utime(f"{src}/m{i}.parquet", (1000 + i, 1000 + i))
+    # THREE sentinel batches (not two): outer-join state cleanup runs
+    # with the watermark from the PREVIOUS batch's data, so the flush
+    # needs push -> apply -> emit
+    for j in range(3):
+        sent = spark.createDataFrame([(-1, -1, base + (j + 5) * 3_600_000)],
+                                     "event_id long, user_id long, ts_ms long") \
+            .select("event_id", "user_id",
+                    F.timestamp_millis(F.col("ts_ms")).alias("ts"))
+        d = str(tmp_path / f"s2o_sent{j}")
+        sent.coalesce(1).write.parquet(d)
+        shutil.copy(glob.glob(d + "/*.parquet")[0],
+                    f"{src}/zz{j}.parquet")
+        os.utime(f"{src}/zz{j}.parquet", (2000 + j, 2000 + j))
+
+    stream = stream_from_parquet(spark, src)
+    clicks = stream.filter(F.col("event_id").isin(1, 2, -1))
+    views = stream.filter(~F.col("event_id").isin(1, 2))
+    out = stream_stream_join_outer(clicks, views, "user_id",
+                                   max_delay="1 hour", watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("s2o_join")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {r["event_id_l"]: r["event_id_r"]
+           for r in spark.table("s2o_join")
+                         .where(F.col("user_id") != -1).collect()}
+    assert got == {1: 3, 2: None}  # matched pair + null-padded click
