@@ -2503,6 +2503,43 @@ def q_streaming_stream_join_outer(spark: SparkSession,
             .select("click_id", "purchase_id"))
 
 
+def q_events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of value over time — group-wise linear
+    regression as one partial-aggregated groupBy over five exact
+    DECIMAL(38) sufficient statistics; slope/intercept floored to
+    micro-units so a REGRESSION is value-hash-checkable cross-engine.
+    x = whole seconds since the global min event time (riding in-plan
+    as a broadcast 1-row min), y = value in floor-cents."""
+    from charmpandas_spark.functions.regression import linear_fit
+    from charmpandas_spark.timestamps import epoch_micros
+    ev = _t(spark, sf_dir, "events").sdf \
+        .where(F.col("value").isNotNull() & F.col("ts").isNotNull())
+    t0 = ev.agg(F.min(epoch_micros("ts")).alias("t0"))
+    prepared = (ev.crossJoin(F.broadcast(t0))
+                  .select("event_type",
+                          F.floor((epoch_micros("ts") - F.col("t0"))
+                                  / F.lit(1_000_000))
+                           .cast("long").alias("x"),
+                          F.floor(F.col("value") * 100)
+                           .cast("long").alias("y")))
+    return linear_fit(prepared, "x", "y", ["event_type"])
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding corpus, exposed in
+    long format (vec_id, d, code) for hash comparison. Stats = one
+    posexplode + groupBy(dim); the coding is scan-local (ranges ride
+    as a broadcast 1-row sorted array) — the corpus is never shuffled
+    a second time."""
+    from charmpandas_spark.functions.quantize import quantize_embeddings
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb.sdf, "embedding", "vec_id")
+    return (q.select(F.col("id").alias("vec_id"),
+                     F.posexplode("codes").alias("d", "code"))
+             .select("vec_id", F.col("d").cast("int").alias("d"),
+                     "code"))
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-iteration PageRank over the undirected customer-supplier
     bipartite graph (an edge per distinct (custkey, suppkey) trading
@@ -2572,6 +2609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "curation_report": q_curation_report,
         "streaming_stream_join_outer": q_streaming_stream_join_outer,
+        "events_trend": q_events_trend,
+        "embedding_quantize": q_embedding_quantize,
         "table_profile": q_table_profile,
         "histogram_value": q_histogram_value,
         "decontam_ngrams": q_decontam_ngrams,
@@ -3031,6 +3070,8 @@ def oracle_sql() -> dict[str, str]:
     from charmpandas_spark.functions.lm import bigram_lm_score_sql
     from charmpandas_spark.functions.profile import (
         histogram_equiwidth_sql, profile_columns_sql)
+    from charmpandas_spark.functions.regression import linear_fit_sql
+    from charmpandas_spark.functions.quantize import quantize_embeddings_sql
     dense_leg = f"""
             WITH p AS (
                 SELECT q.vec_id AS q_id, e.vec_id AS item_id,
@@ -3060,6 +3101,19 @@ def oracle_sql() -> dict[str, str]:
         "quality_lm_score": bigram_lm_score_sql(
             "documents", "doc_id", "text"),
         "graph_pagerank": pagerank_sql(pr_edges, iterations=3),
+        "embedding_quantize": quantize_embeddings_sql(
+            "embeddings", "vec_id", "embedding"),
+        "events_trend": linear_fit_sql(
+            """(SELECT event_type,
+                       CAST(FLOOR((epoch_us(ts)
+                            - (SELECT min(epoch_us(ts)) FROM events
+                               WHERE value IS NOT NULL
+                                 AND ts IS NOT NULL))
+                            / 1000000.0) AS BIGINT) AS x,
+                       CAST(FLOOR(value * 100) AS BIGINT) AS y
+                FROM events
+                WHERE value IS NOT NULL AND ts IS NOT NULL)""",
+            "x", "y", ["event_type"]),
         "streaming_stream_join_outer": """
             WITH c AS (SELECT event_id, user_id, ts FROM events
                        WHERE event_type = 'click'),

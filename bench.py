@@ -167,6 +167,8 @@ def bench_queries(spark, sf_dir):
         "decontam_ngrams",
         "graph_pagerank",
         "curation_report",
+        "events_trend",
+        "embedding_quantize",
     ]
     return {n: qs[n] for n in names if n in qs}
 

@@ -16,6 +16,8 @@ from .expect import validate
 from .fusion import rrf_fuse
 from .lm import bigram_lm, bigram_lm_score
 from .profile import histogram_equiwidth, profile_columns
+from .quantize import quantize_embeddings
+from .regression import linear_fit
 from .similarity import (
     ann_lsh_topk,
     cosine_pairs,
@@ -60,6 +62,7 @@ __all__ = [
     "decontaminate", "duplicate_spans", "line_dedup",
     "rrf_fuse", "bigram_lm", "bigram_lm_score",
     "histogram_equiwidth", "profile_columns",
+    "quantize_embeddings", "linear_fit",
     "exact_dedup", "exact_dedup_survivors", "lsh_candidate_pairs",
     "minhash_near_dup", "minhash_signatures", "ngram_jaccard_pairs",
     "shingle_table", "simhash", "simhash_near_dup",

@@ -1,0 +1,98 @@
+"""Group-wise closed-form linear regression (ordinary least squares)
+— the "fit a trend per key" analytics primitive (per-metric drift,
+per-source quality trajectories, per-user spend slopes).
+
+EXACT by construction: callers pass INTEGER x and y columns (epoch
+seconds, micro-units, cents — anything pre-scaled), the five
+sufficient statistics (n, Σx, Σy, Σxy, Σx²) are summed as
+DECIMAL(38,0) — exact integer arithmetic in Spark, HUGEINT in DuckDB —
+and only the final slope/intercept ratios drop to a fixed-order IEEE
+double expression, floored to micro-units. Summation order therefore
+cannot change a single output bit, which makes a REGRESSION
+cross-engine hash-checkable (the usual float Σxy makes it
+partitioning-dependent).
+
+One scan, one partial-aggregated groupBy — a regression per group
+costs exactly what a sum per group costs, at any scale. Callers keep
+x small by centering on an in-plan constant (e.g. the global min
+epoch riding as a broadcast 1-row aggregate): DECIMAL keeps the SUMS
+exact regardless, but x² terms must individually fit int64 before the
+decimal cast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame as SparkDF, functions as F
+
+__all__ = ["linear_fit", "linear_fit_sql"]
+
+MICRO = 1_000_000
+
+
+def linear_fit(df: SparkDF, x_col: str | Column, y_col: str | Column,
+               group_cols: list[str]) -> SparkDF:
+    """Per-group OLS fit ``y ~ slope * x + intercept``: returns
+    ``(group_cols..., n, slope_micro, intercept_micro)`` with
+    slope/intercept floored to 1e-6 (y-units per x-unit / y-units).
+    Groups with a degenerate design (all x equal, or n < 2) yield
+    NULL slope/intercept instead of a division error."""
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    d38 = "decimal(38,0)"
+    agg = (df.groupBy(*group_cols)
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(x.cast(d38)).alias("sx"),
+                  F.sum(y.cast(d38)).alias("sy"),
+                  F.sum((x * y).cast(d38)).alias("sxy"),
+                  F.sum((x * x).cast(d38)).alias("sxx")))
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    den = n * sxx - sx * sx
+    slope = F.when(den == 0.0, F.lit(None)).otherwise(
+        F.floor(F.lit(MICRO) * (n * sxy - sx * sy) / den))
+    intercept = F.when(den == 0.0, F.lit(None)).otherwise(
+        F.floor(F.lit(MICRO) * (sy * sxx - sx * sxy) / den))
+    return agg.select(*group_cols, "n",
+                      slope.alias("slope_micro"),
+                      intercept.alias("intercept_micro"))
+
+
+def linear_fit_sql(t: str, x_expr: str, y_expr: str,
+                   group_exprs: list[str]) -> str:
+    """DuckDB twin: BIGINT sums promote to HUGEINT (exact), then the
+    identical double-op order for the closed form."""
+    gsel = ", ".join(group_exprs)
+    return f"""
+        WITH s AS (
+            SELECT {gsel}, CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST({x_expr} AS BIGINT)) AS sx,
+                   sum(CAST({y_expr} AS BIGINT)) AS sy,
+                   sum(CAST({x_expr} AS BIGINT)
+                       * CAST({y_expr} AS BIGINT)) AS sxy,
+                   sum(CAST({x_expr} AS BIGINT)
+                       * CAST({x_expr} AS BIGINT)) AS sxx
+            FROM {t} GROUP BY {gsel})
+        SELECT {gsel}, n,
+               CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+                    THEN NULL
+                    ELSE CAST(FLOOR(1000000
+                         * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                         AS BIGINT) END AS slope_micro,
+               CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+                    THEN NULL
+                    ELSE CAST(FLOOR(1000000
+                         * (CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                         AS BIGINT) END AS intercept_micro
+        FROM s
+    """

@@ -294,3 +294,89 @@ def test_curation_report_is_scan_local(spark, sf_dir):
         docs, "doc_id", {"en": F.col("lang") == "en"}) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # zero shuffle: rides the scan
+
+
+# ---------------------------------------------------------------------------
+# group-wise OLS
+# ---------------------------------------------------------------------------
+
+def test_linear_fit_matches_numpy_and_handles_degenerate(spark):
+    import numpy as np
+    from charmpandas_spark.functions.regression import linear_fit
+
+    rows = []
+    rng = np.random.RandomState(3)
+    for g, (slope, icpt) in {"a": (3, 10), "b": (-2, 500)}.items():
+        for x in range(50):
+            rows.append((g, x, slope * x + icpt + int(rng.randint(-5, 6))))
+    rows += [("flat_x", 7, 1), ("flat_x", 7, 9),   # degenerate design
+             ("single", 1, 2)]                     # n == 1
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r["g"]: r for r in linear_fit(df, "x", "y", ["g"]).collect()}
+    for g in ("a", "b"):
+        xs = np.array([x for gg, x, _ in rows if gg == g], dtype=float)
+        ys = np.array([y for gg, _, y in rows if gg == g], dtype=float)
+        n, sx, sy = len(xs), xs.sum(), ys.sum()
+        sxy, sxx = (xs * ys).sum(), (xs * xs).sum()
+        den = n * sxx - sx * sx
+        import math
+        assert out[g]["slope_micro"] == math.floor(
+            1_000_000 * (n * sxy - sx * sy) / den)
+        assert out[g]["intercept_micro"] == math.floor(
+            1_000_000 * (sy * sxx - sx * sxy) / den)
+    assert out["flat_x"]["slope_micro"] is None
+    assert out["single"]["intercept_micro"] is None
+
+
+def test_linear_fit_deterministic_under_repartition(spark):
+    from charmpandas_spark.functions.regression import linear_fit
+
+    rows = [("g", i % 97, (i * 31) % 1009) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    a = linear_fit(df, "x", "y", ["g"]).collect()[0]
+    b = linear_fit(df.repartition(17), "x", "y", ["g"]).collect()[0]
+    assert (a["slope_micro"], a["intercept_micro"]) == \
+        (b["slope_micro"], b["intercept_micro"])
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization
+# ---------------------------------------------------------------------------
+
+def test_quantize_embeddings_codes_and_plan(spark):
+    from charmpandas_spark.functions.quantize import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 10.0, 5.0]),
+         (2, [1.0, 20.0, 5.0]),     # dim 2 constant -> code 0
+         (3, [0.5, 15.0, 5.0])],
+        "id bigint, v array<double>")
+    out = {r["id"]: r["codes"] for r in
+           quantize_embeddings(df, "v", "id").collect()}
+    # dim0 range [0,1]: 0.0->0, 1.0->255, 0.5->127 (floor(0.5*255))
+    assert out[1] == [0, 0, 0]
+    assert out[2] == [255, 255, 0]
+    assert out[3] == [127, 127, 0]
+    # coding is scan-local: the corpus-side plan below the broadcast
+    # has no second shuffle of the vectors (stats explode aside)
+    plan = quantize_embeddings(df, "v", "id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_quantize_reconstruction_bounded(spark):
+    import numpy as np
+    from charmpandas_spark.functions.quantize import quantize_embeddings
+
+    rng = np.random.RandomState(11)
+    vecs = rng.uniform(-3, 7, size=(40, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "id bigint, v array<double>")
+    rows = quantize_embeddings(df, "v", "id").collect()
+    lo, hi = vecs.min(axis=0), vecs.max(axis=0)
+    step = (hi - lo) / 255
+    for r in rows:
+        recon = lo + np.array(r["codes"]) * step
+        # each dim reconstructs within one quantization step
+        assert np.all(np.abs(recon - vecs[r["id"]]) <= step + 1e-12)
