@@ -2600,6 +2600,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (3) a §2 core slice re-proven every round, (4) the freshest
     # greens at the back. Rotated for r6 per VERDICT r5 item #4 (the
     # r2/r3-vintage rows PHYSICALLY moved into positions 1-50).
+    # r7 note: this round added ~39 new entries, so the new block
+    # alone nearly fills the window — the r3/r4-vintage backlog rides
+    # just behind it and rotates forward in r8.
     # tools/check_correctness.py runs ALL of them locally each round
     # (ADVICE r3: never depend on the driver's window size).
     return {

@@ -41,6 +41,7 @@ __all__ = [
     "c4_clean_sql",
     "quantile_keep",
     "quantile_keep_sql",
+    "quantile_keep_approx",
     "classifier_score",
     "classifier_score_sql",
     "curation_report",
@@ -301,6 +302,43 @@ def quantile_keep_sql(t: str, score_expr: str, id_expr: str,
         f"ORDER BY {score_expr} DESC, {id_expr} ASC) AS pr FROM {t}) "
         f"WHERE pr <= {keep_frac}"
     )
+
+
+def quantile_keep_approx(
+    df: SparkDF,
+    score_col: str,
+    keep_frac: float,
+    by: str | None = None,
+    accuracy: int = 10000,
+) -> SparkDF:
+    """The 100 TB path :func:`quantile_keep`'s docstring promises:
+    keep ~the top ``keep_frac`` by score via a TWO-PASS plan — pass 1
+    computes the (1 - keep_frac) quantile threshold per group with
+    ``percentile_approx`` (one partial-aggregated groupBy, constant
+    state per group), pass 2 is a SCAN-LOCAL filter against the
+    thresholds riding the plan as a broadcast join (or a broadcast
+    1-row cross join when ungrouped). No window, no per-group sort —
+    per-group work no longer has to fit one task's sort spill.
+
+    Approximate at the boundary (Greenwald-Khanna rank error
+    ~1/accuracy), so kept fractions deviate by at most that; rows
+    strictly above the threshold are always kept, making the result
+    deterministic for a fixed threshold. The exact window form stays
+    the oracle anchor."""
+    if not 0.0 <= keep_frac <= 1.0:
+        raise ValueError("keep_frac must be in [0, 1]")
+    q = 1.0 - keep_frac
+    thr = F.percentile_approx(score_col, F.lit(q), accuracy) \
+        .alias("__cps_thr")
+    if by:
+        cuts = df.groupBy(by).agg(thr)
+        return (df.join(F.broadcast(cuts), by)
+                  .filter(F.col(score_col) >= F.col("__cps_thr"))
+                  .drop("__cps_thr"))
+    cuts = df.agg(thr)
+    return (df.crossJoin(F.broadcast(cuts))
+              .filter(F.col(score_col) >= F.col("__cps_thr"))
+              .drop("__cps_thr"))
 
 
 # ---------------------------------------------------------------------------

@@ -89,6 +89,37 @@ def curate(docs, threshold=0.7, embeddings=None):
                      "doc_id")
     stats["after_classifier"] = docs.count()
 
+    # 0e. benchmark decontamination (GPT-3-style): hold out a slice as
+    #     the "eval set" and drop every training doc that shares any
+    #     word 5-gram with it — one explode + one shuffle-hash join
+    from charmpandas_spark.functions.dedup import decontaminate
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    dec = decontaminate(corpus, bench, "text", "doc_id", n=5)
+    docs = corpus.join(dec.filter("n_hits = 0")
+                          .select(F.col("doc").alias("doc_id")),
+                       "doc_id")
+    stats["after_decontamination"] = docs.count()
+
+    # 0f. bigram-LM perplexity cut: self-learned model, keep ~the top
+    #     90% by avg micro-probability via the TWO-PASS approx cut
+    #     (broadcast threshold + scan-local filter — no global window,
+    #     the form that survives 100 TB)
+    from charmpandas_spark.functions.lm import bigram_lm_score
+    from charmpandas_spark.functions.quality import quantile_keep_approx
+    lm = bigram_lm_score(docs, "text", "doc_id")
+    lm_best = quantile_keep_approx(lm, "avg_micro_p", keep_frac=0.9) \
+        .select(F.col("doc").alias("doc_id"))
+    docs = docs.join(lm_best, "doc_id")
+    release(lm)
+    # lineage cut: stages 0-0f are now a deep prefix (URL filter,
+    # line dedup, span profile, classifier, decontamination, LM cut);
+    # every downstream stage-count and the ITERATIVE ops (connected
+    # components, k-means) would re-execute the whole chain per
+    # action/iteration without this barrier
+    docs = docs.localCheckpoint()
+    stats["after_lm_cut"] = docs.count()
+
     # 1. filter: predicted-English, quality floor, token budget, plus
     #    the Gopher A1 rule set — still ONE codegen'd pass over the
     #    scan, fully pushed down (gopher signals are scan-local)

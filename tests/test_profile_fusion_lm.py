@@ -380,3 +380,43 @@ def test_quantize_reconstruction_bounded(spark):
         recon = lo + np.array(r["codes"]) * step
         # each dim reconstructs within one quantization step
         assert np.all(np.abs(recon - vecs[r["id"]]) <= step + 1e-12)
+
+
+# ---------------------------------------------------------------------------
+# two-pass approximate quantile cut (the 100 TB quantile_keep path)
+# ---------------------------------------------------------------------------
+
+def test_quantile_keep_approx_matches_exact_and_plan(spark):
+    from charmpandas_spark.functions.quality import (
+        quantile_keep, quantile_keep_approx)
+
+    df = spark.createDataFrame(
+        [(g, i, (i * 37 + hash(g)) % 1000)
+         for g in ("a", "b") for i in range(500)],
+        "g string, id long, score long")
+    exact = quantile_keep(df, "score", "id", 0.8, by="g")
+    approx = quantile_keep_approx(df, "score", 0.8, by="g")
+    ne, na = exact.count(), approx.count()
+    # high accuracy on small data: kept sets nearly identical
+    assert abs(ne - na) <= 4
+    # every row strictly above the exact cut survives the approx cut
+    min_kept = exact.groupBy("g").agg(F.min("score").alias("m"))
+    strict = df.join(min_kept, "g").filter(F.col("score") > F.col("m"))
+    assert strict.join(approx.select("g", "id"), ["g", "id"],
+                       "left_anti").count() == 0
+    # plan: no Window sort; threshold joins back as a broadcast
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_quantile_keep_approx_ungrouped_no_window(spark):
+    from charmpandas_spark.functions.quality import quantile_keep_approx
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 100).alias("score"))
+    out = quantile_keep_approx(df, "score", 0.5)
+    n = out.count()
+    assert 480 <= n <= 520
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
