@@ -2540,6 +2540,23 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "code"))
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup: the historical corpus's content
+    fingerprints persist PARTITIONED BY fingerprint-hash bucket; a new
+    batch (source src0) dedups intra-batch (keep-first) then LEFT ANTI
+    joins the index restricted to ITS OWN buckets — I/O proportional
+    to the batch's bucket coverage, not history size (pruning
+    pytest-witnessed). Survivors are the genuinely new documents."""
+    from charmpandas_spark.functions.dedup import (
+        dedup_incremental, fingerprint_index_write)
+    docs = _t(spark, sf_dir, "documents").sdf
+    path = _tmp_sink("fp_index")
+    fingerprint_index_write(docs.where(F.col("source") != "src0"),
+                            "text", "doc_id", path, num_buckets=16)
+    return dedup_incremental(spark, docs.where(F.col("source") == "src0"),
+                             path, "text", "doc_id", num_buckets=16)
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-iteration PageRank over the undirected customer-supplier
     bipartite graph (an edge per distinct (custkey, suppkey) trading
@@ -2614,6 +2631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stream_join_outer": q_streaming_stream_join_outer,
         "events_trend": q_events_trend,
         "embedding_quantize": q_embedding_quantize,
+        "dedup_incremental": q_dedup_incremental,
         "table_profile": q_table_profile,
         "histogram_value": q_histogram_value,
         "decontam_ngrams": q_decontam_ngrams,
@@ -3106,6 +3124,19 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": pagerank_sql(pr_edges, iterations=3),
         "embedding_quantize": quantize_embeddings_sql(
             "embeddings", "vec_id", "embedding"),
+        "dedup_incremental": f"""
+            WITH idx AS (
+                SELECT DISTINCT {text_mod.fingerprint_sql('text')} AS fp
+                FROM documents WHERE source <> 'src0'),
+            b AS (
+                SELECT {text_mod.fingerprint_sql('text')} AS fp,
+                       min(doc_id) AS doc
+                FROM documents WHERE source = 'src0'
+                GROUP BY 1)
+            SELECT b.doc, b.fp
+            FROM b LEFT JOIN idx ON b.fp = idx.fp
+            WHERE idx.fp IS NULL
+        """,
         "events_trend": linear_fit_sql(
             """(SELECT event_type,
                        CAST(FLOOR((epoch_us(ts)

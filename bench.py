@@ -169,6 +169,7 @@ def bench_queries(spark, sf_dir):
         "curation_report",
         "events_trend",
         "embedding_quantize",
+        "dedup_incremental",
     ]
     return {n: qs[n] for n in names if n in qs}
 

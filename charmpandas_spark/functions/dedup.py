@@ -53,6 +53,8 @@ __all__ = [
     "jaccard_pairs_prefix_sql",
     "decontaminate",
     "decontaminate_sql",
+    "fingerprint_index_write",
+    "dedup_incremental",
 ]
 
 
@@ -1136,3 +1138,74 @@ def decontaminate_sql(corpus_t: str, corpus_pred: str, bench_pred: str,
                    AS hit_micro_frac
         FROM hits GROUP BY doc
     """
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup against a persisted fingerprint index
+# ---------------------------------------------------------------------------
+
+def fingerprint_index_write(df: SparkDF, text_col: str, id_col: str,
+                            path: str, num_buckets: int = 64,
+                            mode: str = "overwrite") -> None:
+    """Materialize the corpus's content fingerprints PARTITIONED BY a
+    fingerprint-hash bucket — the persistent half of CONTINUOUS-
+    INGESTION dedup. A daily/hourly batch then dedups against years of
+    history by opening only the buckets its own fingerprints hash to
+    (directory pruning, same layout pattern as ``postings_write`` /
+    ``ivf_write``), instead of re-reading the historical corpus.
+
+    One narrow (fp, doc) row per document; fingerprints are md5 of the
+    normalized text (cross-engine exact), bucket = md5-derived hash
+    mod ``num_buckets`` — computable client-side AND engine-side, so
+    lookups prune at planning time with zero Spark jobs."""
+    from .text import fingerprint
+
+    fp = df.select(fingerprint(text_col).alias("fp"),
+                   F.col(id_col).alias("doc"))
+    (fp.withColumn("bucket", (hash64(F.col("fp"), 0, "md5")
+                              % num_buckets + num_buckets)
+                             % num_buckets)
+       .repartition("bucket")
+       .write.mode(mode).partitionBy("bucket").parquet(path))
+
+
+def dedup_incremental(spark, batch: SparkDF, path: str, text_col: str,
+                      id_col: str, num_buckets: int = 64,
+                      append_survivors: bool = False) -> SparkDF:
+    """Survivors of ``batch`` against the fingerprint index at
+    ``path``: rows whose content is unseen BOTH in the index and
+    earlier in the batch (keep-first by ascending id within each new
+    fingerprint — ``exact_dedup``'s rule). Returns
+    ``(doc, fp)``; with ``append_survivors`` the new fingerprints are
+    appended to the index so the next batch sees them.
+
+    Plan: batch fingerprints -> intra-batch keep-first (one groupBy)
+    -> LEFT ANTI join against the index scan, which is restricted to
+    the buckets the batch actually hashes into. For a small batch
+    against a huge history that bucket predicate is the whole point:
+    it lands in the scan's partition filters (pytest-witnessed), so
+    I/O is proportional to the BATCH's bucket coverage, not the
+    index size. The bucket list is collected client-side — bounded
+    by ``num_buckets``, never by data."""
+    from .text import fingerprint
+
+    bfp = batch.select(F.col(id_col).alias("doc"),
+                       fingerprint(text_col).alias("fp"))
+    first = (bfp.groupBy("fp").agg(F.min("doc").alias("doc"))
+                .withColumn("bucket",
+                            (hash64(F.col("fp"), 0, "md5")
+                             % num_buckets + num_buckets) % num_buckets)
+                .persist())
+    buckets = [r["bucket"] for r in
+               first.select("bucket").distinct().collect()]
+    idx = (spark.read.parquet(path)
+           .where(F.col("bucket").isin(buckets))
+           .select("fp"))
+    out = (first.join(idx.hint("shuffle_hash"), "fp", "left_anti")
+                .select("doc", "fp", "bucket"))
+    if append_survivors:
+        (out.select("fp", "doc", "bucket")
+            .write.mode("append").partitionBy("bucket").parquet(path))
+    result = out.select("doc", "fp")
+    result._cps_persisted = [first]  # see release()
+    return result

@@ -420,3 +420,58 @@ def test_quantile_keep_approx_ungrouped_no_window(spark):
     assert 480 <= n <= 520
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# incremental fingerprint-index dedup
+# ---------------------------------------------------------------------------
+
+def test_dedup_incremental_semantics_and_pruning(spark, tmp_path):
+    from charmpandas_spark.functions.dedup import (
+        dedup_incremental, fingerprint_index_write, release)
+
+    hist = spark.createDataFrame(
+        [(1, "seen before"), (2, "also history")],
+        "doc_id bigint, t string")
+    path = str(tmp_path / "fpidx")
+    fingerprint_index_write(hist, "t", "doc_id", path, num_buckets=8)
+
+    batch = spark.createDataFrame(
+        [(10, "seen before"),        # known -> dropped
+         (11, "brand new"),          # survives
+         (12, "brand new"),          # intra-batch dup -> dropped
+         (13, "Seen   BEFORE"),      # normalization catches it
+         (14, "another new one")],   # survives
+        "doc_id bigint, t string")
+    out = dedup_incremental(spark, batch, path, "t", "doc_id",
+                            num_buckets=8)
+    got = sorted(r["doc"] for r in out.collect())
+    assert got == [11, 14]
+    # index scan carries the batch's bucket predicate as a PARTITION
+    # filter — history I/O is bounded by the batch's bucket coverage
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    release(out)
+
+
+def test_dedup_incremental_append_survivors(spark, tmp_path):
+    from charmpandas_spark.functions.dedup import (
+        dedup_incremental, fingerprint_index_write, release)
+
+    hist = spark.createDataFrame([(1, "day zero")],
+                                 "doc_id bigint, t string")
+    path = str(tmp_path / "fpidx2")
+    fingerprint_index_write(hist, "t", "doc_id", path, num_buckets=4)
+    b1 = spark.createDataFrame([(10, "day one")],
+                               "doc_id bigint, t string")
+    out1 = dedup_incremental(spark, b1, path, "t", "doc_id",
+                             num_buckets=4, append_survivors=True)
+    assert [r["doc"] for r in out1.collect()] == [10]
+    release(out1)
+    # day-one content is now part of the index: a re-send is dropped
+    b2 = spark.createDataFrame([(20, "day one"), (21, "day two")],
+                               "doc_id bigint, t string")
+    out2 = dedup_incremental(spark, b2, path, "t", "doc_id",
+                             num_buckets=4)
+    assert sorted(r["doc"] for r in out2.collect()) == [21]
+    release(out2)
