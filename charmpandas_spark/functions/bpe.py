@@ -52,6 +52,8 @@ __all__ = [
     "bpe_apply",
     "bpe_token_count",
     "bpe_segment",
+    "bpe_vocab",
+    "bpe_encode",
 ]
 
 
@@ -195,3 +197,50 @@ def bpe_segment(col: Column | str,
 
     c = F.col(col) if isinstance(col, str) else col
     return _seg(c)
+
+
+def bpe_vocab(merges: "Iterable[tuple[str, str]]",
+              alphabet: "Iterable[str]") -> dict[str, int]:
+    """Deterministic symbol -> id table for a merge list: id 0 is
+    reserved for <unk>, then the sorted base alphabet, then each
+    merge's output symbol in merge order (the order every BPE
+    implementation assigns ids in, so tables are reproducible from
+    (merges, alphabet) alone — no corpus pass)."""
+    vocab: dict[str, int] = {"<unk>": 0}
+    for ch in sorted(set(alphabet)):
+        vocab.setdefault(ch, len(vocab))
+    for a, b in merges:
+        vocab.setdefault(a + b, len(vocab))
+    return vocab
+
+
+def bpe_encode(col: Column | str,
+               merges: "Iterable[tuple[str, str]]",
+               vocab: dict[str, int],
+               unk_id: int = 0) -> Column:
+    """Token-ID encoding as ``array<int>`` — the trainable form
+    :func:`bpe_segment` stops short of (shard writers store ids, not
+    strings). Same memoized Arrow-batched pandas_udf shape: Python
+    cost scales with DISTINCT words (Zipf), not corpus rows; symbols
+    missing from ``vocab`` encode as ``unk_id``."""
+    ranks = _ranks(merges)
+    cache: dict[str, list[int]] = {}
+
+    @pandas_udf("array<int>")
+    def _enc(s):
+        def one(text):
+            if text is None:
+                return None
+            out = []
+            for w in text.lower().split():
+                ids = cache.get(w)
+                if ids is None:
+                    ids = [vocab.get(t, unk_id)
+                           for t in bpe_apply(w, ranks)]
+                    cache[w] = ids
+                out.extend(ids)
+            return out
+        return s.map(one)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _enc(c)

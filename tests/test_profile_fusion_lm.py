@@ -475,3 +475,33 @@ def test_dedup_incremental_append_survivors(spark, tmp_path):
                              num_buckets=4)
     assert sorted(r["doc"] for r in out2.collect()) == [21]
     release(out2)
+
+
+# ---------------------------------------------------------------------------
+# BPE id encoding
+# ---------------------------------------------------------------------------
+
+def test_bpe_encode_roundtrips_segmentation(spark):
+    from charmpandas_spark.functions.bpe import (
+        bpe_apply, bpe_encode, bpe_segment, bpe_vocab,
+        learn_bpe_from_corpus)
+
+    texts = ["low lower lowest", "new newer newest", "low new"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id bigint, t string")
+    merges = learn_bpe_from_corpus(df, "t", num_merges=20)
+    alphabet = {c for t in texts for c in t if not c.isspace()}
+    vocab = bpe_vocab(merges, alphabet)
+    inv = {i: s for s, i in vocab.items()}
+
+    enc = df.select("doc_id", bpe_encode("t", merges, vocab).alias("ids"),
+                    bpe_segment("t", merges).alias("toks")).collect()
+    for r in enc:
+        # decode(ids) == segmentation — no token maps to <unk> on
+        # in-alphabet text, and ids round-trip to the same symbols
+        assert [inv[i] for i in r["ids"]] == r["toks"]
+        assert 0 not in r["ids"]
+    # out-of-alphabet chars encode as unk, deterministically
+    oov = spark.createDataFrame([(0, "lo Ω")], "doc_id bigint, t string") \
+        .select(bpe_encode("t", merges, vocab).alias("ids")).first()
+    assert oov["ids"].count(0) == 1

@@ -284,3 +284,97 @@ def test_line_dedup_matches_python_reference(spark, docs):
            for r in out.collect()}
     release(out)
     assert got == want
+
+
+WORDS = st.lists(
+    st.lists(st.sampled_from(["a", "b", "cat", "dog", "the", "x"]),
+             min_size=0, max_size=12).map(" ".join),
+    min_size=1, max_size=10)
+
+
+@given(texts=WORDS)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bigram_lm_score_matches_python_replay(spark, texts):
+    """Self-scored bigram LM == a sequential integer replay for ANY
+    corpus (micro-unit Laplace probabilities, int64 sums)."""
+    import collections
+
+    from charmpandas_spark.functions.dedup import release
+    from charmpandas_spark.functions.lm import bigram_lm_score
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id bigint, t string")
+    out = {r["doc"]: (r["n_bigrams"], r["sum_micro_p"])
+           for r in bigram_lm_score(df, "t", "doc_id").collect()}
+
+    def toks(t):
+        return [w for w in t.split() if w]
+
+    bigrams = collections.Counter()
+    for t in texts:
+        ws = toks(t)
+        for a, b in zip(ws, ws[1:]):
+            bigrams[(a, b)] += 1
+    ctx = collections.Counter()
+    for (a, _), c in bigrams.items():
+        ctx[a] += c
+    vocab = {w for pair in bigrams for w in pair}
+    v = len(vocab)
+    for doc, t in enumerate(texts):
+        ws = toks(t)
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            assert doc not in out
+            continue
+        mps = [(bigrams[p] + 1) * 1_000_000 // (ctx[p[0]] + v)
+               for p in pairs]
+        assert out[doc] == (len(pairs), sum(mps))
+
+
+LEGS = st.lists(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 20)),
+             min_size=1, max_size=15),
+    min_size=1, max_size=3)
+
+
+@given(legs=LEGS, k0=st.integers(min_value=1, max_value=100))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_rrf_fuse_matches_python_replay(spark, legs, k0):
+    """RRF fusion == integer python replay for any leg structure:
+    per-leg ranks derive from per-query ordering; fused micro scores
+    and ranks (score desc, item asc) must agree exactly."""
+    import collections
+
+    from pyspark.sql import Row
+    from charmpandas_spark.functions.fusion import rrf_fuse
+
+    ranked = []
+    py = collections.defaultdict(lambda: [0, 0])
+    for leg in legs:
+        # build per-leg ranks: dedupe (q, item), rank by item for
+        # determinism
+        seen = sorted(set(leg))
+        byq = collections.defaultdict(list)
+        for q, item in seen:
+            byq[q].append(item)
+        rows = []
+        for q, items in byq.items():
+            for rank, item in enumerate(sorted(items), 1):
+                rows.append(Row(q_id=q, item_id=item, rank=rank))
+                py[(q, item)][0] += 1
+                py[(q, item)][1] += 1_000_000 // (k0 + rank)
+        ranked.append(spark.createDataFrame(rows))
+    out = rrf_fuse(ranked, k0=k0).collect()
+    got = {(r["q_id"], r["item_id"]): (r["n_legs"], r["rrf_micro"])
+           for r in out}
+    assert got == {k: tuple(v) for k, v in py.items()}
+    # fused_rank consistent with (micro desc, item asc) per query
+    byq = collections.defaultdict(list)
+    for r in out:
+        byq[r["q_id"]].append(r)
+    for q, rows in byq.items():
+        want = sorted(rows, key=lambda r: (-r["rrf_micro"], r["item_id"]))
+        for rank, r in enumerate(want, 1):
+            assert r["fused_rank"] == rank
