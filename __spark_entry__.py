@@ -2557,6 +2557,24 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                              path, "text", "doc_id", num_buckets=16)
 
 
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's
+    time-ordered event stream: (prev_type, event_type, n) with
+    deterministic (ts, event_id) ordering. One window keyed by user
+    (parallelism = users) + one partial-aggregated groupBy — the
+    funnel family's cheap cousin, and the input a next-event model
+    trains on."""
+    ev = _t(spark, sf_dir, "events").sdf
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    return (ev.withColumn("prev_type",
+                          F.lag("event_type").over(w))
+              .where(F.col("prev_type").isNotNull())
+              .groupBy("prev_type", "event_type")
+              .agg(F.count(F.lit(1)).alias("n")))
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-iteration PageRank over the undirected customer-supplier
     bipartite graph (an edge per distinct (custkey, suppkey) trading
@@ -2632,6 +2650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trend": q_events_trend,
         "embedding_quantize": q_embedding_quantize,
         "dedup_incremental": q_dedup_incremental,
+        "events_transitions": q_events_transitions,
         "table_profile": q_table_profile,
         "histogram_value": q_histogram_value,
         "decontam_ngrams": q_decontam_ngrams,
@@ -3124,6 +3143,18 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": pagerank_sql(pr_edges, iterations=3),
         "embedding_quantize": quantize_embeddings_sql(
             "embeddings", "vec_id", "embedding"),
+        "events_transitions": """
+            WITH seq AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC) AS prev_type
+                FROM events)
+            SELECT prev_type, event_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+        """,
         "dedup_incremental": f"""
             WITH idx AS (
                 SELECT DISTINCT {text_mod.fingerprint_sql('text')} AS fp

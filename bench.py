@@ -170,6 +170,7 @@ def bench_queries(spark, sf_dir):
         "events_trend",
         "embedding_quantize",
         "dedup_incremental",
+        "events_transitions",
     ]
     return {n: qs[n] for n in names if n in qs}
 

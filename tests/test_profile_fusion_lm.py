@@ -505,3 +505,15 @@ def test_bpe_encode_roundtrips_segmentation(spark):
     oov = spark.createDataFrame([(0, "lo Ω")], "doc_id bigint, t string") \
         .select(bpe_encode("t", merges, vocab).alias("ids")).first()
     assert oov["ids"].count(0) == 1
+
+
+def test_bigram_lm_count_tables_never_broadcast(spark, sf_dir):
+    import charmpandas_spark as cps
+    from charmpandas_spark.functions.lm import bigram_lm_score
+
+    docs = cps.read_table(spark, sf_dir, "documents").sdf
+    plan = bigram_lm_score(docs, "text", "doc_id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    # Zipf count tables join via shuffle_hash; only the 1-row vocab
+    # size may broadcast (nested-loop on a literal-sized side)
+    assert "BroadcastHashJoin" not in plan
