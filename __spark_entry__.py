@@ -2557,6 +2557,22 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                              path, "text", "doc_id", num_buckets=16)
 
 
+def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture assembly: per-source cumulative token
+    sums in deterministic hash order, cut at each source's budget
+    (first crossing doc included); unbudgeted sources pass whole.
+    The "300B web / 50B code" way real mixtures are specified,
+    reproducible at any partitioning."""
+    from charmpandas_spark.functions.sampling import mixture_token_budget
+    from charmpandas_spark.functions.text import whitespace_token_count
+    docs = _t(spark, sf_dir, "documents").sdf
+    prepared = docs.select("doc_id", "source",
+                           whitespace_token_count("text").alias("n_tok"))
+    return mixture_token_budget(prepared, "source", "doc_id", "n_tok",
+                                {"src0": 300, "src1": 500},
+                                hash_fn="md5")
+
+
 def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition counts over each user's
     time-ordered event stream: (prev_type, event_type, n) with
@@ -2651,6 +2667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "dedup_incremental": q_dedup_incremental,
         "events_transitions": q_events_transitions,
+        "mixture_token_budget": q_mixture_token_budget,
         "table_profile": q_table_profile,
         "histogram_value": q_histogram_value,
         "decontam_ngrams": q_decontam_ngrams,
@@ -3067,7 +3084,8 @@ def oracle_sql() -> dict[str, str]:
     from charmpandas_spark.functions.kmeans import (
         kmeans_oracle_sql, semantic_near_dup_oracle_sql)
     from charmpandas_spark.functions.sampling import (
-        mixture_sample_sql, negative_sample_sql)
+        mixture_sample_sql, mixture_token_budget_sql,
+        negative_sample_sql)
     from charmpandas_spark.functions.quality import (
         c4_clean_sql, classifier_score_sql, gopher_quality_sql,
         quantile_keep_sql)
@@ -3103,6 +3121,8 @@ def oracle_sql() -> dict[str, str]:
                  "FROM tproj WHERE o_orderkey % 97 = 0)")
     merge_cols = ["o_orderkey", "o_custkey", "o_totalprice",
                   "o_orderstatus"]
+    _WTC_SQL = ("CASE WHEN trim(text) = '' THEN 0 ELSE "
+                r"length(regexp_split_to_array(trim(text), '\s+')) END")
     shard_inner = ("SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 "
                    r"ELSE length(regexp_split_to_array(trim(text), '\s+')) "
                    "END AS INT) AS n_tok FROM documents")
@@ -3143,6 +3163,12 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": pagerank_sql(pr_edges, iterations=3),
         "embedding_quantize": quantize_embeddings_sql(
             "embeddings", "vec_id", "embedding"),
+        "mixture_token_budget": mixture_token_budget_sql(
+            f"(SELECT doc_id, source, CAST({_WTC_SQL} AS INT) AS n_tok "
+            f"FROM documents)",
+            "source", "doc_id", "n_tok",
+            {"src0": 300, "src1": 500},
+            cols="doc_id, source, n_tok"),
         "events_transitions": """
             WITH seq AS (
                 SELECT user_id, event_type,

@@ -171,6 +171,7 @@ def bench_queries(spark, sf_dir):
         "embedding_quantize",
         "dedup_incremental",
         "events_transitions",
+        "mixture_token_budget",
     ]
     return {n: qs[n] for n in names if n in qs}
 

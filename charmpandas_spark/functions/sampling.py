@@ -20,6 +20,7 @@ from .dedup import hash64
 
 __all__ = ["hash_bucket", "hash_sample", "assign_splits",
            "stratified_sample", "mixture_sample", "mixture_sample_sql",
+           "mixture_token_budget", "mixture_token_budget_sql",
            "negative_sample", "negative_sample_sql"]
 
 #: buckets per unit of rate (rate resolution 0.01%)
@@ -241,4 +242,72 @@ def negative_sample_sql(t: str, id_expr: str, k: int = 4,
             JOIN (SELECT {id_expr} AS cand FROM {t}) c
               ON {probe} = {cb}
             WHERE c.cand <> s.anchor_id) WHERE rn = 1
+    """
+
+
+def mixture_token_budget(
+    df: SparkDF,
+    group_col: str,
+    key_col: str,
+    token_col: str,
+    budgets: dict[str, int],
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> SparkDF:
+    """Assemble a training mixture by PER-SOURCE TOKEN BUDGETS rather
+    than keep rates: within each group, documents are taken in
+    deterministic hash order until the group's cumulative token count
+    reaches its budget (the first budget-crossing document is
+    included, so every group with data makes progress; groups without
+    a budget pass through whole). How real mixtures are specified —
+    "300B web tokens, 50B code" — and reproducible across runs,
+    partitionings, and engines because the order is a pure key hash.
+
+    Plan: one window per group (hash-order cumulative sum) + a
+    scan-local filter. Parallelism = groups; a mixture has tens of
+    sources, each window a spill-able sorted run — for a SINGLE
+    gigantic source, pre-shard it (compose with ``hash_sample``) or
+    use the ``text.pack_sequences`` distributed-prefix-sum machinery;
+    this form is the oracle-checkable anchor."""
+    from pyspark.sql import Window
+
+    h = hash_bucket(F.col(key_col), seed, hash_fn)
+    w = Window.partitionBy(group_col).orderBy(
+        h.asc(), F.col(key_col).asc())
+    cum = F.sum(F.col(token_col)).over(w)
+    gname = F.col(group_col).cast("string")
+    budget = F.map_from_arrays(
+        F.array(*[F.lit(str(g)) for g in budgets]),
+        F.array(*[F.lit(int(b)) for b in budgets.values()]))
+    b = F.try_element_at(budget, gname)
+    # window expressions can't sit in a filter — materialize the
+    # cumulative sum first, then filter on the projected column
+    prev = F.col("__cps_cum") - F.col(token_col)
+    return (df.withColumn("__cps_cum", cum)
+              .filter(b.isNull() | (prev < b))
+              .drop("__cps_cum"))
+
+
+def mixture_token_budget_sql(t: str, group_expr: str, key_expr: str,
+                             token_expr: str, budgets: dict[str, int],
+                             seed: int = 0, cols: str = "*") -> str:
+    """DuckDB twin of ``mixture_token_budget(..., hash_fn='md5')``."""
+    from .dedup import hash64_sql
+
+    h = hash64_sql(f"CAST({key_expr} AS VARCHAR)", str(seed))
+    bucket = f"((({h}) % {_BUCKETS}) + {_BUCKETS}) % {_BUCKETS}"
+    budget = "NULL"
+    for g, b in reversed(list(budgets.items())):
+        budget = (f"CASE WHEN CAST({group_expr} AS VARCHAR) = '{g}' "
+                  f"THEN {int(b)} ELSE {budget} END")
+    return f"""
+        SELECT {cols} FROM (
+            SELECT *, ({budget}) AS __b,
+                   sum({token_expr}) OVER (
+                       PARTITION BY {group_expr}
+                       ORDER BY ({bucket}) ASC, {key_expr} ASC
+                       ROWS UNBOUNDED PRECEDING)
+                   - ({token_expr}) AS __prev
+            FROM {t})
+        WHERE __b IS NULL OR __prev < __b
     """

@@ -517,3 +517,42 @@ def test_bigram_lm_count_tables_never_broadcast(spark, sf_dir):
     # Zipf count tables join via shuffle_hash; only the 1-row vocab
     # size may broadcast (nested-loop on a literal-sized side)
     assert "BroadcastHashJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# token-budget mixture
+# ---------------------------------------------------------------------------
+
+def test_mixture_token_budget_semantics(spark):
+    from charmpandas_spark.functions.sampling import mixture_token_budget
+
+    rows = [("web", i, 100) for i in range(20)] + \
+           [("code", i + 100, 50) for i in range(10)] + \
+           [("books", 777, 10_000)]          # over-budget single doc
+    df = spark.createDataFrame(rows, "src string, id long, n_tok long")
+    out = mixture_token_budget(df, "src", "id", "n_tok",
+                               {"web": 450, "books": 5}).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["src"], []).append(r)
+    # web: hash-ordered docs until cum >= 450 -> exactly 5 x 100
+    # (first crossing included)
+    assert len(by["web"]) == 5
+    # books: budget smaller than the single doc, but the first
+    # budget-crossing doc is still included
+    assert len(by["books"]) == 1
+    # code: no budget -> passes through whole
+    assert len(by["code"]) == 10
+
+
+def test_mixture_token_budget_partition_invariant(spark):
+    from charmpandas_spark.functions.sampling import mixture_token_budget
+
+    rows = [(f"s{i % 3}", i, (i * 7) % 90 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "src string, id long, n_tok long")
+    budgets = {"s0": 1000, "s1": 500}
+    a = {r["id"] for r in mixture_token_budget(
+        df, "src", "id", "n_tok", budgets).collect()}
+    b = {r["id"] for r in mixture_token_budget(
+        df.repartition(13), "src", "id", "n_tok", budgets).collect()}
+    assert a == b
