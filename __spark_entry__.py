@@ -2557,6 +2557,20 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                              path, "text", "doc_id", num_buckets=16)
 
 
+def q_quality_lm_external(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM in its DEPLOYMENT shape: the model learns on a
+    trusted reference corpus (sources != src0) and scores a separate
+    crawl slice (src0) — unseen bigrams/contexts hit the Laplace
+    floor via the left joins. Same plan as the self-scored form; only
+    the count tables' provenance changes."""
+    from charmpandas_spark.functions.lm import bigram_lm, bigram_lm_score
+    docs = _t(spark, sf_dir, "documents").sdf
+    model = bigram_lm(docs.where(F.col("source") != "src0"),
+                      "text", "doc_id")
+    return bigram_lm_score(docs.where(F.col("source") == "src0"),
+                           "text", "doc_id", model=model)
+
+
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide-to-long reshape (`DataFrame.unpivot` — pivot's inverse):
     three measure columns melt into (measure, value) rows. Narrow,
@@ -2682,6 +2696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": q_events_transitions,
         "mixture_token_budget": q_mixture_token_budget,
         "unpivot": q_unpivot,
+        "quality_lm_external": q_quality_lm_external,
         "table_profile": q_table_profile,
         "histogram_value": q_histogram_value,
         "decontam_ngrams": q_decontam_ngrams,
@@ -3174,6 +3189,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "quality_lm_score": bigram_lm_score_sql(
             "documents", "doc_id", "text"),
+        "quality_lm_external": bigram_lm_score_sql(
+            "documents", "doc_id", "text",
+            learn_pred="source <> 'src0'",
+            score_pred="source = 'src0'"),
         "graph_pagerank": pagerank_sql(pr_edges, iterations=3),
         "embedding_quantize": quantize_embeddings_sql(
             "embeddings", "vec_id", "embedding"),

@@ -138,37 +138,45 @@ def bigram_lm_score(df: SparkDF, text_col: str, id_col: str,
     return out
 
 
-def bigram_lm_score_sql(t: str, id_expr: str, text_expr: str) -> str:
-    """DuckDB twin of self-scored :func:`bigram_lm_score`. The bigram
-    stream is formed by positional list indexing (list_transform over
-    a range) rather than by slice-zip — a semantic re-derivation, not
-    an implementation echo; the integer micro-unit arithmetic makes
-    the two agree exactly."""
+def bigram_lm_score_sql(t: str, id_expr: str, text_expr: str,
+                        learn_pred: str = "TRUE",
+                        score_pred: str = "TRUE") -> str:
+    """DuckDB twin of :func:`bigram_lm_score`. The bigram stream is
+    formed by positional list indexing (list_transform over a range)
+    rather than by slice-zip — a semantic re-derivation, not an
+    implementation echo; the integer micro-unit arithmetic makes the
+    two agree exactly. ``learn_pred``/``score_pred`` split the table
+    into the model corpus and the scored corpus (both TRUE =
+    self-scored)."""
     return f"""
         WITH norm AS (
             SELECT {id_expr} AS doc,
+                   ({learn_pred}) AS __learn, ({score_pred}) AS __score,
                    string_split(trim(regexp_replace(lower({text_expr}),
                                      '\\s+', ' ', 'g')), ' ') AS toks
-            FROM {t}),
+            FROM {t} WHERE ({learn_pred}) OR ({score_pred})),
         pairs AS (
-            SELECT doc,
+            SELECT doc, __learn, __score,
                    unnest(list_transform(
                        range(1, greatest(length(toks), 1)),
                        i -> [toks[CAST(i AS INT)],
                              toks[CAST(i + 1 AS INT)]])) AS p
             FROM norm),
-        bg AS (
-            SELECT doc, p[1] AS w1, p[2] AS w2
+        bg_all AS (
+            SELECT doc, __learn, __score, p[1] AS w1, p[2] AS w2
             FROM pairs WHERE p[1] <> '' AND p[2] <> ''),
+        bg_learn AS (SELECT * FROM bg_all WHERE __learn),
+        bg AS (SELECT * FROM bg_all WHERE __score),
         bigrams AS (
             SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
-            FROM bg GROUP BY w1, w2),
+            FROM bg_learn GROUP BY w1, w2),
         contexts AS (
             SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
             FROM bigrams GROUP BY w1),
         vocab AS (
             SELECT count(DISTINCT w) AS v FROM (
-                SELECT w1 AS w FROM bg UNION ALL SELECT w2 FROM bg)),
+                SELECT w1 AS w FROM bg_learn
+                UNION ALL SELECT w2 FROM bg_learn)),
         scored AS (
             SELECT bg.doc,
                    CAST(FLOOR((COALESCE(b.c12, 0) + 1) * 1000000.0
