@@ -18,8 +18,9 @@ from .sources.parquet import read_parquet as _read_parquet, read_table as _read_
 __all__ = ["read_parquet", "read_table", "concat"]
 
 
-def read_parquet(spark: SparkSession, path, columns=None) -> DataFrame:
-    return _read_parquet(spark, path, columns)
+def read_parquet(spark: SparkSession, path, columns=None,
+                 merge_schema=False) -> DataFrame:
+    return _read_parquet(spark, path, columns, merge_schema)
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

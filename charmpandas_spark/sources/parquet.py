@@ -115,11 +115,20 @@ def read_parquet(
     spark: SparkSession,
     path: str | list[str],
     columns: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Lazy parquet scan -> DataFrame (reference: eager full-column
     read, no pushdown — src/partition.cpp:812 reads ALL columns; here
     Catalyst prunes columns and pushes predicates into the scan, the
     single biggest win over the reference at 100 TB, SURVEY §4.1).
+
+    ``merge_schema``: reconcile EVOLVED schemas across files (a table
+    appended to for months grows columns): Spark unions every file
+    footer's fields; files missing a column read it as null. Off by
+    default — schema merging footer-reads every file at planning
+    time, a real cost on 10^6-file tables; a production layout
+    declares the current schema instead and relies on parquet's
+    by-name column resolution.
     """
     if isinstance(path, str):
         path = _expand_regex_path(path)
@@ -160,6 +169,8 @@ def read_parquet(
                     out = out.select(*columns)
                 return DataFrame(out)
     reader = spark.read
+    if merge_schema and not ns_cols:
+        reader = reader.option("mergeSchema", "true")
     if ns_cols:
         reader = reader.schema(ns_schema)
     sdf = reader.parquet(*paths)

@@ -374,3 +374,22 @@ def test_orc_roundtrip_and_pushdown(spark, sf_dir):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(c_custkey), GreaterThan(c_custkey," \
         in plan
+
+
+def test_read_parquet_merge_schema_evolution(spark, tmp_path):
+    """A table appended to over time grows columns; merge_schema=True
+    reconciles the evolved footers (old files read the new column as
+    null), while the default single-schema read stays cheap."""
+    import charmpandas_spark as cps
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id bigint, v string") \
+        .write.parquet(path)
+    spark.createDataFrame([(2, "b", 9.5)],
+                          "id bigint, v string, score double") \
+        .write.mode("append").parquet(path)
+    got = cps.read_parquet(spark, path, merge_schema=True).get() \
+        .sort_values("id").reset_index(drop=True)
+    assert list(got.columns) == ["id", "v", "score"]
+    assert got["score"].isna().tolist() == [True, False]
+    assert got["score"].iloc[1] == 9.5
