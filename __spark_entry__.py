@@ -2557,6 +2557,20 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                              path, "text", "doc_id", num_buckets=16)
 
 
+def q_sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage serving, stage 1: top-10 per query by INTEGER dot
+    product over the CENTERED int8 codes (4x smaller scan than the
+    float table; symmetric codes keep the integer dot rank-compatible
+    with the float dot, and the int64 fold makes even the candidate
+    ranking cross-engine exact). Queries = vec_id < 5."""
+    from charmpandas_spark.functions.quantize import (
+        quantize_embeddings, quantized_dot_topk)
+    emb = _t(spark, sf_dir, "embeddings").sdf
+    codes = quantize_embeddings(emb, "embedding", "vec_id",
+                                centered=True)
+    return quantized_dot_topk(codes, codes.where(F.col("id") < 5), k=10)
+
+
 def q_quality_lm_external(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram LM in its DEPLOYMENT shape: the model learns on a
     trusted reference corpus (sources != src0) and scores a separate
@@ -2697,6 +2711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_token_budget": q_mixture_token_budget,
         "unpivot": q_unpivot,
         "quality_lm_external": q_quality_lm_external,
+        "sim_quantized_topk": q_sim_quantized_topk,
         "table_profile": q_table_profile,
         "histogram_value": q_histogram_value,
         "decontam_ngrams": q_decontam_ngrams,
@@ -3160,7 +3175,8 @@ def oracle_sql() -> dict[str, str]:
     from charmpandas_spark.functions.profile import (
         histogram_equiwidth_sql, profile_columns_sql)
     from charmpandas_spark.functions.regression import linear_fit_sql
-    from charmpandas_spark.functions.quantize import quantize_embeddings_sql
+    from charmpandas_spark.functions.quantize import (
+        quantize_embeddings_sql, quantized_dot_topk_sql)
     dense_leg = f"""
             WITH p AS (
                 SELECT q.vec_id AS q_id, e.vec_id AS item_id,
@@ -3225,6 +3241,8 @@ def oracle_sql() -> dict[str, str]:
             FROM seq WHERE prev_type IS NOT NULL
             GROUP BY prev_type, event_type
         """,
+        "sim_quantized_topk": quantized_dot_topk_sql(
+            "embeddings", "vec_id", "embedding", "vec_id < 5", k=10),
         "dedup_incremental": f"""
             WITH idx AS (
                 SELECT DISTINCT {text_mod.fingerprint_sql('text')} AS fp

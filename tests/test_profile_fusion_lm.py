@@ -556,3 +556,28 @@ def test_mixture_token_budget_partition_invariant(spark):
     b = {r["id"] for r in mixture_token_budget(
         df.repartition(13), "src", "id", "n_tok", budgets).collect()}
     assert a == b
+
+
+def test_quantized_dot_topk_agrees_with_float_ranking(spark):
+    """On well-separated vectors the int8 stage-1 ranking recovers the
+    float dot-product ranking (quantization noise only reorders
+    near-ties); dot values are exact int64 folds."""
+    import numpy as np
+    from charmpandas_spark.functions.quantize import (
+        quantize_embeddings, quantized_dot_topk)
+
+    rng = np.random.RandomState(5)
+    vecs = rng.uniform(-1, 1, size=(30, 16))
+    vecs[1] = vecs[0] * 0.95          # planted near-neighbor of 0
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "id bigint, v array<double>")
+    codes = quantize_embeddings(df, "v", "id", centered=True)
+    out = quantized_dot_topk(codes, codes.where(F.col("id") == 0), k=3)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert rows[0]["item_id"] == 1  # the planted neighbor wins stage 1
+    # exact integer dots: recompute from the collected codes
+    cmap = {r["id"]: r["codes"] for r in codes.collect()}
+    for r in rows:
+        want = sum(a * b for a, b in zip(cmap[0], cmap[r["item_id"]]))
+        assert r["dot"] == want
