@@ -2557,6 +2557,23 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                              path, "text", "doc_id", num_buckets=16)
 
 
+def q_events_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON flattening: ``from_json`` parses the props column
+    against a declared schema into real typed columns (vs
+    ``events_json``'s per-path string extraction) — one scan-local
+    projection, then an aggregate proving the typed value computes.
+    Malformed documents become nulls (PERMISSIVE), not errors."""
+    ev = _t(spark, sf_dir, "events").sdf
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k INT").alias("p"))
+    return (parsed.groupBy("event_type")
+            .agg(F.count(F.col("p.k")).alias("n_k"),
+                 F.sum(F.col("p.k")).alias("sum_k"),
+                 F.min(F.col("p.k")).alias("min_k"),
+                 F.max(F.col("p.k")).alias("max_k")))
+
+
 def q_sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage serving, stage 1: top-10 per query by INTEGER dot
     product over the CENTERED int8 codes (4x smaller scan than the
@@ -2712,6 +2729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot": q_unpivot,
         "quality_lm_external": q_quality_lm_external,
         "sim_quantized_topk": q_sim_quantized_topk,
+        "events_props_typed": q_events_props_typed,
         "table_profile": q_table_profile,
         "histogram_value": q_histogram_value,
         "decontam_ngrams": q_decontam_ngrams,
@@ -3240,6 +3258,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM seq WHERE prev_type IS NOT NULL
             GROUP BY prev_type, event_type
+        """,
+        "events_props_typed": """
+            SELECT event_type,
+                   CAST(count(CAST(props ->> 'k' AS INT)) AS BIGINT)
+                       AS n_k,
+                   CAST(sum(CAST(props ->> 'k' AS INT)) AS BIGINT)
+                       AS sum_k,
+                   CAST(min(CAST(props ->> 'k' AS INT)) AS INT)
+                       AS min_k,
+                   CAST(max(CAST(props ->> 'k' AS INT)) AS INT)
+                       AS max_k
+            FROM events GROUP BY event_type
         """,
         "sim_quantized_topk": quantized_dot_topk_sql(
             "embeddings", "vec_id", "embedding", "vec_id < 5", k=10),
