@@ -6,6 +6,12 @@ distributed DataFrame transformation.
 
     raw documents
       -> URL/domain blocklist filter      (urls.py, broadcast anti-join)
+      -> line dedup / span profile /      (CCNet boilerplate, recycled
+         classifier score                  spans, linear quality model)
+      -> benchmark decontamination        (5-gram overlap vs held-out
+                                           eval slice)
+      -> bigram-LM perplexity cut         (lm.py + two-pass approx
+                                           quantile threshold)
       -> quality + language filter        (text.py + Gopher rules,
                                            one codegen'd scan pass)
       -> exact dedup                      (fingerprint keep-first)
