@@ -378,3 +378,94 @@ def test_rrf_fuse_matches_python_replay(spark, legs, k0):
         want = sorted(rows, key=lambda r: (-r["rrf_micro"], r["item_id"]))
         for rank, r in enumerate(want, 1):
             assert r["fused_rank"] == rank
+
+
+TOKROWS = st.lists(st.tuples(st.integers(0, 2),      # source
+                             st.integers(1, 400)),   # n_tok
+                   min_size=1, max_size=40)
+
+
+@given(rows=TOKROWS,
+       budgets=st.dictionaries(st.sampled_from(["s0", "s1", "s2"]),
+                               st.integers(0, 2000), max_size=3))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_mixture_token_budget_matches_python_replay(spark, rows, budgets):
+    """Token-budget mixture == sequential replay over the md5 hash
+    order for any corpus/budget combination (first budget-crossing doc
+    included; unbudgeted sources pass whole)."""
+    import hashlib
+
+    from charmpandas_spark.functions.sampling import mixture_token_budget
+
+    data = [(f"s{src}", i, nt) for i, (src, nt) in enumerate(rows)]
+    df = spark.createDataFrame(data, "src string, id long, n_tok long")
+    got = {r["id"] for r in mixture_token_budget(
+        df, "src", "id", "n_tok", budgets, hash_fn="md5").collect()}
+
+    def bucket(key):
+        h = int(hashlib.md5(f"0:{key}".encode()).hexdigest()[:15], 16)
+        return h % 10_000
+
+    want = set()
+    by_src = {}
+    for src, i, nt in data:
+        by_src.setdefault(src, []).append((bucket(i), i, nt))
+    for src, items in by_src.items():
+        b = budgets.get(src)
+        if b is None:
+            want |= {i for _, i, _ in items}
+            continue
+        cum = 0
+        for _, i, nt in sorted(items):
+            if cum < b:
+                want.add(i)
+            cum += nt
+    assert got == want
+
+
+VECS = st.lists(
+    st.lists(st.floats(min_value=-50, max_value=50, allow_nan=False,
+                       width=32),
+             min_size=4, max_size=4),
+    min_size=1, max_size=15)
+
+
+@given(vecs=VECS)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_quantize_matches_numpy_replay_both_layouts(spark, vecs):
+    """Affine and centered quantization == a numpy replay of the same
+    fixed-order IEEE expression, for arbitrary float corpora."""
+    import math
+
+    import numpy as np
+
+    from charmpandas_spark.functions.quantize import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "id bigint, v array<double>")
+    x = np.array([[float(c) for c in v] for v in vecs], dtype=np.float64)
+    lo, hi = x.min(axis=0), x.max(axis=0)
+    m = np.abs(x).max(axis=0)
+
+    aff = {r["id"]: r["codes"] for r in
+           quantize_embeddings(df, "v", "id").collect()}
+    cen = {r["id"]: r["codes"] for r in
+           quantize_embeddings(df, "v", "id", centered=True).collect()}
+    for i, v in enumerate(vecs):
+        for d, val in enumerate(v):
+            val = float(np.float64(float(val)))
+            if hi[d] == lo[d]:
+                want_a = 0
+            else:
+                want_a = min(255, max(0, math.floor(
+                    (val - lo[d]) * 255.0 / (hi[d] - lo[d]))))
+            assert aff[i][d] == want_a
+            if m[d] == 0:
+                want_c = 0
+            else:
+                want_c = min(127, max(-127, math.floor(
+                    val * 127.0 / m[d])))
+            assert cen[i][d] == want_c
