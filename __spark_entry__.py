@@ -2557,6 +2557,23 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                              path, "text", "doc_id", num_buckets=16)
 
 
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule drop accounting for the curation rule set in ONE
+    aggregate: total failures per rule plus first-failure attribution
+    (sums to total drops) and the kept count — the funnel chart a
+    curation run reports. Same rules as ``curation_report``."""
+    from charmpandas_spark.functions.quality import curation_funnel
+    from charmpandas_spark.functions.text import whitespace_token_count
+    docs = _t(spark, sf_dir, "documents").sdf
+    rules = {
+        "min_words": whitespace_token_count("text") >= 10,
+        "is_en": F.col("lang") == "en",
+        "max_chars": F.col("n_chars") <= 800,
+        "no_brace": F.instr(F.col("text"), "{") == 0,
+    }
+    return curation_funnel(docs, rules)
+
+
 def q_events_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed JSON flattening: ``from_json`` parses the props column
     against a declared schema into real typed columns (vs
@@ -2730,6 +2747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_lm_external": q_quality_lm_external,
         "sim_quantized_topk": q_sim_quantized_topk,
         "events_props_typed": q_events_props_typed,
+        "curation_funnel": q_curation_funnel,
         "table_profile": q_table_profile,
         "histogram_value": q_histogram_value,
         "decontam_ngrams": q_decontam_ngrams,
@@ -3210,7 +3228,8 @@ def oracle_sql() -> dict[str, str]:
             FROM p QUALIFY rnk <= 10"""
     sparse_leg = tf_cosine_topk_sql("documents", "doc_id", "text",
                                     "doc_id < 10", k=10)
-    from charmpandas_spark.functions.quality import curation_report_sql
+    from charmpandas_spark.functions.quality import (
+        curation_funnel_sql, curation_report_sql)
     from charmpandas_spark.operators.pagerank import pagerank_sql
     pr_edges = """
         SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
@@ -3310,6 +3329,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "curation_report": curation_report_sql(
             "documents", "doc_id", _CURATION_RULES_SQL),
+        "curation_funnel": curation_funnel_sql(
+            "documents", _CURATION_RULES_SQL),
         "table_profile": profile_columns_sql(
             "lineitem",
             ["l_orderkey", "l_quantity", "l_extendedprice",

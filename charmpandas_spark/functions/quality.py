@@ -46,6 +46,8 @@ __all__ = [
     "classifier_score_sql",
     "curation_report",
     "curation_report_sql",
+    "curation_funnel",
+    "curation_funnel_sql",
 ]
 
 # The 8 required English stopwords from Gopher A1 ("must contain at
@@ -460,3 +462,63 @@ def curation_report_sql(t: str, id_expr: str,
                    AS fail_reasons
         FROM {t}
     """
+
+
+def curation_funnel(df: SparkDF, rules: "dict[str, Column]") -> SparkDF:
+    """Per-rule failure accounting in ONE aggregate over one scan:
+    ``(rule, n_failed, n_first_failed)`` for every rule plus a
+    ``__total__``/``__kept__`` pair — the funnel chart of a curation
+    run. ``n_failed`` counts rows failing the rule at all;
+    ``n_first_failed`` attributes each dropped row to the FIRST rule
+    (in dict order) that killed it, so the column sums to total
+    drops. Same null-fails semantics as :func:`curation_report`.
+
+    No shuffle beyond the single partial-aggregated global agg; the
+    long format is an inline explode of the 1-row result."""
+    fails = {name: (cond.isNull() | ~cond)
+             for name, cond in rules.items()}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    prior = None
+    for name, f in fails.items():
+        aggs.append(F.sum(f.cast("bigint")).alias(f"__f_{name}"))
+        first = f if prior is None else (~prior & f)
+        aggs.append(F.sum(first.cast("bigint")).alias(f"__ff_{name}"))
+        prior = f if prior is None else (prior | f)
+    aggs.append(F.sum((~prior).cast("bigint")).alias("__kept"))
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[F.struct(F.lit(n).alias("rule"),
+                   F.col(f"__f_{n}").alias("n_failed"),
+                   F.col(f"__ff_{n}").alias("n_first_failed"))
+          for n in rules],
+        F.struct(F.lit("__total__").alias("rule"),
+                 F.col("__n").alias("n_failed"),
+                 F.col("__n").alias("n_first_failed")),
+        F.struct(F.lit("__kept__").alias("rule"),
+                 F.col("__kept").alias("n_failed"),
+                 F.col("__kept").alias("n_first_failed")))
+    return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def curation_funnel_sql(t: str, rules: "dict[str, str]") -> str:
+    """DuckDB twin of :func:`curation_funnel`."""
+    fails = {n: f"NOT COALESCE(({p}), FALSE)" for n, p in rules.items()}
+    parts, seen = [], []
+    for n, f in fails.items():
+        first = f if not seen else f"NOT ({' OR '.join(seen)}) AND {f}"
+        parts.append(
+            f"SELECT '{n}' AS rule, "
+            f"CAST(sum(CASE WHEN {f} THEN 1 ELSE 0 END) AS BIGINT) "
+            f"AS n_failed, "
+            f"CAST(sum(CASE WHEN {first} THEN 1 ELSE 0 END) AS BIGINT) "
+            f"AS n_first_failed FROM {t}")
+        seen.append(f)
+    anyf = " OR ".join(seen)
+    parts.append(f"SELECT '__total__', CAST(count(*) AS BIGINT), "
+                 f"CAST(count(*) AS BIGINT) FROM {t}")
+    parts.append(
+        f"SELECT '__kept__', "
+        f"CAST(sum(CASE WHEN NOT ({anyf}) THEN 1 ELSE 0 END) AS BIGINT), "
+        f"CAST(sum(CASE WHEN NOT ({anyf}) THEN 1 ELSE 0 END) AS BIGINT) "
+        f"FROM {t}")
+    return " UNION ALL ".join(parts)

@@ -581,3 +581,29 @@ def test_quantized_dot_topk_agrees_with_float_ranking(spark):
     for r in rows:
         want = sum(a * b for a, b in zip(cmap[0], cmap[r["item_id"]]))
         assert r["dot"] == want
+
+
+def test_curation_funnel_attribution_sums(spark):
+    from pyspark.sql import functions as F
+    from charmpandas_spark.functions.quality import curation_funnel
+
+    df = spark.createDataFrame(
+        [(1, 10, "x"), (2, None, "x"), (3, 5, None), (4, None, None)],
+        "id bigint, v int, s string")
+    rules = {"has_v": F.col("v").isNotNull(),
+             "has_s": F.col("s").isNotNull()}
+    out = {r["rule"]: r for r in curation_funnel(df, rules).collect()}
+    assert out["has_v"]["n_failed"] == 2          # rows 2, 4
+    assert out["has_s"]["n_failed"] == 2          # rows 3, 4
+    assert out["has_v"]["n_first_failed"] == 2    # 2 and 4 (first rule)
+    assert out["has_s"]["n_first_failed"] == 1    # only 3 reaches it
+    assert out["__kept__"]["n_failed"] == 1       # row 1
+    assert out["__total__"]["n_failed"] == 4
+    # first-failure attribution partitions the drops
+    drops = out["__total__"]["n_failed"] - out["__kept__"]["n_failed"]
+    assert (out["has_v"]["n_first_failed"]
+            + out["has_s"]["n_first_failed"]) == drops
+    # one scan, no join
+    plan = curation_funnel(df, rules) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
