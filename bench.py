@@ -172,6 +172,11 @@ def bench_queries(spark, sf_dir):
         "dedup_incremental",
         "events_transitions",
         "mixture_token_budget",
+        "unpivot",
+        "quality_lm_external",
+        "sim_quantized_topk",
+        "events_props_typed",
+        "curation_funnel",
     ]
     return {n: qs[n] for n in names if n in qs}
 
@@ -209,14 +214,15 @@ SF1_QUERIES = {
     "sim_sparse_topk": 5.4,
     "dedup_spans": 4.6,
     "shard_assignment": 0.7,
-    # r7 wave-3 (warm best-of-2 minima): pagerank is the expensive
-    # one — the sf1 fixture reuses the customer table, so the 10x
-    # orders densify the bipartite graph instead of growing the node
-    # set; 3 iterations over the denser edge list is the honest
-    # iterative-scaling witness
-    "graph_pagerank": 47.0,
-    "quality_lm_score": 4.4,
-    "decontam_ngrams": 6.8,
+    # r7 wave-3 (clean solo-run minima; a first 47 s pagerank reading
+    # was contention from a concurrently-running pipeline demo — the
+    # idle-host figure is ~8 s). The sf1 fixture reuses the customer
+    # table, so the 10x orders densify the bipartite graph instead of
+    # growing the node set; 3 iterations over the denser edge list is
+    # the honest iterative-scaling witness.
+    "graph_pagerank": 8.1,
+    "quality_lm_score": 4.6,
+    "decontam_ngrams": 6.9,
 }
 
 
