@@ -2557,6 +2557,48 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                              path, "text", "doc_id", num_buckets=16)
 
 
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-level URL canonicalization: three deterministic messy
+    variants per document (case noise + tracking params + fragments +
+    trailing slashes + shuffled parameter order) must all collapse to
+    the clean canonical form. The oracle CONSTRUCTS the expected
+    canonical directly from (source, doc_id) — a semantic check of
+    the normalization, not a reimplementation of the parser."""
+    from charmpandas_spark.functions.urls import canonicalize_url
+    docs = _t(spark, sf_dir, "documents").sdf
+    sid = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("www."), F.col("source"), F.lit(".com"))
+    base = F.concat(host, F.lit("/d/"), sid)
+    messy = (F.when(F.col("doc_id") % 3 == 0,
+                    # case noise on scheme+host ONLY: URL paths are
+                    # case-SENSITIVE (RFC 3986), the canonicalizer
+                    # must preserve them
+                    F.concat(F.lit("HTTPS://"), F.upper(host),
+                             F.lit("/d/"), sid,
+                             F.lit("/?utm_source=news&b=2&a=1#frag")))
+              .when(F.col("doc_id") % 3 == 1,
+                    F.concat(F.lit("https://"), base, F.lit("?a=1&b=2")))
+              .otherwise(
+                    F.concat(F.lit("https://"), base,
+                             F.lit("/page/?fbclid=xyz"))))
+    return docs.select("doc_id",
+                       canonicalize_url(messy).alias("canonical"))
+
+
+def q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag Pearson correlation of quantity vs price —
+    exact DECIMAL(38) sufficient statistics + one fixed-order double
+    expression, so even a correlation hash-checks cross-engine.
+    Inputs integerized (quantity is integral; price to floor-cents)."""
+    from charmpandas_spark.functions.regression import correlation
+    li = _t(spark, sf_dir, "lineitem").sdf
+    prepared = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("y"))
+    return correlation(prepared, "x", "y", ["l_returnflag"])
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-rule drop accounting for the curation rule set in ONE
     aggregate: total failures per rule plus first-failure attribution
@@ -2748,6 +2790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_quantized_topk": q_sim_quantized_topk,
         "events_props_typed": q_events_props_typed,
         "curation_funnel": q_curation_funnel,
+        "lineitem_corr": q_lineitem_corr,
+        "url_canonicalize": q_url_canonicalize,
         "table_profile": q_table_profile,
         "histogram_value": q_histogram_value,
         "decontam_ngrams": q_decontam_ngrams,
@@ -3210,7 +3254,8 @@ def oracle_sql() -> dict[str, str]:
     from charmpandas_spark.functions.lm import bigram_lm_score_sql
     from charmpandas_spark.functions.profile import (
         histogram_equiwidth_sql, profile_columns_sql)
-    from charmpandas_spark.functions.regression import linear_fit_sql
+    from charmpandas_spark.functions.regression import (
+        correlation_sql, linear_fit_sql)
     from charmpandas_spark.functions.quantize import (
         quantize_embeddings_sql, quantized_dot_topk_sql)
     dense_leg = f"""
@@ -3305,6 +3350,22 @@ def oracle_sql() -> dict[str, str]:
             FROM b LEFT JOIN idx ON b.fp = idx.fp
             WHERE idx.fp IS NULL
         """,
+        "url_canonicalize": """
+            SELECT doc_id,
+                   CASE doc_id % 3
+                       WHEN 2 THEN 'https://www.' || source
+                           || '.com/d/' || CAST(doc_id AS VARCHAR)
+                           || '/page'
+                       ELSE 'https://www.' || source || '.com/d/'
+                           || CAST(doc_id AS VARCHAR) || '?a=1&b=2'
+                   END AS canonical
+            FROM documents
+        """,
+        "lineitem_corr": correlation_sql(
+            "(SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x, "
+            "CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS y "
+            "FROM lineitem)",
+            "x", "y", ["l_returnflag"]),
         "events_trend": linear_fit_sql(
             """(SELECT event_type,
                        CAST(FLOOR((epoch_us(ts)

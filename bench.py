@@ -177,6 +177,8 @@ def bench_queries(spark, sf_dir):
         "sim_quantized_topk",
         "events_props_typed",
         "curation_funnel",
+        "lineitem_corr",
+        "url_canonicalize",
     ]
     return {n: qs[n] for n in names if n in qs}
 

@@ -24,7 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame as SparkDF, functions as F
 
-__all__ = ["linear_fit", "linear_fit_sql"]
+__all__ = ["linear_fit", "linear_fit_sql",
+           "correlation", "correlation_sql"]
 
 MICRO = 1_000_000
 
@@ -94,5 +95,72 @@ def linear_fit_sql(t: str, x_expr: str, y_expr: str,
                          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
                          AS BIGINT) END AS intercept_micro
+        FROM s
+    """
+
+
+def correlation(df: SparkDF, x_col: str | Column, y_col: str | Column,
+                group_cols: list[str]) -> SparkDF:
+    """Per-group Pearson correlation under the same exactness contract
+    as :func:`linear_fit`: integer inputs, DECIMAL(38,0) sufficient
+    statistics, one fixed-order double expression at the end —
+    ``corr_micro = floor(1e6 * (n Σxy - Σx Σy) / (sqrt(n Σx² - (Σx)²)
+    * sqrt(n Σy² - (Σy)²)))``. Degenerate groups (either variance
+    zero) yield NULL. One partial-aggregated groupBy; a correlation
+    matrix over k columns is k(k-1)/2 of these over ONE such agg."""
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    d38 = "decimal(38,0)"
+    agg = (df.groupBy(*group_cols)
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(x.cast(d38)).alias("sx"),
+                  F.sum(y.cast(d38)).alias("sy"),
+                  F.sum((x * y).cast(d38)).alias("sxy"),
+                  F.sum((x * x).cast(d38)).alias("sxx"),
+                  F.sum((y * y).cast(d38)).alias("syy")))
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    corr = F.when((vx <= 0.0) | (vy <= 0.0), F.lit(None)).otherwise(
+        F.floor(F.lit(MICRO) * (n * sxy - sx * sy)
+                / (F.sqrt(vx) * F.sqrt(vy))))
+    return agg.select(*group_cols, "n", corr.alias("corr_micro"))
+
+
+def correlation_sql(t: str, x_expr: str, y_expr: str,
+                    group_exprs: list[str]) -> str:
+    """DuckDB twin of :func:`correlation` (HUGEINT sums, identical
+    final double-op order — sqrt is correctly rounded in both
+    engines, so the floor agrees)."""
+    gsel = ", ".join(group_exprs)
+    nd = "CAST(n AS DOUBLE)"
+    sxd, syd = "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)"
+    sxyd = "CAST(sxy AS DOUBLE)"
+    sxxd, syyd = "CAST(sxx AS DOUBLE)", "CAST(syy AS DOUBLE)"
+    vx = f"({nd} * {sxxd} - {sxd} * {sxd})"
+    vy = f"({nd} * {syyd} - {syd} * {syd})"
+    return f"""
+        WITH s AS (
+            SELECT {gsel}, CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST({x_expr} AS BIGINT)) AS sx,
+                   sum(CAST({y_expr} AS BIGINT)) AS sy,
+                   sum(CAST({x_expr} AS BIGINT)
+                       * CAST({y_expr} AS BIGINT)) AS sxy,
+                   sum(CAST({x_expr} AS BIGINT)
+                       * CAST({x_expr} AS BIGINT)) AS sxx,
+                   sum(CAST({y_expr} AS BIGINT)
+                       * CAST({y_expr} AS BIGINT)) AS syy
+            FROM {t} GROUP BY {gsel})
+        SELECT {gsel}, n,
+               CASE WHEN {vx} <= 0 OR {vy} <= 0 THEN NULL
+                    ELSE CAST(FLOOR(1000000
+                         * ({nd} * {sxyd} - {sxd} * {syd})
+                         / (sqrt({vx}) * sqrt({vy}))) AS BIGINT)
+               END AS corr_micro
         FROM s
     """

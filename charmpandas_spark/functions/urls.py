@@ -37,6 +37,8 @@ from pyspark.sql import Column, DataFrame as SparkDF, functions as F
 from charmpandas_spark.functions.psl_data import PSL_RULES
 
 __all__ = [
+    "canonicalize_url",
+    "TRACKING_PARAMS",
     "url_host",
     "url_path",
     "registrable_domain",
@@ -249,3 +251,49 @@ def filter_blocked_domains(
             ~F.coalesce(url_path(url_col), F.lit(""))
             .rlike(path_block_regex))
     return out
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (crawl-dedup primitive)
+# ---------------------------------------------------------------------------
+
+#: Query parameters that never change page content — the standard
+#: tracking/session set every crawl canonicalizer strips.
+TRACKING_PARAMS = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term",
+    "utm_content", "gclid", "fbclid", "msclkid", "ref", "sessionid",
+    "phpsessid", "sid",
+)
+
+
+def canonicalize_url(url: Column | str,
+                     strip_params: tuple = TRACKING_PARAMS) -> Column:
+    """Canonical form of a URL for crawl-level dedup: lowercase scheme
+    and host, default-port and fragment dropped, trailing slash
+    trimmed from the path, tracking query parameters removed and the
+    survivors SORTED by key — so the same page fetched through
+    different campaign links / parameter orders collapses to one key.
+
+    Pure built-ins end to end (``try_parse_url`` + split / filter /
+    sort / concat higher-order functions): codegen'd, zero shuffle,
+    NULL for unparseable input. Feed the result to ``exact_dedup`` /
+    ``dedup_incremental`` as the id, or group on it for per-page
+    crawl frequency."""
+    u = F.col(url) if isinstance(url, str) else url
+    proto = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    path = F.try_parse_url(u, F.lit("PATH"))
+    path = F.when(path.isNull() | (path == ""), F.lit("")) \
+        .otherwise(F.regexp_replace(path, r"/+$", ""))
+    query = F.try_parse_url(u, F.lit("QUERY"))
+    strip = F.array(*[F.lit(p) for p in strip_params])
+    params = F.filter(
+        F.split(F.coalesce(query, F.lit("")), "&"),
+        lambda kv: (kv != "") & ~F.array_contains(
+            strip, F.lower(F.split_part(kv, F.lit("="), F.lit(1)))))
+    qcanon = F.array_join(F.array_sort(params), "&")
+    return F.when(
+        proto.isNull() | host.isNull(), F.lit(None)).otherwise(
+        F.concat(proto, F.lit("://"), host, path,
+                 F.when(qcanon == "", F.lit(""))
+                  .otherwise(F.concat(F.lit("?"), qcanon))))

@@ -607,3 +607,54 @@ def test_curation_funnel_attribution_sums(spark):
     plan = curation_funnel(df, rules) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + correlation
+# ---------------------------------------------------------------------------
+
+def test_canonicalize_url_cases(spark):
+    from charmpandas_spark.functions.urls import canonicalize_url
+
+    cases = {
+        "HTTPS://Example.COM/Path/?utm_source=x&b=2&a=1#frag":
+            "https://example.com/Path?a=1&b=2",
+        "http://a.com/": "http://a.com",
+        "http://a.com/x?fbclid=1&SID=9": "http://a.com/x",
+        "http://a.com/x?z=1&y=2&z=0": "http://a.com/x?y=2&z=0&z=1",
+        "not a url": None,
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "u string")
+    got = {r["u"]: r["c"] for r in
+           df.select("u", canonicalize_url("u").alias("c")).collect()}
+    for u, want in cases.items():
+        assert got[u] == want, (u, got[u], want)
+    # zero shuffle: pure scan-local expressions
+    plan = df.select(canonicalize_url("u")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_correlation_matches_numpy(spark):
+    import math
+
+    import numpy as np
+
+    from charmpandas_spark.functions.regression import correlation
+
+    rng = np.random.RandomState(9)
+    x = rng.randint(0, 1000, 200)
+    y = 3 * x + rng.randint(-50, 50, 200)
+    rows = [("g", int(a), int(b)) for a, b in zip(x, y)] + \
+           [("flat", 5, 1), ("flat", 5, 2)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r["g"]: r["corr_micro"] for r in
+           correlation(df, "x", "y", ["g"]).collect()}
+    n, sx, sy = len(x), x.sum(), y.sum()
+    sxy, sxx, syy = (x * y).sum(), (x * x).sum(), (y * y).sum()
+    want = math.floor(
+        1_000_000 * (n * sxy - sx * sy)
+        / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)))
+    assert out["g"] == want
+    assert out["g"] > 990_000          # strongly correlated
+    assert out["flat"] is None          # zero x-variance
