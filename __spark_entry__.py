@@ -2557,6 +2557,23 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                              path, "text", "doc_id", num_buckets=16)
 
 
+def q_events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type A/B readout (Welch's t, unequal variances):
+    variants assigned by user-id parity, value in floor-cents. Both
+    arms' sufficient statistics come from ONE aggregate (conditional
+    sums) — no per-variant pass, no join; t floored to micro-units
+    under the family's exact-stats contract."""
+    from charmpandas_spark.functions.regression import ab_welch
+    ev = _t(spark, sf_dir, "events").sdf \
+        .where(F.col("value").isNotNull())
+    prepared = ev.select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+         .otherwise(F.lit("B")).alias("variant"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    return ab_welch(prepared, "variant", "cents", ["event_type"])
+
+
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-level URL canonicalization: three deterministic messy
     variants per document (case noise + tracking params + fragments +
@@ -2792,6 +2809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": q_curation_funnel,
         "lineitem_corr": q_lineitem_corr,
         "url_canonicalize": q_url_canonicalize,
+        "events_ab_welch": q_events_ab_welch,
         "table_profile": q_table_profile,
         "histogram_value": q_histogram_value,
         "decontam_ngrams": q_decontam_ngrams,
@@ -3255,7 +3273,7 @@ def oracle_sql() -> dict[str, str]:
     from charmpandas_spark.functions.profile import (
         histogram_equiwidth_sql, profile_columns_sql)
     from charmpandas_spark.functions.regression import (
-        correlation_sql, linear_fit_sql)
+        ab_welch_sql, correlation_sql, linear_fit_sql)
     from charmpandas_spark.functions.quantize import (
         quantize_embeddings_sql, quantized_dot_topk_sql)
     dense_leg = f"""
@@ -3350,6 +3368,12 @@ def oracle_sql() -> dict[str, str]:
             FROM b LEFT JOIN idx ON b.fp = idx.fp
             WHERE idx.fp IS NULL
         """,
+        "events_ab_welch": ab_welch_sql(
+            "(SELECT event_type, "
+            "CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v, "
+            "CAST(FLOOR(value * 100) AS BIGINT) AS cents "
+            "FROM events WHERE value IS NOT NULL)",
+            "v", "cents", ["event_type"]),
         "url_canonicalize": """
             SELECT doc_id,
                    CASE doc_id % 3

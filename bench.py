@@ -179,6 +179,7 @@ def bench_queries(spark, sf_dir):
         "curation_funnel",
         "lineitem_corr",
         "url_canonicalize",
+        "events_ab_welch",
     ]
     return {n: qs[n] for n in names if n in qs}
 

@@ -25,7 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame as SparkDF, functions as F
 
 __all__ = ["linear_fit", "linear_fit_sql",
-           "correlation", "correlation_sql"]
+           "correlation", "correlation_sql",
+           "ab_welch", "ab_welch_sql"]
 
 MICRO = 1_000_000
 
@@ -162,5 +163,81 @@ def correlation_sql(t: str, x_expr: str, y_expr: str,
                          * ({nd} * {sxyd} - {sxd} * {syd})
                          / (sqrt({vx}) * sqrt({vy}))) AS BIGINT)
                END AS corr_micro
+        FROM s
+    """
+
+
+def ab_welch(df: SparkDF, variant_col: str | Column,
+             value_col: str | Column, group_cols: list[str],
+             variant_a="A", variant_b="B") -> SparkDF:
+    """Per-group A/B readout with Welch's t statistic — the
+    experiment-analysis primitive, under the family's exactness
+    contract: integer values, DECIMAL(38,0) per-variant sufficient
+    statistics in ONE aggregate (conditional sums — no second pass,
+    no join between variants), then one fixed-order double expression
+    ``t_micro = floor(1e6 * (mean_a - mean_b) / sqrt(var_a/n_a +
+    var_b/n_b))`` (sample variances, n-1 denominator). NULL when
+    either arm has n < 2 or both variances are zero. Returns
+    ``(group..., n_a, n_b, mean_a_micro, mean_b_micro, t_micro)``."""
+    v = F.col(variant_col) if isinstance(variant_col, str) \
+        else variant_col
+    x = F.col(value_col) if isinstance(value_col, str) else value_col
+    d38 = "decimal(38,0)"
+    ia = (v == variant_a).cast("bigint")
+    ib = (v == variant_b).cast("bigint")
+    agg = (df.groupBy(*group_cols)
+             .agg(F.sum(ia).alias("n_a"), F.sum(ib).alias("n_b"),
+                  F.sum((x * ia).cast(d38)).alias("sa"),
+                  F.sum((x * ib).cast(d38)).alias("sb"),
+                  F.sum((x * x * ia).cast(d38)).alias("qa"),
+                  F.sum((x * x * ib).cast(d38)).alias("qb")))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    qa, qb = F.col("qa").cast("double"), F.col("qb").cast("double")
+    va = (qa - sa * sa / na) / (na - 1)
+    vb = (qb - sb * sb / nb) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = F.when((F.col("n_a") < 2) | (F.col("n_b") < 2)
+               | (se2 <= 0.0), F.lit(None)).otherwise(
+        F.floor(F.lit(MICRO) * (sa / na - sb / nb) / F.sqrt(se2)))
+    return agg.select(
+        *group_cols, "n_a", "n_b",
+        F.floor(F.lit(MICRO) * sa / na).alias("mean_a_micro"),
+        F.floor(F.lit(MICRO) * sb / nb).alias("mean_b_micro"),
+        t.alias("t_micro"))
+
+
+def ab_welch_sql(t: str, variant_expr: str, value_expr: str,
+                 group_exprs: list[str],
+                 variant_a: str = "A", variant_b: str = "B") -> str:
+    """DuckDB twin of :func:`ab_welch` (identical double-op order)."""
+    gsel = ", ".join(group_exprs)
+    ia = f"CASE WHEN {variant_expr} = '{variant_a}' THEN 1 ELSE 0 END"
+    ib = f"CASE WHEN {variant_expr} = '{variant_b}' THEN 1 ELSE 0 END"
+    x = f"CAST({value_expr} AS BIGINT)"
+    na, nb = "CAST(n_a AS DOUBLE)", "CAST(n_b AS DOUBLE)"
+    sa, sb = "CAST(sa AS DOUBLE)", "CAST(sb AS DOUBLE)"
+    qa, qb = "CAST(qa AS DOUBLE)", "CAST(qb AS DOUBLE)"
+    va = f"(({qa} - {sa} * {sa} / {na}) / ({na} - 1))"
+    vb = f"(({qb} - {sb} * {sb} / {nb}) / ({nb} - 1))"
+    se2 = f"({va} / {na} + {vb} / {nb})"
+    return f"""
+        WITH s AS (
+            SELECT {gsel},
+                   CAST(sum({ia}) AS BIGINT) AS n_a,
+                   CAST(sum({ib}) AS BIGINT) AS n_b,
+                   sum({x} * {ia}) AS sa, sum({x} * {ib}) AS sb,
+                   sum({x} * {x} * {ia}) AS qa,
+                   sum({x} * {x} * {ib}) AS qb
+            FROM {t} GROUP BY {gsel})
+        SELECT {gsel}, n_a, n_b,
+               CAST(FLOOR(1000000 * {sa} / {na}) AS BIGINT)
+                   AS mean_a_micro,
+               CAST(FLOOR(1000000 * {sb} / {nb}) AS BIGINT)
+                   AS mean_b_micro,
+               CASE WHEN n_a < 2 OR n_b < 2 OR {se2} <= 0 THEN NULL
+                    ELSE CAST(FLOOR(1000000 * ({sa} / {na} - {sb} / {nb})
+                              / sqrt({se2})) AS BIGINT) END AS t_micro
         FROM s
     """

@@ -658,3 +658,37 @@ def test_correlation_matches_numpy(spark):
     assert out["g"] == want
     assert out["g"] > 990_000          # strongly correlated
     assert out["flat"] is None          # zero x-variance
+
+
+def test_ab_welch_matches_scipy_style_reference(spark):
+    import math
+
+    import numpy as np
+
+    from charmpandas_spark.functions.regression import ab_welch
+
+    rng = np.random.RandomState(21)
+    a = rng.randint(90, 110, 80)
+    b = rng.randint(100, 120, 70)
+    rows = [("g", "A", int(x)) for x in a] + \
+           [("g", "B", int(x)) for x in b] + \
+           [("tiny", "A", 1), ("tiny", "B", 2)]   # n<2 per arm
+    df = spark.createDataFrame(rows, "g string, v string, x long")
+    out = {r["g"]: r for r in
+           ab_welch(df, "v", "x", ["g"]).collect()}
+    na, nb = len(a), len(b)
+    va = a.var(ddof=1)
+    vb = b.var(ddof=1)
+    # replicate the exact fixed-order expression
+    sa, qa = int(a.sum()), int((a.astype(object) ** 2).sum())
+    sb, qb = int(b.sum()), int((b.astype(object) ** 2).sum())
+    va_e = (qa - sa * sa / na) / (na - 1)
+    vb_e = (qb - sb * sb / nb) / (nb - 1)
+    want = math.floor(1_000_000 * (sa / na - sb / nb)
+                      / math.sqrt(va_e / na + vb_e / nb))
+    assert out["g"]["t_micro"] == want
+    # sanity vs numpy variances: same t to 1e-6 relative
+    t_np = (a.mean() - b.mean()) / math.sqrt(va / na + vb / nb)
+    assert abs(out["g"]["t_micro"] / 1e6 - t_np) < 1e-5
+    assert out["g"]["t_micro"] < 0          # B planted higher
+    assert out["tiny"]["t_micro"] is None   # n<2 arms -> NULL
