@@ -2557,6 +2557,19 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                              path, "text", "doc_id", num_buckets=16)
 
 
+def q_text_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift monitor between two corpus slices (src0 vs
+    the rest): per-token chi-square-style contribution vs the pooled
+    expectation in exact int64 micro-units — ``ORDER BY chi_micro
+    DESC`` surfaces scraper changes / spam bursts. One explode +
+    groupBy per side, full-outer vocab join, totals in-plan."""
+    from charmpandas_spark.functions.text import token_drift
+    docs = _t(spark, sf_dir, "documents").sdf
+    return token_drift(docs.where(F.col("source") != "src0"),
+                       docs.where(F.col("source") == "src0"),
+                       "text", "doc_id")
+
+
 def q_events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type A/B readout (Welch's t, unequal variances):
     variants assigned by user-id parity, value in floor-cents. Both
@@ -2810,6 +2823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_corr": q_lineitem_corr,
         "url_canonicalize": q_url_canonicalize,
         "events_ab_welch": q_events_ab_welch,
+        "text_token_drift": q_text_token_drift,
         "table_profile": q_table_profile,
         "histogram_value": q_histogram_value,
         "decontam_ngrams": q_decontam_ngrams,
@@ -3368,6 +3382,9 @@ def oracle_sql() -> dict[str, str]:
             FROM b LEFT JOIN idx ON b.fp = idx.fp
             WHERE idx.fp IS NULL
         """,
+        "text_token_drift": text_mod.token_drift_sql(
+            "documents", "source <> 'src0'", "source = 'src0'",
+            "doc_id", "text"),
         "events_ab_welch": ab_welch_sql(
             "(SELECT event_type, "
             "CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v, "

@@ -180,6 +180,7 @@ def bench_queries(spark, sf_dir):
         "lineitem_corr",
         "url_canonicalize",
         "events_ab_welch",
+        "text_token_drift",
     ]
     return {n: qs[n] for n in names if n in qs}
 

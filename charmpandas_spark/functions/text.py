@@ -36,6 +36,8 @@ __all__ = [
     "pack_greedy",
     "redact_pii",
     "repetition_stats",
+    "token_drift",
+    "token_drift_sql",
     "LANG_STOPWORDS",
     "TOKEN_REGEX",
 ]
@@ -835,3 +837,97 @@ def write_token_shards(
         .write.mode(mode).partitionBy("shard").parquet(path))
     from .dedup import release
     release(out)
+
+
+def token_drift(df_a, df_b, text_col: str, id_col: str,
+                min_count: int = 5):
+    """Vocabulary drift between two corpus slices (yesterday's crawl
+    vs today's, source A vs source B) — the data-quality monitor that
+    catches a scraper change or an injected spam burst before
+    training does. Per token appearing >= ``min_count`` times
+    overall: observed counts in each slice and a chi-square-style
+    drift contribution against the pooled expectation,
+    ``chi_micro = floor(1e6 * (o_a - e_a)^2 / e_a) + floor(1e6 *
+    (o_b - e_b)^2 / e_b)`` where ``e_side = total_side * (o_a + o_b)
+    / (total_a + total_b)``. Int64 micro-units (fixed-order doubles
+    inside, integer sum outside), so the per-token scores and any
+    top-k drift ranking are cross-engine exact; ``ORDER BY chi_micro
+    DESC`` surfaces the drifting tokens.
+
+    Plan: one explode + groupBy per side, FULL OUTER join on token
+    (absent = 0), totals ride the plan as broadcast 1-row aggregates.
+    Shuffle volume is bounded by vocabulary, not corpus rows."""
+    from .dedup import spread
+
+    def counts(df, side):
+        toks = (spread(df).select(
+                    F.explode(F.split(normalize_text(text_col), " "))
+                     .alias("token"))
+                .filter(F.col("token") != ""))
+        return toks.groupBy("token").agg(
+            F.count(F.lit(1)).alias(f"o_{side}"))
+
+    ca, cb = counts(df_a, "a"), counts(df_b, "b")
+    joined = (ca.join(cb, "token", "full_outer")
+                .select("token",
+                        F.coalesce(F.col("o_a"), F.lit(0)).alias("o_a"),
+                        F.coalesce(F.col("o_b"), F.lit(0)).alias("o_b")))
+    ta = joined.agg(F.sum("o_a").alias("__ta"))
+    tb = joined.agg(F.sum("o_b").alias("__tb"))
+    j = (joined.crossJoin(F.broadcast(ta))
+               .crossJoin(F.broadcast(tb))
+               .where(F.col("o_a") + F.col("o_b") >= min_count))
+    pooled = (F.col("o_a") + F.col("o_b")).cast("double") \
+        / (F.col("__ta") + F.col("__tb")).cast("double")
+    ea = F.col("__ta").cast("double") * pooled
+    eb = F.col("__tb").cast("double") * pooled
+    chi = (F.floor(F.lit(1_000_000)
+                   * (F.col("o_a").cast("double") - ea)
+                   * (F.col("o_a").cast("double") - ea) / ea)
+           + F.floor(F.lit(1_000_000)
+                     * (F.col("o_b").cast("double") - eb)
+                     * (F.col("o_b").cast("double") - eb) / eb))
+    return j.select("token", "o_a", "o_b", chi.alias("chi_micro"))
+
+
+def token_drift_sql(t: str, pred_a: str, pred_b: str, id_expr: str,
+                    text_expr: str, min_count: int = 5) -> str:
+    """DuckDB twin of :func:`token_drift` over predicate-split halves
+    of one table."""
+    norm = (f"string_split(trim(regexp_replace(lower({text_expr}), "
+            f"'\\s+', ' ', 'g')), ' ')")
+    return f"""
+        WITH toks AS (
+            SELECT ({pred_a}) AS in_a, unnest({norm}) AS token
+            FROM {t} WHERE ({pred_a}) OR ({pred_b})),
+        c AS (
+            SELECT token,
+                   CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END)
+                        AS BIGINT) AS o_a,
+                   CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END)
+                        AS BIGINT) AS o_b
+            FROM toks WHERE token <> '' GROUP BY token),
+        tot AS (SELECT sum(o_a) AS ta, sum(o_b) AS tb FROM c)
+        SELECT token, o_a, o_b,
+               CAST(FLOOR(1000000
+                    * (CAST(o_a AS DOUBLE)
+                       - CAST(ta AS DOUBLE) * (CAST(o_a + o_b AS DOUBLE)
+                         / CAST(ta + tb AS DOUBLE)))
+                    * (CAST(o_a AS DOUBLE)
+                       - CAST(ta AS DOUBLE) * (CAST(o_a + o_b AS DOUBLE)
+                         / CAST(ta + tb AS DOUBLE)))
+                    / (CAST(ta AS DOUBLE) * (CAST(o_a + o_b AS DOUBLE)
+                       / CAST(ta + tb AS DOUBLE)))) AS BIGINT)
+               + CAST(FLOOR(1000000
+                    * (CAST(o_b AS DOUBLE)
+                       - CAST(tb AS DOUBLE) * (CAST(o_a + o_b AS DOUBLE)
+                         / CAST(ta + tb AS DOUBLE)))
+                    * (CAST(o_b AS DOUBLE)
+                       - CAST(tb AS DOUBLE) * (CAST(o_a + o_b AS DOUBLE)
+                         / CAST(ta + tb AS DOUBLE)))
+                    / (CAST(tb AS DOUBLE) * (CAST(o_a + o_b AS DOUBLE)
+                       / CAST(ta + tb AS DOUBLE)))) AS BIGINT)
+                   AS chi_micro
+        FROM c, tot
+        WHERE o_a + o_b >= {min_count}
+    """

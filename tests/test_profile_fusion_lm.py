@@ -692,3 +692,22 @@ def test_ab_welch_matches_scipy_style_reference(spark):
     assert abs(out["g"]["t_micro"] / 1e6 - t_np) < 1e-5
     assert out["g"]["t_micro"] < 0          # B planted higher
     assert out["tiny"]["t_micro"] is None   # n<2 arms -> NULL
+
+
+def test_token_drift_flags_injected_burst(spark):
+    from charmpandas_spark.functions.text import token_drift
+
+    base = [(i, "normal common words here") for i in range(40)]
+    burst = [(100 + i, "normal common words here") for i in range(20)] \
+        + [(200 + i, "spamtoken spamtoken spamtoken") for i in range(20)]
+    a = spark.createDataFrame(base, "doc_id bigint, t string")
+    b = spark.createDataFrame(burst, "doc_id bigint, t string")
+    out = {r["token"]: r for r in
+           token_drift(a, b, "t", "doc_id", min_count=5).collect()}
+    # the injected token only exists in slice B and dominates drift
+    assert out["spamtoken"]["o_a"] == 0
+    assert out["spamtoken"]["o_b"] == 60
+    top = max(out.values(), key=lambda r: r["chi_micro"])
+    assert top["token"] == "spamtoken"
+    # balanced tokens drift far less than the burst
+    assert out["normal"]["chi_micro"] < out["spamtoken"]["chi_micro"] / 4
