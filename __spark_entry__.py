@@ -2557,6 +2557,25 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                              path, "text", "doc_id", num_buckets=16)
 
 
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level PII scan: per string column, rows containing and
+    total occurrences of each PII shape (the redact_pii pattern set)
+    in ONE aggregate job — tells the pipeline WHERE to point the
+    scrub pass. A synthetic contact column plants emails + IPv4s on
+    every 5th document; the clean text column must report zeros."""
+    from charmpandas_spark.functions.profile import pii_scan
+    docs = _t(spark, sf_dir, "documents").sdf
+    sid = F.col("doc_id").cast("string")
+    contact = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit("reach me: user"), sid,
+                 F.lit("@corp.example.com or 10.0.0."),
+                 (F.col("doc_id") % 256).cast("string"))
+    ).otherwise(F.lit("no contact info"))
+    prepared = docs.select("text", contact.alias("contact"))
+    return pii_scan(prepared, ["text", "contact"])
+
+
 def q_text_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary drift monitor between two corpus slices (src0 vs
     the rest): per-token chi-square-style contribution vs the pooled
@@ -2824,6 +2843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "events_ab_welch": q_events_ab_welch,
         "text_token_drift": q_text_token_drift,
+        "pii_scan": q_pii_scan,
         "table_profile": q_table_profile,
         "histogram_value": q_histogram_value,
         "decontam_ngrams": q_decontam_ngrams,
@@ -3285,7 +3305,7 @@ def oracle_sql() -> dict[str, str]:
     from charmpandas_spark.functions.dedup import decontaminate_sql
     from charmpandas_spark.functions.lm import bigram_lm_score_sql
     from charmpandas_spark.functions.profile import (
-        histogram_equiwidth_sql, profile_columns_sql)
+        histogram_equiwidth_sql, pii_scan_sql, profile_columns_sql)
     from charmpandas_spark.functions.regression import (
         ab_welch_sql, correlation_sql, linear_fit_sql)
     from charmpandas_spark.functions.quantize import (
@@ -3382,6 +3402,13 @@ def oracle_sql() -> dict[str, str]:
             FROM b LEFT JOIN idx ON b.fp = idx.fp
             WHERE idx.fp IS NULL
         """,
+        "pii_scan": pii_scan_sql(
+            "(SELECT text, CASE WHEN doc_id % 5 = 0 THEN "
+            "'reach me: user' || CAST(doc_id AS VARCHAR) "
+            "|| '@corp.example.com or 10.0.0.' "
+            "|| CAST(doc_id % 256 AS VARCHAR) "
+            "ELSE 'no contact info' END AS contact FROM documents)",
+            ["text", "contact"]),
         "text_token_drift": text_mod.token_drift_sql(
             "documents", "source <> 'src0'", "source = 'src0'",
             "doc_id", "text"),

@@ -181,6 +181,7 @@ def bench_queries(spark, sf_dir):
         "url_canonicalize",
         "events_ab_welch",
         "text_token_drift",
+        "pii_scan",
     ]
     return {n: qs[n] for n in names if n in qs}
 

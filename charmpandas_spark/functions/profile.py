@@ -18,6 +18,8 @@ __all__ = [
     "profile_columns_sql",
     "histogram_equiwidth",
     "histogram_equiwidth_sql",
+    "pii_scan",
+    "pii_scan_sql",
 ]
 
 
@@ -171,3 +173,66 @@ def histogram_equiwidth_sql(t: str, x_expr: str, bins: int) -> str:
                COALESCE(c.n, 0) AS n
         FROM scaffold s LEFT JOIN counts c ON s.bin = c.bin
     """
+
+
+_PII_SCAN = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b",
+}
+
+
+def pii_scan(df: SparkDF, cols: list[str] | None = None) -> SparkDF:
+    """Governance profile: for each string column, how many rows
+    contain each PII shape (same RE2-compatible pattern set
+    ``text.redact_pii`` scrubs) and total occurrence counts —
+    ``(column, n_rows, email_rows, ipv4_rows, phone_rows,
+    email_hits, ipv4_hits, phone_hits)``. Tells you WHERE to point
+    the redaction pass (and verifies it worked: re-scan after
+    ``redact_pii`` must report zero).
+
+    ONE job, one scan: every (column x pattern) statistic is an
+    aggregate of scan-local ``rlike``/``regexp_count`` expressions in
+    a single ``agg``; the long format is an inline explode of the
+    1-row result. No shuffle beyond the global partial-agg pair."""
+    if cols is None:
+        cols = [f.name for f in df.schema.fields
+                if isinstance(f.dataType, T.StringType)]
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs.append(F.count(F.lit(1)).alias(f"__n_{c}"))
+        for name, pat in _PII_SCAN.items():
+            aggs.append(F.sum(col.rlike(pat).cast("bigint"))
+                         .alias(f"__r_{name}_{c}"))
+            aggs.append(F.sum(F.coalesce(
+                            F.regexp_count(col, F.lit(pat)), F.lit(0))
+                              .cast("bigint"))
+                         .alias(f"__h_{name}_{c}"))
+    one = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.col(f"__n_{c}").alias("n_rows"),
+                 *[F.coalesce(F.col(f"__r_{n}_{c}"), F.lit(0))
+                    .alias(f"{n}_rows") for n in _PII_SCAN],
+                 *[F.coalesce(F.col(f"__h_{n}_{c}"), F.lit(0))
+                    .alias(f"{n}_hits") for n in _PII_SCAN])
+        for c in cols])
+    return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def pii_scan_sql(t: str, cols: list[str]) -> str:
+    """DuckDB twin of :func:`pii_scan` (identical RE2 patterns)."""
+    parts = []
+    for c in cols:
+        sel = [f"'{c}' AS column", "CAST(count(*) AS BIGINT) AS n_rows"]
+        for n, pat in _PII_SCAN.items():
+            p = pat.replace("'", "''")
+            sel.append(
+                f"CAST(COALESCE(sum(CASE WHEN regexp_matches({c}, "
+                f"'{p}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS {n}_rows")
+            sel.append(
+                f"CAST(COALESCE(sum(length(regexp_extract_all({c}, "
+                f"'{p}'))), 0) AS BIGINT) AS {n}_hits")
+        parts.append(f"SELECT {', '.join(sel)} FROM {t}")
+    return " UNION ALL ".join(parts)
