@@ -2557,6 +2557,17 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                              path, "text", "doc_id", num_buckets=16)
 
 
+def q_join_blowup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality guard: exact per-key pair counts and the
+    total output size an orders x lineitem equi-join would produce —
+    computed from the two COUNT tables (vocabulary-sized join), never
+    the join itself. Top-20 hot keys + a __total__ row."""
+    from charmpandas_spark.functions.profile import join_blowup_profile
+    o = _t(spark, sf_dir, "orders").sdf
+    li = _t(spark, sf_dir, "lineitem").sdf
+    return join_blowup_profile(o, li, "o_orderkey", "l_orderkey")
+
+
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-level PII scan: per string column, rows containing and
     total occurrences of each PII shape (the redact_pii pattern set)
@@ -2844,6 +2855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ab_welch": q_events_ab_welch,
         "text_token_drift": q_text_token_drift,
         "pii_scan": q_pii_scan,
+        "join_blowup": q_join_blowup,
         "table_profile": q_table_profile,
         "histogram_value": q_histogram_value,
         "decontam_ngrams": q_decontam_ngrams,
@@ -3305,7 +3317,8 @@ def oracle_sql() -> dict[str, str]:
     from charmpandas_spark.functions.dedup import decontaminate_sql
     from charmpandas_spark.functions.lm import bigram_lm_score_sql
     from charmpandas_spark.functions.profile import (
-        histogram_equiwidth_sql, pii_scan_sql, profile_columns_sql)
+        histogram_equiwidth_sql, join_blowup_profile_sql,
+        pii_scan_sql, profile_columns_sql)
     from charmpandas_spark.functions.regression import (
         ab_welch_sql, correlation_sql, linear_fit_sql)
     from charmpandas_spark.functions.quantize import (
@@ -3402,6 +3415,8 @@ def oracle_sql() -> dict[str, str]:
             FROM b LEFT JOIN idx ON b.fp = idx.fp
             WHERE idx.fp IS NULL
         """,
+        "join_blowup": join_blowup_profile_sql(
+            "orders", "lineitem", "o_orderkey", "l_orderkey"),
         "pii_scan": pii_scan_sql(
             "(SELECT text, CASE WHEN doc_id % 5 = 0 THEN "
             "'reach me: user' || CAST(doc_id AS VARCHAR) "

@@ -182,6 +182,7 @@ def bench_queries(spark, sf_dir):
         "events_ab_welch",
         "text_token_drift",
         "pii_scan",
+        "join_blowup",
     ]
     return {n: qs[n] for n in names if n in qs}
 

@@ -20,6 +20,8 @@ __all__ = [
     "histogram_equiwidth_sql",
     "pii_scan",
     "pii_scan_sql",
+    "join_blowup_profile",
+    "join_blowup_profile_sql",
 ]
 
 
@@ -236,3 +238,69 @@ def pii_scan_sql(t: str, cols: list[str]) -> str:
                 f"'{p}'))), 0) AS BIGINT) AS {n}_hits")
         parts.append(f"SELECT {', '.join(sel)} FROM {t}")
     return " UNION ALL ".join(parts)
+
+
+def join_blowup_profile(left: SparkDF, right: SparkDF,
+                        left_key: str, right_key: str,
+                        top: int = 20) -> SparkDF:
+    """Pre-join safety check: the exact output cardinality an inner
+    equi-join WOULD produce, per hot key — catches the accidental
+    many-to-many blowup (duplicate keys on both sides) before a 100 TB
+    shuffle materializes it. Returns the ``top`` keys by pair count
+    ``(key, n_left, n_right, pairs, rank)`` plus a ``__total__`` row
+    (key NULL, rank 0) carrying the full join size.
+
+    Cost: one partial-aggregated groupBy per side + a join of the two
+    COUNT tables (vocabulary-sized, not row-sized) — strictly cheaper
+    than the join it profiles, and safe to run unconditionally in a
+    pipeline's preflight."""
+    from pyspark.sql import Window
+
+    lc = left.groupBy(F.col(left_key).cast("string").alias("key")) \
+             .agg(F.count(F.lit(1)).alias("n_left"))
+    rc = right.groupBy(F.col(right_key).cast("string").alias("key")) \
+              .agg(F.count(F.lit(1)).alias("n_right"))
+    pairs = (lc.join(rc, "key")
+               .select("key", "n_left", "n_right",
+                       (F.col("n_left") * F.col("n_right"))
+                        .alias("pairs")))
+    # orderBy().limit() — per-partition top-k before the merge — not a
+    # global row_number window, which would sort ALL pairs in one task;
+    # rank is assigned on the <= ``top`` survivors (trivial window)
+    w = Window.orderBy(F.col("pairs").desc(), F.col("key").asc())
+    topk = (pairs.orderBy(F.col("pairs").desc(), F.col("key").asc())
+                 .limit(top)
+                 .withColumn("rank",
+                             F.row_number().over(w).cast("int")))
+    total = pairs.agg(
+        F.lit(None).cast("string").alias("key"),
+        F.sum("n_left").alias("n_left"),
+        F.sum("n_right").alias("n_right"),
+        F.sum("pairs").alias("pairs"),
+        F.lit(0).cast("int").alias("rank"))
+    return topk.unionByName(total)
+
+
+def join_blowup_profile_sql(lt: str, rt: str, lk: str, rk: str,
+                            top: int = 20) -> str:
+    """DuckDB twin of :func:`join_blowup_profile`."""
+    return f"""
+        WITH lc AS (SELECT CAST({lk} AS VARCHAR) AS key,
+                           CAST(count(*) AS BIGINT) AS n_left
+                    FROM {lt} GROUP BY 1),
+        rc AS (SELECT CAST({rk} AS VARCHAR) AS key,
+                      CAST(count(*) AS BIGINT) AS n_right
+               FROM {rt} GROUP BY 1),
+        p AS (SELECT lc.key, n_left, n_right,
+                     n_left * n_right AS pairs
+              FROM lc JOIN rc USING (key)),
+        tk AS (SELECT key, n_left, n_right, pairs,
+                      CAST(row_number() OVER (
+                          ORDER BY pairs DESC, key ASC) AS INT) AS rank
+               FROM p QUALIFY rank <= {top})
+        SELECT * FROM tk
+        UNION ALL
+        SELECT CAST(NULL AS VARCHAR), CAST(sum(n_left) AS BIGINT),
+               CAST(sum(n_right) AS BIGINT),
+               CAST(sum(pairs) AS BIGINT), 0 FROM p
+    """

@@ -736,3 +736,25 @@ def test_pii_scan_counts_and_redaction_roundtrip(spark):
     plan = pii_scan(df, ["a", "b"]) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_join_blowup_profile_predicts_join_size(spark):
+    from charmpandas_spark.functions.profile import join_blowup_profile
+
+    left = spark.createDataFrame(
+        [(k,) for k in [1] * 50 + [2] * 3 + [3]], "k long")
+    right = spark.createDataFrame(
+        [(k,) for k in [1] * 40 + [2] * 2 + [4]], "k long")
+    out = join_blowup_profile(left, right, "k", "k", top=5).collect()
+    by = {r["key"]: r for r in out}
+    total = by[None]
+    # __total__ equals the ACTUAL inner-join cardinality
+    assert total["pairs"] == left.join(right, "k").count() == 2006
+    assert by["1"]["pairs"] == 2000 and by["1"]["rank"] == 1
+    assert by["2"]["pairs"] == 6 and by["2"]["rank"] == 2
+    assert "3" not in by and "4" not in by  # unmatched keys drop
+    # profile never executes the profiled join: row-level tables only
+    # meet as count tables
+    plan = join_blowup_profile(left, right, "k", "k") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Join") <= 2  # count-table join (+broadcast)
