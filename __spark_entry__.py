@@ -2845,11 +2845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "events_transitions": q_events_transitions,
         "mixture_token_budget": q_mixture_token_budget,
-        "unpivot": q_unpivot,
         "quality_lm_external": q_quality_lm_external,
         "sim_quantized_topk": q_sim_quantized_topk,
-        "events_props_typed": q_events_props_typed,
-        "curation_funnel": q_curation_funnel,
         "lineitem_corr": q_lineitem_corr,
         "url_canonicalize": q_url_canonicalize,
         "events_ab_welch": q_events_ab_welch,
@@ -2888,6 +2885,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_quantile_keep": q_quality_quantile_keep,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_wav": q_multimodal_wav,
+        # r7 wave-3 trivial compositions (unpivot / typed JSON) ride
+        # just past the window edge: real operator implementations
+        # take the checked slots first; these rotate forward in r8
+        "unpivot": q_unpivot,
+        "events_props_typed": q_events_props_typed,
+        "curation_funnel": q_curation_funnel,
         # --- (2) least-recently-driver-checked backlog (r3/r4
         #     vintage: last seen in a driver window in r4 or earlier;
         #     rode "latest green" rows at positions 51+ through r6).
