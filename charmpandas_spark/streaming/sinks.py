@@ -1,0 +1,94 @@
+"""Exactly-once streaming sinks via ``foreachBatch``.
+
+The built-in file sink is already exactly-once for plain appends (its
+metadata log tracks committed batches), but real pipelines need sinks
+the file sink can't express: MERGE upserts into a table, partitioned
+layouts with per-batch overwrite, multi-destination fan-out. The
+standard pattern for those is ``foreachBatch`` + IDEMPOTENT batch
+handling — Spark replays a failed micro-batch with the SAME batch id,
+so a writer that makes batch ``N``'s effect a pure function of
+``(data, N)`` converts at-least-once replays into exactly-once
+output.
+
+Two idempotency strategies here, both replay-tested in pytest:
+
+- :func:`write_stream_parquet_batched` — each batch owns the
+  ``batch=N`` subdirectory and writes it with ``overwrite``: a replay
+  of batch N clobbers its own partial output, never duplicates it.
+  Readers see the sink as one partitioned table.
+- :func:`merge_stream_into` — each batch MERGEs into a target table
+  through ``operators.merge.merge_into`` keyed on a natural key: a
+  replayed batch re-upserts the same rows to the same end state
+  (merge is idempotent by construction when the source carries a
+  deterministic payload per key).
+
+At cluster scale both compose with RocksDB state upstream
+(``streaming/state.py``) and a durable ``checkpointLocation``; the
+checkpoint's commit log is what assigns stable batch ids across
+restarts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame as SparkDF
+
+__all__ = ["write_stream_parquet_batched", "merge_stream_into"]
+
+
+def write_stream_parquet_batched(stream_df: SparkDF, path: str,
+                                 checkpoint: str, trigger_available_now:
+                                 bool = True, query_name: str | None = None):
+    """Start a ``foreachBatch`` parquet sink where batch ``N`` owns
+    (and idempotently overwrites) ``{path}/batch=N``. Returns the
+    StreamingQuery; read the sink back with
+    ``spark.read.parquet(path)`` (partition discovery exposes the
+    ``batch`` column — drop it for pure data)."""
+
+    def _write(batch_df: SparkDF, batch_id: int) -> None:
+        (batch_df.write.mode("overwrite")
+         .parquet(os.path.join(path, f"batch={batch_id}")))
+
+    w = (stream_df.writeStream.foreachBatch(_write)
+         .option("checkpointLocation", checkpoint))
+    if query_name:
+        w = w.queryName(query_name)
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def merge_stream_into(stream_df: SparkDF, target_path: str,
+                      checkpoint: str, keys: list[str],
+                      trigger_available_now: bool = True):
+    """Start a ``foreachBatch`` MERGE sink: each micro-batch upserts
+    into the parquet table at ``target_path`` on ``keys`` via
+    ``operators.merge.merge_into`` (update-if-exists,
+    insert-if-absent), then atomically swaps the rewritten table in.
+    A replayed batch re-applies the same upsert — same end state.
+    The batch is deduped on ``keys`` first (last write per key within
+    a batch wins by natural order) so the merge source is
+    deterministic."""
+    from ..operators.merge import merge_into
+
+    def _merge(batch_df: SparkDF, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        src = batch_df.dropDuplicates(keys)
+        if not os.path.isdir(target_path):
+            src.write.mode("overwrite").parquet(target_path)
+            return
+        target = spark.read.parquet(target_path)
+        merged = merge_into(target, src, on=keys)
+        tmp = target_path.rstrip("/") + f".__tmp_b{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        old = target_path.rstrip("/") + f".__old_b{batch_id}"
+        os.rename(target_path, old)
+        os.rename(tmp, target_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (stream_df.writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())
