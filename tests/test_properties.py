@@ -469,3 +469,38 @@ def test_quantize_matches_numpy_replay_both_layouts(spark, vecs):
                 want_c = min(127, max(-127, math.floor(
                     val * 127.0 / m[d])))
             assert cen[i][d] == want_c
+
+
+@given(texts=WORDS, bench_idx=st.sets(st.integers(0, 9), max_size=4))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_decontaminate_matches_python_replay(spark, texts, bench_idx):
+    """n-gram decontamination == a sequential set-overlap replay for
+    arbitrary corpora and benchmark splits (3-gram, padding rule for
+    short docs included)."""
+    from charmpandas_spark.functions.dedup import decontaminate
+
+    rows = list(enumerate(texts))
+    bench = [(i, t) for i, t in rows if i in bench_idx]
+    corpus = [(i, t) for i, t in rows if i not in bench_idx]
+    if not bench or not corpus:
+        return
+    a = spark.createDataFrame(corpus, "doc_id bigint, t string")
+    b = spark.createDataFrame(bench, "doc_id bigint, t string")
+    out = {r["doc"]: (r["n_ngrams"], r["n_hits"]) for r in
+           decontaminate(a, b, "t", "doc_id", n=3).collect()}
+
+    def shingles(t):
+        # mirror shingle_table's word path exactly: normalized split
+        # WITHOUT dropping empties — a blank doc yields one
+        # empty-string shingle (the Jaccard family's padding rule:
+        # blank matches blank), shorter-than-n docs one whole-doc gram
+        ws = " ".join(t.lower().split()).split(" ")
+        if len(ws) <= 3:
+            return {" ".join(ws)}
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    bset = set().union(*[shingles(t) for _, t in bench])
+    for i, t in corpus:
+        sh = shingles(t)
+        assert out[i] == (len(sh), len(sh & bset))
