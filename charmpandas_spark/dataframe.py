@@ -469,6 +469,31 @@ class DataFrame:
     def explain(self, mode: str = "formatted"):
         self._sdf.explain(mode)
 
+    def describe(self, columns: list[str] | None = None) -> "DataFrame":
+        """pandas-style profile (beyond-reference convenience): one
+        row per column with count / nulls / exact distinct / min /
+        max, backed by ``functions.profile.profile_columns`` — ONE
+        scan, one job, hash-aggregable (no Expand/multi-distinct
+        plan), regardless of column count."""
+        from .functions.profile import profile_columns
+
+        return DataFrame(profile_columns(self._sdf, columns))
+
+    def value_counts(self, column: str, k: int | None = None
+                     ) -> "DataFrame":
+        """pandas-style ``value_counts`` (beyond-reference
+        convenience): per-value frequencies, descending (ties by
+        value), optionally top-``k``. Partial-aggregated groupBy; the
+        top-k form is orderBy().limit() — per-partition top-k, the
+        driver never sees more than ``k`` rows."""
+        counts = (self._sdf.groupBy(column)
+                  .agg(F.count(F.lit(1)).alias("count"))
+                  .orderBy(F.col("count").desc(),
+                           F.col(column).asc()))
+        if k is not None:
+            counts = counts.limit(k)
+        return DataFrame(counts)
+
     def cache(self) -> "DataFrame":
         self._sdf.cache()
         return self

@@ -160,3 +160,21 @@ def test_merge_asof_api(spark, sf_dir):
     out = clicks.merge_asof(purch, on="ts", by="user_id")
     assert out.count() == clicks.count()
     assert "value_asof" in out.columns
+
+
+def test_describe_and_value_counts(spark, sf_dir):
+    import charmpandas_spark as cps
+
+    docs = cps.read_table(spark, sf_dir, "documents")
+    prof = docs.describe(["doc_id", "lang"]).get()
+    byc = {r["column"]: r for _, r in prof.iterrows()}
+    n = docs.count()
+    assert byc["doc_id"]["n_rows"] == n
+    assert byc["doc_id"]["n_distinct"] == n      # unique key
+    assert byc["lang"]["min_str"] is not None
+
+    vc = docs.value_counts("lang", k=2).get()
+    assert list(vc.columns) == ["lang", "count"]
+    assert len(vc) <= 2
+    assert vc["count"].is_monotonic_decreasing
+    assert vc["count"].sum() <= n
