@@ -2557,6 +2557,28 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                              path, "text", "doc_id", num_buckets=16)
 
 
+def q_events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_asof parity beyond DuckDB's own ASOF: direction=nearest
+    with a 2h tolerance — each click takes the CLOSER of the
+    latest-preceding / earliest-following purchase value per user
+    (ties backward), matches farther than 2h nulled. Still join-free:
+    two window passes over one (user, ts)-sorted union. The oracle
+    composes DuckDB's backward and forward ASOF JOINs with the same
+    tie/tolerance arithmetic."""
+    from charmpandas_spark.operators.asof import asof_join
+    ev = _t(spark, sf_dir, "events").sdf
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("event_id", "user_id", "ts"))
+    purch = (ev.filter(F.col("event_type") == "purchase")
+               .select("user_id", "ts", "value"))
+    out = asof_join(clicks, purch, "ts", "user_id",
+                    value_cols=["value"], direction="nearest",
+                    tolerance_us=2 * 3600 * 1_000_000)
+    return out.select("event_id", "user_id",
+                      (F.floor(F.col("value_asof") * 100) / 100)
+                      .alias("value_asof"))
+
+
 def q_join_blowup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-join cardinality guard: exact per-key pair counts and the
     total output size an orders x lineitem equi-join would produce —
@@ -2853,6 +2875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_drift": q_text_token_drift,
         "pii_scan": q_pii_scan,
         "join_blowup": q_join_blowup,
+        "events_asof_nearest": q_events_asof_nearest,
         "table_profile": q_table_profile,
         "histogram_value": q_histogram_value,
         "decontam_ngrams": q_decontam_ngrams,
@@ -3417,6 +3440,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT b.doc, b.fp
             FROM b LEFT JOIN idx ON b.fp = idx.fp
             WHERE idx.fp IS NULL
+        """,
+        "events_asof_nearest": """
+            WITH c AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+            p AS (SELECT user_id, ts, value FROM events
+                  WHERE event_type = 'purchase'),
+            b AS (SELECT c.event_id, p.ts AS mts, p.value AS mval
+                  FROM c ASOF LEFT JOIN p
+                    ON c.user_id = p.user_id AND c.ts >= p.ts),
+            f AS (SELECT c.event_id, p.ts AS mts, p.value AS mval
+                  FROM c ASOF LEFT JOIN p
+                    ON c.user_id = p.user_id AND c.ts <= p.ts),
+            j AS (
+                SELECT c.event_id, c.user_id,
+                       CASE WHEN b.mts IS NOT NULL
+                            AND epoch_us(c.ts) - epoch_us(b.mts)
+                                <= 7200000000
+                            THEN epoch_us(c.ts) - epoch_us(b.mts)
+                       END AS db,
+                       CASE WHEN f.mts IS NOT NULL
+                            AND epoch_us(f.mts) - epoch_us(c.ts)
+                                <= 7200000000
+                            THEN epoch_us(f.mts) - epoch_us(c.ts)
+                       END AS df,
+                       b.mval AS bval, f.mval AS fval
+                FROM c
+                LEFT JOIN b USING (event_id)
+                LEFT JOIN f USING (event_id))
+            SELECT event_id, user_id,
+                   FLOOR(CASE WHEN db IS NULL AND df IS NULL THEN NULL
+                              WHEN db IS NULL THEN fval
+                              WHEN df IS NULL THEN bval
+                              WHEN df < db THEN fval
+                              ELSE bval END * 100) / 100
+                       AS value_asof
+            FROM j
         """,
         "join_blowup": join_blowup_profile_sql(
             "orders", "lineitem", "o_orderkey", "l_orderkey"),

@@ -183,6 +183,7 @@ def bench_queries(spark, sf_dir):
         "text_token_drift",
         "pii_scan",
         "join_blowup",
+        "events_asof_nearest",
     ]
     return {n: qs[n] for n in names if n in qs}
 

@@ -204,3 +204,48 @@ def test_ivf_partitioned_scan_prunes(spark, sf_dir):
     want = ivf_search(assigned, centroids, "embedding", "vec_id", q,
                       k=5, nprobe=2).toPandas()
     assert list(got_pdf["vec_id"]) == list(want["vec_id"])
+
+
+def test_asof_join_directions_and_tolerance(spark):
+    """merge_asof parity: backward/forward/nearest + tolerance on a
+    hand-built frame with every edge: exact tie, one-sided matches,
+    out-of-tolerance matches, and a matched row carrying NULL value
+    (must count as a MATCH, not fall through to the other side)."""
+    from pyspark.sql import functions as F
+
+    from charmpandas_spark.operators.asof import asof_join
+
+    def ts(s):
+        return f"2024-01-01 00:0{s}:00"
+
+    left = spark.createDataFrame(
+        [(1, "u", ts(5))], "id long, k string, ts_s string") \
+        .select("id", "k", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [("u", ts(3), 30.0),    # 2 min before
+         ("u", ts(6), 60.0)],   # 1 min after
+        "k string, ts_s string, v double") \
+        .select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+
+    def run(**kw):
+        r = asof_join(left, right, "ts", "k", value_cols=["v"], **kw)
+        return r.collect()[0]["v_asof"]
+
+    assert run(direction="backward") == 30.0
+    assert run(direction="forward") == 60.0
+    assert run(direction="nearest") == 60.0  # 60 s closer than 120 s
+    # 90 s tolerance: backward (120 s) excluded, forward (60 s) kept
+    assert run(direction="nearest", tolerance_us=90_000_000) == 60.0
+    # backward-direction with the same tolerance: nothing in range
+    assert run(direction="backward", tolerance_us=90_000_000) is None
+    # tolerance excludes both -> NULL
+    assert run(direction="nearest", tolerance_us=30_000_000) is None
+
+    # exact tie resolves backward; NULL-valued match is still a match
+    right2 = spark.createDataFrame(
+        [("u", ts(4), None), ("u", ts(6), 66.0)],
+        "k string, ts_s string, v double") \
+        .select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    r2 = asof_join(left, right2, "ts", "k", value_cols=["v"],
+                   direction="nearest").collect()[0]
+    assert r2["v_asof"] is None  # backward match (1 min) carries NULL
