@@ -2557,6 +2557,17 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                              path, "text", "doc_id", num_buckets=16)
 
 
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 8-bucket EQUI-DEPTH histogram of l_extendedprice:
+    boundaries from the exact sort-based percentile aggregate
+    (DuckDB quantile_cont twin), bucket assignment an integer fold
+    over the broadcast boundary array, counts one groupBy. Completes
+    the profiling pair with the equi-width form."""
+    from charmpandas_spark.functions.profile import histogram_equidepth
+    li = _t(spark, sf_dir, "lineitem").sdf
+    return histogram_equidepth(li, "l_extendedprice", 8)
+
+
 def q_events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """merge_asof parity beyond DuckDB's own ASOF: direction=nearest
     with a 2h tolerance — each click takes the CLOSER of the
@@ -2876,6 +2887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": q_pii_scan,
         "join_blowup": q_join_blowup,
         "events_asof_nearest": q_events_asof_nearest,
+        "histogram_equidepth": q_histogram_equidepth,
         "table_profile": q_table_profile,
         "histogram_value": q_histogram_value,
         "decontam_ngrams": q_decontam_ngrams,
@@ -3343,7 +3355,8 @@ def oracle_sql() -> dict[str, str]:
     from charmpandas_spark.functions.dedup import decontaminate_sql
     from charmpandas_spark.functions.lm import bigram_lm_score_sql
     from charmpandas_spark.functions.profile import (
-        histogram_equiwidth_sql, join_blowup_profile_sql,
+        histogram_equidepth_sql, histogram_equiwidth_sql,
+        join_blowup_profile_sql,
         pii_scan_sql, profile_columns_sql)
     from charmpandas_spark.functions.regression import (
         ab_welch_sql, correlation_sql, linear_fit_sql)
@@ -3544,6 +3557,8 @@ def oracle_sql() -> dict[str, str]:
             numeric={"l_orderkey", "l_quantity", "l_extendedprice"}),
         "histogram_value": histogram_equiwidth_sql(
             "events", "value", 20),
+        "histogram_equidepth": histogram_equidepth_sql(
+            "lineitem", "l_extendedprice", 8),
         "decontam_ngrams": decontaminate_sql(
             "documents", "source NOT IN ('src0', 'src1')",
             "source IN ('src0', 'src1')", "doc_id", "text", n=5),

@@ -184,6 +184,7 @@ def bench_queries(spark, sf_dir):
         "pii_scan",
         "join_blowup",
         "events_asof_nearest",
+        "histogram_equidepth",
     ]
     return {n: qs[n] for n in names if n in qs}
 

@@ -18,6 +18,8 @@ __all__ = [
     "profile_columns_sql",
     "histogram_equiwidth",
     "histogram_equiwidth_sql",
+    "histogram_equidepth",
+    "histogram_equidepth_sql",
     "pii_scan",
     "pii_scan_sql",
     "join_blowup_profile",
@@ -303,4 +305,70 @@ def join_blowup_profile_sql(lt: str, rt: str, lk: str, rk: str,
         SELECT CAST(NULL AS VARCHAR), CAST(sum(n_left) AS BIGINT),
                CAST(sum(n_right) AS BIGINT),
                CAST(sum(pairs) AS BIGINT), 0 FROM p
+    """
+
+
+def histogram_equidepth(df: SparkDF, col: str, buckets: int) -> SparkDF:
+    """Exact equi-depth histogram ``(bucket, lo, hi, n)``: boundaries
+    are the interpolated ``i/buckets`` percentiles (Spark's exact
+    sort-based ``percentile`` aggregate — matches DuckDB
+    ``quantile_cont``), bucket assignment counts boundaries strictly
+    below each value (an integer fold over the broadcast boundary
+    array — scan-local), and per-bucket counts come from one
+    partial-aggregated groupBy. Bucket edges are floor-rounded to 1e-4
+    for cross-engine float parity; counts are exact.
+
+    The exact percentile is the oracle anchor; at 100 TB swap the
+    boundary pass for ``sketches.approx_quantiles`` (same downstream
+    plan, error-bounded boundaries)."""
+    ps = [i / buckets for i in range(1, buckets)]
+    c = F.col(col).cast("double")
+    bnds = df.where(c.isNotNull()).agg(
+        F.percentile(c, F.array(*[F.lit(p) for p in ps])).alias("bs"),
+        F.min(c).alias("blo"), F.max(c).alias("bhi"))
+    x = F.col("__x")
+    bucket = F.aggregate(
+        F.col("bs"), F.lit(0),
+        lambda acc, b: acc + (x > b).cast("int"))
+    assigned = (df.select(c.alias("__x")).where(x.isNotNull())
+                  .crossJoin(F.broadcast(bnds))
+                  .select(bucket.alias("bucket"), "bs", "blo", "bhi"))
+    lo = F.when(F.col("bucket") == 0, F.col("blo")) \
+          .otherwise(F.element_at("bs", F.col("bucket")))
+    hi = F.when(F.col("bucket") == buckets - 1, F.col("bhi")) \
+          .otherwise(F.element_at("bs", F.col("bucket") + 1))
+    return (assigned
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.floor(F.first(lo) * 10000) / 10000).alias("lo"),
+                 (F.floor(F.first(hi) * 10000) / 10000).alias("hi"))
+            .select(F.col("bucket").cast("int").alias("bucket"),
+                    "lo", "hi", "n"))
+
+
+def histogram_equidepth_sql(t: str, x_expr: str, buckets: int) -> str:
+    """DuckDB twin of :func:`histogram_equidepth`."""
+    ps = ", ".join(str(i / buckets) for i in range(1, buckets))
+    return f"""
+        WITH pts AS (
+            SELECT CAST({x_expr} AS DOUBLE) AS x FROM {t}
+            WHERE {x_expr} IS NOT NULL),
+        b AS (
+            SELECT quantile_cont(x, [{ps}]) AS bs,
+                   min(x) AS blo, max(x) AS bhi
+            FROM pts),
+        assigned AS (
+            SELECT CAST(length(list_filter(b.bs, v -> pts.x > v))
+                        AS INT) AS bucket, b.bs, b.blo, b.bhi
+            FROM pts, b)
+        SELECT bucket,
+               FLOOR(CASE WHEN bucket = 0 THEN ANY_VALUE(blo)
+                     ELSE ANY_VALUE(bs)[bucket] END * 10000) / 10000
+                   AS lo,
+               FLOOR(CASE WHEN bucket = {buckets - 1}
+                     THEN ANY_VALUE(bhi)
+                     ELSE ANY_VALUE(bs)[bucket + 1] END * 10000)
+                   / 10000 AS hi,
+               CAST(count(*) AS BIGINT) AS n
+        FROM assigned GROUP BY bucket
     """

@@ -69,7 +69,14 @@ def merge_stream_into(stream_df: SparkDF, target_path: str,
     A replayed batch re-applies the same upsert — same end state.
     The batch is deduped on ``keys`` first (last write per key within
     a batch wins by natural order) so the merge source is
-    deterministic."""
+    deterministic.
+
+    CAVEAT: the swap relies on ``os.rename`` — atomic on a POSIX
+    filesystem (incl. NFS/Lustre mounts), NOT on object stores where
+    rename is copy+delete. On S3-like storage use a table format with
+    a transactional commit log for the target, or the per-batch-dir
+    sink (:func:`write_stream_parquet_batched`), whose idempotency
+    never needs a rename."""
     from ..operators.merge import merge_into
 
     def _merge(batch_df: SparkDF, batch_id: int) -> None:

@@ -758,3 +758,19 @@ def test_join_blowup_profile_predicts_join_size(spark):
     plan = join_blowup_profile(left, right, "k", "k") \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Join") <= 2  # count-table join (+broadcast)
+
+
+def test_histogram_equidepth_balanced_counts(spark):
+    from charmpandas_spark.functions.profile import histogram_equidepth
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") * 7 % 997).cast("double").alias("x"))
+    rows = sorted(histogram_equidepth(df, "x", 4).collect(),
+                  key=lambda r: r["bucket"])
+    assert [r["bucket"] for r in rows] == [0, 1, 2, 3]
+    # equi-depth: counts within 1 of N/buckets on distinct-ish data
+    assert all(abs(r["n"] - 250) <= 1 for r in rows)
+    # contiguous coverage: each bucket's hi is the next one's lo
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] == b["lo"]
+    assert sum(r["n"] for r in rows) == 1000
