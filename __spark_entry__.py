@@ -2557,6 +2557,22 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                              path, "text", "doc_id", num_buckets=16)
 
 
+def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-level entity dedup: DISTINCT part-name pairs within
+    Levenshtein distance 1 via the LOSSLESS q-gram candidate filter
+    (inverted bigram index join, never all-pairs for strings long
+    enough to carry the guarantee; a tiny short-string side set falls
+    back to a length-banded comparison). Distinct-first is the sane
+    entity shape — exact duplicates collapse through ``exact_dedup``
+    before character-level matching pays for them. Oracle =
+    brute-force pairwise Levenshtein, which is exactly the
+    losslessness proof."""
+    from charmpandas_spark.functions.dedup import edit_distance_pairs
+    part = _t(spark, sf_dir, "part").sdf
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    return edit_distance_pairs(names, "name", "name", max_dist=1)
+
+
 def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 8-bucket EQUI-DEPTH histogram of l_extendedprice:
     boundaries from the exact sort-based percentile aggregate
@@ -2888,6 +2904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_blowup": q_join_blowup,
         "events_asof_nearest": q_events_asof_nearest,
         "histogram_equidepth": q_histogram_equidepth,
+        "dedup_editdist": q_dedup_editdist,
         "table_profile": q_table_profile,
         "histogram_value": q_histogram_value,
         "decontam_ngrams": q_decontam_ngrams,
@@ -3559,6 +3576,9 @@ def oracle_sql() -> dict[str, str]:
             "events", "value", 20),
         "histogram_equidepth": histogram_equidepth_sql(
             "lineitem", "l_extendedprice", 8),
+        "dedup_editdist": dedup_mod.edit_distance_pairs_sql(
+            "(SELECT DISTINCT p_name AS name FROM part)",
+            "name", "name", max_dist=1),
         "decontam_ngrams": decontaminate_sql(
             "documents", "source NOT IN ('src0', 'src1')",
             "source IN ('src0', 'src1')", "doc_id", "text", n=5),

@@ -185,6 +185,7 @@ def bench_queries(spark, sf_dir):
         "join_blowup",
         "events_asof_nearest",
         "histogram_equidepth",
+        "dedup_editdist",
     ]
     return {n: qs[n] for n in names if n in qs}
 

@@ -55,6 +55,8 @@ __all__ = [
     "decontaminate_sql",
     "fingerprint_index_write",
     "dedup_incremental",
+    "edit_distance_pairs",
+    "edit_distance_pairs_sql",
 ]
 
 
@@ -1209,3 +1211,101 @@ def dedup_incremental(spark, batch: SparkDF, path: str, text_col: str,
     result = out.select("doc", "fp")
     result._cps_persisted = [first]  # see release()
     return result
+
+
+# ---------------------------------------------------------------------------
+# edit-distance similarity join (q-gram filtered Levenshtein)
+# ---------------------------------------------------------------------------
+
+def edit_distance_pairs(df: SparkDF, text_col: str, id_col: str,
+                        max_dist: int = 1, q: int = 2) -> SparkDF:
+    """All pairs (a < b) of normalized strings within Levenshtein
+    distance ``max_dist`` — typo-level entity dedup (names, titles,
+    product strings), the character-level complement of the
+    token-set Jaccard family.
+
+    LOSSLESS q-gram candidate filter: strings at edit distance <= k
+    share at least ``max(|a|,|b|) - q + 1 - k*q`` character q-grams,
+    so any string of length >= ``q*(k+1) + q - 1`` is guaranteed >= 1
+    shared gram with every true match — those pair up through an
+    inverted q-gram index join (one explode + one shuffle, never
+    all-pairs). Strings SHORTER than that bound can't rely on the
+    guarantee; they form a (tiny, by Zipf of short strings) side set
+    compared all-pairs against every string within ``max_dist`` of
+    their length — bounded by |short| x |length-band|, and the length
+    predicate prunes first. Candidates then verify with the exact
+    ``levenshtein`` built-in; a length-difference pre-filter kills
+    the obvious non-matches before the DP runs."""
+    k = max_dist
+    min_safe = q * (k + 1) + q - 1
+    base = spread(df.select(F.col(id_col).alias("doc"),
+                            normalize_text(text_col).alias("__s")))
+    base = base.withColumn("__len", F.length("__s"))
+    long_side = base.where(F.col("__len") >= min_safe)
+    short_side = base.where(F.col("__len") < min_safe)
+
+    idx = F.sequence(F.lit(1), F.greatest(F.col("__len") - (q - 1),
+                                          F.lit(1)))
+    grams = (long_side
+             .select("doc", "__s", "__len",
+                     F.explode(F.array_distinct(F.transform(
+                         idx, lambda i: F.substring(F.col("__s"), i, q))))
+                      .alias("g")))
+    a = grams.select(F.col("doc").alias("doc_a"),
+                     F.col("__s").alias("__sa"),
+                     F.col("__len").alias("__la"),
+                     F.col("g").alias("__ga"))
+    b = grams.select(F.col("doc").alias("doc_b"),
+                     F.col("__s").alias("__sb"),
+                     F.col("__len").alias("__lb"),
+                     F.col("g").alias("__gb"))
+    cand_long = (a.join(b.hint("shuffle_hash"),
+                        on=[F.col("__ga") == F.col("__gb"),
+                            F.col("doc_a") < F.col("doc_b")])
+                  .select("doc_a", "doc_b", "__sa", "__sb",
+                          "__la", "__lb")
+                  .distinct())
+    s = short_side.select(F.col("doc").alias("doc_s"),
+                          F.col("__s").alias("__ss"),
+                          F.col("__len").alias("__ls"))
+    cand_short = (s.join(base.select(F.col("doc").alias("doc_o"),
+                                     F.col("__s").alias("__so"),
+                                     F.col("__len").alias("__lo")),
+                         on=[F.col("doc_s") != F.col("doc_o"),
+                             F.abs(F.col("__ls") - F.col("__lo"))
+                             <= k])
+                   .select(F.least("doc_s", "doc_o").alias("doc_a"),
+                           F.greatest("doc_s", "doc_o").alias("doc_b"),
+                           F.when(F.col("doc_s") < F.col("doc_o"),
+                                  F.col("__ss")).otherwise(F.col("__so"))
+                            .alias("__sa"),
+                           F.when(F.col("doc_s") < F.col("doc_o"),
+                                  F.col("__so")).otherwise(F.col("__ss"))
+                            .alias("__sb"),
+                           F.lit(0).alias("__la"), F.lit(0).alias("__lb"))
+                   .distinct())
+    cand = cand_long.where(
+        F.abs(F.col("__la") - F.col("__lb")) <= k) \
+        .unionByName(cand_short)
+    return (cand
+            .withColumn("dist", F.levenshtein("__sa", "__sb"))
+            .where(F.col("dist") <= k)
+            .select("doc_a", "doc_b",
+                    F.col("dist").cast("int").alias("dist"))
+            .distinct())
+
+
+def edit_distance_pairs_sql(t: str, id_expr: str, text_expr: str,
+                            max_dist: int = 1) -> str:
+    """DuckDB twin: brute-force pairwise Levenshtein over normalized
+    strings (the q-gram filter is lossless, so outputs are equal —
+    which is exactly what the oracle proves)."""
+    norm = (f"trim(regexp_replace(lower({text_expr}), '\\s+', ' ', "
+            f"'g'))")
+    return f"""
+        WITH s AS (SELECT {id_expr} AS doc, {norm} AS txt FROM {t})
+        SELECT a.doc AS doc_a, b.doc AS doc_b,
+               CAST(levenshtein(a.txt, b.txt) AS INT) AS dist
+        FROM s a JOIN s b ON a.doc < b.doc
+        WHERE levenshtein(a.txt, b.txt) <= {max_dist}
+    """

@@ -774,3 +774,33 @@ def test_histogram_equidepth_balanced_counts(spark):
     for a, b in zip(rows, rows[1:]):
         assert a["hi"] == b["lo"]
     assert sum(r["n"] for r in rows) == 1000
+
+
+def test_edit_distance_pairs_lossless_vs_bruteforce(spark):
+    import itertools
+
+    from charmpandas_spark.functions.dedup import edit_distance_pairs
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    names = ["small ring", "small king", "smal ring", "red widget",
+             "red widgets", "blue bolt", "blu", "bl", "xu",
+             "completely different"]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {(r["doc_a"], r["doc_b"]): r["dist"] for r in
+           edit_distance_pairs(df, "name", "name", max_dist=2)
+           .collect()}
+    want = {(min(a, b), max(a, b)): lev(a, b)
+            for a, b in itertools.combinations(names, 2)
+            if lev(a, b) <= 2}
+    assert got == want
+    # includes short-string matches the q-gram guarantee can't carry
+    assert ("bl", "blu") in got
+    assert ("blue bolt", "completely different") not in got
