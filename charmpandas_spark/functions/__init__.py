@@ -1,6 +1,9 @@
 from .dedup import (
     decontaminate,
+    dedup_incremental,
     duplicate_spans,
+    edit_distance_pairs,
+    fingerprint_index_write,
     exact_dedup,
     exact_dedup_survivors,
     lsh_candidate_pairs,
@@ -15,9 +18,10 @@ from .dedup import (
 from .expect import validate
 from .fusion import rrf_fuse
 from .lm import bigram_lm, bigram_lm_score
-from .profile import histogram_equiwidth, profile_columns
-from .quantize import quantize_embeddings
-from .regression import linear_fit
+from .profile import (histogram_equidepth, histogram_equiwidth,
+                      join_blowup_profile, pii_scan, profile_columns)
+from .quantize import quantize_embeddings, quantized_dot_topk
+from .regression import ab_welch, correlation, linear_fit
 from .similarity import (
     ann_lsh_topk,
     cosine_pairs,
@@ -59,10 +63,13 @@ from .text import (
 )
 
 __all__ = [
-    "decontaminate", "duplicate_spans", "line_dedup",
+    "decontaminate", "dedup_incremental", "duplicate_spans",
+    "edit_distance_pairs", "fingerprint_index_write", "line_dedup",
     "rrf_fuse", "bigram_lm", "bigram_lm_score",
     "histogram_equiwidth", "profile_columns",
-    "quantize_embeddings", "linear_fit",
+    "quantize_embeddings", "quantized_dot_topk", "linear_fit",
+    "ab_welch", "correlation", "histogram_equidepth",
+    "join_blowup_profile", "pii_scan",
     "exact_dedup", "exact_dedup_survivors", "lsh_candidate_pairs",
     "minhash_near_dup", "minhash_signatures", "ngram_jaccard_pairs",
     "shingle_table", "simhash", "simhash_near_dup",
