@@ -339,14 +339,20 @@ class DataFrame:
         by: str | list[str],
         value_cols: list[str] | None = None,
         suffix: str = "_asof",
+        direction: str = "backward",
+        tolerance_us: int | None = None,
     ) -> "DataFrame":
-        """pandas-style merge_asof: latest-at-or-before enrichment on
-        timestamp ``on`` per ``by`` key (operators/asof.py — join-free
-        window formulation)."""
+        """pandas-style merge_asof: temporal enrichment on timestamp
+        ``on`` per ``by`` key with full pandas parity —
+        ``direction`` in {backward, forward, nearest} and an optional
+        ``tolerance_us`` bound (operators/asof.py — join-free window
+        formulation)."""
         from .operators.asof import asof_join
 
         return DataFrame(asof_join(self._sdf, other.sdf, on, by,
-                                   value_cols, suffix))
+                                   value_cols, suffix,
+                                   direction=direction,
+                                   tolerance_us=tolerance_us))
 
     # -- groupby (SURVEY §2.4) ------------------------------------------
     def groupby(self, keys: str | list[str]) -> "GroupBy":
