@@ -126,10 +126,15 @@ def histogram_equiwidth(df: SparkDF, col: str, bins: int,
           .crossJoin(F.broadcast(bounds)) \
           .where((F.col("__x") >= F.col("__lo"))
                  & (F.col("__x") <= F.col("__hi")))
-    width_bin = F.least(
-        F.lit(bins - 1),
-        F.floor((F.col("__x") - F.col("__lo")) * F.lit(float(bins))
-                / (F.col("__hi") - F.col("__lo"))).cast("int"))
+    # degenerate range (constant column): everything bins to 0 — the
+    # raw expression would divide by zero under ANSI mode (found by
+    # the hypothesis replay test)
+    width_bin = F.when(
+        F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(bins - 1),
+            F.floor((F.col("__x") - F.col("__lo")) * F.lit(float(bins))
+                    / (F.col("__hi") - F.col("__lo"))).cast("int")))
     counts = (b.select(width_bin.alias("bin"))
                .groupBy("bin").agg(F.count(F.lit(1)).alias("n")))
     scaffold = (bounds
@@ -159,9 +164,10 @@ def histogram_equiwidth_sql(t: str, x_expr: str, bins: int) -> str:
             SELECT CAST({x_expr} AS DOUBLE) AS x FROM {t}
             WHERE {x_expr} IS NOT NULL),
         counts AS (
-            SELECT LEAST({bins - 1},
-                         CAST(FLOOR((x - b_lo) * CAST({bins} AS DOUBLE)
-                                    / (b_hi - b_lo)) AS INT)) AS bin,
+            SELECT CASE WHEN b_hi = b_lo THEN 0
+                   ELSE LEAST({bins - 1},
+                        CAST(FLOOR((x - b_lo) * CAST({bins} AS DOUBLE)
+                                   / (b_hi - b_lo)) AS INT)) END AS bin,
                    CAST(count(*) AS BIGINT) AS n
             FROM pts, bounds
             WHERE x >= b_lo AND x <= b_hi

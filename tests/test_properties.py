@@ -504,3 +504,32 @@ def test_decontaminate_matches_python_replay(spark, texts, bench_idx):
     for i, t in corpus:
         sh = shingles(t)
         assert out[i] == (len(sh), len(sh & bset))
+
+
+@given(vals=st.lists(st.floats(min_value=-1e5, max_value=1e5,
+                               allow_nan=False, width=32),
+                     min_size=2, max_size=60),
+       bins=st.integers(min_value=1, max_value=8))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_histogram_equiwidth_matches_python_replay(spark, vals, bins):
+    """Equi-width bin counts == a python replay of the identical
+    fixed-order double expression, for arbitrary float data."""
+    import math
+
+    from charmpandas_spark.functions.profile import histogram_equiwidth
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    rows = {r["bin"]: r["n"] for r in
+            histogram_equiwidth(df, "x", bins).collect()}
+    xs = [float(v) for v in vals]
+    lo, hi = min(xs), max(xs)
+    want = {b: 0 for b in range(bins)}
+    for x in xs:
+        if hi == lo:
+            want[0] += 1  # degenerate (constant) range: ANSI-safe bin 0
+        else:
+            b = min(bins - 1,
+                    math.floor((x - lo) * float(bins) / (hi - lo)))
+            want[b] += 1
+    assert rows == want
