@@ -887,6 +887,13 @@ def token_drift(df_a, df_b, text_col: str, id_col: str,
            + F.floor(F.lit(1_000_000)
                      * (F.col("o_b").cast("double") - eb)
                      * (F.col("o_b").cast("double") - eb) / eb))
+    # an EMPTY slice (predicate matched nothing) zeroes one
+    # expectation — chi-square is undefined there, and the raw
+    # expression would divide by zero under ANSI; report NULL drift
+    # rather than crash (same hazard class as the constant-column
+    # histogram)
+    chi = F.when((F.col("__ta") == 0) | (F.col("__tb") == 0),
+                 F.lit(None)).otherwise(chi)
     return j.select("token", "o_a", "o_b", chi.alias("chi_micro"))
 
 

@@ -804,3 +804,15 @@ def test_edit_distance_pairs_lossless_vs_bruteforce(spark):
     # includes short-string matches the q-gram guarantee can't carry
     assert ("bl", "blu") in got
     assert ("blue bolt", "completely different") not in got
+
+
+def test_token_drift_empty_slice_yields_null_not_crash(spark):
+    from charmpandas_spark.functions.text import token_drift
+
+    docs = spark.createDataFrame(
+        [(i, "some words here repeated words") for i in range(10)],
+        "doc_id bigint, t string")
+    empty = docs.where("doc_id < 0")
+    out = token_drift(docs, empty, "t", "doc_id", min_count=1).collect()
+    assert len(out) > 0
+    assert all(r["chi_micro"] is None for r in out)  # ANSI-safe
