@@ -816,3 +816,47 @@ def test_token_drift_empty_slice_yields_null_not_crash(spark):
     out = token_drift(docs, empty, "t", "doc_id", min_count=1).collect()
     assert len(out) > 0
     assert all(r["chi_micro"] is None for r in out)  # ANSI-safe
+
+
+def test_all_wave3_ops_handle_empty_inputs(spark):
+    """Degenerate-input sweep: every round-7 operator must return an
+    empty/summary frame on EMPTY input instead of crashing (the
+    constant-column histogram and empty-slice drift ANSI bugs were
+    exactly this class)."""
+    from charmpandas_spark.functions.dedup import (
+        decontaminate, edit_distance_pairs)
+    from charmpandas_spark.functions.lm import bigram_lm_score
+    from charmpandas_spark.functions.profile import (
+        histogram_equidepth, histogram_equiwidth, join_blowup_profile,
+        pii_scan, profile_columns)
+    from charmpandas_spark.functions.quantize import quantize_embeddings
+    from charmpandas_spark.functions.regression import (
+        ab_welch, correlation, linear_fit)
+    from charmpandas_spark.functions.sampling import mixture_token_budget
+    from charmpandas_spark.functions.text import token_drift
+    from charmpandas_spark.operators.pagerank import pagerank
+
+    etxt = spark.createDataFrame([], "doc_id bigint, t string")
+    enum = spark.createDataFrame([], "id bigint, x double")
+    evec = spark.createDataFrame([], "id bigint, v array<double>")
+    eedge = spark.createDataFrame([], "src bigint, dst bigint")
+    egxy = spark.createDataFrame([], "g string, x long, y long")
+    evar = spark.createDataFrame([], "g string, v string, x long")
+    esrc = spark.createDataFrame([], "s string, id long, n long")
+
+    assert profile_columns(enum).count() == 0
+    assert histogram_equiwidth(enum, "x", 4).count() == 4  # scaffold
+    assert histogram_equidepth(enum, "x", 4).count() == 0
+    assert pii_scan(etxt, ["t"]).count() == 1  # zero-hit summary row
+    assert join_blowup_profile(enum, enum, "id", "id").count() == 1
+    assert bigram_lm_score(etxt, "t", "doc_id").count() == 0
+    assert decontaminate(etxt, etxt, "t", "doc_id").count() == 0
+    assert edit_distance_pairs(etxt, "t", "doc_id").count() == 0
+    assert quantize_embeddings(evec, "v", "id").count() == 0
+    assert linear_fit(egxy, "x", "y", ["g"]).count() == 0
+    assert correlation(egxy, "x", "y", ["g"]).count() == 0
+    assert ab_welch(evar, "v", "x", ["g"]).count() == 0
+    assert mixture_token_budget(esrc, "s", "id", "n",
+                                {"a": 10}).count() == 0
+    assert pagerank(eedge, iterations=2).count() == 0
+    assert token_drift(etxt, etxt, "t", "doc_id").count() == 0
