@@ -2557,6 +2557,20 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                              path, "text", "doc_id", num_buckets=16)
 
 
+def q_sim_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 more-like-this over the inverted index, made
+    cross-engine EXACT by rational arithmetic (k1 = 6/5, b = 3/4 and
+    the idf core (N-df+1/2)/(df+1/2) reduce every factor to int64
+    numerators; per-term micro contributions are int64 sums). Same
+    shuffle_hash postings plan as tf-cosine; corpus stats ride
+    in-plan."""
+    from charmpandas_spark.functions.dedup import spread
+    from charmpandas_spark.functions.sparse import bm25_topk
+    docs = spread(_t(spark, sf_dir, "documents").sdf)
+    return bm25_topk(docs, docs.where("doc_id % 101 = 0"),
+                     "text", "doc_id", k=5)
+
+
 def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typo-level entity dedup: DISTINCT part-name pairs within
     Levenshtein distance 1 via the LOSSLESS q-gram candidate filter
@@ -2905,6 +2919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_nearest": q_events_asof_nearest,
         "histogram_equidepth": q_histogram_equidepth,
         "dedup_editdist": q_dedup_editdist,
+        "sim_bm25": q_sim_bm25,
         "table_profile": q_table_profile,
         "histogram_value": q_histogram_value,
         "decontam_ngrams": q_decontam_ngrams,
@@ -3341,7 +3356,7 @@ def oracle_sql() -> dict[str, str]:
     from charmpandas_spark.operators.funnel import funnel_counts_sql
     from charmpandas_spark.operators.resample import resample_events_sql
     from charmpandas_spark.functions.sparse import (
-        phrase_match_sql, tf_cosine_topk_sql)
+        bm25_topk_sql, phrase_match_sql, tf_cosine_topk_sql)
     join_cols = ('o_orderkey, o_orderpriority, l_orderkey, l_linenumber, '
                  'l_quantity')
     cos_pair = _cosine_sql("a.embedding", "b.embedding")
@@ -3576,6 +3591,8 @@ def oracle_sql() -> dict[str, str]:
             "events", "value", 20),
         "histogram_equidepth": histogram_equidepth_sql(
             "lineitem", "l_extendedprice", 8),
+        "sim_bm25": bm25_topk_sql("documents", "doc_id", "text",
+                                  "doc_id % 101 = 0", k=5),
         "dedup_editdist": dedup_mod.edit_distance_pairs_sql(
             "(SELECT DISTINCT p_name AS name FROM part)",
             "name", "name", max_dist=1),

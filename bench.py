@@ -186,6 +186,7 @@ def bench_queries(spark, sf_dir):
         "events_asof_nearest",
         "histogram_equidepth",
         "dedup_editdist",
+        "sim_bm25",
     ]
     return {n: qs[n] for n in names if n in qs}
 

@@ -38,6 +38,8 @@ __all__ = [
     "term_postings_sql",
     "tf_cosine_topk",
     "tf_cosine_topk_sql",
+    "bm25_topk",
+    "bm25_topk_sql",
     "term_bucket",
     "postings_write",
     "postings_lookup",
@@ -295,3 +297,126 @@ def postings_lookup(spark, path: str, terms: list[str],
             .where(F.col("bucket").isin(buckets)
                    & F.col("term").isin(terms))
             .select("doc", "term", "tf"))
+
+
+# ---------------------------------------------------------------------------
+# BM25 (exact rational arithmetic)
+# ---------------------------------------------------------------------------
+
+def bm25_topk(
+    corpus: SparkDF,
+    queries: SparkDF,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    max_df: int | None = None,
+) -> SparkDF:
+    """Okapi BM25 more-like-this: for each query document the
+    top-``k`` corpus documents by BM25 with the standard constants
+    k1 = 1.2, b = 0.75 — made CROSS-ENGINE EXACT by keeping every
+    factor rational. With document length ``dl``, corpus total length
+    ``L`` over ``N`` docs (so avgdl = L/N), term frequency ``tf`` and
+    document frequency ``df``:
+
+        idf   = (N - df + 1/2) / (df + 1/2)        -> (2N-2df+1)/(2df+1)
+        tfac  = tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+              -> 22*tf*L / (10*tf*L + 3*L + 9*dl*N)   (all int64)
+
+    Each term contributes ``floor(1e6 * (idf_num * tfac_num) /
+    (idf_den * tfac_den))`` micro-units (the int64 numerators convert
+    exactly to doubles, one fixed-order multiply/divide each), and the
+    per-document score is an int64 SUM of those — bit-identical at any
+    partitioning, so a BM25 ranking is value-hash-checkable like the
+    TF-cosine one. The classic-idf log is deliberately traded for its
+    rational core: monotone in df the same way, exactly comparable.
+
+    Plan shape identical to :func:`tf_cosine_topk`: postings
+    SHUFFLE_HASH join on term, partial-aggregated per-pair sum, one
+    window per query doc; N and L ride the plan as a broadcast 1-row
+    aggregate. ``max_df`` drops corpus stop-terms pre-join."""
+    cp = term_postings(corpus, text_col, id_col)
+    qp = term_postings(queries, text_col, id_col)
+    if max_df is not None:
+        dfc = (cp.groupBy("term")
+                 .agg(F.count(F.lit(1)).alias("__df"))
+                 .where(F.col("__df") <= max_df)
+                 .select("term"))
+        cp = cp.join(dfc.hint("shuffle_hash"), "term")
+    dl = cp.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("dl").alias("total_len"))
+    dfreq = cp.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    q = qp.select(F.col("doc").alias("q_doc"), "term")
+    scored_terms = (q.join(cp.hint("shuffle_hash")
+                            .select(F.col("doc").alias("c_doc"),
+                                    "term", "tf"), "term")
+                     .where(F.col("q_doc") != F.col("c_doc"))
+                     .join(dfreq.hint("shuffle_hash"), "term")
+                     .join(dl.select(F.col("doc").alias("c_doc"),
+                                     "dl"), "c_doc")
+                     .crossJoin(F.broadcast(stats)))
+    n, L = F.col("n_docs"), F.col("total_len")
+    idf_num = (2 * n - 2 * F.col("df") + 1).cast("double")
+    idf_den = (2 * F.col("df") + 1).cast("double")
+    tf_num = (22 * F.col("tf") * L).cast("double")
+    tf_den = (10 * F.col("tf") * L + 3 * L
+              + 9 * F.col("dl") * n).cast("double")
+    contrib = F.floor(F.lit(1_000_000) * (idf_num * tf_num)
+                      / (idf_den * tf_den))
+    pairs = (scored_terms
+             .select("q_doc", "c_doc", contrib.alias("c"))
+             .groupBy("q_doc", "c_doc")
+             .agg(F.sum("c").alias("bm25_micro")))
+    w = Window.partitionBy("q_doc").orderBy(
+        F.col("bm25_micro").desc(), F.col("c_doc").asc())
+    return (pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+                 .where(F.col("rank") <= k))
+
+
+def bm25_topk_sql(t: str, id_expr: str, text_expr: str,
+                  query_pred: str, k: int = 5) -> str:
+    """DuckDB twin of :func:`bm25_topk` (no ``max_df``; queries are
+    the rows of ``t`` satisfying ``query_pred``)."""
+    postings = term_postings_sql(t, id_expr, text_expr)
+    return f"""
+        WITH terms AS ({postings}),
+        p AS (
+            SELECT doc, term, CAST(count(*) AS BIGINT) AS tf
+            FROM terms WHERE term <> ''
+            GROUP BY doc, term),
+        dl AS (SELECT doc, sum(tf) AS dl FROM p GROUP BY doc),
+        stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+        dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                  FROM p GROUP BY term),
+        qdocs AS (SELECT {id_expr} AS doc FROM {t} WHERE {query_pred}),
+        st AS (
+            SELECT q.doc AS q_doc, c.doc AS c_doc,
+                   CAST(FLOOR(1000000.0
+                        * (CAST(2 * s.n_docs - 2 * f.df + 1 AS DOUBLE)
+                           * CAST(22 * c.tf * s.total_len AS DOUBLE))
+                        / (CAST(2 * f.df + 1 AS DOUBLE)
+                           * CAST(10 * c.tf * s.total_len
+                                  + 3 * s.total_len
+                                  + 9 * d.dl * s.n_docs AS DOUBLE)))
+                        AS BIGINT) AS c
+            FROM p q
+            JOIN p c USING (term)
+            JOIN dfreq f USING (term)
+            JOIN dl d ON d.doc = c.doc
+            CROSS JOIN stats s
+            WHERE q.doc IN (SELECT doc FROM qdocs)
+              AND q.doc <> c.doc),
+        pairs AS (
+            SELECT q_doc, c_doc, CAST(sum(c) AS BIGINT) AS bm25_micro
+            FROM st GROUP BY q_doc, c_doc),
+        ranked AS (
+            SELECT *, CAST(row_number() OVER (
+                       PARTITION BY q_doc
+                       ORDER BY bm25_micro DESC, c_doc ASC) AS INT)
+                       AS rank
+            FROM pairs)
+        SELECT q_doc, c_doc, bm25_micro, rank
+        FROM ranked WHERE rank <= {k}
+    """

@@ -167,3 +167,55 @@ def test_jaccard_prefix_filter_is_lossless(spark, sf_dir):
     assert pa == pb and len(pa) > 0
     release(a)
     release(b)
+
+
+def test_bm25_matches_python_reference_and_ranks_relevance(spark):
+    """BM25 micro scores == a sequential rational replay; a document
+    sharing rare terms with the query outranks one sharing only a
+    corpus-wide stop term."""
+    from charmpandas_spark.functions.sparse import bm25_topk
+
+    texts = {0: "rare quantum flux common",
+             1: "rare quantum flux common",      # near-copy of query
+             2: "common common filler words",    # stopword overlap only
+             3: "quantum common other",          # partial overlap
+             4: "totally unrelated content"}
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id bigint, t string")
+    out = {(r["q_doc"], r["c_doc"]): (r["bm25_micro"], r["rank"])
+           for r in bm25_topk(df, df.where("doc_id = 0"),
+                              "t", "doc_id", k=4).collect()}
+
+    # sequential rational replay
+    import collections
+    toks = {d: t.split() for d, t in texts.items()}
+    tf = {d: collections.Counter(ws) for d, ws in toks.items()}
+    dfreq = collections.Counter()
+    for d in texts:
+        for w in set(toks[d]):
+            dfreq[w] += 1
+    N = len(texts)
+    L = sum(len(ws) for ws in toks.values())
+    import math
+    want = collections.defaultdict(int)
+    for c, t_ in texts.items():
+        if c == 0:
+            continue
+        dl = len(toks[c])
+        for w in set(toks[0]):
+            f = tf[c].get(w, 0)
+            if f == 0:
+                continue
+            idf_n, idf_d = 2 * N - 2 * dfreq[w] + 1, 2 * dfreq[w] + 1
+            tf_n = 22 * f * L
+            tf_d = 10 * f * L + 3 * L + 9 * dl * N
+            want[c] += math.floor(
+                1_000_000 * (idf_n * tf_n) / (idf_d * tf_d))
+    for (q, c), (micro, _) in out.items():
+        assert micro == want[c], (c, micro, want[c])
+    # relevance ordering: near-copy first, stop-term-only last of the
+    # matching docs
+    ranks = {c: r for (_, c), (_, r) in out.items()}
+    assert ranks[1] == 1
+    assert ranks[2] > ranks[3]
+    assert 4 not in ranks  # no shared terms -> never a candidate
