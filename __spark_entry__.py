@@ -2557,6 +2557,32 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                              path, "text", "doc_id", num_buckets=16)
 
 
+def q_hybrid_rrf3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-leg reciprocal-rank fusion: dense cosine + sparse
+    TF-cosine + rational BM25, fused per query with integer micro
+    scores — the full hybrid-search stack in one ranking. Queries =
+    ids < 10; each leg keeps its own plan, fusion is one groupBy over
+    |queries| x k x 3 rows."""
+    from charmpandas_spark.functions.fusion import rrf_fuse
+    from charmpandas_spark.functions.similarity import knn_join
+    from charmpandas_spark.functions.sparse import bm25_topk, tf_cosine_topk
+    emb = _t(spark, sf_dir, "embeddings").sdf
+    docs = _t(spark, sf_dir, "documents").sdf
+    qd = docs.where(F.col("doc_id") < 10)
+    dense = knn_join(emb.where(F.col("vec_id") < 10), emb,
+                     "embedding", "vec_id", k=10, exact=True)
+    sparse = tf_cosine_topk(docs, qd, "text", "doc_id", k=10)
+    bm25 = bm25_topk(docs, qd, "text", "doc_id", k=10)
+    return rrf_fuse(
+        [dense.select(F.col("qid").alias("q_id"),
+                      F.col("nid").alias("item_id"), "rank"),
+         sparse.select(F.col("q_doc").alias("q_id"),
+                       F.col("c_doc").alias("item_id"), "rank"),
+         bm25.select(F.col("q_doc").alias("q_id"),
+                     F.col("c_doc").alias("item_id"), "rank")],
+        k0=60, top_k=10)
+
+
 def q_sim_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 more-like-this over the inverted index, made
     cross-engine EXACT by rational arithmetic (k1 = 6/5, b = 3/4 and
@@ -2920,6 +2946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_equidepth": q_histogram_equidepth,
         "dedup_editdist": q_dedup_editdist,
         "sim_bm25": q_sim_bm25,
+        "hybrid_rrf3": q_hybrid_rrf3,
         "table_profile": q_table_profile,
         "histogram_value": q_histogram_value,
         "decontam_ngrams": q_decontam_ngrams,
@@ -3593,6 +3620,31 @@ def oracle_sql() -> dict[str, str]:
             "lineitem", "l_extendedprice", 8),
         "sim_bm25": bm25_topk_sql("documents", "doc_id", "text",
                                   "doc_id % 101 = 0", k=5),
+        "hybrid_rrf3": f"""
+            WITH dense AS ({dense_leg}),
+            sparse AS (
+                SELECT q_doc AS q_id, c_doc AS item_id,
+                       CAST("rank" AS BIGINT) AS rnk
+                FROM ({sparse_leg})),
+            bm AS (
+                SELECT q_doc AS q_id, c_doc AS item_id,
+                       CAST("rank" AS BIGINT) AS rnk
+                FROM ({bm25_topk_sql("documents", "doc_id", "text",
+                                     "doc_id < 10", k=10)})),
+            u AS (SELECT * FROM dense UNION ALL SELECT * FROM sparse
+                  UNION ALL SELECT * FROM bm),
+            fused AS (
+                SELECT q_id, item_id,
+                       CAST(count(*) AS BIGINT) AS n_legs,
+                       CAST(sum(CAST(FLOOR(1000000 / (60.0 + rnk))
+                                     AS BIGINT)) AS BIGINT) AS rrf_micro
+                FROM u GROUP BY q_id, item_id)
+            SELECT q_id, item_id, n_legs, rrf_micro,
+                   CAST(row_number() OVER (
+                        PARTITION BY q_id
+                        ORDER BY rrf_micro DESC, item_id ASC) AS INT)
+                       AS fused_rank
+            FROM fused QUALIFY fused_rank <= 10""",
         "dedup_editdist": dedup_mod.edit_distance_pairs_sql(
             "(SELECT DISTINCT p_name AS name FROM part)",
             "name", "name", max_dist=1),

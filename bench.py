@@ -187,6 +187,7 @@ def bench_queries(spark, sf_dir):
         "histogram_equidepth",
         "dedup_editdist",
         "sim_bm25",
+        "hybrid_rrf3",
     ]
     return {n: qs[n] for n in names if n in qs}
 
