@@ -323,12 +323,27 @@ def bm25_topk(
               -> 22*tf*L / (10*tf*L + 3*L + 9*dl*N)   (all int64)
 
     Each term contributes ``floor(1e6 * (idf_num * tfac_num) /
-    (idf_den * tfac_den))`` micro-units (the int64 numerators convert
-    exactly to doubles, one fixed-order multiply/divide each), and the
-    per-document score is an int64 SUM of those — bit-identical at any
-    partitioning, so a BM25 ranking is value-hash-checkable like the
-    TF-cosine one. The classic-idf log is deliberately traded for its
-    rational core: monotone in df the same way, exactly comparable.
+    (idf_den * tfac_den))`` micro-units, and the per-document score is
+    an int64 SUM of those — partition-order independent, so a BM25
+    ranking is value-hash-checkable like the TF-cosine one. The
+    classic-idf log is deliberately traded for its rational core:
+    monotone in df the same way, exactly comparable.
+
+    Precision contract (two distinct bounds):
+
+    - *Exact-rational* claim: holds while every int64 factor fits in
+      a double without rounding, i.e. ``22*tf*L < 2^53`` (and the
+      analogous denominator terms) — roughly ``tf * L < 4e14``
+      token-units of corpus mass.
+    - *Cross-engine bit-identity*: holds further, up to int64
+      OVERFLOW of ``22*tf*L < 2^63`` (~``tf * L < 4e17``), because
+      int64→double casts and the single fixed-order multiply/divide
+      are correctly-rounded IEEE-754 ops that Spark (JVM) and DuckDB
+      (C++) evaluate identically — past 2^53 the contrib is a rounded
+      rational, but the SAME rounded rational in both engines.
+
+    Past ~4e17 token-units, pre-aggregate per-shard or switch the L
+    factor to decimal(38,0) arithmetic.
 
     Plan shape identical to :func:`tf_cosine_topk`: postings
     SHUFFLE_HASH join on term, partial-aggregated per-pair sum, one

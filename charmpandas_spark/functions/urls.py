@@ -282,6 +282,22 @@ def canonicalize_url(url: Column | str,
     u = F.col(url) if isinstance(url, str) else url
     proto = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
     host = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    # HOST excludes the port, so it must be re-attached explicitly —
+    # otherwise http://host:8080/x and http://host/x would collapse
+    # into one key (false-positive dedup of distinct origins). Only
+    # the scheme's DEFAULT port is dropped; any other port (and any
+    # port on a non-http(s) scheme) is kept.
+    # (parse_url has no PORT part — pull it off AUTHORITY, which is
+    # [userinfo@]host[:port])
+    port = F.nullif(
+        F.regexp_extract(F.try_parse_url(u, F.lit("AUTHORITY")),
+                         r":(\d+)$", 1), F.lit(""))
+    default_port = (F.when(proto == "http", F.lit("80"))
+                     .when(proto == "https", F.lit("443")))
+    portpart = (F.when(port.isNull()
+                       | (port == F.coalesce(default_port, F.lit(""))),
+                       F.lit(""))
+                 .otherwise(F.concat(F.lit(":"), port)))
     path = F.try_parse_url(u, F.lit("PATH"))
     path = F.when(path.isNull() | (path == ""), F.lit("")) \
         .otherwise(F.regexp_replace(path, r"/+$", ""))
@@ -294,6 +310,6 @@ def canonicalize_url(url: Column | str,
     qcanon = F.array_join(F.array_sort(params), "&")
     return F.when(
         proto.isNull() | host.isNull(), F.lit(None)).otherwise(
-        F.concat(proto, F.lit("://"), host, path,
+        F.concat(proto, F.lit("://"), host, portpart, path,
                  F.when(qcanon == "", F.lit(""))
                   .otherwise(F.concat(F.lit("?"), qcanon))))

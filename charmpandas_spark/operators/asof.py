@@ -74,7 +74,18 @@ def asof_join(
         *[F.col(c).alias(f"__cps_v_{c}") for c in value_cols])
 
     unioned = tagged_left.unionByName(tagged_right)
-    fill_cols = ["__cps_rts"] + [f"__cps_v_{c}" for c in value_cols]
+
+    # ONE struct per direction, gated on side==0, so the matched
+    # timestamp and the matched values always come from the SAME
+    # right row.  Filling each value column independently with
+    # last(ignorenulls=True) would skip a matched row whose value is
+    # NULL and return a stale value from an earlier row — possibly
+    # outside tolerance (pandas returns NaN there).
+    matched_struct = F.when(
+        F.col("__cps_side") == 0,
+        F.struct(F.col("__cps_rts").alias("__cps_rts"),
+                 *[F.col(f"__cps_v_{c}").alias(f"__cps_v_{c}")
+                   for c in value_cols]))
 
     def _fill(df, tag, ascending):
         # right rows (side=0) sort before left rows at equal ts in
@@ -85,8 +96,8 @@ def asof_join(
              .orderBy(order, F.col("__cps_side").asc())
              .rowsBetween(Window.unboundedPreceding, 0))
         return df.select(
-            "*", *[F.last(c, ignorenulls=True).over(w)
-                   .alias(f"__{tag}_{c}") for c in fill_cols])
+            "*", F.last(matched_struct, ignorenulls=True).over(w)
+                  .alias(f"__{tag}_m"))
 
     directions = {"backward": True, "forward": False}
     use = ([direction] if direction in directions
@@ -101,15 +112,16 @@ def asof_join(
         # match-existence + distance indicator: NULL when no match
         # (or out of tolerance). Based on the matched TIMESTAMP, not
         # the value — a matched row carrying a NULL value is still a
-        # match (pandas semantics).
-        delta = F.abs(lts - F.col(f"__{d}___cps_rts"))
+        # match (pandas semantics), and its (NULL) value is what the
+        # join returns.
+        delta = F.abs(lts - F.col(f"__{d}_m.__cps_rts"))
         if tolerance_us is not None:
             delta = F.when(delta <= tolerance_us, delta)
         return delta
 
     def _value(c):
         picks = {d: F.when(_delta(d).isNotNull(),
-                           F.col(f"__{d}_{'__cps_v_' + c}"))
+                           F.col(f"__{d}_m.__cps_v_{c}"))
                  for d in use}
         if direction != "nearest":
             return picks[direction]

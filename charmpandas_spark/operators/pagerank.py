@@ -67,21 +67,25 @@ def pagerank(edges: SparkDF, src_col: str = "src", dst_col: str = "dst",
         # shuffle_hash on both per-iteration joins: rank vectors are
         # join-once streams — the sort-merge default would sort the
         # (bigger) edge side every iteration for no reuse
+        # pure int64 arithmetic: SQL `DIV` is exact integral division
+        # (== DuckDB `//` on the nonnegative values here), unlike
+        # floor(a / b) whose double intermediate rounds once
+        # `damping_num * S` exceeds 2^53. Exact until
+        # damping_num * S overflows int64 — S ≤ total mass ≈
+        # n·1e6 micro-units, so valid to ~5e11 nodes.
         contribs = (ed.join(ranks.withColumnRenamed("node", "src")
                                  .hint("shuffle_hash"), "src")
                       .select("dst",
-                              F.floor(F.col("rank_micro")
-                                      / F.col("deg")).alias("c"))
+                              F.expr("rank_micro DIV deg").alias("c"))
                       .groupBy("dst")
                       .agg(F.sum("c").alias("s")))
         ranks = (nodes.join(contribs.withColumnRenamed("dst", "node")
                                     .hint("shuffle_hash"),
                             "node", "left")
                  .select("node",
-                         (base + F.floor(
-                             F.lit(damping_num)
-                             * F.coalesce(F.col("s"), F.lit(0))
-                             / F.lit(damping_den))).alias("rank_micro")))
+                         (base + F.expr(
+                             f"({damping_num} * coalesce(s, 0L))"
+                             f" DIV {damping_den}")).alias("rank_micro")))
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint()
     ranks._cps_persisted = [e, nodes, ed]  # see dedup.release()
@@ -92,8 +96,10 @@ def pagerank_sql(edges_sql: str, iterations: int = 3,
                  damping_num: int = 17, damping_den: int = 20) -> str:
     """DuckDB twin: the recurrence unrolled ``iterations`` times over
     ``edges_sql`` (a query yielding ``src, dst``). Integer arithmetic
-    matches :func:`pagerank` exactly (``//`` in DuckDB floors like
-    Spark's floor-of-double for int64 magnitudes)."""
+    matches :func:`pagerank` exactly: DuckDB's ``//`` and Spark's
+    ``DIV`` are both exact int64 division, identical on the
+    nonnegative operands here — no double intermediate anywhere, so
+    the match holds past 2^53."""
     base = ((damping_den - damping_num) * MICRO) // damping_den
     parts = [f"""
         WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),

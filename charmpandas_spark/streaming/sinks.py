@@ -81,6 +81,7 @@ def merge_stream_into(stream_df: SparkDF, target_path: str,
 
     def _merge(batch_df: SparkDF, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _recover_swap(target_path)
         src = batch_df.dropDuplicates(keys)
         if not os.path.isdir(target_path):
             src.write.mode("overwrite").parquet(target_path)
@@ -96,6 +97,37 @@ def merge_stream_into(stream_df: SparkDF, target_path: str,
         os.rename(tmp, target_path)
         shutil.rmtree(old, ignore_errors=True)
 
-    return (stream_df.writeStream.foreachBatch(_merge)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True).start())
+    w = (stream_df.writeStream.foreachBatch(_merge)
+         .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def _recover_swap(target_path: str) -> None:
+    """Crash-recovery for :func:`merge_stream_into`'s two-rename swap.
+
+    A crash between ``rename(target, old)`` and ``rename(tmp,
+    target)`` leaves the target missing; without recovery the
+    replayed batch would take the "initial load" branch and overwrite
+    the table with ONLY that batch's rows — silent loss of all
+    history. On every batch entry: if the target is missing but an
+    ``.__old_b*`` sibling exists, roll it back (the old dir is the
+    last fully-committed table state; the replayed MERGE then
+    re-derives the lost batch exactly). Leftover ``.__tmp_b*`` dirs
+    (complete or partial) are always discarded — the replay rewrites
+    them.
+    """
+    import glob
+    import shutil
+
+    base = target_path.rstrip("/")
+    olds = sorted(glob.glob(base + ".__old_b*"))
+    if olds and not os.path.isdir(base):
+        # crashed mid-swap: restore the committed pre-batch state
+        os.rename(olds[-1], base)
+        olds = olds[:-1]
+    for stale in olds + sorted(glob.glob(base + ".__tmp_b*")):
+        # target exists: crash was after the swap (or before it,
+        # leaving only a tmp) — stale dirs are safe to drop
+        shutil.rmtree(stale, ignore_errors=True)

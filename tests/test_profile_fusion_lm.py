@@ -623,6 +623,14 @@ def test_canonicalize_url_cases(spark):
         "http://a.com/x?fbclid=1&SID=9": "http://a.com/x",
         "http://a.com/x?z=1&y=2&z=0": "http://a.com/x?y=2&z=0&z=1",
         "not a url": None,
+        # non-default ports are DISTINCT origins — never collapsed
+        "http://a.com:8080/x": "http://a.com:8080/x",
+        "https://a.com:8443/x": "https://a.com:8443/x",
+        # scheme-default ports are dropped
+        "http://a.com:80/x": "http://a.com/x",
+        "HTTPS://A.com:443/x": "https://a.com/x",
+        # http default on https (and vice versa) is NOT default
+        "https://a.com:80/x": "https://a.com:80/x",
     }
     df = spark.createDataFrame([(u,) for u in cases], "u string")
     got = {r["u"]: r["c"] for r in

@@ -249,3 +249,49 @@ def test_asof_join_directions_and_tolerance(spark):
     r2 = asof_join(left, right2, "ts", "k", value_cols=["v"],
                    direction="nearest").collect()[0]
     assert r2["v_asof"] is None  # backward match (1 min) carries NULL
+
+
+def test_asof_join_null_value_not_stale(spark):
+    """Regression: when the MATCHED right row carries a NULL value,
+    the join must return that NULL — never a stale non-null value
+    from an earlier row (which may even be outside tolerance).
+    pandas merge_asof returns NaN in both cases."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from charmpandas_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u", "2024-01-01 12:00:00")], "k string, ts_s string") \
+        .select("k", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [("u", "2024-01-01 09:00:00", 10.0),   # stale, 3 h old
+         ("u", "2024-01-01 11:30:00", None)],  # matched, 30 min old
+        "k string, ts_s string, v double") \
+        .select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+
+    # no tolerance: match is the 11:30 row -> its NULL value
+    out = asof_join(left, right, "ts", "k", ["v"]).collect()[0]
+    assert out["v_asof"] is None
+    # 1 h tolerance: 11:30 row in range but NULL; 09:00 out of range
+    out = asof_join(left, right, "ts", "k", ["v"],
+                    tolerance_us=3_600_000_000).collect()[0]
+    assert out["v_asof"] is None
+
+    # pandas oracle agrees
+    lp = left.toPandas()
+    rp = right.toPandas()
+    want = pd.merge_asof(lp.sort_values("ts"), rp.sort_values("ts"),
+                         on="ts", by="k",
+                         tolerance=pd.Timedelta(hours=1))
+    assert pd.isna(want["v"].iloc[0])
+
+    # and a NON-null matched value still comes through with tolerance
+    right3 = spark.createDataFrame(
+        [("u", "2024-01-01 09:00:00", 10.0),
+         ("u", "2024-01-01 11:30:00", 42.0)],
+        "k string, ts_s string, v double") \
+        .select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    out = asof_join(left, right3, "ts", "k", ["v"],
+                    tolerance_us=3_600_000_000).collect()[0]
+    assert out["v_asof"] == 42.0

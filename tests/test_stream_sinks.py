@@ -71,3 +71,74 @@ def test_merge_sink_upserts_and_replay_idempotent(spark, tmp_path):
             for r in spark.read.parquet(target).collect()}
     assert got2 == {1: 20, 2: 90, 3: 7}
     assert spark.read.parquet(target).count() == 3  # no duplicates
+
+
+def test_merge_sink_recovers_crash_between_renames(spark, tmp_path):
+    """A crash between rename(target, old) and rename(tmp, target)
+    leaves the target missing; the replayed batch must roll the old
+    dir back and re-merge — NOT take the initial-load branch and wipe
+    history down to one batch's rows."""
+    from charmpandas_spark.streaming.sinks import (_recover_swap,
+                                                   merge_stream_into)
+    from charmpandas_spark.streaming.windows import stream_from_parquet
+
+    src = str(tmp_path / "csrc")
+    target = str(tmp_path / "ctarget")
+    ckpt = str(tmp_path / "cckpt")
+    os.makedirs(src)
+    _add_file(spark, src, [(1, 10), (2, 20)], "k long, v long", 0)
+
+    q = merge_stream_into(stream_from_parquet(spark, src), target,
+                          ckpt, keys=["k"])
+    assert q.awaitTermination(180)
+
+    # simulate the mid-swap crash while batch 1 was merging (3, 30):
+    # committed state moved aside, replacement never landed
+    spark.createDataFrame([(9, 99)], "k long, v long") \
+        .write.mode("overwrite").parquet(target + ".__tmp_b1")
+    os.rename(target, target + ".__old_b1")
+    assert not os.path.isdir(target)
+
+    _recover_swap(target)
+    assert os.path.isdir(target)            # committed state restored
+    assert not glob.glob(target + ".__*")   # stale dirs cleaned
+    got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: 10, 2: 20}
+
+    # and a full restart through the sink replays the lost batch on
+    # top of the RECOVERED table (crash state set up again first)
+    _add_file(spark, src, [(3, 30)], "k long, v long", 1)
+    spark.createDataFrame([(9, 99)], "k long, v long") \
+        .write.mode("overwrite").parquet(target + ".__tmp_b1")
+    os.rename(target, target + ".__old_b1")
+    q2 = merge_stream_into(stream_from_parquet(spark, src), target,
+                           ckpt, keys=["k"])
+    assert q2.awaitTermination(180)
+    got2 = {r["k"]: r["v"]
+            for r in spark.read.parquet(target).collect()}
+    assert got2 == {1: 10, 2: 20, 3: 30}    # history intact
+
+
+def test_merge_sink_honors_trigger_flag(spark, tmp_path):
+    """trigger_available_now=False must NOT silently apply the
+    one-shot availableNow trigger (continuous micro-batch mode)."""
+    from charmpandas_spark.streaming.sinks import merge_stream_into
+    from charmpandas_spark.streaming.windows import stream_from_parquet
+
+    src = str(tmp_path / "tsrc")
+    target = str(tmp_path / "ttarget")
+    ckpt = str(tmp_path / "tckpt")
+    os.makedirs(src)
+    _add_file(spark, src, [(1, 1)], "k long, v long", 0)
+
+    q = merge_stream_into(stream_from_parquet(spark, src), target,
+                          ckpt, keys=["k"], trigger_available_now=False)
+    try:
+        # without availableNow the query drains the backlog but does
+        # NOT terminate on its own
+        assert not q.awaitTermination(20)
+        assert q.isActive
+    finally:
+        q.stop()
+    got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: 1}
