@@ -2256,6 +2256,22 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(docs, "text", "doc_id", k=4, min_docs=2)
 
 
+def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span REMOVAL (ExactSubstr, Lee et al.): cut
+    every 4-token span duplicated across >= 2 docs except its first
+    (doc, pos) occurrence, and reassemble each document's residual
+    text in order — the transform counterpart of the read-only
+    ``dedup_spans`` profile. Three shuffles: span-df aggregate
+    (min(struct) keep-first rides it, no window), SHUFFLE_HASH rejoin
+    of the duplicated-span set, per-doc reassembly groupBy; only
+    REMOVED occurrences are exploded into covered-token rows."""
+    from charmpandas_spark.functions.dedup import (remove_duplicate_spans,
+                                                   spread)
+    docs = spread(_t(spark, sf_dir, "documents").sdf)
+    return remove_duplicate_spans(docs, "text", "doc_id",
+                                  k=4, min_docs=2)
+
+
 
 
 def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2923,6 +2939,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_correctness.py runs ALL of them locally each round
     # (ADVICE r3: never depend on the driver's window size).
     return {
+        # --- (0) NEW or CHANGED in r8 ---
+        "dedup_span_removal": q_dedup_span_removal,
         # --- (1) NEW or CHANGED in r7: must prove green this round ---
         "quality_lm_score": q_quality_lm_score,
         "hybrid_rrf": q_hybrid_rrf,
@@ -3375,7 +3393,8 @@ def oracle_sql() -> dict[str, str]:
         c4_clean_sql, classifier_score_sql, gopher_quality_sql,
         quantile_keep_sql)
     from charmpandas_spark.functions.dedup import (
-        duplicate_spans_sql, jaccard_pairs_prefix_sql, line_dedup_sql)
+        duplicate_spans_sql, jaccard_pairs_prefix_sql, line_dedup_sql,
+        remove_duplicate_spans_sql)
     from charmpandas_spark.functions.expect import validate_sql
     from charmpandas_spark.functions.text import assign_shards_sql
     from charmpandas_spark.operators.merge import (
@@ -3672,6 +3691,8 @@ def oracle_sql() -> dict[str, str]:
             FROM fused QUALIFY fused_rank <= 10""",
         "text_line_dedup": line_dedup_oracle,
         "dedup_spans": duplicate_spans_sql(
+            "documents", "doc_id", "text", 4, 2),
+        "dedup_span_removal": remove_duplicate_spans_sql(
             "documents", "doc_id", "text", 4, 2),
         "dedup_jaccard_prefix": jaccard_pairs_prefix_sql(
             "documents", "doc_id", "text", 0.6, 3),

@@ -49,6 +49,8 @@ __all__ = [
     "line_dedup_sql",
     "duplicate_spans",
     "duplicate_spans_sql",
+    "remove_duplicate_spans",
+    "remove_duplicate_spans_sql",
     "jaccard_pairs_prefix",
     "jaccard_pairs_prefix_sql",
     "decontaminate",
@@ -933,6 +935,161 @@ def duplicate_spans_sql(t: str, id_expr: str, text_expr: str,
                FLOOR(1000000 * CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END)
                                     AS DOUBLE) / count(*)) / 1000000
                    AS dup_frac
+        FROM m GROUP BY doc
+    """
+
+
+def remove_duplicate_spans(
+    df: SparkDF,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+) -> SparkDF:
+    """Exact-substring span REMOVAL (the transform half of Lee et al.
+    "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr; the reference pipeline's span profile
+    :func:`duplicate_spans` is the read-only half): every k-token
+    span that appears verbatim in >= ``min_docs`` DISTINCT documents
+    is CUT from the corpus except its first occurrence, and each
+    document is reassembled from its surviving tokens in original
+    order.
+
+    Semantics (deterministic, both engines):
+
+    - span geometry is exactly :func:`duplicate_spans`: normalized
+      words, rolling k-token windows stride 1, one truncated span for
+      docs shorter than k tokens;
+    - "first occurrence" = the minimum ``(doc, pos)`` over ALL
+      occurrences of the span (lexicographic; later occurrences
+      inside the first doc itself are removed too);
+    - a non-first occurrence at position ``p`` removes the tokens it
+      covers, ``[p, min(p+k, n_tokens) - 1]``. A token survives iff
+      NO removed occurrence covers it — so the kept-first occurrence
+      of one span can still lose tokens to an overlapping removed
+      occurrence of a DIFFERENT span (coverage semantics, the way
+      ExactSubstr cuts byte ranges).
+
+    Output: ``(doc, text, n_tokens, n_removed)`` — ``text`` is the
+    surviving tokens joined by single spaces ('' when everything was
+    cut; the row is kept so callers can drop hollowed-out docs),
+    ``n_tokens`` the pre-removal token count, ``n_removed`` how many
+    tokens were cut.
+
+    Scale: three shuffles — the span document-frequency aggregate
+    (with map-side combine; ``min(struct(doc, pos))`` rides the same
+    aggregate, no window), the duplicated-span rejoin under
+    SHUFFLE_HASH (corpus-sized worst case — never broadcast), and the
+    per-doc reassembly groupBy. Covered-token expansion explodes only
+    REMOVED occurrences (k rows each), not the corpus. The pinned
+    span subtree feeds both the aggregate and the rejoin; call
+    ``release()`` after the action.
+    """
+    from pyspark import StorageLevel
+
+    words = F.split(normalize_text(text_col), " ")
+    base = (df.select(F.col(id_col).alias("doc"), words.alias("__cps_w"))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    idx = F.sequence(F.lit(0),
+                     F.greatest(F.size("__cps_w") - k, F.lit(0)))
+    span_arr = F.transform(
+        idx, lambda i: F.array_join(F.slice("__cps_w", i + 1, k), " "))
+    spans = (base.select("doc", F.size("__cps_w").alias("__cps_n"),
+                         F.posexplode(span_arr).alias("pos", "span"))
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+    dup = (spans.groupBy("span")
+                .agg(F.count_distinct("doc").alias("__cps_nd"),
+                     F.min(F.struct("doc", "pos")).alias("__cps_first"))
+                .where(F.col("__cps_nd") >= min_docs)
+                .select("span",
+                        F.col("__cps_first.doc").alias("__cps_fdoc"),
+                        F.col("__cps_first.pos").alias("__cps_fpos")))
+    removed = (spans.join(dup.hint("shuffle_hash"), "span")
+                    .where(~((F.col("doc") == F.col("__cps_fdoc"))
+                             & (F.col("pos") == F.col("__cps_fpos"))))
+                    .select("doc", "pos", "__cps_n"))
+    covered = (removed.select(
+                   "doc",
+                   F.explode(F.sequence(
+                       F.col("pos"),
+                       F.least(F.col("pos") + (k - 1),
+                               F.col("__cps_n") - 1))).alias("tp"))
+                      .distinct()
+                      .withColumn("__cps_rm", F.lit(True)))
+    tokens = base.select("doc",
+                         F.posexplode("__cps_w").alias("tp", "word"))
+    kept_struct = F.when(F.col("__cps_rm").isNull(),
+                         F.struct("tp", "word"))
+    out = (tokens.join(covered.hint("shuffle_hash"), ["doc", "tp"],
+                       "left")
+                 .groupBy("doc")
+                 .agg(F.coalesce(
+                          F.array_join(
+                              F.transform(
+                                  F.array_sort(
+                                      F.collect_list(kept_struct)),
+                                  lambda s: s["word"]),
+                              " "),
+                          F.lit("")).alias("text"),
+                      F.count(F.lit(1)).alias("n_tokens"),
+                      F.sum(F.when(F.col("__cps_rm").isNotNull(), 1)
+                             .otherwise(0)).cast("bigint")
+                       .alias("n_removed")))
+    out._cps_persisted = [base, spans]  # see release()
+    return out
+
+
+def remove_duplicate_spans_sql(t: str, id_expr: str, text_expr: str,
+                               k: int = 8, min_docs: int = 2) -> str:
+    """DuckDB twin of :func:`remove_duplicate_spans` — same span
+    geometry, same lexicographic ``min(doc, pos)`` keep-first rule,
+    same token-coverage removal and in-order reassembly."""
+    norm = (f"trim(regexp_replace(lower({text_expr}), "
+            "'\\s+', ' ', 'g'))")
+    return f"""
+        WITH w AS (
+            SELECT {id_expr} AS doc, string_split({norm}, ' ') AS words
+            FROM {t}),
+        si AS (
+            SELECT doc, words, len(words) AS n,
+                   UNNEST(range(0, greatest(len(words) - {k}, 0) + 1))
+                       AS i
+            FROM w),
+        sp AS (
+            SELECT doc, n, CAST(i AS INT) AS pos,
+                   array_to_string(
+                       list_slice(words, CAST(i + 1 AS INT),
+                                  CAST(i + {k} AS INT)), ' ') AS span
+            FROM si),
+        dup AS (
+            SELECT span,
+                   min(struct_pack(d := doc, p := pos)) AS first
+            FROM sp
+            GROUP BY span HAVING count(DISTINCT doc) >= {min_docs}),
+        rem AS (
+            SELECT sp.doc, sp.pos, sp.n
+            FROM sp JOIN dup USING (span)
+            WHERE NOT (sp.doc = dup.first.d AND sp.pos = dup.first.p)),
+        covx AS (
+            SELECT doc,
+                   UNNEST(range(pos, least(pos + {k}, n))) AS tp
+            FROM rem),
+        cov AS (SELECT DISTINCT doc, CAST(tp AS INT) AS tp FROM covx),
+        tok AS (
+            SELECT doc, UNNEST(words) AS word,
+                   UNNEST(range(0, len(words))) AS tp
+            FROM w),
+        m AS (
+            SELECT t2.doc, CAST(t2.tp AS INT) AS tp, t2.word,
+                   (c.tp IS NOT NULL) AS rm
+            FROM tok t2 LEFT JOIN cov c
+              ON c.doc = t2.doc AND c.tp = t2.tp)
+        SELECT doc,
+               coalesce(string_agg(word, ' ' ORDER BY tp)
+                            FILTER (WHERE NOT rm), '') AS text,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(coalesce(sum(CASE WHEN rm THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_removed
         FROM m GROUP BY doc
     """
 

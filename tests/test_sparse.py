@@ -98,6 +98,83 @@ def test_duplicate_spans_profile(spark):
     release(out)
 
 
+def _ref_remove_spans(docs, k, min_docs):
+    """Sequential Python reference for remove_duplicate_spans: same
+    normalization, span geometry, keep-first rule, token coverage."""
+    import re
+    from collections import defaultdict
+
+    words = {d: re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+             for d, t in docs}
+    occ = defaultdict(list)
+    for d, _ in docs:
+        w, n = words[d], len(words[d])
+        for i in range(max(n - k, 0) + 1):
+            occ[" ".join(w[i:i + k])].append((d, i, n))
+    covered = defaultdict(set)
+    for s, os_ in occ.items():
+        if len({d for d, _, _ in os_}) >= min_docs:
+            first = min((d, p) for d, p, _ in os_)
+            for d, p, n in os_:
+                if (d, p) != first:
+                    covered[d].update(range(p, min(p + k, n)))
+    return {d: (" ".join(x for i, x in enumerate(words[d])
+                         if i not in covered[d]),
+                len(words[d]), len(covered[d]))
+            for d, _ in docs}
+
+
+def test_remove_duplicate_spans_vs_sequential_reference(spark):
+    """Spark == sequential Python == DuckDB twin on a corpus with
+    every edge: cross-doc duplicate (later occurrence cut, first
+    kept), WITHIN-doc repeat in the first doc (cut too), overlapping
+    removed spans, a doc shorter than k, and an untouched doc."""
+    import duckdb
+
+    from charmpandas_spark.functions.dedup import (
+        release, remove_duplicate_spans, remove_duplicate_spans_sql)
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        # doc 2 recycles doc 1's opening 4-gram mid-text
+        (2, "start here the quick brown fox ends here now"),
+        # doc 3 repeats ITS OWN leading span later (within-doc dup
+        # across >=2 docs via doc 4)
+        (3, "aa bb cc dd xx aa bb cc dd yy"),
+        (4, "aa bb cc dd zz pp qq rr ss tt"),
+        (5, "tiny doc"),
+        (6, "totally unique words appear only here once friends"),
+    ]
+    k, min_docs = 4, 2
+    want = _ref_remove_spans(docs, k, min_docs)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = remove_duplicate_spans(df, "text", "doc_id",
+                                 k=k, min_docs=min_docs)
+    got = {r["doc"]: (r["text"], r["n_tokens"], r["n_removed"])
+           for r in out.collect()}
+    assert got == want
+    release(out)
+
+    # the first occurrence of "the quick brown fox" (doc 1) survives,
+    # doc 2's copy is cut
+    assert got[1][0].startswith("the quick brown fox")
+    assert "quick" not in got[2][0]
+    # doc 3's SECOND "aa bb cc dd" is cut even though doc 3 holds the
+    # first occurrence
+    assert got[3] == ("aa bb cc dd xx yy", 10, 4)
+    assert got[6][2] == 0  # untouched
+
+    # DuckDB twin agrees exactly
+    con = duckdb.connect()
+    con.register("d", df.toPandas())
+    sql = remove_duplicate_spans_sql("d", "doc_id", "text",
+                                     k=k, min_docs=min_docs)
+    duck = {r[0]: (r[1], r[2], r[3])
+            for r in con.execute(sql).fetchall()}
+    assert duck == want
+
+
 def test_postings_index_prunes_buckets(spark, sf_dir):
     """The persisted inverted index must PRUNE at the directory
     level: a lookup for terms hashing to 2 buckets reads only those
