@@ -1749,6 +1749,36 @@ def q_corpus_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            / 100).alias(f"p{int(p * 100)}") for p in ps])
 
 
+def q_corpus_percentiles_approx(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The 100 TB quantile path, correctness-gated: one-pass
+    ``percentile_approx`` boundaries checked against their exact rank
+    intervals per (returnflag, p) — the GK rank-error tolerance is
+    encoded in the query, so the oracle asserts the expected
+    (group, quantile, n, ok=true) table and a hash match proves the
+    approx path honors its bound (VERDICT r7 item 4: gate the approx
+    profiling path, not just the exact anchor)."""
+    from charmpandas_spark.functions.sketches import approx_quantiles_check
+    li = _t(spark, sf_dir, "lineitem").sdf
+    return approx_quantiles_check(li, "l_extendedprice",
+                                  [0.25, 0.5, 0.75, 0.95, 0.99],
+                                  accuracy=10000, by=["l_returnflag"])
+
+
+def q_histogram_equidepth_approx(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Equi-depth histogram built from ONE-PASS approx boundaries
+    (the scale path histogram_equidepth documents), with the
+    per-bucket count bound (2*eps*n + max-tie + 1) checked in the
+    query itself — hash-checkable against a constructed expected
+    table."""
+    from charmpandas_spark.functions.profile import (
+        histogram_equidepth_approx)
+    li = _t(spark, sf_dir, "lineitem").sdf
+    return histogram_equidepth_approx(li, "l_extendedprice", 8,
+                                      accuracy=10000)
+
+
 def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic distributed k-means over the embeddings corpus
     (semantic clustering for curation: bucket, then sample/balance
@@ -2941,6 +2971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- (0) NEW or CHANGED in r8 ---
         "dedup_span_removal": q_dedup_span_removal,
+        "corpus_percentiles_approx": q_corpus_percentiles_approx,
+        "histogram_equidepth_approx": q_histogram_equidepth_approx,
         # --- (1) NEW or CHANGED in r7: must prove green this round ---
         "quality_lm_score": q_quality_lm_score,
         "hybrid_rrf": q_hybrid_rrf,
@@ -4197,6 +4229,28 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(quantile_cont(l_extendedprice, 0.99) * 100)
                        / 100 AS p99
             FROM lineitem GROUP BY l_returnflag
+        """,
+        # the approx-path gates: the tolerance is encoded in the Spark
+        # query (GK rank bound / bucket-count bound), so the oracle
+        # CONSTRUCTS the expected table — groups x quantiles (or
+        # buckets) with ok = true. An out-of-bound sketch surfaces as
+        # a value mismatch (ok=false) or a missing row.
+        "corpus_percentiles_approx": """
+            WITH g AS (
+                SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
+                FROM lineitem WHERE l_extendedprice IS NOT NULL
+                GROUP BY l_returnflag)
+            SELECT l_returnflag, CAST(q AS INT) AS quantile, n,
+                   true AS ok
+            FROM g CROSS JOIN (VALUES (25), (50), (75), (95), (99))
+                 v(q)
+        """,
+        "histogram_equidepth_approx": """
+            WITH t AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_total
+                FROM lineitem WHERE l_extendedprice IS NOT NULL)
+            SELECT CAST(b AS INT) AS bucket, n_total, true AS ok
+            FROM t CROSS JOIN range(0, 8) r(b)
         """,
         "text_token_count": f"""
             SELECT doc_id,

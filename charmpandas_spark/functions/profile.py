@@ -20,6 +20,7 @@ __all__ = [
     "histogram_equiwidth_sql",
     "histogram_equidepth",
     "histogram_equidepth_sql",
+    "histogram_equidepth_approx",
     "pii_scan",
     "pii_scan_sql",
     "join_blowup_profile",
@@ -350,6 +351,63 @@ def histogram_equidepth(df: SparkDF, col: str, buckets: int) -> SparkDF:
                  (F.floor(F.first(hi) * 10000) / 10000).alias("hi"))
             .select(F.col("bucket").cast("int").alias("bucket"),
                     "lo", "hi", "n"))
+
+
+def histogram_equidepth_approx(df: SparkDF, col: str, buckets: int,
+                               accuracy: int = 10000) -> SparkDF:
+    """The 100 TB equi-depth path, CORRECTNESS-GATED: boundaries come
+    from one-pass ``percentile_approx`` (rank error ``eps =
+    1/accuracy``) instead of the exact sort-based percentile, the
+    downstream plan (broadcast boundary fold -> partial-aggregated
+    bucket counts) is IDENTICAL to :func:`histogram_equidepth`, and
+    each bucket row carries an ``ok`` boolean proving its count
+    honors the sketch's guarantee.
+
+    Bound derivation (GK rank guarantee + ties): boundary ``b_i``
+    (target rank ``i*n/B``) satisfies ``count(x <= b_i) in
+    [i*n/B - eps*n, i*n/B + eps*n + T]`` where ``T`` is the max
+    multiplicity of any single value (a boundary "absorbs" its
+    ties). Bucket ``i``'s count is a difference of two such ranks,
+    so ``|count_i - n/B| <= 2*eps*n + T`` (+1 discrete slack). ``T``
+    is computed exactly in the same pass tree (max of a value-count
+    aggregate).
+
+    Output: ``(bucket, n_total, ok)`` — counts are data-dependent
+    on the sketch, so the hash-checkable contract is ``(bucket,
+    n_total, ok=true)``; a DuckDB oracle asserts exactly that
+    expected table. An out-of-bound sketch shows up as ``ok=false``
+    (value mismatch) or a missing bucket row (row-count mismatch).
+
+    Contract limit: a single value carrying >= ``n/buckets`` of the
+    mass makes equi-depth division impossible (adjacent boundaries
+    collapse onto the tie and a bucket goes legitimately EMPTY —
+    missing row). That is a property of the data, not the sketch;
+    exact boundaries hit it identically."""
+    ps = [i / buckets for i in range(1, buckets)]
+    c = F.col(col).cast("double")
+    base = df.where(c.isNotNull()).select(c.alias("__x"))
+    bnds = base.agg(
+        F.percentile_approx("__x",
+                            F.array(*[F.lit(p) for p in ps]),
+                            F.lit(accuracy)).alias("bs"),
+        F.count(F.lit(1)).alias("n_total"))
+    ties = base.groupBy("__x").agg(F.count(F.lit(1)).alias("__m")) \
+               .agg(F.max("__m").alias("t_max"))
+    x = F.col("__x")
+    bucket = F.aggregate(
+        F.col("bs"), F.lit(0),
+        lambda acc, b: acc + (x > b).cast("int"))
+    assigned = (base.crossJoin(F.broadcast(bnds))
+                    .crossJoin(F.broadcast(ties))
+                    .select(bucket.alias("bucket"), "n_total", "t_max"))
+    counts = (assigned.groupBy("bucket")
+                      .agg(F.count(F.lit(1)).alias("n"),
+                           F.first("n_total").alias("n_total"),
+                           F.first("t_max").alias("t_max")))
+    slack = (2.0 * F.col("n_total") / accuracy) + F.col("t_max") + 1
+    ok = (F.abs(F.col("n") - F.col("n_total") / buckets) <= slack)
+    return counts.select(F.col("bucket").cast("int").alias("bucket"),
+                         "n_total", ok.alias("ok"))
 
 
 def histogram_equidepth_sql(t: str, x_expr: str, buckets: int) -> str:

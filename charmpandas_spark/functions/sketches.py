@@ -25,6 +25,7 @@ __all__ = [
     "hll_sketch",
     "hll_merge",
     "approx_quantiles",
+    "approx_quantiles_check",
     "heavy_hitters",
 ]
 
@@ -65,6 +66,63 @@ def approx_quantiles(df: SparkDF, col: str,
         col, F.array(*[F.lit(p) for p in probabilities]), accuracy
     ).alias(f"{col}_quantiles")
     return df.groupBy(*(by or [])).agg(agg)
+
+
+def approx_quantiles_check(df: SparkDF, col: str,
+                           probabilities: list[float],
+                           accuracy: int = 10000,
+                           by: list[str] | None = None) -> SparkDF:
+    """CORRECTNESS-GATEABLE verification of the one-pass approximate
+    quantile path: computes ``percentile_approx`` (Greenwald-Khanna,
+    rank error ``eps = 1/accuracy``) and then CHECKS each returned
+    boundary against its exact rank interval, emitting one row per
+    (group, probability) with a within-bound boolean.
+
+    The GK guarantee is about RANKS, not values (value distance is
+    data-dependent), so the check is the guarantee itself: the
+    returned element ``v`` for probability ``p`` over ``n`` rows has
+    some rank in ``[count(x < v) + 1, count(x <= v)]`` within
+    ``eps*n`` of ``p*n`` — i.e. the interval ``[r_lt, r_le]`` must
+    overlap ``[p*n - eps*n, p*n + eps*n]``. ``ok`` is that overlap
+    test (with +1 slack for the discrete rank grid).
+
+    Output: ``(*by, quantile, n, ok)`` — ``quantile`` is the integer
+    ``p * 100``. The tolerance is ENCODED IN THE QUERY, so a DuckDB
+    oracle can assert the expected table (group counts x quantiles,
+    ok = true) and a value-hash compare proves the 100 TB approx path
+    honors its bound, not just that the exact anchor exists.
+
+    Cost: the sketch pass plus ONE exact rank-counting pass over the
+    same scan (the boundaries rejoin as a broadcast — they are
+    ``groups x len(probabilities)`` rows). That second pass is the
+    price of *verifying*; production profiling uses
+    :func:`approx_quantiles` alone."""
+    by = list(by or [])
+    c = F.col(col).cast("double")
+    base = df.where(c.isNotNull()).select(*by, c.alias("__x"))
+    qs = base.groupBy(*by).agg(
+        F.percentile_approx(
+            "__x", F.array(*[F.lit(p) for p in probabilities]),
+            F.lit(accuracy)).alias("__qs"))
+    bounds = qs.select(*by, F.posexplode("__qs").alias("__i", "__v"))
+    joined = (base.join(F.broadcast(bounds), by) if by
+              else base.crossJoin(F.broadcast(bounds)))
+    counted = (joined.groupBy(*by, "__i")
+                     .agg(F.count(F.lit(1)).alias("n"),
+                          F.sum((F.col("__x") <= F.col("__v"))
+                                .cast("long")).alias("__r_le"),
+                          F.sum((F.col("__x") < F.col("__v"))
+                                .cast("long")).alias("__r_lt")))
+    plit = F.array(*[F.lit(float(p)) for p in probabilities])
+    p = F.element_at(plit, F.col("__i") + 1)
+    target = p * F.col("n")
+    slack = F.col("n") / accuracy + 1
+    ok = ((F.col("__r_le") >= target - slack)
+          & (F.col("__r_lt") <= target + slack))
+    return counted.select(
+        *by,
+        (p * 100).cast("int").alias("quantile"),
+        "n", ok.alias("ok"))
 
 
 def heavy_hitters(df: SparkDF, col: str, k: int = 10,

@@ -39,6 +39,44 @@ def test_approx_quantiles(events):
     assert abs(got[0] - exact) / spread < 0.05
 
 
+def test_approx_quantiles_check_bounds(spark):
+    """The rank-interval gate: ok=true on skewed AND tie-heavy data
+    (where value-proximity checks would be meaningless), n exact,
+    one row per (group, p)."""
+    from charmpandas_spark.functions.sketches import approx_quantiles_check
+
+    rows = ([(i, "skew", float(i) ** 3) for i in range(2000)]
+            # tie-heavy group: 90% of mass on one value
+            + [(i, "ties", 7.0 if i % 10 else float(i))
+               for i in range(2000)])
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = approx_quantiles_check(df, "v", [0.25, 0.5, 0.95],
+                                 accuracy=100, by=["g"]).collect()
+    assert len(out) == 6
+    assert all(r["ok"] for r in out)
+    assert all(r["n"] == 2000 for r in out)
+    qs = {(r["g"], r["quantile"]) for r in out}
+    assert qs == {(g, q) for g in ("skew", "ties")
+                  for q in (25, 50, 95)}
+
+
+def test_histogram_equidepth_approx_bounds(spark):
+    """Approx-boundary equi-depth histogram: every bucket present and
+    within the 2*eps*n + max-tie bound, on data WITH heavy ties."""
+    from charmpandas_spark.functions.profile import (
+        histogram_equidepth_approx)
+
+    # heaviest tie carries 5% of mass — below the n/B = 12.5% limit
+    # past which equi-depth buckets legitimately go empty
+    rows = [(i, float(i % 97) if i % 20 else 42.0) for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = histogram_equidepth_approx(df, "v", 8, accuracy=1000).collect()
+    assert len(out) == 8
+    assert sorted(r["bucket"] for r in out) == list(range(8))
+    assert all(r["ok"] for r in out)
+    assert all(r["n_total"] == 5000 for r in out)
+
+
 def test_heavy_hitters(events):
     from charmpandas_spark.functions.sketches import heavy_hitters
     got = heavy_hitters(events, "event_type", k=2).toPandas()
