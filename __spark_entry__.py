@@ -1041,17 +1041,34 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production MinHash path: identical pipeline with xxhash64 base
-    hashing (one JVM intrinsic per shingle instead of md5+base-16
-    parse; ~10x faster). Hash-dependent candidate sets make it
-    non-SQL-expressible in DuckDB, so the driver records the weaker
-    rows-only check — cross-engine value parity is covered by
-    ``dedup_minhash`` (md5)."""
-    from charmpandas_spark.functions.dedup import minhash_near_dup
-    docs = _t(spark, sf_dir, "documents")
-    return minhash_near_dup(docs.sdf, "text", "doc_id", threshold=0.7,
-                            num_hashes=16, bands=4, k=5,
-                            hash_fn="xxhash64")
+    """Production MinHash path (xxhash64 base hashing — one JVM
+    intrinsic per shingle instead of md5+base-16 parse; ~10x faster),
+    made FULLY value-hash-checkable (VERDICT r7 item 7, retiring the
+    last rows-only oracle): the emitted table is the DETERMINISTIC
+    exact truth set (word-3-gram Jaccard >= 0.7 pairs with their
+    floored Jaccard, from the inverted-index exact join) LEFT-joined
+    with the xxhash64 LSH path's verified pairs as a ``found_fast``
+    recall witness. DuckDB cannot evaluate xxhash64, but it doesn't
+    need to: the oracle asserts the truth pairs with found_fast=true,
+    so a recall miss by the fast path (or a spurious pair — it would
+    change nothing here, but precision is exact-verified inside the
+    pipeline anyway) fails the value hash. Recall is total at the
+    gate SFs because testdata near-dups sit at J >= ~0.9 where the
+    16/4 banding miss probability is ~1e-2 per band-set; the pytest
+    pins it."""
+    from charmpandas_spark.functions.dedup import (minhash_near_dup,
+                                                   ngram_jaccard_pairs)
+    docs = _t(spark, sf_dir, "documents").sdf
+    fast = (minhash_near_dup(docs, "text", "doc_id", threshold=0.7,
+                             num_hashes=16, bands=4,
+                             hash_fn="xxhash64", use_chars=False, n=3)
+            .select("doc_a", "doc_b", F.lit(True).alias("__found")))
+    truth = ngram_jaccard_pairs(docs, "text", "doc_id", n=3,
+                                threshold=0.7)
+    return (truth.join(fast, ["doc_a", "doc_b"], "left")
+                 .select("doc_a", "doc_b", "jaccard",
+                         F.coalesce("__found", F.lit(False))
+                          .alias("found_fast")))
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2549,6 +2566,53 @@ def q_streaming_stream_join_outer(spark: SparkSession,
             .select("click_id", "purchase_id"))
 
 
+def q_streaming_stream_join_full(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join (VERDICT r7 item 5): clicks x
+    purchases per user within [click - 1h, click], null-padded on
+    BOTH sides — unconverted clicks emit right-null when the
+    watermark passes the click's own ts, orphan purchases emit
+    left-null when it passes purchase_ts + 1h. Same time-ordered
+    replay + both-stream far-future sentinel contract as the left
+    outer variant; the oracle is the batch FULL interval join."""
+    from charmpandas_spark.streaming.joins import stream_stream_join_full
+    from charmpandas_spark.timestamps import epoch_micros
+
+    ev = _t(spark, sf_dir, "events").sdf
+    sides = {}
+    for tag, etype in (("ssfl", "click"), ("ssfr", "purchase")):
+        side = (ev.filter(F.col("event_type") == etype)
+                  .select("event_id", "user_id", "ts",
+                          (epoch_micros("ts") / 1000).cast("long")
+                          .alias("ts_ms")))
+
+        def sentinel(ms: int) -> DataFrame:
+            return spark.range(1).select(
+                F.lit(-1).cast("long").alias("event_id"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.timestamp_millis(F.lit(ms)).alias("ts"),
+                F.lit(ms).cast("long").alias("ts_ms"))
+
+        sides[tag], _ = _replay_stream_ordered(
+            spark, side, tag, "ts_ms", sentinel,
+            sentinel_offsets_h=(30, 60, 90))
+    out = stream_stream_join_full(sides["ssfl"], sides["ssfr"],
+                                  key="user_id", max_delay="1 hour",
+                                  watermark="1 hour")
+    import uuid
+    name = f"cps_ssjf_{uuid.uuid4().hex[:8]}"
+    # sentinel filter applied on the SINK table, never the streaming
+    # plan (see the left-outer variant: a pushed-down filter defeats
+    # the watermark advance at the scan)
+    _run_stream(spark,
+                out.select("user_id",
+                           F.col("event_id_l").alias("click_id"),
+                           F.col("event_id_r").alias("purchase_id")),
+                name, "append")
+    return (spark.table(name).where(F.col("user_id") != -1)
+            .select("click_id", "purchase_id"))
+
+
 def q_events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type OLS trend of value over time — group-wise linear
     regression as one partial-aggregated groupBy over five exact
@@ -2961,11 +3025,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the first ~50 entries, so ordering = (1) queries repaired or
     # added this round, (2) the least-recently-driver-checked backlog,
     # (3) a §2 core slice re-proven every round, (4) the freshest
-    # greens at the back. Rotated for r6 per VERDICT r5 item #4 (the
-    # r2/r3-vintage rows PHYSICALLY moved into positions 1-50).
-    # r7 note: this round added ~39 new entries, so the new block
-    # alone nearly fills the window — the r3/r4-vintage backlog rides
-    # just behind it and rotates forward in r8.
+    # greens at the back. Rotated for r8 per VERDICT r7 item #2: the
+    # r3/r4-vintage backlog is PHYSICALLY in the window right behind
+    # the r8 new/changed block; the ~57 r7 rows (all driver-green in
+    # CORRECTNESS_r07) moved to the back.
     # tools/check_correctness.py runs ALL of them locally each round
     # (ADVICE r3: never depend on the driver's window size).
     return {
@@ -2973,10 +3036,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_removal": q_dedup_span_removal,
         "corpus_percentiles_approx": q_corpus_percentiles_approx,
         "histogram_equidepth_approx": q_histogram_equidepth_approx,
-        # --- (1) NEW or CHANGED in r7: must prove green this round ---
+        "streaming_stream_join_full": q_streaming_stream_join_full,
+        "dedup_minhash_fast": q_dedup_minhash_fast,  # full oracle (r8)
+        "events_merge_asof": q_events_merge_asof,  # asof NULL fix
+        "url_canonicalize": q_url_canonicalize,    # port handling fix
+        "graph_pagerank": q_graph_pagerank,        # exact DIV fix
+        # --- (2) least-recently-driver-checked backlog (r3/r4
+        #     vintage: last seen in a driver window in r4 or earlier;
+        #     rode "latest green" rows at positions 51+ through r6).
+        #     Superset of the VERDICT r6 item-7 named set. ---
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_contamination": q_dedup_contamination,
+        "dedup_embedding_cosine_ann": q_dedup_embedding_cosine_ann,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_embedding_leakage": q_dedup_embedding_leakage,
+        "sim_knn_join": q_sim_knn_join,
+        "streaming_dedup": q_streaming_dedup,
+        "streaming_static_join": q_streaming_static_join,
+        "source_csv_roundtrip": q_source_csv_roundtrip,
+        "source_json_roundtrip": q_source_json_roundtrip,
+        "text_chunks": q_text_chunks,
+        "text_redact_pii": q_text_redact_pii,
+        "text_repetition": q_text_repetition,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q20": q_tpch_q20,
+        # --- (3) r5-vintage backlog (checked r5, not since) ---
+        "join_inner": q_join_inner,
+        "join_full": q_join_full,
+        "groupby_extended": q_groupby_extended,
+        "groupby_ts_key": q_groupby_ts_key,
+        "join_timestamp_key": q_join_timestamp_key,
+        "groupby_bool": q_groupby_bool,
+        "groupby_cube": q_groupby_cube,
+        "groupby_rollup": q_groupby_rollup,
+        "pivot": q_pivot,
+        "scalar_reduction": q_scalar_reduction,
+        "sort_topk": q_sort_topk,
+        "datetime_filter": q_datetime_filter,
+        "int_literal_widening": q_int_literal_widening,
+        "events_sessionize": q_events_sessionize,
+        "window_lag": q_window_lag,
+        "window_rolling": q_window_rolling,
+        "events_json": q_events_json,
+        "text_lang_id": q_text_lang_id,
+        "text_quality": q_text_quality,
+        "text_token_count": q_text_token_count,
+        "text_fingerprint": q_text_fingerprint,
+        # --- (4) SS2 core slice, re-proven every round ---
+        "scan_project": q_scan_project,
+        "flagship_join_groupby_count": q_flagship_join_groupby_count,
+        "groupby_sum": q_groupby_sum,
+        # --- (5) TPC-H backlog head (r5 vintage) ---
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        # --- (6) r7 rows: all driver-green in CORRECTNESS_r07 ---
         "quality_lm_score": q_quality_lm_score,
         "hybrid_rrf": q_hybrid_rrf,
-        "graph_pagerank": q_graph_pagerank,
         "curation_report": q_curation_report,
         "streaming_stream_join_outer": q_streaming_stream_join_outer,
         "events_trend": q_events_trend,
@@ -2987,7 +3107,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_lm_external": q_quality_lm_external,
         "sim_quantized_topk": q_sim_quantized_topk,
         "lineitem_corr": q_lineitem_corr,
-        "url_canonicalize": q_url_canonicalize,
         "events_ab_welch": q_events_ab_welch,
         "text_token_drift": q_text_token_drift,
         "pii_scan": q_pii_scan,
@@ -3035,61 +3154,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot": q_unpivot,
         "events_props_typed": q_events_props_typed,
         "curation_funnel": q_curation_funnel,
-        # --- (2) least-recently-driver-checked backlog (r3/r4
-        #     vintage: last seen in a driver window in r4 or earlier;
-        #     rode "latest green" rows at positions 51+ through r6).
-        #     Superset of the VERDICT r6 item-7 named set. ---
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_minhash_fast": q_dedup_minhash_fast,  # rows-only twin
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_contamination": q_dedup_contamination,
-        "dedup_embedding_cosine_ann": q_dedup_embedding_cosine_ann,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_embedding_leakage": q_dedup_embedding_leakage,
-        "events_merge_asof": q_events_merge_asof,
-        "sim_knn_join": q_sim_knn_join,
-        "streaming_dedup": q_streaming_dedup,
-        "streaming_static_join": q_streaming_static_join,
-        "source_csv_roundtrip": q_source_csv_roundtrip,
-        "source_json_roundtrip": q_source_json_roundtrip,
-        "text_chunks": q_text_chunks,
-        "text_redact_pii": q_text_redact_pii,
-        "text_repetition": q_text_repetition,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q20": q_tpch_q20,
-        # --- (3) r5-vintage backlog (checked r5, not since) ---
-        "join_inner": q_join_inner,
-        "join_full": q_join_full,
-        "groupby_extended": q_groupby_extended,
-        "groupby_ts_key": q_groupby_ts_key,
-        "join_timestamp_key": q_join_timestamp_key,
-        "groupby_bool": q_groupby_bool,
-        "groupby_cube": q_groupby_cube,
-        "groupby_rollup": q_groupby_rollup,
-        "pivot": q_pivot,
-        "scalar_reduction": q_scalar_reduction,
-        "sort_topk": q_sort_topk,
-        "datetime_filter": q_datetime_filter,
-        "int_literal_widening": q_int_literal_widening,
-        "events_sessionize": q_events_sessionize,
-        "window_lag": q_window_lag,
-        "window_rolling": q_window_rolling,
-        "events_json": q_events_json,
-        "text_lang_id": q_text_lang_id,
-        "text_quality": q_text_quality,
-        "text_token_count": q_text_token_count,
-        "text_fingerprint": q_text_fingerprint,
-        # --- (4) SS2 core slice, re-proven every round ---
-        "scan_project": q_scan_project,
-        "flagship_join_groupby_count": q_flagship_join_groupby_count,
-        "groupby_sum": q_groupby_sum,
-        # --- (5) TPC-H backlog head (r5 vintage) ---
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
         # ~position 50 — everything below was green in the r6 driver
         # window (or is later TPC-H backlog) and rides that row;
         # tools/check_correctness.py still runs ALL of them locally
@@ -3652,6 +3716,17 @@ def oracle_sql() -> dict[str, str]:
                   WHERE event_type = 'purchase')
             SELECT c.event_id AS click_id, p.event_id AS purchase_id
             FROM c LEFT JOIN p
+              ON c.user_id = p.user_id
+             AND p.ts <= c.ts
+             AND p.ts >= c.ts - INTERVAL 1 HOUR
+        """,
+        "streaming_stream_join_full": """
+            WITH c AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+            p AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase')
+            SELECT c.event_id AS click_id, p.event_id AS purchase_id
+            FROM c FULL JOIN p
               ON c.user_id = p.user_id
              AND p.ts <= c.ts
              AND p.ts >= c.ts - INTERVAL 1 HOUR
@@ -4271,6 +4346,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "dedup_ngram_jaccard": _ngram_jaccard_sql(3, 0.5),
+        # the fast-path recall witness: truth pairs (exact word-3-gram
+        # Jaccard, deterministic) with found_fast asserted true — a
+        # recall miss by the xxhash64 LSH path fails the value hash
+        "dedup_minhash_fast": f"""
+            SELECT doc_a, doc_b, jaccard, true AS found_fast
+            FROM ({_ngram_jaccard_sql(3, 0.7)})
+        """,
         "dedup_minhash": _minhash_sql(16, 4, 3, 0.7),
         "dedup_simhash": _simhash_sql(32),
         # brute-force twin of the pigeonhole block-join: exact-complete

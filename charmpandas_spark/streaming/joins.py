@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame as SparkDF, functions as F
 from ..timestamps import ensure_event_time
 
 __all__ = ["stream_stream_join", "stream_stream_join_outer",
-           "stream_static_join"]
+           "stream_stream_join_full", "stream_static_join"]
 
 
 def stream_stream_join(
@@ -96,6 +96,54 @@ def stream_stream_join_outer(
         & (F.col(rts) >= F.col(lts) - F.expr(f"INTERVAL {max_delay}"))
     )
     return lw.join(rw, on=cond, how="leftOuter").drop(rkey)
+
+
+def stream_stream_join_full(
+    left: SparkDF,
+    right: SparkDF,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "1 hour",
+    watermark: str = "1 hour",
+    suffixes: tuple[str, str] = ("_l", "_r"),
+) -> SparkDF:
+    """FULL OUTER stream-stream join — BOTH-side watermark-gated null
+    emission on top of :func:`stream_stream_join`'s interval
+    condition. A left row with no match emits null-padded once the
+    watermark passes its own timestamp (no right event at
+    ``rts <= lts`` can still arrive); a right row with no match emits
+    once the watermark passes ``rts + max_delay`` (no left event with
+    ``lts in [rts, rts + max_delay]`` can still arrive) — Spark
+    derives both state-expiry horizons from the time condition.
+
+    The output carries ONE ``key`` column: the left side's for
+    matched and left-only rows, the right side's for right-only rows
+    (coalesced — a full join's key is null on exactly one side of
+    every unmatched row). Same tight-watermark replay contract as
+    :func:`stream_stream_join_outer`: sentinel batches on BOTH
+    streams must push the min-of-sources watermark past the data or
+    the unmatched rows of either side stay buffered."""
+    lw = ensure_event_time(left, left_ts).withWatermark(left_ts, watermark)
+    rw = ensure_event_time(right, right_ts).withWatermark(right_ts,
+                                                          watermark)
+    overlap = (set(lw.columns) & set(rw.columns)) - {key}
+    lw = lw.withColumnsRenamed({c: c + suffixes[0] for c in overlap})
+    rw = rw.withColumnsRenamed({c: c + suffixes[1] for c in overlap})
+    lts = left_ts + suffixes[0] if left_ts in overlap else left_ts
+    rts = right_ts + suffixes[1] if right_ts in overlap else right_ts
+    # rename the right key (never drop(rw[key]) — see the outer
+    # variant's self-replay aliasing note), then coalesce post-join
+    rkey = key + "__cps_r"
+    rw = rw.withColumnRenamed(key, rkey)
+    cond = (
+        (lw[key] == rw[rkey])
+        & (F.col(rts) <= F.col(lts))
+        & (F.col(rts) >= F.col(lts) - F.expr(f"INTERVAL {max_delay}"))
+    )
+    joined = lw.join(rw, on=cond, how="fullOuter")
+    return (joined.withColumn(key, F.coalesce(F.col(key), F.col(rkey)))
+                  .drop(rkey))
 
 
 def stream_static_join(

@@ -399,11 +399,14 @@ def test_cosine_pairs_ann_cross_finds_planted_leak(spark, emb01):
 
 
 def test_minhash_fast_path_pinned_to_md5(docs01):
-    """dedup_minhash_fast (xxhash64) has no DuckDB oracle; pin it to
-    the oracle-verified md5 path instead. Same shingling, only hash_fn
-    differs -> verify stage computes the SAME exact jaccard, so the
-    survivor rows must match exactly on the planted near-dups."""
-    from charmpandas_spark.functions.dedup import minhash_near_dup
+    """The xxhash64 production path must agree pair-for-pair with the
+    oracle-verified md5 path (same shingling -> verify stage computes
+    the SAME exact jaccard), AND — the r8 oracle contract — achieve
+    TOTAL recall of the deterministic word-3-gram truth set, since
+    the registered query asserts found_fast=true for every truth
+    pair."""
+    from charmpandas_spark.functions.dedup import (minhash_near_dup,
+                                                   ngram_jaccard_pairs)
     fast = minhash_near_dup(docs01, "text", "doc_id", threshold=0.7,
                             num_hashes=16, bands=4, k=5,
                             hash_fn="xxhash64").toPandas()
@@ -415,6 +418,18 @@ def test_minhash_fast_path_pinned_to_md5(docs01):
     # TESTDATA plants 25 near-dup pairs at jaccard ~0.99 at sf0.01
     assert len(slow_m) == 25
     assert fast_m == slow_m
+
+    # recall witness on the word-3-gram space the oracle asserts
+    fast_w = minhash_near_dup(docs01, "text", "doc_id", threshold=0.7,
+                              num_hashes=16, bands=4,
+                              hash_fn="xxhash64", use_chars=False,
+                              n=3).toPandas()
+    truth = ngram_jaccard_pairs(docs01, "text", "doc_id", n=3,
+                                threshold=0.7).toPandas()
+    fw = set(zip(fast_w.doc_a, fast_w.doc_b))
+    tw = set(zip(truth.doc_a, truth.doc_b))
+    assert tw and tw <= fw  # total recall (and precision: fw <= tw)
+    assert fw <= tw
 
 
 def test_ngram_jaccard_max_df_subset_and_recall(docs01):

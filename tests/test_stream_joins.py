@@ -129,3 +129,61 @@ def test_stream_stream_outer_join_emits_unmatched(spark, tmp_path):
            for r in spark.table("s2o_join")
                          .where(F.col("user_id") != -1).collect()}
     assert got == {1: 3, 2: None}  # matched pair + null-padded click
+
+
+def test_stream_stream_full_join_emits_unmatched_both_sides(
+        spark, tmp_path):
+    """FULL OUTER variant: matched pair joins, an unmatched click
+    emits right-null, an unmatched view emits LEFT-null, and the
+    coalesced key survives on both null-padded shapes."""
+    import glob
+    import os
+    import shutil
+
+    from charmpandas_spark.streaming.joins import stream_stream_join_full
+    from charmpandas_spark.streaming.windows import stream_from_parquet
+
+    base = 1_700_000_000_000  # ms
+    rows = [
+        (1, 100, base),                 # click, has view 10 min before
+        (2, 200, base + 60_000),        # click, NO matching view
+        (3, 100, base - 600_000),       # view for user 100 (matched)
+        (4, 300, base + 120_000),       # view, NO click follows
+    ]
+    src = str(tmp_path / "s2f_src")
+    os.makedirs(src)
+    for i, (eid, uid, ms) in enumerate(sorted(rows, key=lambda r: r[2])):
+        df = spark.createDataFrame([(eid, uid, ms)],
+                                   "event_id long, user_id long, ts_ms long") \
+            .select("event_id", "user_id",
+                    F.timestamp_millis(F.col("ts_ms")).alias("ts"))
+        d = str(tmp_path / f"s2f_{i}")
+        df.coalesce(1).write.parquet(d)
+        shutil.copy(glob.glob(d + "/*.parquet")[0], f"{src}/m{i}.parquet")
+        os.utime(f"{src}/m{i}.parquet", (1000 + i, 1000 + i))
+    for j in range(3):
+        sent = spark.createDataFrame([(-1, -1, base + (j + 5) * 3_600_000)],
+                                     "event_id long, user_id long, ts_ms long") \
+            .select("event_id", "user_id",
+                    F.timestamp_millis(F.col("ts_ms")).alias("ts"))
+        d = str(tmp_path / f"s2f_sent{j}")
+        sent.coalesce(1).write.parquet(d)
+        shutil.copy(glob.glob(d + "/*.parquet")[0],
+                    f"{src}/zz{j}.parquet")
+        os.utime(f"{src}/zz{j}.parquet", (2000 + j, 2000 + j))
+
+    stream = stream_from_parquet(spark, src)
+    clicks = stream.filter(F.col("event_id").isin(1, 2, -1))
+    views = stream.filter(~F.col("event_id").isin(1, 2))
+    out = stream_stream_join_full(clicks, views, "user_id",
+                                  max_delay="1 hour", watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("s2f_join")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    res = spark.table("s2f_join").where(F.col("user_id") != -1).collect()
+    got = {(r["event_id_l"], r["event_id_r"]): r["user_id"] for r in res}
+    assert got == {
+        (1, 3): 100,      # matched pair
+        (2, None): 200,   # left-only click, right null-padded
+        (None, 4): 300,   # right-only view, LEFT null-padded,
+    }                     # key coalesced from the right side
