@@ -72,6 +72,9 @@ def bench_queries(spark, sf_dir):
         "dedup_exact",
         "dedup_ngram_jaccard",
         "dedup_minhash",
+        # NOTE (r8): dedup_minhash_fast became the recall-witness join
+        # (word-3-gram LSH + exact truth set) when its rows-only
+        # oracle was retired — not comparable to BENCH_r0{4..7}.
         "dedup_minhash_fast",
         "dedup_simhash",
         # NOTE (r3): dedup_embedding_cosine switched to a documented
@@ -211,15 +214,21 @@ SF1_QUERIES = {
     "tpch_q1": 2.1,
     "tpch_q18": 3.5,
     "dedup_ngram_jaccard": 7.5,
-    "dedup_minhash_fast": 19.2,
+    # r8 contract change: dedup_minhash_fast became the recall-witness
+    # join (xxhash64 LSH on WORD 3-grams + the exact truth set) when
+    # its rows-only oracle was retired — word shingles are ~10x fewer
+    # than the old char-5-gram config, so timings under this key are
+    # NOT comparable to BENCH_r0{4..7}.
+    "dedup_minhash_fast": 5.3,
     "sim_ann_lsh": 2.0,
     # CC driver loop + bipartite contamination join: the two
     # operators whose scaling the probe didn't witness before
     "dedup_clusters": 14.8,
     "dedup_contamination": 8.0,
-    # r4: witness the adaptive-plane ANN path's ~linear
-    # candidate growth (VERDICT r3 #1)
-    "dedup_embedding_cosine_ann": 26.1,
+    # r4: witness the adaptive-plane ANN path's ~linear candidate
+    # growth (VERDICT r3 #1). r8: re-based to the rotated-copy
+    # embedding fixture (per-copy isometry — see _ensure_sf1)
+    "dedup_embedding_cosine_ann": 6.2,
     # r7 wave-2 ops (warm best-of-2 minima, multi-file sf1 layout)
     "text_line_dedup": 2.0,
     "sim_sparse_topk": 5.4,
@@ -234,7 +243,81 @@ SF1_QUERIES = {
     "graph_pagerank": 8.1,
     "quality_lm_score": 4.6,
     "decontam_ngrams": 6.9,
+    # r8 (VERDICT r7 #6): the heavy r7 analytics ops join the probe.
+    # Expected = best-of-2 committed solo runs on the rotated-copy
+    # fixture; all land at 1.8-3.4x their sf0.1 sweep time on 10x
+    # data — sub-linear across the board.
+    "dedup_jaccard_prefix": 21.2,
+    "sim_bm25": 8.5,
+    "hybrid_rrf3": 4.3,
+    "corpus_percentiles": 7.9,
+    "histogram_equidepth": 4.4,
+    "embedding_kmeans": 4.0,
+    # SemDeDup at its published operating point (threshold 0.6,
+    # k grown with n so clusters stay ~250 vectors): 46.7 s at sf1 vs
+    # 13.1 s at sf0.1 — sub-linear. The REGISTRY config (k=8,
+    # threshold 0.25) is oracle-pinned and its OUTPUT is quadratic by
+    # definition (~2.3% of random unit-vector pairs pass cos >= 0.25,
+    # so pair count grows n^2: measured 1.0M rows at sf1 vs ~10k at
+    # sf0.1) — probing it witnesses output explosion, not engine
+    # scaling, hence the scaled override below.
+    "dedup_semantic_scaled": 46.7,
 }
+
+
+def _sf1_dedup_semantic_scaled(spark, sf_dir: str):
+    """SemDeDup (Abbas et al. 2023) at its web-scale operating point:
+    high threshold (sparse survivors) and k ~ n/250 so per-cluster
+    pair work stays constant as the corpus grows — the configuration
+    a 100 TB run would use. See the SF1_QUERIES comment for why the
+    oracle-pinned registry config cannot serve as a scaling witness."""
+    import charmpandas_spark as cps
+    from charmpandas_spark.functions.kmeans import semantic_near_dup
+
+    emb = cps.read_table(spark, sf_dir, "embeddings").sdf
+    n = emb.count()
+    return semantic_near_dup(emb, "embedding", "vec_id",
+                             k=max(8, -(-n // 250)), iters=3,
+                             threshold=0.6)
+
+
+#: probe names that are NOT registry queries: scale-parameterized
+#: variants of oracle-pinned configs.
+SF1_OVERRIDES = {
+    "dedup_semantic_scaled": _sf1_dedup_semantic_scaled,
+}
+
+
+def _load_prior_timings() -> dict:
+    """Per-query expected seconds for the RELATIVE noise-retry
+    trigger: the min across the last three committed per-round bench
+    artifacts plus ``BENCH_FULL.json`` — min, because each artifact
+    is itself a noisy single sweep and the best committed figure is
+    the honest solo cost (same doctrine as ``SF1_QUERIES``). The
+    driver's ``BENCH_r*.json`` wraps the bench's JSON line under
+    ``parsed`` and keeps only a curated query subset there; the full
+    125-query map is this repo's own committed ``BENCH_FULL.json``.
+    Returns {} when no artifacts exist (fresh checkout) — every query
+    then falls back to the absolute bar."""
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: dict = {}
+    files = (sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))[-3:]
+             + [os.path.join(here, "BENCH_FULL.json")])
+    for f in files:
+        try:
+            with open(f) as fh:
+                doc = json.load(fh)
+        except Exception:
+            continue
+        for qd in (doc.get("queries"),
+                   (doc.get("parsed") or {}).get("queries")):
+            for k, v in (qd or {}).items():
+                if isinstance(v, (int, float)) and v > 0:
+                    best[k] = min(best.get(k, v), v)
+    return best
 
 
 def _ensure_sf1(src_dir: str) -> bool:
@@ -278,8 +361,21 @@ def _ensure_sf1(src_dir: str) -> bool:
                      f"doc_id, regexp_replace(s.text, '(\\S+)', "
                      f"'\\1' || t.i, 'g') AS text) FROM documents s "
                      f"CROSS JOIN range({{lo}}, {{hi}}) t(i)",
+        # each copy's embeddings get a per-copy CYCLIC DIMENSION
+        # SHIFT — an isometry, so within-copy geometry (norms, every
+        # pairwise cosine, cluster structure) is EXACTLY the
+        # original's, while cross-copy cosine of the same vector
+        # drops to noise (measured mean |cos| ~0.10 at shift 7).
+        # Plain id-shifted copies made every vector an exact
+        # 10-way duplicate: dedup_semantic at sf1 emitted 1.2M
+        # artifact pairs (45 self-pairs per vector x threshold
+        # neighborhoods) — a fixture artifact, not workload scaling,
+        # same reasoning as the token-suffixed document text above.
         "embeddings": f"SELECT s.* REPLACE (s.vec_id + t.i * {vid} AS "
-                      f"vec_id) FROM embeddings s CROSS JOIN "
+                      f"vec_id, list_concat("
+                      f"s.embedding[(t.i * 7) % 64 + 1 :], "
+                      f"s.embedding[1 : (t.i * 7) % 64]) AS embedding) "
+                      f"FROM embeddings s CROSS JOIN "
                       f"range({{lo}}, {{hi}}) t(i)",
     }
     for t, sql in copies.items():
@@ -303,16 +399,17 @@ def _ensure_sf1(src_dir: str) -> bool:
     return True
 
 
-def run_sf1_probe(spark, budget_sec: float = 330.0) -> dict:
+def run_sf1_probe(spark, budget_sec: float = 420.0) -> dict:
     """Bounded: stops starting new probe queries once ``budget_sec``
     has elapsed, so a noisy host can't starve the main bench output.
 
     Noise insurance (r6 VERDICT #1): each probe whose FIRST run exceeds
     2x its expected solo time gets ONE re-run; the recorded figure is
-    the min. One clean pass is ~85 s of expected work, so the 330 s
-    budget leaves room for a noisy pass plus a retry of the slowest
-    entry (~47 s worst observed). Budget overridable via
-    ``SPARK_GRAFT_SF1_BUDGET`` for local experiments."""
+    the min. One clean pass is ~150 s of expected work (r8: the heavy
+    analytics ops joined the probe), so the 420 s budget leaves room
+    for a noisy pass plus retries of the slowest entries (~47 s worst
+    observed). Budget overridable via ``SPARK_GRAFT_SF1_BUDGET`` for
+    local experiments."""
     import __spark_entry__ as entry_mod
 
     budget_sec = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET",
@@ -329,7 +426,8 @@ def run_sf1_probe(spark, budget_sec: float = 330.0) -> dict:
         for attempt in range(2):
             t0 = time.time()
             try:
-                df = qs[name](spark, SF1_DIR)
+                fn = SF1_OVERRIDES.get(name) or qs[name]
+                df = fn(spark, SF1_DIR)
                 n = len(df.toPandas())
                 dt = round(time.time() - t0, 4)
                 best = dt if best is None else min(best, dt)
@@ -504,9 +602,18 @@ def main():
     # headline always gets best-of-2; any other query whose first run
     # exceeds the retry threshold gets ONE re-run and the min — noise
     # insurance bounded to the slow tail, ~tens of seconds worst case.
-    NOISE_RETRY_SEC = 5.0
+    # r8 (VERDICT r7 #3): the trigger is RELATIVE — 2x the query's own
+    # best committed per-round timing (same rule as the sf1 block's
+    # expected table) — so a 1 s query ballooning to 4 s retries
+    # instead of hiding under an absolute 5 s bar, and a genuinely
+    # 6 s query doesn't re-run every sweep. The absolute bar survives
+    # only as the fallback for queries with no committed history.
+    NOISE_RETRY_FALLBACK_SEC = 5.0
+    prior = _load_prior_timings()
     for name, fn in qs.items():
         runs = 2 if name == "flagship_join_groupby_count" else 1
+        retry_above = (max(2.0 * prior[name], 1.0) if name in prior
+                       else NOISE_RETRY_FALLBACK_SEC)
         best, n = None, 0
         try:
             for attempt in range(2):
@@ -522,8 +629,12 @@ def main():
                 release(df)
                 spark.catalog.clearCache()
                 _cleanup_entry(spark)
-                if attempt + 1 >= runs and best <= NOISE_RETRY_SEC:
+                if attempt + 1 >= runs and best <= retry_above:
                     break
+                if attempt == 0 and best > retry_above:
+                    print(f"# {name}: {best:.2f}s > retry bar "
+                          f"{retry_above:.2f}s — retrying once",
+                          file=sys.stderr)
         except Exception as exc:
             # Per-query fault isolation (r5: one AnalysisException
             # zeroed the whole round's bench artifact). Record the

@@ -183,6 +183,32 @@ def test_chunk_documents_zero_shuffle(spark, sf_dir):
     assert num_exchanges(out) == 0, plan_report(out)
 
 
+def test_shingle_explode_no_inferred_scan_filter(spark, sf_dir):
+    """InferFiltersFromGenerate must stay EXCLUDED: it synthesizes
+    `size(sh) > 0` from the shingle explode and pushes the whole
+    normalize+transform pipeline below the spread exchange into the
+    scan stage — a SINGLE task for any under-split-size table,
+    serializing exactly the work the exchange exists to spread
+    (measured 2-4x on every shingle-family query; 20 s+ single tasks
+    in full sweeps). The shingle array is non-empty by construction,
+    so the inferred filter can never prune a row."""
+    from charmpandas_spark.functions.dedup import shingle_table
+    from pyspark.sql import functions as F
+
+    assert ("InferFiltersFromGenerate"
+            in spark.conf.get("spark.sql.optimizer.excludedRules", ""))
+    docs = cps.read_table(spark, sf_dir, "documents").sdf
+    exploded = (shingle_table(docs, "text", "doc_id",
+                              use_chars=False, n=3)
+                .select("doc", F.explode("sh").alias("s")))
+    plan = exploded._jdf.queryExecution().executedPlan().toString()
+    # no Filter node anywhere re-evaluates the shingle transform
+    # (array_join+slice only ever appear in the one Project)
+    for line in plan.splitlines():
+        if "Filter" in line and "array_join" in line:
+            raise AssertionError(f"inferred shingle filter:\n{line}")
+
+
 def test_chunked_range_window_single_shuffle(spark, sf_dir):
     """chunked_range_agg keeps the plain window's one-shuffle shape
     (on keys+chunk) — the parallelism win must not cost an exchange."""
