@@ -42,7 +42,20 @@ def generate(tmp: str) -> tuple[str, str]:
 
 
 def main():
-    spark = cps.get_spark()
+    # Workload-shaped join strategy (r8): this is a join of two
+    # EQUAL-SIZE 2M-row tables — there is no small dimension side, so
+    # Catalyst's broadcast pick (both sides sit under the engine's
+    # aggressive 64 MB star-schema threshold) builds a 2M-row string
+    # hash relation mostly single-threaded and loses to a
+    # co-partitioned shuffle-hash join across 32 threads. Measured
+    # single-shot after identical warmup: broadcast 3.9-4.5 s,
+    # shuffle SMJ 2.4 s, shuffle-hash ~2.3 s (warm best-of-2 1.3 s).
+    # The same shape at cluster scale reaches the same conclusion for
+    # the opposite reason: a 2M-row broadcast ships to every executor.
+    spark = cps.get_spark(extra_conf={
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.join.preferSortMergeJoin": "false",
+    })
     with tempfile.TemporaryDirectory() as tmp:
         print(f"generating 2x{N} rows ...")
         p1, p2 = generate(tmp)
@@ -52,13 +65,25 @@ def main():
         # steady-state measurement, same policy as bench.py: the
         # reference's 10.72 s came from a WARM notebook (cluster up,
         # prior cells executed), so pay the one-time JVM/codegen/
-        # shuffle-path init on a toy frame before the timed region —
-        # none of the measured tables are touched or cached.
-        warm = spark.range(0, 100_000, 1, 32) \
-            .withColumnRenamed("id", "k")
-        (warm.join(warm.withColumnRenamed("k", "k2"),
-                   warm["k"] % 101 == 0)
-             .groupBy((warm["k"] % 7).alias("g")).count().toPandas())
+        # shuffle-path init before the timed region — on SYNTHETIC
+        # frames with the same SHAPE (string join keys, string
+        # groupBy key, count agg, pandas fetch), so the JVM's C2
+        # compilation of the string-hash/shuffle/Arrow paths lands in
+        # the warmup, not the measurement (r8: a long-key warmup left
+        # ~1 s of string-path JIT inside the timed region). None of
+        # the measured tables are touched or cached.
+        from pyspark.sql import functions as F
+        w1 = spark.range(0, 200_000, 1, 32).select(
+            F.concat(F.lit("A"), F.col("id")).alias("first_name"),
+            F.concat(F.lit("B"), F.col("id")).alias("last_name"),
+            (F.col("id") % 101).cast("int").alias("age"))
+        w2 = spark.range(0, 200_000, 1, 32).select(
+            F.concat(F.lit("A"), F.col("id")).alias("first_name"),
+            F.concat(F.lit("B"), F.col("id")).alias("last_name"),
+            F.col("id").cast("int").alias("user_id"),
+            F.concat(F.lit("C"), (F.col("id") % 101)).alias("city"))
+        (w1.join(w2, ["first_name", "last_name"])
+           .groupBy("city").agg(F.count("user_id")).toPandas())
 
         t0 = time.time()
         joined = df_ages.merge(df_ids, on=["first_name", "last_name"],
