@@ -1796,6 +1796,19 @@ def q_histogram_equidepth_approx(spark: SparkSession,
                                       accuracy=10000)
 
 
+def q_distinct_count_approx(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """HLL++ distinct-user counts per event type, gated: the estimate
+    is checked against the exact count within 5 standard errors
+    (tolerance encoded in the query), and the exact count itself is
+    the oracle's checkable content — the third approx-path gate after
+    the quantile and equi-depth ones."""
+    from charmpandas_spark.functions.sketches import approx_distinct_check
+    ev = _t(spark, sf_dir, "events").sdf
+    return approx_distinct_check(ev, "user_id", rsd=0.02,
+                                 by=["event_type"])
+
+
 def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic distributed k-means over the embeddings corpus
     (semantic clustering for curation: bucket, then sample/balance
@@ -2482,6 +2495,34 @@ def q_decontam_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "text", "doc_id", n=5)
 
 
+def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination, gated on its no-false-
+    negative guarantee: the benchmark's distinct 5-grams fold into a
+    Bloom word table (bit_or aggregate, <= m/64 longs — the scale-out
+    when the benchmark set no longer broadcasts as rows), the corpus
+    probes it with one broadcast join, and every EXACTLY-contaminated
+    document must flag >= its exact hit count (xxhash64 is a fixed
+    function, so this is algebraic, not probabilistic). The oracle
+    constructs the expected table from the exact DuckDB decontominate
+    twin with bloom_ok asserted true; false-positive behavior is
+    pytest-pinned to the design rate."""
+    from charmpandas_spark.functions.bloom import decontaminate_bloom
+    from charmpandas_spark.functions.dedup import decontaminate
+    docs = _t(spark, sf_dir, "documents").sdf
+    bench_pred = F.col("source").isin("src0", "src1")
+    corpus, bench = docs.where(~bench_pred), docs.where(bench_pred)
+    exact = decontaminate(corpus, bench, "text", "doc_id", n=5)
+    blm = (decontaminate_bloom(corpus, bench, "text", "doc_id", n=5,
+                               fpp=0.001)
+           .withColumnsRenamed({"n_ngrams": "__n2",
+                                "n_flagged": "__nf"}))
+    return (exact.where(F.col("n_hits") > 0)
+                 .join(blm, "doc")
+                 .select("doc", "n_ngrams", "n_hits",
+                         (F.col("__nf") >= F.col("n_hits"))
+                          .alias("bloom_ok")))
+
+
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: dense cosine top-10 (embeddings) and sparse
     TF-cosine top-10 (document text) fused per query with reciprocal-
@@ -3037,6 +3078,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_percentiles_approx": q_corpus_percentiles_approx,
         "histogram_equidepth_approx": q_histogram_equidepth_approx,
         "streaming_stream_join_full": q_streaming_stream_join_full,
+        "distinct_count_approx": q_distinct_count_approx,
+        "decontam_bloom": q_decontam_bloom,
         "dedup_minhash_fast": q_dedup_minhash_fast,  # full oracle (r8)
         "events_merge_asof": q_events_merge_asof,  # asof NULL fix
         "url_canonicalize": q_url_canonicalize,    # port handling fix
@@ -3777,6 +3820,16 @@ def oracle_sql() -> dict[str, str]:
         "decontam_ngrams": decontaminate_sql(
             "documents", "source NOT IN ('src0', 'src1')",
             "source IN ('src0', 'src1')", "doc_id", "text", n=5),
+        # no-false-negative gate: exactly-contaminated docs must all
+        # be bloom-flagged (tolerance-free — the guarantee is
+        # algebraic for a fixed hash)
+        "decontam_bloom": f"""
+            SELECT doc, n_ngrams, n_hits, true AS bloom_ok
+            FROM ({decontaminate_sql(
+                "documents", "source NOT IN ('src0', 'src1')",
+                "source IN ('src0', 'src1')", "doc_id", "text", n=5)})
+            WHERE n_hits > 0
+        """,
         "hybrid_rrf": f"""
             WITH dense AS ({dense_leg}),
             sparse AS (
@@ -4319,6 +4372,12 @@ def oracle_sql() -> dict[str, str]:
                    true AS ok
             FROM g CROSS JOIN (VALUES (25), (50), (75), (95), (99))
                  v(q)
+        """,
+        "distinct_count_approx": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+                   true AS ok
+            FROM events GROUP BY event_type
         """,
         "histogram_equidepth_approx": """
             WITH t AS (

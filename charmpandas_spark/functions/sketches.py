@@ -26,6 +26,7 @@ __all__ = [
     "hll_merge",
     "approx_quantiles",
     "approx_quantiles_check",
+    "approx_distinct_check",
     "heavy_hitters",
 ]
 
@@ -123,6 +124,33 @@ def approx_quantiles_check(df: SparkDF, col: str,
         *by,
         (p * 100).cast("int").alias("quantile"),
         "n", ok.alias("ok"))
+
+
+def approx_distinct_check(df: SparkDF, col: str, rsd: float = 0.02,
+                          by: list[str] | None = None) -> SparkDF:
+    """CORRECTNESS-GATEABLE verification of the HLL++ distinct-count
+    path (the third leg after the quantile and histogram gates): one
+    aggregation computes BOTH ``approx_count_distinct(col, rsd)`` and
+    the exact ``count_distinct`` per group, and emits ``ok`` =
+    |estimate - exact| <= max(5 * rsd * exact, 4) — five standard
+    errors of the HLL++ guarantee plus an absolute floor for tiny
+    groups (where the sketch counts exactly anyway). Output:
+    ``(*by, n_distinct, ok)`` — the exact count is real checkable
+    content for the oracle; the encoded tolerance makes the sketch's
+    bound itself hash-checkable, same doctrine as
+    :func:`approx_quantiles_check`.
+
+    The verification pays the exact count's full shuffle — production
+    profiling uses :func:`approx_distinct` alone (one pass, tiny
+    state, no key-space shuffle)."""
+    est = F.approx_count_distinct(col, rsd=rsd)
+    exact = F.count_distinct(F.col(col))
+    out = df.groupBy(*(by or [])).agg(est.alias("__est"),
+                                      exact.alias("n_distinct"))
+    ok = (F.abs(F.col("__est") - F.col("n_distinct"))
+          <= F.greatest(F.lit(5.0 * rsd) * F.col("n_distinct"),
+                        F.lit(4.0)))
+    return out.select(*(by or []), "n_distinct", ok.alias("ok"))
 
 
 def heavy_hitters(df: SparkDF, col: str, k: int = 10,

@@ -39,6 +39,70 @@ def test_approx_quantiles(events):
     assert abs(got[0] - exact) / spread < 0.05
 
 
+def test_bloom_no_false_negatives_and_fpr(spark):
+    """Bloom word table: zero false negatives on every inserted key
+    (algebraic, fixed hash), measured FPR within 2x the design rate,
+    and the word table never exceeds m/64 rows."""
+    from pyspark.sql import functions as F
+
+    from charmpandas_spark.functions.bloom import (bloom_build,
+                                                   bloom_params,
+                                                   bloom_probe)
+
+    n, fpp = 10_000, 0.01
+    m, k = bloom_params(n, fpp)
+    keys = spark.range(n).select(F.concat(F.lit("k"), "id").alias("s"))
+    bloom = bloom_build(keys, "s", m, k)
+    assert bloom.count() <= m // 64
+    assert bloom_probe(keys, "s", bloom, m, k) \
+        .where("NOT might_contain").count() == 0
+    neg = spark.range(10**6, 10**6 + 20_000) \
+        .select(F.concat(F.lit("k"), "id").alias("s"))
+    fp = bloom_probe(neg, "s", bloom, m, k) \
+        .where("might_contain").count()
+    assert fp / 20_000 <= 2 * fpp, fp
+
+
+def test_decontaminate_bloom_superset_of_exact(spark, sf_dir):
+    """Two-tier decontamination contract: same n_ngrams as the exact
+    path, n_flagged >= n_hits for EVERY doc (no false negatives), and
+    the corpus-wide false-positive surplus stays tiny at fpp=1e-3."""
+    import charmpandas_spark as cps
+    from pyspark.sql import functions as F
+
+    from charmpandas_spark.functions.bloom import decontaminate_bloom
+    from charmpandas_spark.functions.dedup import decontaminate
+
+    docs = cps.read_table(spark, sf_dir, "documents").sdf
+    bench_pred = F.col("source").isin("src0", "src1")
+    corpus, bench = docs.where(~bench_pred), docs.where(bench_pred)
+    exact = decontaminate(corpus, bench, "text", "doc_id", n=5)
+    blm = decontaminate_bloom(corpus, bench, "text", "doc_id", n=5,
+                              fpp=0.001) \
+        .withColumnsRenamed({"n_ngrams": "n2", "n_flagged": "nf"})
+    j = exact.join(blm, "doc")
+    assert j.where("n_ngrams != n2 OR nf < n_hits").count() == 0
+    total_grams, surplus = j.agg(
+        F.sum("n_ngrams"), F.sum(F.col("nf") - F.col("n_hits"))).first()
+    assert surplus <= max(20, 0.002 * total_grams), (surplus,
+                                                     total_grams)
+
+
+def test_approx_distinct_check_bounds(spark):
+    """HLL++ gate: ok=true per group, exact counts carried, including
+    a tiny group where the absolute floor (not the relative band)
+    does the work."""
+    from charmpandas_spark.functions.sketches import approx_distinct_check
+
+    rows = ([("big", i) for i in range(20000)]
+            + [("tiny", i % 3) for i in range(30)])
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r["g"]: r for r in
+           approx_distinct_check(df, "v", rsd=0.02, by=["g"]).collect()}
+    assert out["big"]["n_distinct"] == 20000 and out["big"]["ok"]
+    assert out["tiny"]["n_distinct"] == 3 and out["tiny"]["ok"]
+
+
 def test_approx_quantiles_check_bounds(spark):
     """The rank-interval gate: ok=true on skewed AND tie-heavy data
     (where value-proximity checks would be meaningless), n exact,
