@@ -2708,6 +2708,39 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                              path, "text", "doc_id", num_buckets=16)
 
 
+def q_dedup_minhash_incremental(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Continuous-ingestion NEAR-dup: even-id docs persist as a
+    banded MinHash LSH index partitioned by band-key bucket; the
+    odd-id batch probes only ITS buckets (partition-pruned scan,
+    pytest-witnessed) and exact-verifies candidates. Gated with the
+    recall-witness pattern: the emitted table is the DETERMINISTIC
+    cross-corpus truth set (word-3-gram Jaccard >= 0.7, inverted-
+    index exact join) annotated with found_incremental — the DuckDB
+    oracle asserts the truth pairs with the flag true, so an LSH
+    recall miss fails the value hash."""
+    from charmpandas_spark.functions.dedup import (
+        cross_corpus_pairs, minhash_dedup_incremental,
+        minhash_index_write)
+    docs = _t(spark, sf_dir, "documents").sdf
+    hist = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    path = _tmp_sink("mh_index")
+    minhash_index_write(hist, "text", "doc_id", path, num_buckets=16)
+    inc = (minhash_dedup_incremental(spark, batch, path, "text",
+                                     "doc_id", threshold=0.7,
+                                     num_buckets=16)
+           .select(F.col("matched_doc").alias("doc_a"),
+                   F.col("doc").alias("doc_b"),
+                   F.lit(True).alias("__found")))
+    truth = cross_corpus_pairs(hist, batch, "text", "doc_id",
+                               n=3, threshold=0.7)
+    return (truth.join(inc, ["doc_a", "doc_b"], "left")
+                 .select("doc_a", "doc_b", "jaccard",
+                         F.coalesce("__found", F.lit(False))
+                          .alias("found_incremental")))
+
+
 def q_hybrid_rrf3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THREE-leg reciprocal-rank fusion: dense cosine + sparse
     TF-cosine + rational BM25, fused per query with integer micro
@@ -3080,6 +3113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stream_join_full": q_streaming_stream_join_full,
         "distinct_count_approx": q_distinct_count_approx,
         "decontam_bloom": q_decontam_bloom,
+        "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "dedup_minhash_fast": q_dedup_minhash_fast,  # full oracle (r8)
         "events_merge_asof": q_events_merge_asof,  # asof NULL fix
         "url_canonicalize": q_url_canonicalize,    # port handling fix
@@ -4569,6 +4603,30 @@ def oracle_sql() -> dict[str, str]:
             FROM p
             WHERE FLOOR(CAST(common AS DOUBLE)
                   / (sz_a + sz_b - common) * 10000) / 10000 >= 0.5
+        """,
+        # incremental near-dup recall witness: the deterministic
+        # cross-corpus truth at 0.7 with found_incremental asserted
+        "dedup_minhash_incremental": f"""
+            WITH base AS (
+                SELECT doc_id, {word_shingles_sql('text', 3)} AS sh
+                FROM documents),
+            sz AS (SELECT doc_id, len(sh) AS sz, sh FROM base),
+            inv0 AS (SELECT doc_id, sz, unnest(sh) AS shingle FROM sz),
+            {_capped_inv_cte("doc_id % 2 = 0", "inv_a")},
+            {_capped_inv_cte("doc_id % 2 = 1", "inv_b")},
+            p AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.sz AS sz_a, b.sz AS sz_b, count(*) AS common
+                FROM inv_a a JOIN inv_b b ON a.shingle = b.shingle
+                GROUP BY 1, 2, 3, 4)
+            SELECT doc_a, doc_b,
+                   FLOOR(CAST(common AS DOUBLE)
+                         / (sz_a + sz_b - common) * 10000) / 10000
+                       AS jaccard,
+                   true AS found_incremental
+            FROM p
+            WHERE FLOOR(CAST(common AS DOUBLE)
+                  / (sz_a + sz_b - common) * 10000) / 10000 >= 0.7
         """,
         "events_histogram": """
             SELECT CAST(FLOOR(value / 10) AS BIGINT) AS bucket,

@@ -57,6 +57,8 @@ __all__ = [
     "decontaminate_sql",
     "fingerprint_index_write",
     "dedup_incremental",
+    "minhash_index_write",
+    "minhash_dedup_incremental",
     "edit_distance_pairs",
     "edit_distance_pairs_sql",
 ]
@@ -1368,6 +1370,115 @@ def dedup_incremental(spark, batch: SparkDF, path: str, text_col: str,
     result = out.select("doc", "fp")
     result._cps_persisted = [first]  # see release()
     return result
+
+
+def _banded_rows(df: SparkDF, text_col: str, id_col: str,
+                 num_hashes: int, bands: int, k: int, hash_fn: str,
+                 use_chars: bool, n: int) -> SparkDF:
+    """(doc, sh, band_idx, band_key): one row per (doc, band) with
+    the document's shingle set inlined — the storage/probe unit of
+    the banded LSH index."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    sh = shingle_table(df, text_col, id_col, k, use_chars, n)
+    sig = _signatures_from_shingles(sh, num_hashes, hash_fn)
+    r = num_hashes // bands
+    band_keys = [
+        F.md5(F.concat_ws(",", *[
+            F.col(f"m{b * r + i}").cast("string") for i in range(r)
+        ])).alias(f"bk{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc", F.posexplode(F.array(*band_keys))
+                        .alias("band_idx", "band_key"))
+    return banded.join(sh, "doc").select("doc", "sh",
+                                         "band_idx", "band_key")
+
+
+def minhash_index_write(df: SparkDF, text_col: str, id_col: str,
+                        path: str, num_hashes: int = 16, bands: int = 4,
+                        k: int = 5, hash_fn: str = "md5",
+                        use_chars: bool = False, n: int = 3,
+                        num_buckets: int = 64,
+                        mode: str = "overwrite") -> None:
+    """Persist a banded MinHash LSH index partitioned by
+    band-key-hash bucket — the NEAR-dup counterpart of
+    :func:`fingerprint_index_write` for continuous ingestion: a new
+    batch probes years of history by opening only the buckets its own
+    band keys hash into, instead of re-signing the historical corpus.
+
+    Layout: ``(bucket, band_idx, band_key, doc, sh)``, one row per
+    (doc, band); the shingle set rides inline so the exact-verify
+    stage needs NO second lookup (storage trade-off: ``bands`` copies
+    of each doc's normalized shingles — the price of one-round-trip
+    probes; band tables that store ids only pay a second history
+    fetch per candidate instead)."""
+    rows = _banded_rows(df, text_col, id_col, num_hashes, bands, k,
+                        hash_fn, use_chars, n)
+    (rows.withColumn("bucket",
+                     (hash64(F.col("band_key"), 0, "md5")
+                      % num_buckets + num_buckets) % num_buckets)
+         .repartition("bucket")
+         .write.mode(mode).partitionBy("bucket").parquet(path))
+
+
+def minhash_dedup_incremental(spark, batch: SparkDF, path: str,
+                              text_col: str, id_col: str,
+                              threshold: float = 0.7,
+                              num_hashes: int = 16, bands: int = 4,
+                              k: int = 5, hash_fn: str = "md5",
+                              use_chars: bool = False, n: int = 3,
+                              num_buckets: int = 64,
+                              append_novel: bool = False) -> SparkDF:
+    """NEAR-dup matches of ``batch`` against the LSH index at
+    ``path``: ``(doc, matched_doc, jaccard)`` for every batch doc
+    within exact-verified Jaccard >= ``threshold`` of a historical
+    doc that shares an LSH band with it. Same funnel as
+    :func:`minhash_near_dup`, but the history side is a PRUNED index
+    scan: the batch's band keys hash to a bounded bucket list
+    (collected client-side, <= ``num_buckets`` values) that lands in
+    the scan's partition filters — I/O proportional to the batch's
+    bucket coverage, not history size, exactly like
+    :func:`dedup_incremental`'s exact-hash variant.
+
+    INTRA-batch near-dups are out of scope (run
+    :func:`minhash_near_dup` on the batch for those); recall is LSH
+    recall, same (b, r) S-curve as the batch operator. With
+    ``append_novel`` the UNMATCHED batch docs' band rows are appended
+    so the next batch sees them (matched dups are NOT indexed — the
+    survivor represents the cluster, RefinedWeb-style)."""
+    from pyspark import StorageLevel
+
+    brows = (_banded_rows(batch, text_col, id_col, num_hashes, bands,
+                          k, hash_fn, use_chars, n)
+             .withColumn("bucket",
+                         (hash64(F.col("band_key"), 0, "md5")
+                          % num_buckets + num_buckets) % num_buckets)
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    buckets = [r["bucket"] for r in
+               brows.select("bucket").distinct().collect()]
+    idx = (spark.read.parquet(path)
+           .where(F.col("bucket").isin(buckets))
+           .withColumnsRenamed({"doc": "matched_doc", "sh": "__sh_h"}))
+    cand = (brows.join(idx.hint("shuffle_hash"),
+                       ["band_idx", "band_key", "bucket"])
+                 .select("doc", "sh", "matched_doc", "__sh_h")
+                 .dropDuplicates(["doc", "matched_doc"]))
+    inter = F.size(F.array_intersect("sh", "__sh_h"))
+    union = F.size(F.array_union("sh", "__sh_h"))
+    jacc = inter.cast("double") / union
+    matches = (cand.withColumn("jaccard",
+                               F.floor(jacc * 10000) / 10000)
+                   .filter(F.col("jaccard") >= threshold)
+                   .select("doc", "matched_doc", "jaccard"))
+    if append_novel:
+        novel = (brows.join(matches.select("doc").distinct(),
+                            "doc", "left_anti")
+                      .select("bucket", "band_idx", "band_key",
+                              "doc", "sh"))
+        novel.write.mode("append").partitionBy("bucket").parquet(path)
+    matches._cps_persisted = [brows]  # see release()
+    return matches
 
 
 # ---------------------------------------------------------------------------

@@ -14,7 +14,8 @@ from pyspark.sql import DataFrame as SparkDF, functions as F
 from ..timestamps import ensure_event_time
 
 __all__ = ["stream_stream_join", "stream_stream_join_outer",
-           "stream_stream_join_full", "stream_static_join"]
+           "stream_stream_join_full", "stream_stream_join_right",
+           "stream_static_join"]
 
 
 def stream_stream_join(
@@ -142,6 +143,42 @@ def stream_stream_join_full(
         & (F.col(rts) >= F.col(lts) - F.expr(f"INTERVAL {max_delay}"))
     )
     joined = lw.join(rw, on=cond, how="fullOuter")
+    return (joined.withColumn(key, F.coalesce(F.col(key), F.col(rkey)))
+                  .drop(rkey))
+
+
+def stream_stream_join_right(
+    left: SparkDF,
+    right: SparkDF,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "1 hour",
+    watermark: str = "1 hour",
+    suffixes: tuple[str, str] = ("_l", "_r"),
+) -> SparkDF:
+    """RIGHT OUTER stream-stream join — the mirror of
+    :func:`stream_stream_join_outer`: an unmatched RIGHT event emits
+    left-null-padded once the watermark passes ``right_ts +
+    max_delay`` (no left event with ``lts in [rts, rts + max_delay]``
+    can still arrive). The output key is the coalesced single column,
+    like the full variant. Same sentinel replay contract."""
+    lw = ensure_event_time(left, left_ts).withWatermark(left_ts, watermark)
+    rw = ensure_event_time(right, right_ts).withWatermark(right_ts,
+                                                          watermark)
+    overlap = (set(lw.columns) & set(rw.columns)) - {key}
+    lw = lw.withColumnsRenamed({c: c + suffixes[0] for c in overlap})
+    rw = rw.withColumnsRenamed({c: c + suffixes[1] for c in overlap})
+    lts = left_ts + suffixes[0] if left_ts in overlap else left_ts
+    rts = right_ts + suffixes[1] if right_ts in overlap else right_ts
+    rkey = key + "__cps_r"
+    rw = rw.withColumnRenamed(key, rkey)
+    cond = (
+        (lw[key] == rw[rkey])
+        & (F.col(rts) <= F.col(lts))
+        & (F.col(rts) >= F.col(lts) - F.expr(f"INTERVAL {max_delay}"))
+    )
+    joined = lw.join(rw, on=cond, how="rightOuter")
     return (joined.withColumn(key, F.coalesce(F.col(key), F.col(rkey)))
                   .drop(rkey))
 

@@ -477,6 +477,54 @@ def test_dedup_incremental_append_survivors(spark, tmp_path):
     release(out2)
 
 
+def test_minhash_incremental_matches_and_prunes(spark, tmp_path):
+    """Near-dup incremental: batch docs match history through the
+    banded index (exact-verified jaccard), novel docs don't; the
+    index scan carries the batch's bucket predicate as a PARTITION
+    filter; append_novel makes day-one novelty visible to day two."""
+    from charmpandas_spark.functions.dedup import (
+        minhash_dedup_incremental, minhash_index_write, release)
+
+    base = ("the quick brown fox jumps over the lazy dog again "
+            "and again with many shared tokens in this sentence")
+    hist = spark.createDataFrame(
+        [(1, base), (2, "completely different history content here "
+                        "about other topics entirely unrelated")],
+        "doc_id bigint, t string")
+    path = str(tmp_path / "mhidx")
+    minhash_index_write(hist, "t", "doc_id", path, num_buckets=8)
+
+    batch = spark.createDataFrame(
+        [(10, base + " extra"),                 # near-dup of 1
+         (11, "novel text that matches nothing in the historical "
+              "index at all not even close")],
+        "doc_id bigint, t string")
+    out = minhash_dedup_incremental(spark, batch, path, "t", "doc_id",
+                                    threshold=0.7, num_buckets=8)
+    got = {(r["doc"], r["matched_doc"]) for r in out.collect()}
+    assert got == {(10, 1)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    release(out)
+
+    # append_novel: doc 11's bands are indexed; a re-send matches it
+    out1 = minhash_dedup_incremental(spark, batch, path, "t", "doc_id",
+                                     threshold=0.7, num_buckets=8,
+                                     append_novel=True)
+    out1.collect()
+    release(out1)
+    resend = spark.createDataFrame(
+        [(20, "novel text that matches nothing in the historical "
+              "index at all not even close")],
+        "doc_id bigint, t string")
+    out2 = minhash_dedup_incremental(spark, resend, path, "t",
+                                     "doc_id", threshold=0.7,
+                                     num_buckets=8)
+    assert {(r["doc"], r["matched_doc"])
+            for r in out2.collect()} == {(20, 11)}
+    release(out2)
+
+
 # ---------------------------------------------------------------------------
 # BPE id encoding
 # ---------------------------------------------------------------------------

@@ -187,3 +187,19 @@ def test_stream_stream_full_join_emits_unmatched_both_sides(
         (2, None): 200,   # left-only click, right null-padded
         (None, 4): 300,   # right-only view, LEFT null-padded,
     }                     # key coalesced from the right side
+
+    # RIGHT OUTER mirror on the same replayed source: matched pair +
+    # the right-only view; the left-only click does NOT appear
+    from charmpandas_spark.streaming.joins import stream_stream_join_right
+    stream2 = stream_from_parquet(spark, src)
+    out_r = stream_stream_join_right(
+        stream2.filter(F.col("event_id").isin(1, 2, -1)),
+        stream2.filter(~F.col("event_id").isin(1, 2)),
+        "user_id", max_delay="1 hour", watermark="1 hour")
+    qr = (out_r.writeStream.format("memory").queryName("s2r_join")
+          .outputMode("append").trigger(availableNow=True).start())
+    qr.awaitTermination(180)
+    got_r = {(r["event_id_l"], r["event_id_r"]): r["user_id"]
+             for r in spark.table("s2r_join")
+                           .where(F.col("user_id") != -1).collect()}
+    assert got_r == {(1, 3): 100, (None, 4): 300}
