@@ -2708,6 +2708,24 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                              path, "text", "doc_id", num_buckets=16)
 
 
+def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization ANN (Jegou et al. 2011): 8 subspaces x
+    16-centroid codebooks trained with the bit-deterministic Lloyd
+    loop, vectors encoded to 8 bytes, asymmetric-distance (ADC)
+    top-10 for query ids < 5 — 64 float dims never touched per pair,
+    just m table lookups. The ENTIRE pipeline (8 independent kmeans
+    CTE chains, code assignment, fixed-order ADC sum) replays in
+    DuckDB, so even the TRAINED quantizer is value-hash-checked."""
+    from charmpandas_spark.functions.quantize import (pq_adc_topk,
+                                                      pq_train_encode)
+    emb = _t(spark, sf_dir, "embeddings").sdf
+    codes, books = pq_train_encode(emb, "embedding", "vec_id",
+                                   m=8, codebook_k=16, iters=2)
+    return pq_adc_topk(codes, books,
+                       emb.where(F.col("vec_id") < 5),
+                       "embedding", "vec_id", k=10)
+
+
 def q_dedup_minhash_incremental(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Continuous-ingestion NEAR-dup: even-id docs persist as a
@@ -3114,6 +3132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_count_approx": q_distinct_count_approx,
         "decontam_bloom": q_decontam_bloom,
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
+        "sim_pq_topk": q_sim_pq_topk,
         "dedup_minhash_fast": q_dedup_minhash_fast,  # full oracle (r8)
         "events_merge_asof": q_events_merge_asof,  # asof NULL fix
         "url_canonicalize": q_url_canonicalize,    # port handling fix
@@ -4606,6 +4625,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         # incremental near-dup recall witness: the deterministic
         # cross-corpus truth at 0.7 with found_incremental asserted
+        "sim_pq_topk": __import__(
+            "charmpandas_spark.functions.quantize",
+            fromlist=["pq_topk_oracle_sql"]).pq_topk_oracle_sql(
+            "embeddings", "vec_id", "embedding", "vec_id < 5",
+            dim=64, m=8, codebook_k=16, iters=2, k=10),
         "dedup_minhash_incremental": f"""
             WITH base AS (
                 SELECT doc_id, {word_shingles_sql('text', 3)} AS sh

@@ -606,7 +606,45 @@ def test_mixture_token_budget_partition_invariant(spark):
     assert a == b
 
 
-def test_quantized_dot_topk_agrees_with_float_ranking(spark):
+def test_pq_codes_and_adc_ranking(spark, sf_dir):
+    """Product quantization: an exact duplicate vector gets the SAME
+    m codes as its original (so ADC ranks it first for a query equal
+    to that vector), and training + encoding are bit-identical across
+    partitionings. Cross-engine value parity is the sim_pq_topk
+    oracle's job."""
+    import charmpandas_spark as cps
+    from pyspark.sql import functions as F
+
+    from charmpandas_spark.functions.dedup import release
+    from charmpandas_spark.functions.quantize import (pq_adc_topk,
+                                                      pq_train_encode)
+
+    emb = cps.read_table(spark, sf_dir, "embeddings").sdf
+    # plant an exact duplicate of vec 7 under a fresh id
+    dup = emb.where(F.col("vec_id") == 7) \
+             .withColumn("vec_id", F.lit(999_999).cast("long"))
+    corpus = emb.unionByName(dup)
+    codes, books = pq_train_encode(corpus, "embedding", "vec_id",
+                                   m=8, codebook_k=16, iters=1)
+    cmap = {r["vec_id"]: r["codes"] for r in codes.collect()}
+    assert cmap[7] == cmap[999_999]
+
+    out = pq_adc_topk(codes, books,
+                      emb.where(F.col("vec_id") == 7),
+                      "embedding", "vec_id", k=5).collect()
+    # the duplicate has ADC distance == vec 7's own-code distance,
+    # the global minimum — it must be rank 1
+    byrank = {r["rank"]: r for r in out}
+    assert byrank[1]["item_id"] == 999_999
+    release(codes)
+
+    # partition invariance of the whole pipeline
+    codes2, books2 = pq_train_encode(corpus.repartition(13),
+                                     "embedding", "vec_id",
+                                     m=8, codebook_k=16, iters=1)
+    assert books2 == books
+    assert {r["vec_id"]: r["codes"] for r in codes2.collect()} == cmap
+    release(codes2)
     """On well-separated vectors the int8 stage-1 ranking recovers the
     float dot-product ranking (quantization noise only reorders
     near-ties); dot values are exact int64 folds."""
