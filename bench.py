@@ -191,6 +191,16 @@ def bench_queries(spark, sf_dir):
         "dedup_editdist",
         "sim_bm25",
         "hybrid_rrf3",
+        # r8 additions (streaming_stream_join_full excluded like the
+        # other streaming replays: wall-clock there is micro-batch
+        # replay overhead, not engine throughput)
+        "dedup_span_removal",
+        "corpus_percentiles_approx",
+        "histogram_equidepth_approx",
+        "distinct_count_approx",
+        "decontam_bloom",
+        "dedup_minhash_incremental",
+        "sim_pq_topk",
     ]
     return {n: qs[n] for n in names if n in qs}
 
