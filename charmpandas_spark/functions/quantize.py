@@ -227,14 +227,17 @@ def pq_train_encode(df: SparkDF, vec_col: str, id_col: str,
     array<int>)``; ``codebooks[sub][j]`` is the j-th centroid of
     subspace ``sub`` (quantized-int units, like the kmeans module).
 
-    Scale shape: training is ``m`` independent Lloyd loops over
-    SLICES of the persisted corpus (each iteration one map-side-
-    combined aggregation; driver state = m * k * dim/m doubles);
-    encoding is ONE scan-local pass computing all ``m`` argmins —
-    the corpus shuffles zero times."""
+    Scale shape: ALL ``m`` Lloyd loops advance together — each
+    iteration is ONE map-side-combined aggregation over the exploded
+    (sub, subvector) rows, with the current centroid selected per row
+    by ``element_at`` on an array-of-arrays literal (no per-subspace
+    jobs: ``iters`` actions total, not ``iters * m``; driver state =
+    m * k * dim/m doubles). Encoding is ONE scan-local pass over the
+    original vectors computing all ``m`` argmins — the corpus
+    shuffles zero times."""
     from pyspark import StorageLevel
 
-    from .kmeans import _dist_expr, _quantize
+    from .kmeans import _quantize
 
     q = df.select(F.col(id_col).alias("__pq_id"),
                   _quantize(vec_col, scale).alias("__pq_q"))
@@ -251,33 +254,51 @@ def pq_train_encode(df: SparkDF, vec_col: str, id_col: str,
     def sub_col(sub: int):
         return F.slice(F.col("__pq_q"), sub * d_sub + 1, d_sub)
 
-    codebooks: list[list[list[float]]] = []
-    for sub in range(m):
-        cents = [[float(v) for v in row["__pq_q"][sub * d_sub:
-                                                  (sub + 1) * d_sub]]
-                 for row in head]
-        qs = q.select("__pq_id", sub_col(sub).alias("__pq_s"))
-        for _ in range(iters):
-            dists = qs.select(
-                "*", *[_dist_expr("__pq_s", c, d_sub)
-                       .alias(f"__pq_d{j}")
-                       for j, c in enumerate(cents)])
-            best = F.least(*[F.col(f"__pq_d{j}")
-                             for j in range(codebook_k)])
-            cl = F
-            for j in range(codebook_k):
-                cl = cl.when(F.col(f"__pq_d{j}") == best, F.lit(j))
-            assigned = dists.withColumn("__pq_c", cl.cast("int"))
-            sums = assigned.groupBy("__pq_c").agg(
-                F.count(F.lit(1)).alias("__pq_n"),
-                *[F.sum(F.element_at("__pq_s", d + 1)).alias(f"__s{d}")
-                  for d in range(d_sub)])
-            rows = {r["__pq_c"]: r for r in sums.collect()}
-            cents = [
-                ([r[f"__s{d}"] / r["__pq_n"] for d in range(d_sub)]
-                 if (r := rows.get(j)) is not None else cents[j])
-                for j in range(codebook_k)]
-        codebooks.append(cents)
+    codebooks: list[list[list[float]]] = [
+        [[float(v) for v in row["__pq_q"][sub * d_sub:
+                                          (sub + 1) * d_sub]]
+         for row in head]
+        for sub in range(m)]
+
+    # exploded training layout: one row per (subspace, vector)
+    sub_rows = (q.select(F.posexplode(F.array(
+                    *[sub_col(s) for s in range(m)]))
+                    .alias("__pq_sub", "__pq_s"))
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+    for _ in range(iters):
+        # centroid j for THIS row's subspace, via array-of-arrays
+        # lookup — keeps the expression count at k, not k * m
+        dists = [F.aggregate(
+            F.zip_with(
+                F.col("__pq_s").cast("array<double>"),
+                F.element_at(
+                    F.array(*[F.array(*[F.lit(float(c))
+                                        for c in codebooks[s][j]])
+                              for s in range(m)]),
+                    F.col("__pq_sub") + 1),
+                lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0), lambda a, t: a + t).alias(f"__pq_d{j}")
+            for j in range(codebook_k)]
+        tagged = sub_rows.select("__pq_sub", "__pq_s", *dists)
+        best = F.least(*[F.col(f"__pq_d{j}")
+                         for j in range(codebook_k)])
+        cl = F
+        for j in range(codebook_k):
+            cl = cl.when(F.col(f"__pq_d{j}") == best, F.lit(j))
+        sums = (tagged.withColumn("__pq_c", cl.cast("int"))
+                      .groupBy("__pq_sub", "__pq_c")
+                      .agg(F.count(F.lit(1)).alias("__pq_n"),
+                           *[F.sum(F.element_at("__pq_s", d + 1))
+                              .alias(f"__s{d}")
+                             for d in range(d_sub)]))
+        rows = {(r["__pq_sub"], r["__pq_c"]): r for r in sums.collect()}
+        codebooks = [
+            [([r[f"__s{d}"] / r["__pq_n"] for d in range(d_sub)]
+              if (r := rows.get((s, j))) is not None
+              else codebooks[s][j])
+             for j in range(codebook_k)]
+            for s in range(m)]
+    sub_rows.unpersist()
 
     # one scan-local pass: all m argmins at once
     code_cols = []
