@@ -92,23 +92,25 @@ def bloom_probe(df: SparkDF, col: str, bloom: SparkDF, m_bits: int,
     Plan: explode k positions, ONE broadcast (or shuffle) hash join
     on word, ``bool_and`` back to one row per input row. The input
     side never shuffles under broadcast; rows are carried by a
-    struct so arbitrary input schemas survive. Row-SET semantics:
-    fully duplicate input rows collapse to one output row (the
-    reassembly groups by the whole row)."""
+    struct keyed by a per-row id, so arbitrary input schemas
+    (including maps, which can't be grouping keys) survive and
+    fully-duplicate input rows keep their multiplicity."""
     b = F.broadcast(bloom) if broadcast_bloom else bloom
-    tagged = (df.withColumn("__cps_row", F.struct(*df.columns))
+    tagged = (df.withColumn("__cps_rid", F.monotonically_increasing_id())
+                .withColumn("__cps_row", F.struct(*df.columns))
                 .withColumn("__p",
                             F.explode(_positions(F.col(col),
                                                  m_bits, k)))
-                .select("__cps_row",
+                .select("__cps_rid", "__cps_row",
                         (F.col("__p") / 64).cast("long").alias("word"),
                         F.expr("shiftleft(1L, cast(pmod(__p, 64) "
                                "as int))").alias("__m")))
     hit = (F.col("bits").isNotNull()
            & (F.col("bits").bitwiseAND(F.col("__m")) != 0))
     out = (tagged.join(b, "word", "left")
-                 .groupBy("__cps_row")
-                 .agg(F.every(hit).alias(out_col)))
+                 .groupBy("__cps_rid")
+                 .agg(F.first("__cps_row").alias("__cps_row"),
+                      F.every(hit).alias(out_col)))
     return out.select(*[F.col(f"__cps_row.{c}").alias(c)
                         for c in df.columns], out_col)
 

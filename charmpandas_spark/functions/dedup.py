@@ -1305,6 +1305,44 @@ def decontaminate_sql(corpus_t: str, corpus_pred: str, bench_pred: str,
 # incremental dedup against a persisted fingerprint index
 # ---------------------------------------------------------------------------
 
+def _index_meta_write(spark, path: str, meta: dict) -> None:
+    """Persist the index's signing parameters as a one-row JSON
+    sidecar at ``<path>/_cps_meta``. Underscore-prefixed children are
+    hidden from Spark's parquet reader, so the sidecar rides INSIDE
+    the index directory (same FS, same lifecycle, any scheme Spark
+    can write — no driver-local file I/O)."""
+    import json
+
+    (spark.createDataFrame([(json.dumps(meta, sort_keys=True),)],
+                           "meta string")
+          .coalesce(1).write.mode("overwrite")
+          .text(path.rstrip("/") + "/_cps_meta"))
+
+
+def _index_meta_check(spark, path: str, meta: dict) -> None:
+    """Assert the probe-side parameters equal the ones the index was
+    written with (ADVICE r8: probing a banded index with different
+    num_hashes/bands/k/... silently returns zero/garbage matches).
+    A missing sidecar (pre-metadata index) is tolerated; a mismatch
+    raises."""
+    import json
+
+    try:
+        rows = spark.read.text(path.rstrip("/") + "/_cps_meta").collect()
+    except Exception:
+        return  # legacy index without a sidecar
+    if not rows:
+        return
+    stored = json.loads(rows[0]["value"])
+    diffs = {k: (stored[k], v) for k, v in meta.items()
+             if k in stored and stored[k] != v}
+    if diffs:
+        raise ValueError(
+            "index at %r was written with different parameters: %s"
+            % (path, ", ".join(f"{k}: index={a!r} probe={b!r}"
+                               for k, (a, b) in sorted(diffs.items()))))
+
+
 def fingerprint_index_write(df: SparkDF, text_col: str, id_col: str,
                             path: str, num_buckets: int = 64,
                             mode: str = "overwrite") -> None:
@@ -1321,6 +1359,10 @@ def fingerprint_index_write(df: SparkDF, text_col: str, id_col: str,
     lookups prune at planning time with zero Spark jobs."""
     from .text import fingerprint
 
+    if mode == "append":
+        _index_meta_check(df.sparkSession, path,
+                          {"kind": "fingerprint",
+                           "num_buckets": num_buckets})
     fp = df.select(fingerprint(text_col).alias("fp"),
                    F.col(id_col).alias("doc"))
     (fp.withColumn("bucket", (hash64(F.col("fp"), 0, "md5")
@@ -1328,6 +1370,8 @@ def fingerprint_index_write(df: SparkDF, text_col: str, id_col: str,
                              % num_buckets)
        .repartition("bucket")
        .write.mode(mode).partitionBy("bucket").parquet(path))
+    _index_meta_write(df.sparkSession, path,
+                      {"kind": "fingerprint", "num_buckets": num_buckets})
 
 
 def dedup_incremental(spark, batch: SparkDF, path: str, text_col: str,
@@ -1350,6 +1394,8 @@ def dedup_incremental(spark, batch: SparkDF, path: str, text_col: str,
     by ``num_buckets``, never by data."""
     from .text import fingerprint
 
+    _index_meta_check(spark, path,
+                      {"kind": "fingerprint", "num_buckets": num_buckets})
     bfp = batch.select(F.col(id_col).alias("doc"),
                        fingerprint(text_col).alias("fp"))
     first = (bfp.groupBy("fp").agg(F.min("doc").alias("doc"))
@@ -1413,6 +1459,11 @@ def minhash_index_write(df: SparkDF, text_col: str, id_col: str,
     of each doc's normalized shingles — the price of one-round-trip
     probes; band tables that store ids only pay a second history
     fetch per candidate instead)."""
+    meta = {"kind": "minhash_lsh", "num_hashes": num_hashes,
+            "bands": bands, "k": k, "hash_fn": hash_fn,
+            "use_chars": use_chars, "n": n, "num_buckets": num_buckets}
+    if mode == "append":
+        _index_meta_check(df.sparkSession, path, meta)
     rows = _banded_rows(df, text_col, id_col, num_hashes, bands, k,
                         hash_fn, use_chars, n)
     (rows.withColumn("bucket",
@@ -1420,6 +1471,7 @@ def minhash_index_write(df: SparkDF, text_col: str, id_col: str,
                       % num_buckets + num_buckets) % num_buckets)
          .repartition("bucket")
          .write.mode(mode).partitionBy("bucket").parquet(path))
+    _index_meta_write(df.sparkSession, path, meta)
 
 
 def minhash_dedup_incremental(spark, batch: SparkDF, path: str,
@@ -1449,6 +1501,10 @@ def minhash_dedup_incremental(spark, batch: SparkDF, path: str,
     survivor represents the cluster, RefinedWeb-style)."""
     from pyspark import StorageLevel
 
+    _index_meta_check(spark, path, {
+        "kind": "minhash_lsh", "num_hashes": num_hashes,
+        "bands": bands, "k": k, "hash_fn": hash_fn,
+        "use_chars": use_chars, "n": n, "num_buckets": num_buckets})
     brows = (_banded_rows(batch, text_col, id_col, num_hashes, bands,
                           k, hash_fn, use_chars, n)
              .withColumn("bucket",

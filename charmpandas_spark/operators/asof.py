@@ -81,8 +81,12 @@ def asof_join(
     # last(ignorenulls=True) would skip a matched row whose value is
     # NULL and return a stale value from an earlier row — possibly
     # outside tolerance (pandas returns NaN there).
+    # also require a non-null right timestamp: a right row with a
+    # NULL ts would otherwise emit a struct with __cps_rts=NULL that
+    # shadows an earlier genuine match in the last(ignorenulls)
+    # window (pandas merge_asof raises on null keys; we skip them)
     matched_struct = F.when(
-        F.col("__cps_side") == 0,
+        (F.col("__cps_side") == 0) & F.col("__cps_rts").isNotNull(),
         F.struct(F.col("__cps_rts").alias("__cps_rts"),
                  *[F.col(f"__cps_v_{c}").alias(f"__cps_v_{c}")
                    for c in value_cols]))

@@ -122,7 +122,11 @@ def _recover_swap(target_path: str) -> None:
     import shutil
 
     base = target_path.rstrip("/")
-    olds = sorted(glob.glob(base + ".__old_b*"))
+    # numeric sort: lexicographic would pick __old_b9 over __old_b10,
+    # restoring a stale snapshot when several old dirs linger (the
+    # happy-path rmtree is ignore_errors=True, so they can)
+    olds = sorted(glob.glob(base + ".__old_b*"),
+                  key=lambda p: int(p.rsplit("_b", 1)[1]))
     if olds and not os.path.isdir(base):
         # crashed mid-swap: restore the committed pre-batch state
         os.rename(olds[-1], base)

@@ -954,3 +954,33 @@ def test_all_wave3_ops_handle_empty_inputs(spark):
                                 {"a": 10}).count() == 0
     assert pagerank(eedge, iterations=2).count() == 0
     assert token_drift(etxt, etxt, "t", "doc_id").count() == 0
+
+
+def test_minhash_incremental_rejects_mismatched_params(spark, tmp_path):
+    """ADVICE r8: probing a banded index with different signing
+    parameters silently returns garbage — the persisted _cps_meta
+    sidecar must make it raise instead."""
+    import pytest
+
+    from charmpandas_spark.functions.dedup import (
+        minhash_dedup_incremental, minhash_index_write)
+
+    hist = spark.createDataFrame(
+        [(1, "some historical document text with several words")],
+        "doc_id bigint, t string")
+    path = str(tmp_path / "mhmeta")
+    minhash_index_write(hist, "t", "doc_id", path,
+                        num_hashes=16, bands=4, num_buckets=8)
+    batch = spark.createDataFrame(
+        [(2, "some historical document text with several words")],
+        "doc_id bigint, t string")
+    with pytest.raises(ValueError, match="different parameters"):
+        minhash_dedup_incremental(spark, batch, path, "t", "doc_id",
+                                  num_hashes=16, bands=8,
+                                  num_buckets=8)
+    # matching params still work through the sidecar
+    out = minhash_dedup_incremental(spark, batch, path, "t", "doc_id",
+                                    num_hashes=16, bands=4,
+                                    num_buckets=8)
+    assert {(r["doc"], r["matched_doc"])
+            for r in out.collect()} == {(2, 1)}

@@ -397,3 +397,42 @@ def test_asof_join_null_value_not_stale(spark):
     out = asof_join(left, right3, "ts", "k", ["v"],
                     tolerance_us=3_600_000_000).collect()[0]
     assert out["v_asof"] == 42.0
+
+
+def test_asof_join_null_right_ts_skipped(spark):
+    """ADVICE r8: a right row with a NULL timestamp must not shadow
+    an earlier genuine match (pandas merge_asof raises on null keys;
+    we skip null-ts right rows)."""
+    from charmpandas_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u", "2024-01-01 12:00:00")], "k string, ts_s string") \
+        .select("k", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [("u", "2024-01-01 11:00:00", 7.0),   # genuine match
+         ("u", None, 99.0)],                  # null ts: must be skipped
+        "k string, ts_s string, v double") \
+        .select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    out = asof_join(left, right, "ts", "k", ["v"]).collect()[0]
+    assert out["v_asof"] == 7.0
+
+
+def test_bloom_probe_multiplicity_and_map_schema(spark):
+    """ADVICE r8: bloom_probe must preserve input-row multiplicity
+    (duplicate rows stay duplicated) and accept schemas with
+    non-groupable column types (maps)."""
+    from charmpandas_spark.functions.bloom import (bloom_build,
+                                                   bloom_params,
+                                                   bloom_probe)
+
+    m, k = bloom_params(100, 0.01)
+    bloom = bloom_build(
+        spark.createDataFrame([("a",)], "s string"), "s", m, k)
+    dup = spark.createDataFrame(
+        [("a", {"x": 1}), ("a", {"x": 1}), ("b", {"y": 2})],
+        "s string, props map<string,int>")
+    out = bloom_probe(dup, "s", bloom, m, k).collect()
+    assert len(out) == 3                       # multiplicity preserved
+    byk = sorted((r["s"], r["might_contain"]) for r in out)
+    assert byk[0][1] and byk[1][1]             # both "a" rows positive
+    assert {r["props"]["x"] for r in out if r["s"] == "a"} == {1}

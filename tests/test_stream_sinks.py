@@ -142,3 +142,21 @@ def test_merge_sink_honors_trigger_flag(spark, tmp_path):
         q.stop()
     got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
     assert got == {1: 1}
+
+
+def test_recover_swap_numeric_batch_order(spark, tmp_path):
+    """ADVICE r8: with several lingering .__old_b* dirs, recovery
+    must restore the NUMERICALLY latest batch (lexicographic sort
+    would pick __old_b9 over __old_b10 and resurrect a stale
+    snapshot)."""
+    from charmpandas_spark.streaming.sinks import _recover_swap
+
+    target = str(tmp_path / "ntarget")
+    spark.createDataFrame([(1, 9)], "k long, v long") \
+        .write.parquet(target + ".__old_b9")
+    spark.createDataFrame([(1, 10)], "k long, v long") \
+        .write.parquet(target + ".__old_b10")
+    _recover_swap(target)
+    assert os.path.isdir(target)
+    assert not glob.glob(target + ".__*")
+    assert spark.read.parquet(target).collect()[0]["v"] == 10
