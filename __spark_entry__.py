@@ -2715,12 +2715,16 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-10 for query ids < 5 — 64 float dims never touched per pair,
     just m table lookups. The ENTIRE pipeline (8 independent kmeans
     CTE chains, code assignment, fixed-order ADC sum) replays in
-    DuckDB, so even the TRAINED quantizer is value-hash-checked."""
+    DuckDB, so even the TRAINED quantizer is value-hash-checked.
+    Training runs on a 256-vector deterministic hash-ordered sample
+    (the production regime — a codebook never needs the full corpus);
+    the oracle replays the identical sample."""
     from charmpandas_spark.functions.quantize import (pq_adc_topk,
                                                       pq_train_encode)
     emb = _t(spark, sf_dir, "embeddings").sdf
     codes, books = pq_train_encode(emb, "embedding", "vec_id",
-                                   m=8, codebook_k=16, iters=2)
+                                   m=8, codebook_k=16, iters=2,
+                                   train_cap=256)
     return pq_adc_topk(codes, books,
                        emb.where(F.col("vec_id") < 5),
                        "embedding", "vec_id", k=10)
@@ -4629,7 +4633,8 @@ def oracle_sql() -> dict[str, str]:
             "charmpandas_spark.functions.quantize",
             fromlist=["pq_topk_oracle_sql"]).pq_topk_oracle_sql(
             "embeddings", "vec_id", "embedding", "vec_id < 5",
-            dim=64, m=8, codebook_k=16, iters=2, k=10),
+            dim=64, m=8, codebook_k=16, iters=2, k=10,
+            train_cap=256),
         "dedup_minhash_incremental": f"""
             WITH base AS (
                 SELECT doc_id, {word_shingles_sql('text', 3)} AS sh

@@ -50,17 +50,30 @@ def _quantize(vec_col: str, scale: int) -> Column:
         lambda x: F.floor(x.cast("double") * scale).cast("long"))
 
 
-def _dist_expr(qcol: str, centroid: list[float], dim: int) -> Column:
-    """Squared distance via zip_with + aggregate: evaluates terms in
-    index order with a left-associated accumulator — bit-identical to
-    the oracle's explicit ``t1 + t2 + ...`` chain (the 0.0 seed is
-    exact: every term is a square, so >= +0.0) — while keeping the
-    expression tree O(1) instead of O(dim) per centroid (an explicit
-    chain times k centroids made codegen the dominant cost)."""
-    carr = F.array(*[F.lit(float(c)) for c in centroid])
-    diffs = F.zip_with(F.col(qcol).cast("array<double>"), carr,
-                       lambda x, c: (x - c) * (x - c))
-    return F.aggregate(diffs, F.lit(0.0), lambda a, t: a + t)
+def _train_sample(q: SparkDF, id_col: str, train_cap: int) -> SparkDF:
+    """The ``train_cap`` rows with smallest ``(md5-hash(id), id)`` —
+    a DETERMINISTIC, partitioning-independent, cross-engine-
+    replayable training sample (DuckDB twin: ``ORDER BY md5-hash(id),
+    id LIMIT cap``). ``orderBy().limit()`` plans as TakeOrdered: each
+    task keeps a cap-row heap, no global sort — the 100 TB-safe way
+    to bound codebook training at one corpus pass. The repartition
+    spreads the (single-partition) limit result back out for the
+    iterated aggregations."""
+    from .dedup import hash64
+
+    return (q.orderBy(hash64(F.col(id_col).cast("string"), 0,
+                             "md5").asc(),
+                      F.col(id_col).asc())
+             .limit(train_cap)
+             .repartition(max(
+                 2, q.sparkSession.sparkContext.defaultParallelism)))
+
+
+def train_sample_order_sql(id_expr: str) -> str:
+    """DuckDB ORDER BY twin of :func:`_train_sample`'s sort key."""
+    from .dedup import hash64_sql
+
+    return f"{hash64_sql(f'CAST({id_expr} AS VARCHAR)')}, {id_expr}"
 
 
 def kmeans_fit_predict(
@@ -70,6 +83,7 @@ def kmeans_fit_predict(
     k: int = 8,
     iters: int = 3,
     scale: int = 1000,
+    train_cap: int | None = None,
 ) -> SparkDF:
     """Lloyd k-means over ``vec_col``; returns ``(id_col, cluster)``.
 
@@ -78,36 +92,63 @@ def kmeans_fit_predict(
     same data -> same clustering, on any partitioning, any engine
     (see module docstring). ``scale`` sets quantization granularity
     (1000 => 3 decimal places survive).
+
+    ``train_cap`` bounds TRAINING to a deterministic hash-ordered
+    sample of ``min(n, train_cap)`` rows (:func:`_train_sample`);
+    the final assignment still covers the full corpus in one
+    scan-local pass. At 100 TB a codebook needs ~100k training
+    vectors, not ``iters`` full-corpus passes — this is the
+    standard k-means regime (init comes from the sample too, so the
+    whole fit replays from the sample alone).
     """
     from pyspark import StorageLevel
 
     q = df.select(F.col(id_col).alias("__cps_kid"),
                   _quantize(vec_col, scale).alias("__cps_kq"))
     q = q.persist(StorageLevel.MEMORY_AND_DISK)
-    init = q.orderBy("__cps_kid").limit(k).collect()
+    tq = q if train_cap is None else \
+        _train_sample(q, "__cps_kid", train_cap) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    init = tq.orderBy("__cps_kid").limit(k).collect()
     if len(init) < k:
         raise ValueError(f"k={k} exceeds corpus size {len(init)}")
     dim = len(init[0]["__cps_kq"])
     cents: list[list[float]] = [
         [float(v) for v in row["__cps_kq"]] for row in init]
 
-    def assign(cur: list[list[float]]) -> SparkDF:
-        # project the k distances ONCE as columns, then argmin over
-        # the column refs — folding the raw expressions into a
-        # when-chain would nest each chain exponentially (the
-        # accumulator appears twice per step) and blow up the plan
-        dists = q.select(
-            "*", *[_dist_expr("__cps_kq", c, dim).alias(f"__cps_kd{j}")
-                   for j, c in enumerate(cur)])
-        best = F.least(*[F.col(f"__cps_kd{j}") for j in range(k)])
-        cl = F
-        for j in range(k):
-            cl = cl.when(F.col(f"__cps_kd{j}") == best, F.lit(j))
-        return dists.withColumn("__cps_kc", cl.cast("int")) \
-                    .drop(*[f"__cps_kd{j}" for j in range(k)])
+    spark = df.sparkSession
+
+    def assign(cur: list[list[float]], src: SparkDF) -> SparkDF:
+        # centroids ride as a BROADCAST one-row array<array<double>>
+        # DataFrame, distances as transform() over it — the
+        # expression tree stays O(1) regardless of k and dim.
+        # (Embedding k x dim literals into k per-centroid expressions
+        # made Catalyst planning + codegen the dominant cost: with
+        # k=80, dim=64 the plan carried ~40k literal nodes and
+        # planning took longer than the data pass.) Arithmetic is
+        # unchanged: zip_with evaluates per-element in index order,
+        # aggregate left-associates, array_min + array_position's
+        # first-match == the old strict-< fold's smallest-j
+        # tie-break, so results are bit-identical.
+        cb = F.broadcast(spark.createDataFrame(
+            [(cur,)], "__cps_cb array<array<double>>"))
+        darr = F.transform(
+            F.col("__cps_cb"),
+            lambda c: F.aggregate(
+                F.zip_with(F.col("__cps_kq").cast("array<double>"), c,
+                           lambda x, cc: (x - cc) * (x - cc)),
+                F.lit(0.0), lambda a, t: a + t))
+        return (src.crossJoin(cb)
+                   .withColumn("__cps_kda", darr)
+                   .withColumn("__cps_kc",
+                               (F.array_position(
+                                   "__cps_kda",
+                                   F.array_min("__cps_kda")) - 1)
+                               .cast("int"))
+                   .drop("__cps_cb", "__cps_kda"))
 
     for _ in range(iters):
-        assigned = assign(cents)
+        assigned = assign(cents, tq)
         sums = assigned.groupBy("__cps_kc").agg(
             F.count(F.lit(1)).alias("__cps_kn"),
             *[F.sum(F.element_at("__cps_kq", d + 1)).alias(f"__s{d}")
@@ -117,8 +158,10 @@ def kmeans_fit_predict(
             ([r[f"__s{d}"] / r["__cps_kn"] for d in range(dim)]
              if (r := rows.get(j)) is not None else cents[j])
             for j in range(k)]
-    return assign(cents).select(F.col("__cps_kid").alias(id_col),
-                                F.col("__cps_kc").alias("cluster"))
+    if tq is not q:
+        tq.unpersist()
+    return assign(cents, q).select(F.col("__cps_kid").alias(id_col),
+                                   F.col("__cps_kc").alias("cluster"))
 
 
 def kmeans_oracle_parts(
@@ -129,18 +172,34 @@ def kmeans_oracle_parts(
     k: int = 8,
     iters: int = 3,
     scale: int = 1000,
+    assign_t: str | None = None,
+    train_cap: int | None = None,
 ) -> tuple[list[str], str]:
     """CTE parts + final-assignment SELECT for the DuckDB replay of
     :func:`kmeans_fit_predict` — split out so composite oracles
-    (e.g. semantic near-dup) can embed the assignment as a CTE."""
+    (e.g. semantic near-dup) can embed the assignment as a CTE.
+
+    ``train_cap`` replays :func:`_train_sample` (training CTEs read a
+    hash-ordered ``LIMIT`` of ``t``); ``assign_t`` points the FINAL
+    assignment at a different table than training (used by the PQ
+    oracle, which hoists one shared sampled-training CTE across its
+    subspace chains). Either option adds a full-table ``qf`` CTE that
+    the final assignment reads."""
     qcols = ", ".join(
         f"CAST(FLOOR(CAST({vec_expr}[{d + 1}] AS DOUBLE) * {scale}) "
         f"AS BIGINT) AS q{d}" for d in range(dim))
     dist = " + ".join(
         f"(CAST(q.q{d} AS DOUBLE) - c.c{d}) * "
         f"(CAST(q.q{d} AS DOUBLE) - c.c{d})" for d in range(dim))
-    parts = [
-        f"q AS (SELECT {id_expr} AS id, {qcols} FROM {t})",
+    parts = []
+    train_src = t
+    if train_cap is not None:
+        parts.append(
+            f"ktrain AS (SELECT * FROM {t} ORDER BY "
+            f"{train_sample_order_sql(id_expr)} LIMIT {train_cap})")
+        train_src = "ktrain"
+    parts += [
+        f"q AS (SELECT {id_expr} AS id, {qcols} FROM {train_src})",
         ("c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS j, "
          + ", ".join(f"CAST(q{d} AS DOUBLE) AS c{d}"
                      for d in range(dim))
@@ -162,11 +221,16 @@ def kmeans_oracle_parts(
         parts.append(
             f"c{it + 1} AS (SELECT p.j, {coal} FROM c{it} p "
             f"LEFT JOIN u{it} u ON p.j = u.j)")
+    final_src = "q"
+    if assign_t is not None or train_cap is not None:
+        parts.append(f"qf AS (SELECT {id_expr} AS id, {qcols} "
+                     f"FROM {assign_t or t})")
+        final_src = "qf"
     final = (
         f"SELECT id AS {id_expr}, CAST(cl AS INT) AS cluster "
         f"FROM (SELECT q.id, c.j AS cl, row_number() OVER ("
         f"PARTITION BY q.id ORDER BY {dist}, c.j) AS rn "
-        f"FROM q CROSS JOIN c{iters} c) WHERE rn = 1")
+        f"FROM {final_src} q CROSS JOIN c{iters} c) WHERE rn = 1")
     return parts, final
 
 
@@ -178,13 +242,15 @@ def kmeans_oracle_sql(
     k: int = 8,
     iters: int = 3,
     scale: int = 1000,
+    train_cap: int | None = None,
 ) -> str:
     """DuckDB-SQL replay of :func:`kmeans_fit_predict` — the same
     quantization, init, iteration count, tie-break, and
     empty-cluster rule, with the identical left-associated
     arithmetic, generated as ``iters`` chained CTE stages."""
     parts, final = kmeans_oracle_parts(t, vec_expr, id_expr, dim, k,
-                                       iters, scale)
+                                       iters, scale,
+                                       train_cap=train_cap)
     return "WITH " + ",\n".join(parts) + " " + final
 
 

@@ -212,7 +212,7 @@ def quantized_dot_topk_sql(t: str, id_expr: str, vec_expr: str,
 
 def pq_train_encode(df: SparkDF, vec_col: str, id_col: str,
                     m: int = 8, codebook_k: int = 16, iters: int = 2,
-                    scale: int = 1000
+                    scale: int = 1000, train_cap: int | None = None
                     ) -> tuple[SparkDF, list[list[list[float]]]]:
     """Product quantization (Jegou et al. 2011): split each vector
     into ``m`` equal subspaces, train an independent ``codebook_k``-
@@ -234,15 +234,27 @@ def pq_train_encode(df: SparkDF, vec_col: str, id_col: str,
     jobs: ``iters`` actions total, not ``iters * m``; driver state =
     m * k * dim/m doubles). Encoding is ONE scan-local pass over the
     original vectors computing all ``m`` argmins — the corpus
-    shuffles zero times."""
+    shuffles zero times.
+
+    ``train_cap`` bounds TRAINING (init + every Lloyd pass) to a
+    deterministic hash-ordered sample of ``min(n, train_cap)``
+    vectors (``kmeans._train_sample`` — replayable cross-engine);
+    encoding still covers the full corpus. A PQ codebook needs
+    ~100k training vectors (Jegou et al. 2011 trains on a held-out
+    learning set), so at 100 TB unsampled training would be
+    ``iters`` full-corpus passes for no accuracy gain — pass a cap
+    in production."""
     from pyspark import StorageLevel
 
-    from .kmeans import _quantize
+    from .kmeans import _quantize, _train_sample
 
     q = df.select(F.col(id_col).alias("__pq_id"),
                   _quantize(vec_col, scale).alias("__pq_q"))
     q = q.persist(StorageLevel.MEMORY_AND_DISK)
-    head = q.orderBy("__pq_id").limit(codebook_k).collect()
+    tq = q if train_cap is None else \
+        _train_sample(q, "__pq_id", train_cap) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    head = tq.orderBy("__pq_id").limit(codebook_k).collect()
     if len(head) < codebook_k:
         raise ValueError(f"codebook_k={codebook_k} exceeds corpus "
                          f"size {len(head)}")
@@ -261,32 +273,43 @@ def pq_train_encode(df: SparkDF, vec_col: str, id_col: str,
         for sub in range(m)]
 
     # exploded training layout: one row per (subspace, vector)
-    sub_rows = (q.select(F.posexplode(F.array(
+    sub_rows = (tq.select(F.posexplode(F.array(
                     *[sub_col(s) for s in range(m)]))
                     .alias("__pq_sub", "__pq_s"))
                  .persist(StorageLevel.MEMORY_AND_DISK))
+    # the full m x k x d_sub codebook set rides every pass as ONE
+    # broadcast one-row DataFrame; distances are transform() over
+    # the row's own subspace codebook (element_at on __pq_sub) —
+    # O(1) expression tree regardless of m/k/dim. (Literal-array
+    # expressions made Catalyst planning + codegen dominate: ~10 s
+    # of planning for a <1 s data pass at sf0.1.) Arithmetic
+    # unchanged: per-element index order, left-associated sum,
+    # array_position first-match == smallest-j tie-break.
+    spark = df.sparkSession
+
+    def cb_df():
+        return F.broadcast(spark.createDataFrame(
+            [(codebooks,)], "__pq_cb array<array<array<double>>>"))
+
+    def dist_arr(sub_vec, cb_sub):
+        return F.transform(
+            cb_sub,
+            lambda c: F.aggregate(
+                F.zip_with(sub_vec.cast("array<double>"), c,
+                           lambda x, cc: (x - cc) * (x - cc)),
+                F.lit(0.0), lambda a, t: a + t))
+
     for _ in range(iters):
-        # centroid j for THIS row's subspace, via array-of-arrays
-        # lookup — keeps the expression count at k, not k * m
-        dists = [F.aggregate(
-            F.zip_with(
-                F.col("__pq_s").cast("array<double>"),
-                F.element_at(
-                    F.array(*[F.array(*[F.lit(float(c))
-                                        for c in codebooks[s][j]])
-                              for s in range(m)]),
-                    F.col("__pq_sub") + 1),
-                lambda x, c: (x - c) * (x - c)),
-            F.lit(0.0), lambda a, t: a + t).alias(f"__pq_d{j}")
-            for j in range(codebook_k)]
-        tagged = sub_rows.select("__pq_sub", "__pq_s", *dists)
-        best = F.least(*[F.col(f"__pq_d{j}")
-                         for j in range(codebook_k)])
-        cl = F
-        for j in range(codebook_k):
-            cl = cl.when(F.col(f"__pq_d{j}") == best, F.lit(j))
-        sums = (tagged.withColumn("__pq_c", cl.cast("int"))
-                      .groupBy("__pq_sub", "__pq_c")
+        darr = dist_arr(F.col("__pq_s"),
+                        F.element_at("__pq_cb", F.col("__pq_sub") + 1))
+        tagged = (sub_rows.crossJoin(cb_df())
+                          .withColumn("__pq_da", darr)
+                          .withColumn(
+                              "__pq_c",
+                              (F.array_position(
+                                  "__pq_da", F.array_min("__pq_da"))
+                               - 1).cast("int")))
+        sums = (tagged.groupBy("__pq_sub", "__pq_c")
                       .agg(F.count(F.lit(1)).alias("__pq_n"),
                            *[F.sum(F.element_at("__pq_s", d + 1))
                               .alias(f"__s{d}")
@@ -299,24 +322,18 @@ def pq_train_encode(df: SparkDF, vec_col: str, id_col: str,
              for j in range(codebook_k)]
             for s in range(m)]
     sub_rows.unpersist()
+    if tq is not q:
+        tq.unpersist()
 
     # one scan-local pass: all m argmins at once
     code_cols = []
     for sub in range(m):
-        sc = sub_col(sub)
-        dists = [F.aggregate(
-            F.zip_with(sc.cast("array<double>"),
-                       F.array(*[F.lit(float(c))
-                                 for c in codebooks[sub][j]]),
-                       lambda x, c: (x - c) * (x - c)),
-            F.lit(0.0), lambda a, t: a + t)
-            for j in range(codebook_k)]
-        best = F.least(*dists)
-        cl = F
-        for j in range(codebook_k):
-            cl = cl.when(dists[j] == best, F.lit(j))
-        code_cols.append(cl.cast("int"))
-    codes = q.select(F.col("__pq_id").alias(id_col),
+        darr = dist_arr(sub_col(sub), F.element_at("__pq_cb", sub + 1))
+        code_cols.append(
+            (F.array_position(darr, F.array_min(darr)) - 1)
+            .cast("int"))
+    codes = q.crossJoin(cb_df()) \
+             .select(F.col("__pq_id").alias(id_col),
                      F.array(*code_cols).alias("codes"))
     codes._cps_persisted = [q]  # see dedup.release()
     return codes, codebooks
@@ -340,25 +357,26 @@ def pq_adc_topk(codes: SparkDF, codebooks: list[list[list[float]]],
     from .kmeans import _quantize
 
     m = len(codebooks)
-    codebook_k = len(codebooks[0])
     d_sub = len(codebooks[0][0])
     qv = queries.select(F.col(id_col).alias("q_id"),
                         _quantize(vec_col, scale).alias("__pq_qv"))
+    # codebooks as a broadcast one-row DataFrame (not literal-array
+    # expressions — see pq_train_encode's planning note)
+    cb = F.broadcast(queries.sparkSession.createDataFrame(
+        [(codebooks,)], "__pq_cb array<array<array<double>>>"))
     joined = codes.select(F.col(id_col).alias("item_id"), "codes") \
                   .crossJoin(F.broadcast(qv)) \
+                  .crossJoin(cb) \
                   .where(F.col("item_id") != F.col("q_id"))
     total = F.lit(0.0)
     for sub in range(m):
         sc = F.slice(F.col("__pq_qv"), sub * d_sub + 1, d_sub) \
               .cast("array<double>")
-        lut = F.array(*[
-            F.aggregate(
-                F.zip_with(sc,
-                           F.array(*[F.lit(float(c))
-                                     for c in codebooks[sub][j]]),
-                           lambda x, c: (x - c) * (x - c)),
-                F.lit(0.0), lambda a, t: a + t)
-            for j in range(codebook_k)])
+        lut = F.transform(
+            F.element_at("__pq_cb", sub + 1),
+            lambda c: F.aggregate(
+                F.zip_with(sc, c, lambda x, cc: (x - cc) * (x - cc)),
+                F.lit(0.0), lambda a, t: a + t))
         total = total + F.element_at(
             lut, F.element_at("codes", sub + 1) + 1)
     w = Window.partitionBy("q_id").orderBy(
@@ -374,27 +392,37 @@ def pq_adc_topk(codes: SparkDF, codebooks: list[list[list[float]]],
 def pq_topk_oracle_sql(t: str, id_expr: str, vec_expr: str,
                        query_pred: str, dim: int, m: int = 8,
                        codebook_k: int = 16, iters: int = 2,
-                       k: int = 10, scale: int = 1000) -> str:
+                       k: int = 10, scale: int = 1000,
+                       train_cap: int | None = None) -> str:
     """DuckDB replay of :func:`pq_train_encode` +
     :func:`pq_adc_topk`: ``m`` independent kmeans CTE chains (the
     ``kmeans_oracle_parts`` recurrence over each subspace slice,
     CTE names prefixed per subspace), per-subspace code assignment,
     per-query centroid-distance lookup tables, then the identical
     fixed-order ADC sum and ranking. The whole PQ pipeline —
-    training included — is value-checked, not just the plumbing."""
+    training included — is value-checked, not just the plumbing.
+    With ``train_cap`` one shared hash-ordered sample CTE feeds all
+    ``m`` training chains, replaying the sampled Spark training."""
     import re
 
-    from .kmeans import kmeans_oracle_parts
+    from .kmeans import kmeans_oracle_parts, train_sample_order_sql
 
     d_sub = dim // m
-    chain_names = (["q", "c0"]
+    chain_names = (["q", "qf", "c0"]
                    + [x for i in range(iters)
                       for x in (f"a{i}", f"u{i}", f"c{i + 1}")])
     parts: list[str] = []
+    train_t, assign_t, full_q = t, None, "q"
+    if train_cap is not None:
+        parts.append(
+            f"pqtrain AS (SELECT * FROM {t} ORDER BY "
+            f"{train_sample_order_sql(id_expr)} LIMIT {train_cap})")
+        train_t, assign_t, full_q = "pqtrain", t, "qf"
     for sub in range(m):
         sub_expr = f"{vec_expr}[{sub * d_sub + 1}:{(sub + 1) * d_sub}]"
         sp, final = kmeans_oracle_parts(
-            t, sub_expr, id_expr, d_sub, codebook_k, iters, scale)
+            train_t, sub_expr, id_expr, d_sub, codebook_k, iters,
+            scale, assign_t=assign_t)
         for name in chain_names:
             sp = [_rename_cte(p, name, f"s{sub}_{name}") for p in sp]
             final = _rename_cte(final, name, f"s{sub}_{name}")
@@ -418,7 +446,7 @@ def pq_topk_oracle_sql(t: str, id_expr: str, vec_expr: str,
             f"(CAST(q.q{d} AS DOUBLE) - c.c{d})" for d in range(d_sub))
         parts.append(
             f"lut{sub} AS (SELECT q.id AS q_id, c.j AS code, {d2} AS d"
-            f" FROM s{sub}_q q CROSS JOIN s{sub}_c{iters} c"
+            f" FROM s{sub}_{full_q} q CROSS JOIN s{sub}_c{iters} c"
             f" WHERE q.id IN (SELECT {id_expr} FROM {t}"
             f" WHERE {query_pred}))")
     adc = " + ".join(f"l{sub}.d" for sub in range(m))

@@ -984,3 +984,58 @@ def test_minhash_incremental_rejects_mismatched_params(spark, tmp_path):
                                     num_buckets=8)
     assert {(r["doc"], r["matched_doc"])
             for r in out.collect()} == {(2, 1)}
+
+
+def test_pq_sampled_training_partition_invariant(spark, sf_dir):
+    """Sampled training (train_cap): the hash-ordered sample — and
+    with it the trained codebooks and every encoded vector — is
+    identical across input partitionings, and sampling genuinely
+    restricts training (cap < corpus) while encoding still covers
+    the full corpus."""
+    import charmpandas_spark as cps
+
+    from charmpandas_spark.functions.dedup import release
+    from charmpandas_spark.functions.quantize import pq_train_encode
+
+    emb = cps.read_table(spark, sf_dir, "embeddings").sdf
+    n = emb.count()
+    cap = 64
+    assert cap < n
+    codes, books = pq_train_encode(emb, "embedding", "vec_id",
+                                   m=8, codebook_k=16, iters=2,
+                                   train_cap=cap)
+    cmap = {r["vec_id"]: r["codes"] for r in codes.collect()}
+    assert len(cmap) == n              # full corpus encoded
+    release(codes)
+    codes2, books2 = pq_train_encode(emb.repartition(17), "embedding",
+                                     "vec_id", m=8, codebook_k=16,
+                                     iters=2, train_cap=cap)
+    assert books2 == books
+    assert {r["vec_id"]: r["codes"]
+            for r in codes2.collect()} == cmap
+    release(codes2)
+    # and a different cap trains a different quantizer (the cap is
+    # load-bearing, not a no-op)
+    _, books3 = pq_train_encode(emb, "embedding", "vec_id", m=8,
+                                codebook_k=16, iters=2, train_cap=32)
+    assert books3 != books
+
+
+def test_kmeans_sampled_training_partition_invariant(spark, sf_dir):
+    """kmeans train_cap: same clustering on any partitioning; the
+    final assignment covers the full corpus."""
+    import charmpandas_spark as cps
+
+    from charmpandas_spark.functions.kmeans import kmeans_fit_predict
+
+    emb = cps.read_table(spark, sf_dir, "embeddings").sdf
+    n = emb.count()
+    a = {r["vec_id"]: r["cluster"]
+         for r in kmeans_fit_predict(emb, "embedding", "vec_id", k=8,
+                                     iters=2, train_cap=64).collect()}
+    assert len(a) == n
+    b = {r["vec_id"]: r["cluster"]
+         for r in kmeans_fit_predict(emb.repartition(17), "embedding",
+                                     "vec_id", k=8, iters=2,
+                                     train_cap=64).collect()}
+    assert a == b
