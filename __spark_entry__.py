@@ -2730,6 +2730,26 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "embedding", "vec_id", k=10)
 
 
+def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (Jegou et al. 2011 SIV) — the billion-vector serving
+    composition: deterministic coarse k-means (8 lists, sampled
+    training) -> PQ codebooks trained on residuals (sampled) ->
+    ADC top-10 probing only the 3 closest lists per query. The
+    corpus never shuffles at search time: probes + LUTs broadcast,
+    candidates come from one hash join on cluster. The ENTIRE
+    pipeline (both trainings, residuals, probe choice, LUTs, ADC)
+    replays as DuckDB CTEs — value-hash-checked end to end."""
+    from charmpandas_spark.functions.ivfpq import (ivfpq_build,
+                                                   ivfpq_search)
+    emb = _t(spark, sf_dir, "embeddings").sdf
+    codes, cents, books = ivfpq_build(
+        emb, "embedding", "vec_id", nlist=8, coarse_iters=2, m=8,
+        codebook_k=16, pq_iters=2, coarse_cap=256, pq_cap=256)
+    return ivfpq_search(codes, cents, books,
+                        emb.where(F.col("vec_id") < 5),
+                        "embedding", "vec_id", k=10, nprobe=3)
+
+
 def q_dedup_minhash_incremental(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Continuous-ingestion NEAR-dup: even-id docs persist as a
@@ -3137,6 +3157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_bloom": q_decontam_bloom,
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "sim_pq_topk": q_sim_pq_topk,
+        "sim_ivfpq_topk": q_sim_ivfpq_topk,
         "dedup_minhash_fast": q_dedup_minhash_fast,  # full oracle (r8)
         "events_merge_asof": q_events_merge_asof,  # asof NULL fix
         "url_canonicalize": q_url_canonicalize,    # port handling fix
@@ -4635,6 +4656,12 @@ def oracle_sql() -> dict[str, str]:
             "embeddings", "vec_id", "embedding", "vec_id < 5",
             dim=64, m=8, codebook_k=16, iters=2, k=10,
             train_cap=256),
+        "sim_ivfpq_topk": __import__(
+            "charmpandas_spark.functions.ivfpq",
+            fromlist=["ivfpq_topk_oracle_sql"]).ivfpq_topk_oracle_sql(
+            "embeddings", "vec_id", "embedding", "vec_id < 5",
+            dim=64, nlist=8, coarse_iters=2, m=8, codebook_k=16,
+            pq_iters=2, k=10, nprobe=3, coarse_cap=256, pq_cap=256),
         "dedup_minhash_incremental": f"""
             WITH base AS (
                 SELECT doc_id, {word_shingles_sql('text', 3)} AS sh

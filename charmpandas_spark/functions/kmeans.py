@@ -84,8 +84,12 @@ def kmeans_fit_predict(
     iters: int = 3,
     scale: int = 1000,
     train_cap: int | None = None,
+    return_centroids: bool = False,
 ) -> SparkDF:
-    """Lloyd k-means over ``vec_col``; returns ``(id_col, cluster)``.
+    """Lloyd k-means over ``vec_col``; returns ``(id_col, cluster)``
+    (or ``(assignments, centroids)`` with ``return_centroids`` —
+    centroids are in quantized units, k x dim doubles; IVF-PQ's
+    coarse quantizer needs them for residuals).
 
     ``iters`` full (assign, update) rounds on the quantized vectors,
     then a final assignment under the last centroids. Deterministic:
@@ -160,8 +164,9 @@ def kmeans_fit_predict(
             for j in range(k)]
     if tq is not q:
         tq.unpersist()
-    return assign(cents, q).select(F.col("__cps_kid").alias(id_col),
-                                   F.col("__cps_kc").alias("cluster"))
+    out = assign(cents, q).select(F.col("__cps_kid").alias(id_col),
+                                  F.col("__cps_kc").alias("cluster"))
+    return (out, cents) if return_centroids else out
 
 
 def kmeans_oracle_parts(

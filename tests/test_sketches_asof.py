@@ -436,3 +436,67 @@ def test_bloom_probe_multiplicity_and_map_schema(spark):
     byk = sorted((r["s"], r["might_contain"]) for r in out)
     assert byk[0][1] and byk[1][1]             # both "a" rows positive
     assert {r["props"]["x"] for r in out if r["s"] == "a"} == {1}
+
+
+def test_ivfpq_roundtrip_prunes_and_ranks_duplicate_first(
+        spark, sf_dir, tmp_path):
+    """IVF-PQ: the materialized codes table prunes at the directory
+    level (scan reads only the probed lists — witnessed from scan
+    metrics), the disk search equals the in-memory search, and a
+    planted exact duplicate of a query vector lands in the same list
+    with the same codes, so ADC ranks it first."""
+    from charmpandas_spark.functions.ivfpq import (
+        ivfpq_build, ivfpq_read_search, ivfpq_search, ivfpq_write)
+
+    emb = cps.read_table(spark, sf_dir, "embeddings").sdf
+    dup = emb.where(F.col("vec_id") == 7) \
+             .withColumn("vec_id", F.lit(999_999).cast("long"))
+    corpus = emb.unionByName(dup)
+    codes, cents, books = ivfpq_build(
+        corpus, "embedding", "vec_id", nlist=8, coarse_iters=1,
+        m=8, codebook_k=16, pq_iters=1, coarse_cap=128, pq_cap=128)
+    queries = emb.where(F.col("vec_id") == 7)
+    mem = ivfpq_search(codes, cents, books, queries, "embedding",
+                       "vec_id", k=5, nprobe=2).toPandas()
+    assert mem.loc[mem["rank"] == 1, "item_id"].iloc[0] == 999_999
+
+    path = str(tmp_path / "ivfpq_idx")
+    ivfpq_write(codes, path)
+    import os
+    n_dirs = len([d for d in os.listdir(path)
+                  if d.startswith("cluster=")])
+    assert n_dirs == 8
+    got = ivfpq_read_search(spark, path, cents, books, queries,
+                            "embedding", "vec_id", k=5, nprobe=2)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+    got_pdf = got.toPandas()
+
+    # walk the (AQE-wrapped) executed plan down to the parquet scan
+    def walk(node, out):
+        name = node.nodeName()
+        if name == "AdaptiveSparkPlan":
+            walk(node.executedPlan(), out)
+            return
+        if "QueryStage" in name:
+            walk(node.plan(), out)
+            return
+        out.append(node)
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i), out)
+
+    nodes = []
+    walk(got._jdf.queryExecution().executedPlan(), nodes)
+    # the index scan is the only PARTITIONED parquet scan in the
+    # plan (the unpartitioned embeddings scan has no numPartitions
+    # metric; Exchange/AQEShuffleRead nodes are excluded by name)
+    n_parts = None
+    for node in nodes:
+        if (node.nodeName().startswith("Scan parquet")
+                and node.metrics().contains("numPartitions")):
+            n_parts = node.metrics().apply("numPartitions").value()
+            break
+    assert n_parts == 2, f"expected 2 probed partitions, read {n_parts}"
+    assert list(got_pdf["item_id"]) == list(mem["item_id"])
+    assert list(got_pdf["adc_micro"]) == list(mem["adc_micro"])
