@@ -257,7 +257,9 @@ SF1_QUERIES = {
     # Expected = best-of-2 committed solo runs on the rotated-copy
     # fixture; all land at 1.8-3.4x their sf0.1 sweep time on 10x
     # data — sub-linear across the board.
-    "dedup_jaccard_prefix": 21.2,
+    # r9: PPJoin length + positional filters in the candidate join
+    # (lossless prunes; oracle unchanged) — solo sf1 30.1 -> ~13 s
+    "dedup_jaccard_prefix": 12.6,
     "sim_bm25": 8.5,
     "hybrid_rrf3": 4.3,
     "corpus_percentiles": 7.9,

@@ -52,6 +52,7 @@ __all__ = [
     "remove_duplicate_spans",
     "remove_duplicate_spans_sql",
     "jaccard_pairs_prefix",
+    "jaccard_prefix_candidates",
     "jaccard_pairs_prefix_sql",
     "decontaminate",
     "decontaminate_sql",
@@ -1100,41 +1101,32 @@ def remove_duplicate_spans_sql(t: str, id_expr: str, text_expr: str,
 # prefix-filtered set-similarity join (AllPairs / PPJoin family)
 # ---------------------------------------------------------------------------
 
-def jaccard_pairs_prefix(
+def _jaccard_prefix_parts(
     df: SparkDF,
     text_col: str,
     id_col: str,
-    threshold: float = 0.5,
-    shingle_n: int | None = None,
-) -> SparkDF:
-    """All pairs with Jaccard similarity of their DISTINCT word sets
-    >= ``threshold``, via PREFIX FILTERING (Bayardo et al. "Scaling
-    Up All Pairs", Xiao et al. PPJoin — the published improvement
-    over a plain inverted index): order every document's terms by
-    ascending global document frequency (rarest first), index only
-    the first ``|d| - ceil(t * |d|) + 1`` terms, and generate
-    candidates only from docs sharing an INDEXED term. Any pair at
-    similarity >= t must share a prefix token under a common total
-    order, so the filter is lossless; the exact verify join then
-    computes true Jaccard for candidates only.
+    threshold: float,
+    shingle_n: int | None,
+    length_filter: bool,
+    positional_filter: bool,
+):
+    """Shared candidate stage of the prefix-filtered AllPairs join:
+    returns ``(terms, sizes, cand)`` with ``terms`` PERSISTED (the
+    caller owns release). Candidates carry two additional LOSSLESS
+    prunes from the published algorithms, both evaluated inside the
+    candidate join (they cut the pair stream before the distinct and
+    before any verification I/O):
 
-    Why it beats the df-capped full index at scale: the full index
-    posts every term of every doc (sum of |d|); the prefix index
-    posts ~(1 - t) of that, and — decisive for skew — the most
-    frequent terms land at the END of the order, so the hottest
-    postings lists are mostly NOT indexed at all. At t = 0.8 the
-    index (and its candidate fan-out) shrinks ~5x before any
-    verification work happens.
-
-    Shuffles: term-set agg, df agg, per-doc prefix window (keyed by
-    doc — parallelism grows with docs), prefix self-join on term,
-    verify joins keyed on doc. Output: (doc_a, doc_b, jacc) with
-    jacc floor-scaled (exact int/int division both engines).
-
-    ``shingle_n`` switches the set elements from distinct words to
-    distinct word n-grams — far more distinctive on small
-    vocabularies and the usual choice for near-dup detection.
-    """
+    - length filter (Arasu/Bayardo): Jaccard >= t implies
+      ``min(|a|,|b|) >= t * max(|a|,|b|)`` (intersection <= min,
+      union >= max), so ``ceil(t*|a|) <= |b|`` and symmetric.
+    - positional filter (Xiao et al. PPJoin): a shared prefix token
+      at positions (i, j) bounds the overlap by
+      ``1 + min(|a|-i, |b|-j)``; a true pair needs overlap >=
+      ``ceil(t/(1+t) * (|a|+|b|))``. Applied per shared token with
+      accumulated-overlap lower bound 1 (weaker than PPJoin's
+      running count, hence still lossless), the pair survives if ANY
+      shared prefix token passes."""
     from .text import word_shingles
 
     tok = (word_shingles(text_col, shingle_n) if shingle_n
@@ -1153,13 +1145,90 @@ def jaccard_pairs_prefix(
     prefix_len = (F.col("sz")
                   - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
     prefix = ranked.where(F.col("__rn") <= prefix_len) \
-                   .select("doc", "term")
+                   .select("doc", "term", "sz", "__rn")
     a, b = prefix.alias("a"), prefix.alias("b")
-    cand = (a.join(b, on=[F.col("a.term") == F.col("b.term"),
-                          F.col("a.doc") < F.col("b.doc")])
+    conds = [F.col("a.term") == F.col("b.term"),
+             F.col("a.doc") < F.col("b.doc")]
+    if length_filter:
+        conds += [F.ceil(F.lit(threshold) * F.col("a.sz"))
+                  <= F.col("b.sz"),
+                  F.ceil(F.lit(threshold) * F.col("b.sz"))
+                  <= F.col("a.sz")]
+    if positional_filter:
+        alpha = F.ceil(F.lit(threshold / (1.0 + threshold))
+                       * (F.col("a.sz") + F.col("b.sz")))
+        ubound = F.lit(1) + F.least(F.col("a.sz") - F.col("a.__rn"),
+                                    F.col("b.sz") - F.col("b.__rn"))
+        conds.append(ubound >= alpha)
+    cand = (a.join(b, on=conds)
              .select(F.col("a.doc").alias("doc_a"),
                      F.col("b.doc").alias("doc_b"))
              .distinct())
+    return terms, sizes, cand
+
+
+def jaccard_prefix_candidates(
+    df: SparkDF,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    shingle_n: int | None = None,
+    length_filter: bool = True,
+    positional_filter: bool = True,
+) -> SparkDF:
+    """The CANDIDATE pairs of :func:`jaccard_pairs_prefix` before
+    exact verification — exposed so the filters' selectivity is
+    observable (and pytest-witnessed: disabling a lossless filter
+    may only ADD candidates, never change the verified output)."""
+    terms, _, cand = _jaccard_prefix_parts(
+        df, text_col, id_col, threshold, shingle_n,
+        length_filter, positional_filter)
+    cand._cps_persisted = [terms]  # see release()
+    return cand
+
+
+def jaccard_pairs_prefix(
+    df: SparkDF,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    shingle_n: int | None = None,
+) -> SparkDF:
+    """All pairs with Jaccard similarity of their DISTINCT word sets
+    >= ``threshold``, via PREFIX FILTERING (Bayardo et al. "Scaling
+    Up All Pairs", Xiao et al. PPJoin — the published improvement
+    over a plain inverted index): order every document's terms by
+    ascending global document frequency (rarest first), index only
+    the first ``|d| - ceil(t * |d|) + 1`` terms, and generate
+    candidates only from docs sharing an INDEXED term. Any pair at
+    similarity >= t must share a prefix token under a common total
+    order, so the filter is lossless; the exact verify join then
+    computes true Jaccard for candidates only. The candidate join
+    additionally applies PPJoin's two lossless prunes — the length
+    filter and the positional filter (see
+    :func:`_jaccard_prefix_parts`) — inside the join condition, so
+    the pruned pairs never reach the distinct or the verify stage.
+
+    Why it beats the df-capped full index at scale: the full index
+    posts every term of every doc (sum of |d|); the prefix index
+    posts ~(1 - t) of that, and — decisive for skew — the most
+    frequent terms land at the END of the order, so the hottest
+    postings lists are mostly NOT indexed at all. At t = 0.8 the
+    index (and its candidate fan-out) shrinks ~5x before any
+    verification work happens.
+
+    Shuffles: term-set agg, df agg, per-doc prefix window (keyed by
+    doc — parallelism grows with docs), prefix self-join on term,
+    verify joins keyed on doc. Output: (doc_a, doc_b, jacc) with
+    jacc floor-scaled (exact int/int division both engines).
+
+    ``shingle_n`` switches the set elements from distinct words to
+    distinct word n-grams — far more distinctive on small
+    vocabularies and the usual choice for near-dup detection.
+    """
+    terms, sizes, cand = _jaccard_prefix_parts(
+        df, text_col, id_col, threshold, shingle_n,
+        length_filter=True, positional_filter=True)
     # verify via the exploded postings join (candidates ⋈ terms per
     # side, groupBy pair). An array-based alternative — collect each
     # doc's term set once and array_intersect per candidate — was
