@@ -1388,21 +1388,26 @@ def _index_meta_write(spark, path: str, meta: dict) -> None:
           .text(path.rstrip("/") + "/_cps_meta"))
 
 
+def _index_meta_read(spark, path: str) -> dict | None:
+    """The stored parameter sidecar, or None for a legacy index."""
+    import json
+
+    try:
+        rows = spark.read.text(path.rstrip("/") + "/_cps_meta").collect()
+    except Exception:
+        return None
+    return json.loads(rows[0]["value"]) if rows else None
+
+
 def _index_meta_check(spark, path: str, meta: dict) -> None:
     """Assert the probe-side parameters equal the ones the index was
     written with (ADVICE r8: probing a banded index with different
     num_hashes/bands/k/... silently returns zero/garbage matches).
     A missing sidecar (pre-metadata index) is tolerated; a mismatch
     raises."""
-    import json
-
-    try:
-        rows = spark.read.text(path.rstrip("/") + "/_cps_meta").collect()
-    except Exception:
+    stored = _index_meta_read(spark, path)
+    if stored is None:
         return  # legacy index without a sidecar
-    if not rows:
-        return
-    stored = json.loads(rows[0]["value"])
     diffs = {k: (stored[k], v) for k, v in meta.items()
              if k in stored and stored[k] != v}
     if diffs:
@@ -1426,10 +1431,12 @@ def fingerprint_index_write(df: SparkDF, text_col: str, id_col: str,
     normalized text (cross-engine exact), bucket = md5-derived hash
     mod ``num_buckets`` — computable client-side AND engine-side, so
     lookups prune at planning time with zero Spark jobs."""
+    from .bloom import bloom_build, bloom_params
     from .text import fingerprint
 
+    spark = df.sparkSession
     if mode == "append":
-        _index_meta_check(df.sparkSession, path,
+        _index_meta_check(spark, path,
                           {"kind": "fingerprint",
                            "num_buckets": num_buckets})
     fp = df.select(fingerprint(text_col).alias("fp"),
@@ -1439,8 +1446,25 @@ def fingerprint_index_write(df: SparkDF, text_col: str, id_col: str,
                              % num_buckets)
        .repartition("bucket")
        .write.mode(mode).partitionBy("bucket").parquet(path))
-    _index_meta_write(df.sparkSession, path,
-                      {"kind": "fingerprint", "num_buckets": num_buckets})
+    # Bloom summary of the index's fingerprints, kept as APPEND-ONLY
+    # word-table deltas under _cps_bloom (hidden from the index's own
+    # parquet scan): probes OR-merge the deltas (<= deltas * m/64
+    # rows) and batches whose fingerprints all probe negative skip
+    # the index scan entirely — see dedup_incremental. Geometry is
+    # fixed at creation (stored in the sidecar); appends past the
+    # design count degrade the FP rate, never add false negatives.
+    stored = (_index_meta_read(spark, path) or {}) \
+        if mode == "append" else {}
+    if "bloom_m" in stored:
+        m_bits, k = stored["bloom_m"], stored["bloom_k"]
+    else:
+        m_bits, k = bloom_params(max(df.count(), 1), 0.001)
+    bloom_build(fp, "fp", m_bits, k) \
+        .write.mode("append" if mode == "append" else "overwrite") \
+        .parquet(path.rstrip("/") + "/_cps_bloom")
+    _index_meta_write(spark, path,
+                      {"kind": "fingerprint", "num_buckets": num_buckets,
+                       "bloom_m": m_bits, "bloom_k": k})
 
 
 def dedup_incremental(spark, batch: SparkDF, path: str, text_col: str,
@@ -1460,11 +1484,21 @@ def dedup_incremental(spark, batch: SparkDF, path: str, text_col: str,
     it lands in the scan's partition filters (pytest-witnessed), so
     I/O is proportional to the BATCH's bucket coverage, not the
     index size. The bucket list is collected client-side — bounded
-    by ``num_buckets``, never by data."""
+    by ``num_buckets``, never by data.
+
+    Two-tier (r9): when the index carries a ``_cps_bloom`` summary
+    (written by :func:`fingerprint_index_write`), the batch probes
+    it FIRST — bloom-negative fingerprints are definitely novel and
+    bypass the index entirely; only bloom-positive rows open buckets
+    and run the anti join. A no-overlap batch therefore reads ZERO
+    index partitions. Same output either way (no false negatives;
+    false positives just take the exact path)."""
+    from .bloom import bloom_build, bloom_probe
     from .text import fingerprint
 
     _index_meta_check(spark, path,
                       {"kind": "fingerprint", "num_buckets": num_buckets})
+    stored = _index_meta_read(spark, path) or {}
     bfp = batch.select(F.col(id_col).alias("doc"),
                        fingerprint(text_col).alias("fp"))
     first = (bfp.groupBy("fp").agg(F.min("doc").alias("doc"))
@@ -1472,18 +1506,47 @@ def dedup_incremental(spark, batch: SparkDF, path: str, text_col: str,
                             (hash64(F.col("fp"), 0, "md5")
                              % num_buckets + num_buckets) % num_buckets)
                 .persist())
+    persisted = [first]
+    if "bloom_m" in stored:
+        # two-tier probe: the Bloom summary (no false negatives)
+        # routes DEFINITELY-unseen fingerprints straight to the
+        # survivor set; only bloom-positive rows contribute buckets,
+        # so a clean batch opens ZERO index partitions (and skips
+        # the anti join entirely — pytest-witnessed).
+        m_bits, k = stored["bloom_m"], stored["bloom_k"]
+        bloom_tbl = (spark.read.parquet(path.rstrip("/") + "/_cps_bloom")
+                     .groupBy("word")
+                     .agg(F.bit_or("bits").alias("bits")))
+        probed = bloom_probe(first, "fp", bloom_tbl, m_bits, k,
+                             out_col="__cps_might").persist()
+        persisted.append(probed)
+        cand = probed.where(F.col("__cps_might")) \
+                     .select("doc", "fp", "bucket")
+        clean = probed.where(~F.col("__cps_might")) \
+                      .select("doc", "fp", "bucket")
+    else:  # legacy index without a Bloom summary
+        cand, clean = first.select("doc", "fp", "bucket"), None
     buckets = [r["bucket"] for r in
-               first.select("bucket").distinct().collect()]
-    idx = (spark.read.parquet(path)
-           .where(F.col("bucket").isin(buckets))
-           .select("fp"))
-    out = (first.join(idx.hint("shuffle_hash"), "fp", "left_anti")
-                .select("doc", "fp", "bucket"))
+               cand.select("bucket").distinct().collect()]
+    if buckets:
+        idx = (spark.read.parquet(path)
+               .where(F.col("bucket").isin(buckets))
+               .select("fp"))
+        out = (cand.join(idx.hint("shuffle_hash"), "fp", "left_anti")
+                   .select("doc", "fp", "bucket"))
+    else:
+        out = cand  # nothing bloom-positive: the index is never read
+    if clean is not None:
+        out = out.unionByName(clean)
     if append_survivors:
         (out.select("fp", "doc", "bucket")
             .write.mode("append").partitionBy("bucket").parquet(path))
+        if "bloom_m" in stored:
+            bloom_build(out.select("fp"), "fp", m_bits, k) \
+                .write.mode("append") \
+                .parquet(path.rstrip("/") + "/_cps_bloom")
     result = out.select("doc", "fp")
-    result._cps_persisted = [first]  # see release()
+    result._cps_persisted = persisted  # see release()
     return result
 
 
