@@ -1298,6 +1298,31 @@ def q_multimodal_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("features")[3].cast("bigint").alias("n_other"))
 
 
+def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third REAL codec through the decode hook, and the first
+    COMPRESSED one (r9, VERDICT #8): text rendered as spec-compliant
+    8-bit grayscale PNGs (chunk stream with CRC32s, zlib IDAT,
+    per-scanline filters cycling through all five RFC 2083 types),
+    decoded back by a chunk-walk + CRC-verify + inflate + unfilter
+    decoder inside mapInPandas. Dimensions come from IHDR;
+    byte-class counts from the RECONSTRUCTED pixels, so a bug in any
+    filter's inverse, the CRC walk, or the zlib framing flips the
+    hash. The oracle recomputes everything from the plaintext:
+    width is the fixed 16, height ceil(len/16), zero pad in
+    n_other."""
+    from charmpandas_spark.functions.dedup import spread
+    from charmpandas_spark.functions.multimodal import (
+        attach_png_media, extract_features, png_decoder)
+    docs = spread(_t(spark, sf_dir, "documents").sdf)
+    m = attach_png_media(docs, "text")
+    feats = extract_features(m, "media", "doc_id", decoder=png_decoder)
+    return feats.select(
+        "doc_id", "width", "height",
+        F.col("features")[0].cast("bigint").alias("n_lower"),
+        F.col("features")[1].cast("bigint").alias("n_digit"),
+        F.col("features")[3].cast("bigint").alias("n_other"))
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image RESIZE through the decode hook: the BMP corpus decoded
     and nearest-neighbor downsampled 2x in both dimensions inside
@@ -3141,31 +3166,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the first ~50 entries, so ordering = (1) queries repaired or
     # added this round, (2) the least-recently-driver-checked backlog,
     # (3) a §2 core slice re-proven every round, (4) the freshest
-    # greens at the back. Rotated for r8 per VERDICT r7 item #2: the
-    # r3/r4-vintage backlog is PHYSICALLY in the window right behind
-    # the r8 new/changed block; the ~57 r7 rows (all driver-green in
-    # CORRECTNESS_r07) moved to the back.
+    # greens at the back. Rotated for r9 per VERDICT r8 #1: the 8
+    # queries no driver window ever checked sit right behind the r9
+    # new/changed block, then the SS2 core slice, then the r6-vintage
+    # backlog; the r7/r8-green rows moved behind position 50.
     # tools/check_correctness.py runs ALL of them locally each round
     # (ADVICE r3: never depend on the driver's window size).
     return {
-        # --- (0) NEW or CHANGED in r8 ---
+        # --- (0) NEW or CHANGED in r9: IVF-PQ; sampled PQ/kmeans
+        #     training + broadcast-codebook rewrite (sim_pq_topk,
+        #     embedding_kmeans, dedup_semantic); PPJoin filters
+        #     (dedup_jaccard_prefix); Bloom two-tier index probe
+        #     (dedup_incremental); index meta sidecars
+        #     (dedup_minhash_incremental); bloom_probe multiplicity
+        #     (decontam_bloom); asof NULL-right-ts gate (the three
+        #     asof queries) ---
+        "sim_ivfpq_topk": q_sim_ivfpq_topk,
+        "multimodal_png": q_multimodal_png,
+        "sim_pq_topk": q_sim_pq_topk,
+        "embedding_kmeans": q_embedding_kmeans,
+        "dedup_semantic": q_dedup_semantic,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_minhash_incremental": q_dedup_minhash_incremental,
+        "decontam_bloom": q_decontam_bloom,
+        "events_merge_asof": q_events_merge_asof,
+        "events_asof_nearest": q_events_asof_nearest,
+        "events_asof_join": q_events_asof_join,
+        # --- (1) VERDICT r8 #1: the 8 queries no driver window has
+        #     ever checked (green in every local gate since r7) ---
+        "curation_funnel": q_curation_funnel,
+        "events_props_typed": q_events_props_typed,
+        "mixture_sample": q_mixture_sample,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_wav": q_multimodal_wav,
+        "negative_sample": q_negative_sample,
+        "quality_quantile_keep": q_quality_quantile_keep,
+        "unpivot": q_unpivot,
+        # --- (2) SS2 core slice, re-proven every round ---
+        "scan_project": q_scan_project,
+        "flagship_join_groupby_count": q_flagship_join_groupby_count,
+        "groupby_sum": q_groupby_sum,
+        "filter_expr": q_filter_expr,
+        "join_inner": q_join_inner,
+        "groupby_count": q_groupby_count,
+        "sort_topk": q_sort_topk,
+        "concat": q_concat,
+        # --- (3) least-recently-driver-checked backlog (r6-window
+        #     vintage; last driver row r6) ---
+        "tpch_q5": q_tpch_q5,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
+        "text_pack": q_text_pack,
+        "text_pack_greedy": q_text_pack_greedy,
+        "sim_ivf": q_sim_ivf,
+        "sink_clustered_roundtrip": q_sink_clustered_roundtrip,
+        "zorder_key": q_zorder_key,
+        "stratified_sample": q_stratified_sample,
+        "text_token_stats": q_text_token_stats,
+        # --- positions 51+: driver-green in r7/r8 windows; ride the
+        #     latest green row. tools/check_correctness.py still runs
+        #     ALL of them locally every round (ADVICE r3). ---
         "dedup_span_removal": q_dedup_span_removal,
         "corpus_percentiles_approx": q_corpus_percentiles_approx,
         "histogram_equidepth_approx": q_histogram_equidepth_approx,
         "streaming_stream_join_full": q_streaming_stream_join_full,
         "distinct_count_approx": q_distinct_count_approx,
-        "decontam_bloom": q_decontam_bloom,
-        "dedup_minhash_incremental": q_dedup_minhash_incremental,
-        "sim_pq_topk": q_sim_pq_topk,
-        "sim_ivfpq_topk": q_sim_ivfpq_topk,
-        "dedup_minhash_fast": q_dedup_minhash_fast,  # full oracle (r8)
-        "events_merge_asof": q_events_merge_asof,  # asof NULL fix
-        "url_canonicalize": q_url_canonicalize,    # port handling fix
-        "graph_pagerank": q_graph_pagerank,        # exact DIV fix
-        # --- (2) least-recently-driver-checked backlog (r3/r4
-        #     vintage: last seen in a driver window in r4 or earlier;
-        #     rode "latest green" rows at positions 51+ through r6).
-        #     Superset of the VERDICT r6 item-7 named set. ---
+        "dedup_minhash_fast": q_dedup_minhash_fast,
+        "url_canonicalize": q_url_canonicalize,
+        "graph_pagerank": q_graph_pagerank,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
@@ -3186,8 +3268,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q9": q_tpch_q9,
         "tpch_q11": q_tpch_q11,
         "tpch_q20": q_tpch_q20,
-        # --- (3) r5-vintage backlog (checked r5, not since) ---
-        "join_inner": q_join_inner,
         "join_full": q_join_full,
         "groupby_extended": q_groupby_extended,
         "groupby_ts_key": q_groupby_ts_key,
@@ -3197,7 +3277,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_rollup": q_groupby_rollup,
         "pivot": q_pivot,
         "scalar_reduction": q_scalar_reduction,
-        "sort_topk": q_sort_topk,
         "datetime_filter": q_datetime_filter,
         "int_literal_widening": q_int_literal_widening,
         "events_sessionize": q_events_sessionize,
@@ -3208,21 +3287,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_token_count": q_text_token_count,
         "text_fingerprint": q_text_fingerprint,
-        # --- (4) SS2 core slice, re-proven every round ---
-        "scan_project": q_scan_project,
-        "flagship_join_groupby_count": q_flagship_join_groupby_count,
-        "groupby_sum": q_groupby_sum,
-        # --- (5) TPC-H backlog head (r5 vintage) ---
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
-        # --- (6) r7 rows: all driver-green in CORRECTNESS_r07 ---
         "quality_lm_score": q_quality_lm_score,
         "hybrid_rrf": q_hybrid_rrf,
         "curation_report": q_curation_report,
         "streaming_stream_join_outer": q_streaming_stream_join_outer,
         "events_trend": q_events_trend,
         "embedding_quantize": q_embedding_quantize,
-        "dedup_incremental": q_dedup_incremental,
         "events_transitions": q_events_transitions,
         "mixture_token_budget": q_mixture_token_budget,
         "quality_lm_external": q_quality_lm_external,
@@ -3232,7 +3304,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_drift": q_text_token_drift,
         "pii_scan": q_pii_scan,
         "join_blowup": q_join_blowup,
-        "events_asof_nearest": q_events_asof_nearest,
         "histogram_equidepth": q_histogram_equidepth,
         "dedup_editdist": q_dedup_editdist,
         "sim_bm25": q_sim_bm25,
@@ -3253,68 +3324,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "quality_classifier": q_quality_classifier,
         "sparse_postings_lookup": q_sparse_postings_lookup,
-        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "events_resample": q_events_resample,
         "text_bpe_tokens": q_text_bpe_tokens,
         "multimodal_bmp": q_multimodal_bmp,
-        "url_domain_filter": q_url_domain_filter,  # PSL semantics now
+        "url_domain_filter": q_url_domain_filter,
         "quality_gopher": q_quality_gopher,
         "quality_c4": q_quality_c4,
-        "embedding_kmeans": q_embedding_kmeans,
         "source_orc_roundtrip": q_source_orc_roundtrip,
         "corpus_percentiles": q_corpus_percentiles,
-        "dedup_semantic": q_dedup_semantic,
-        "mixture_sample": q_mixture_sample,
-        "negative_sample": q_negative_sample,
-        "quality_quantile_keep": q_quality_quantile_keep,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_wav": q_multimodal_wav,
-        # r7 wave-3 trivial compositions (unpivot / typed JSON) ride
-        # just past the window edge: real operator implementations
-        # take the checked slots first; these rotate forward in r8
-        "unpivot": q_unpivot,
-        "events_props_typed": q_events_props_typed,
-        "curation_funnel": q_curation_funnel,
-        # ~position 50 — everything below was green in the r6 driver
-        # window (or is later TPC-H backlog) and rides that row;
-        # tools/check_correctness.py still runs ALL of them locally
-        # every round ---
-        "tpch_q5": q_tpch_q5,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q21": q_tpch_q21,
-        "tpch_q22": q_tpch_q22,
-        # r6-window greens
-        "text_pack": q_text_pack,
-        "text_pack_greedy": q_text_pack_greedy,
-        "sim_ivf": q_sim_ivf,
-        "sink_clustered_roundtrip": q_sink_clustered_roundtrip,
-        "zorder_key": q_zorder_key,
-        "stratified_sample": q_stratified_sample,
-        "text_token_stats": q_text_token_stats,
         "streaming_running_totals": q_streaming_running_totals,
         "streaming_stream_join": q_streaming_stream_join,
         "window_range_frame": q_window_range_frame,
         "events_interval_join": q_events_interval_join,
-        "concat": q_concat,
         "intersect": q_intersect,
         "except": q_except,
         "distinct": q_distinct,
         "string_functions": q_string_functions,
         "case_when": q_case_when,
-        "filter_expr": q_filter_expr,
-        "groupby_count": q_groupby_count,
         "window_rank": q_window_rank,
         "join_left": q_join_left,
         "join_right": q_join_right,
@@ -3340,7 +3366,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "events_window": q_events_window,
         "events_sliding_window": q_events_sliding_window,
-        "events_asof_join": q_events_asof_join,
     }
 
 
@@ -4756,6 +4781,24 @@ def oracle_sql() -> dict[str, str]:
         # BMP twin: width fixed at 16 px (48 B rows, no alignment
         # pad), height = ceil(bytes/48) min 1, zero pad counted in
         # n_other = 48*height - lower - digit - space.
+        "multimodal_png": """
+            WITH c AS (
+                SELECT doc_id,
+                       CAST(octet_length(encode(text)) AS BIGINT) AS len,
+                       CAST(length(regexp_replace(text, '[^a-z]', '',
+                            'g')) AS BIGINT) AS n_lower,
+                       CAST(length(regexp_replace(text, '[^0-9]', '',
+                            'g')) AS BIGINT) AS n_digit,
+                       CAST(length(text) - length(replace(text, ' ', ''))
+                            AS BIGINT) AS n_space
+                FROM documents)
+            SELECT doc_id, CAST(16 AS INT) AS width,
+                   CAST(greatest((len + 15) // 16, 1) AS INT) AS height,
+                   n_lower, n_digit,
+                   16 * greatest((len + 15) // 16, 1)
+                       - n_lower - n_digit - n_space AS n_other
+            FROM c
+        """,
         "multimodal_bmp": """
             WITH c AS (
                 SELECT doc_id,

@@ -31,11 +31,13 @@ __all__ = [
     "attach_fake_media",
     "attach_zlib_media",
     "attach_bmp_media",
+    "attach_png_media",
     "media_metadata",
     "extract_features",
     "decode_stub",
     "zlib_text_decoder",
     "bmp_decoder",
+    "png_decoder",
     "frame_sample",
     "MEDIA_META_SCHEMA",
 ]
@@ -180,6 +182,160 @@ def bmp_decoder(payload: bytes) -> dict:
         "height": h,
         "histogram": [float(n_lower), float(n_digit), float(n_space),
                       float(logical.size - n_lower - n_digit - n_space)],
+    }
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The PNG Paeth predictor (RFC 2083 section 6.6): nearest of
+    left/above/upper-left to the linear estimate a + b - c, ties
+    resolved left, above, upper-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def attach_png_media(df: SparkDF, text_col: str, out_col: str = "media",
+                     width: int = 16) -> SparkDF:
+    """COMPRESSED raster fixture: the text bytes rendered as the
+    pixels of a spec-compliant 8-bit GRAYSCALE PNG (RFC 2083:
+    signature, IHDR, one zlib IDAT, IEND — every chunk CRC32'd) via
+    an Arrow-batched pandas_udf. This is the lossless-compressed
+    complement of the uncompressed BMP codec: decoding requires
+    chunk walking + CRC validation + zlib inflate + SCANLINE
+    UNFILTERING, the real work of a raster codec.
+
+    Each scanline is prefixed by a filter byte; the encoder CYCLES
+    through all five spec filter types by row index (None, Sub, Up,
+    Average, Paeth), so a decoder that mishandles any filter — or
+    the byte-order of the reconstruction dependencies — corrupts
+    the pixels and flips the oracle hash. Rows are ``width`` bytes
+    (1 B/px grayscale); height = ceil(len/width), min 1, zero pad."""
+    import struct
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    @pandas_udf(BinaryType())
+    def _png(s: pd.Series) -> pd.Series:
+        def enc(t: str) -> bytes:
+            data = t.encode("utf-8")
+            h = max((len(data) + width - 1) // width, 1)
+            padded = data + b"\x00" * (width * h - len(data))
+            out = bytearray()
+            prev = bytes(width)
+            for r in range(h):
+                row = padded[r * width:(r + 1) * width]
+                ftype = r % 5
+                if ftype == 0:
+                    filt = row
+                elif ftype == 1:    # Sub
+                    filt = bytes((row[i] - (row[i - 1] if i else 0))
+                                 & 0xFF for i in range(width))
+                elif ftype == 2:    # Up
+                    filt = bytes((row[i] - prev[i]) & 0xFF
+                                 for i in range(width))
+                elif ftype == 3:    # Average
+                    filt = bytes((row[i] - ((row[i - 1] if i else 0)
+                                            + prev[i]) // 2) & 0xFF
+                                 for i in range(width))
+                else:               # Paeth
+                    filt = bytes((row[i] - _paeth(
+                        row[i - 1] if i else 0, prev[i],
+                        prev[i - 1] if i else 0)) & 0xFF
+                        for i in range(width))
+                out += bytes([ftype]) + filt
+                prev = row
+            ihdr = struct.pack(">IIBBBBB", width, h, 8, 0, 0, 0, 0)
+            return (b"\x89PNG\r\n\x1a\n"
+                    + _chunk(b"IHDR", ihdr)
+                    + _chunk(b"IDAT", zlib.compress(bytes(out)))
+                    + _chunk(b"IEND", b""))
+        return s.map(enc)
+
+    return df.withColumn(out_col, _png(F.col(text_col)))
+
+
+def png_decoder(payload: bytes) -> dict:
+    """REAL decoder for the ``decoder=`` hook: validates the PNG
+    signature, walks the chunk stream verifying EVERY chunk's CRC32,
+    parses IHDR (8-bit grayscale, no interlace only), inflates the
+    concatenated IDAT stream, and reconstructs the pixel bytes by
+    inverting the per-scanline filter (all five RFC 2083 types).
+    Byte-class statistics come from the reconstructed LOGICAL
+    pixels, so the cross-engine oracle recomputes them from the
+    plaintext bit-for-bit."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos < len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + clen]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
+        if zlib.crc32(ctype + data) != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            w, h, depth, ctype_f, comp, filt, inter = \
+                struct.unpack(">IIBBBBB", data)
+            if (depth, ctype_f, comp, filt, inter) != (8, 0, 0, 0, 0):
+                raise ValueError("unsupported PNG variant")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if w is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = w + 1
+    if len(raw) != stride * h:
+        raise ValueError("scanline stream length mismatch")
+    recon = bytearray()
+    prev = bytes(w)
+    for r in range(h):
+        ftype = raw[r * stride]
+        line = raw[r * stride + 1:(r + 1) * stride]
+        row = bytearray(w)
+        for i in range(w):
+            x = line[i]
+            left = row[i - 1] if i else 0
+            up = prev[i]
+            ul = prev[i - 1] if i else 0
+            if ftype == 0:
+                v = x
+            elif ftype == 1:
+                v = x + left
+            elif ftype == 2:
+                v = x + up
+            elif ftype == 3:
+                v = x + (left + up) // 2
+            elif ftype == 4:
+                v = x + _paeth(left, up, ul)
+            else:
+                raise ValueError(f"bad filter type {ftype}")
+            row[i] = v & 0xFF
+        recon += row
+        prev = bytes(row)
+    n_lower = sum(1 for b in recon if 0x61 <= b <= 0x7A)
+    n_digit = sum(1 for b in recon if 0x30 <= b <= 0x39)
+    n_space = sum(1 for b in recon if b == 0x20)
+    return {
+        "width": int(w),
+        "height": int(h),
+        "histogram": [float(n_lower), float(n_digit), float(n_space),
+                      float(len(recon) - n_lower - n_digit - n_space)],
     }
 
 
