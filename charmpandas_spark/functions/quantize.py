@@ -349,36 +349,46 @@ def pq_adc_topk(codes: SparkDF, codebooks: list[list[list[float]]],
     Output ``(q_id, item_id, adc_micro, rank)``; ``adc_micro`` is the
     floor-1e6 fixed-order double sum, hash-checkable cross-engine.
 
-    Plan: broadcast the (few) queries, scan-local LUT expressions,
-    one window per query for the top-k — the corpus side reads only
-    ``(id, codes)``, m bytes of payload per row."""
+    Plan: the m x k LUT is computed ONCE PER QUERY ROW (on the tiny
+    query side, from a broadcast codebook DataFrame) and broadcast
+    with the queries; each corpus candidate then costs exactly m
+    array lookups — the corpus side reads only ``(id, codes)``,
+    m bytes of payload per row, and never touches float distance
+    arithmetic. One window per query for the top-k."""
     from pyspark.sql import Window
 
     from .kmeans import _quantize
 
     m = len(codebooks)
     d_sub = len(codebooks[0][0])
-    qv = queries.select(F.col(id_col).alias("q_id"),
-                        _quantize(vec_col, scale).alias("__pq_qv"))
     # codebooks as a broadcast one-row DataFrame (not literal-array
     # expressions — see pq_train_encode's planning note)
     cb = F.broadcast(queries.sparkSession.createDataFrame(
         [(codebooks,)], "__pq_cb array<array<array<double>>>"))
-    joined = codes.select(F.col(id_col).alias("item_id"), "codes") \
-                  .crossJoin(F.broadcast(qv)) \
-                  .crossJoin(cb) \
-                  .where(F.col("item_id") != F.col("q_id"))
-    total = F.lit(0.0)
-    for sub in range(m):
+
+    def _lut(sub):
         sc = F.slice(F.col("__pq_qv"), sub * d_sub + 1, d_sub) \
               .cast("array<double>")
-        lut = F.transform(
+        return F.transform(
             F.element_at("__pq_cb", sub + 1),
             lambda c: F.aggregate(
                 F.zip_with(sc, c, lambda x, cc: (x - cc) * (x - cc)),
                 F.lit(0.0), lambda a, t: a + t))
+
+    qv = (queries.select(F.col(id_col).alias("q_id"),
+                         _quantize(vec_col, scale).alias("__pq_qv"))
+                 .crossJoin(cb)
+                 .select("q_id",
+                         F.array(*[_lut(s) for s in range(m)])
+                          .alias("__pq_lut")))
+    joined = codes.select(F.col(id_col).alias("item_id"), "codes") \
+                  .crossJoin(F.broadcast(qv)) \
+                  .where(F.col("item_id") != F.col("q_id"))
+    total = F.lit(0.0)
+    for sub in range(m):
         total = total + F.element_at(
-            lut, F.element_at("codes", sub + 1) + 1)
+            F.element_at("__pq_lut", sub + 1),
+            F.element_at("codes", sub + 1) + 1)
     w = Window.partitionBy("q_id").orderBy(
         F.col("adc_micro").asc(), F.col("item_id").asc())
     return (joined.withColumn("adc_micro",
