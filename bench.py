@@ -34,6 +34,14 @@ def _cleanup_entry(spark):
         entry_mod.cleanup_temp_sinks(spark)
     except Exception:
         pass  # hygiene is best-effort, never fatal to the bench
+    # drop lingering Python refs so the ContextCleaner can reclaim
+    # localCheckpoint/persist blocks between queries — the iterative
+    # queries (pagerank, CC) otherwise accumulate storage blocks
+    # across a 170-query sweep and the tail runs 2-3x slower (r9:
+    # sf1 pagerank read 23 s in-sweep vs 5-8 s solo)
+    import gc
+
+    gc.collect()
 
 
 def bench_queries(spark, sf_dir):
@@ -650,6 +658,21 @@ def main():
     except Exception as exc:  # warmup is best-effort, never fatal
         print(f"# warmup failed: {exc}", file=sys.stderr)
 
+    # sf1 probe FIRST (r9): its expected table is derived from solo
+    # runs on a fresh session, so measuring it after the 170-query
+    # sweep conflated engine scaling with accumulated-JVM noise
+    # (pagerank read 23 s in-sweep, 5-8 s solo). Running it here —
+    # warm JVM, empty storage — matches the expecteds' conditions;
+    # the main sweep below then runs extra-warm, which is the
+    # steady-state the headline has always modeled.
+    sf1_result = None
+    if sf == 0.1 and os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0":
+        try:
+            _ensure_sf1(SF_DIR)
+            sf1_result = run_sf1_probe(spark)
+        except Exception as exc:  # probe must never sink the bench
+            print(f"# sf1 probe failed: {exc}", file=sys.stderr)
+
     qs = bench_queries(spark, SF_DIR)
     timings, errors = {}, {}
     # the host's vCPUs are timeshared: observed up to 15x single-run
@@ -722,12 +745,8 @@ def main():
     # extras only on the canonical sf0.1 run (the driver's round bench);
     # disable with SPARK_GRAFT_BENCH_SF1=0 / SPARK_GRAFT_BENCH_SKEW=0.
     if sf == 0.1:
-        if os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0":
-            try:
-                _ensure_sf1(SF_DIR)
-                result["sf1"] = run_sf1_probe(spark)
-            except Exception as exc:  # probe must never sink the bench
-                print(f"# sf1 probe failed: {exc}", file=sys.stderr)
+        if sf1_result is not None:
+            result["sf1"] = sf1_result  # measured before the sweep
         if os.environ.get("SPARK_GRAFT_BENCH_SKEW", "1") != "0":
             try:
                 result["skew_demo"] = run_skew_demo(spark, SF_DIR)

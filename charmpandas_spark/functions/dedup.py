@@ -1591,19 +1591,37 @@ def minhash_index_write(df: SparkDF, text_col: str, id_col: str,
     of each doc's normalized shingles — the price of one-round-trip
     probes; band tables that store ids only pay a second history
     fetch per candidate instead)."""
+    from .bloom import bloom_build, bloom_params
+
+    spark = df.sparkSession
     meta = {"kind": "minhash_lsh", "num_hashes": num_hashes,
             "bands": bands, "k": k, "hash_fn": hash_fn,
             "use_chars": use_chars, "n": n, "num_buckets": num_buckets}
     if mode == "append":
-        _index_meta_check(df.sparkSession, path, meta)
+        _index_meta_check(spark, path, meta)
     rows = _banded_rows(df, text_col, id_col, num_hashes, bands, k,
                         hash_fn, use_chars, n)
-    (rows.withColumn("bucket",
-                     (hash64(F.col("band_key"), 0, "md5")
-                      % num_buckets + num_buckets) % num_buckets)
-         .repartition("bucket")
+    rows = rows.withColumn("bucket",
+                           (hash64(F.col("band_key"), 0, "md5")
+                            % num_buckets + num_buckets) % num_buckets)
+    (rows.repartition("bucket")
          .write.mode(mode).partitionBy("bucket").parquet(path))
-    _index_meta_write(df.sparkSession, path, meta)
+    # Bloom summary over the indexed BAND KEYS (append-only deltas,
+    # same layout/lifecycle as fingerprint_index_write's): a batch
+    # band row whose key probes negative cannot share a band with
+    # any historical doc, so clean batches skip the index entirely —
+    # see minhash_dedup_incremental.
+    stored = (_index_meta_read(spark, path) or {}) \
+        if mode == "append" else {}
+    if "bloom_m" in stored:
+        m_bits, bk = stored["bloom_m"], stored["bloom_k"]
+    else:
+        m_bits, bk = bloom_params(max(df.count(), 1) * bands, 0.001)
+    bloom_build(rows.select("band_key"), "band_key", m_bits, bk) \
+        .write.mode("append" if mode == "append" else "overwrite") \
+        .parquet(path.rstrip("/") + "/_cps_bloom")
+    meta.update(bloom_m=m_bits, bloom_k=bk)
+    _index_meta_write(spark, path, meta)
 
 
 def minhash_dedup_incremental(spark, batch: SparkDF, path: str,
@@ -1630,42 +1648,79 @@ def minhash_dedup_incremental(spark, batch: SparkDF, path: str,
     recall, same (b, r) S-curve as the batch operator. With
     ``append_novel`` the UNMATCHED batch docs' band rows are appended
     so the next batch sees them (matched dups are NOT indexed — the
-    survivor represents the cluster, RefinedWeb-style)."""
+    survivor represents the cluster, RefinedWeb-style).
+
+    Two-tier (r9): when the index carries a ``_cps_bloom`` summary
+    over its band keys, batch band rows probe it FIRST — a
+    bloom-negative band key shares no band with any historical doc,
+    so only positive rows open buckets; a clean batch never reads
+    the index (pytest-witnessed). No false negatives; positives just
+    take the exact verify."""
     from pyspark import StorageLevel
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from .bloom import bloom_build, bloom_probe
 
     _index_meta_check(spark, path, {
         "kind": "minhash_lsh", "num_hashes": num_hashes,
         "bands": bands, "k": k, "hash_fn": hash_fn,
         "use_chars": use_chars, "n": n, "num_buckets": num_buckets})
+    stored = _index_meta_read(spark, path) or {}
     brows = (_banded_rows(batch, text_col, id_col, num_hashes, bands,
                           k, hash_fn, use_chars, n)
              .withColumn("bucket",
                          (hash64(F.col("band_key"), 0, "md5")
                           % num_buckets + num_buckets) % num_buckets)
              .persist(StorageLevel.MEMORY_AND_DISK))
+    persisted = [brows]
+    probe_rows = brows
+    if "bloom_m" in stored:
+        m_bits, bk = stored["bloom_m"], stored["bloom_k"]
+        bloom_tbl = (spark.read.parquet(path.rstrip("/") + "/_cps_bloom")
+                     .groupBy("word")
+                     .agg(F.bit_or("bits").alias("bits")))
+        probe_rows = (bloom_probe(brows, "band_key", bloom_tbl,
+                                  m_bits, bk, out_col="__cps_might")
+                      .where(F.col("__cps_might"))
+                      .drop("__cps_might")
+                      .persist(StorageLevel.MEMORY_AND_DISK))
+        persisted.append(probe_rows)
     buckets = [r["bucket"] for r in
-               brows.select("bucket").distinct().collect()]
-    idx = (spark.read.parquet(path)
-           .where(F.col("bucket").isin(buckets))
-           .withColumnsRenamed({"doc": "matched_doc", "sh": "__sh_h"}))
-    cand = (brows.join(idx.hint("shuffle_hash"),
-                       ["band_idx", "band_key", "bucket"])
-                 .select("doc", "sh", "matched_doc", "__sh_h")
-                 .dropDuplicates(["doc", "matched_doc"]))
-    inter = F.size(F.array_intersect("sh", "__sh_h"))
-    union = F.size(F.array_union("sh", "__sh_h"))
-    jacc = inter.cast("double") / union
-    matches = (cand.withColumn("jaccard",
-                               F.floor(jacc * 10000) / 10000)
-                   .filter(F.col("jaccard") >= threshold)
-                   .select("doc", "matched_doc", "jaccard"))
+               probe_rows.select("bucket").distinct().collect()]
+    if buckets:
+        idx = (spark.read.parquet(path)
+               .where(F.col("bucket").isin(buckets))
+               .withColumnsRenamed({"doc": "matched_doc",
+                                    "sh": "__sh_h"}))
+        cand = (probe_rows.join(idx.hint("shuffle_hash"),
+                                ["band_idx", "band_key", "bucket"])
+                          .select("doc", "sh", "matched_doc", "__sh_h")
+                          .dropDuplicates(["doc", "matched_doc"]))
+        inter = F.size(F.array_intersect("sh", "__sh_h"))
+        union = F.size(F.array_union("sh", "__sh_h"))
+        jacc = inter.cast("double") / union
+        matches = (cand.withColumn("jaccard",
+                                   F.floor(jacc * 10000) / 10000)
+                       .filter(F.col("jaccard") >= threshold)
+                       .select("doc", "matched_doc", "jaccard"))
+    else:  # every band key bloom-negative: the index is never read
+        doc_t = brows.schema["doc"].dataType
+        matches = spark.createDataFrame([], StructType([
+            StructField("doc", doc_t),
+            StructField("matched_doc", doc_t),
+            StructField("jaccard", DoubleType())]))
     if append_novel:
         novel = (brows.join(matches.select("doc").distinct(),
                             "doc", "left_anti")
                       .select("bucket", "band_idx", "band_key",
                               "doc", "sh"))
         novel.write.mode("append").partitionBy("bucket").parquet(path)
-    matches._cps_persisted = [brows]  # see release()
+        if "bloom_m" in stored:
+            bloom_build(novel.select("band_key"), "band_key",
+                        m_bits, bk) \
+                .write.mode("append") \
+                .parquet(path.rstrip("/") + "/_cps_bloom")
+    matches._cps_persisted = persisted  # see release()
     return matches
 
 

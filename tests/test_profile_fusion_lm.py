@@ -1079,3 +1079,54 @@ def test_dedup_incremental_bloom_skips_clean_batch(spark, tmp_path):
                              num_buckets=8)
     assert {r["doc"] for r in out2.collect()} == {21}
     release(out2)
+
+
+def test_minhash_incremental_bloom_skips_clean_batch(spark, tmp_path):
+    """Two-tier NEAR-dup incremental: a batch sharing no LSH band
+    with history probes the band-key Bloom summary, finds every key
+    negative, and never reads an index bucket (no bucket scan in the
+    executed plan). An overlapping batch still matches exactly, and
+    append_novel keeps the summary current so a re-send of novel
+    content matches WITHOUT the bloom hiding it."""
+    from charmpandas_spark.functions.dedup import (
+        minhash_dedup_incremental, minhash_index_write, release)
+
+    base = ("the quick brown fox jumps over the lazy dog again "
+            "and again with many shared tokens in this sentence")
+    hist = spark.createDataFrame([(1, base)], "doc_id bigint, t string")
+    path = str(tmp_path / "mhbloom")
+    minhash_index_write(hist, "t", "doc_id", path, num_buckets=8)
+
+    clean = spark.createDataFrame(
+        [(10, "entirely different novel prose about other topics "
+              "with no shared phrasing whatsoever at all")],
+        "doc_id bigint, t string")
+    out = minhash_dedup_incremental(spark, clean, path, "t", "doc_id",
+                                    threshold=0.7, num_buckets=8,
+                                    append_novel=True)
+    assert out.collect() == []
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "bucket=" not in plan
+    assert "PartitionFilters: [bucket" not in plan
+    release(out)
+
+    # overlap still matches through the bloom tier
+    dup = spark.createDataFrame([(20, base + " extra")],
+                                "doc_id bigint, t string")
+    out2 = minhash_dedup_incremental(spark, dup, path, "t", "doc_id",
+                                     threshold=0.7, num_buckets=8)
+    assert {(r["doc"], r["matched_doc"])
+            for r in out2.collect()} == {(20, 1)}
+    release(out2)
+
+    # the append_novel bloom delta keeps doc 10 findable
+    resend = spark.createDataFrame(
+        [(30, "entirely different novel prose about other topics "
+              "with no shared phrasing whatsoever at all")],
+        "doc_id bigint, t string")
+    out3 = minhash_dedup_incremental(spark, resend, path, "t",
+                                     "doc_id", threshold=0.7,
+                                     num_buckets=8)
+    assert {(r["doc"], r["matched_doc"])
+            for r in out3.collect()} == {(30, 10)}
+    release(out3)
