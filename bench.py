@@ -325,6 +325,13 @@ SF1_QUERIES = {
     # sf0.1) — probing it witnesses output explosion, not engine
     # scaling, hence the scaled override below.
     "dedup_semantic_scaled": 14.0,
+    # r9 ops: sampled training makes PQ/IVF-PQ sub-linear (sf0.1 ->
+    # sf1 is 3.3 -> 4.7 s and 5.2 -> 7.0 s on 10x data: the Lloyd
+    # passes are capped at 256 vectors, only encode/search scale);
+    # the PNG codec is scan-local Arrow-batched Python
+    "sim_pq_topk": 4.7,
+    "sim_ivfpq_topk": 7.0,
+    "multimodal_png": 1.4,
 }
 
 
