@@ -44,27 +44,25 @@ __all__ = ["ivfpq_build", "ivfpq_search", "ivfpq_write",
            "ivfpq_read_search", "ivfpq_topk_oracle_sql"]
 
 
-def _residuals(df: SparkDF, vec_col: str, id_col: str,
-               asg: SparkDF, cents: list[list[float]],
-               scale: int) -> SparkDF:
+def _residuals(asg: SparkDF, id_col: str,
+               cents: list[list[float]]) -> SparkDF:
     """``(id, cluster, __ivq_rv)`` with the residual in QUANTIZED
     units: ``floor(x*scale) - centroid`` per dimension (exact bigint
     cast to double, minus the centroid's single-division double —
     two IEEE ops, replayable). PQ then quantizes the residual with
-    scale=1, i.e. ``floor(residual)``."""
-    spark = df.sparkSession
+    scale=1, i.e. ``floor(residual)``. ``asg`` is the k-means
+    assignment CARRYING the quantized vector (``with_vector``), so
+    this is a scan-local projection — no join back to the corpus."""
+    spark = asg.sparkSession
     cb = F.broadcast(spark.createDataFrame(
         [(cents,)], "__ivq_cb array<array<double>>"))
-    return (df.select(F.col(id_col), _quantize(vec_col, scale)
-                      .alias("__ivq_q"))
-              .join(asg, id_col)
-              .crossJoin(cb)
-              .select(id_col, "cluster",
-                      F.zip_with(
-                          F.col("__ivq_q").cast("array<double>"),
-                          F.element_at("__ivq_cb",
-                                       F.col("cluster") + 1),
-                          lambda x, c: x - c).alias("__ivq_rv")))
+    return (asg.crossJoin(cb)
+               .select(id_col, "cluster",
+                       F.zip_with(
+                           F.col("__ivq_q").cast("array<double>"),
+                           F.element_at("__ivq_cb",
+                                        F.col("cluster") + 1),
+                           lambda x, c: x - c).alias("__ivq_rv")))
 
 
 def ivfpq_build(df: SparkDF, vec_col: str, id_col: str,
@@ -82,18 +80,22 @@ def ivfpq_build(df: SparkDF, vec_col: str, id_col: str,
     ``coarse_cap`` / ``pq_cap`` bound BOTH trainings to
     deterministic hash-ordered samples (``kmeans._train_sample``) —
     at 100 TB each training is one bounded pass, and only the
-    assignment/encoding scans touch the full corpus."""
+    assignment/encoding scans touch the full corpus. The whole build
+    is JOIN-FREE on the corpus: the assignment carries the quantized
+    vector (``with_vector``), residuals are a scan-local projection,
+    and the cluster id rides through encoding (``carry_cols``)."""
     asg, cents = kmeans_fit_predict(df, vec_col, id_col, k=nlist,
                                     iters=coarse_iters, scale=scale,
                                     train_cap=coarse_cap,
-                                    return_centroids=True)
-    resid = _residuals(df, vec_col, id_col, asg, cents, scale)
+                                    return_centroids=True,
+                                    with_vector="__ivq_q")
+    resid = _residuals(asg, id_col, cents)
     codes, books = pq_train_encode(resid, "__ivq_rv", id_col, m=m,
                                    codebook_k=codebook_k,
                                    iters=pq_iters, scale=1,
-                                   train_cap=pq_cap)
-    out = codes.join(resid.select(id_col, "cluster"), id_col) \
-               .select(id_col, "cluster", "codes")
+                                   train_cap=pq_cap,
+                                   carry_cols=("cluster",))
+    out = codes.select(id_col, "cluster", "codes")
     out._cps_persisted = getattr(codes, "_cps_persisted", [])
     return out, cents, books
 

@@ -85,11 +85,15 @@ def kmeans_fit_predict(
     scale: int = 1000,
     train_cap: int | None = None,
     return_centroids: bool = False,
+    with_vector: str | None = None,
 ) -> SparkDF:
     """Lloyd k-means over ``vec_col``; returns ``(id_col, cluster)``
     (or ``(assignments, centroids)`` with ``return_centroids`` —
     centroids are in quantized units, k x dim doubles; IVF-PQ's
-    coarse quantizer needs them for residuals).
+    coarse quantizer needs them for residuals). ``with_vector``
+    additionally carries the QUANTIZED vector in the assignment
+    output under that name, so downstream residual computation needs
+    no join back to the corpus.
 
     ``iters`` full (assign, update) rounds on the quantized vectors,
     then a final assignment under the last centroids. Deterministic:
@@ -164,8 +168,11 @@ def kmeans_fit_predict(
             for j in range(k)]
     if tq is not q:
         tq.unpersist()
+    keep = ([F.col("__cps_kq").alias(with_vector)]
+            if with_vector else [])
     out = assign(cents, q).select(F.col("__cps_kid").alias(id_col),
-                                  F.col("__cps_kc").alias("cluster"))
+                                  F.col("__cps_kc").alias("cluster"),
+                                  *keep)
     return (out, cents) if return_centroids else out
 
 

@@ -212,7 +212,8 @@ def quantized_dot_topk_sql(t: str, id_expr: str, vec_expr: str,
 
 def pq_train_encode(df: SparkDF, vec_col: str, id_col: str,
                     m: int = 8, codebook_k: int = 16, iters: int = 2,
-                    scale: int = 1000, train_cap: int | None = None
+                    scale: int = 1000, train_cap: int | None = None,
+                    carry_cols: tuple[str, ...] = ()
                     ) -> tuple[SparkDF, list[list[list[float]]]]:
     """Product quantization (Jegou et al. 2011): split each vector
     into ``m`` equal subspaces, train an independent ``codebook_k``-
@@ -248,8 +249,11 @@ def pq_train_encode(df: SparkDF, vec_col: str, id_col: str,
 
     from .kmeans import _quantize, _train_sample
 
+    # carry_cols ride the scan into the codes output (e.g. IVF-PQ's
+    # cluster id) so callers need no corpus-sized join afterwards
     q = df.select(F.col(id_col).alias("__pq_id"),
-                  _quantize(vec_col, scale).alias("__pq_q"))
+                  _quantize(vec_col, scale).alias("__pq_q"),
+                  *[F.col(c) for c in carry_cols])
     q = q.persist(StorageLevel.MEMORY_AND_DISK)
     tq = q if train_cap is None else \
         _train_sample(q, "__pq_id", train_cap) \
@@ -334,6 +338,7 @@ def pq_train_encode(df: SparkDF, vec_col: str, id_col: str,
             .cast("int"))
     codes = q.crossJoin(cb_df()) \
              .select(F.col("__pq_id").alias(id_col),
+                     *[F.col(c) for c in carry_cols],
                      F.array(*code_cols).alias("codes"))
     codes._cps_persisted = [q]  # see dedup.release()
     return codes, codebooks
