@@ -2755,6 +2755,36 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "embedding", "vec_id", k=10)
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023): every raw
+    document (sources != src0/src1) weighted by how target-like
+    (src0/src1) its hashed word-bigram profile is — log-free integer
+    micro-ratio doctrine, so the full feature hash -> bucket counts
+    -> smoothed ratio -> count-weighted mean pipeline replays
+    bit-for-bit in DuckDB. The bucket table (<= 512 rows) is the
+    only model state and broadcasts."""
+    from charmpandas_spark.functions.dsir import dsir_weights
+    docs = _t(spark, sf_dir, "documents").sdf
+    tgt = docs.where(F.col("source").isin("src0", "src1"))
+    raw = docs.where(~F.col("source").isin("src0", "src1"))
+    return dsir_weights(raw, tgt, "text", "doc_id", n=2,
+                        num_buckets=512, hash_fn="md5")
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance RESAMPLING: keep raw docs with probability
+    min(1, rate * w / mean_w) decided by the stable id hash — the
+    deterministic equivalent of DSIR's proportional resampling, at
+    expected rate 0.4. Pure per-row integer condition; the decision
+    itself is part of the value hash."""
+    from charmpandas_spark.functions.dsir import dsir_resample
+    docs = _t(spark, sf_dir, "documents").sdf
+    tgt = docs.where(F.col("source").isin("src0", "src1"))
+    raw = docs.where(~F.col("source").isin("src0", "src1"))
+    return dsir_resample(raw, tgt, "text", "doc_id", rate=0.4, n=2,
+                         num_buckets=512, hash_fn="md5")
+
+
 def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ (Jegou et al. 2011 SIV) — the billion-vector serving
     composition: deterministic coarse k-means (8 lists, sampled
@@ -3183,6 +3213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     asof queries) ---
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
         "multimodal_png": q_multimodal_png,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
         "sim_pq_topk": q_sim_pq_topk,
         "embedding_kmeans": q_embedding_kmeans,
         "dedup_semantic": q_dedup_semantic,
@@ -4681,6 +4713,22 @@ def oracle_sql() -> dict[str, str]:
             "embeddings", "vec_id", "embedding", "vec_id < 5",
             dim=64, m=8, codebook_k=16, iters=2, k=10,
             train_cap=256),
+        "dsir_weights": __import__(
+            "charmpandas_spark.functions.dsir",
+            fromlist=["dsir_weights_sql"]).dsir_weights_sql(
+            "(SELECT * FROM documents WHERE source NOT IN "
+            "('src0','src1'))",
+            "(SELECT * FROM documents WHERE source IN "
+            "('src0','src1'))",
+            "doc_id", "text", n=2, num_buckets=512),
+        "dsir_select": __import__(
+            "charmpandas_spark.functions.dsir",
+            fromlist=["dsir_resample_sql"]).dsir_resample_sql(
+            "(SELECT * FROM documents WHERE source NOT IN "
+            "('src0','src1'))",
+            "(SELECT * FROM documents WHERE source IN "
+            "('src0','src1'))",
+            "doc_id", "text", rate=0.4, n=2, num_buckets=512),
         "sim_ivfpq_topk": __import__(
             "charmpandas_spark.functions.ivfpq",
             fromlist=["ivfpq_topk_oracle_sql"]).ivfpq_topk_oracle_sql(

@@ -216,6 +216,8 @@ def bench_queries(spark, sf_dir):
         # replay overhead, not engine throughput).
         "sim_ivfpq_topk",
         "multimodal_png",
+        "dsir_weights",
+        "dsir_select",
         "scan_project",
         "scalar_reduction",
         "int_literal_widening",

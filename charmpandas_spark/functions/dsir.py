@@ -1,0 +1,216 @@
+"""DSIR-style data selection — importance resampling of a raw corpus
+toward a target distribution (Xie et al. 2023, "Data Selection for
+Language Models via Importance Resampling", arXiv:2302.03169,
+public). The published recipe: featurize documents as hashed n-gram
+counts, fit bag-of-ngrams models on the target and the raw corpus,
+weight each raw document by the likelihood ratio, and resample
+proportionally to the weights.
+
+This implementation keeps the recipe but swaps the log-likelihood sum
+for the repo's LOG-FREE integer micro-unit doctrine (same substitution
+as ``lm.py``'s bigram scorer): per-feature probabilities are
+Laplace-smoothed integer micro-probabilities, a feature's importance
+is the micro-RATIO ``pt * 1e6 div pr``, and a document's weight is the
+count-weighted integer mean of its features' ratios. Every operation
+is ``+ * DIV`` on int64 (Spark ``DIV`` == DuckDB ``//`` on
+nonnegative operands), so weights — and the resampling decision —
+are bit-identical across engines and partitionings, and the whole
+operator value-hash-checks against a DuckDB replay.
+
+Bounds: intermediates stay inside int64 for corpora up to ~9e12
+total n-grams per side ((n_f + 1) * 1e6 must fit). Past that, grow
+``num_buckets`` (which shrinks per-bucket counts) — at 100 TB the
+bucket table is still <= ``num_buckets`` rows and BROADCASTS.
+
+Plan shape (100 TB): two explode+groupBy passes build the bucket
+table (partial-aggregated, collapses to <= B rows map-side); the
+per-document pass joins doc-level bucket counts against the
+BROADCAST bucket table and aggregates by doc — one shuffle keyed by
+doc. The resampling filter is a pure per-row expression over the
+weight and a stable id hash: no driver state, no RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame as SparkDF, functions as F
+
+from .dedup import hash64, hash64_sql
+from .text import normalize_text
+
+__all__ = ["dsir_weights", "dsir_resample", "dsir_weights_sql",
+           "dsir_resample_sql"]
+
+_MICRO = 1_000_000
+
+
+def _ngrams(col: Column | str, n: int) -> Column:
+    """Word n-grams WITH multiplicity (DSIR features are counts, so
+    no array_distinct — unlike ``text.word_shingles``)."""
+    words = F.split(normalize_text(col), " ")
+    idx = F.sequence(F.lit(0),
+                     F.greatest(F.size(words) - n, F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+
+
+def _feats(df: SparkDF, text_col: str, id_col: str, n: int,
+           num_buckets: int, hash_fn: str) -> SparkDF:
+    """(doc, f): one row per n-gram occurrence, f = hashed bucket."""
+    h = hash64(F.col("__ds_t"), 0, hash_fn)
+    return (df.select(F.col(id_col).alias("doc"),
+                      F.explode(_ngrams(text_col, n)).alias("__ds_t"))
+              .where(F.col("__ds_t") != "")
+              .select("doc",
+                      ((h % num_buckets + num_buckets) % num_buckets)
+                      .alias("f")))
+
+
+def dsir_weights(raw: SparkDF, target: SparkDF, text_col: str,
+                 id_col: str, n: int = 2, num_buckets: int = 4096,
+                 hash_fn: str = "xxhash64") -> SparkDF:
+    """``(doc, n_ngrams, weight_micro)`` for every raw document:
+    how target-like its hashed-n-gram profile is.
+
+    Per bucket ``f``: ``pt = (nt_f + 1) * 1e6 div (Nt + B) + 1`` and
+    the symmetric ``pr`` (Laplace-smoothed micro-probabilities; the
+    trailing ``+ 1`` keeps rare-bucket probabilities nonzero under
+    integer floor), ``ratio_f = pt * 1e6 div pr``. Per document:
+    ``weight_micro = (sum c_f * ratio_f) div (sum c_f)`` — a
+    micro-ratio of 1e6 means "as likely under the target as under
+    the raw corpus"; higher means more target-like."""
+    B = num_buckets
+    tf = _feats(target, text_col, id_col, n, B, hash_fn)
+    rf = _feats(raw, text_col, id_col, n, B, hash_fn)
+    tcnt = tf.groupBy("f").agg(F.count(F.lit(1)).alias("__ds_nt"))
+    rdoc = rf.groupBy("doc", "f").agg(F.count(F.lit(1))
+                                       .alias("__ds_c"))
+    rcnt = rdoc.groupBy("f").agg(F.sum("__ds_c").alias("__ds_nr"))
+    # totals from the raw feature streams (not from tcnt/rcnt: the
+    # re-join of a derived aggregate would be a self-join lineage
+    # Spark can't disambiguate); same values, independent lineage
+    nt_tot = tf.agg(F.count(F.lit(1)).alias("__ds_ttot"))
+    nr_tot = rf.agg(F.count(F.lit(1)).alias("__ds_rtot"))
+    # bucket table: <= B rows, carries the ratio — then BROADCASTS
+    bucket = (rcnt.join(tcnt, "f", "left")
+                  .crossJoin(F.broadcast(nt_tot))
+                  .crossJoin(F.broadcast(nr_tot))
+                  .selectExpr(
+                      "f",
+                      f"(coalesce(__ds_nt, 0) + 1) * {_MICRO} "
+                      f"div (__ds_ttot + {B}) + 1 AS __ds_pt",
+                      f"(__ds_nr + 1) * {_MICRO} "
+                      f"div (__ds_rtot + {B}) + 1 AS __ds_pr")
+                  .selectExpr(
+                      "f",
+                      f"__ds_pt * {_MICRO} div __ds_pr AS __ds_ratio"))
+    return (rdoc.join(F.broadcast(bucket), "f")
+                .groupBy("doc")
+                .agg(F.sum("__ds_c").alias("n_ngrams"),
+                     F.expr("sum(__ds_c * __ds_ratio)")
+                      .alias("__ds_num"))
+                .selectExpr("doc", "n_ngrams",
+                            "__ds_num div n_ngrams AS weight_micro"))
+
+
+def dsir_resample(raw: SparkDF, target: SparkDF, text_col: str,
+                  id_col: str, rate: float, n: int = 2,
+                  num_buckets: int = 4096,
+                  hash_fn: str = "xxhash64", seed: int = 1
+                  ) -> SparkDF:
+    """Deterministic importance resampling: keep each raw document
+    with probability ``min(1, rate * weight / mean_weight)`` —
+    proportional-to-weight selection at an expected ``rate`` overall,
+    decided by the document's stable id hash instead of an RNG
+    (reproducible across runs/engines/partitionings; DSIR's Gumbel
+    top-k needs logs and a seed stream, this is the hash-uniform
+    equivalent at the same expected sample composition).
+
+    Condition (all int64): ``u * mean_micro < rate_micro * w`` with
+    ``u = pmod(hash(doc, seed), 1e6)``. Returns the KEPT documents'
+    ``(doc, n_ngrams, weight_micro)``."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    w = dsir_weights(raw, target, text_col, id_col, n, num_buckets,
+                     hash_fn)
+    mean = w.agg(F.expr("sum(weight_micro) div count(*)")
+                 .alias("__ds_mean"))
+    u = F.pmod(hash64(F.col("doc").cast("string"), seed, hash_fn),
+               F.lit(_MICRO))
+    rate_micro = int(round(rate * _MICRO))
+    return (w.crossJoin(F.broadcast(mean))
+             .where(u * F.col("__ds_mean")
+                    < F.lit(rate_micro) * F.col("weight_micro"))
+             .select("doc", "n_ngrams", "weight_micro"))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins
+# ---------------------------------------------------------------------------
+
+def _ngram_sql(text_expr: str, n: int) -> str:
+    """Non-distinct word n-grams — ``text.word_shingles_sql`` minus
+    the list_distinct."""
+    norm = (f"trim(regexp_replace(lower({text_expr}), "
+            "'\\s+', ' ', 'g'))")
+    words = f"string_split({norm}, ' ')"
+    return (f"list_transform("
+            f"range(0, greatest(length({words}) - {n}, 0) + 1), "
+            f"i -> array_to_string(list_slice({words}, "
+            f"CAST(i + 1 AS INT), CAST(i + {n} AS INT)), ' '))")
+
+
+def dsir_weights_sql(raw_t: str, target_t: str, id_expr: str,
+                     text_expr: str, n: int = 2,
+                     num_buckets: int = 4096) -> str:
+    """DuckDB replay of :func:`dsir_weights` (md5 hash variant)."""
+    B = num_buckets
+    h = hash64_sql("g")
+
+    def feats(src: str) -> str:
+        return (f"SELECT {id_expr} AS doc, "
+                f"(({h}) % {B} + {B}) % {B} AS f "
+                f"FROM (SELECT {id_expr}, "
+                f"unnest({_ngram_sql(text_expr, n)}) AS g "
+                f"FROM {src}) WHERE g <> ''")
+
+    return f"""
+        WITH tf AS ({feats(target_t)}),
+        rf AS ({feats(raw_t)}),
+        tcnt AS (SELECT f, count(*) AS nt FROM tf GROUP BY f),
+        rdoc AS (SELECT doc, f, count(*) AS c FROM rf
+                 GROUP BY doc, f),
+        rcnt AS (SELECT f, sum(c) AS nr FROM rdoc GROUP BY f),
+        tot AS (SELECT (SELECT sum(nt) FROM tcnt) AS Nt,
+                       (SELECT sum(nr) FROM rcnt) AS Nr),
+        bucket AS (
+            SELECT r.f,
+                   ((coalesce(t.nt, 0) + 1) * {_MICRO}
+                    // (tot.Nt + {B}) + 1) * {_MICRO}
+                   // ((r.nr + 1) * {_MICRO} // (tot.Nr + {B}) + 1)
+                       AS ratio
+            FROM rcnt r LEFT JOIN tcnt t ON r.f = t.f
+            CROSS JOIN tot)
+        SELECT d.doc, CAST(sum(d.c) AS BIGINT) AS n_ngrams,
+               CAST(sum(d.c * b.ratio) // sum(d.c) AS BIGINT)
+                   AS weight_micro
+        FROM rdoc d JOIN bucket b ON d.f = b.f
+        GROUP BY d.doc
+    """
+
+
+def dsir_resample_sql(raw_t: str, target_t: str, id_expr: str,
+                      text_expr: str, rate: float, n: int = 2,
+                      num_buckets: int = 4096, seed: int = 1) -> str:
+    """DuckDB replay of :func:`dsir_resample` (md5 hash variant)."""
+    rate_micro = int(round(rate * _MICRO))
+    u = (f"(({hash64_sql(f'CAST(doc AS VARCHAR)', str(seed))})"
+         f" % {_MICRO} + {_MICRO}) % {_MICRO}")
+    return f"""
+        WITH w AS ({dsir_weights_sql(raw_t, target_t, id_expr,
+                                     text_expr, n, num_buckets)}),
+        m AS (SELECT sum(weight_micro) // count(*) AS mean_micro
+              FROM w)
+        SELECT doc, n_ngrams, weight_micro
+        FROM w CROSS JOIN m
+        WHERE ({u}) * mean_micro < {rate_micro} * weight_micro
+    """

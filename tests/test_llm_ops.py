@@ -1631,3 +1631,44 @@ def test_png_codec_roundtrip_filters_and_crc(docs):
     feats = extract_features(m, "media", "doc_id",
                              decoder=png_decoder).toPandas()
     assert len(feats) == 20 and (feats["height"] >= 1).all()
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """DSIR importance weights: raw docs sharing the target's n-gram
+    profile outweigh off-distribution docs; weights are partition-
+    invariant; proportional resampling keeps high-weight docs
+    preferentially at roughly the requested rate."""
+    from charmpandas_spark.functions.dsir import (dsir_resample,
+                                                  dsir_weights)
+
+    tgt_texts = ["the quick brown fox jumps over the lazy dog",
+                 "a quick brown dog jumps over a lazy fox",
+                 "the lazy fox and the quick brown dog"]
+    like = [(i, "the quick brown fox naps near the lazy dog")
+            for i in range(10)]
+    unlike = [(100 + i, "quarterly revenue guidance exceeded "
+                        "analyst consensus estimates materially")
+              for i in range(10)]
+    tgt = spark.createDataFrame(list(enumerate(tgt_texts, 1000)),
+                                "doc_id bigint, text string")
+    raw = spark.createDataFrame(like + unlike,
+                                "doc_id bigint, text string")
+    w = {r["doc"]: r["weight_micro"] for r in
+         dsir_weights(raw, tgt, "text", "doc_id", n=2,
+                      num_buckets=256).collect()}
+    assert min(w[i] for i, _ in like) > max(w[i] for i, _ in unlike)
+
+    # partition invariance (bit-exact)
+    w2 = {r["doc"]: r["weight_micro"] for r in
+          dsir_weights(raw.repartition(7), tgt.repartition(3),
+                       "text", "doc_id", n=2,
+                       num_buckets=256).collect()}
+    assert w2 == w
+
+    # proportional resampling: the kept set is weight-biased
+    kept = {r["doc"] for r in
+            dsir_resample(raw, tgt, "text", "doc_id", rate=0.5,
+                          n=2, num_buckets=256).collect()}
+    n_like = sum(1 for i, _ in like if i in kept)
+    n_unlike = sum(1 for i, _ in unlike if i in kept)
+    assert n_like > n_unlike
