@@ -1323,6 +1323,58 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("features")[3].cast("bigint").alias("n_other"))
 
 
+def q_multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image perceptual fingerprints (dHash, Krawetz 2013) computed
+    THROUGH the compressed codec: PNG decode (chunk walk + CRC +
+    inflate + unfilter) -> nearest-neighbor 8x9 downsample ->
+    64 neighbor-comparison bits, split into two 32-bit halves so no
+    sign-bit semantics leak cross-engine. The oracle replays the
+    whole geometry from the plaintext — a stride bug, a comparison
+    direction flip, or any codec bug changes the hash."""
+    from charmpandas_spark.functions.dedup import spread
+    from charmpandas_spark.functions.multimodal import (
+        attach_png_media, media_dhash, png_pixels)
+    docs = spread(_t(spark, sf_dir, "documents").sdf)
+    m = attach_png_media(docs, "text")
+    return media_dhash(m, "media", "doc_id", png_pixels)
+
+
+def _dhash_oracle_sql() -> str:
+    """DuckDB replay of q_multimodal_dhash from the plaintext: pixel
+    (r, c) of the 8x9 nearest-neighbor grid is the byte at
+    ``(r*h//8)*16 + (c*16//9)`` (zero past the pad), one bit per
+    horizontal neighbor pair. Corpus is ASCII, so char positions ==
+    byte positions."""
+    def px(pos: str) -> str:
+        return (f"CASE WHEN {pos} < len THEN ascii(substr(text, "
+                f"CAST({pos} + 1 AS INT), 1)) ELSE 0 END")
+
+    sc = [(c * 16) // 9 for c in range(9)]
+    hi, lo = [], []
+    for r in range(8):
+        sr = f"(({r} * h) // 8)"
+        for c in range(8):
+            pa = px(f"({sr} * 16 + {sc[c]})")
+            pb = px(f"({sr} * 16 + {sc[c + 1]})")
+            idx = r * 8 + c
+            term = (f"CASE WHEN ({pa}) < ({pb}) THEN "
+                    f"{1 << (idx - 32 if idx >= 32 else idx)} "
+                    f"ELSE 0 END")
+            (hi if idx >= 32 else lo).append(term)
+    return f"""
+        WITH c AS (
+            SELECT doc_id, text,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS len,
+                   greatest((CAST(octet_length(encode(text))
+                             AS BIGINT) + 15) // 16, 1) AS h
+            FROM documents)
+        SELECT doc_id,
+               CAST({' + '.join(hi)} AS BIGINT) AS dhash_hi,
+               CAST({' + '.join(lo)} AS BIGINT) AS dhash_lo
+        FROM c
+    """
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image RESIZE through the decode hook: the BMP corpus decoded
     and nearest-neighbor downsampled 2x in both dimensions inside
@@ -3215,6 +3267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png": q_multimodal_png,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
+        "multimodal_dhash": q_multimodal_dhash,
         "sim_pq_topk": q_sim_pq_topk,
         "embedding_kmeans": q_embedding_kmeans,
         "dedup_semantic": q_dedup_semantic,
@@ -4829,6 +4882,7 @@ def oracle_sql() -> dict[str, str]:
         # BMP twin: width fixed at 16 px (48 B rows, no alignment
         # pad), height = ceil(bytes/48) min 1, zero pad counted in
         # n_other = 48*height - lower - digit - space.
+        "multimodal_dhash": _dhash_oracle_sql(),
         "multimodal_png": """
             WITH c AS (
                 SELECT doc_id,

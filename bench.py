@@ -218,6 +218,7 @@ def bench_queries(spark, sf_dir):
         "multimodal_png",
         "dsir_weights",
         "dsir_select",
+        "multimodal_dhash",
         "scan_project",
         "scalar_reduction",
         "int_literal_widening",

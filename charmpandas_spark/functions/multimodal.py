@@ -38,6 +38,9 @@ __all__ = [
     "zlib_text_decoder",
     "bmp_decoder",
     "png_decoder",
+    "png_pixels",
+    "dhash64",
+    "media_dhash",
     "frame_sample",
     "MEDIA_META_SCHEMA",
 ]
@@ -263,15 +266,13 @@ def attach_png_media(df: SparkDF, text_col: str, out_col: str = "media",
     return df.withColumn(out_col, _png(F.col(text_col)))
 
 
-def png_decoder(payload: bytes) -> dict:
-    """REAL decoder for the ``decoder=`` hook: validates the PNG
-    signature, walks the chunk stream verifying EVERY chunk's CRC32,
-    parses IHDR (8-bit grayscale, no interlace only), inflates the
-    concatenated IDAT stream, and reconstructs the pixel bytes by
-    inverting the per-scanline filter (all five RFC 2083 types).
-    Byte-class statistics come from the reconstructed LOGICAL
-    pixels, so the cross-engine oracle recomputes them from the
-    plaintext bit-for-bit."""
+def png_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode an :func:`attach_png_media` payload to its logical
+    pixel bytes: validate the signature, walk the chunk stream
+    verifying EVERY chunk's CRC32, parse IHDR (8-bit grayscale, no
+    interlace only), inflate the concatenated IDAT stream, invert
+    the per-scanline filter (all five RFC 2083 types). Returns
+    ``(width, height, pixels)`` row-major."""
     import struct
     import zlib
 
@@ -328,15 +329,80 @@ def png_decoder(payload: bytes) -> dict:
             row[i] = v & 0xFF
         recon += row
         prev = bytes(row)
+    return int(w), int(h), bytes(recon)
+
+
+def png_decoder(payload: bytes) -> dict:
+    """REAL decoder for the ``decoder=`` hook: :func:`png_pixels`
+    (chunk walk + CRC verify + inflate + unfilter) followed by
+    byte-class statistics over the reconstructed LOGICAL pixels, so
+    the cross-engine oracle recomputes them from the plaintext
+    bit-for-bit."""
+    w, h, recon = png_pixels(payload)
     n_lower = sum(1 for b in recon if 0x61 <= b <= 0x7A)
     n_digit = sum(1 for b in recon if 0x30 <= b <= 0x39)
     n_space = sum(1 for b in recon if b == 0x20)
     return {
-        "width": int(w),
-        "height": int(h),
+        "width": w,
+        "height": h,
         "histogram": [float(n_lower), float(n_digit), float(n_space),
                       float(len(recon) - n_lower - n_digit - n_space)],
     }
+
+
+def dhash64(w: int, h: int, pixels: bytes,
+            grid: int = 8) -> tuple[int, int]:
+    """Difference hash (dHash — public perceptual-hash algorithm:
+    Krawetz, "Kind of Like That", hackerfactor 2013) of a grayscale
+    pixel array: nearest-neighbor downsample to ``grid x (grid+1)``,
+    emit one bit per horizontal neighbor pair (left < right). All
+    integer strides and comparisons — bit-identical on any engine —
+    returned as two nonnegative 32-bit halves ``(hi, lo)`` so no
+    sign-bit/overflow semantics leak into cross-engine checks.
+
+    Near-identical images (crops, re-encodes, small edits) land
+    within a few Hamming bits; pair them with the simhash pigeonhole
+    machinery for image NEAR-dup at corpus scale."""
+    bits = 0
+    for r in range(grid):
+        sr = r * h // grid
+        row = [pixels[sr * w + (c * w) // (grid + 1)]
+               for c in range(grid + 1)]
+        for c in range(grid):
+            if row[c] < row[c + 1]:
+                bits |= 1 << (r * grid + c)
+    return bits >> 32, bits & 0xFFFFFFFF
+
+
+def media_dhash(df: SparkDF, bin_col: str, id_col: str,
+                pixels_fn: Callable[[bytes], tuple[int, int, bytes]],
+                grid: int = 8) -> SparkDF:
+    """``(id, dhash_hi, dhash_lo)`` per media row: decode the payload
+    to pixels (``pixels_fn``, e.g. :func:`png_pixels`) and
+    difference-hash them — the image-dedup fingerprint, computed
+    scan-locally in Arrow batches (the corpus never shuffles; group
+    the OUTPUT by the hash for exact-dup clusters, or feed the bits
+    to the simhash block machinery for near-dup)."""
+    out_schema = StructType([
+        StructField("id", df.schema[id_col].dataType),
+        StructField("dhash_hi", LongType()),
+        StructField("dhash_lo", LongType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hi, lo = [], []
+            for payload in pdf[bin_col]:
+                w, h, pix = pixels_fn(bytes(payload))
+                a, b = dhash64(w, h, pix, grid)
+                hi.append(a)
+                lo.append(b)
+            yield pd.DataFrame({"id": pdf[id_col],
+                                "dhash_hi": hi, "dhash_lo": lo})
+
+    return (df.select(id_col, bin_col)
+              .mapInPandas(batches, out_schema)
+              .withColumnRenamed("id", id_col))
 
 
 def attach_wav_media(df: SparkDF, text_col: str,

@@ -1672,3 +1672,31 @@ def test_dsir_weights_rank_target_like_docs_higher(spark):
     n_like = sum(1 for i, _ in like if i in kept)
     n_unlike = sum(1 for i, _ in unlike if i in kept)
     assert n_like > n_unlike
+
+
+def test_media_dhash_duplicate_and_near_duplicate(spark):
+    """dHash through the PNG codec: identical images hash identically,
+    a small text edit stays within a few Hamming bits, an unrelated
+    image is far — the property that makes dHash an image-dedup
+    fingerprint."""
+    from charmpandas_spark.functions.multimodal import (
+        attach_png_media, media_dhash, png_pixels)
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the quiet forest all afternoon long "
+            "while birds watch from the high branches overhead")
+    rows = [(1, base), (2, base),                      # exact dup
+            (3, base[:-4] + "XXXX"),                   # small edit
+            (4, "1234567890" * 16)]                    # unrelated
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    m = attach_png_media(df, "text")
+    got = {r["doc_id"]: (r["dhash_hi"], r["dhash_lo"]) for r in
+           media_dhash(m, "media", "doc_id", png_pixels).collect()}
+
+    def ham(a, b):
+        return (bin((a[0] ^ b[0])).count("1")
+                + bin((a[1] ^ b[1])).count("1"))
+
+    assert got[1] == got[2]
+    assert 0 <= ham(got[1], got[3]) <= 8
+    assert ham(got[1], got[4]) > 16
