@@ -1339,7 +1339,7 @@ def q_multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_dhash(m, "media", "doc_id", png_pixels)
 
 
-def _dhash_oracle_sql() -> str:
+def _dhash_oracle_sql(t: str = "documents") -> str:
     """DuckDB replay of q_multimodal_dhash from the plaintext: pixel
     (r, c) of the 8x9 nearest-neighbor grid is the byte at
     ``(r*h//8)*16 + (c*16//9)`` (zero past the pad), one bit per
@@ -1367,11 +1367,41 @@ def _dhash_oracle_sql() -> str:
                    CAST(octet_length(encode(text)) AS BIGINT) AS len,
                    greatest((CAST(octet_length(encode(text))
                              AS BIGINT) + 15) // 16, 1) AS h
-            FROM documents)
+            FROM {t})
         SELECT doc_id,
                CAST({' + '.join(hi)} AS BIGINT) AS dhash_hi,
                CAST({' + '.join(lo)} AS BIGINT) AS dhash_lo
         FROM c
+    """
+
+
+def q_dedup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-dup dedup: dHash fingerprints through the PNG
+    codec paired within Hamming <= 6 by the pigeonhole block join
+    (8 x 8-bit blocks; a qualifying pair must agree exactly on >= 1
+    block) — never an all-pairs product. The oracle brute-forces the
+    same pairs from plaintext-recomputed hashes, so both the codec
+    geometry AND the block machinery's recall are value-checked."""
+    from charmpandas_spark.functions.dedup import spread
+    from charmpandas_spark.functions.multimodal import (
+        attach_png_media, dhash_near_dup, png_pixels)
+    docs = spread(_t(spark, sf_dir, "documents").sdf)
+    m = attach_png_media(docs, "text")
+    return dhash_near_dup(m, "media", "doc_id", png_pixels,
+                          max_hamming=6)
+
+
+def _dedup_images_oracle_sql() -> str:
+    inner = _dhash_oracle_sql("documents")
+    return f"""
+        WITH d AS ({inner})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+                    + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS INT)
+                   AS hamming
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+              + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 6
     """
 
 
@@ -3268,6 +3298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
         "multimodal_dhash": q_multimodal_dhash,
+        "dedup_images": q_dedup_images,
         "sim_pq_topk": q_sim_pq_topk,
         "embedding_kmeans": q_embedding_kmeans,
         "dedup_semantic": q_dedup_semantic,
@@ -4883,6 +4914,7 @@ def oracle_sql() -> dict[str, str]:
         # pad), height = ceil(bytes/48) min 1, zero pad counted in
         # n_other = 48*height - lower - digit - space.
         "multimodal_dhash": _dhash_oracle_sql(),
+        "dedup_images": _dedup_images_oracle_sql(),
         "multimodal_png": """
             WITH c AS (
                 SELECT doc_id,

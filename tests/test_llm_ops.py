@@ -1700,3 +1700,44 @@ def test_media_dhash_duplicate_and_near_duplicate(spark):
     assert got[1] == got[2]
     assert 0 <= ham(got[1], got[3]) <= 8
     assert ham(got[1], got[4]) > 16
+
+
+def test_dhash_near_dup_finds_planted_pair_and_validates(spark):
+    """Pigeonhole image near-dup: an exact duplicate image pairs at
+    hamming 0, a tail-edited near-dup pairs within the threshold,
+    unrelated images don't pair; bad block geometry raises."""
+    import pytest
+
+    from charmpandas_spark.functions.multimodal import (
+        attach_png_media, dhash_near_dup, png_pixels)
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the quiet forest all afternoon long")
+    rows = [(1, base), (2, base), (3, base[:-4] + "QQQQ"),
+            (4, "0123456789" * 12)]
+    m = attach_png_media(
+        spark.createDataFrame(rows, "doc_id bigint, text string"),
+        "text")
+    from charmpandas_spark.functions.multimodal import media_dhash
+
+    sig = {r["doc_id"]: (r["dhash_hi"], r["dhash_lo"]) for r in
+           media_dhash(m, "media", "doc_id", png_pixels).collect()}
+
+    def ham(a, b):
+        return (bin(sig[a][0] ^ sig[b][0]).count("1")
+                + bin(sig[a][1] ^ sig[b][1]).count("1"))
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+             dhash_near_dup(m, "media", "doc_id", png_pixels,
+                            max_hamming=7).collect()}
+    assert pairs[(1, 2)] == 0                       # exact dup
+    # block machinery recall == brute force over the signatures
+    want = {(a, b): ham(a, b) for a in sig for b in sig
+            if a < b and ham(a, b) <= 7}
+    assert pairs == want
+    assert (1, 3) in pairs                          # tail edit close
+    assert not any(4 in p for p in pairs)           # unrelated far
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dhash_near_dup(m, "media", "doc_id", png_pixels,
+                       max_hamming=7, block_bits=16)
