@@ -1375,6 +1375,79 @@ def _dhash_oracle_sql(t: str = "documents") -> str:
     """
 
 
+def q_multimodal_audiohash(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """Audio fingerprints through the WAV codec: PCM frame energies
+    (exact integer absolute-amplitude sums), 65 nearest-neighbor
+    sampled positions, one bit per adjacent-energy comparison — the
+    audio twin of multimodal_dhash (sign-of-energy-difference,
+    Haitsma & Kalker 2002). The oracle rebuilds the samples from the
+    plaintext byte pairs (ASCII corpus: no sign handling needed) and
+    replays the frame/NN geometry with DuckDB list lambdas."""
+    from charmpandas_spark.functions.dedup import spread
+    from charmpandas_spark.functions.multimodal import (
+        attach_wav_media, media_audio_hash)
+    docs = spread(_t(spark, sf_dir, "documents").sdf)
+    m = attach_wav_media(docs, "text")
+    return media_audio_hash(m, "media", "doc_id")
+
+
+def _audiohash_oracle_sql(t: str = "documents") -> str:
+    """DuckDB replay of q_multimodal_audiohash from the plaintext:
+    sample i = byte(2i) + 256*byte(2i+1) (zero past the text),
+    n = ceil(len/2), nf = max(n // 4, 1), energy k = sum of 4
+    samples, bit j compares energies at j*nf//65 and (j+1)*nf//65."""
+    byte = ("CASE WHEN {p} < len THEN ascii(substr(text, "
+            "CAST({p} + 1 AS INT), 1)) ELSE 0 END")
+    samp = (f"({byte.format(p='2*i')}) + 256 * "
+            f"({byte.format(p='2*i + 1')})")
+    return f"""
+        WITH c AS (
+            SELECT doc_id, text,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS len
+            FROM {t}),
+        s AS (
+            SELECT doc_id, (len + 1) // 2 AS n,
+                   list_transform(range(0, (len + 1) // 2),
+                                  i -> {samp}) AS smp
+            FROM c),
+        e AS (
+            SELECT doc_id, greatest(n // 4, 1) AS nf,
+                   list_transform(range(0, greatest(n // 4, 1)),
+                       k -> CASE WHEN 4*k < n
+                                 THEN smp[CAST(4*k + 1 AS INT)]
+                                 ELSE 0 END
+                          + CASE WHEN 4*k + 1 < n
+                                 THEN smp[CAST(4*k + 2 AS INT)]
+                                 ELSE 0 END
+                          + CASE WHEN 4*k + 2 < n
+                                 THEN smp[CAST(4*k + 3 AS INT)]
+                                 ELSE 0 END
+                          + CASE WHEN 4*k + 3 < n
+                                 THEN smp[CAST(4*k + 4 AS INT)]
+                                 ELSE 0 END) AS eng
+            FROM s),
+        b AS (
+            SELECT doc_id,
+                   list_transform(range(0, 64),
+                       j -> CASE WHEN
+                            eng[CAST(j * nf // 65 + 1 AS INT)]
+                          < eng[CAST((j + 1) * nf // 65 + 1 AS INT)]
+                            THEN 1 ELSE 0 END) AS bits
+            FROM e)
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(32, 64),
+                    j -> bits[CAST(j + 1 AS INT)]
+                         * (1::BIGINT << CAST(j - 32 AS INT))))
+                    AS BIGINT) AS ahash_hi,
+               CAST(list_sum(list_transform(range(0, 32),
+                    j -> bits[CAST(j + 1 AS INT)]
+                         * (1::BIGINT << CAST(j AS INT))))
+                    AS BIGINT) AS ahash_lo
+        FROM b
+    """
+
+
 def q_dedup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMAGE near-dup dedup: dHash fingerprints through the PNG
     codec paired within Hamming <= 6 by the pigeonhole block join
@@ -3298,6 +3371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
         "multimodal_dhash": q_multimodal_dhash,
+        "multimodal_audiohash": q_multimodal_audiohash,
         "dedup_images": q_dedup_images,
         "sim_pq_topk": q_sim_pq_topk,
         "embedding_kmeans": q_embedding_kmeans,
@@ -4914,6 +4988,7 @@ def oracle_sql() -> dict[str, str]:
         # pad), height = ceil(bytes/48) min 1, zero pad counted in
         # n_other = 48*height - lower - digit - space.
         "multimodal_dhash": _dhash_oracle_sql(),
+        "multimodal_audiohash": _audiohash_oracle_sql(),
         "dedup_images": _dedup_images_oracle_sql(),
         "multimodal_png": """
             WITH c AS (

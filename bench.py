@@ -219,6 +219,7 @@ def bench_queries(spark, sf_dir):
         "dsir_weights",
         "dsir_select",
         "multimodal_dhash",
+        "multimodal_audiohash",
         "dedup_images",
         "scan_project",
         "scalar_reduction",

@@ -42,6 +42,9 @@ __all__ = [
     "dhash64",
     "media_dhash",
     "dhash_near_dup",
+    "wav_samples",
+    "audio_fingerprint64",
+    "media_audio_hash",
     "frame_sample",
     "MEDIA_META_SCHEMA",
 ]
@@ -490,15 +493,10 @@ def attach_wav_media(df: SparkDF, text_col: str,
     return df.withColumn(out_col, _wav(F.col(text_col)))
 
 
-def wav_decoder(payload: bytes) -> dict:
-    """REAL decoder for the ``decoder=`` hook: validates RIFF/WAVE
-    magic, walks the chunk list to fmt and data (PCM, 16-bit, mono),
-    materializes the samples as numpy int16, and derives exact
-    integer statistics — sample count, zero-sample count, and the
-    total absolute amplitude — so a cross-engine oracle recomputes
-    them from the plaintext byte pairs bit-for-bit. Output mapping:
-    width = sample rate, height = n_samples, histogram =
-    [sum_abs, n_zero, n_max, 0]."""
+def wav_samples(payload: bytes):
+    """Decode a RIFF/WAVE payload to ``(sample_rate, samples)``:
+    validate the magic, walk the chunk list to fmt and data (PCM,
+    16-bit, mono only), materialize the samples as numpy int16."""
     import struct
 
     import numpy as np
@@ -519,7 +517,67 @@ def wav_decoder(payload: bytes) -> dict:
     audio_fmt, channels, rate, _br, _ba, bits = fmt
     if (audio_fmt, channels, bits) != (1, 1, 16):
         raise ValueError("unsupported WAV variant")
-    samples = np.frombuffer(data, dtype="<i2")
+    return int(rate), np.frombuffer(data, dtype="<i2")
+
+
+def audio_fingerprint64(samples, frame: int = 4) -> tuple[int, int]:
+    """64-bit audio fingerprint — the PCM twin of :func:`dhash64`
+    (Haitsma & Kalker 2002's sign-of-energy-difference idea reduced
+    to the time domain): frame the samples, take each frame's total
+    absolute amplitude (exact integers), nearest-neighbor sample 65
+    frame energies, emit one bit per adjacent-energy comparison.
+    Robust to padding/trailing silence and small local edits;
+    returned as two nonnegative 32-bit halves."""
+    n = len(samples)
+    nf = max(n // frame, 1)
+    energy = [
+        sum(abs(int(samples[frame * k + i]))
+            for i in range(frame) if frame * k + i < n)
+        for k in range(nf)]
+    bits = 0
+    for j in range(64):
+        if energy[j * nf // 65] < energy[(j + 1) * nf // 65]:
+            bits |= 1 << j
+    return bits >> 32, bits & 0xFFFFFFFF
+
+
+def media_audio_hash(df: SparkDF, bin_col: str, id_col: str,
+                     frame: int = 4) -> SparkDF:
+    """``(id, ahash_hi, ahash_lo)`` per media row: decode the WAV
+    payload and :func:`audio_fingerprint64` it — scan-local Arrow
+    batches, the audio-dedup counterpart of :func:`media_dhash`."""
+    out_schema = StructType([
+        StructField("id", df.schema[id_col].dataType),
+        StructField("ahash_hi", LongType()),
+        StructField("ahash_lo", LongType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hi, lo = [], []
+            for payload in pdf[bin_col]:
+                _rate, samples = wav_samples(bytes(payload))
+                a, b = audio_fingerprint64(samples, frame)
+                hi.append(a)
+                lo.append(b)
+            yield pd.DataFrame({"id": pdf[id_col],
+                                "ahash_hi": hi, "ahash_lo": lo})
+
+    return (df.select(id_col, bin_col)
+              .mapInPandas(batches, out_schema)
+              .withColumnRenamed("id", id_col))
+
+
+def wav_decoder(payload: bytes) -> dict:
+    """REAL decoder for the ``decoder=`` hook: :func:`wav_samples`
+    followed by exact integer statistics — sample count, zero-sample
+    count, and the total absolute amplitude — so a cross-engine
+    oracle recomputes them from the plaintext byte pairs
+    bit-for-bit. Output mapping: width = sample rate, height =
+    n_samples, histogram = [sum_abs, n_zero, n_max, 0]."""
+    import numpy as np
+
+    rate, samples = wav_samples(payload)
     amax = int(samples.max()) if samples.size else 0
     sum_abs = int(np.abs(samples.astype(np.int64)).sum())
     return {

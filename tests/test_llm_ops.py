@@ -1741,3 +1741,32 @@ def test_dhash_near_dup_finds_planted_pair_and_validates(spark):
     with pytest.raises(ValueError, match="pigeonhole"):
         dhash_near_dup(m, "media", "doc_id", png_pixels,
                        max_hamming=7, block_bits=16)
+
+
+def test_audio_fingerprint_duplicate_and_tail_robust(spark):
+    """Audio fingerprint: identical audio hashes identically; a tail
+    edit (trailing content change) leaves most adjacent-energy bits
+    intact; unrelated audio is far."""
+    from charmpandas_spark.functions.multimodal import (
+        attach_wav_media, media_audio_hash)
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the quiet forest all afternoon long "
+            "while birds watch from the high branches overhead")
+    rows = [(1, base), (2, base), (3, base[:-6] + "QQQQQQ"),
+            (4, "zZzZ" * 40)]
+    m = attach_wav_media(
+        spark.createDataFrame(rows, "doc_id bigint, text string"),
+        "text")
+    got = {r["doc_id"]: (r["ahash_hi"], r["ahash_lo"]) for r in
+           media_audio_hash(m, "media", "doc_id").collect()}
+
+    def ham(a, b):
+        return (bin(got[a][0] ^ got[b][0]).count("1")
+                + bin(got[a][1] ^ got[b][1]).count("1"))
+
+    assert got[1] == got[2]
+    assert ham(1, 3) <= 8
+    # unrelated audio is farther than the near-duplicate (64 energy
+    # bits give separation, not cryptographic distance)
+    assert ham(1, 4) > ham(1, 3)
