@@ -13,6 +13,8 @@ compared or fused:
       -> float rescore of stage-1 survivors           (two-stage serving)
       -> reciprocal-rank fusion of sparse + dense     (fusion.py)
       -> persisted postings lookup                    (bucket-pruned)
+      -> IVF-PQ serving index: coarse lists +         (ivfpq.py)
+         residual codes + probe-pruned ADC
 
 Run: python examples/retrieval_demo.py [sf_dir]
 """
@@ -66,6 +68,17 @@ def main():
                          .alias("cosine")))
     n_stage2 = rescored.count()
 
+    # the billion-vector serving structure: m-byte codes, nprobe of
+    # nlist lists scanned per query, per-(query, list) ADC LUTs
+    from charmpandas_spark.functions.ivfpq import (ivfpq_build,
+                                                   ivfpq_search)
+    codes_pq, cents, books = ivfpq_build(
+        emb, "embedding", "vec_id", nlist=8, coarse_iters=2, m=8,
+        codebook_k=16, pq_iters=2, coarse_cap=256, pq_cap=256)
+    ivfpq = ivfpq_search(codes_pq, cents, books, emb.where(queries),
+                         "embedding", "vec_id", k=10, nprobe=3)
+    n_ivfpq = ivfpq.count()
+
     fused = rrf_fuse(
         [sparse.select(F.col("q_doc").alias("q_id"),
                        F.col("c_doc").alias("item_id"), "rank"),
@@ -78,6 +91,7 @@ def main():
     print(f"sparse leg:    {n_sparse} ranked pairs")
     print(f"dense leg:     {n_dense} ranked pairs")
     print(f"stage1+rescore:{n_stage2} rescored candidates")
+    print(f"ivfpq leg:     {n_ivfpq} ADC-ranked pairs")
     print(f"fused top-5:   {n_fused} rows in {dt:.2f}s")
     top = fused.where(F.col("q_id") == 0) \
         .orderBy("fused_rank").limit(5).collect()
