@@ -1448,6 +1448,62 @@ def _audiohash_oracle_sql(t: str = "documents") -> str:
     """
 
 
+def q_multimodal_video_dhash(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """Temporal video fingerprints through a REAL container: each
+    document rendered as an APNG (acTL/fcTL/fdAT chunks, per-chunk
+    CRC32, one 16x8 frame per 128-byte chunk, filters cycling) and
+    decoded back frame by frame, each frame dHashed — one fingerprint
+    row per frame. The oracle replays the per-frame stride geometry
+    from the plaintext (frame f pixel (r, c) = char f*128 + r*16 +
+    col-stride), so container-walk, frame-boundary, and unfilter bugs
+    all flip the hash."""
+    from charmpandas_spark.functions.dedup import spread
+    from charmpandas_spark.functions.multimodal import (
+        attach_apng_media, media_video_dhash)
+    docs = spread(_t(spark, sf_dir, "documents").sdf)
+    m = attach_apng_media(docs, "text")
+    return media_video_dhash(m, "media", "doc_id")
+
+
+def _video_dhash_oracle_sql(t: str = "documents") -> str:
+    """DuckDB replay of q_multimodal_video_dhash: frames are fixed
+    16x8, so grid row r samples source row r and the pixel offsets
+    are constants per (r, c); frame f shifts everything by f*128."""
+    def px(off: int) -> str:
+        return (f"CASE WHEN f * 128 + {off} < len THEN "
+                f"ascii(substr(text, CAST(f * 128 + {off} + 1 "
+                f"AS INT), 1)) ELSE 0 END")
+
+    sc = [(c * 16) // 9 for c in range(9)]
+    hi, lo = [], []
+    for r in range(8):
+        for c in range(8):
+            pa = px(r * 16 + sc[c])
+            pb = px(r * 16 + sc[c + 1])
+            idx = r * 8 + c
+            term = (f"CASE WHEN ({pa}) < ({pb}) THEN "
+                    f"{1 << (idx - 32 if idx >= 32 else idx)} "
+                    f"ELSE 0 END")
+            (hi if idx >= 32 else lo).append(term)
+    return f"""
+        WITH c AS (
+            SELECT doc_id, text,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS len,
+                   greatest((CAST(octet_length(encode(text))
+                             AS BIGINT) + 127) // 128, 1) AS nf
+            FROM {t}),
+        fr AS (
+            SELECT doc_id, text, len,
+                   unnest(range(0, nf)) AS f
+            FROM c)
+        SELECT doc_id, CAST(f AS INT) AS frame_idx,
+               CAST({' + '.join(hi)} AS BIGINT) AS dhash_hi,
+               CAST({' + '.join(lo)} AS BIGINT) AS dhash_lo
+        FROM fr
+    """
+
+
 def q_dedup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMAGE near-dup dedup: dHash fingerprints through the PNG
     codec paired within Hamming <= 6 by the pigeonhole block join
@@ -3372,6 +3428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "multimodal_dhash": q_multimodal_dhash,
         "multimodal_audiohash": q_multimodal_audiohash,
+        "multimodal_video_dhash": q_multimodal_video_dhash,
         "dedup_images": q_dedup_images,
         "sim_pq_topk": q_sim_pq_topk,
         "embedding_kmeans": q_embedding_kmeans,
@@ -4989,6 +5046,7 @@ def oracle_sql() -> dict[str, str]:
         # n_other = 48*height - lower - digit - space.
         "multimodal_dhash": _dhash_oracle_sql(),
         "multimodal_audiohash": _audiohash_oracle_sql(),
+        "multimodal_video_dhash": _video_dhash_oracle_sql(),
         "dedup_images": _dedup_images_oracle_sql(),
         "multimodal_png": """
             WITH c AS (

@@ -220,6 +220,7 @@ def bench_queries(spark, sf_dir):
         "dsir_select",
         "multimodal_dhash",
         "multimodal_audiohash",
+        "multimodal_video_dhash",
         "dedup_images",
         "scan_project",
         "scalar_reduction",

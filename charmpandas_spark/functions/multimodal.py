@@ -45,6 +45,9 @@ __all__ = [
     "wav_samples",
     "audio_fingerprint64",
     "media_audio_hash",
+    "attach_apng_media",
+    "apng_frames",
+    "media_video_dhash",
     "frame_sample",
     "MEDIA_META_SCHEMA",
 ]
@@ -205,6 +208,81 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    """One PNG chunk: length + type + data + CRC32(type + data)."""
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data)))
+
+
+def _filter_scanlines(padded: bytes, width: int, h: int) -> bytes:
+    """Apply the RFC 2083 scanline filters, CYCLING through all five
+    types by row index (None, Sub, Up, Average, Paeth), one filter
+    byte per row — shared by the PNG and APNG encoders."""
+    out = bytearray()
+    prev = bytes(width)
+    for r in range(h):
+        row = padded[r * width:(r + 1) * width]
+        ftype = r % 5
+        if ftype == 0:
+            filt = row
+        elif ftype == 1:    # Sub
+            filt = bytes((row[i] - (row[i - 1] if i else 0))
+                         & 0xFF for i in range(width))
+        elif ftype == 2:    # Up
+            filt = bytes((row[i] - prev[i]) & 0xFF
+                         for i in range(width))
+        elif ftype == 3:    # Average
+            filt = bytes((row[i] - ((row[i - 1] if i else 0)
+                                    + prev[i]) // 2) & 0xFF
+                         for i in range(width))
+        else:               # Paeth
+            filt = bytes((row[i] - _paeth(
+                row[i - 1] if i else 0, prev[i],
+                prev[i - 1] if i else 0)) & 0xFF
+                for i in range(width))
+        out += bytes([ftype]) + filt
+        prev = row
+    return bytes(out)
+
+
+def _unfilter_scanlines(raw: bytes, w: int, h: int) -> bytes:
+    """Invert :func:`_filter_scanlines` (all five RFC 2083 filter
+    types) — shared by the PNG and APNG decoders."""
+    stride = w + 1
+    if len(raw) != stride * h:
+        raise ValueError("scanline stream length mismatch")
+    recon = bytearray()
+    prev = bytes(w)
+    for r in range(h):
+        ftype = raw[r * stride]
+        line = raw[r * stride + 1:(r + 1) * stride]
+        row = bytearray(w)
+        for i in range(w):
+            x = line[i]
+            left = row[i - 1] if i else 0
+            up = prev[i]
+            ul = prev[i - 1] if i else 0
+            if ftype == 0:
+                v = x
+            elif ftype == 1:
+                v = x + left
+            elif ftype == 2:
+                v = x + up
+            elif ftype == 3:
+                v = x + (left + up) // 2
+            elif ftype == 4:
+                v = x + _paeth(left, up, ul)
+            else:
+                raise ValueError(f"bad filter type {ftype}")
+            row[i] = v & 0xFF
+        recon += row
+        prev = bytes(row)
+    return bytes(recon)
+
+
 def attach_png_media(df: SparkDF, text_col: str, out_col: str = "media",
                      width: int = 16) -> SparkDF:
     """COMPRESSED raster fixture: the text bytes rendered as the
@@ -226,44 +304,17 @@ def attach_png_media(df: SparkDF, text_col: str, out_col: str = "media",
 
     from pyspark.sql.functions import pandas_udf
 
-    def _chunk(ctype: bytes, data: bytes) -> bytes:
-        return (struct.pack(">I", len(data)) + ctype + data
-                + struct.pack(">I", zlib.crc32(ctype + data)))
-
     @pandas_udf(BinaryType())
     def _png(s: pd.Series) -> pd.Series:
         def enc(t: str) -> bytes:
             data = t.encode("utf-8")
             h = max((len(data) + width - 1) // width, 1)
             padded = data + b"\x00" * (width * h - len(data))
-            out = bytearray()
-            prev = bytes(width)
-            for r in range(h):
-                row = padded[r * width:(r + 1) * width]
-                ftype = r % 5
-                if ftype == 0:
-                    filt = row
-                elif ftype == 1:    # Sub
-                    filt = bytes((row[i] - (row[i - 1] if i else 0))
-                                 & 0xFF for i in range(width))
-                elif ftype == 2:    # Up
-                    filt = bytes((row[i] - prev[i]) & 0xFF
-                                 for i in range(width))
-                elif ftype == 3:    # Average
-                    filt = bytes((row[i] - ((row[i - 1] if i else 0)
-                                            + prev[i]) // 2) & 0xFF
-                                 for i in range(width))
-                else:               # Paeth
-                    filt = bytes((row[i] - _paeth(
-                        row[i - 1] if i else 0, prev[i],
-                        prev[i - 1] if i else 0)) & 0xFF
-                        for i in range(width))
-                out += bytes([ftype]) + filt
-                prev = row
+            out = _filter_scanlines(padded, width, h)
             ihdr = struct.pack(">IIBBBBB", width, h, 8, 0, 0, 0, 0)
             return (b"\x89PNG\r\n\x1a\n"
                     + _chunk(b"IHDR", ihdr)
-                    + _chunk(b"IDAT", zlib.compress(bytes(out)))
+                    + _chunk(b"IDAT", zlib.compress(out))
                     + _chunk(b"IEND", b""))
         return s.map(enc)
 
@@ -304,36 +355,7 @@ def png_pixels(payload: bytes) -> tuple[int, int, bytes]:
     if w is None:
         raise ValueError("missing IHDR")
     raw = zlib.decompress(bytes(idat))
-    stride = w + 1
-    if len(raw) != stride * h:
-        raise ValueError("scanline stream length mismatch")
-    recon = bytearray()
-    prev = bytes(w)
-    for r in range(h):
-        ftype = raw[r * stride]
-        line = raw[r * stride + 1:(r + 1) * stride]
-        row = bytearray(w)
-        for i in range(w):
-            x = line[i]
-            left = row[i - 1] if i else 0
-            up = prev[i]
-            ul = prev[i - 1] if i else 0
-            if ftype == 0:
-                v = x
-            elif ftype == 1:
-                v = x + left
-            elif ftype == 2:
-                v = x + up
-            elif ftype == 3:
-                v = x + (left + up) // 2
-            elif ftype == 4:
-                v = x + _paeth(left, up, ul)
-            else:
-                raise ValueError(f"bad filter type {ftype}")
-            row[i] = v & 0xFF
-        recon += row
-        prev = bytes(row)
-    return int(w), int(h), bytes(recon)
+    return int(w), int(h), _unfilter_scanlines(raw, w, h)
 
 
 def png_decoder(payload: bytes) -> dict:
@@ -352,6 +374,136 @@ def png_decoder(payload: bytes) -> dict:
         "histogram": [float(n_lower), float(n_digit), float(n_space),
                       float(len(recon) - n_lower - n_digit - n_space)],
     }
+
+
+def attach_apng_media(df: SparkDF, text_col: str,
+                      out_col: str = "media", width: int = 16,
+                      frame_rows: int = 8) -> SparkDF:
+    """VIDEO fixture in a REAL public container: the text split into
+    ``width * frame_rows``-byte chunks, each rendered as one frame of
+    a spec-compliant APNG (Animated PNG — W3C PNG 3rd ed. / the
+    Mozilla APNG spec): ``acTL`` frame-count chunk, one ``fcTL``
+    frame-control chunk per frame, frame 0's pixels in ``IDAT``,
+    subsequent frames in ``fdAT`` (4-byte sequence number + zlib
+    stream), shared fcTL/fdAT sequence counter, every chunk CRC32'd.
+    Scanlines cycle the five filters like :func:`attach_png_media`."""
+    import struct
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    fbytes = width * frame_rows
+
+    @pandas_udf(BinaryType())
+    def _apng(s: pd.Series) -> pd.Series:
+        def enc(t: str) -> bytes:
+            data = t.encode("utf-8")
+            nf = max((len(data) + fbytes - 1) // fbytes, 1)
+            out = bytearray(b"\x89PNG\r\n\x1a\n")
+            out += _chunk(b"IHDR", struct.pack(
+                ">IIBBBBB", width, frame_rows, 8, 0, 0, 0, 0))
+            out += _chunk(b"acTL", struct.pack(">II", nf, 0))
+            seq = 0
+            for f in range(nf):
+                chunk = data[f * fbytes:(f + 1) * fbytes]
+                padded = chunk + b"\x00" * (fbytes - len(chunk))
+                out += _chunk(b"fcTL", struct.pack(
+                    ">IIIIIHHBB", seq, width, frame_rows, 0, 0,
+                    1, 10, 0, 0))
+                seq += 1
+                z = zlib.compress(
+                    _filter_scanlines(padded, width, frame_rows))
+                if f == 0:
+                    out += _chunk(b"IDAT", z)
+                else:
+                    out += _chunk(b"fdAT",
+                                  struct.pack(">I", seq) + z)
+                    seq += 1
+            out += _chunk(b"IEND", b"")
+            return bytes(out)
+        return s.map(enc)
+
+    return df.withColumn(out_col, _apng(F.col(text_col)))
+
+
+def apng_frames(payload: bytes) -> list[tuple[int, int, bytes]]:
+    """Decode an APNG payload to its per-frame pixel arrays:
+    signature + per-chunk CRC32 validation, IHDR geometry, acTL
+    frame count, IDAT for frame 0 and fdAT (sequence-number-
+    prefixed) for the rest, each zlib stream unfiltered through the
+    shared five-filter inverse. Returns ``[(w, h, pixels), ...]`` in
+    frame order; raises on CRC damage, truncation, or a frame-count
+    mismatch against acTL."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    nf_decl = None
+    streams: list[bytes] = []
+    while pos < len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + clen]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
+        if zlib.crc32(ctype + data) != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            w, h, depth, ctype_f, comp, filt, inter = \
+                struct.unpack(">IIBBBBB", data)
+            if (depth, ctype_f, comp, filt, inter) != (8, 0, 0, 0, 0):
+                raise ValueError("unsupported PNG variant")
+        elif ctype == b"acTL":
+            nf_decl = struct.unpack(">II", data)[0]
+        elif ctype == b"IDAT":
+            streams.append(data)
+        elif ctype == b"fdAT":
+            streams.append(data[4:])  # strip the sequence number
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if w is None or nf_decl is None:
+        raise ValueError("missing IHDR/acTL")
+    if len(streams) != nf_decl:
+        raise ValueError(f"acTL declares {nf_decl} frames, "
+                         f"found {len(streams)}")
+    return [(int(w), int(h),
+             _unfilter_scanlines(zlib.decompress(z), w, h))
+            for z in streams]
+
+
+def media_video_dhash(df: SparkDF, bin_col: str, id_col: str,
+                      grid: int = 8) -> SparkDF:
+    """``(id, frame_idx, dhash_hi, dhash_lo)``: every APNG frame
+    decoded and difference-hashed — the temporal fingerprint
+    sequence for video-level dedup (two videos near-dup when most
+    frame hashes match; scene cuts show as hash jumps). Scan-local
+    Arrow batches; one output row per frame."""
+    out_schema = StructType([
+        StructField("id", df.schema[id_col].dataType),
+        StructField("frame_idx", IntegerType()),
+        StructField("dhash_hi", LongType()),
+        StructField("dhash_lo", LongType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fidx, hi, lo = [], [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[bin_col]):
+                for f, (w, h, pix) in enumerate(
+                        apng_frames(bytes(payload))):
+                    a, b = dhash64(w, h, pix, grid)
+                    ids.append(rid)
+                    fidx.append(f)
+                    hi.append(a)
+                    lo.append(b)
+            yield pd.DataFrame({"id": ids, "frame_idx": fidx,
+                                "dhash_hi": hi, "dhash_lo": lo})
+
+    return (df.select(id_col, bin_col)
+              .mapInPandas(batches, out_schema)
+              .withColumnRenamed("id", id_col))
 
 
 def dhash64(w: int, h: int, pixels: bytes,

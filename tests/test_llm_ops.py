@@ -1770,3 +1770,50 @@ def test_audio_fingerprint_duplicate_and_tail_robust(spark):
     # unrelated audio is farther than the near-duplicate (64 energy
     # bits give separation, not cryptographic distance)
     assert ham(1, 4) > ham(1, 3)
+
+
+def test_apng_video_frames_and_temporal_dhash(spark):
+    """APNG container round-trip: frame count matches acTL, frame 0
+    rides IDAT and the rest fdAT, every frame's pixels reconstruct
+    exactly (filters cycle per frame), per-frame dHashes identify a
+    shared frame between two videos, and CRC damage is rejected."""
+    import pytest
+
+    from charmpandas_spark.functions.multimodal import (
+        apng_frames, attach_apng_media, media_video_dhash)
+
+    chunk = ("scene one with steady content here padded out to fill "
+             "a full frame of one hundred twenty eight bytes ok!!")
+    assert len(chunk) <= 128
+    a = chunk.ljust(128) + "totally different second scene".ljust(128)
+    b = chunk.ljust(128) + "yet another third scene content".ljust(128)
+    m = attach_apng_media(
+        spark.createDataFrame([(1, a), (2, b)],
+                              "doc_id bigint, text string"), "text")
+    row = m.where("doc_id = 1").first()
+    payload = bytes(row["media"])
+    frames = apng_frames(payload)
+    assert len(frames) == 2
+    w, h, pix = frames[0]
+    assert (w, h) == (16, 8)
+    assert pix == a[:128].encode()          # pixel-exact frame 0
+    assert frames[1][2] == a[128:].encode()
+
+    got = media_video_dhash(m, "media", "doc_id").collect()
+    sig = {(r["doc_id"], r["frame_idx"]):
+           (r["dhash_hi"], r["dhash_lo"]) for r in got}
+    assert len(sig) == 4
+    assert sig[(1, 0)] == sig[(2, 0)]       # shared first scene
+    assert sig[(1, 1)] != sig[(2, 1)]       # differing second scene
+
+    bad = bytearray(payload)
+    bad[-5] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        apng_frames(bytes(bad))
+    # truncating the last frame must trip the acTL count check
+    import struct
+    iend_at = payload.rfind(b"IEND") - 4
+    fdat_at = payload.rfind(b"fdAT") - 4
+    trunc = payload[:fdat_at] + payload[iend_at:]
+    with pytest.raises(ValueError, match="declares"):
+        apng_frames(trunc)
