@@ -2592,6 +2592,108 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_diff(orders, new.unionByName(ins), ["o_orderkey"])
 
 
+def _cdc_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic CDC fixture derived from orders: every order is
+    inserted at seq 1; keys ≡0 (mod 3) get a price update at seq 2;
+    keys ≡0 (mod 7) are deleted at seq 3. Integer cents throughout."""
+    o = _t(spark, sf_dir, "orders").sdf
+    base = o.select(
+        "o_orderkey", "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_c"))
+    ins = base.select("*", F.lit(1).cast("long").alias("seq"),
+                      F.lit("I").alias("op"))
+    upd = (base.filter(F.col("o_orderkey") % 3 == 0)
+               .select("o_orderkey", "o_custkey",
+                       (F.col("price_c") + 1000).alias("price_c"),
+                       F.lit(2).cast("long").alias("seq"),
+                       F.lit("U").alias("op")))
+    dele = (base.filter(F.col("o_orderkey") % 7 == 0)
+                .select("o_orderkey", "o_custkey", "price_c",
+                        F.lit(3).cast("long").alias("seq"),
+                        F.lit("D").alias("op")))
+    return ins.unionByName(upd).unionByName(dele)
+
+
+_CDC_LOG_SQL = """
+    SELECT o_orderkey, o_custkey,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c,
+           CAST(1 AS BIGINT) AS seq, 'I' AS op FROM orders
+    UNION ALL
+    SELECT o_orderkey, o_custkey,
+           CAST(floor(o_totalprice * 100) AS BIGINT) + 1000 AS price_c,
+           CAST(2 AS BIGINT) AS seq, 'U' AS op
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c,
+           CAST(3 AS BIGINT) AS seq, 'D' AS op
+    FROM orders WHERE o_orderkey % 7 = 0
+"""
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction: latest surviving version per key from an
+    I/U/D change log (Debezium / compacted-topic semantics). One hash
+    exchange on the key + a codegen'd row_number window — no join;
+    deleted keys vanish."""
+    from charmpandas_spark.operators.cdc import cdc_latest
+    return cdc_latest(_cdc_log(spark, sf_dir), ["o_orderkey"],
+                      "seq", "op")
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history from the same CDC log: per-version
+    [valid_from, valid_to) sequence intervals via a per-key lead
+    window; deletes close the last interval without emitting a row."""
+    from charmpandas_spark.operators.cdc import scd2_build
+    return scd2_build(_cdc_log(spark, sf_dir), ["o_orderkey"],
+                      "seq", "op")
+
+
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited
+    to the user's most recent view/click within 7 days (else the
+    'direct' bucket), then revenue rolls up per channel in integer
+    cents. Composes the join-free as-of window with a bounded-key
+    final aggregate; touches are pre-deduped per (user, ts) so the
+    as-of tie-break is deterministic in both engines."""
+    from charmpandas_spark.operators.asof import asof_join
+    ev = _t(spark, sf_dir, "events").sdf
+    conv = (ev.filter(F.col("event_type") == "purchase")
+              .select("event_id", "user_id", "ts", "value"))
+    touch = (ev.filter(F.col("event_type").isin("view", "click"))
+               .groupBy("user_id", "ts")
+               .agg(F.max("event_type").alias("channel")))
+    m = asof_join(conv, touch, "ts", "user_id", ["channel"],
+                  tolerance_us=7 * 24 * 3600 * 1_000_000)
+    return (m.groupBy(F.coalesce(F.col("channel_asof"), F.lit("direct"))
+                       .alias("channel"))
+             .agg(F.count(F.lit(1)).alias("n_conversions"),
+                  F.sum(F.floor(F.col("value") * 100).cast("long"))
+                   .cast("long").alias("revenue_c")))
+
+
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimation, gated: exact top-10
+    corpus tokens vs their CMS estimates with the never-undercount +
+    slacked-expectation bound encoded in the hashed ``ok`` column.
+    The sketch build's only exchange is groupBy (r, bucket) — bytes
+    moved O(tasks·depth·width), independent of corpus size."""
+    from charmpandas_spark.functions.sketches import cms_heavy_check
+    docs = _t(spark, sf_dir, "documents").sdf
+    return cms_heavy_check(docs, "text", k=10, depth=4, width=2048)
+
+
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over events: users cohorted by
+    first-event week, (cohort, offset) cells with active counts and
+    integer basis-point retention. One exchange on user_id reused by
+    the cohort join; cell table bounded by periods², not data size."""
+    from charmpandas_spark.operators.cohort import cohort_retention
+    events = _t(spark, sf_dir, "events").sdf
+    return cohort_retention(events, "user_id", "ts")
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view -> click -> purchase, each stage
     chained within 7 days of the previous stage's first completion.
@@ -3414,6 +3516,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_correctness.py runs ALL of them locally each round
     # (ADVICE r3: never depend on the driver's window size).
     return {
+        # --- (0b) NEW in r9 wave-3: warehouse/product-analytics
+        #     composites ---
+        "events_cohort_retention": q_events_cohort_retention,
+        "cdc_apply": q_cdc_apply,
+        "scd2_history": q_scd2_history,
+        "heavy_hitters_cms": q_heavy_hitters_cms,
+        "events_attribution": q_events_attribution,
         # --- (0) NEW or CHANGED in r9: IVF-PQ; sampled PQ/kmeans
         #     training + broadcast-codebook rewrite (sim_pq_topk,
         #     embedding_kmeans, dedup_semantic); PPJoin filters
@@ -3888,6 +3997,9 @@ def oracle_sql() -> dict[str, str]:
     from charmpandas_spark.functions.text import assign_shards_sql
     from charmpandas_spark.operators.merge import (
         merge_into_sql, table_diff_sql)
+    from charmpandas_spark.functions.sketches import cms_heavy_check_sql
+    from charmpandas_spark.operators.cdc import cdc_latest_sql, scd2_sql
+    from charmpandas_spark.operators.cohort import cohort_retention_sql
     from charmpandas_spark.operators.funnel import funnel_counts_sql
     from charmpandas_spark.operators.resample import resample_events_sql
     from charmpandas_spark.functions.sparse import (
@@ -4219,6 +4331,38 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 900000000 + i, 1, 10.0 "
             "FROM range(0, 5) r(i))",
             ["o_orderkey"], ["o_custkey", "o_totalprice"]),
+        "events_cohort_retention": cohort_retention_sql(
+            "events", "user_id", "ts"),
+        "cdc_apply": cdc_latest_sql(
+            _CDC_LOG_SQL, ["o_orderkey"], "seq", "op",
+            ["o_orderkey", "o_custkey", "price_c", "seq"]),
+        "scd2_history": scd2_sql(
+            _CDC_LOG_SQL, ["o_orderkey"], "seq", "op",
+            ["o_orderkey", "o_custkey", "price_c"]),
+        "heavy_hitters_cms": cms_heavy_check_sql(
+            "documents", "text", k=10, depth=4, width=2048),
+        "events_attribution": """
+            WITH conv AS (
+                SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'purchase'),
+            touch AS (
+                SELECT user_id, ts, max(event_type) AS channel
+                FROM events WHERE event_type IN ('view', 'click')
+                GROUP BY user_id, ts),
+            m AS (
+                SELECT c.event_id, c.value,
+                       CASE WHEN t.ts IS NOT NULL
+                             AND epoch_us(c.ts) - epoch_us(t.ts)
+                                 <= 604800000000
+                            THEN t.channel END AS ch
+                FROM conv c ASOF LEFT JOIN touch t
+                  ON c.user_id = t.user_id AND c.ts >= t.ts)
+            SELECT coalesce(ch, 'direct') AS channel,
+                   CAST(count(*) AS BIGINT) AS n_conversions,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_c
+            FROM m GROUP BY 1
+        """,
         "events_funnel": funnel_counts_sql(
             "events", ["view", "click", "purchase"],
             within_us=7 * 24 * 3600 * 1_000_000),

@@ -215,6 +215,12 @@ def bench_queries(spark, sf_dir):
         # replays stay excluded (their wall-clock is micro-batch
         # replay overhead, not engine throughput).
         "sim_ivfpq_topk",
+        # r9 wave-3: warehouse/product-analytics composites + CMS
+        "events_cohort_retention",
+        "cdc_apply",
+        "scd2_history",
+        "heavy_hitters_cms",
+        "events_attribution",
         "multimodal_png",
         "dsir_weights",
         "dsir_select",

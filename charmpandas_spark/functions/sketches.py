@@ -28,6 +28,9 @@ __all__ = [
     "approx_quantiles_check",
     "approx_distinct_check",
     "heavy_hitters",
+    "cms_build",
+    "cms_heavy_check",
+    "cms_heavy_check_sql",
 ]
 
 
@@ -168,3 +171,124 @@ def heavy_hitters(df: SparkDF, col: str, k: int = 10,
         return (counts.withColumn("rank", F.row_number().over(w))
                       .filter(F.col("rank") <= k))
     return counts.orderBy(F.col("freq").desc(), F.col(col).asc()).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch: frequency estimation / heavy hitters, oracle-replayable
+# ---------------------------------------------------------------------------
+
+def cms_build(items: SparkDF, col: str, depth: int = 4,
+              width: int = 2048, hash_fn: str = "md5") -> SparkDF:
+    """Count-min sketch over ``items[col]``: a ``(r, bucket, cnt)``
+    table of at most ``depth × width`` rows. Each item increments one
+    bucket per hash row; a point estimate is the MIN of its ``depth``
+    bucket counters — never an undercount, overcount bounded by
+    colliding mass (~N/width per row in expectation).
+
+    Scale: the only exchange is groupBy (r, bucket) — map-side partial
+    aggregation collapses every scan task to ≤ depth·width cells
+    before the shuffle, so bytes moved are O(tasks · depth · width),
+    independent of N. The sketch is mergeable across days/tables by
+    summing cnt on (r, bucket) — the streaming/incremental path.
+
+    ``hash_fn='md5'`` gives the bit-identical DuckDB twin (the hash64
+    md5 value is 60-bit non-negative, so plain ``%`` agrees across
+    engines); ``'xxhash64'`` is the fast production signer.
+    """
+    from .dedup import hash64
+
+    rows = F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("r")
+    return (items.select(F.col(col).alias("__it"), rows)
+                 .select("r", F.pmod(hash64(F.col("__it"), F.col("r"),
+                                            hash_fn),
+                                     F.lit(width)).alias("bucket"))
+                 .groupBy("r", "bucket")
+                 .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+
+
+def cms_heavy_check(docs: SparkDF, text_col: str, k: int = 10,
+                    depth: int = 4, width: int = 2048,
+                    slack_num: int = 8) -> SparkDF:
+    """CORRECTNESS-GATEABLE count-min heavy-hitters check (fourth leg
+    of the approx-gate family, after quantile/histogram/HLL): build a
+    CMS over the corpus's whitespace tokens, then for the EXACT top-k
+    most frequent terms emit the exact count, the CMS estimate, and
+    ``ok`` = ``freq <= est <= freq + slack_num·ceil(N/width)``. The
+    lower bound is a hard CMS guarantee; the upper is the expectation
+    bound with ``slack_num``× headroom, deterministic once data and
+    (md5) hashes are fixed — same doctrine as
+    :func:`approx_distinct_check`: the estimator's error bound is
+    itself part of the hashed result.
+
+    The exact top-k shuffle is the verification's cost; production
+    heavy-hitter queries use the sketch alone (point lookups against
+    depth·width cells).
+    """
+    from .dedup import hash64
+    from .text import normalize_text
+
+    terms = (docs.select(F.explode(F.split(normalize_text(text_col),
+                                           " ")).alias("term"))
+                 .where(F.col("term") != ""))
+    sketch = cms_build(terms, "term", depth=depth, width=width,
+                       hash_fn="md5")
+    total = terms.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    topk = (terms.groupBy("term")
+                 .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+                 .orderBy(F.col("freq").desc(), F.col("term").asc())
+                 .limit(k))
+    probes = (topk.select("term", "freq",
+                          F.explode(F.expr(f"sequence(0, {depth - 1})"))
+                           .alias("r"))
+                  .select("term", "freq", "r",
+                          F.pmod(hash64(F.col("term"), F.col("r"), "md5"),
+                                 F.lit(width)).alias("bucket")))
+    est = (probes.join(F.broadcast(sketch), ["r", "bucket"])
+                 .groupBy("term", "freq")
+                 .agg(F.min("cnt").alias("est")))
+    out = est.crossJoin(F.broadcast(total))
+    slack = F.lit(slack_num) * F.ceil(F.col("__n") / F.lit(width))
+    ok = ((F.col("est") >= F.col("freq"))
+          & (F.col("est") <= F.col("freq") + slack))
+    return out.select("term", "freq", "est", ok.alias("ok"))
+
+
+def cms_heavy_check_sql(table: str, text_expr: str, k: int = 10,
+                        depth: int = 4, width: int = 2048,
+                        slack_num: int = 8) -> str:
+    """DuckDB twin of :func:`cms_heavy_check` (md5 hash64 replay;
+    ties in the top-k broken by term ASC on both sides)."""
+    from .dedup import hash64_sql
+
+    norm = (f"trim(regexp_replace(lower({text_expr}), "
+            "'\\s+', ' ', 'g'))")
+    h = hash64_sql("term", "r")
+    return f"""
+        WITH terms AS (
+            SELECT UNNEST(string_split({norm}, ' ')) AS term
+            FROM {table}),
+        t AS (SELECT term FROM terms WHERE term <> ''),
+        total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+        rows_ AS (SELECT UNNEST(range(0, {depth})) AS r),
+        sketch AS (
+            SELECT r, ({h}) % {width} AS bucket,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM t CROSS JOIN rows_
+            GROUP BY 1, 2),
+        topk AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS freq
+            FROM t GROUP BY term
+            ORDER BY freq DESC, term ASC LIMIT {k}),
+        est AS (
+            SELECT term, freq, min(cnt) AS est
+            FROM (SELECT term, freq, r,
+                         ({h}) % {width} AS bucket
+                  FROM topk CROSS JOIN rows_) p
+            JOIN sketch USING (r, bucket)
+            GROUP BY term, freq)
+        SELECT term, freq, CAST(est AS BIGINT) AS est,
+               (est >= freq AND
+                est <= freq + {slack_num} * ceil(CAST(n AS DOUBLE)
+                                                 / {width})) AS ok
+        FROM est CROSS JOIN total
+    """

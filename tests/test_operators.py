@@ -70,3 +70,80 @@ def test_broadcast_join_forced(spark, li, orders):
     j = broadcast_join(li, o, "l_orderkey")
     assert "BroadcastHashJoin" in join_strategies(j.sdf)
     assert j.count() == li.join(o, "l_orderkey").count()
+
+
+# ---------------------------------------------------------------------------
+# cohort retention / CDC log processing
+# ---------------------------------------------------------------------------
+
+def test_cohort_retention_small(spark):
+    """Hand-computable cohort matrix: users 1-2 start week 0, user 3
+    starts week 1; user 1 returns week 1."""
+    import datetime as dt
+
+    from charmpandas_spark.operators.cohort import cohort_retention
+
+    def ts(day):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(days=day)
+
+    # per-DAY periods so cohort boundaries are exactly the test's
+    # day offsets (epoch weeks are not calendar-aligned)
+    rows = [(1, ts(0)), (2, ts(0)), (1, ts(1)), (3, ts(1))]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(r.cohort, r.week_offset): (r.n_active, r.cohort_size,
+                                       r.retention_bp)
+           for r in cohort_retention(ev, "user_id", "ts",
+                                     period_us=86400 * 10**6).collect()}
+    c0 = min(k[0] for k in out)
+    # day-0 cohort: 2 users, both active at offset 0; 1 returns day 1
+    assert out[(c0, 0)] == (2, 2, 10000)
+    assert out[(c0, 1)] == (1, 2, 5000)
+    # day-1 cohort: user 3 only
+    assert out[(c0 + 1, 0)] == (1, 1, 10000)
+    assert len(out) == 3
+
+
+def test_cdc_latest_semantics(spark):
+    from charmpandas_spark.operators.cdc import cdc_latest
+
+    log = spark.createDataFrame(
+        [(1, 1, "I", 10), (1, 2, "U", 20),            # update wins
+         (2, 1, "I", 30), (2, 2, "D", 0),             # deleted key
+         (3, 1, "I", 40),                             # plain insert
+         (4, 5, "U", 50), (4, 5, "D", 0)],            # same-seq: D wins
+        "k long, seq long, op string, v long")
+    out = {r.k: (r.seq, r.v)
+           for r in cdc_latest(log, ["k"], "seq", "op").collect()}
+    assert out == {1: (2, 20), 3: (1, 40)}
+
+
+def test_scd2_history_intervals(spark):
+    from charmpandas_spark.operators.cdc import scd2_build
+
+    log = spark.createDataFrame(
+        [(1, 1, "I", 10), (1, 3, "U", 20), (1, 7, "U", 30),
+         (2, 1, "I", 40), (2, 4, "D", 0)],
+        "k long, seq long, op string, v long")
+    rows = sorted(scd2_build(log, ["k"], "seq", "op").collect(),
+                  key=lambda r: (r.k, r.valid_from))
+    got = [(r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+           for r in rows]
+    assert got == [
+        (1, 10, 1, 3, False), (1, 20, 3, 7, False),
+        (1, 30, 7, None, True),
+        # delete closes the interval; key 2 has no current row
+        (2, 40, 1, 4, False),
+    ]
+
+
+def test_cdc_single_exchange_plan(spark):
+    """cdc_latest is one hash exchange on the key + a window — no
+    join operator anywhere in the plan."""
+    from charmpandas_spark.operators.cdc import cdc_latest
+
+    log = spark.createDataFrame(
+        [(1, 1, "I", 10)], "k long, seq long, op string, v long")
+    plan = cdc_latest(log, ["k"], "seq", "op") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1

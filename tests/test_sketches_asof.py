@@ -500,3 +500,66 @@ def test_ivfpq_roundtrip_prunes_and_ranks_duplicate_first(
     assert n_parts == 2, f"expected 2 probed partitions, read {n_parts}"
     assert list(got_pdf["item_id"]) == list(mem["item_id"])
     assert list(got_pdf["adc_micro"]) == list(mem["adc_micro"])
+
+
+def test_cms_never_undercounts_and_topk_exact(spark):
+    """CMS point estimates are >= exact counts for EVERY distinct
+    value (the hard guarantee), and with width >> distincts the top
+    terms estimate exactly."""
+    from pyspark.sql import functions as F
+
+    from charmpandas_spark.functions.sketches import cms_build
+
+    vals = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 5 + [("d",)] * 1
+    df = spark.createDataFrame(vals, "v string")
+    sk = cms_build(df, "v", depth=4, width=64, hash_fn="md5")
+    from charmpandas_spark.functions.dedup import hash64
+
+    exact = df.groupBy("v").agg(F.count(F.lit(1)).alias("freq"))
+    probes = (exact.select("v", "freq",
+                           F.explode(F.expr("sequence(0, 3)")).alias("r"))
+                   .select("v", "freq", "r",
+                           F.pmod(hash64(F.col("v"), F.col("r"), "md5"),
+                                  F.lit(64)).alias("bucket")))
+    est = (probes.join(sk, ["r", "bucket"])
+                 .groupBy("v", "freq").agg(F.min("cnt").alias("est"))
+                 .collect())
+    assert len(est) == 4
+    for row in est:
+        assert row.est >= row.freq  # never undercounts
+        assert row.est <= row.freq + 86  # total mass bound (N=86)
+
+
+def test_cms_heavy_check_gate_holds(spark, sf_dir):
+    from charmpandas_spark.functions.sketches import cms_heavy_check
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = cms_heavy_check(docs, "text", k=10, depth=4,
+                          width=2048).collect()
+    assert len(out) == 10
+    assert all(r.ok for r in out)
+    # top-k really are the heaviest: frequencies non-increasing order
+    freqs = sorted((r.freq for r in out), reverse=True)
+    assert freqs[0] >= freqs[-1] >= 1
+
+
+def test_cms_sketch_mergeable(spark):
+    """Summing two half-corpus sketches on (r, bucket) equals the
+    whole-corpus sketch — the incremental/streaming maintenance path."""
+    from pyspark.sql import functions as F
+
+    from charmpandas_spark.functions.sketches import cms_build
+
+    df = spark.createDataFrame([(f"w{i % 17}",) for i in range(200)],
+                               "v string")
+    a = df.filter(F.expr("length(v) >= 3"))
+    b = df.filter(F.expr("length(v) < 3"))
+    whole = cms_build(df, "v", depth=3, width=32, hash_fn="md5")
+    merged = (cms_build(a, "v", depth=3, width=32, hash_fn="md5")
+              .unionByName(cms_build(b, "v", depth=3, width=32,
+                                     hash_fn="md5"))
+              .groupBy("r", "bucket")
+              .agg(F.sum("cnt").alias("cnt")))
+    w = {(r.r, r.bucket): r.cnt for r in whole.collect()}
+    m = {(r.r, r.bucket): r.cnt for r in merged.collect()}
+    assert w == m
