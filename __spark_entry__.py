@@ -2650,6 +2650,22 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "seq", "op")
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count over the near-dup similarity graph (word
+    3-gram Jaccard >= 0.5 pairs as edges — duplicate clusters are
+    near-cliques, so triangle density is the cluster-quality signal).
+    Degree-oriented wedge generation bounds the blow-up at O(m^1.5);
+    the DuckDB oracle counts a<b<c edge triples — a different
+    formulation that must land on the identical count."""
+    from charmpandas_spark.functions.dedup import ngram_jaccard_pairs
+    from charmpandas_spark.operators.graph import triangle_count
+    docs = _t(spark, sf_dir, "documents").sdf
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id",
+                                n=3, threshold=0.5)
+    return triangle_count(pairs.select("doc_a", "doc_b"),
+                          "doc_a", "doc_b")
+
+
 def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch marketing attribution: every purchase is credited
     to the user's most recent view/click within 7 days (else the
@@ -3523,6 +3539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "heavy_hitters_cms": q_heavy_hitters_cms,
         "events_attribution": q_events_attribution,
+        "graph_triangles": q_graph_triangles,
         # --- (0) NEW or CHANGED in r9: IVF-PQ; sampled PQ/kmeans
         #     training + broadcast-codebook rewrite (sim_pq_topk,
         #     embedding_kmeans, dedup_semantic); PPJoin filters
@@ -4341,6 +4358,35 @@ def oracle_sql() -> dict[str, str]:
             ["o_orderkey", "o_custkey", "price_c"]),
         "heavy_hitters_cms": cms_heavy_check_sql(
             "documents", "text", k=10, depth=4, width=2048),
+        "graph_triangles": f"""
+            WITH base AS (
+                SELECT doc_id, {word_shingles_sql('text', 3)} AS sh
+                FROM documents),
+            sz AS (SELECT doc_id, len(sh) AS sz, sh FROM base),
+            inv0 AS (SELECT doc_id, sz, unnest(sh) AS shingle FROM sz),
+            {_capped_inv_cte()},
+            p AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.sz AS sz_a, b.sz AS sz_b, count(*) AS common
+                FROM inv a JOIN inv b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4),
+            e AS (
+                SELECT doc_a AS a, doc_b AS b FROM p
+                WHERE FLOOR(CAST(common AS DOUBLE)
+                      / (sz_a + sz_b - common) * 10000) / 10000 >= 0.5),
+            nodes AS (
+                SELECT a AS v FROM e UNION SELECT b FROM e),
+            tri AS (
+                SELECT count(*) AS n_triangles
+                FROM e e1 JOIN e e2 ON e1.b = e2.a
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes)
+                       AS n_nodes,
+                   (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+                   CAST(n_triangles AS BIGINT) AS n_triangles
+            FROM tri
+        """,
         "events_attribution": """
             WITH conv AS (
                 SELECT event_id, user_id, ts, value FROM events

@@ -221,6 +221,7 @@ def bench_queries(spark, sf_dir):
         "scd2_history",
         "heavy_hitters_cms",
         "events_attribution",
+        "graph_triangles",
         "multimodal_png",
         "dsir_weights",
         "dsir_select",

@@ -147,3 +147,27 @@ def test_cdc_single_exchange_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 plus a pendant edge: C(4,3)=4 triangles; duplicates,
+    reversed edges and self-loops are normalized away."""
+    from charmpandas_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = k4 + [(4, 5)] + [(2, 1), (3, 3), (1, 2)]  # noise
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = triangle_count(df).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (5, 7, 4)
+
+
+def test_triangle_count_star_has_none(spark):
+    """A hub star has many wedges but zero triangles — the degree
+    orientation keeps the hub from fanning out d^2 wedges (hub is
+    always the HIGH end of every edge, so it generates none)."""
+    from charmpandas_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame([(0, i) for i in range(1, 40)],
+                               "src long, dst long")
+    row = triangle_count(df).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (40, 39, 0)
