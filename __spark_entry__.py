@@ -2650,6 +2650,59 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "seq", "op")
 
 
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly profile: per event type, exact median + MAD of
+    the value (integer cents) and the count of |x−med| > 3·MAD
+    outliers — the heavy-tail-safe alternative to z-scores. Exact
+    percentiles interpolate only to .5 halves on integer units, so
+    the doubles hash identically cross-engine."""
+    from charmpandas_spark.functions.profile import mad_outliers
+    ev = _t(spark, sf_dir, "events").sdf
+    base = ev.select("event_type",
+                     F.floor(F.col("value") * 100).cast("long")
+                      .alias("cents"))
+    return mad_outliers(base, "cents", ["event_type"], k=3.0)
+
+
+def q_events_ewm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated integer-weight EWM of per-user event values (16
+    terms, α=0.2): the pandas ewm().mean() feature re-expressed as
+    one keyed window pass with micro-unit weights — distributed,
+    codegen'd, and bit-identical across engines (the recurrence form
+    is order-dependent in floats and cannot hash-verify)."""
+    from charmpandas_spark.operators.ewm import ewm_mean
+    ev = _t(spark, sf_dir, "events").sdf
+    base = ev.select("event_id", "user_id", "ts",
+                     F.floor(F.col("value") * 100).cast("long")
+                      .alias("cents"))
+    out = ewm_mean(base, "cents", "ts", "user_id")
+    return out.select("event_id", "user_id", "cents", "ewm")
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-dup CLUSTERS (not
+    documents) are the split unit, so no near-duplicate pair can
+    straddle train and test — the contamination mode a doc-hash split
+    cannot prevent. Composes min-label clustering with the stable
+    hash-range splitter keyed on cluster id; the hashed output carries
+    per-split doc/cluster counts plus the straddle gate (must be 0)."""
+    from charmpandas_spark.functions.dedup import dedup_clusters
+    from charmpandas_spark.functions.sampling import assign_splits
+    docs = _t(spark, sf_dir, "documents").sdf
+    cl = dedup_clusters(docs, "text", "doc_id", threshold=0.5, n=3)
+    sp = assign_splits(cl, "cluster",
+                       {"train": 0.8, "val": 0.1, "test": 0.1},
+                       hash_fn="md5")
+    strad = (sp.groupBy("cluster")
+               .agg(F.count_distinct("split").alias("ns"))
+               .agg(F.sum(F.when(F.col("ns") > 1, 1).otherwise(0))
+                     .cast("long").alias("straddling_clusters")))
+    return (sp.groupBy("split")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.count_distinct("cluster").alias("n_clusters"))
+              .crossJoin(F.broadcast(strad)))
+
+
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count over the near-dup similarity graph (word
     3-gram Jaccard >= 0.5 pairs as edges — duplicate clusters are
@@ -3540,6 +3593,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_cms": q_heavy_hitters_cms,
         "events_attribution": q_events_attribution,
         "graph_triangles": q_graph_triangles,
+        "leakage_safe_split": q_leakage_safe_split,
+        "events_ewm": q_events_ewm,
+        "events_anomaly_mad": q_events_anomaly_mad,
         # --- (0) NEW or CHANGED in r9: IVF-PQ; sampled PQ/kmeans
         #     training + broadcast-codebook rewrite (sim_pq_topk,
         #     embedding_kmeans, dedup_semantic); PPJoin filters
@@ -4017,6 +4073,8 @@ def oracle_sql() -> dict[str, str]:
     from charmpandas_spark.functions.sketches import cms_heavy_check_sql
     from charmpandas_spark.operators.cdc import cdc_latest_sql, scd2_sql
     from charmpandas_spark.operators.cohort import cohort_retention_sql
+    from charmpandas_spark.functions.profile import mad_outliers_sql
+    from charmpandas_spark.operators.ewm import ewm_mean_sql
     from charmpandas_spark.operators.funnel import funnel_counts_sql
     from charmpandas_spark.operators.resample import resample_events_sql
     from charmpandas_spark.functions.sparse import (
@@ -4358,6 +4416,62 @@ def oracle_sql() -> dict[str, str]:
             ["o_orderkey", "o_custkey", "price_c"]),
         "heavy_hitters_cms": cms_heavy_check_sql(
             "documents", "text", k=10, depth=4, width=2048),
+        "events_anomaly_mad": mad_outliers_sql(
+            "events", "CAST(floor(value * 100) AS BIGINT)",
+            ["event_type"], k=3.0),
+        "events_ewm": (
+            "SELECT event_id, user_id, cents, ewm FROM ("
+            + ewm_mean_sql(
+                "SELECT event_id, user_id, ts, "
+                "CAST(floor(value * 100) AS BIGINT) AS cents "
+                "FROM events", "cents", "ts", "user_id")
+            + ")"),
+        "leakage_safe_split": f"""
+            WITH RECURSIVE base AS (
+                SELECT doc_id, {word_shingles_sql('text', 3)} AS sh
+                FROM documents),
+            sz AS (SELECT doc_id, len(sh) AS sz, sh FROM base),
+            inv0 AS (SELECT doc_id, sz, unnest(sh) AS shingle FROM sz),
+            {_capped_inv_cte()},
+            p AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.sz AS sz_a, b.sz AS sz_b, count(*) AS common
+                FROM inv a JOIN inv b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4),
+            jp AS (
+                SELECT doc_a, doc_b FROM p
+                WHERE FLOOR(CAST(common AS DOUBLE)
+                      / (sz_a + sz_b - common) * 10000) / 10000 >= 0.5),
+            edges AS (SELECT doc_a AS s, doc_b AS d FROM jp
+                      UNION SELECT doc_b, doc_a FROM jp),
+            reach(v, u) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT reach.v, e.d FROM reach
+                JOIN edges e ON reach.u = e.s),
+            cl AS (SELECT v AS doc, MIN(u) AS cluster
+                   FROM reach GROUP BY v),
+            sp AS (
+                SELECT doc, cluster,
+                       CASE WHEN ({dedup_mod.hash64_sql(
+                           "CAST(cluster AS VARCHAR)")}) % 10000 < 8000
+                            THEN 'train'
+                            WHEN ({dedup_mod.hash64_sql(
+                           "CAST(cluster AS VARCHAR)")}) % 10000 < 9000
+                            THEN 'val' ELSE 'test' END AS split
+                FROM cl),
+            strad AS (
+                SELECT CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS straddling_clusters
+                FROM (SELECT cluster, count(DISTINCT split) AS ns
+                      FROM sp GROUP BY cluster))
+            SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+                   straddling_clusters
+            FROM sp CROSS JOIN strad
+            GROUP BY split, straddling_clusters
+        """,
         "graph_triangles": f"""
             WITH base AS (
                 SELECT doc_id, {word_shingles_sql('text', 3)} AS sh

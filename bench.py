@@ -222,6 +222,9 @@ def bench_queries(spark, sf_dir):
         "heavy_hitters_cms",
         "events_attribution",
         "graph_triangles",
+        "leakage_safe_split",
+        "events_ewm",
+        "events_anomaly_mad",
         "multimodal_png",
         "dsir_weights",
         "dsir_select",

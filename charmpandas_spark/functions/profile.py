@@ -25,6 +25,8 @@ __all__ = [
     "pii_scan_sql",
     "join_blowup_profile",
     "join_blowup_profile_sql",
+    "mad_outliers",
+    "mad_outliers_sql",
 ]
 
 
@@ -435,4 +437,70 @@ def histogram_equidepth_sql(t: str, x_expr: str, buckets: int) -> str:
                    / 10000 AS hi,
                CAST(count(*) AS BIGINT) AS n
         FROM assigned GROUP BY bucket
+    """
+
+
+# ---------------------------------------------------------------------------
+# robust (median/MAD) outlier profiling
+# ---------------------------------------------------------------------------
+
+def mad_outliers(df: SparkDF, col: str, by: list[str],
+                 k: float = 3.0) -> SparkDF:
+    """Robust per-group outlier profile: exact median, median absolute
+    deviation, and the count of rows with ``|x - median| > k·MAD`` —
+    the standard heavy-tail-safe alternative to mean/stddev z-scores
+    (one huge outlier corrupts a z-score threshold; it barely moves a
+    median). ``col`` should be integer units (cents/micros): medians
+    then interpolate only to exact .5 halves, so the doubles are
+    bit-identical across engines.
+
+    Plan: two grouped exact-percentile aggregations with a broadcast
+    join between them (group cardinality rows, not data rows) and one
+    final grouped count — the data shuffles on ``by`` once per
+    percentile pass. Exact medians are the verification-grade path;
+    the 100 TB production path swaps in ``percentile_approx`` with
+    the same shape (see ``approx_quantiles_check`` for how the bound
+    is then gated).
+    """
+    med = (df.groupBy(*by)
+             .agg(F.expr(f"percentile({col}, 0.5)").alias("med")))
+    dev = (df.join(F.broadcast(med), by)
+             .withColumn("__dev", F.abs(F.col(col) - F.col("med"))))
+    mad = (dev.groupBy(*by)
+              .agg(F.expr("percentile(__dev, 0.5)").alias("mad"),
+                   F.first("med").alias("med")))
+    out = (dev.select(*by, "__dev")
+              .join(F.broadcast(mad.select(*by, "mad")), by)
+              .groupBy(*by)
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.when(F.col("__dev") > F.lit(k) * F.col("mad"),
+                                1).otherwise(0))
+                    .cast("long").alias("n_outliers")))
+    return (out.join(F.broadcast(mad), by)
+               .select(*by, "n", "med", "mad", "n_outliers"))
+
+
+def mad_outliers_sql(t: str, x_expr: str, by: list[str],
+                     k: float = 3.0) -> str:
+    """DuckDB twin of :func:`mad_outliers` (``quantile_cont`` is the
+    same linear-interpolated exact percentile)."""
+    bys = ", ".join(by)
+    return f"""
+        WITH base AS (SELECT {bys}, {x_expr} AS x FROM {t}),
+        med AS (
+            SELECT {bys}, quantile_cont(x, 0.5) AS med
+            FROM base GROUP BY {bys}),
+        dev AS (
+            SELECT b.*, abs(b.x - m.med) AS d, m.med
+            FROM base b JOIN med m USING ({bys})),
+        mad AS (
+            SELECT {bys}, quantile_cont(d, 0.5) AS mad,
+                   first(med) AS med
+            FROM dev GROUP BY {bys})
+        SELECT {bys}, CAST(count(*) AS BIGINT) AS n,
+               first(m.med) AS med, first(m.mad) AS mad,
+               CAST(sum(CASE WHEN d.d > {k} * m.mad THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers
+        FROM dev d JOIN mad m USING ({bys})
+        GROUP BY {bys}
     """

@@ -171,3 +171,72 @@ def test_triangle_count_star_has_none(spark):
                                "src long, dst long")
     row = triangle_count(df).collect()[0]
     assert (row.n_nodes, row.n_edges, row.n_triangles) == (40, 39, 0)
+
+
+def test_ewm_matches_pandas_within_truncation(spark):
+    """Truncated integer EWM tracks pandas ewm(adjust=True).mean()
+    to within truncation + integer-floor tolerance."""
+    import pandas as pd
+
+    from charmpandas_spark.operators.ewm import ewm_mean
+
+    vals = [100, 200, 50, 400, 300, 250, 120, 80, 600, 90]
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, t long, x long")
+    out = {r.t: r.ewm
+           for r in ewm_mean(df, "x", "t", "k", alpha=0.2,
+                             terms=16).collect()}
+    expect = pd.Series(vals, dtype="float64").ewm(
+        alpha=0.2, adjust=True).mean()
+    for i in range(len(vals)):
+        # truncation tail < 0.3% of mass; floor-div adds < 1
+        assert abs(out[i] - expect[i]) <= max(2.0, 0.004 * expect[i])
+
+
+def test_ewm_first_row_is_identity_and_keys_isolated(spark):
+    from charmpandas_spark.operators.ewm import ewm_mean
+
+    rows = [(1, 0, 500), (1, 1, 100), (2, 0, 900)]
+    df = spark.createDataFrame(rows, "k long, t long, x long")
+    out = {(r.k, r.t): r.ewm
+           for r in ewm_mean(df, "x", "t", "k").collect()}
+    assert out[(1, 0)] == 500          # single-term average = x
+    assert out[(2, 0)] == 900          # other key unaffected
+    # second row: (100*1e6 + 500*8e5) div (1.8e6) = 277...
+    assert out[(1, 1)] == (100 * 1_000_000 + 500 * 800_000) \
+        // 1_800_000
+
+
+def test_ewm_single_window_pass(spark):
+    """All 16 lags share one window spec -> exactly one Window node
+    and one exchange in the plan."""
+    from charmpandas_spark.operators.ewm import ewm_mean
+
+    df = spark.createDataFrame([(1, 0, 1)], "k long, t long, x long")
+    plan = ewm_mean(df, "x", "t", "k") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") == 1
+
+
+def test_leakage_safe_split_no_straddle(spark, sf_dir):
+    import __spark_entry__ as e
+
+    rows = e.queries()["leakage_safe_split"](spark, sf_dir).collect()
+    assert rows and all(r.straddling_clusters == 0 for r in rows)
+    assert sum(r.n_docs for r in rows) > 0
+
+
+def test_mad_outliers_robust_to_extreme_point(spark):
+    """One enormous outlier must be counted WITHOUT dragging the
+    threshold (the z-score failure mode the median/MAD fix)."""
+    from charmpandas_spark.functions.profile import mad_outliers
+
+    xs = [100, 102, 98, 101, 99, 103, 97, 100, 1_000_000]
+    df = spark.createDataFrame([("a", x) for x in xs],
+                               "g string, x long")
+    row = mad_outliers(df, "x", ["g"], k=3.0).collect()[0]
+    assert row.n == 9
+    assert row.med == 100.0     # median untouched by the outlier
+    assert row.mad == 2.0
+    assert row.n_outliers == 1  # only the planted point
