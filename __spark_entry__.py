@@ -2719,6 +2719,22 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "doc_a", "doc_b")
 
 
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the near-dup similarity graph via 6 unrolled peeling
+    rounds (drop degree<2 nodes, restrict, repeat) — isolates the
+    cyclic duplicate clusters from mere pair bridges. The hashed
+    output carries a convergence flag computed from the final graph,
+    so the fixed iteration budget cannot silently under-peel; the
+    oracle unrolls the same peel as a MATERIALIZED CTE chain."""
+    from charmpandas_spark.functions.dedup import ngram_jaccard_pairs
+    from charmpandas_spark.operators.graph import k_core
+    docs = _t(spark, sf_dir, "documents").sdf
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id",
+                                n=3, threshold=0.5)
+    return k_core(pairs.select("doc_a", "doc_b"), k=2, iterations=6,
+                  src="doc_a", dst="doc_b")
+
+
 def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch marketing attribution: every purchase is credited
     to the user's most recent view/click within 7 days (else the
@@ -3596,6 +3612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "events_ewm": q_events_ewm,
         "events_anomaly_mad": q_events_anomaly_mad,
+        "graph_kcore": q_graph_kcore,
         # --- (0) NEW or CHANGED in r9: IVF-PQ; sampled PQ/kmeans
         #     training + broadcast-codebook rewrite (sim_pq_topk,
         #     embedding_kmeans, dedup_semantic); PPJoin filters
@@ -4471,6 +4488,26 @@ def oracle_sql() -> dict[str, str]:
                    straddling_clusters
             FROM sp CROSS JOIN strad
             GROUP BY split, straddling_clusters
+        """,
+        "graph_kcore": f"""
+            WITH base AS (
+                SELECT doc_id, {word_shingles_sql('text', 3)} AS sh
+                FROM documents),
+            sz AS (SELECT doc_id, len(sh) AS sz, sh FROM base),
+            inv0 AS (SELECT doc_id, sz, unnest(sh) AS shingle FROM sz),
+            {_capped_inv_cte()},
+            p AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.sz AS sz_a, b.sz AS sz_b, count(*) AS common
+                FROM inv a JOIN inv b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4),
+            {__import__('charmpandas_spark.operators.graph',
+                        fromlist=['k_core_sql']).k_core_sql(
+                '''SELECT doc_a AS a, doc_b AS b FROM p
+                   WHERE FLOOR(CAST(common AS DOUBLE)
+                         / (sz_a + sz_b - common) * 10000) / 10000
+                         >= 0.5''', 2, 6)}
         """,
         "graph_triangles": f"""
             WITH base AS (

@@ -225,6 +225,7 @@ def bench_queries(spark, sf_dir):
         "leakage_safe_split",
         "events_ewm",
         "events_anomaly_mad",
+        "graph_kcore",
         "multimodal_png",
         "dsir_weights",
         "dsir_select",

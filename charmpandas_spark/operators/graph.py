@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame as SparkDF, functions as F
 
-__all__ = ["triangle_count"]
+__all__ = ["triangle_count", "k_core", "k_core_sql"]
 
 
 def triangle_count(edges: SparkDF, src: str = "src",
@@ -40,11 +40,17 @@ def triangle_count(edges: SparkDF, src: str = "src",
     — nodes are edge endpoints (isolated vertices are not the edge
     list's business).
     """
+    from pyspark import StorageLevel
+
     a, b = F.col(src), F.col(dst)
+    # persist: the edge subtree (often an expensive similarity join)
+    # is referenced by degrees, orientation, closure and the edge
+    # count — without a pin Spark recomputes it for each
     und = (edges.select(F.least(a, b).alias("a"),
                         F.greatest(a, b).alias("b"))
                 .where(F.col("a") != F.col("b"))
-                .distinct())
+                .distinct()
+                .persist(StorageLevel.MEMORY_AND_DISK))
     deg = (und.select(F.col("a").alias("v"))
               .unionAll(und.select(F.col("b").alias("v")))
               .groupBy("v").agg(F.count(F.lit(1)).alias("deg")))
@@ -74,3 +80,80 @@ def triangle_count(edges: SparkDF, src: str = "src",
     n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     n_edges = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+
+
+def k_core(edges: SparkDF, k: int = 2, iterations: int = 6,
+           src: str = "src", dst: str = "dst") -> SparkDF:
+    """Extract the k-core (maximal subgraph where every node has
+    degree >= k) by ``iterations`` rounds of synchronous peeling:
+    drop all nodes of degree < k, restrict the edge set, repeat.
+
+    Returns ONE row ``(n_nodes, n_edges, converged)`` — ``converged``
+    is computed from the FINAL graph (no surviving node is below k),
+    so a fixed iteration budget stays honest: if peeling hasn't
+    reached the fixed point the flag says so in the hashed output.
+
+    Scale: each round is two hash exchanges (degree count on node,
+    semi-join back on each endpoint) over a monotonically SHRINKING
+    edge set; ``localCheckpoint`` truncates the growing loop lineage
+    exactly like the min-label connected-components loop. Real
+    deployments size ``iterations`` to the graph's degeneracy-peel
+    depth — social/web/similarity graphs fix-point in a handful of
+    rounds because peeling cascades are shallow.
+    """
+    a, b = F.col(src), F.col(dst)
+    cur = (edges.select(F.least(a, b).alias("a"),
+                        F.greatest(a, b).alias("b"))
+                .where(F.col("a") != F.col("b"))
+                .distinct()
+                .localCheckpoint())
+    for _ in range(iterations):
+        deg = (cur.select(F.col("a").alias("v"))
+                  .unionAll(cur.select(F.col("b").alias("v")))
+                  .groupBy("v").agg(F.count(F.lit(1)).alias("deg")))
+        keep = deg.where(F.col("deg") >= k).select("v")
+        cur = (cur.join(keep.withColumnRenamed("v", "a"), "a",
+                        "left_semi")
+                  .join(keep.withColumnRenamed("v", "b"), "b",
+                        "left_semi")
+                  .select("a", "b")
+                  .localCheckpoint())
+    deg = (cur.select(F.col("a").alias("v"))
+              .unionAll(cur.select(F.col("b").alias("v")))
+              .groupBy("v").agg(F.count(F.lit(1)).alias("deg")))
+    stats = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.coalesce(F.min("deg"), F.lit(k)).alias("__mindeg"))
+    n_edges = cur.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (stats.crossJoin(n_edges)
+                 .select("n_nodes", "n_edges",
+                         (F.col("__mindeg") >= k).alias("converged")))
+
+
+def k_core_sql(edges_sql: str, k: int = 2, iterations: int = 6) -> str:
+    """DuckDB twin of :func:`k_core` as a CTE-chain fragment (the
+    peel loop unrolled, each stage MATERIALIZED because DuckDB
+    inlines multiply-referenced CTEs). ``edges_sql`` must yield the
+    canonical distinct (a, b) edge list; the caller splices this
+    after its own WITH clauses."""
+    parts = [f"e0 AS MATERIALIZED ({edges_sql})"]
+    for i in range(iterations):
+        parts.append(f"""d{i} AS MATERIALIZED (
+            SELECT v, count(*) AS deg FROM (
+                SELECT a AS v FROM e{i} UNION ALL SELECT b FROM e{i})
+            GROUP BY v)""")
+        parts.append(f"""e{i + 1} AS MATERIALIZED (
+            SELECT a, b FROM e{i}
+            WHERE a IN (SELECT v FROM d{i} WHERE deg >= {k})
+              AND b IN (SELECT v FROM d{i} WHERE deg >= {k}))""")
+    t = iterations
+    parts.append(f"""dfin AS MATERIALIZED (
+        SELECT v, count(*) AS deg FROM (
+            SELECT a AS v FROM e{t} UNION ALL SELECT b FROM e{t})
+        GROUP BY v)""")
+    final = (f"SELECT (SELECT CAST(count(*) AS BIGINT) FROM dfin) "
+             f"AS n_nodes, "
+             f"(SELECT CAST(count(*) AS BIGINT) FROM e{t}) AS n_edges, "
+             f"coalesce((SELECT min(deg) FROM dfin), {k}) >= {k} "
+             f"AS converged")
+    return ",\n".join(parts) + "\n" + final

@@ -240,3 +240,28 @@ def test_mad_outliers_robust_to_extreme_point(spark):
     assert row.med == 100.0     # median untouched by the outlier
     assert row.mad == 2.0
     assert row.n_outliers == 1  # only the planted point
+
+
+def test_k_core_peels_tail_and_converges(spark):
+    """Triangle + pendant path: the 2-core is exactly the triangle
+    (the path peels away over two cascading rounds)."""
+    from charmpandas_spark.operators.graph import k_core
+
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = k_core(df, k=2, iterations=4).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.converged) == (3, 3, True)
+
+
+def test_k_core_unconverged_flag_is_honest(spark):
+    """A long pendant chain needs one peel per hop; with a 1-round
+    budget the convergence flag must report False."""
+    from charmpandas_spark.operators.graph import k_core
+
+    chain = [(i, i + 1) for i in range(6)] + [(10, 11), (11, 12),
+                                              (10, 12)]
+    df = spark.createDataFrame(chain, "src long, dst long")
+    row = k_core(df, k=2, iterations=1).collect()[0]
+    assert row.converged is False
+    full = k_core(df, k=2, iterations=6).collect()[0]
+    assert (full.n_nodes, full.n_edges, full.converged) == (3, 3, True)
