@@ -2719,6 +2719,65 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "doc_a", "doc_b")
 
 
+def q_events_attribution_linear(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """LINEAR multi-touch attribution (complement of the last-touch
+    entry): every view/click in the 7 days before a purchase shares
+    the conversion credit and revenue equally, in integer micro-units
+    (1e6 div k per touch) so the split is exact cross-engine.
+    Purchases with no touch fall to 'direct' with full credit. One
+    user-key range join + a per-conversion window count — no
+    driver-side loops, no floats."""
+    ev = _t(spark, sf_dir, "events").sdf
+    conv = (ev.filter(F.col("event_type") == "purchase")
+              .select(F.col("event_id").alias("cid"),
+                      F.col("user_id").alias("cu"),
+                      F.col("ts").alias("cts"),
+                      F.floor(F.col("value") * 100).cast("long")
+                       .alias("cents")))
+    touch = (ev.filter(F.col("event_type").isin("view", "click"))
+               .select(F.col("user_id").alias("tu"),
+                       F.col("ts").alias("tts"),
+                       F.col("event_type").alias("channel")))
+    win_us = 7 * 24 * 3600 * 1_000_000
+    hit = conv.join(
+        touch,
+        (F.col("cu") == F.col("tu"))
+        & (F.col("tts") <= F.col("cts"))
+        & (F.expr(f"unix_micros(cts) - unix_micros(tts) <= {win_us}")))
+    from pyspark.sql import Window
+    k = F.count(F.lit(1)).over(Window.partitionBy("cid"))
+    per = hit.select("cid", "cents", "channel", k.alias("k"))
+    touched = (per.groupBy("channel")
+                  .agg(F.sum(F.expr("1000000 div k")).cast("long")
+                        .alias("credit_micro"),
+                       F.sum(F.expr("(cents * 1000000) div k"))
+                        .cast("long").alias("revenue_micro")))
+    direct = (conv.join(per.select("cid").distinct(), "cid",
+                        "left_anti")
+                  .agg(F.count(F.lit(1)).cast("long").alias("nd"),
+                       F.coalesce(F.sum("cents"), F.lit(0))
+                        .cast("long").alias("sc"))
+                  .select(F.lit("direct").alias("channel"),
+                          (F.col("nd") * 1_000_000)
+                          .cast("long").alias("credit_micro"),
+                          (F.col("sc") * 1_000_000)
+                          .cast("long").alias("revenue_micro")))
+    return touched.unionByName(direct)
+
+
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap across event types by HLL
+    inclusion-exclusion (sketch merge, never a data rescan) gated
+    against the exact distinct-user intersection — the ad-tech reach
+    primitive; at 100 TB per-segment sketches are built once and every
+    overlap is sketch algebra."""
+    from charmpandas_spark.functions.sketches import \
+        audience_overlap_check
+    ev = _t(spark, sf_dir, "events").sdf
+    return audience_overlap_check(ev, "event_type", "user_id")
+
+
 def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the near-dup similarity graph via 6 unrolled peeling
     rounds (drop degree<2 nodes, restrict, repeat) — isolates the
@@ -3613,6 +3672,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ewm": q_events_ewm,
         "events_anomaly_mad": q_events_anomaly_mad,
         "graph_kcore": q_graph_kcore,
+        "audience_overlap": q_audience_overlap,
+        "events_attribution_linear": q_events_attribution_linear,
         # --- (0) NEW or CHANGED in r9: IVF-PQ; sampled PQ/kmeans
         #     training + broadcast-codebook rewrite (sim_pq_topk,
         #     embedding_kmeans, dedup_semantic); PPJoin filters
@@ -4488,6 +4549,56 @@ def oracle_sql() -> dict[str, str]:
                    straddling_clusters
             FROM sp CROSS JOIN strad
             GROUP BY split, straddling_clusters
+        """,
+        "events_attribution_linear": """
+            WITH conv AS (
+                SELECT event_id AS cid, user_id AS cu, ts AS cts,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events WHERE event_type = 'purchase'),
+            touch AS (
+                SELECT user_id AS tu, ts AS tts,
+                       event_type AS channel
+                FROM events WHERE event_type IN ('view', 'click')),
+            hit AS (
+                SELECT c.cid, c.cents, t.channel,
+                       count(*) OVER (PARTITION BY c.cid) AS k
+                FROM conv c JOIN touch t
+                  ON c.cu = t.tu AND t.tts <= c.cts
+                 AND epoch_us(c.cts) - epoch_us(t.tts)
+                     <= 604800000000),
+            touched AS (
+                SELECT channel,
+                       CAST(sum(1000000 // k) AS BIGINT)
+                           AS credit_micro,
+                       CAST(sum((cents * 1000000) // k) AS BIGINT)
+                           AS revenue_micro
+                FROM hit GROUP BY channel),
+            direct AS (
+                SELECT 'direct' AS channel,
+                       CAST(count(*) * 1000000 AS BIGINT)
+                           AS credit_micro,
+                       CAST(coalesce(sum(cents), 0) * 1000000
+                            AS BIGINT) AS revenue_micro
+                FROM conv WHERE cid NOT IN (SELECT cid FROM hit))
+            SELECT * FROM touched UNION ALL SELECT * FROM direct
+        """,
+        "audience_overlap": """
+            WITH sets AS (
+                SELECT DISTINCT event_type AS s,
+                       CAST(user_id AS VARCHAR) AS k
+                FROM events),
+            ex AS (
+                SELECT x.s AS set_a, y.s AS set_b,
+                       CAST(count(*) AS BIGINT) AS n_both
+                FROM sets x JOIN sets y USING (k)
+                WHERE x.s < y.s GROUP BY 1, 2),
+            sz AS (SELECT s, CAST(count(*) AS BIGINT) AS n
+                   FROM sets GROUP BY s)
+            SELECT a.s AS set_a, b.s AS set_b,
+                   a.n AS n_a, b.n AS n_b,
+                   coalesce(e.n_both, 0) AS n_both, true AS ok
+            FROM sz a JOIN sz b ON a.s < b.s
+            LEFT JOIN ex e ON e.set_a = a.s AND e.set_b = b.s
         """,
         "graph_kcore": f"""
             WITH base AS (

@@ -226,6 +226,8 @@ def bench_queries(spark, sf_dir):
         "events_ewm",
         "events_anomaly_mad",
         "graph_kcore",
+        "audience_overlap",
+        "events_attribution_linear",
         "multimodal_png",
         "dsir_weights",
         "dsir_select",

@@ -31,6 +31,7 @@ __all__ = [
     "cms_build",
     "cms_heavy_check",
     "cms_heavy_check_sql",
+    "audience_overlap_check",
 ]
 
 
@@ -292,3 +293,60 @@ def cms_heavy_check_sql(table: str, text_expr: str, k: int = 10,
                                                  / {width})) AS ok
         FROM est CROSS JOIN total
     """
+
+
+# ---------------------------------------------------------------------------
+# HLL set-algebra: audience overlap by inclusion-exclusion, gated
+# ---------------------------------------------------------------------------
+
+def audience_overlap_check(df: SparkDF, set_col: str, key_col: str,
+                           lg_k: int = 14,
+                           rel_tol: float = 0.10,
+                           abs_tol: int = 32) -> SparkDF:
+    """CORRECTNESS-GATEABLE audience overlap: for every pair of
+    ``set_col`` values (a < b), estimate |A ∩ B| over ``key_col`` by
+    HLL inclusion-exclusion — ``est(A) + est(B) − est(A ∪ B)`` with
+    the union computed by MERGING the two sketches (never rescanning
+    the data: the ad-tech / reach-dedup primitive, and the reason HLL
+    beats exact distinct at 100 TB — per-segment sketches are built
+    once, every pairwise overlap is then sketch algebra on k·2^lg_k
+    bytes). The hashed output carries the EXACT overlap and ``ok`` =
+    |est − exact| ≤ max(rel_tol·|A∪B|, abs_tol) — three compounding
+    HLL estimates, so the tolerance is wider than the single-sketch
+    gate in :func:`approx_distinct_check`. The sketch estimates
+    themselves are implementation-defined and stay OUT of the hashed
+    columns (same doctrine as every approx gate here).
+
+    The exact pair overlap pays a distinct + self-join on the key —
+    verification cost only; production uses the sketch path alone.
+    """
+    sets = df.select(F.col(set_col).alias("s"),
+                     F.col(key_col).cast("string").alias("k")).distinct()
+    sk = (sets.groupBy("s")
+              .agg(F.hll_sketch_agg("k", F.lit(lg_k)).alias("hll"),
+                   F.count(F.lit(1)).cast("long").alias("n_exact")))
+    a = sk.select(F.col("s").alias("set_a"), F.col("hll").alias("ha"),
+                  F.col("n_exact").alias("na"))
+    b = sk.select(F.col("s").alias("set_b"), F.col("hll").alias("hb"),
+                  F.col("n_exact").alias("nb"))
+    pairs = a.crossJoin(b).where(F.col("set_a") < F.col("set_b"))
+    est_a = F.hll_sketch_estimate("ha")
+    est_b = F.hll_sketch_estimate("hb")
+    est_u = F.hll_sketch_estimate(F.hll_union("ha", "hb"))
+    est_both = (est_a + est_b - est_u).alias("__est")
+    exact = (sets.alias("x").join(sets.alias("y"), "k")
+                 .where(F.col("x.s") < F.col("y.s"))
+                 .groupBy(F.col("x.s").alias("set_a"),
+                          F.col("y.s").alias("set_b"))
+                 .agg(F.count(F.lit(1)).cast("long").alias("n_both")))
+    out = (pairs.select("set_a", "set_b", "na", "nb", est_both)
+                .join(exact, ["set_a", "set_b"], "left")
+                .na.fill({"n_both": 0}))
+    union_exact = F.col("na") + F.col("nb") - F.col("n_both")
+    ok = (F.abs(F.col("__est") - F.col("n_both"))
+          <= F.greatest(F.lit(rel_tol) * union_exact,
+                        F.lit(float(abs_tol))))
+    return out.select("set_a", "set_b",
+                      F.col("na").alias("n_a"),
+                      F.col("nb").alias("n_b"),
+                      "n_both", ok.alias("ok"))

@@ -265,3 +265,18 @@ def test_k_core_unconverged_flag_is_honest(spark):
     assert row.converged is False
     full = k_core(df, k=2, iterations=6).collect()[0]
     assert (full.n_nodes, full.n_edges, full.converged) == (3, 3, True)
+
+
+def test_linear_attribution_credit_conserved(spark, sf_dir):
+    """Total credited micro-units ~= conversions x 1e6 (each
+    conversion's credit is split 1e6 div k ways; only the integer
+    floor remainder, < k per conversion, may be dropped)."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    rows = e.queries()["events_attribution_linear"](
+        spark, sf_dir).collect()
+    ev = e._t(spark, sf_dir, "events").sdf
+    n_conv = ev.filter(F.col("event_type") == "purchase").count()
+    total = sum(r.credit_micro for r in rows)
+    assert n_conv * 1_000_000 * 0.999 <= total <= n_conv * 1_000_000

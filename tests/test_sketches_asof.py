@@ -563,3 +563,23 @@ def test_cms_sketch_mergeable(spark):
     w = {(r.r, r.bucket): r.cnt for r in whole.collect()}
     m = {(r.r, r.bucket): r.cnt for r in merged.collect()}
     assert w == m
+
+
+def test_audience_overlap_gate_and_exact_values(spark):
+    """Planted overlap: A={1..100}, B={51..150}, C disjoint —
+    n_both(A,B)=50, n_both with C = 0; estimates within the gate."""
+    from charmpandas_spark.functions.sketches import \
+        audience_overlap_check
+
+    rows = ([("A", i) for i in range(1, 101)]
+            + [("B", i) for i in range(51, 151)]
+            + [("C", i) for i in range(1000, 1040)])
+    df = spark.createDataFrame(rows, "seg string, uid long")
+    out = {(r.set_a, r.set_b): r
+           for r in audience_overlap_check(df, "seg", "uid").collect()}
+    assert len(out) == 3
+    assert out[("A", "B")].n_both == 50
+    assert out[("A", "C")].n_both == 0
+    assert out[("B", "C")].n_both == 0
+    assert all(r.ok for r in out.values())
+    assert out[("A", "B")].n_a == 100 and out[("A", "B")].n_b == 100
