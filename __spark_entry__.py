@@ -2766,6 +2766,23 @@ def q_events_attribution_linear(spark: SparkSession, sf_dir: str) \
     return touched.unionByName(direct)
 
 
+def q_er_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution on part names: block on the trailing noun,
+    score blocked pairs with a pandas-UDF Jaro-Winkler (the standard
+    Census/RapidFuzz variant — validated bit-equal to DuckDB's native
+    jaro_winkler_similarity on every fixture pair), keep >= 0.80.
+    The UDF is the sanctioned slow-path: Arrow-batched, applied only
+    AFTER blocking bounds the candidate set."""
+    from charmpandas_spark.functions.linkage import er_jaro_winkler_pairs
+    part = _t(spark, sf_dir, "part").sdf
+    names = part.select("p_name").distinct()
+    blk = F.element_at(F.split(F.col("p_name"), " "), -1)
+    return er_jaro_winkler_pairs(names, "p_name", "p_name", blk,
+                                 threshold_bp=80) \
+        .withColumnRenamed("id_a", "name_a") \
+        .withColumnRenamed("id_b", "name_b")
+
+
 def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise audience overlap across event types by HLL
     inclusion-exclusion (sketch merge, never a data rescan) gated
@@ -3674,6 +3691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": q_graph_kcore,
         "audience_overlap": q_audience_overlap,
         "events_attribution_linear": q_events_attribution_linear,
+        "er_jaro_winkler": q_er_jaro_winkler,
         # --- (0) NEW or CHANGED in r9: IVF-PQ; sampled PQ/kmeans
         #     training + broadcast-codebook rewrite (sim_pq_topk,
         #     embedding_kmeans, dedup_semantic); PPJoin filters
@@ -4151,6 +4169,8 @@ def oracle_sql() -> dict[str, str]:
     from charmpandas_spark.functions.sketches import cms_heavy_check_sql
     from charmpandas_spark.operators.cdc import cdc_latest_sql, scd2_sql
     from charmpandas_spark.operators.cohort import cohort_retention_sql
+    from charmpandas_spark.functions.linkage import \
+        er_jaro_winkler_pairs_sql
     from charmpandas_spark.functions.profile import mad_outliers_sql
     from charmpandas_spark.operators.ewm import ewm_mean_sql
     from charmpandas_spark.operators.funnel import funnel_counts_sql
@@ -4550,6 +4570,13 @@ def oracle_sql() -> dict[str, str]:
             FROM sp CROSS JOIN strad
             GROUP BY split, straddling_clusters
         """,
+        "er_jaro_winkler": (
+            "SELECT id_a AS name_a, id_b AS name_b, jw_bp FROM ("
+            + er_jaro_winkler_pairs_sql(
+                "(SELECT DISTINCT p_name FROM part)", "p_name",
+                "p_name", "list_extract(string_split(p_name, ' '), -1)",
+                threshold_bp=80)
+            + ")"),
         "events_attribution_linear": """
             WITH conv AS (
                 SELECT event_id AS cid, user_id AS cu, ts AS cts,

@@ -228,6 +228,7 @@ def bench_queries(spark, sf_dir):
         "graph_kcore",
         "audience_overlap",
         "events_attribution_linear",
+        "er_jaro_winkler",
         "multimodal_png",
         "dsir_weights",
         "dsir_select",

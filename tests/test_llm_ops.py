@@ -1817,3 +1817,40 @@ def test_apng_video_frames_and_temporal_dhash(spark):
     trunc = payload[:fdat_at] + payload[iend_at:]
     with pytest.raises(ValueError, match="declares"):
         apng_frames(trunc)
+
+
+def test_jaro_winkler_reference_values(spark):
+    """Classic literature values + DuckDB parity on edge cases."""
+    import duckdb
+
+    from charmpandas_spark.functions.linkage import jaro_winkler
+
+    cases = [("martha", "marhta"), ("dixon", "dicksonx"),
+             ("jellyfish", "smellyfish"), ("abc", "abc"),
+             ("", ""), ("a", ""), ("abc", "xyz"),
+             ("cold widget", "small widget")]
+    for a, b in cases:
+        d = duckdb.sql(
+            "select jaro_winkler_similarity(?, ?)",
+            params=[a, b]).fetchone()[0]
+        assert abs(jaro_winkler(a, b) - d) < 1e-12, (a, b)
+    assert abs(jaro_winkler("martha", "marhta") - 0.9611111111111111) \
+        < 1e-12
+
+
+def test_er_blocked_pairs_scored_and_thresholded(spark):
+    from pyspark.sql import functions as F
+
+    from charmpandas_spark.functions.linkage import er_jaro_winkler_pairs
+
+    rows = [("acme corp",), ("acme corp.",), ("acme inc",),
+            ("zenith corp",)]
+    df = spark.createDataFrame(rows, "name string")
+    blk = F.substring("name", 1, 1)  # block: first character
+    out = er_jaro_winkler_pairs(df, "name", "name", blk,
+                                threshold_bp=90).collect()
+    got = {(r.id_a, r.id_b) for r in out}
+    # near-identical names matched; zenith is in another block
+    assert ("acme corp", "acme corp.") in got
+    assert all("zenith" not in a and "zenith" not in b
+               for a, b in got)
