@@ -1761,6 +1761,60 @@ def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).sdf
 
 
+def q_source_schema_evolution(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """Parquet schema evolution: generation 1 of a table is written
+    WITHOUT a column that generation 2 adds; a mergeSchema read unions
+    both file schemas and back-fills gen-1 rows with NULL — the
+    standard additive-column evolution every long-lived lake table
+    goes through. The oracle constructs the same union from the base
+    table, so the null back-fill is value-checked, not just assumed.
+    Footer-only schema merge: no data rewrite of old files, ever."""
+    n = _t(spark, sf_dir, "nation").sdf
+    path = _tmp_sink("schema_evolution")
+    gen1 = n.where(F.col("n_nationkey") % 2 == 0) \
+            .select("n_nationkey", "n_name")
+    gen2 = n.where(F.col("n_nationkey") % 2 == 1) \
+            .select("n_nationkey", "n_name", "n_regionkey")
+    gen1.write.mode("overwrite").parquet(path + "/g=1")
+    gen2.write.mode("overwrite").parquet(path + "/g=2")
+    out = (spark.read.option("mergeSchema", "true")
+                .parquet(path + "/g=1", path + "/g=2"))
+    return out.select("n_nationkey", "n_name", "n_regionkey")
+
+
+def q_source_csv_malformed(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """Malformed-CSV resilience: a CSV with corrupted rows spliced in
+    is read in PERMISSIVE mode with a ``_corrupt_record`` column —
+    bad rows are quarantined, good rows parse; the query returns the
+    per-disposition counts plus the exact surviving key-sum so the
+    oracle checks that corruption neither drops good rows nor lets
+    bad ones through. At scale this is the only sane contract:
+    FAILFAST aborts a 100 TB job for one bad line."""
+    n = _t(spark, sf_dir, "nation").sdf
+    path = _tmp_sink("csv_malformed.csv")
+    rows = n.select("n_nationkey", "n_name", "n_regionkey").collect()
+    with open(path, "w") as f:
+        for i, r in enumerate(rows):
+            f.write(f"{r.n_nationkey},{r.n_name},{r.n_regionkey}\n")
+            if i % 5 == 0:  # splice a malformed line after every 5th
+                f.write(f"not_a_number,broken_row_{i}\n")
+    df = (spark.read
+               .schema("n_nationkey bigint, n_name string, "
+                       "n_regionkey bigint, _corrupt_record string")
+               .option("mode", "PERMISSIVE")
+               .option("columnNameOfCorruptRecord", "_corrupt_record")
+               .csv(path))
+    df = df.cache()  # SPARK-21610: corrupt-record col needs full rows
+    good = F.col("_corrupt_record").isNull()
+    return df.agg(
+        F.sum(good.cast("long")).cast("long").alias("n_good"),
+        F.sum((~good).cast("long")).cast("long").alias("n_bad"),
+        F.sum(F.when(good, F.col("n_nationkey")).otherwise(0))
+         .cast("long").alias("key_sum"))
+
+
 def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines sink+source round-trip: supplier written as
     line-delimited JSON (splittable at scale), read back with an
@@ -3692,6 +3746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audience_overlap": q_audience_overlap,
         "events_attribution_linear": q_events_attribution_linear,
         "er_jaro_winkler": q_er_jaro_winkler,
+        "source_schema_evolution": q_source_schema_evolution,
+        "source_csv_malformed": q_source_csv_malformed,
         # --- (0) NEW or CHANGED in r9: IVF-PQ; sampled PQ/kmeans
         #     training + broadcast-codebook rewrite (sim_pq_topk,
         #     embedding_kmeans, dedup_semantic); PPJoin filters
@@ -4569,6 +4625,20 @@ def oracle_sql() -> dict[str, str]:
                    straddling_clusters
             FROM sp CROSS JOIN strad
             GROUP BY split, straddling_clusters
+        """,
+        "source_schema_evolution": """
+            SELECT n_nationkey, n_name,
+                   CAST(NULL AS INTEGER) AS n_regionkey
+            FROM nation WHERE n_nationkey % 2 = 0
+            UNION ALL
+            SELECT n_nationkey, n_name, n_regionkey
+            FROM nation WHERE n_nationkey % 2 = 1
+        """,
+        "source_csv_malformed": """
+            SELECT CAST(count(*) AS BIGINT) AS n_good,
+                   CAST((count(*) + 4) // 5 AS BIGINT) AS n_bad,
+                   CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+            FROM nation
         """,
         "er_jaro_winkler": (
             "SELECT id_a AS name_a, id_b AS name_b, jw_bp FROM ("

@@ -229,6 +229,8 @@ def bench_queries(spark, sf_dir):
         "audience_overlap",
         "events_attribution_linear",
         "er_jaro_winkler",
+        "source_schema_evolution",
+        "source_csv_malformed",
         "multimodal_png",
         "dsir_weights",
         "dsir_select",

@@ -393,3 +393,29 @@ def test_read_parquet_merge_schema_evolution(spark, tmp_path):
     assert list(got.columns) == ["id", "v", "score"]
     assert got["score"].isna().tolist() == [True, False]
     assert got["score"].iloc[1] == 9.5
+
+
+def test_schema_evolution_backfills_nulls(spark, sf_dir, tmp_path):
+    """mergeSchema union: gen-1 files lack the new column; reading
+    both generations back-fills exactly the gen-1 rows with NULL."""
+    import __spark_entry__ as e
+
+    out = e.queries()["source_schema_evolution"](spark, sf_dir)
+    rows = out.collect()
+    nulls = [r for r in rows if r.n_regionkey is None]
+    assert nulls and all(r.n_nationkey % 2 == 0 for r in nulls)
+    assert all(r.n_regionkey is not None
+               for r in rows if r.n_nationkey % 2 == 1)
+
+
+def test_csv_malformed_quarantined_not_dropped(spark, sf_dir):
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    row = e.queries()["source_csv_malformed"](spark, sf_dir).collect()[0]
+    n = e._t(spark, sf_dir, "nation").sdf
+    n_rows = n.count()
+    key_sum = n.agg(F.sum("n_nationkey")).collect()[0][0]
+    assert row.n_good == n_rows          # no good row lost
+    assert row.n_bad == (n_rows + 4) // 5  # every bad row quarantined
+    assert row.key_sum == key_sum        # values parsed intact
