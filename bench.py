@@ -354,6 +354,17 @@ SF1_QUERIES = {
     "sim_pq_topk": 4.7,
     "sim_ivfpq_topk": 7.0,
     "multimodal_png": 1.4,
+    # r9 wave-3 ops (solo sf1, idle host): triangles/k-core ride the
+    # Jaccard pair join (same scaling family as dedup_ngram_jaccard);
+    # CMS is shuffle-bytes-independent-of-N by construction; the
+    # events composites are one-exchange window/agg pipelines over
+    # the 10x-population events fixture
+    "graph_triangles": 12.5,
+    "graph_kcore": 3.2,
+    "heavy_hitters_cms": 3.9,
+    "cdc_apply": 1.7,
+    "events_cohort_retention": 2.2,
+    "events_ewm": 0.8,
 }
 
 
@@ -420,7 +431,8 @@ def _ensure_sf1(src_dir: str) -> bool:
     dedup work then scales linearly with the corpus, as it would on
     real data, instead of quadratically on artificial 10x exact dupes.
     Cached across runs; DuckDB does the generation in seconds."""
-    tables = ["lineitem", "orders", "customer", "documents", "embeddings"]
+    tables = ["lineitem", "orders", "customer", "documents", "embeddings",
+              "events"]
     paths = [os.path.join(SF1_DIR, f"{t}.parquet") for t in tables]
     if all(os.path.isdir(p) for p in paths):
         return True
@@ -439,6 +451,8 @@ def _ensure_sf1(src_dir: str) -> bool:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"'{os.path.join(src_dir, t + '.parquet')}'")
     ok = con.execute("SELECT max(l_orderkey) + 1 FROM lineitem").fetchone()[0]
+    eid = con.execute("SELECT max(event_id) + 1 FROM events").fetchone()[0]
+    uid = con.execute("SELECT max(user_id) + 1 FROM events").fetchone()[0]
     did = con.execute("SELECT max(doc_id) + 1 FROM documents").fetchone()[0]
     vid = con.execute("SELECT max(vec_id) + 1 FROM embeddings").fetchone()[0]
     copies = {
@@ -463,6 +477,12 @@ def _ensure_sf1(src_dir: str) -> bool:
         # artifact pairs (45 self-pairs per vector x threshold
         # neighborhoods) — a fixture artifact, not workload scaling,
         # same reasoning as the token-suffixed document text above.
+        # events copies shift BOTH ids: distinct users grow 10x, so
+        # per-user windows/cohorts scale by population (the real
+        # workload axis), not by artificially deeper per-user series
+        "events": f"SELECT s.* REPLACE (s.event_id + t.i * {eid} AS "
+                  f"event_id, s.user_id + t.i * {uid} AS user_id) "
+                  f"FROM events s CROSS JOIN range({{lo}}, {{hi}}) t(i)",
         "embeddings": f"SELECT s.* REPLACE (s.vec_id + t.i * {vid} AS "
                       f"vec_id, list_concat("
                       f"s.embedding[(t.i * 7) % 64 + 1 :], "
