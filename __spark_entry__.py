@@ -1121,6 +1121,27 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "n_chars")
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup survivor selection (the RefinedWeb /
+    CCNet policy): within each transitive near-dup CLUSTER keep the
+    highest-quality member — here longest text, ties to the lower id
+    — instead of dedup_corpus's positional keep-first. One window
+    rank over the cluster assignment; the quality column rides a
+    co-partitioned join on the doc key."""
+    from pyspark.sql import Window
+    from charmpandas_spark.functions.dedup import dedup_clusters
+    docs = _t(spark, sf_dir, "documents").sdf
+    cl = dedup_clusters(docs, "text", "doc_id", threshold=0.5, n=3)
+    j = cl.join(docs.select(F.col("doc_id").alias("doc"), "n_chars"),
+                "doc")
+    w = (Window.partitionBy("cluster")
+               .orderBy(F.col("n_chars").desc(), F.col("doc").asc()))
+    return (j.withColumn("__rn", F.row_number().over(w))
+             .where(F.col("__rn") == 1)
+             .select(F.col("doc").alias("doc_id"), "cluster",
+                     "n_chars"))
+
+
 def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-100 tokens by frequency (per-partition
     top-k before the final merge; ties broken by token)."""
@@ -3748,6 +3769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_jaro_winkler": q_er_jaro_winkler,
         "source_schema_evolution": q_source_schema_evolution,
         "source_csv_malformed": q_source_csv_malformed,
+        "dedup_keep_best": q_dedup_keep_best,
         # --- (0) NEW or CHANGED in r9: IVF-PQ; sampled PQ/kmeans
         #     training + broadcast-codebook rewrite (sim_pq_topk,
         #     embedding_kmeans, dedup_semantic); PPJoin filters
@@ -4625,6 +4647,41 @@ def oracle_sql() -> dict[str, str]:
                    straddling_clusters
             FROM sp CROSS JOIN strad
             GROUP BY split, straddling_clusters
+        """,
+        "dedup_keep_best": f"""
+            WITH RECURSIVE base AS (
+                SELECT doc_id, {word_shingles_sql('text', 3)} AS sh
+                FROM documents),
+            sz AS (SELECT doc_id, len(sh) AS sz, sh FROM base),
+            inv0 AS (SELECT doc_id, sz, unnest(sh) AS shingle FROM sz),
+            {_capped_inv_cte()},
+            p AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.sz AS sz_a, b.sz AS sz_b, count(*) AS common
+                FROM inv a JOIN inv b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4),
+            jp AS (
+                SELECT doc_a, doc_b FROM p
+                WHERE FLOOR(CAST(common AS DOUBLE)
+                      / (sz_a + sz_b - common) * 10000) / 10000 >= 0.5),
+            edges AS (SELECT doc_a AS s, doc_b AS d FROM jp
+                      UNION SELECT doc_b, doc_a FROM jp),
+            reach(v, u) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT reach.v, e.d FROM reach
+                JOIN edges e ON reach.u = e.s),
+            cl AS (SELECT v AS doc, MIN(u) AS cluster
+                   FROM reach GROUP BY v),
+            ranked AS (
+                SELECT c.doc, c.cluster, d.n_chars,
+                       row_number() OVER (
+                           PARTITION BY c.cluster
+                           ORDER BY d.n_chars DESC, c.doc ASC) AS rn
+                FROM cl c JOIN documents d ON d.doc_id = c.doc)
+            SELECT doc AS doc_id, cluster, n_chars
+            FROM ranked WHERE rn = 1
         """,
         "source_schema_evolution": """
             SELECT n_nationkey, n_name,

@@ -231,6 +231,7 @@ def bench_queries(spark, sf_dir):
         "er_jaro_winkler",
         "source_schema_evolution",
         "source_csv_malformed",
+        "dedup_keep_best",
         "multimodal_png",
         "dsir_weights",
         "dsir_select",

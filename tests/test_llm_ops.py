@@ -1854,3 +1854,33 @@ def test_er_blocked_pairs_scored_and_thresholded(spark):
     assert ("acme corp", "acme corp.") in got
     assert all("zenith" not in a and "zenith" not in b
                for a, b in got)
+
+
+def test_dedup_keep_best_prefers_quality_over_position(spark):
+    """Three near-identical docs where the LONGEST has the HIGHEST id
+    — keep-first would pick doc 1; keep-best must pick doc 3."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+
+    base = ("spark shuffle partition join aggregate window "
+            "broadcast exchange codegen")
+    rows = [(1, base, len(base)),
+            (2, base + " extra", len(base) + 6),
+            (3, base + " extra tokens here", len(base) + 18),
+            (9, "completely different text about nothing at all "
+                "unrelated words entirely", 73)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, n_chars long")
+    from charmpandas_spark.functions.dedup import dedup_clusters
+    from pyspark.sql import Window
+
+    cl = dedup_clusters(docs, "text", "doc_id", threshold=0.5, n=3)
+    j = cl.join(docs.select(F.col("doc_id").alias("doc"), "n_chars"),
+                "doc")
+    w = (Window.partitionBy("cluster")
+               .orderBy(F.col("n_chars").desc(), F.col("doc").asc()))
+    keep = (j.withColumn("rn", F.row_number().over(w))
+             .where("rn = 1").select("doc").collect())
+    kept = sorted(r.doc for r in keep)
+    assert kept == [3, 9]
