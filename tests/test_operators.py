@@ -280,3 +280,18 @@ def test_linear_attribution_credit_conserved(spark, sf_dir):
     n_conv = ev.filter(F.col("event_type") == "purchase").count()
     total = sum(r.credit_micro for r in rows)
     assert n_conv * 1_000_000 * 0.999 <= total <= n_conv * 1_000_000
+
+
+def test_cohort_retention_three_exchanges(spark):
+    """One data exchange (user) + cell exchange + cohort window — no
+    join, no second pass over events."""
+    import datetime as dt
+
+    from charmpandas_spark.operators.cohort import cohort_retention
+
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1))], "user_id long, ts timestamp")
+    plan = cohort_retention(ev, "user_id", "ts") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 3
