@@ -2311,6 +2311,31 @@ def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE rn = 1""")
 
 
+def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: the I/U/D change log replays as 4
+    micro-batches through the order-robust tombstone merge sink
+    (seq-guarded, so ANY batch split reaches the same fixed point —
+    late batches of older changes cannot clobber newer state). The
+    final snapshot must equal the batch compaction exactly: the
+    oracle is literally `cdc_apply`'s SQL."""
+    from charmpandas_spark.streaming.sinks import (cdc_stream_into,
+                                                   read_cdc_snapshot)
+    log = _cdc_log(spark, sf_dir)
+    stream, _ = _replay_stream(spark, log, "cdcapply")
+    target = _tmp_sink("cdcapply_target")
+    ckpt = _tmp_sink("cdcapply_ckpt")
+    import shutil
+    shutil.rmtree(target, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = cdc_stream_into(stream, target, ckpt,
+                        ["o_orderkey"], "seq", "op")
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("cdc stream did not finish in 300s")
+    return (read_cdc_snapshot(spark, target)
+            .select("o_orderkey", "o_custkey", "price_c", "seq"))
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: the corpus unioned with a full id-shifted
     copy (every text duplicated) is replayed as 4 micro-batches;
@@ -3772,6 +3797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_schema_evolution": q_source_schema_evolution,
         "source_csv_malformed": q_source_csv_malformed,
         "dedup_keep_best": q_dedup_keep_best,
+        "streaming_cdc_apply": q_streaming_cdc_apply,
         # --- (0) NEW or CHANGED in r9: IVF-PQ; sampled PQ/kmeans
         #     training + broadcast-codebook rewrite (sim_pq_topk,
         #     embedding_kmeans, dedup_semantic); PPJoin filters
@@ -4587,6 +4613,11 @@ def oracle_sql() -> dict[str, str]:
         "events_cohort_retention": cohort_retention_sql(
             "events", "user_id", "ts"),
         "cdc_apply": cdc_latest_sql(
+            _CDC_LOG_SQL, ["o_orderkey"], "seq", "op",
+            ["o_orderkey", "o_custkey", "price_c", "seq"]),
+        # the streaming tombstone-merge sink must land on the exact
+        # batch-compaction fixed point — same oracle by construction
+        "streaming_cdc_apply": cdc_latest_sql(
             _CDC_LOG_SQL, ["o_orderkey"], "seq", "op",
             ["o_orderkey", "o_custkey", "price_c", "seq"]),
         "scd2_history": scd2_sql(

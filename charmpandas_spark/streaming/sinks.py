@@ -34,7 +34,8 @@ import os
 
 from pyspark.sql import DataFrame as SparkDF
 
-__all__ = ["write_stream_parquet_batched", "merge_stream_into"]
+__all__ = ["write_stream_parquet_batched", "merge_stream_into",
+           "cdc_stream_into", "read_cdc_snapshot"]
 
 
 def write_stream_parquet_batched(stream_df: SparkDF, path: str,
@@ -135,3 +136,83 @@ def _recover_swap(target_path: str) -> None:
         # target exists: crash was after the swap (or before it,
         # leaving only a tmp) — stale dirs are safe to drop
         shutil.rmtree(stale, ignore_errors=True)
+
+
+def cdc_stream_into(stream_df: SparkDF, target_path: str,
+                    checkpoint: str, keys: list[str], seq_col: str,
+                    op_col: str, trigger_available_now: bool = True):
+    """Start a ``foreachBatch`` CDC-apply sink: each micro-batch of
+    ``(keys, seq, op ∈ I/U/D, attrs…)`` change rows is compacted to
+    its latest entry per key (same D>U>I same-seq priority as
+    :func:`...operators.cdc.cdc_latest`) and merged into the parquet
+    snapshot at ``target_path``.
+
+    ORDER-ROBUST by design: the snapshot persists ``seq_col`` and a
+    ``__cps_deleted`` tombstone per key, and a source row only wins
+    when ``src.seq >= tgt.seq`` — so a late-arriving batch of older
+    changes (micro-batch boundaries don't promise LSN order) cannot
+    clobber newer state, and a delete survives as a tombstone that
+    out-of-order earlier updates cannot resurrect. The fixed point is
+    identical for ANY split of the log into batches — which is what
+    makes the streaming result oracle-checkable at all. Read the
+    snapshot with :func:`read_cdc_snapshot` (filters tombstones).
+
+    Crash-safety: same two-rename swap + recovery as
+    :func:`merge_stream_into` (POSIX rename; see that caveat for
+    object stores). Replayed batches re-apply idempotently — the
+    seq guard makes re-merging the same rows a no-op.
+    """
+    from pyspark.sql import Window, functions as F
+
+    def _apply(batch_df: SparkDF, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover_swap(target_path)
+        rank = (F.when(F.col(op_col) == "D", 2)
+                 .when(F.col(op_col) == "U", 1).otherwise(0))
+        w = (Window.partitionBy(*keys)
+                   .orderBy(F.col(seq_col).desc(), rank.desc()))
+        src = (batch_df.withColumn("__rn", F.row_number().over(w))
+                       .where(F.col("__rn") == 1)
+                       .withColumn("__cps_deleted",
+                                   F.col(op_col) == "D")
+                       .drop("__rn", op_col))
+        if not os.path.isdir(target_path):
+            src.write.mode("overwrite").parquet(target_path)
+            return
+        tgt = spark.read.parquet(target_path)
+        s = src.select(*[F.col(c).alias(f"__s_{c}")
+                         for c in src.columns])
+        cond = None
+        for k in keys:
+            c = tgt[k] == s[f"__s_{k}"]
+            cond = c if cond is None else cond & c
+        j = tgt.join(s, cond, "full")
+        take_src = (tgt[seq_col].isNull()
+                    | (s[f"__s_{seq_col}"] >= tgt[seq_col]))
+        merged = j.select(*[
+            F.when(s[f"__s_{seq_col}"].isNotNull() & take_src,
+                   s[f"__s_{c}"]).otherwise(tgt[c]).alias(c)
+            for c in src.columns])
+        tmp = target_path.rstrip("/") + f".__tmp_b{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        old = target_path.rstrip("/") + f".__old_b{batch_id}"
+        os.rename(target_path, old)
+        os.rename(tmp, target_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    w = (stream_df.writeStream.foreachBatch(_apply)
+         .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def read_cdc_snapshot(spark, target_path: str) -> SparkDF:
+    """Read a :func:`cdc_stream_into` snapshot: live rows only (the
+    tombstone column is internal bookkeeping and dropped)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(target_path)
+    return df.where(~F.col("__cps_deleted")).drop("__cps_deleted")

@@ -160,3 +160,43 @@ def test_recover_swap_numeric_batch_order(spark, tmp_path):
     assert os.path.isdir(target)
     assert not glob.glob(target + ".__*")
     assert spark.read.parquet(target).collect()[0]["v"] == 10
+
+
+def test_cdc_stream_out_of_order_batches_converge(spark, tmp_path):
+    """The tombstone + seq-guard merge reaches the same fixed point
+    even when NEWER changes arrive in an earlier batch: a delete at
+    seq 3 lands first; the late seq-1/2 insert+update must neither
+    resurrect the key nor clobber newer state."""
+    from pyspark.sql import functions as F
+
+    from charmpandas_spark.streaming.sinks import (cdc_stream_into,
+                                                   read_cdc_snapshot)
+    from charmpandas_spark.streaming.windows import stream_from_parquet
+
+    target = str(tmp_path / "snap")
+    schema = "k long, seq long, op string, v long"
+
+    def run(rows, tag):
+        src = str(tmp_path / f"src_{tag}")
+        spark.createDataFrame(rows, schema) \
+             .coalesce(1).write.mode("overwrite").parquet(src)
+        stream = stream_from_parquet(spark, src,
+                                     max_files_per_trigger=1)
+        q = cdc_stream_into(stream, target,
+                            str(tmp_path / f"ckpt_{tag}"),
+                            ["k"], "seq", "op")
+        assert q.awaitTermination(120)
+
+    # batch 1 (arrives FIRST, carries the NEWEST changes):
+    #   key 1 deleted at seq 3; key 2 updated at seq 5
+    run([(1, 3, "D", 0), (2, 5, "U", 50)], "new")
+    # batch 2 (late, older): key 1 insert/update, key 2 insert,
+    # key 3 plain insert
+    run([(1, 1, "I", 10), (1, 2, "U", 20),
+         (2, 1, "I", 40), (3, 1, "I", 70)], "old")
+
+    snap = {r.k: (r.seq, r.v)
+            for r in read_cdc_snapshot(spark, target).collect()}
+    # key 1: delete (seq 3) must win over the late seq-2 update
+    # key 2: update (seq 5) must win over the late seq-1 insert
+    assert snap == {2: (5, 50), 3: (1, 70)}
