@@ -2731,6 +2731,36 @@ _CDC_LOG_SQL = """
 """
 
 
+def q_cdc_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship over a PARTIAL-update change log:
+    each attribute independently takes its latest non-null value
+    (null = "not provided" refines, never erases) — the MDM fusion
+    complement of cdc_apply's whole-row compaction. One exchange +
+    one shared-spec window pass."""
+    from charmpandas_spark.operators.cdc import survivorship
+    o = _t(spark, sf_dir, "orders").sdf
+    base = o.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("cust"),
+        F.floor(F.col("o_totalprice") * 100).cast("long")
+         .alias("price_c"))
+    nl = F.lit(None).cast("long")
+    v1 = base.select("o_orderkey", "cust", "price_c",
+                     F.lit(1).cast("long").alias("seq"))
+    v2 = (base.filter(F.col("o_orderkey") % 3 == 0)
+              .select("o_orderkey", nl.alias("cust"),
+                      (F.col("price_c") + 1000).alias("price_c"),
+                      F.lit(2).cast("long").alias("seq")))
+    v3 = (base.filter(F.col("o_orderkey") % 5 == 0)
+              .select("o_orderkey",
+                      (F.col("cust") + 100).alias("cust"),
+                      nl.alias("price_c"),
+                      F.lit(3).cast("long").alias("seq")))
+    log = v1.unionByName(v2).unionByName(v3)
+    return survivorship(log, ["o_orderkey"], "seq",
+                        ["cust", "price_c"])
+
+
 def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC log compaction: latest surviving version per key from an
     I/U/D change log (Debezium / compacted-topic semantics). One hash
@@ -3798,6 +3828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_csv_malformed": q_source_csv_malformed,
         "dedup_keep_best": q_dedup_keep_best,
         "streaming_cdc_apply": q_streaming_cdc_apply,
+        "cdc_survivorship": q_cdc_survivorship,
         # --- (0) NEW or CHANGED in r9: IVF-PQ; sampled PQ/kmeans
         #     training + broadcast-codebook rewrite (sim_pq_topk,
         #     embedding_kmeans, dedup_semantic); PPJoin filters
@@ -4273,7 +4304,8 @@ def oracle_sql() -> dict[str, str]:
     from charmpandas_spark.operators.merge import (
         merge_into_sql, table_diff_sql)
     from charmpandas_spark.functions.sketches import cms_heavy_check_sql
-    from charmpandas_spark.operators.cdc import cdc_latest_sql, scd2_sql
+    from charmpandas_spark.operators.cdc import (cdc_latest_sql, scd2_sql,
+                                                 survivorship_sql)
     from charmpandas_spark.operators.cohort import cohort_retention_sql
     from charmpandas_spark.functions.linkage import \
         er_jaro_winkler_pairs_sql
@@ -4612,6 +4644,23 @@ def oracle_sql() -> dict[str, str]:
             ["o_orderkey"], ["o_custkey", "o_totalprice"]),
         "events_cohort_retention": cohort_retention_sql(
             "events", "user_id", "ts"),
+        "cdc_survivorship": survivorship_sql(
+            """
+            SELECT o_orderkey, o_custkey AS cust,
+                   CAST(floor(o_totalprice * 100) AS BIGINT)
+                       AS price_c, CAST(1 AS BIGINT) AS seq
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, CAST(NULL AS BIGINT) AS cust,
+                   CAST(floor(o_totalprice * 100) AS BIGINT) + 1000
+                       AS price_c, CAST(2 AS BIGINT) AS seq
+            FROM orders WHERE o_orderkey % 3 = 0
+            UNION ALL
+            SELECT o_orderkey, o_custkey + 100 AS cust,
+                   CAST(NULL AS BIGINT) AS price_c,
+                   CAST(3 AS BIGINT) AS seq
+            FROM orders WHERE o_orderkey % 5 = 0
+            """, ["o_orderkey"], "seq", ["cust", "price_c"]),
         "cdc_apply": cdc_latest_sql(
             _CDC_LOG_SQL, ["o_orderkey"], "seq", "op",
             ["o_orderkey", "o_custkey", "price_c", "seq"]),

@@ -33,7 +33,8 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame as SparkDF, Window, functions as F
 
-__all__ = ["cdc_latest", "cdc_latest_sql", "scd2_build", "scd2_sql"]
+__all__ = ["cdc_latest", "cdc_latest_sql", "scd2_build", "scd2_sql",
+           "survivorship", "survivorship_sql"]
 
 
 def _op_rank(op_col: str):
@@ -119,4 +120,54 @@ def scd2_sql(log_sql: str, keys: Sequence[str], seq_col: str,
         SELECT {cols}, {seq_col} AS valid_from, valid_to,
                valid_to IS NULL AS is_current
         FROM seqd WHERE {op_col} <> 'D'
+    """
+
+
+def survivorship(log: SparkDF, keys: Sequence[str], seq_col: str,
+                 attrs: Sequence[str]) -> SparkDF:
+    """Golden-record construction (MDM survivorship): one row per key
+    whose every attribute is the key's LATEST NON-NULL value across
+    the change history — attributes fuse independently, so a partial
+    update (some columns null = "not provided") refines rather than
+    erases. The complement of :func:`cdc_latest`, which takes the
+    whole latest row verbatim, nulls included.
+
+    One hash exchange on the key + one codegen'd window pass:
+    ``last(attr, ignorenulls) OVER (... ORDER BY seq ROWS UNBOUNDED
+    PRECEDING..CURRENT)`` evaluated at the last row per key (all
+    same-spec expressions share a single Window node). Emits
+    ``last_seq`` alongside for lineage.
+    """
+    keys = list(keys)
+    w = (Window.partitionBy(*keys).orderBy(F.col(seq_col).asc())
+               .rowsBetween(Window.unboundedPreceding,
+                            Window.currentRow))
+    fused = [F.last(F.col(a), ignorenulls=True).over(w).alias(a)
+             for a in attrs]
+    rn = F.row_number().over(
+        Window.partitionBy(*keys).orderBy(F.col("last_seq").desc()))
+    out = (log.select(*keys, F.col(seq_col).alias("last_seq"),
+                      *fused)
+              .withColumn("__rn", rn))
+    return out.where(F.col("__rn") == 1).drop("__rn")
+
+
+def survivorship_sql(log_sql: str, keys: Sequence[str], seq_col: str,
+                     attrs: Sequence[str]) -> str:
+    """DuckDB twin of :func:`survivorship` (same IGNORE NULLS running
+    window; same last-row selection)."""
+    ks = ", ".join(keys)
+    over = (f"OVER (PARTITION BY {ks} ORDER BY {seq_col} ASC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    fused = ", ".join(
+        f"last_value({a} IGNORE NULLS) {over} AS {a}" for a in attrs)
+    return f"""
+        WITH cdc_log AS ({log_sql}),
+        fused AS (
+            SELECT {ks}, {seq_col} AS last_seq, {fused},
+                   row_number() OVER (PARTITION BY {ks}
+                                      ORDER BY {seq_col} DESC) AS rn
+            FROM cdc_log)
+        SELECT {ks}, last_seq, {", ".join(attrs)}
+        FROM fused WHERE rn = 1
     """

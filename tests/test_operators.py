@@ -295,3 +295,18 @@ def test_cohort_retention_three_exchanges(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange") <= 3
+
+
+def test_survivorship_fuses_attrs_independently(spark):
+    """Partial updates refine: key 1's price comes from seq 2, its
+    cust from seq 3 — no single row holds the golden record."""
+    from charmpandas_spark.operators.cdc import survivorship
+
+    log = spark.createDataFrame(
+        [(1, 1, 10, 100), (1, 2, 20, None), (1, 3, None, 300),
+         (2, 1, 40, 400)],
+        "k long, seq long, price long, cust long")
+    out = {r.k: (r.last_seq, r.price, r.cust)
+           for r in survivorship(log, ["k"], "seq",
+                                 ["price", "cust"]).collect()}
+    assert out == {1: (3, 20, 300), 2: (1, 40, 400)}
