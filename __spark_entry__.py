@@ -2731,6 +2731,23 @@ _CDC_LOG_SQL = """
 """
 
 
+def q_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise median imputation: every 11th event's value is
+    knocked out, then back-filled with its event type's exact median
+    of the surviving integer cents. One group-cardinality statistics
+    aggregation broadcast back — the scan never shuffles."""
+    from charmpandas_spark.functions.profile import impute
+    ev = _t(spark, sf_dir, "events").sdf
+    base = ev.select(
+        "event_id", "event_type",
+        F.when(F.col("event_id") % 11 == 0, F.lit(None))
+         .otherwise(F.floor(F.col("value") * 100)).cast("long")
+         .alias("cents"))
+    out = impute(base, "cents", ["event_type"], strategy="median",
+                 out_col="cents_filled")
+    return out.select("event_id", "event_type", "cents_filled")
+
+
 def q_cdc_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Golden-record survivorship over a PARTIAL-update change log:
     each attribute independently takes its latest non-null value
@@ -3831,6 +3848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "streaming_cdc_apply": q_streaming_cdc_apply,
         "cdc_survivorship": q_cdc_survivorship,
+        "impute_median": q_impute_median,
         # --- (0) NEW or CHANGED in r9: IVF-PQ; sampled PQ/kmeans
         #     training + broadcast-codebook rewrite (sim_pq_topk,
         #     embedding_kmeans, dedup_semantic); PPJoin filters
@@ -4311,7 +4329,8 @@ def oracle_sql() -> dict[str, str]:
     from charmpandas_spark.operators.cohort import cohort_retention_sql
     from charmpandas_spark.functions.linkage import \
         er_jaro_winkler_pairs_sql
-    from charmpandas_spark.functions.profile import mad_outliers_sql
+    from charmpandas_spark.functions.profile import (impute_sql,
+                                                     mad_outliers_sql)
     from charmpandas_spark.operators.ewm import ewm_mean_sql
     from charmpandas_spark.operators.funnel import funnel_counts_sql
     from charmpandas_spark.operators.resample import resample_events_sql
@@ -4646,6 +4665,15 @@ def oracle_sql() -> dict[str, str]:
             ["o_orderkey"], ["o_custkey", "o_totalprice"]),
         "events_cohort_retention": cohort_retention_sql(
             "events", "user_id", "ts"),
+        "impute_median": impute_sql(
+            """(SELECT event_id, event_type,
+                       CASE WHEN event_id % 11 = 0 THEN NULL
+                            ELSE CAST(floor(value * 100) AS BIGINT)
+                       END AS cents
+                FROM events)""",
+            "cents", ["event_type"], strategy="median",
+            out_col="cents_filled",
+            select_cols=["b.event_id", "b.event_type"]),
         "cdc_survivorship": survivorship_sql(
             """
             SELECT o_orderkey, o_custkey AS cust,

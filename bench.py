@@ -220,6 +220,7 @@ def bench_queries(spark, sf_dir):
         "cdc_apply",
         "scd2_history",
         "cdc_survivorship",
+        "impute_median",
         "heavy_hitters_cms",
         "events_attribution",
         "graph_triangles",

@@ -27,6 +27,8 @@ __all__ = [
     "join_blowup_profile_sql",
     "mad_outliers",
     "mad_outliers_sql",
+    "impute",
+    "impute_sql",
 ]
 
 
@@ -503,4 +505,86 @@ def mad_outliers_sql(t: str, x_expr: str, by: list[str],
                     AS BIGINT) AS n_outliers
         FROM dev d JOIN mad m USING ({bys})
         GROUP BY {bys}
+    """
+
+
+# ---------------------------------------------------------------------------
+# group-wise imputation
+# ---------------------------------------------------------------------------
+
+def impute(df: SparkDF, col: str, by: list[str],
+           strategy: str = "median",
+           out_col: str | None = None) -> SparkDF:
+    """Fill NULLs in ``col`` with a per-group statistic:
+
+    - ``"median"`` — exact group median of the non-null values
+      (integer-unit columns interpolate only to .5 halves);
+    - ``"mode"`` — the group's most frequent non-null value, ties to
+      the smallest (deterministic);
+    - ``"mean_micro"`` — integer micro-mean ``(1e6·sum) div count``
+      (exact cross-engine; for integer columns).
+
+    Plan: one grouped aggregation to a group-cardinality statistics
+    table, broadcast back onto the data — the scan never shuffles.
+    A group whose values are ALL null keeps its nulls (no global
+    fallback — that is a policy decision, not a default).
+    """
+    if strategy not in ("median", "mode", "mean_micro"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    out_col = out_col or col
+    if strategy == "mode":
+        counts = (df.where(F.col(col).isNotNull())
+                    .groupBy(*by, col)
+                    .agg(F.count(F.lit(1)).alias("__n")))
+        from pyspark.sql import Window
+        w = Window.partitionBy(*by).orderBy(
+            F.col("__n").desc(), F.col(col).asc())
+        fill = (counts.withColumn("__rn", F.row_number().over(w))
+                      .where(F.col("__rn") == 1)
+                      .select(*by, F.col(col).alias("__fill")))
+    elif strategy == "mean_micro":
+        fill = (df.where(F.col(col).isNotNull())
+                  .groupBy(*by)
+                  .agg(F.expr(f"(1000000 * sum({col})) div count({col})")
+                        .alias("__fill")))
+    else:
+        fill = (df.groupBy(*by)
+                  .agg(F.expr(f"percentile({col}, 0.5)")
+                        .alias("__fill")))
+    joined = df.join(F.broadcast(fill), by, "left")
+    filled = F.coalesce(F.col(col).cast("double")
+                        if strategy == "median"
+                        else F.col(col), F.col("__fill"))
+    return joined.withColumn(out_col, filled).drop("__fill")
+
+
+def impute_sql(t: str, col: str, by: list[str],
+               strategy: str = "median", out_col: str | None = None,
+               select_cols: list[str] | None = None) -> str:
+    """DuckDB twin of :func:`impute`."""
+    bys = ", ".join(by)
+    out_col = out_col or col
+    cols = ", ".join(select_cols or [f"b.{c}" for c in [*by, col]])
+    if strategy == "mode":
+        fill = f"""
+            SELECT {bys}, {col} AS __fill FROM (
+                SELECT {bys}, {col}, row_number() OVER (
+                    PARTITION BY {bys}
+                    ORDER BY count(*) DESC, {col} ASC) AS rn
+                FROM {t} WHERE {col} IS NOT NULL
+                GROUP BY {bys}, {col}) WHERE rn = 1"""
+        expr = f"coalesce(b.{col}, f.__fill)"
+    elif strategy == "mean_micro":
+        fill = (f"SELECT {bys}, (1000000 * sum({col})) // count({col})"
+                f" AS __fill FROM {t} WHERE {col} IS NOT NULL"
+                f" GROUP BY {bys}")
+        expr = f"coalesce(b.{col}, f.__fill)"
+    else:
+        fill = (f"SELECT {bys}, quantile_cont({col}, 0.5) AS __fill "
+                f"FROM {t} GROUP BY {bys}")
+        expr = f"coalesce(CAST(b.{col} AS DOUBLE), f.__fill)"
+    return f"""
+        WITH fills AS ({fill})
+        SELECT {cols}, {expr} AS {out_col}
+        FROM {t} b LEFT JOIN fills f USING ({bys})
     """

@@ -310,3 +310,25 @@ def test_survivorship_fuses_attrs_independently(spark):
            for r in survivorship(log, ["k"], "seq",
                                  ["price", "cust"]).collect()}
     assert out == {1: (3, 20, 300), 2: (1, 40, 400)}
+
+
+def test_impute_strategies(spark):
+    from charmpandas_spark.functions.profile import impute
+
+    rows = [("a", 10), ("a", 20), ("a", 30), ("a", None),
+            ("b", 5), ("b", 5), ("b", 7), ("b", None),
+            ("c", None)]  # all-null group stays null
+    df = spark.createDataFrame(rows, "g string, x long")
+
+    med = impute(df, "x", ["g"], "median", out_col="f")
+    got = sorted((r.g, r.f) for r in med.where("x IS NULL").collect())
+    assert got == [("a", 20.0), ("b", 5.0), ("c", None)]
+
+    mode = impute(df, "x", ["g"], "mode", out_col="f")
+    got = {r.g: r.f for r in mode.where("x IS NULL").collect()}
+    assert got["b"] == 5 and got["c"] is None
+    assert got["a"] == 10  # all tie at 1 -> smallest value wins
+
+    mean = impute(df, "x", ["g"], "mean_micro", out_col="f")
+    got = {r.g: r.f for r in mean.where("x IS NULL").collect()}
+    assert got["a"] == 20_000_000 and got["c"] is None
