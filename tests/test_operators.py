@@ -332,3 +332,17 @@ def test_impute_strategies(spark):
     mean = impute(df, "x", ["g"], "mean_micro", out_col="f")
     got = {r.g: r.f for r in mean.where("x IS NULL").collect()}
     assert got["a"] == 20_000_000 and got["c"] is None
+
+
+def test_survivorship_single_exchange(spark):
+    """Golden-record fusion is one hash exchange on the key — the
+    two window specs (asc running-last, desc row_number) share the
+    partitioning, so only sorts differ."""
+    from charmpandas_spark.operators.cdc import survivorship
+
+    log = spark.createDataFrame([(1, 1, 10, 100)],
+                                "k long, seq long, p long, c long")
+    plan = survivorship(log, ["k"], "seq", ["p", "c"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
