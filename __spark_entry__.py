@@ -2731,6 +2731,25 @@ _CDC_LOG_SQL = """
 """
 
 
+def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized rollup: events split into 3 batches
+    by id, each folded into a (event_type, day) rollup of mergeable
+    partials (count/sum/min/max in cents) — the final table must
+    equal the from-scratch aggregation, which is exactly what the
+    oracle computes. Each fold aggregates ONLY its batch; the rollup
+    side of the union is group-cardinality rows."""
+    from charmpandas_spark.operators.rollup import rollup_apply_batches
+    ev = _t(spark, sf_dir, "events").sdf
+    base = ev.select(
+        "event_id", "event_type",
+        F.expr(f"unix_micros(ts) div {86400 * 10**6}").alias("day"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    batches = [base.where(F.col("event_id") % 3 == i)
+               for i in range(3)]
+    return rollup_apply_batches(batches, ["event_type", "day"],
+                                "cents")
+
+
 def q_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-wise median imputation: every 11th event's value is
     knocked out, then back-filled with its event type's exact median
@@ -3849,6 +3868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cdc_apply": q_streaming_cdc_apply,
         "cdc_survivorship": q_cdc_survivorship,
         "impute_median": q_impute_median,
+        "rollup_incremental": q_rollup_incremental,
         # --- (0) NEW or CHANGED in r9: IVF-PQ; sampled PQ/kmeans
         #     training + broadcast-codebook rewrite (sim_pq_topk,
         #     embedding_kmeans, dedup_semantic); PPJoin filters
@@ -4665,6 +4685,18 @@ def oracle_sql() -> dict[str, str]:
             ["o_orderkey"], ["o_custkey", "o_totalprice"]),
         "events_cohort_retention": cohort_retention_sql(
             "events", "user_id", "ts"),
+        "rollup_incremental": f"""
+            SELECT event_type,
+                   epoch_us(ts) // {86400 * 10**6} AS day,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                        AS BIGINT) AS total,
+                   CAST(min(CAST(floor(value * 100) AS BIGINT))
+                        AS BIGINT) AS vmin,
+                   CAST(max(CAST(floor(value * 100) AS BIGINT))
+                        AS BIGINT) AS vmax
+            FROM events GROUP BY 1, 2
+        """,
         "impute_median": impute_sql(
             """(SELECT event_id, event_type,
                        CASE WHEN event_id % 11 = 0 THEN NULL

@@ -221,6 +221,7 @@ def bench_queries(spark, sf_dir):
         "scd2_history",
         "cdc_survivorship",
         "impute_median",
+        "rollup_incremental",
         "heavy_hitters_cms",
         "events_attribution",
         "graph_triangles",

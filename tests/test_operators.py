@@ -346,3 +346,29 @@ def test_survivorship_single_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_rollup_merge_is_a_monoid(spark):
+    """Folding batches in any grouping equals the from-scratch
+    aggregate (associativity), and a rollup of rollups matches too."""
+    from pyspark.sql import functions as F
+
+    from charmpandas_spark.operators.rollup import (rollup_apply_batches,
+                                                    rollup_batch,
+                                                    rollup_merge)
+
+    rows = [("a", i % 7, i) for i in range(50)] + \
+           [("b", i % 3, 100 - i) for i in range(30)]
+    df = spark.createDataFrame(rows, "g string, d long, x long")
+    whole = {tuple(r[:2]): r[2:] for r in
+             rollup_batch(df, ["g", "d"], "x").collect()}
+    split = [df.where(F.col("x") % 4 == i) for i in range(4)]
+    inc = {tuple(r[:2]): r[2:] for r in
+           rollup_apply_batches(split, ["g", "d"], "x").collect()}
+    assert inc == whole
+    # rollup-of-rollups: fold two half-rollups
+    h1 = rollup_apply_batches(split[:2], ["g", "d"], "x")
+    h2 = rollup_apply_batches(split[2:], ["g", "d"], "x")
+    rr = {tuple(r[:2]): r[2:] for r in
+          rollup_merge(h1, h2, ["g", "d"]).collect()}
+    assert rr == whole
