@@ -278,6 +278,14 @@ def bench_queries(spark, sf_dir):
         "curation_pipeline",
         "multimodal_meta",
         "events_asof_join",
+        # r9 wave-4: feature encoding / sequence / temporal family
+        "target_encode",
+        "target_encode_loo",
+        "standard_scale",
+        "group_topk",
+        "markov_transitions",
+        "locf_fill",
+        "temporal_split",
     ]
     return {n: qs[n] for n in names if n in qs}
 

@@ -1,0 +1,192 @@
+"""Event-sequence operators: Markov transition models, forward-fill
+(LOCF) imputation, and temporal train/test splitting with an embargo
+gap.
+
+Beyond the reference surface — these are the sequence/time-series
+primitives a behavioral-model or forecasting pipeline needs on top of
+the relational core:
+
+- :func:`markov_transitions` learns a first-order next-event model
+  (the classic clickstream transition matrix) — the "what do users do
+  after X" primitive behind next-action prediction features and
+  Markov-chain attribution.
+- :func:`locf_fill` is pandas ``ffill`` re-expressed as one keyed
+  window pass (last-observation-carried-forward), the standard
+  imputation for sensor/metric gaps.
+- :func:`temporal_split_embargo` is the leakage-safe TIME split: a
+  quantile cutoff with a purge gap so that no training row lies
+  within the embargo horizon of the test period — the standard
+  protocol when features contain windowed lookbacks (a 7-day rolling
+  feature computed at cutoff−1h has seen test-period data; the
+  embargo removes exactly that contamination).
+
+All three follow the repo's exactness doctrine: event ordering is the
+total order ``(ts, id)``; probabilities are floored integer
+micro-units; the quantile cutoff interpolates only over integer
+micros. Scale: the windows partition by a HIGH-cardinality key
+(user/series), so parallelism grows with the data; everything else is
+grouped aggregation or scan-local projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SparkDF, Window, functions as F
+
+from ..timestamps import epoch_micros
+
+__all__ = [
+    "markov_transitions", "markov_transitions_sql",
+    "locf_fill", "locf_fill_sql",
+    "temporal_split_embargo", "temporal_split_embargo_sql",
+]
+
+MICRO = 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# first-order Markov transition model
+# ---------------------------------------------------------------------------
+
+def markov_transitions(df: SparkDF, key_col: str, ts_col: str,
+                       id_col: str, state_col: str) -> SparkDF:
+    """Per-(src → dst) transition counts and probabilities over each
+    key's event sequence: ``(src, dst, n, p_micro)`` where
+    ``p_micro = (1e6·n) div Σ_dst n`` (rows out of ``src``).
+
+    Sequences are ordered by the total order ``(ts, id)`` within each
+    key; the last event of a key emits no transition. One keyed
+    window pass (lead) + one grouped count + a src-cardinality
+    broadcast join for the denominators — the data shuffles once on
+    the key and once on (src, dst), both bounded-state aggregations.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        epoch_micros(ts_col), F.col(id_col))
+    pairs = (df.select(key_col, id_col, ts_col,
+                       F.col(state_col).alias("src"),
+                       F.lead(state_col).over(w).alias("dst"))
+               .where(F.col("dst").isNotNull()))
+    counts = (pairs.groupBy("src", "dst")
+                   .agg(F.count(F.lit(1)).alias("n")))
+    totals = counts.groupBy("src").agg(F.sum("n").alias("__tot"))
+    return (counts.join(F.broadcast(totals), "src")
+            .select("src", "dst", "n",
+                    F.expr(f"({MICRO} * n) div __tot").alias("p_micro")))
+
+
+def markov_transitions_sql(t: str, key_expr: str, ts_expr: str,
+                           id_expr: str, state_expr: str) -> str:
+    """DuckDB twin (identical (ts, id) total order and floored
+    micro-probabilities)."""
+    return f"""
+        WITH seq AS (
+            SELECT {state_expr} AS src,
+                   lead({state_expr}) OVER (
+                       PARTITION BY {key_expr}
+                       ORDER BY {ts_expr}, {id_expr}) AS dst
+            FROM {t}),
+        cnt AS (
+            SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+            FROM seq WHERE dst IS NOT NULL GROUP BY src, dst),
+        tot AS (SELECT src, sum(n) AS tot FROM cnt GROUP BY src)
+        SELECT c.src, c.dst, c.n,
+               CAST(({MICRO} * c.n) // t2.tot AS BIGINT) AS p_micro
+        FROM cnt c JOIN tot t2 USING (src)
+    """
+
+
+# ---------------------------------------------------------------------------
+# last-observation-carried-forward imputation
+# ---------------------------------------------------------------------------
+
+def locf_fill(df: SparkDF, key_col: str, ts_col: str, id_col: str,
+              col: str, out_col: str = "filled") -> SparkDF:
+    """Forward-fill NULLs in ``col`` with the key's most recent
+    non-null value (pandas ``groupby().ffill()``): one keyed ordered
+    window with ``last(…, ignorenulls)`` over
+    ``ROWS UNBOUNDED PRECEDING``. Leading NULLs (no prior
+    observation) stay NULL. Keys are independent — a key never sees
+    another key's values.
+
+    Scale: the single window partitions by the high-cardinality
+    series key; Spark's window frame for running ``last`` keeps O(1)
+    state per row. No second pass, no driver state.
+    """
+    w = (Window.partitionBy(key_col)
+               .orderBy(epoch_micros(ts_col), F.col(id_col))
+               .rowsBetween(Window.unboundedPreceding, 0))
+    return df.withColumn(out_col,
+                         F.last(F.col(col), ignorenulls=True).over(w))
+
+
+def locf_fill_sql(t: str, key_expr: str, ts_expr: str, id_expr: str,
+                  col_expr: str, out_col: str = "filled",
+                  select_exprs: str = "*") -> str:
+    """DuckDB twin (``last_value(x IGNORE NULLS)`` over the identical
+    frame)."""
+    return f"""
+        SELECT {select_exprs},
+               last_value({col_expr} IGNORE NULLS) OVER (
+                   PARTITION BY {key_expr}
+                   ORDER BY {ts_expr}, {id_expr}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS {out_col}
+        FROM {t}
+    """
+
+
+# ---------------------------------------------------------------------------
+# temporal split with embargo
+# ---------------------------------------------------------------------------
+
+def temporal_split_embargo(df: SparkDF, ts_col: str,
+                           train_frac: float = 0.8,
+                           embargo_us: int = 3_600 * MICRO) -> SparkDF:
+    """Label every row ``train`` / ``embargo`` / ``test`` by time:
+    the cutoff is the exact ``train_frac`` percentile of the event
+    time (linear interpolation over integer micros — cross-engine
+    identical), ``test`` is at-or-after the cutoff, and ``train``
+    must additionally clear the cutoff by ``embargo_us`` — rows
+    inside the purge gap are labeled ``embargo`` and excluded from
+    BOTH sides, so windowed lookback features computed on train rows
+    cannot have observed the test period.
+
+    The cutoff rides the plan as a broadcast 1-row aggregate (no
+    driver round-trip, no second job); the labeling is a scan-local
+    codegen'd expression.
+    """
+    if not 0.0 < train_frac < 1.0:
+        raise ValueError("train_frac must be in (0, 1)")
+    us = epoch_micros(ts_col)
+    cut = df.agg(F.floor(
+        F.percentile(us, F.lit(train_frac))).alias("__cut"))
+    lab = (df.withColumn("__us", us)
+             .crossJoin(F.broadcast(cut))
+             .withColumn("split",
+                         F.when(F.col("__us") >= F.col("__cut"),
+                                F.lit("test"))
+                          .when(F.col("__us")
+                                < F.col("__cut") - F.lit(embargo_us),
+                                F.lit("train"))
+                          .otherwise(F.lit("embargo"))))
+    return lab.drop("__cut")
+
+
+def temporal_split_embargo_sql(t: str, ts_expr: str,
+                               train_frac: float = 0.8,
+                               embargo_us: int = 3_600 * MICRO,
+                               select_exprs: str = "*") -> str:
+    """DuckDB twin (``quantile_cont`` = the same linear-interpolated
+    exact percentile; identical floor + boundary comparisons)."""
+    return f"""
+        WITH cut AS (
+            SELECT CAST(floor(
+                quantile_cont(epoch_us({ts_expr}), {train_frac}))
+                AS BIGINT) AS c
+            FROM {t})
+        SELECT {select_exprs},
+               CASE WHEN epoch_us({ts_expr}) >= cut.c THEN 'test'
+                    WHEN epoch_us({ts_expr}) < cut.c - {embargo_us}
+                        THEN 'train'
+                    ELSE 'embargo' END AS split
+        FROM {t} CROSS JOIN cut
+    """

@@ -1,0 +1,213 @@
+"""Tests for the wave-4 feature-engineering / sequence family:
+target encoding (plain, smoothed, leave-one-out), group-wise z-score
+standardization, bounded per-group top-k, Markov transitions, LOCF
+forward-fill, and the temporal split with embargo."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import Row, Window, functions as F
+
+from charmpandas_spark.functions.encode import (
+    standard_scale, target_encode_loo, target_encoding)
+from charmpandas_spark.operators.sequence import (
+    locf_fill, markov_transitions, temporal_split_embargo)
+from charmpandas_spark.operators.topk import topk_per_group
+
+
+# ---------------------------------------------------------------------------
+# target encoding
+# ---------------------------------------------------------------------------
+
+def test_target_encoding_exact_floored_mean(spark):
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 11), ("b", 7)], "cat string, y long")
+    out = {r["cat"]: r for r in target_encoding(df, "cat", "y").collect()}
+    # mean(a) = 10.5 -> floor(1e6*21/2) = 10_500_000
+    assert out["a"]["n"] == 2 and out["a"]["mean_micro"] == 10_500_000
+    assert out["b"]["n"] == 1 and out["b"]["mean_micro"] == 7_000_000
+
+
+def test_target_encoding_smoothing_shrinks_rare_to_global(spark):
+    # global mean = (100*0 + 1*90) / 101; category 'rare' has one row
+    # at 90 -> with m=100 the smoothed mean sits near the global mean,
+    # far below 90.
+    rows = [("common", 0)] * 100 + [("rare", 90)]
+    df = spark.createDataFrame(rows, "cat string, y long")
+    out = {r["cat"]: r["mean_micro"]
+           for r in target_encoding(df, "cat", "y",
+                                    prior_weight=100).collect()}
+    # smoothed(rare) = (1*90 + 100*(90/101)) / 101 ~ 1.773
+    assert 1_000_000 < out["rare"] < 3_000_000
+    assert out["common"] < 1_000_000
+
+
+def test_target_encode_loo_excludes_own_row_and_singletons(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 5)],
+        "id long, cat string, y long")
+    out = {r["id"]: r["enc_loo_micro"]
+           for r in target_encode_loo(df, "cat", "y", "id").collect()}
+    assert out[1] == 20_000_000  # the OTHER a-row
+    assert out[2] == 10_000_000
+    assert out[3] is None        # singleton: no other rows
+
+
+def test_target_encode_plan_is_broadcast_no_fact_shuffle(spark):
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 7).cast("string").alias("cat"),
+        F.col("id").alias("y"), F.col("id").alias("rid"))
+    plan = (target_encode_loo(df, "cat", "y", "rid")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# standard scale
+# ---------------------------------------------------------------------------
+
+def test_standard_scale_matches_numpy_population_z(spark):
+    import numpy as np
+    vals = [3, 7, 11, 20, 41]
+    df = spark.createDataFrame([("g", v) for v in vals],
+                               "g string, x long")
+    out = {r["x"]: r["z_micro"]
+           for r in standard_scale(df, "x", ["g"]).collect()}
+    mu, sd = np.mean(vals), np.std(vals)  # population std
+    for v in vals:
+        assert out[v] == pytest.approx((v - mu) / sd * 1e6, abs=2)
+
+
+def test_standard_scale_degenerate_and_null(spark):
+    df = spark.createDataFrame(
+        [("const", 5), ("const", 5), ("solo", 9),
+         ("ok", 1), ("ok", 3), ("ok", None)],
+        "g string, x long")
+    rows = standard_scale(df, "x", ["g"]).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["g"], []).append(r["z_micro"])
+    assert by["const"] == [None, None]   # zero variance
+    assert by["solo"] == [None]          # n < 2
+    assert sorted(x for x in by["ok"] if x is not None) == [-1_000_000,
+                                                           1_000_000]
+    assert None in by["ok"]              # null x stays null
+
+
+# ---------------------------------------------------------------------------
+# topk per group
+# ---------------------------------------------------------------------------
+
+def test_topk_per_group_matches_window_and_breaks_ties_by_id(spark):
+    rows = [("g1", i, (i * 37) % 11) for i in range(200)]
+    rows += [("g2", 1000 + i, 5) for i in range(10)]  # all tied
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    got = (topk_per_group(df, ["g"], "v", "id", 4, num_salts=8)
+           .orderBy("g", "rank").collect())
+    w = Window.partitionBy("g").orderBy(F.col("v").desc(),
+                                        F.col("id").asc())
+    want = (df.withColumn("rank", F.row_number().over(w))
+              .where(F.col("rank") <= 4)
+              .orderBy("g", "rank")
+              .select("g", "rank", "id", "v").collect())
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # tied group resolves to the 4 smallest ids
+    g2 = [r["id"] for r in got if r["g"] == "g2"]
+    assert g2 == [1000, 1001, 1002, 1003]
+
+
+def test_topk_per_group_partial_state_is_bounded(spark):
+    # the partial aggregate keeps <= k elements per (group, salt):
+    # with 1 group, 4 salts, k=2, the merge sees <= 8 candidates no
+    # matter how many input rows there are.
+    df = spark.createDataFrame([("g", i, i) for i in range(5000)],
+                               "g string, id long, v long")
+    out = topk_per_group(df, ["g"], "v", "id", 2, num_salts=4)
+    assert [r["v"] for r in out.collect()] == [4999, 4998]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # two ObjectHashAggregate pairs (partial+final per phase), never a
+    # per-group global Sort of the input
+    assert plan.count("ObjectHashAggregate") >= 2
+    assert "Window" not in plan
+
+
+def test_topk_ascending_and_small_groups(spark):
+    df = spark.createDataFrame([("g", 1, 30), ("g", 2, 10)],
+                               "g string, id long, v long")
+    out = (topk_per_group(df, ["g"], "v", "id", 5, ascending=True)
+           .orderBy("rank").collect())
+    assert [(r["rank"], r["id"], r["v"]) for r in out] == [
+        (1, 2, 10), (2, 1, 30)]
+
+
+# ---------------------------------------------------------------------------
+# markov transitions
+# ---------------------------------------------------------------------------
+
+def test_markov_transitions_counts_and_probs(spark):
+    rows = [
+        # user 1: a -> b -> a   | user 2: a -> b
+        (1, 1, 100, "a"), (1, 2, 200, "b"), (1, 3, 300, "a"),
+        (2, 4, 100, "a"), (2, 5, 200, "b"),
+    ]
+    df = spark.createDataFrame(rows, "u long, id long, tsv long, s string") \
+              .withColumn("ts", F.timestamp_micros(F.col("tsv")))
+    out = {(r["src"], r["dst"]): (r["n"], r["p_micro"])
+           for r in markov_transitions(df, "u", "ts", "id", "s")
+           .collect()}
+    assert out[("a", "b")] == (2, 1_000_000)   # a always -> b
+    assert out[("b", "a")] == (1, 1_000_000)   # last events emit none
+    assert ("b", None) not in out
+
+
+def test_markov_ties_broken_by_id_within_same_ts(spark):
+    rows = [(1, 10, 100, "x"), (1, 11, 100, "y"), (1, 12, 100, "z")]
+    df = spark.createDataFrame(rows, "u long, id long, tsv long, s string") \
+              .withColumn("ts", F.timestamp_micros(F.col("tsv")))
+    out = {(r["src"], r["dst"]) for r in
+           markov_transitions(df, "u", "ts", "id", "s").collect()}
+    assert out == {("x", "y"), ("y", "z")}
+
+
+# ---------------------------------------------------------------------------
+# locf
+# ---------------------------------------------------------------------------
+
+def test_locf_fill_carries_forward_per_key(spark):
+    rows = [(1, 1, 100, 10), (1, 2, 200, None), (1, 3, 300, None),
+            (1, 4, 400, 40), (2, 5, 100, None), (2, 6, 200, 7)]
+    df = spark.createDataFrame(rows, "u long, id long, tsv long, v long") \
+              .withColumn("ts", F.timestamp_micros(F.col("tsv")))
+    out = {r["id"]: r["filled"]
+           for r in locf_fill(df, "u", "ts", "id", "v").collect()}
+    assert out == {1: 10, 2: 10, 3: 10, 4: 40, 5: None, 6: 7}
+
+
+# ---------------------------------------------------------------------------
+# temporal split
+# ---------------------------------------------------------------------------
+
+def test_temporal_split_embargo_gap_and_order(spark):
+    # 100 events at micros 0..99e6; cutoff = exact 0.8 quantile;
+    # embargo 5 s. No train row may lie within the embargo of the
+    # cutoff, and every test row is at-or-after the cutoff.
+    df = spark.range(0, 100).select(
+        F.col("id"), F.timestamp_micros(F.col("id") * 1_000_000)
+        .alias("ts"))
+    out = temporal_split_embargo(df, "ts", 0.8, 5_000_000)
+    pdf = out.select("id", "split", "__us").toPandas()
+    cut = pdf.loc[pdf.split == "test", "__us"].min()
+    assert (pdf.loc[pdf.split == "train", "__us"]
+            < cut - 5_000_000).all()
+    assert (pdf.loc[pdf.split == "test", "__us"] >= cut).all()
+    emb = pdf.loc[pdf.split == "embargo", "__us"]
+    assert len(emb) > 0
+    assert ((emb >= cut - 5_000_000) & (emb < cut)).all()
+    # nothing dropped: all 100 rows labeled
+    assert len(pdf) == 100
+
+
+def test_temporal_split_rejects_bad_frac(spark):
+    df = spark.range(1).select(F.current_timestamp().alias("ts"))
+    with pytest.raises(ValueError):
+        temporal_split_embargo(df, "ts", 1.5)
