@@ -305,7 +305,9 @@ SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 # probes on a timeshared host record phantom regressions on exactly
 # the queries where scaling evidence matters most (r6 VERDICT #1).
 SF1_QUERIES = {
-    "flagship_join_groupby_count": 1.0,
+    # r9 solo re-measure (VERDICT r8 #4): 2.06-2.25 s warm on the
+    # 10x-population events fixture; the old 1.0 s predates it
+    "flagship_join_groupby_count": 2.0,
     "tpch_q1": 1.1,
     "tpch_q18": 3.5,
     "dedup_ngram_jaccard": 7.5,
@@ -322,8 +324,14 @@ SF1_QUERIES = {
     "dedup_contamination": 8.0,
     # r4: witness the adaptive-plane ANN path's ~linear candidate
     # growth (VERDICT r3 #1). r8: re-based to the rotated-copy
-    # embedding fixture (per-copy isometry — see _ensure_sf1)
-    "dedup_embedding_cosine_ann": 6.5,
+    # embedding fixture (per-copy isometry — see _ensure_sf1).
+    # r9 solo re-measure (VERDICT r8 #4): warm steady state is
+    # 4.2-4.3 s (3 consecutive solo runs); the 11-13 s sweep readings
+    # were the FIRST-touch cost (page-cache-cold 10-file fixture +
+    # JIT) landing exactly at the old 2x gate (13.0), so the retry
+    # flapped. Expected = warm min per the doctrine; the cold first
+    # run now always trips the retry and the min is recorded.
+    "dedup_embedding_cosine_ann": 4.5,
     # r7 wave-2 ops (warm best-of-2 minima, multi-file sf1 layout)
     "text_line_dedup": 2.0,
     "sim_sparse_topk": 5.1,
@@ -343,8 +351,11 @@ SF1_QUERIES = {
     # fixture; all land at 1.8-3.4x their sf0.1 sweep time on 10x
     # data — sub-linear across the board.
     # r9: PPJoin length + positional filters in the candidate join
-    # (lossless prunes; oracle unchanged) — solo sf1 30.1 -> ~13 s
-    "dedup_jaccard_prefix": 12.6,
+    # (lossless prunes; oracle unchanged) — solo sf1 30.1 -> ~13 s.
+    # r9 solo re-measure: 16.9-20.3 s across sweep + 2 idle-host solo
+    # runs — the ~13 s figure was a best-case; re-based to the
+    # repeatable floor
+    "dedup_jaccard_prefix": 17.0,
     "sim_bm25": 8.5,
     "hybrid_rrf3": 4.3,
     "corpus_percentiles": 7.9,
@@ -358,7 +369,10 @@ SF1_QUERIES = {
     # so pair count grows n^2: measured 1.0M rows at sf1 vs ~10k at
     # sf0.1) — probing it witnesses output explosion, not engine
     # scaling, hence the scaled override below.
-    "dedup_semantic_scaled": 14.0,
+    # r9 solo re-measure: 15.9 (sweep) / 20.2 / 32.4 (solo) — the
+    # iterative Lloyd passes are the most host-noise-sensitive probe;
+    # expected = min observed on the current fixture
+    "dedup_semantic_scaled": 16.0,
     # r9 ops: sampled training makes PQ/IVF-PQ sub-linear (sf0.1 ->
     # sf1 is 3.3 -> 4.7 s and 5.2 -> 7.0 s on 10x data: the Lloyd
     # passes are capped at 256 vectors, only encode/search scale);
