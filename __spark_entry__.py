@@ -3932,6 +3932,22 @@ def q_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "user_id", "v", "filled"))
 
 
+def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (Gonzalez / Sener-Savarese): the 8
+    embedding vectors that best COVER the corpus, selected on the
+    deterministic 256-row hash-ordered training sample (kmeans'
+    sampled-training doctrine), then every corpus vector assigned to
+    its nearest center. Integer-exact: quantized vectors, int64
+    distances, argmax ties to smallest id; the oracle replays the
+    full greedy loop as unrolled CTEs. Output = selection order +
+    per-cell population + cover radius² — the quantity k-center
+    minimizes."""
+    from charmpandas_spark.functions.coreset import kcenter_select
+    emb = _t(spark, sf_dir, "embeddings").sdf
+    return kcenter_select(emb, "embedding", "vec_id", 8,
+                          train_cap=256)
+
+
 def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe TEMPORAL train/test split with a 1-hour embargo:
     cutoff = exact 0.8 time quantile (interpolation over integer
@@ -4040,6 +4056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_transitions": q_markov_transitions,
         "locf_fill": q_locf_fill,
         "temporal_split": q_temporal_split,
+        "coreset_kcenter": q_coreset_kcenter,
         # --- (2) SS2 core slice, re-proven every round ---
         "scan_project": q_scan_project,
         "flagship_join_groupby_count": q_flagship_join_groupby_count,
@@ -4465,6 +4482,7 @@ def oracle_sql() -> dict[str, str]:
     from charmpandas_spark.operators.sequence import (
         locf_fill_sql, markov_transitions_sql, temporal_split_embargo_sql)
     from charmpandas_spark.operators.topk import topk_per_group_sql
+    from charmpandas_spark.functions.coreset import kcenter_select_sql
     from charmpandas_spark.functions import text as text_mod
     from charmpandas_spark.functions.text import (
         TOKEN_REGEX, fingerprint_sql, language_id_sql, quality_score_sql,
@@ -6522,6 +6540,9 @@ def oracle_sql() -> dict[str, str]:
                  FROM events)""",
             "user_id", "ts", "event_id", "v", "filled",
             "event_id, user_id, v"),
+        "coreset_kcenter": kcenter_select_sql(
+            "embeddings", "embedding", "vec_id", 64, 8,
+            train_cap=256),
         "temporal_split": f"""
             SELECT split, CAST(count(*) AS BIGINT) AS n,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,

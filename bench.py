@@ -286,6 +286,7 @@ def bench_queries(spark, sf_dir):
         "markov_transitions",
         "locf_fill",
         "temporal_split",
+        "coreset_kcenter",
     ]
     return {n: qs[n] for n in names if n in qs}
 

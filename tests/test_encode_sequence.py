@@ -211,3 +211,55 @@ def test_temporal_split_rejects_bad_frac(spark):
     df = spark.range(1).select(F.current_timestamp().alias("ts"))
     with pytest.raises(ValueError):
         temporal_split_embargo(df, "ts", 1.5)
+
+
+# ---------------------------------------------------------------------------
+# k-center coreset
+# ---------------------------------------------------------------------------
+
+def _vec_df(spark, pts):
+    from pyspark.sql import Row
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in p])
+         for i, p in enumerate(pts)])
+
+
+def test_kcenter_greedy_geometry(spark):
+    from charmpandas_spark.functions.coreset import kcenter_select
+    # 1-d points 0, 1, 10, 11, 100: seed = min id (the 0-point),
+    # then the farthest (100), then 11 (min-dist 121 beats 10's 100)
+    df = _vec_df(spark, [[0.0], [0.001], [0.010], [0.011], [0.100]])
+    out = (kcenter_select(df, "embedding", "vec_id", 3)
+           .orderBy("rank").collect())
+    assert [r["center_id"] for r in out] == [0, 4, 3]
+    assert out[0]["sel_r2"] == 0
+    assert out[1]["sel_r2"] == 100 * 100   # quantized units (x1000)
+    assert out[2]["sel_r2"] == 11 * 11
+    assert sum(r["n_assigned"] for r in out) == 5
+
+
+def test_kcenter_tie_breaks_to_smallest_id(spark):
+    from charmpandas_spark.functions.coreset import kcenter_select
+    # two symmetric far points at equal distance from the seed: the
+    # smaller id wins the argmax
+    df = _vec_df(spark, [[0.0], [0.050], [-0.050]])
+    out = (kcenter_select(df, "embedding", "vec_id", 2)
+           .orderBy("rank").collect())
+    assert [r["center_id"] for r in out] == [0, 1]
+
+
+def test_kcenter_partition_invariant_and_sampled(spark):
+    import random
+    from charmpandas_spark.functions.coreset import kcenter_select
+    rng = random.Random(7)
+    pts = [[rng.uniform(-1, 1) for _ in range(4)] for _ in range(120)]
+    df = _vec_df(spark, pts)
+    a = (kcenter_select(df, "embedding", "vec_id", 5, train_cap=64)
+         .orderBy("rank").collect())
+    b = (kcenter_select(df.repartition(13), "embedding", "vec_id", 5,
+                        train_cap=64)
+         .orderBy("rank").collect())
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # assignment covers the FULL corpus even though selection ran on
+    # the 64-row sample
+    assert sum(r["n_assigned"] for r in a) == 120
