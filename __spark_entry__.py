@@ -3948,6 +3948,20 @@ def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
                           train_cap=256)
 
 
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-principal-component projection of the embedding corpus by
+    INTEGER power iteration: one Arrow-batched mapInPandas pass for
+    the d²+d+1 sufficient statistics (numpy int64 X'X partials,
+    DECIMAL(38,0) merge), exact driver-side iteration on the 64x64
+    covariance (bounded-collect, kmeans-centroid class), one
+    scan-local projection pass. The oracle replays the statistics,
+    the covariance algebra, all 12 iterations, and the projection —
+    training AND apply are value-checked."""
+    from charmpandas_spark.functions.pca import pca_power_project
+    emb = _t(spark, sf_dir, "embeddings").sdf
+    return pca_power_project(emb, "embedding", "vec_id")
+
+
 def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe TEMPORAL train/test split with a 1-hour embargo:
     cutoff = exact 0.8 time quantile (interpolation over integer
@@ -4057,6 +4071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "locf_fill": q_locf_fill,
         "temporal_split": q_temporal_split,
         "coreset_kcenter": q_coreset_kcenter,
+        "embedding_pca": q_embedding_pca,
         # --- (2) SS2 core slice, re-proven every round ---
         "scan_project": q_scan_project,
         "flagship_join_groupby_count": q_flagship_join_groupby_count,
@@ -4483,6 +4498,7 @@ def oracle_sql() -> dict[str, str]:
         locf_fill_sql, markov_transitions_sql, temporal_split_embargo_sql)
     from charmpandas_spark.operators.topk import topk_per_group_sql
     from charmpandas_spark.functions.coreset import kcenter_select_sql
+    from charmpandas_spark.functions.pca import pca_power_project_sql
     from charmpandas_spark.functions import text as text_mod
     from charmpandas_spark.functions.text import (
         TOKEN_REGEX, fingerprint_sql, language_id_sql, quality_score_sql,
@@ -6540,6 +6556,8 @@ def oracle_sql() -> dict[str, str]:
                  FROM events)""",
             "user_id", "ts", "event_id", "v", "filled",
             "event_id, user_id, v"),
+        "embedding_pca": pca_power_project_sql(
+            "embeddings", "embedding", "vec_id", 64),
         "coreset_kcenter": kcenter_select_sql(
             "embeddings", "embedding", "vec_id", 64, 8,
             train_cap=256),

@@ -287,6 +287,7 @@ def bench_queries(spark, sf_dir):
         "locf_fill",
         "temporal_split",
         "coreset_kcenter",
+        "embedding_pca",
     ]
     return {n: qs[n] for n in names if n in qs}
 

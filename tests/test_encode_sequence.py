@@ -263,3 +263,49 @@ def test_kcenter_partition_invariant_and_sampled(spark):
     # assignment covers the FULL corpus even though selection ran on
     # the 64-row sample
     assert sum(r["n_assigned"] for r in a) == 120
+
+
+# ---------------------------------------------------------------------------
+# PCA power iteration
+# ---------------------------------------------------------------------------
+
+def test_pca_finds_planted_dominant_axis(spark):
+    import numpy as np
+    from charmpandas_spark.functions.pca import pca_power_project
+    # variance planted on axis 2: values spread +-0.5 there, tiny
+    # noise elsewhere -> the projection must order like coordinate 2
+    rng = np.random.RandomState(3)
+    pts = []
+    for i in range(80):
+        v = rng.uniform(-0.01, 0.01, size=6)
+        v[2] = (i - 40) / 80.0
+        pts.append([float(x) for x in v])
+    df = _vec_df(spark, pts)
+    out = (pca_power_project(df, "embedding", "vec_id")
+           .orderBy("vec_id").collect())
+    proj = np.array([r["proj"] for r in out], dtype=float)
+    axis = np.array([p[2] for p in pts])
+    corr = np.corrcoef(proj, axis)[0, 1]
+    assert abs(corr) > 0.999
+
+
+def test_pca_partition_invariant(spark):
+    import random
+    from charmpandas_spark.functions.pca import pca_power_project
+    rng = random.Random(11)
+    pts = [[rng.uniform(-1, 1) for _ in range(5)] for _ in range(60)]
+    df = _vec_df(spark, pts)
+    a = (pca_power_project(df, "embedding", "vec_id")
+         .orderBy("vec_id").collect())
+    b = (pca_power_project(df.repartition(9), "embedding", "vec_id")
+         .orderBy("vec_id").collect())
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_pca_centered_projection_sums_near_zero(spark):
+    from charmpandas_spark.functions.pca import pca_power_project
+    pts = [[float(i) / 100.0, 0.0] for i in range(10)]
+    df = _vec_df(spark, pts)
+    out = pca_power_project(df, "embedding", "vec_id").collect()
+    # centered projections sum to ~0 (truncation leaves |sum| < n)
+    assert abs(sum(r["proj"] for r in out)) < len(pts)
