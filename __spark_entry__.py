@@ -3962,6 +3962,38 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_power_project(emb, "embedding", "vec_id")
 
 
+def q_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by LOG-FREE tf-idf
+    (integer micro-unit raw inverse document frequency — monotone in
+    1/df like log-idf, no transcendentals in checked output). One
+    explode + tf groupBy + term-cardinality df join + a row_number
+    window on the HIGH-cardinality doc key — every stage's
+    parallelism grows with the corpus."""
+    from charmpandas_spark.functions.sparse import keyword_topk
+    docs = _t(spark, sf_dir, "documents").sdf
+    return keyword_topk(docs, "text", "doc_id", k=3)
+
+
+def q_group_topk_incremental(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Incrementally-maintained per-group leaderboard: orders split
+    into 3 batches, each folded to <= k structs per (group, batch)
+    and merged — top-k under a total order is a commutative monoid,
+    so the state equals the from-scratch top-k over the union (the
+    oracle), and per-group state stays k structs no matter how much
+    history folded in (rollup_incremental's exact-aggregate pattern
+    applied to ORDER statistics)."""
+    from charmpandas_spark.operators.topk import topk_apply_batches
+    o = _t(spark, sf_dir, "orders").sdf
+    o2 = o.withColumn("cents", F.expr(_CENTS))
+    batches = [o2.where(F.col("o_orderkey") % 3 == i)
+               for i in range(3)]
+    return (topk_apply_batches(batches, ["o_orderpriority"], "cents",
+                               "o_orderkey", 3)
+            .withColumnRenamed("o_orderkey", "id")
+            .withColumnRenamed("cents", "ord"))
+
+
 def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe TEMPORAL train/test split with a 1-hour embargo:
     cutoff = exact 0.8 time quantile (interpolation over integer
@@ -4072,6 +4104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_split": q_temporal_split,
         "coreset_kcenter": q_coreset_kcenter,
         "embedding_pca": q_embedding_pca,
+        "keyword_topk": q_keyword_topk,
+        "group_topk_incremental": q_group_topk_incremental,
         # --- (2) SS2 core slice, re-proven every round ---
         "scan_project": q_scan_project,
         "flagship_join_groupby_count": q_flagship_join_groupby_count,
@@ -4499,6 +4533,7 @@ def oracle_sql() -> dict[str, str]:
     from charmpandas_spark.operators.topk import topk_per_group_sql
     from charmpandas_spark.functions.coreset import kcenter_select_sql
     from charmpandas_spark.functions.pca import pca_power_project_sql
+    from charmpandas_spark.functions.sparse import keyword_topk_sql
     from charmpandas_spark.functions import text as text_mod
     from charmpandas_spark.functions.text import (
         TOKEN_REGEX, fingerprint_sql, language_id_sql, quality_score_sql,
@@ -6556,6 +6591,11 @@ def oracle_sql() -> dict[str, str]:
                  FROM events)""",
             "user_id", "ts", "event_id", "v", "filled",
             "event_id, user_id, v"),
+        "keyword_topk": keyword_topk_sql(
+            "documents", "doc_id", "text", k=3),
+        "group_topk_incremental": topk_per_group_sql(
+            f"(SELECT *, {_CENTS_SQL} AS cents FROM orders)",
+            ["o_orderpriority"], "cents", "o_orderkey", 3),
         "embedding_pca": pca_power_project_sql(
             "embeddings", "embedding", "vec_id", 64),
         "coreset_kcenter": kcenter_select_sql(

@@ -288,6 +288,8 @@ def bench_queries(spark, sf_dir):
         "temporal_split",
         "coreset_kcenter",
         "embedding_pca",
+        "keyword_topk",
+        "group_topk_incremental",
     ]
     return {n: qs[n] for n in names if n in qs}
 

@@ -435,3 +435,70 @@ def bm25_topk_sql(t: str, id_expr: str, text_expr: str,
         SELECT q_doc, c_doc, bm25_micro, rank
         FROM ranked WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# keyword extraction
+# ---------------------------------------------------------------------------
+
+def keyword_topk(df: SparkDF, text_col: str, id_col: str,
+                 k: int = 3) -> SparkDF:
+    """Top-``k`` characteristic terms per document by LOG-FREE tf·idf:
+    ``score = tf · ((1e6·N) div df)`` — raw inverse document
+    frequency in integer micro-units instead of ``log(N/df)`` (repo
+    doctrine: no transcendentals in oracle-checked outputs; the
+    ordering is what keyword extraction consumes, and both are
+    monotone in 1/df at fixed tf). Ties break on the term string so
+    the result is total-ordered.
+
+    Plan: one explode + (doc, term) tf groupBy, a term-cardinality
+    document-frequency aggregate joined back (shuffle on term), the
+    corpus size riding as a broadcast 1-row aggregate, then a
+    row_number window partitioned by the HIGH-cardinality doc key —
+    every stage's parallelism grows with the corpus.
+    """
+    from pyspark.sql import Window
+
+    post = term_postings(df, text_col, id_col)
+    dfreq = post.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("__df"))
+    ndocs = df.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    scored = (post.join(dfreq, "term")
+                  .crossJoin(F.broadcast(ndocs))
+                  .withColumn("score_micro",
+                              F.col("tf")
+                              * F.expr("(1000000 * __n) div __df")))
+    w = Window.partitionBy("doc").orderBy(
+        F.col("score_micro").desc(), F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select(F.col("doc").alias(id_col),
+                          F.col("rank").cast("int").alias("rank"),
+                          "term", "score_micro"))
+
+
+def keyword_topk_sql(t: str, id_expr: str, text_expr: str,
+                     k: int = 3) -> str:
+    """DuckDB twin of :func:`keyword_topk` (identical tokenization,
+    idf rational, and (score DESC, term ASC) total order)."""
+    return f"""
+        WITH post AS (
+            SELECT doc, term, CAST(count(*) AS BIGINT) AS tf
+            FROM ({term_postings_sql(t, id_expr, text_expr)})
+            WHERE term <> '' GROUP BY doc, term),
+        dfreq AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM post GROUP BY term),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM {t}),
+        scored AS (
+            SELECT p.doc, p.term,
+                   p.tf * ((1000000 * nd.n) // d.df) AS score_micro,
+                   row_number() OVER (
+                       PARTITION BY p.doc
+                       ORDER BY p.tf * ((1000000 * nd.n) // d.df)
+                                DESC, p.term ASC) AS rank
+            FROM post p JOIN dfreq d USING (term) CROSS JOIN nd)
+        SELECT doc AS {id_expr}, CAST(rank AS INT) AS rank, term,
+               score_micro
+        FROM scored WHERE rank <= {k}
+    """

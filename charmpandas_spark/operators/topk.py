@@ -86,3 +86,70 @@ def topk_per_group_sql(t: str, group_exprs: list[str], order_expr: str,
         SELECT {gsel}, CAST(rk AS INT) AS rank, id, ord
         FROM ranked WHERE rk <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# incremental (mergeable) top-k — the leaderboard materialization
+# ---------------------------------------------------------------------------
+
+def topk_batch(batch: SparkDF, group_cols: list[str], order_col: str,
+               id_col: str, k: int, ascending: bool = False) -> SparkDF:
+    """One batch folded to per-group top-k state: ``(group_cols…,
+    __top)`` where ``__top`` is the ≤ k best ``(ord, id)`` structs.
+    This is the MERGEABLE partial of :func:`topk_per_group` — top-k
+    under a total order is a commutative monoid (merge = concat,
+    re-sort, cut), so a leaderboard over an append-only stream is
+    maintained by folding per-batch states, never by rescanning
+    history (`rollup_incremental`'s pattern; state per group is k
+    structs regardless of history size)."""
+    sign = 1 if ascending else -1
+    key = (F.col(order_col).cast("long") * sign).alias("__ord")
+    return (batch.where(F.col(order_col).isNotNull())
+                 .select(*group_cols,
+                         F.struct(key, F.col(id_col).cast("long")
+                                  .alias("__id")).alias("__c"))
+                 .groupBy(*group_cols)
+                 .agg(F.slice(F.sort_array(F.collect_list("__c")),
+                              1, k).alias("__top")))
+
+
+def topk_merge(state: SparkDF, batch_state: SparkDF,
+               group_cols: list[str], k: int) -> SparkDF:
+    """Fold one batch's top-k state into the leaderboard: union +
+    group-cardinality re-cut (the monoid ⊕). Associative and
+    commutative — any batch split of the log reaches the same state."""
+    return (state.unionByName(batch_state)
+                 .groupBy(*group_cols)
+                 .agg(F.slice(F.sort_array(
+                          F.flatten(F.collect_list("__top"))),
+                      1, k).alias("__top")))
+
+
+def topk_state_result(state: SparkDF, group_cols: list[str],
+                      order_col: str, id_col: str,
+                      ascending: bool = False) -> SparkDF:
+    """Explode leaderboard state to ``(group_cols…, rank, id, ord)``
+    — same shape as :func:`topk_per_group`."""
+    sign = 1 if ascending else -1
+    out = state.select(*group_cols,
+                       F.posexplode("__top").alias("__pos", "__c"))
+    return out.select(
+        *group_cols,
+        (F.col("__pos") + 1).cast("int").alias("rank"),
+        F.col("__c.__id").alias(id_col),
+        (F.col("__c.__ord") * sign).alias(order_col))
+
+
+def topk_apply_batches(batches: list[SparkDF], group_cols: list[str],
+                       order_col: str, id_col: str, k: int,
+                       ascending: bool = False) -> SparkDF:
+    """Maintain the leaderboard across a batch sequence and explode
+    the final state — must equal :func:`topk_per_group` over the
+    union, which is exactly what the oracle checks."""
+    state = None
+    for b in batches:
+        s = topk_batch(b, group_cols, order_col, id_col, k, ascending)
+        state = s if state is None \
+            else topk_merge(state, s, group_cols, k)
+    return topk_state_result(state, group_cols, order_col, id_col,
+                             ascending)

@@ -309,3 +309,55 @@ def test_pca_centered_projection_sums_near_zero(spark):
     out = pca_power_project(df, "embedding", "vec_id").collect()
     # centered projections sum to ~0 (truncation leaves |sum| < n)
     assert abs(sum(r["proj"] for r in out)) < len(pts)
+
+
+# ---------------------------------------------------------------------------
+# keyword extraction + incremental top-k
+# ---------------------------------------------------------------------------
+
+def test_keyword_topk_prefers_rare_terms(spark):
+    from charmpandas_spark.functions.sparse import keyword_topk
+    docs = spark.createDataFrame(
+        [(1, "the the the zebra"), (2, "the cat"), (3, "the dog"),
+         (4, "the fox")],
+        "doc_id long, text string")
+    out = keyword_topk(docs, "text", "doc_id", k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    # 'the' appears in every doc (idf floor: 4//4 = 1x) — the rare
+    # term (4x idf) wins even against tf=3
+    assert top[1] == "zebra"
+    assert top[2] == "cat" and top[3] == "dog" and top[4] == "fox"
+
+
+def test_topk_incremental_matches_from_scratch_any_split(spark):
+    from charmpandas_spark.operators.topk import (
+        topk_apply_batches, topk_per_group)
+    rows = [("g%d" % (i % 3), i, (i * 53) % 97) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    want = [tuple(r) for r in
+            topk_per_group(df, ["g"], "v", "id", 4)
+            .orderBy("g", "rank").collect()]
+    for nb in (2, 5):
+        batches = [df.where(F.col("id") % nb == i) for i in range(nb)]
+        got = [tuple(r) for r in
+               topk_apply_batches(batches, ["g"], "v", "id", 4)
+               .orderBy("g", "rank").collect()]
+        assert got == want, f"split into {nb} batches diverged"
+
+
+def test_topk_merge_is_associative_monoid(spark):
+    from charmpandas_spark.operators.topk import (
+        topk_batch, topk_merge, topk_state_result)
+    df = spark.createDataFrame(
+        [("g", i, i % 13) for i in range(60)], "g string, id long, v long")
+    b = [topk_batch(df.where(F.col("id") % 3 == i), ["g"], "v", "id", 3)
+         for i in range(3)]
+    left = topk_merge(topk_merge(b[0], b[1], ["g"], 3), b[2], ["g"], 3)
+    right = topk_merge(b[0], topk_merge(b[1], b[2], ["g"], 3), ["g"], 3)
+    lr = [tuple(r) for r in
+          topk_state_result(left, ["g"], "v", "id")
+          .orderBy("rank").collect()]
+    rr = [tuple(r) for r in
+          topk_state_result(right, ["g"], "v", "id")
+          .orderBy("rank").collect()]
+    assert lr == rr
