@@ -3994,6 +3994,35 @@ def q_group_topk_incremental(spark: SparkSession,
             .withColumnRenamed("cents", "ord"))
 
 
+def q_streaming_group_topk(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Streaming leaderboard: orders replayed as 4 micro-batches
+    through the foreachBatch top-k monoid sink (per-batch <= k-struct
+    folds, idempotent re-merge, crash-safe two-rename swap). The
+    final persisted state must equal the from-scratch window top-k
+    over everything — literally group_topk's oracle formulation."""
+    from charmpandas_spark.operators.topk import topk_state_result
+    from charmpandas_spark.streaming.sinks import topk_stream_into
+    o = _t(spark, sf_dir, "orders").sdf
+    o2 = o.withColumn("cents", F.expr(_CENTS))           .select("o_orderkey", "o_orderpriority", "cents")
+    stream, _ = _replay_stream(spark, o2, "topkstream")
+    target = _tmp_sink("topkstream_target")
+    ckpt = _tmp_sink("topkstream_ckpt")
+    import shutil
+    shutil.rmtree(target, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = topk_stream_into(stream, target, ckpt, ["o_orderpriority"],
+                         "cents", "o_orderkey", 3)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("topk stream did not finish in 300s")
+    state = spark.read.parquet(target)
+    return (topk_state_result(state, ["o_orderpriority"], "cents",
+                              "o_orderkey")
+            .withColumnRenamed("o_orderkey", "id")
+            .withColumnRenamed("cents", "ord"))
+
+
 def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe TEMPORAL train/test split with a 1-hour embargo:
     cutoff = exact 0.8 time quantile (interpolation over integer
@@ -4025,10 +4054,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # freshest greens at the back. r9 final window: the 8 formerly
     # never-checked (VERDICT r8 #1) lead, then the wave-3
     # composites, then the r9 wave-1/2 changed block — 46 entries —
-    # then
-    # the wave-4 family (its tail 3 accept positions past the ~50
-    # cut; they are this round's newest, carry pytest + local-gate
-    # evidence, and lead the r10 window next). The SS2 core slice
+    # then the 11-query wave-4 family (positions 47-57: the tail
+    # accepts positions past the ~50 cut; those are this round's
+    # newest, carry pytest + local-gate evidence, and lead the r10
+    # window next). The SS2 core slice
     # and the r6-vintage TPC-H backlog queue behind.
     # tools/check_correctness.py runs ALL entries locally each round
     # (ADVICE r3: never depend on the driver window size) — r9
@@ -4093,8 +4122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_nearest": q_events_asof_nearest,
         "events_asof_join": q_events_asof_join,
         # --- (0c) NEW in r9 wave-4: feature encoding / sequence /
-        #     temporal-split family (tail 3 sit past the ~50 cut;
-        #     they lead the r10 window) ---
+        #     temporal-split / coreset-PCA-keyword family (the
+        #     tail sits past the ~50 cut; leads the r10 window) ---
         "target_encode": q_target_encode,
         "target_encode_loo": q_target_encode_loo,
         "standard_scale": q_standard_scale,
@@ -4106,6 +4135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca": q_embedding_pca,
         "keyword_topk": q_keyword_topk,
         "group_topk_incremental": q_group_topk_incremental,
+        "streaming_group_topk": q_streaming_group_topk,
         # --- (2) SS2 core slice, re-proven every round ---
         "scan_project": q_scan_project,
         "flagship_join_groupby_count": q_flagship_join_groupby_count,
@@ -6591,6 +6621,9 @@ def oracle_sql() -> dict[str, str]:
                  FROM events)""",
             "user_id", "ts", "event_id", "v", "filled",
             "event_id, user_id, v"),
+        "streaming_group_topk": topk_per_group_sql(
+            f"(SELECT *, {_CENTS_SQL} AS cents FROM orders)",
+            ["o_orderpriority"], "cents", "o_orderkey", 3),
         "keyword_topk": keyword_topk_sql(
             "documents", "doc_id", "text", k=3),
         "group_topk_incremental": topk_per_group_sql(

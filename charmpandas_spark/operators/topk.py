@@ -117,11 +117,16 @@ def topk_merge(state: SparkDF, batch_state: SparkDF,
                group_cols: list[str], k: int) -> SparkDF:
     """Fold one batch's top-k state into the leaderboard: union +
     group-cardinality re-cut (the monoid ⊕). Associative and
-    commutative — any batch split of the log reaches the same state."""
+    commutative — any batch split of the log reaches the same state.
+    Also IDEMPOTENT under the unique-id contract: ``array_distinct``
+    drops the duplicate (ord, id) structs a replayed fold re-adds, so
+    a streaming sink can re-merge a replayed micro-batch safely
+    (duplicated best entries would otherwise push legitimate rows
+    past the cut)."""
     return (state.unionByName(batch_state)
                  .groupBy(*group_cols)
-                 .agg(F.slice(F.sort_array(
-                          F.flatten(F.collect_list("__top"))),
+                 .agg(F.slice(F.array_distinct(F.sort_array(
+                          F.flatten(F.collect_list("__top")))),
                       1, k).alias("__top")))
 
 

@@ -35,7 +35,8 @@ import os
 from pyspark.sql import DataFrame as SparkDF
 
 __all__ = ["write_stream_parquet_batched", "merge_stream_into",
-           "cdc_stream_into", "read_cdc_snapshot"]
+           "cdc_stream_into", "read_cdc_snapshot",
+           "topk_stream_into"]
 
 
 def write_stream_parquet_batched(stream_df: SparkDF, path: str,
@@ -216,3 +217,52 @@ def read_cdc_snapshot(spark, target_path: str) -> SparkDF:
 
     df = spark.read.parquet(target_path)
     return df.where(~F.col("__cps_deleted")).drop("__cps_deleted")
+
+
+def topk_stream_into(stream_df: SparkDF, target_path: str,
+                     checkpoint: str, group_cols: list[str],
+                     order_col: str, id_col: str, k: int,
+                     ascending: bool = False,
+                     trigger_available_now: bool = True):
+    """Start a ``foreachBatch`` LEADERBOARD sink: each micro-batch is
+    folded to ≤ k ``(ord, id)`` structs per group
+    (``operators.topk.topk_batch``) and merged into the persisted
+    state with the top-k monoid (``topk_merge``) — so the maintained
+    table is always exactly the top-k over everything that has
+    arrived, at a state size of k structs per group regardless of
+    stream history. The order-statistics sibling of a streaming
+    rollup.
+
+    Exactly-once: ``topk_merge`` is idempotent under the unique-id
+    contract (a replayed batch re-merges the same (ord, id) pairs,
+    which ``array_distinct`` collapses), and the snapshot swap is the
+    same crash-recovered two-rename as :func:`merge_stream_into`.
+    Read the result with ``operators.topk.topk_state_result`` over
+    ``spark.read.parquet(target_path)``.
+    """
+    from ..operators.topk import topk_batch, topk_merge
+
+    def _fold(batch_df: SparkDF, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover_swap(target_path)
+        state_b = topk_batch(batch_df, group_cols, order_col, id_col,
+                             k, ascending)
+        if not os.path.isdir(target_path):
+            state_b.write.mode("overwrite").parquet(target_path)
+            return
+        tgt = spark.read.parquet(target_path)
+        merged = topk_merge(tgt, state_b, group_cols, k)
+        tmp = target_path.rstrip("/") + f".__tmp_b{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        old = target_path.rstrip("/") + f".__old_b{batch_id}"
+        os.rename(target_path, old)
+        os.rename(tmp, target_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    w = (stream_df.writeStream.foreachBatch(_fold)
+         .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

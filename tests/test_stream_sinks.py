@@ -200,3 +200,45 @@ def test_cdc_stream_out_of_order_batches_converge(spark, tmp_path):
     # key 1: delete (seq 3) must win over the late seq-2 update
     # key 2: update (seq 5) must win over the late seq-1 insert
     assert snap == {2: (5, 50), 3: (1, 70)}
+
+
+def test_topk_stream_leaderboard_matches_batch_and_replays(spark, tmp_path):
+    """The leaderboard sink folded over micro-batches equals the
+    from-scratch per-group top-k, and re-running an already-applied
+    batch (at-least-once replay) leaves the state unchanged —
+    topk_merge's array_distinct idempotency."""
+    from pyspark.sql import functions as F
+
+    from charmpandas_spark.operators.topk import (topk_per_group,
+                                                  topk_state_result)
+    from charmpandas_spark.streaming.sinks import topk_stream_into
+    from charmpandas_spark.streaming.windows import stream_from_parquet
+
+    rows = [("g%d" % (i % 2), i, (i * 29) % 41) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    target = str(tmp_path / "board")
+
+    def run(src_df, tag, n_files):
+        src = str(tmp_path / f"src_{tag}")
+        src_df.repartition(n_files).write.mode("overwrite").parquet(src)
+        stream = stream_from_parquet(spark, src,
+                                     max_files_per_trigger=1)
+        q = topk_stream_into(stream, target,
+                             str(tmp_path / f"ckpt_{tag}"),
+                             ["g"], "v", "id", 3)
+        assert q.awaitTermination(120)
+
+    run(df, "a", 4)
+    want = [tuple(r) for r in topk_per_group(df, ["g"], "v", "id", 3)
+            .orderBy("g", "rank").collect()]
+    got = [tuple(r) for r in
+           topk_state_result(spark.read.parquet(target), ["g"], "v",
+                             "id").orderBy("g", "rank").collect()]
+    assert got == want
+    # replay the SAME data through a fresh checkpoint: every batch
+    # re-merges rows the state already holds — result must not move
+    run(df, "replay", 2)
+    again = [tuple(r) for r in
+             topk_state_result(spark.read.parquet(target), ["g"], "v",
+                               "id").orderBy("g", "rank").collect()]
+    assert again == want
