@@ -390,6 +390,15 @@ SF1_QUERIES = {
     # events composites are one-exchange window/agg pipelines over
     # the 10x-population events fixture
     "graph_triangles": 12.5,
+    # r9 wave-4 (best-of-2 solo, idle host): k-center = k bounded
+    # scan aggregates + assignment; PCA = one mapInPandas statistics
+    # pass (warm 1.2 s — the cold 12.9 s is Python-pool first touch);
+    # keyword_topk = explode + tf/df joins + doc-keyed window;
+    # group_topk = two bounded aggregations
+    "coreset_kcenter": 6.5,
+    "embedding_pca": 1.5,
+    "keyword_topk": 5.0,
+    "group_topk": 1.3,
     "graph_kcore": 3.2,
     "heavy_hitters_cms": 3.9,
     "cdc_apply": 1.7,
