@@ -4023,6 +4023,21 @@ def q_streaming_group_topk(spark: SparkSession,
             .withColumnRenamed("cents", "ord"))
 
 
+def q_purged_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged k-fold CV over time (Lopez de Prado 2018 ch.7): 5
+    contiguous time slices at exact quantile cuts; per (row, fold)
+    the role is test / train / purged, where the purge envelope
+    extends the test slice by the 1-hour embargo on BOTH sides so
+    windowed lookback features cannot leak across a fold boundary in
+    either direction. Cutoffs ride as ONE broadcast array aggregate;
+    the (row x fold) matrix is a scan-local explode."""
+    from charmpandas_spark.operators.sequence import (MICRO,
+                                                      purged_kfold)
+    ev = _t(spark, sf_dir, "events").sdf
+    out = purged_kfold(ev, "ts", 5, 3600 * MICRO)
+    return out.select("event_id", "fold", "cv_fold", "role")
+
+
 def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe TEMPORAL train/test split with a 1-hour embargo:
     cutoff = exact 0.8 time quantile (interpolation over integer
@@ -4136,6 +4151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_topk": q_keyword_topk,
         "group_topk_incremental": q_group_topk_incremental,
         "streaming_group_topk": q_streaming_group_topk,
+        "purged_kfold": q_purged_kfold,
         # --- (2) SS2 core slice, re-proven every round ---
         "scan_project": q_scan_project,
         "flagship_join_groupby_count": q_flagship_join_groupby_count,
@@ -4559,7 +4575,8 @@ def oracle_sql() -> dict[str, str]:
     from charmpandas_spark.functions.encode import (
         standard_scale_sql, target_encode_loo_sql, target_encoding_sql)
     from charmpandas_spark.operators.sequence import (
-        locf_fill_sql, markov_transitions_sql, temporal_split_embargo_sql)
+        locf_fill_sql, markov_transitions_sql, purged_kfold_sql,
+        temporal_split_embargo_sql)
     from charmpandas_spark.operators.topk import topk_per_group_sql
     from charmpandas_spark.functions.coreset import kcenter_select_sql
     from charmpandas_spark.functions.pca import pca_power_project_sql
@@ -6621,6 +6638,11 @@ def oracle_sql() -> dict[str, str]:
                  FROM events)""",
             "user_id", "ts", "event_id", "v", "filled",
             "event_id, user_id, v"),
+        "purged_kfold": f"""
+            SELECT event_id, fold, cv_fold, role FROM (
+                {purged_kfold_sql("events", "ts", 5, 3_600_000_000,
+                                  "event_id")})
+        """,
         "streaming_group_topk": topk_per_group_sql(
             f"(SELECT *, {_CENTS_SQL} AS cents FROM orders)",
             ["o_orderpriority"], "cents", "o_orderkey", 3),

@@ -290,6 +290,7 @@ def bench_queries(spark, sf_dir):
         "embedding_pca",
         "keyword_topk",
         "group_topk_incremental",
+        "purged_kfold",
     ]
     return {n: qs[n] for n in names if n in qs}
 

@@ -38,6 +38,7 @@ __all__ = [
     "markov_transitions", "markov_transitions_sql",
     "locf_fill", "locf_fill_sql",
     "temporal_split_embargo", "temporal_split_embargo_sql",
+    "purged_kfold", "purged_kfold_sql",
 ]
 
 MICRO = 1_000_000
@@ -189,4 +190,103 @@ def temporal_split_embargo_sql(t: str, ts_expr: str,
                         THEN 'train'
                     ELSE 'embargo' END AS split
         FROM {t} CROSS JOIN cut
+    """
+
+
+# ---------------------------------------------------------------------------
+# purged k-fold cross-validation over time
+# ---------------------------------------------------------------------------
+
+def purged_kfold(df: SparkDF, ts_col: str, n_folds: int = 5,
+                 embargo_us: int = 3_600 * MICRO) -> SparkDF:
+    """Purged k-fold CV assignment over TIME (López de Prado 2018,
+    *Advances in Financial ML* ch. 7): the timeline is cut into
+    ``n_folds`` contiguous slices at exact time quantiles; each row
+    gets its ``fold``, and for every fold f the training set is
+    everything OUTSIDE slice f's [start − embargo, end + embargo)
+    envelope — rows inside the envelope but outside the slice are
+    purged (they could leak windowed-lookback information across the
+    boundary in either direction).
+
+    Returned shape: one row per (input row, fold) with
+    ``role ∈ {test, train, purged}`` — the assignment matrix a CV
+    loop consumes. The quantile cutoffs ride the plan as ONE
+    broadcast 1-row aggregate (an array of exact percentiles over
+    integer micros); the fold/role labeling is a scan-local
+    expression over a ``sequence``-generated fold axis, so the plan
+    is one scan + one small explode regardless of n_folds.
+    """
+    if n_folds < 2:
+        raise ValueError("n_folds must be >= 2")
+    us = epoch_micros(ts_col)
+    pcts = [i / n_folds for i in range(1, n_folds)]
+    cuts = df.agg(F.transform(
+        F.percentile(us, F.array(*[F.lit(p) for p in pcts])),
+        lambda c: F.floor(c).cast("long")).alias("__cuts"))
+    with_fold = (df.withColumn("__us", us)
+                   .crossJoin(F.broadcast(cuts))
+                   .withColumn(
+                       "fold",
+                       F.aggregate(
+                           F.col("__cuts"),
+                           F.lit(0).cast("int"),
+                           lambda acc, c: acc
+                           + F.when(F.col("__us") >= c, 1)
+                              .otherwise(0).cast("int"))))
+    # slice f's envelope: [cut_{f-1} - embargo, cut_f + embargo)
+    # (open-ended for the first/last slice)
+    lo = lambda f: F.when(f == 0, F.lit(None).cast("long")) \
+                    .otherwise(F.element_at(F.col("__cuts"), f))
+    hi = lambda f: F.when(f == n_folds - 1,
+                          F.lit(None).cast("long")) \
+                    .otherwise(F.element_at(F.col("__cuts"), f + 1))
+    folds = F.sequence(F.lit(0), F.lit(n_folds - 1))
+    exploded = with_fold.select(
+        "*", F.explode(folds).alias("cv_fold"))
+    in_lo = (lo(F.col("cv_fold")).isNull()
+             | (F.col("__us") >= lo(F.col("cv_fold"))
+                - F.lit(embargo_us)))
+    in_hi = (hi(F.col("cv_fold")).isNull()
+             | (F.col("__us") < hi(F.col("cv_fold"))
+                + F.lit(embargo_us)))
+    role = (F.when(F.col("fold") == F.col("cv_fold"), F.lit("test"))
+             .when(in_lo & in_hi, F.lit("purged"))
+             .otherwise(F.lit("train")))
+    return exploded.withColumn("role", role).drop("__cuts")
+
+
+def purged_kfold_sql(t: str, ts_expr: str, n_folds: int = 5,
+                     embargo_us: int = 3_600 * MICRO,
+                     select_exprs: str = "*") -> str:
+    """DuckDB twin (``quantile_cont`` list + identical envelope
+    algebra; the fold axis comes from ``range()``)."""
+    pcts = ", ".join(str(i / n_folds) for i in range(1, n_folds))
+    return f"""
+        WITH cuts AS MATERIALIZED (
+            SELECT list_transform(
+                quantile_cont(epoch_us({ts_expr}), [{pcts}]),
+                c -> CAST(floor(c) AS BIGINT)) AS cs
+            FROM {t}),
+        base AS (
+            SELECT {select_exprs}, epoch_us({ts_expr}) AS us,
+                   CAST(len(list_filter(cuts.cs,
+                            c -> epoch_us({ts_expr}) >= c)) AS INT)
+                       AS fold, cuts.cs AS cs
+            FROM {t} CROSS JOIN cuts),
+        ex AS (
+            SELECT base.*, CAST(u.f AS INT) AS cv_fold
+            FROM base, unnest(range(0, {n_folds})) AS u(f))
+        SELECT * EXCLUDE (us, cs, f_lo, f_hi),
+               CASE WHEN fold = cv_fold THEN 'test'
+                    WHEN (f_lo IS NULL OR us >= f_lo - {embargo_us})
+                         AND (f_hi IS NULL OR us < f_hi + {embargo_us})
+                        THEN 'purged'
+                    ELSE 'train' END AS role
+        FROM (
+            SELECT *,
+                   CASE WHEN cv_fold = 0 THEN NULL
+                        ELSE cs[cv_fold] END AS f_lo,
+                   CASE WHEN cv_fold = {n_folds - 1} THEN NULL
+                        ELSE cs[cv_fold + 1] END AS f_hi
+            FROM ex)
     """

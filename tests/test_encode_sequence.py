@@ -361,3 +361,40 @@ def test_topk_merge_is_associative_monoid(spark):
           topk_state_result(right, ["g"], "v", "id")
           .orderBy("rank").collect()]
     assert lr == rr
+
+
+# ---------------------------------------------------------------------------
+# purged k-fold
+# ---------------------------------------------------------------------------
+
+def test_purged_kfold_roles_and_envelope(spark):
+    from charmpandas_spark.operators.sequence import purged_kfold
+    # 100 events at seconds 0..99, 4 folds, 5 s embargo
+    df = spark.range(0, 100).select(
+        F.col("id"), F.timestamp_micros(F.col("id") * 1_000_000)
+        .alias("ts"))
+    out = purged_kfold(df, "ts", 4, 5_000_000) \
+        .select("id", "fold", "cv_fold", "role").toPandas()
+    # every row appears once per fold
+    assert len(out) == 400
+    # a row is test exactly in its own fold
+    assert ((out.role == "test") == (out.fold == out.cv_fold)).all()
+    for f in range(4):
+        sl = out[out.cv_fold == f]
+        test_ids = set(sl.loc[sl.role == "test", "id"])
+        train_ids = set(sl.loc[sl.role == "train", "id"])
+        purged_ids = set(sl.loc[sl.role == "purged", "id"])
+        lo, hi = min(test_ids), max(test_ids)
+        # no train row within 5 s of the test slice on either side
+        assert all(i < lo - 5 or i > hi + 5 for i in train_ids)
+        # purged rows hug the boundary (and only the boundary)
+        assert all((lo - 5 <= i < lo) or (hi < i <= hi + 5)
+                   for i in purged_ids)
+        # edge folds purge on one side only
+        if f == 0:
+            assert all(i > hi for i in purged_ids)
+        if f == 3:
+            assert all(i < lo for i in purged_ids)
+    # folds are contiguous, ordered, near-equal
+    sizes = out[out.role == "test"].groupby("cv_fold")["id"].count()
+    assert set(sizes) <= {24, 25, 26}
