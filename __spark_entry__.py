@@ -4023,6 +4023,28 @@ def q_streaming_group_topk(spark: SparkSession,
             .withColumnRenamed("cents", "ord"))
 
 
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family window coverage in one pass: per event_type
+    quartile (ntile), cumulative-distribution basis points
+    (floor(1e4 * cume_dist) — the IEEE rank/n rational, identical
+    cross-engine), and percent_rank basis points, all over the total
+    order (cents, event_id). One shuffle, one Window node."""
+    ev = _t(spark, sf_dir, "events").sdf
+    base = ev.select(
+        "event_id", "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cents"), F.col("event_id"))
+    return base.select(
+        "event_id", "event_type", "cents",
+        F.ntile(4).over(w).alias("quartile"),
+        F.floor(F.cume_dist().over(w) * 10000).cast("long")
+         .alias("cume_bp"),
+        F.floor(F.percent_rank().over(w) * 10000).cast("long")
+         .alias("pr_bp"))
+
+
 def q_purged_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Purged k-fold CV over time (Lopez de Prado 2018 ch.7): 5
     contiguous time slices at exact quantile cuts; per (row, fold)
@@ -4151,6 +4173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_topk": q_keyword_topk,
         "group_topk_incremental": q_group_topk_incremental,
         "streaming_group_topk": q_streaming_group_topk,
+        "window_ntile": q_window_ntile,
         "purged_kfold": q_purged_kfold,
         # --- (2) SS2 core slice, re-proven every round ---
         "scan_project": q_scan_project,
@@ -6638,6 +6661,19 @@ def oracle_sql() -> dict[str, str]:
                  FROM events)""",
             "user_id", "ts", "event_id", "v", "filled",
             "event_id, user_id, v"),
+        "window_ntile": """
+            SELECT event_id, event_type,
+                   CAST(floor(value * 100) AS BIGINT) AS cents,
+                   CAST(ntile(4) OVER w AS INT) AS quartile,
+                   CAST(floor(cume_dist() OVER w * 10000) AS BIGINT)
+                       AS cume_bp,
+                   CAST(floor(percent_rank() OVER w * 10000)
+                        AS BIGINT) AS pr_bp
+            FROM events
+            WINDOW w AS (PARTITION BY event_type
+                         ORDER BY CAST(floor(value * 100) AS BIGINT),
+                                  event_id)
+        """,
         "purged_kfold": f"""
             SELECT event_id, fold, cv_fold, role FROM (
                 {purged_kfold_sql("events", "ts", 5, 3_600_000_000,

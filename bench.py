@@ -291,6 +291,7 @@ def bench_queries(spark, sf_dir):
         "keyword_topk",
         "group_topk_incremental",
         "purged_kfold",
+        "window_ntile",
     ]
     return {n: qs[n] for n in names if n in qs}
 
