@@ -4023,6 +4023,26 @@ def q_streaming_group_topk(spark: SparkSession,
             .withColumnRenamed("cents", "ord"))
 
 
+def q_embedding_pca_incremental(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Incrementally-maintained PCA: the corpus split into 3 batches,
+    each reduced to its d²+d+1-row X'X statistics table, folded with
+    the cellwise-sum monoid (never rescanning history), then the full
+    corpus projected from the folded statistics — which must equal
+    the from-scratch PCA exactly: the oracle IS embedding_pca's
+    replay. The matrix-statistics sibling of rollup_incremental."""
+    from charmpandas_spark.functions.pca import (pca_project_from_stats,
+                                                 pca_stats,
+                                                 pca_stats_merge)
+    emb = _t(spark, sf_dir, "embeddings").sdf
+    batches = [emb.where(F.col("vec_id") % 3 == i) for i in range(3)]
+    stats = None
+    for b in batches:
+        sb = pca_stats(b, "embedding")
+        stats = sb if stats is None else pca_stats_merge(stats, sb)
+    return pca_project_from_stats(emb, "embedding", "vec_id", stats)
+
+
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-family window coverage in one pass: per event_type
     quartile (ntile), cumulative-distribution basis points
@@ -4173,6 +4193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_topk": q_keyword_topk,
         "group_topk_incremental": q_group_topk_incremental,
         "streaming_group_topk": q_streaming_group_topk,
+        "embedding_pca_incremental": q_embedding_pca_incremental,
         "window_ntile": q_window_ntile,
         "purged_kfold": q_purged_kfold,
         # --- (2) SS2 core slice, re-proven every round ---
@@ -6661,6 +6682,8 @@ def oracle_sql() -> dict[str, str]:
                  FROM events)""",
             "user_id", "ts", "event_id", "v", "filled",
             "event_id, user_id, v"),
+        "embedding_pca_incremental": pca_power_project_sql(
+            "embeddings", "embedding", "vec_id", 64),
         "window_ntile": """
             SELECT event_id, event_type,
                    CAST(floor(value * 100) AS BIGINT) AS cents,

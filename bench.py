@@ -292,6 +292,7 @@ def bench_queries(spark, sf_dir):
         "group_topk_incremental",
         "purged_kfold",
         "window_ntile",
+        "embedding_pca_incremental",
     ]
     return {n: qs[n] for n in names if n in qs}
 

@@ -52,7 +52,8 @@ from pyspark.sql import Column, DataFrame as SparkDF, functions as F
 
 from .kmeans import _quantize
 
-__all__ = ["pca_power_project", "pca_power_project_sql"]
+__all__ = ["pca_power_project", "pca_power_project_sql",
+           "pca_stats", "pca_stats_merge", "pca_project_from_stats"]
 
 #: component scale: max-|component| of the iterated vector
 SCALE2 = 1_000_000
@@ -78,21 +79,18 @@ def _power_iterate(cov: list[list[int]], iters: int) -> list[int]:
     return v
 
 
-def pca_power_project(df: SparkDF, vec_col: str, id_col: str,
-                      iters: int = 12, scale: int = 1000) -> SparkDF:
-    """Project every vector onto the corpus' top principal component:
-    returns ``(id_col, proj)`` with
-    ``proj = trunc(Σ_d (n·q_d − S_d)·v_d / (n·SCALE2))`` — the
-    centered projection in quantized units onto the max-normalized
-    component — plus the component itself is recomputable from the
-    same statistics (the oracle does exactly that).
-
-    One ``mapInPandas`` statistics pass + one scan-local projection
-    pass; the power iteration is exact driver-side integer work on
-    the d×d matrix.
-    """
-    q = df.select(F.col(id_col).alias("id"),
-                  _quantize(vec_col, scale).alias("qv"))
+def pca_stats(df: SparkDF, vec_col: str,
+              scale: int = 1000) -> SparkDF:
+    """The corpus' PCA sufficient statistics as a MERGEABLE table:
+    ``(i, j, s)`` rows holding Σqᵢqⱼ (i,j ≥ 0), Σqᵢ (j = −1) and the
+    row count (i = j = −1) as DECIMAL(38,0). One Arrow-batched
+    ``mapInPandas`` pass (per-batch numpy int64 X'X) + one grouped
+    sum — d²+d+1 rows regardless of corpus size. Because plain sums
+    form a commutative monoid, per-batch/per-day/per-shard statistics
+    fold with :func:`pca_stats_merge` — an incremental PCA refresh
+    never rescans history (rollup_incremental's pattern on matrix
+    statistics)."""
+    q = df.select(_quantize(vec_col, scale).alias("qv"))
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -112,11 +110,53 @@ def pca_power_project(df: SparkDF, vec_col: str, id_col: str,
                 "v": np.concatenate([xtx.ravel(), s,
                                      [np.int64(len(pdf))]])})
 
-    agg = (q.select("qv").mapInPandas(stats, "i int, j int, v long")
-            .groupBy("i", "j")
-            .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("s"))
-            .collect())
+    return (q.mapInPandas(stats, "i int, j int, v long")
+             .groupBy("i", "j")
+             .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("s")))
+
+
+def pca_stats_merge(a: SparkDF, b: SparkDF) -> SparkDF:
+    """Fold two statistics tables (the monoid ⊕: cellwise sum)."""
+    return (a.unionByName(b)
+             .groupBy("i", "j")
+             .agg(F.sum("s").alias("s")))
+
+
+def pca_project_from_stats(df: SparkDF, vec_col: str, id_col: str,
+                           stats_df: SparkDF, iters: int = 12,
+                           scale: int = 1000) -> SparkDF:
+    """Project ``df`` onto the top PC of a (possibly incrementally
+    folded) statistics table — identical to
+    :func:`pca_power_project` when the statistics cover ``df``."""
+    agg = stats_df.collect()
     cells = {(r["i"], r["j"]): int(r["s"]) for r in agg}
+    q = df.select(F.col(id_col).alias("id"),
+                  _quantize(vec_col, scale).alias("qv"))
+    return _project(q, id_col, cells, iters)
+
+
+def pca_power_project(df: SparkDF, vec_col: str, id_col: str,
+                      iters: int = 12, scale: int = 1000) -> SparkDF:
+    """Project every vector onto the corpus' top principal component:
+    returns ``(id_col, proj)`` with
+    ``proj = trunc(Σ_d (n·q_d − S_d)·v_d / (n·SCALE2))`` — the
+    centered projection in quantized units onto the max-normalized
+    component — plus the component itself is recomputable from the
+    same statistics (the oracle does exactly that).
+
+    One ``mapInPandas`` statistics pass + one scan-local projection
+    pass; the power iteration is exact driver-side integer work on
+    the d×d matrix.
+    """
+    q = df.select(F.col(id_col).alias("id"),
+                  _quantize(vec_col, scale).alias("qv"))
+    agg = pca_stats(df, vec_col, scale).collect()
+    cells = {(r["i"], r["j"]): int(r["s"]) for r in agg}
+    return _project(q, id_col, cells, iters)
+
+
+def _project(q: SparkDF, id_col: str, cells: dict,
+             iters: int) -> SparkDF:
     n = cells[(-1, -1)]
     dim = 1 + max(i for i, j in cells if j == -1 and i >= 0)
     s_vec = [cells[(i, -1)] for i in range(dim)]

@@ -398,3 +398,28 @@ def test_purged_kfold_roles_and_envelope(spark):
     # folds are contiguous, ordered, near-equal
     sizes = out[out.role == "test"].groupby("cv_fold")["id"].count()
     assert set(sizes) <= {24, 25, 26}
+
+
+def test_pca_stats_fold_matches_from_scratch_any_split(spark):
+    import random
+    from charmpandas_spark.functions.pca import (
+        pca_power_project, pca_project_from_stats, pca_stats,
+        pca_stats_merge)
+    rng = random.Random(5)
+    pts = [[rng.uniform(-1, 1) for _ in range(4)] for _ in range(90)]
+    df = _vec_df(spark, pts)
+    want = [tuple(r) for r in
+            pca_power_project(df, "embedding", "vec_id")
+            .orderBy("vec_id").collect()]
+    for nb in (2, 4):
+        stats = None
+        for i in range(nb):
+            sb = pca_stats(df.where(F.col("vec_id") % nb == i),
+                           "embedding")
+            stats = sb if stats is None \
+                else pca_stats_merge(stats, sb)
+        got = [tuple(r) for r in
+               pca_project_from_stats(df, "embedding", "vec_id",
+                                      stats)
+               .orderBy("vec_id").collect()]
+        assert got == want, f"{nb}-batch fold diverged"
