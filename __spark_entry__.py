@@ -4043,6 +4043,19 @@ def q_embedding_pca_incremental(spark: SparkSession,
     return pca_project_from_stats(emb, "embedding", "vec_id", stats)
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: both corpus slices (label parity)
+    projected onto the SHARED top principal axis, equi-width-binned
+    over the global range with an all-integer bin rule, per-bin
+    basis-point shares whose |pa-pb| sum is the total-variation
+    drift. No chi-square division-by-zero pathology on empty bins;
+    the whole pipeline (PCA fit + apply + binning) replays in the
+    oracle."""
+    from charmpandas_spark.functions.pca import pca_drift
+    emb = _t(spark, sf_dir, "embeddings").sdf         .withColumn("side", F.pmod(F.col("label"), F.lit(2)))
+    return pca_drift(emb, "embedding", "vec_id", "side")
+
+
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-family window coverage in one pass: per event_type
     quartile (ntile), cumulative-distribution basis points
@@ -4194,6 +4207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_topk_incremental": q_group_topk_incremental,
         "streaming_group_topk": q_streaming_group_topk,
         "embedding_pca_incremental": q_embedding_pca_incremental,
+        "embedding_drift": q_embedding_drift,
         "window_ntile": q_window_ntile,
         "purged_kfold": q_purged_kfold,
         # --- (2) SS2 core slice, re-proven every round ---
@@ -4623,7 +4637,8 @@ def oracle_sql() -> dict[str, str]:
         temporal_split_embargo_sql)
     from charmpandas_spark.operators.topk import topk_per_group_sql
     from charmpandas_spark.functions.coreset import kcenter_select_sql
-    from charmpandas_spark.functions.pca import pca_power_project_sql
+    from charmpandas_spark.functions.pca import (pca_drift_sql,
+                                                  pca_power_project_sql)
     from charmpandas_spark.functions.sparse import keyword_topk_sql
     from charmpandas_spark.functions import text as text_mod
     from charmpandas_spark.functions.text import (
@@ -6684,6 +6699,8 @@ def oracle_sql() -> dict[str, str]:
             "event_id, user_id, v"),
         "embedding_pca_incremental": pca_power_project_sql(
             "embeddings", "embedding", "vec_id", 64),
+        "embedding_drift": pca_drift_sql(
+            "embeddings", "embedding", "vec_id", "label % 2", 64),
         "window_ntile": """
             SELECT event_id, event_type,
                    CAST(floor(value * 100) AS BIGINT) AS cents,

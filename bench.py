@@ -293,6 +293,7 @@ def bench_queries(spark, sf_dir):
         "purged_kfold",
         "window_ntile",
         "embedding_pca_incremental",
+        "embedding_drift",
     ]
     return {n: qs[n] for n in names if n in qs}
 

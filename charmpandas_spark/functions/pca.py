@@ -53,7 +53,8 @@ from pyspark.sql import Column, DataFrame as SparkDF, functions as F
 from .kmeans import _quantize
 
 __all__ = ["pca_power_project", "pca_power_project_sql",
-           "pca_stats", "pca_stats_merge", "pca_project_from_stats"]
+           "pca_stats", "pca_stats_merge", "pca_project_from_stats",
+           "pca_drift", "pca_drift_sql"]
 
 #: component scale: max-|component| of the iterated vector
 SCALE2 = 1_000_000
@@ -254,4 +255,85 @@ def pca_power_project_sql(t: str, vec_expr: str, id_expr: str,
                    abs(r) // ((SELECT n FROM nstat) * {SCALE2})
                END AS BIGINT) AS proj
         FROM raw
+    """
+
+
+# ---------------------------------------------------------------------------
+# projection drift monitor
+# ---------------------------------------------------------------------------
+
+def pca_drift(df: SparkDF, vec_col: str, id_col: str, side_col: str,
+              bins: int = 8, iters: int = 12,
+              scale: int = 1000) -> SparkDF:
+    """Distribution drift between two corpus slices on the top-PC
+    axis — the standard cheap embedding-drift monitor: project BOTH
+    sides onto the common principal axis (fit on the union, so the
+    axis is shared), bin the projections into ``bins`` equi-width
+    buckets over the global range, and report per-bin counts and
+    basis-point shares; ``Σ|pa_bp − pb_bp| // 2`` is the total
+    variation distance in basis points (integer — no chi-square
+    division-by-zero pathology on empty bins).
+
+    ALL-INTEGER: projections are ints, the bin rule is
+    ``((p − mn)·bins) div (mx − mn + 1)`` (exact, always in
+    [0, bins)), shares are floored basis points. The global range
+    rides the plan as a broadcast 1-row aggregate.
+
+    ``side_col`` must be an integer 0/1 column on ``df``.
+    """
+    proj = pca_power_project(df, vec_col, id_col, iters, scale)
+    sides = df.select(F.col(id_col), F.col(side_col).alias("__side"))
+    p = proj.join(sides, id_col)
+    rng = p.agg(F.min("proj").alias("__mn"),
+                F.max("proj").alias("__mx"))
+    binned = (p.crossJoin(F.broadcast(rng))
+               .withColumn("bin",
+                           F.expr(f"((proj - __mn) * {bins})"
+                                  f" div (__mx - __mn + 1)")
+                            .cast("int")))
+    counts = (binned.groupBy("bin")
+                    .agg(F.sum(F.when(F.col("__side") == 0, 1)
+                               .otherwise(0)).cast("long")
+                          .alias("n_a"),
+                         F.sum(F.when(F.col("__side") == 1, 1)
+                               .otherwise(0)).cast("long")
+                          .alias("n_b")))
+    tots = counts.agg(F.sum("n_a").alias("__ta"),
+                      F.sum("n_b").alias("__tb"))
+    return (counts.crossJoin(F.broadcast(tots))
+            .select("bin", "n_a", "n_b",
+                    F.expr("(10000 * n_a) div __ta").alias("pa_bp"),
+                    F.expr("(10000 * n_b) div __tb").alias("pb_bp")))
+
+
+def pca_drift_sql(t: str, vec_expr: str, id_expr: str,
+                  side_expr: str, dim: int, bins: int = 8,
+                  iters: int = 12, scale: int = 1000) -> str:
+    """DuckDB twin: the full PCA replay as a subquery, then the
+    identical integer binning and basis-point algebra."""
+    inner = pca_power_project_sql(t, vec_expr, id_expr, dim, iters,
+                                  scale)
+    return f"""
+        WITH proj AS MATERIALIZED ({inner}),
+        sided AS MATERIALIZED (
+            SELECT p.proj, CAST({side_expr} AS INT) AS side
+            FROM proj p JOIN {t} s ON p.{id_expr} = s.{id_expr}),
+        rng AS (SELECT min(proj) AS mn, max(proj) AS mx FROM sided),
+        binned AS (
+            SELECT CAST(((proj - rng.mn) * {bins})
+                        // (rng.mx - rng.mn + 1) AS INT) AS bin,
+                   side
+            FROM sided CROSS JOIN rng),
+        cnt AS (
+            SELECT bin,
+                   CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_a,
+                   CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_b
+            FROM binned GROUP BY bin),
+        tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM cnt)
+        SELECT bin, n_a, n_b,
+               CAST((10000 * n_a) // tot.ta AS BIGINT) AS pa_bp,
+               CAST((10000 * n_b) // tot.tb AS BIGINT) AS pb_bp
+        FROM cnt CROSS JOIN tot
     """

@@ -423,3 +423,39 @@ def test_pca_stats_fold_matches_from_scratch_any_split(spark):
                                       stats)
                .orderBy("vec_id").collect()]
         assert got == want, f"{nb}-batch fold diverged"
+
+
+def test_pca_drift_detects_planted_shift(spark):
+    from charmpandas_spark.functions.pca import pca_drift
+    from pyspark.sql import Row
+    import random
+    rng = random.Random(9)
+    rows = []
+    for i in range(200):
+        side = i % 2
+        # side 1 shifted along axis 0 — drift must concentrate sides
+        # in different bins
+        v = [rng.uniform(-0.05, 0.05) + (0.5 if side else -0.5),
+             rng.uniform(-0.05, 0.05)]
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v],
+                        side=side))
+    df = spark.createDataFrame(rows)
+    out = pca_drift(df, "embedding", "vec_id", "side", bins=4).collect()
+    tv_bp = sum(abs(r["pa_bp"] - r["pb_bp"]) for r in out) // 2
+    assert tv_bp > 9000          # near-total separation
+    assert sum(r["n_a"] for r in out) == 100
+    assert sum(r["n_b"] for r in out) == 100
+
+
+def test_pca_drift_null_on_identical_sides(spark):
+    from charmpandas_spark.functions.pca import pca_drift
+    from pyspark.sql import Row
+    rows = []
+    for i in range(50):
+        v = [float(i) / 50.0, 0.1]
+        rows.append(Row(vec_id=2 * i, embedding=v, side=0))
+        rows.append(Row(vec_id=2 * i + 1, embedding=v, side=1))
+    df = spark.createDataFrame(rows)
+    out = pca_drift(df, "embedding", "vec_id", "side", bins=5).collect()
+    tv_bp = sum(abs(r["pa_bp"] - r["pb_bp"]) for r in out) // 2
+    assert tv_bp == 0            # identical distributions
