@@ -4124,7 +4124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # freshest greens at the back. r9 final window: the 8 formerly
     # never-checked (VERDICT r8 #1) lead, then the wave-3
     # composites, then the r9 wave-1/2 changed block — 46 entries —
-    # then the 11-query wave-4 family (positions 47-57: the tail
+    # then the 16-query wave-4 family (positions 47-62: the tail
     # accepts positions past the ~50 cut; those are this round's
     # newest, carry pytest + local-gate evidence, and lead the r10
     # window next). The SS2 core slice
