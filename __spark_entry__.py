@@ -4112,6 +4112,102 @@ def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.max("__us").alias("max_us")))
 
 
+def q_events_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules (market-basket) over user event baskets:
+    every directed (antecedent -> consequent) event-type pair with
+    exact co-occurrence count and floored-micro support / confidence
+    / lift (two-stage floor keeps every product int64-safe — see
+    ``operators/itemsets.py``). The basket self-join fans out k^2 per
+    basket with k bounded by the event-type DOMAIN, never basket
+    size; item totals broadcast; n_baskets rides the plan as a
+    broadcast 1-row aggregate."""
+    from charmpandas_spark.operators.itemsets import association_rules
+    ev = _t(spark, sf_dir, "events").sdf
+    return association_rules(ev, "user_id", "event_type",
+                             min_support_micro=1000)
+
+
+def q_events_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the hourly event-count
+    series per event_type: hour-of-day seasonal micro-mean, overall
+    level, residual — the seasonally-adjusted basis every metrics
+    anomaly rule needs. One event-scale counting exchange; the
+    phase/level means are tiny aggregations over the bucketed series
+    joined back as broadcasts."""
+    from charmpandas_spark.operators.seasonal import seasonal_decompose
+    ev = _t(spark, sf_dir, "events").sdf
+    return seasonal_decompose(ev, "ts", ["event_type"],
+                              3600 * 1_000_000, period=24)
+
+
+def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM changepoint per event_type: the hourly bucket
+    where the running sum of deviations from the series mean peaks
+    in absolute value (Page's statistic) — level-shift detection in
+    exact integer micro-space. The per-group window runs over the
+    BUCKETED series (hours, not events), so partition state is tiny
+    at any corpus scale."""
+    from charmpandas_spark.operators.seasonal import cusum_changepoint
+    ev = _t(spark, sf_dir, "events").sdf
+    return cusum_changepoint(ev, "ts", ["event_type"], 3600 * 1_000_000)
+
+
+def q_chi2_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square feature selection: the 5 most source-discriminative
+    tokens per document source (2x2 presence contingency, pinned-order
+    IEEE chi2 floored to milli-units — bit-identical in DuckDB).
+    Vocab-sized token totals join via SHUFFLE_HASH (never broadcast a
+    vocabulary); label totals and N broadcast."""
+    from charmpandas_spark.functions.featsel import chi2_tokens
+    docs = _t(spark, sf_dir, "documents").sdf
+    return chi2_tokens(docs, "text", "doc_id", "source",
+                       top_k=5, min_df=2)
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind cube/rollup):
+    per-(returnflag, linestatus) totals, each one-dimension margin,
+    and the grand total in ONE pass — Spark's Expand feeds a single
+    partial-aggregated exchange, exactly the multi-subtotal shape a
+    reporting layer asks for. DataFrame-native ``groupingSets`` API
+    (Spark 4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.sdf.groupingSets(
+                [["l_returnflag", "l_linestatus"], ["l_returnflag"],
+                 ["l_linestatus"], []],
+                "l_returnflag", "l_linestatus")
+            .agg((F.floor(_dsum("l_quantity") * 100) / 100)
+                 .alias("sum_qty"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def q_source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text source roundtrip: documents written as
+    ``doc_id<TAB>normalized_text`` lines (normalize collapses all
+    whitespace, so the payload is tab/newline-free by construction),
+    read back with ``spark.read.text``, parsed with one substring
+    split — the raw-crawl-shard ingestion path. Emits (doc_id,
+    n_chars_norm, fp) recomputed FROM THE PARSED LINES; the oracle
+    derives the same from the documents table, so a roundtrip
+    corruption fails the value hash."""
+    from charmpandas_spark.functions.text import normalize_text
+    docs = _t(spark, sf_dir, "documents").sdf
+    path = _tmp_sink("text_lines")
+    (docs.select(F.concat_ws("\t", F.col("doc_id").cast("string"),
+                             normalize_text("text")).alias("value"))
+         .write.mode("overwrite").text(path))
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.expr("CAST(substring(value, 1, instr(value, '\t') - 1) "
+               "AS BIGINT)").alias("doc_id"),
+        F.expr("substring(value, instr(value, '\t') + 1)")
+         .alias("__norm"))
+    return parsed.select(
+        "doc_id",
+        F.length("__norm").cast("bigint").alias("n_chars_norm"),
+        F.md5("__norm").alias("fp"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4210,6 +4306,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": q_embedding_drift,
         "window_ntile": q_window_ntile,
         "purged_kfold": q_purged_kfold,
+        # --- (0d) NEW in r9 wave-5: association rules, seasonal/
+        #     changepoint series diagnostics, chi2 feature selection,
+        #     GROUPING SETS, line-text source (queued to lead the
+        #     r10 window with wave-4) ---
+        "events_basket_rules": q_events_basket_rules,
+        "events_seasonal": q_events_seasonal,
+        "events_changepoint": q_events_changepoint,
+        "chi2_source_terms": q_chi2_source_terms,
+        "grouping_sets": q_grouping_sets,
+        "source_text_lines": q_source_text_lines,
         # --- (2) SS2 core slice, re-proven every round ---
         "scan_project": q_scan_project,
         "flagship_join_groupby_count": q_flagship_join_groupby_count,
@@ -4672,6 +4778,10 @@ def oracle_sql() -> dict[str, str]:
     from charmpandas_spark.operators.resample import resample_events_sql
     from charmpandas_spark.functions.sparse import (
         bm25_topk_sql, phrase_match_sql, tf_cosine_topk_sql)
+    from charmpandas_spark.operators.itemsets import association_rules_sql
+    from charmpandas_spark.operators.seasonal import (
+        cusum_changepoint_sql, seasonal_decompose_sql)
+    from charmpandas_spark.functions.featsel import chi2_tokens_sql
     join_cols = ('o_orderkey, o_orderpriority, l_orderkey, l_linenumber, '
                  'l_quantity')
     cos_pair = _cosine_sql("a.embedding", "b.embedding")
@@ -6588,6 +6698,31 @@ def oracle_sql() -> dict[str, str]:
                          AS DOUBLE) * 100) / 100 AS sum_qty,
                    COUNT(*) AS n
             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                         AS DOUBLE) * 100) / 100 AS sum_qty,
+                   COUNT(*) AS n
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_returnflag), (l_linestatus), ())
+        """,
+        "events_basket_rules": association_rules_sql(
+            "events", "user_id", "event_type", 1000, 0),
+        "events_seasonal": seasonal_decompose_sql(
+            "events", "ts", ["event_type"], 3600 * 1_000_000, 24),
+        "events_changepoint": cusum_changepoint_sql(
+            "events", "ts", ["event_type"], 3600 * 1_000_000),
+        "chi2_source_terms": chi2_tokens_sql(
+            "documents", "doc_id", "source", 5, 2),
+        "source_text_lines": """
+            SELECT doc_id,
+                   CAST(length(trim(regexp_replace(lower(text),
+                        '\\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm,
+                   md5(trim(regexp_replace(lower(text),
+                        '\\s+', ' ', 'g'))) AS fp
+            FROM documents
         """,
         "groupby_rollup": """
             SELECT o_orderpriority, o_orderstatus,

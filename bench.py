@@ -294,6 +294,14 @@ def bench_queries(spark, sf_dir):
         "window_ntile",
         "embedding_pca_incremental",
         "embedding_drift",
+        # r9 wave-5: itemsets / series diagnostics / featsel /
+        # grouping sets / line-text source
+        "events_basket_rules",
+        "events_seasonal",
+        "events_changepoint",
+        "chi2_source_terms",
+        "grouping_sets",
+        "source_text_lines",
     ]
     return {n: qs[n] for n in names if n in qs}
 

@@ -251,8 +251,22 @@ def ngram_jaccard_pairs(
     # hint also reuses the max_df window's hash partitioning on
     # shingle when the guard is on.
     a, b = inv.alias("a"), inv.hint("shuffle_hash").alias("b")
-    pairs = (a.join(b, on=[F.col("a.shingle") == F.col("b.shingle"),
-                           F.col("a.doc") < F.col("b.doc")])
+    # Lossless length-band filter (AllPairs/PPJoin): J(A,B) >= t
+    # forces t*|A| <= |B| and t*|B| <= |A|, so mismatched-size pairs
+    # are cut AT THE JOIN — before they ever reach the (a, b)
+    # aggregation shuffle. Integer form with T = floor(t * 1e6)
+    # keeps a (possibly strict) superset, so the final jaccard
+    # filter sees every qualifying pair (r9: same bound the prefix
+    # join uses, now on the exact inverted-index paths too).
+    join_on = [F.col("a.shingle") == F.col("b.shingle"),
+               F.col("a.doc") < F.col("b.doc")]
+    if threshold > 0:
+        t_micro = int(threshold * 1_000_000)
+        join_on += [
+            F.col("b.sz") * 1_000_000 >= F.col("a.sz") * t_micro,
+            F.col("a.sz") * 1_000_000 >= F.col("b.sz") * t_micro,
+        ]
+    pairs = (a.join(b, on=join_on)
               .groupBy(F.col("a.doc").alias("doc_a"),
                        F.col("b.doc").alias("doc_b"),
                        F.col("a.sz").alias("sz_a"),
@@ -323,9 +337,18 @@ def cross_corpus_pairs(
         return inv.persist(StorageLevel.MEMORY_AND_DISK), base
 
     (inv_a, base_a), (inv_b, base_b) = _inv(df_a, "a"), _inv(df_b, "b")
-    pairs = (inv_a.join(inv_b.hint("shuffle_hash"), "shingle")
-                  .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
-                  .agg(F.count(F.lit(1)).alias("common")))
+    joined = inv_a.join(inv_b.hint("shuffle_hash"), "shingle")
+    if threshold > 0:
+        # same lossless length band as ngram_jaccard_pairs: cut
+        # size-incompatible pairs before the (a, b) aggregation
+        # shuffle (the bipartite join output is the cost driver in
+        # the contamination / incremental-minhash truth sets).
+        t_micro = int(threshold * 1_000_000)
+        joined = joined.where(
+            (F.col("sz_b") * 1_000_000 >= F.col("sz_a") * t_micro)
+            & (F.col("sz_a") * 1_000_000 >= F.col("sz_b") * t_micro))
+    pairs = (joined.groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+                   .agg(F.count(F.lit(1)).alias("common")))
     jacc = (F.col("common")
             / (F.col("sz_a") + F.col("sz_b") - F.col("common")))
     out = (pairs.withColumn("jaccard", F.floor(jacc * 10000) / 10000)

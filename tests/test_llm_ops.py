@@ -664,6 +664,58 @@ def test_cross_corpus_pairs_match_restricted_full(docs01):
     assert got == want and got
 
 
+def test_length_band_filter_lossless(spark):
+    """r9: the integer length-band cut at the inverted-index joins
+    (1e6*|B| >= T*|A| both ways, T = floor(t*1e6)) must be a strict
+    candidate-only optimization. Mixed-size corpus where the band is
+    ACTIVE (long doc vs its own prefix half shares every prefix
+    shingle but can never reach J=0.7): pairs == brute force."""
+    import re
+
+    from charmpandas_spark.functions.dedup import (
+        cross_corpus_pairs, ngram_jaccard_pairs)
+
+    words = [f"w{i}" for i in range(60)]
+    long_doc = " ".join(words)
+    rows = [
+        (0, long_doc),
+        (1, long_doc),                      # exact dup of 0 (J=1)
+        (2, " ".join(words[:30])),          # prefix half: J < 0.7
+        (3, " ".join(words[:58]) + " zz"),  # near-dup of 0 (J ~ 0.9)
+        (4, " ".join(f"v{i}" for i in range(12))),
+        (5, " ".join(f"v{i}" for i in range(12))),  # small exact dup
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def shingles(t):
+        w = re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+        return set(" ".join(w[i:i + 3]) for i in range(max(len(w) - 2, 1)))
+
+    sh = {i: shingles(t) for i, t in rows}
+    want = {}
+    for a in sh:
+        for b in sh:
+            if a < b and sh[a] & sh[b]:
+                j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+                if np.floor(j * 10000) / 10000 >= 0.7:
+                    want[(a, b)] = np.floor(j * 10000) / 10000
+
+    got = ngram_jaccard_pairs(docs, "text", "doc_id", n=3,
+                              threshold=0.7, max_df=None).toPandas()
+    assert {(r.doc_a, r.doc_b): r.jaccard
+            for r in got.itertuples()} == want
+    assert (0, 2) not in want and (0, 1) in want  # band actually cuts
+
+    ev = docs.filter(F.col("doc_id") % 2 == 0)
+    od = docs.filter(F.col("doc_id") % 2 == 1)
+    cross = cross_corpus_pairs(ev, od, "text", "doc_id", n=3,
+                               threshold=0.7, max_df=None).toPandas()
+    want_cross = {frozenset(p): v for p, v in want.items()
+                  if (p[0] % 2) != (p[1] % 2)}
+    assert {frozenset((r.doc_a, r.doc_b)): r.jaccard
+            for r in cross.itertuples()} == want_cross
+
+
 def test_empty_frame_guards_round3(spark):
     """ADVICE r2: zero-ROW frames through the dims-probing paths.
     ``cosine_pairs_ann`` / ``knn_join`` probe vector dims with
