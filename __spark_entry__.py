@@ -4208,6 +4208,58 @@ def q_source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("__norm").alias("fp"))
 
 
+def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROP semantics, driver-checked end to end:
+    hourly tumbling counts in append mode with a 0-second watermark,
+    replayed in a CONTROLLED batch order (ordered one-file writes —
+    the parallel replay helper cannot guarantee arrival order).
+    Batch plan over the events time range split at quarter/half
+    marks: (1) first-quarter EVEN-id rows on time, (2)+(3) the
+    second quarter (watermark advances well past every first-quarter
+    window; two batches because Spark's watermark value lags the
+    max-event-time observation by one micro-batch — the buffer batch
+    makes the drop decision identical under lag-1 or lag-2), (4) the
+    first-quarter ODD-id rows arriving LATE — every one falls in a
+    window already closed by the watermark and must be dropped —
+    then (5) the rest on time. The oracle states exactly that: counts
+    over all NON-late rows, restricted to windows closed by the final
+    watermark (= global max event time; availableNow's final commit
+    flushes with it). An engine that fails to drop late rows, or
+    emits unclosed windows, value-hash-fails."""
+    import uuid
+
+    from charmpandas_spark.streaming.windows import (
+        replay_stream_ordered, tumbling_window_agg)
+    from charmpandas_spark.timestamps import epoch_micros
+    HOUR = 3600 * 1_000_000
+    ev = (_t(spark, sf_dir, "events").sdf
+          .withColumn("__us", epoch_micros("ts"))
+          .withColumn("__hr", F.expr(f"__us div {HOUR}")))
+    h0, hmax = ev.agg(F.min("__hr"), F.max("__hr")).first()
+    r1, r2 = (hmax - h0 + 1) // 4, (hmax - h0 + 1) // 2
+    rel = F.col("__hr") - F.lit(h0)
+    odd = F.col("event_id") % 2 == 1
+    batches = [
+        ev.where((rel < r1) & ~odd),
+        ev.where((rel >= r1) & (rel < r2) & ~odd),
+        ev.where((rel >= r1) & (rel < r2) & odd),
+        ev.where((rel < r1) & odd),          # LATE: must be dropped
+        ev.where(rel >= r2),
+    ]
+    stream = replay_stream_ordered(
+        spark, [b.drop("__us", "__hr") for b in batches],
+        _tmp_sink("late_src"))
+    out = tumbling_window_agg(stream, "ts", ["event_type"], "1 hour",
+                              watermark="0 seconds")
+    name = f"cps_late_{uuid.uuid4().hex[:8]}"
+    _run_stream(spark,
+                out.select("window_start", "event_type", "n_events"),
+                name, "append")
+    return (spark.table(name)
+            .select(epoch_micros("window_start").alias("ws_us"),
+                    "event_type", "n_events"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4316,6 +4368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_source_terms": q_chi2_source_terms,
         "grouping_sets": q_grouping_sets,
         "source_text_lines": q_source_text_lines,
+        "streaming_late_data": q_streaming_late_data,
         # --- (2) SS2 core slice, re-proven every round ---
         "scan_project": q_scan_project,
         "flagship_join_groupby_count": q_flagship_join_groupby_count,
@@ -6716,6 +6769,24 @@ def oracle_sql() -> dict[str, str]:
             "events", "ts", ["event_type"], 3600 * 1_000_000),
         "chi2_source_terms": chi2_tokens_sql(
             "documents", "doc_id", "source", 5, 2),
+        "streaming_late_data": """
+            WITH ev AS (
+                SELECT event_id, event_type, epoch_us(ts) AS us,
+                       epoch_us(ts) // 3600000000 AS hr
+                FROM events),
+            b AS (SELECT min(hr) AS h0, max(hr) AS hmax,
+                         max(us) AS wm
+                  FROM ev),
+            lab AS (SELECT e.*, b.h0, b.wm,
+                           (b.hmax - b.h0 + 1) // 4 AS r1
+                    FROM ev e CROSS JOIN b)
+            SELECT hr * 3600000000 AS ws_us, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM lab
+            WHERE NOT (hr - h0 < r1 AND event_id % 2 = 1)
+              AND (hr + 1) * 3600000000 <= wm
+            GROUP BY hr, event_type
+        """,
         "source_text_lines": """
             SELECT doc_id,
                    CAST(length(trim(regexp_replace(lower(text),

@@ -25,6 +25,7 @@ __all__ = [
     "sessionize",
     "session_stats",
     "stream_from_parquet",
+    "replay_stream_ordered",
     "stream_tumbling_counts",
     "chunked_range_agg",
 ]
@@ -200,6 +201,28 @@ def stream_from_parquet(spark, path: str, schema=None,
     # normalize NTZ at the stream ingest boundary too (this path
     # bypasses sources/parquet.read_parquet) — timestamps.py
     return ntz_to_ltz(stream)
+
+
+def replay_stream_ordered(spark, batches, path: str,
+                          max_files_per_trigger: int = 1) -> SparkDF:
+    """Replay ``batches`` as micro-batches in EXACTLY the given
+    order: each DataFrame is written as ONE parquet file,
+    sequentially, so the file source's modification-time ordering is
+    the write ordering (a parallel multi-file write — the plain
+    replay helper — cannot guarantee arrival order). Load-bearing
+    for watermark/late-data semantics, where WHICH batch a row
+    arrives in decides whether it is dropped."""
+    import shutil
+    import time
+
+    shutil.rmtree(path, ignore_errors=True)
+    for b in batches:
+        b.coalesce(1).write.mode("append").parquet(path)
+        # FileStreamSource orders by ms-granularity mtime; parquet
+        # write jobs take >>1 ms, the sleep is belt-and-braces
+        time.sleep(0.02)
+    return stream_from_parquet(
+        spark, path, max_files_per_trigger=max_files_per_trigger)
 
 
 def stream_tumbling_counts(

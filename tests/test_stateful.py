@@ -268,3 +268,38 @@ def test_sessionize_stream_matches_batch(spark, events, tmp_path):
     assert len(got) == len(want) and len(want) > 0
     for c in ("user_id", "start_ms", "end_ms", "n_events"):
         assert got[c].tolist() == want[c].tolist(), c
+
+
+def test_watermark_drops_late_rows_ordered_replay(spark, tmp_path):
+    """r9: controlled-order replay through a 0-second watermark —
+    a late row for an already-closed window is DROPPED, and windows
+    not closed by the final watermark are NOT emitted (append mode).
+    The buffer batch covers Spark's one-batch watermark lag."""
+    import datetime as dt
+
+    from charmpandas_spark.streaming.windows import (
+        replay_stream_ordered, tumbling_window_agg)
+
+    def rows(*specs):
+        return spark.createDataFrame(
+            [(i, dt.datetime(2024, 1, 1, h, m), "t", 1.0)
+             for i, h, m in specs],
+            ["event_id", "ts", "event_type", "value"])
+
+    batches = [
+        rows((0, 0, 10), (2, 0, 20)),   # hour-0, on time
+        rows((10, 4, 10)),              # advances max event time
+        rows((11, 4, 20)),              # buffer (watermark lag)
+        rows((1, 0, 30)),               # LATE hour-0 row -> dropped
+        rows((20, 8, 10)),              # final; its window stays open
+    ]
+    stream = replay_stream_ordered(spark, batches,
+                                   str(tmp_path / "late_src"))
+    out = tumbling_window_agg(stream, "ts", ["event_type"], "1 hour",
+                              watermark="0 seconds")
+    q = (out.writeStream.format("memory").queryName("late_small")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(180)
+    got = {r.window_start.hour: r.n_events
+           for r in spark.table("late_small").collect()}
+    assert got == {0: 2, 4: 2}  # late row dropped; hour-8 unclosed
