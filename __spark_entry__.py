@@ -4260,6 +4260,42 @@ def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "event_type", "n_events"))
 
 
+def q_classifier_calibration(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Classifier CALIBRATION audit (reliability table): the linear
+    quality classifier's micro-unit scores cut into 10 equi-depth
+    bins (exact interpolated percentiles riding as ONE broadcast
+    array aggregate), with per-bin count, pseudo-label positive rate
+    (source in src0/src1) and exact integer mean score — the table a
+    threshold choice is read off before a filter ships. Scoring is
+    one shuffle; binning is a scan-local integer fold."""
+    from charmpandas_spark.functions.quality import (calibration_table,
+                                                     classifier_score)
+    docs = _t(spark, sf_dir, "documents").sdf
+    w = spark.createDataFrame(_CLS_WEIGHTS, "term string, w_micro long")
+    scored = classifier_score(docs, "text", "doc_id", w,
+                              bias_micro=-1_000_000,
+                              threshold_micro=2_000_000)
+    lab = scored.join(
+        docs.select(F.col("doc_id").alias("doc"),
+                    F.col("source").isin("src0", "src1").alias("y")),
+        "doc")
+    return calibration_table(lab, "score_micro", "y", buckets=10)
+
+
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining: the 20 most frequent consecutive
+    event-type TRIGRAMS over each user's time-ordered stream —
+    second-order journey analysis above markov_transitions' bigrams.
+    One keyed window pass (two leads), one grouped count, global
+    top-k through the per-partition sort-topk merge (never a
+    single-task global window)."""
+    from charmpandas_spark.operators.sequence import top_sequences
+    ev = _t(spark, sf_dir, "events").sdf
+    return top_sequences(ev, "user_id", "ts", "event_id",
+                         "event_type", k=20)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4369,6 +4405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": q_grouping_sets,
         "source_text_lines": q_source_text_lines,
         "streaming_late_data": q_streaming_late_data,
+        "classifier_calibration": q_classifier_calibration,
+        "events_top_paths": q_events_top_paths,
         # --- (2) SS2 core slice, re-proven every round ---
         "scan_project": q_scan_project,
         "flagship_join_groupby_count": q_flagship_join_groupby_count,
@@ -4835,6 +4873,8 @@ def oracle_sql() -> dict[str, str]:
     from charmpandas_spark.operators.seasonal import (
         cusum_changepoint_sql, seasonal_decompose_sql)
     from charmpandas_spark.functions.featsel import chi2_tokens_sql
+    from charmpandas_spark.functions.quality import calibration_table_sql
+    from charmpandas_spark.operators.sequence import top_sequences_sql
     join_cols = ('o_orderkey, o_orderpriority, l_orderkey, l_linenumber, '
                  'l_quantity')
     cos_pair = _cosine_sql("a.embedding", "b.embedding")
@@ -6769,6 +6809,16 @@ def oracle_sql() -> dict[str, str]:
             "events", "ts", ["event_type"], 3600 * 1_000_000),
         "chi2_source_terms": chi2_tokens_sql(
             "documents", "doc_id", "source", 5, 2),
+        "classifier_calibration": calibration_table_sql(
+            "(SELECT s.score_micro, (d.source IN ('src0','src1')) AS y"
+            " FROM (" + classifier_score_sql(
+                "documents", "doc_id", "text",
+                ", ".join(f"('{t}', {w})" for t, w in _CLS_WEIGHTS),
+                bias_micro=-1_000_000, threshold_micro=2_000_000)
+            + ") s JOIN documents d ON d.doc_id = s.doc) lab0",
+            "score_micro", "y", 10),
+        "events_top_paths": top_sequences_sql(
+            "events", "user_id", "ts", "event_id", "event_type", 20),
         "streaming_late_data": """
             WITH ev AS (
                 SELECT event_id, event_type, epoch_us(ts) AS us,

@@ -302,6 +302,8 @@ def bench_queries(spark, sf_dir):
         "chi2_source_terms",
         "grouping_sets",
         "source_text_lines",
+        "classifier_calibration",
+        "events_top_paths",
     ]
     return {n: qs[n] for n in names if n in qs}
 

@@ -44,6 +44,8 @@ __all__ = [
     "quantile_keep_approx",
     "classifier_score",
     "classifier_score_sql",
+    "calibration_table",
+    "calibration_table_sql",
     "curation_report",
     "curation_report_sql",
     "curation_funnel",
@@ -414,6 +416,75 @@ def classifier_score_sql(t: str, id_expr: str, text_expr: str,
                    >= {threshold_micro} AS keep
         FROM tf LEFT JOIN w USING (term)
         GROUP BY doc
+    """
+
+
+# ---------------------------------------------------------------------------
+# classifier calibration (reliability table)
+# ---------------------------------------------------------------------------
+
+def calibration_table(df: SparkDF, score_col: str, label_col,
+                      buckets: int = 10) -> SparkDF:
+    """Reliability table for a scored classifier: equi-depth score
+    bins (exact interpolated percentiles — the histogram_equidepth
+    boundary machinery) with per-bin count, positive count, positive
+    rate in floored micro-units, and the exact integer mean score —
+    the table a calibration curve / threshold choice is read off,
+    and the standard audit for the quality-filter classifiers these
+    pipelines deploy (is score 0.9 actually 90% positive?).
+
+    ``score_col`` must be integer micro-units (the repo's classifier
+    convention) so ``mean_score_micro = sum div n`` is exact;
+    ``label_col`` is any boolean/0-1 expression. Boundaries ride the
+    plan as ONE broadcast array aggregate; bin assignment is a
+    scan-local integer fold; one partial-aggregated groupBy ends it.
+    At 100 TB swap the exact percentile for approx_quantiles with
+    the same downstream plan (histogram_equidepth doctrine)."""
+    y = (label_col if not isinstance(label_col, str)
+         else F.col(label_col)).cast("int")
+    s = F.col(score_col).cast("double")
+    ps = [i / buckets for i in range(1, buckets)]
+    bnds = df.agg(F.percentile(s, F.array(*[F.lit(p) for p in ps]))
+                   .alias("bs"))
+    x = F.col("__s")
+    bucket = F.aggregate(F.col("bs"), F.lit(0),
+                         lambda acc, b: acc + (x > b).cast("int"))
+    assigned = (df.select(s.alias("__s"), y.alias("__y"),
+                          F.col(score_col).alias("__sm"))
+                  .crossJoin(F.broadcast(bnds))
+                  .select(bucket.alias("bucket"), "__y", "__sm"))
+    return (assigned.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("__y").alias("pos"),
+                 F.sum("__sm").alias("__ssum"))
+            .select(F.col("bucket").cast("int").alias("bucket"), "n",
+                    "pos",
+                    F.expr("(1000000 * pos) div n")
+                     .alias("pos_rate_micro"),
+                    F.expr("__ssum div n").alias("mean_score_micro")))
+
+
+def calibration_table_sql(scored: str, score_expr: str,
+                          label_expr: str, buckets: int = 10) -> str:
+    """DuckDB twin of :func:`calibration_table` (``scored`` is a
+    subquery/CTE name producing the scored rows)."""
+    ps = ", ".join(str(i / buckets) for i in range(1, buckets))
+    return f"""
+        WITH pts AS (
+            SELECT CAST({score_expr} AS DOUBLE) AS s,
+                   CAST({score_expr} AS BIGINT) AS sm,
+                   CAST({label_expr} AS INT) AS y
+            FROM {scored}),
+        b AS (SELECT quantile_cont(s, [{ps}]) AS bs FROM pts),
+        assigned AS (
+            SELECT CAST(length(list_filter(b.bs, v -> pts.s > v))
+                        AS INT) AS bucket, pts.y, pts.sm
+            FROM pts, b)
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS pos,
+               (1000000 * sum(y)) // count(*) AS pos_rate_micro,
+               sum(sm) // count(*) AS mean_score_micro
+        FROM assigned GROUP BY bucket
     """
 
 

@@ -36,6 +36,7 @@ from ..timestamps import epoch_micros
 
 __all__ = [
     "markov_transitions", "markov_transitions_sql",
+    "top_sequences", "top_sequences_sql",
     "locf_fill", "locf_fill_sql",
     "temporal_split_embargo", "temporal_split_embargo_sql",
     "purged_kfold", "purged_kfold_sql",
@@ -92,6 +93,57 @@ def markov_transitions_sql(t: str, key_expr: str, ts_expr: str,
         SELECT c.src, c.dst, c.n,
                CAST(({MICRO} * c.n) // t2.tot AS BIGINT) AS p_micro
         FROM cnt c JOIN tot t2 USING (src)
+    """
+
+
+# ---------------------------------------------------------------------------
+# sequential pattern mining: top event trigrams
+# ---------------------------------------------------------------------------
+
+def top_sequences(df: SparkDF, key_col: str, ts_col: str,
+                  id_col: str, state_col: str, k: int = 20) -> SparkDF:
+    """Most frequent length-3 event sequences (consecutive trigrams
+    over each key's (ts, id)-total-ordered stream) — second-order
+    sequential pattern mining, the "what path do users actually
+    take" primitive behind journey analysis and UX funnels, one
+    order above :func:`markov_transitions`' bigrams.
+
+    One keyed window pass (two leads), one grouped count, then the
+    global top-k through the scalable sort-topk path (per-partition
+    top-k before the merge — k rows per partition cross the wire,
+    never a single-task global window). Ties break on the sequence
+    triple ascending — a total order, so the k-th place is
+    deterministic."""
+    w = Window.partitionBy(key_col).orderBy(
+        epoch_micros(ts_col), F.col(id_col))
+    tri = (df.select(F.col(state_col).alias("s1"),
+                     F.lead(state_col, 1).over(w).alias("s2"),
+                     F.lead(state_col, 2).over(w).alias("s3"))
+             .where(F.col("s3").isNotNull()))
+    counts = (tri.groupBy("s1", "s2", "s3")
+                 .agg(F.count(F.lit(1)).alias("n")))
+    return (counts.orderBy(F.col("n").desc(), F.col("s1").asc(),
+                           F.col("s2").asc(), F.col("s3").asc())
+                  .limit(k))
+
+
+def top_sequences_sql(t: str, key_expr: str, ts_expr: str,
+                      id_expr: str, state_expr: str,
+                      k: int = 20) -> str:
+    """DuckDB twin (identical total order and tie-break)."""
+    return f"""
+        WITH seq AS (
+            SELECT {state_expr} AS s1,
+                   lead({state_expr}, 1) OVER w AS s2,
+                   lead({state_expr}, 2) OVER w AS s3
+            FROM {t}
+            WINDOW w AS (PARTITION BY {key_expr}
+                         ORDER BY {ts_expr}, {id_expr}))
+        SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE s3 IS NOT NULL
+        GROUP BY s1, s2, s3
+        ORDER BY n DESC, s1 ASC, s2 ASC, s3 ASC
+        LIMIT {k}
     """
 
 

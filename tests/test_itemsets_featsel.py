@@ -114,3 +114,39 @@ def test_chi2_tokens_perfect_discriminator_ranks_first(spark):
         assert r.chi2_milli == 8000
     assert all(r.token in {"banana", "yellow"} for r in byl["B"])
     assert "common" not in {r.token for r in out}
+
+
+def test_calibration_table_hand_computed(spark):
+    from charmpandas_spark.functions.quality import calibration_table
+    # 8 rows, scores 1..8 micro, labels positive iff score > 4
+    rows = [(i * MICRO, i > 4) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, ["score_micro", "y"])
+    out = {r.bucket: r for r in
+           calibration_table(df, "score_micro", "y",
+                             buckets=4).collect()}
+    assert sorted(out) == [0, 1, 2, 3]
+    assert all(r.n == 2 for r in out.values())
+    assert [out[b].pos for b in range(4)] == [0, 0, 2, 2]
+    assert out[3].pos_rate_micro == MICRO
+    assert out[0].mean_score_micro == (1 * MICRO + 2 * MICRO) // 2
+
+
+def test_top_sequences_orders_and_ties(spark):
+    import datetime as dt
+
+    from charmpandas_spark.operators.sequence import top_sequences
+    # user 1: a b c a b c  -> abc x2, bca, cab
+    # user 2: a b c        -> abc
+    rows = []
+    for u, seq in ((1, "abcabc"), (2, "abc")):
+        for i, s in enumerate(seq):
+            rows.append((u * 100 + i, u,
+                         dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+                         s))
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts",
+                                      "state"])
+    got = [(r.s1, r.s2, r.s3, r.n) for r in
+           top_sequences(df, "user_id", "ts", "event_id", "state",
+                         k=3).collect()]
+    assert got[0] == ("a", "b", "c", 3)
+    assert got[1:] == [("b", "c", "a", 1), ("c", "a", "b", 1)]
