@@ -4260,6 +4260,26 @@ def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "event_type", "n_events"))
 
 
+def q_sim_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (IVFADC+R, Jegou section V): IVF-PQ ADC
+    top-50 candidates per query, then EXACT cosine rerank of only
+    those candidates to the final top-10 — the production serving
+    shape that buys back PQ's approximation error with nq x depth
+    exact distances, never a corpus-wide exact pass. The candidate
+    table broadcasts onto the corpus scan in both stages; the
+    oracle replays the full build + ADC + rerank as nested CTEs."""
+    from charmpandas_spark.functions.ivfpq import (ivfpq_build,
+                                                   ivfpq_search_rerank)
+    emb = _t(spark, sf_dir, "embeddings").sdf
+    codes, cents, books = ivfpq_build(
+        emb, "embedding", "vec_id", nlist=8, coarse_iters=2, m=8,
+        codebook_k=16, pq_iters=2, coarse_cap=256, pq_cap=256)
+    return ivfpq_search_rerank(codes, cents, books,
+                               emb.where(F.col("vec_id") < 5), emb,
+                               "embedding", "vec_id", k=10,
+                               nprobe=3, depth=50)
+
+
 def q_classifier_calibration(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """Classifier CALIBRATION audit (reliability table): the linear
@@ -4407,6 +4427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_late_data": q_streaming_late_data,
         "classifier_calibration": q_classifier_calibration,
         "events_top_paths": q_events_top_paths,
+        "sim_ivfpq_rerank": q_sim_ivfpq_rerank,
         # --- (2) SS2 core slice, re-proven every round ---
         "scan_project": q_scan_project,
         "flagship_join_groupby_count": q_flagship_join_groupby_count,
@@ -6219,6 +6240,30 @@ def oracle_sql() -> dict[str, str]:
             "embeddings", "vec_id", "embedding", "vec_id < 5",
             dim=64, nlist=8, coarse_iters=2, m=8, codebook_k=16,
             pq_iters=2, k=10, nprobe=3, coarse_cap=256, pq_cap=256),
+        "sim_ivfpq_rerank": (
+            "WITH cand AS MATERIALIZED ("
+            + __import__(
+                "charmpandas_spark.functions.ivfpq",
+                fromlist=["ivfpq_topk_oracle_sql"]).ivfpq_topk_oracle_sql(
+                "embeddings", "vec_id", "embedding", "vec_id < 5",
+                dim=64, nlist=8, coarse_iters=2, m=8, codebook_k=16,
+                pq_iters=2, k=50, nprobe=3, coarse_cap=256,
+                pq_cap=256)
+            + f"""),
+            scored AS (
+                SELECT c.q_id, c.item_id,
+                       FLOOR(({_cosine_sql('q.embedding',
+                                           'e.embedding')})
+                             * 10000) / 10000 AS cosine
+                FROM cand c
+                JOIN embeddings q ON q.vec_id = c.q_id
+                JOIN embeddings e ON e.vec_id = c.item_id)
+            SELECT q_id, item_id, cosine,
+                   CAST(row_number() OVER (
+                        PARTITION BY q_id
+                        ORDER BY cosine DESC, item_id ASC) AS INT)
+                       AS rank
+            FROM scored QUALIFY rank <= 10"""),
         "dedup_minhash_incremental": f"""
             WITH base AS (
                 SELECT doc_id, {word_shingles_sql('text', 3)} AS sh

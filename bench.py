@@ -304,6 +304,7 @@ def bench_queries(spark, sf_dir):
         "source_text_lines",
         "classifier_calibration",
         "events_top_paths",
+        "sim_ivfpq_rerank",
     ]
     return {n: qs[n] for n in names if n in qs}
 

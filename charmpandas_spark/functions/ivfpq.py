@@ -40,8 +40,8 @@ from .kmeans import (_quantize, kmeans_fit_predict, kmeans_oracle_parts,
                      train_sample_order_sql)
 from .quantize import _rename_cte, pq_train_encode
 
-__all__ = ["ivfpq_build", "ivfpq_search", "ivfpq_write",
-           "ivfpq_read_search", "ivfpq_topk_oracle_sql"]
+__all__ = ["ivfpq_build", "ivfpq_search", "ivfpq_search_rerank",
+           "ivfpq_write", "ivfpq_read_search", "ivfpq_topk_oracle_sql"]
 
 
 def _residuals(asg: SparkDF, id_col: str,
@@ -182,6 +182,46 @@ def ivfpq_search(codes: SparkDF, cents: list[list[float]],
                                .cast("bigint"))
                   .select("q_id", "item_id", "adc_micro")
                   .withColumn("rank",
+                              F.row_number().over(w).cast("int"))
+                  .where(F.col("rank") <= k))
+
+
+def ivfpq_search_rerank(codes: SparkDF, cents: list[list[float]],
+                        books: list[list[list[float]]],
+                        queries: SparkDF, corpus: SparkDF,
+                        vec_col: str, id_col: str, k: int = 10,
+                        nprobe: int = 4, depth: int = 50,
+                        scale: int = 1000) -> SparkDF:
+    """Two-stage retrieval (the standard production serving shape —
+    Jegou section V's IVFADC+R refinement): stage 1 takes the ADC
+    top-``depth`` candidates per query from :func:`ivfpq_search`
+    (compressed-domain, m lookups per candidate), stage 2 reranks
+    ONLY those candidates with the exact cosine against the raw
+    vectors and emits the top-``k``. Fixes the PQ approximation
+    error at the top of the list for ``depth``x``nq`` exact
+    distances — never a corpus-wide exact pass.
+
+    Plan: the candidate table (nq x depth rows, carrying the query
+    vector) BROADCASTS onto the corpus scan — the corpus never
+    shuffles in either stage. Returns ``(q_id, item_id, cosine,
+    rank)`` in the repo's floor-1e4 cosine convention."""
+    from .similarity import cosine_sim
+
+    cand = ivfpq_search(codes, cents, books, queries, vec_col,
+                        id_col, k=depth, nprobe=nprobe, scale=scale)
+    qv = queries.select(F.col(id_col).alias("q_id"),
+                        F.col(vec_col).alias("__ivq_qv"))
+    iv = corpus.select(F.col(id_col).alias("item_id"),
+                       F.col(vec_col).alias("__ivq_iv"))
+    pairs = iv.join(F.broadcast(cand.select("q_id", "item_id")
+                                    .join(qv, "q_id")), "item_id")
+    sim = cosine_sim(F.col("__ivq_qv"), F.col("__ivq_iv"))
+    scored = pairs.select(
+        "q_id", "item_id",
+        (F.floor(sim * 10000) / 10000).alias("cosine"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(),
+                                           F.col("item_id").asc())
+    return (scored.withColumn("rank",
                               F.row_number().over(w).cast("int"))
                   .where(F.col("rank") <= k))
 

@@ -583,3 +583,34 @@ def test_audience_overlap_gate_and_exact_values(spark):
     assert out[("B", "C")].n_both == 0
     assert all(r.ok for r in out.values())
     assert out[("A", "B")].n_a == 100 and out[("A", "B")].n_b == 100
+
+
+def test_ivfpq_rerank_fixes_adc_order_with_exact_cosine(spark, sf_dir):
+    """r9: two-stage IVFADC+R — the reranked top-k must (a) be a
+    subset of the stage-1 ADC candidate set, (b) be ordered by the
+    EXACT floor-1e4 cosine, and (c) rank a planted exact duplicate
+    of the query first with cosine 1.0 (ADC could only approximate
+    it; the exact stage pins it)."""
+    from charmpandas_spark.functions.ivfpq import (
+        ivfpq_build, ivfpq_search, ivfpq_search_rerank)
+    from charmpandas_spark.functions.similarity import cosine_sim
+
+    emb = cps.read_table(spark, sf_dir, "embeddings").sdf
+    dup = emb.where(F.col("vec_id") == 7) \
+             .withColumn("vec_id", F.lit(999_999).cast("long"))
+    corpus = emb.unionByName(dup)
+    codes, cents, books = ivfpq_build(
+        corpus, "embedding", "vec_id", nlist=8, coarse_iters=1,
+        m=8, codebook_k=16, pq_iters=1, coarse_cap=128, pq_cap=128)
+    queries = emb.where(F.col("vec_id") == 7)
+    cand = ivfpq_search(codes, cents, books, queries, "embedding",
+                        "vec_id", k=20, nprobe=2).toPandas()
+    got = ivfpq_search_rerank(codes, cents, books, queries, corpus,
+                              "embedding", "vec_id", k=5, nprobe=2,
+                              depth=20).toPandas()
+    assert set(got.item_id) <= set(cand.item_id)
+    assert got.loc[got["rank"] == 1, "item_id"].iloc[0] == 999_999
+    assert got.loc[got["rank"] == 1, "cosine"].iloc[0] == 1.0
+    ordered = got.sort_values("rank")
+    assert list(ordered.cosine) == sorted(ordered.cosine,
+                                          reverse=True)
