@@ -4414,10 +4414,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": q_embedding_drift,
         "window_ntile": q_window_ntile,
         "purged_kfold": q_purged_kfold,
-        # --- (0d) NEW in r9 wave-5: association rules, seasonal/
+        # --- (0d) NEW in r9 wave-5/6: association rules, seasonal/
         #     changepoint series diagnostics, chi2 feature selection,
-        #     GROUPING SETS, line-text source (queued to lead the
-        #     r10 window with wave-4) ---
+        #     GROUPING SETS, line-text source, watermark late-data
+        #     drop, classifier calibration, trigram path mining,
+        #     IVFADC+R rerank (queued to lead the r10 window with
+        #     wave-4) ---
         "events_basket_rules": q_events_basket_rules,
         "events_seasonal": q_events_seasonal,
         "events_changepoint": q_events_changepoint,
