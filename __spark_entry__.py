@@ -4280,6 +4280,40 @@ def q_sim_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                                nprobe=3, depth=50)
 
 
+def q_events_quantiles_by_group(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Per-group exact p50/p90/p99 of event value (integer cents) —
+    the latency-dashboard staple. ONE grouped sort-based percentile
+    aggregation; the 100 TB path swaps percentile_approx into the
+    identical shape (corpus_percentiles_approx doctrine)."""
+    from charmpandas_spark.functions.profile import group_quantiles
+    ev = _t(spark, sf_dir, "events").sdf.withColumn(
+        "cents", F.floor(F.col("value") * 100).cast("long"))
+    return group_quantiles(ev, "cents", ["event_type"],
+                           ps=(0.5, 0.9, 0.99))
+
+
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join on a PLANTED pathological key: 80% of event rows
+    collapse onto hot key 0 (the one-hot-key case AQE's skew split
+    cannot fix when no split helps); the left side salts 16 ways and
+    the dim replicates per salt, so the hot key spreads over 16
+    reducers. Result is aggregated per key — salting must be
+    semantics-neutral, which is exactly what the oracle (a plain
+    unsalted SQL join) asserts."""
+    from charmpandas_spark.operators.skew import salted_join
+    ev = _t(spark, sf_dir, "events").sdf.withColumn(
+        "k", F.when(F.col("user_id") % 5 != 0, F.lit(0))
+              .otherwise(F.col("user_id")))
+    dim = (ev.select("k").distinct()
+             .withColumn("label", F.col("k") % 7))
+    out = salted_join(ev.select("event_id", "k"), dim, "k",
+                      salt=16).sdf
+    return (out.groupBy("k")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("label").alias("label_sum")))
+
+
 def q_classifier_calibration(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """Classifier CALIBRATION audit (reliability table): the linear
@@ -4430,6 +4464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_calibration": q_classifier_calibration,
         "events_top_paths": q_events_top_paths,
         "sim_ivfpq_rerank": q_sim_ivfpq_rerank,
+        "events_quantiles_by_group": q_events_quantiles_by_group,
+        "join_salted": q_join_salted,
         # --- (2) SS2 core slice, re-proven every round ---
         "scan_project": q_scan_project,
         "flagship_join_groupby_count": q_flagship_join_groupby_count,
@@ -4898,6 +4934,7 @@ def oracle_sql() -> dict[str, str]:
     from charmpandas_spark.functions.featsel import chi2_tokens_sql
     from charmpandas_spark.functions.quality import calibration_table_sql
     from charmpandas_spark.operators.sequence import top_sequences_sql
+    from charmpandas_spark.functions.profile import group_quantiles_sql
     join_cols = ('o_orderkey, o_orderpriority, l_orderkey, l_linenumber, '
                  'l_quantity')
     cos_pair = _cosine_sql("a.embedding", "b.embedding")
@@ -6866,6 +6903,21 @@ def oracle_sql() -> dict[str, str]:
             "score_micro", "y", 10),
         "events_top_paths": top_sequences_sql(
             "events", "user_id", "ts", "event_id", "event_type", 20),
+        "events_quantiles_by_group": group_quantiles_sql(
+            "events", "CAST(FLOOR(value * 100) AS BIGINT)",
+            ["event_type"], ps=(0.5, 0.9, 0.99)),
+        "join_salted": """
+            WITH ev AS (
+                SELECT event_id,
+                       CASE WHEN user_id % 5 <> 0 THEN 0
+                            ELSE user_id END AS k
+                FROM events),
+            dim AS (SELECT DISTINCT k, k % 7 AS label FROM ev)
+            SELECT e.k, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(d.label) AS BIGINT) AS label_sum
+            FROM ev e JOIN dim d USING (k)
+            GROUP BY e.k
+        """,
         "streaming_late_data": """
             WITH ev AS (
                 SELECT event_id, event_type, epoch_us(ts) AS us,

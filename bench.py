@@ -305,6 +305,8 @@ def bench_queries(spark, sf_dir):
         "classifier_calibration",
         "events_top_paths",
         "sim_ivfpq_rerank",
+        "events_quantiles_by_group",
+        "join_salted",
     ]
     return {n: qs[n] for n in names if n in qs}
 

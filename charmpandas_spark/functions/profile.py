@@ -25,6 +25,8 @@ __all__ = [
     "pii_scan_sql",
     "join_blowup_profile",
     "join_blowup_profile_sql",
+    "group_quantiles",
+    "group_quantiles_sql",
     "mad_outliers",
     "mad_outliers_sql",
     "impute",
@@ -439,6 +441,45 @@ def histogram_equidepth_sql(t: str, x_expr: str, buckets: int) -> str:
                    / 10000 AS hi,
                CAST(count(*) AS BIGINT) AS n
         FROM assigned GROUP BY bucket
+    """
+
+
+# ---------------------------------------------------------------------------
+# per-group quantile profile (the p50/p95/p99 observability staple)
+# ---------------------------------------------------------------------------
+
+def group_quantiles(df: SparkDF, col: str, by: list[str],
+                    ps: tuple[float, ...] = (0.5, 0.9, 0.99)) -> SparkDF:
+    """Per-group exact quantiles — the p50/p90/p99 readout every
+    latency/value dashboard is built on: ``(by..., n, q_<bp>...)``
+    with one wide column per requested quantile (named by basis
+    points: ``q_5000`` = p50). ``col`` should be integer units
+    (cents/micros) so interpolated values are cross-engine-exact
+    rationals; outputs floor to 1e-4 (mad_outliers doctrine).
+
+    ONE grouped sort-based percentile aggregation — the data
+    shuffles once on ``by``. The 100 TB path swaps
+    ``percentile_approx`` into the same shape (gated like
+    ``corpus_percentiles_approx``)."""
+    qs = [F.floor(F.expr(f"percentile({col}, {p})") * 10000) / 10000
+          for p in ps]
+    return df.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[q.alias(f"q_{int(p * 10000)}") for p, q in zip(ps, qs)])
+
+
+def group_quantiles_sql(t: str, x_expr: str, by: list[str],
+                        ps: tuple[float, ...] = (0.5, 0.9, 0.99)) -> str:
+    """DuckDB twin of :func:`group_quantiles` (``quantile_cont`` is
+    the same linear-interpolated exact percentile)."""
+    bys = ", ".join(by)
+    cols = ", ".join(
+        f"FLOOR(quantile_cont(x, {p}) * 10000) / 10000"
+        f" AS q_{int(p * 10000)}" for p in ps)
+    return f"""
+        WITH base AS (SELECT {bys}, {x_expr} AS x FROM {t})
+        SELECT {bys}, CAST(count(*) AS BIGINT) AS n, {cols}
+        FROM base GROUP BY {bys}
     """
 
 
