@@ -4314,6 +4314,20 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum("label").alias("label_sum")))
 
 
+def q_events_anomaly_seasonal(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Seasonally-ADJUSTED anomaly detection — the composite a real
+    monitoring rule runs: hour-of-day decomposition first (so the
+    nightly trough is not an "anomaly"), then the robust median/MAD
+    flag on the residual series. All percentile work is on the
+    bucketed series; event-scale cost stays the one counting
+    exchange."""
+    from charmpandas_spark.operators.seasonal import seasonal_anomalies
+    ev = _t(spark, sf_dir, "events").sdf
+    return seasonal_anomalies(ev, "ts", ["event_type"],
+                              3600 * 1_000_000, period=24, k=3.0)
+
+
 def q_classifier_calibration(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """Classifier CALIBRATION audit (reliability table): the linear
@@ -4348,6 +4362,73 @@ def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").sdf
     return top_sequences(ev, "user_id", "ts", "event_id",
                          "event_type", k=20)
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (integer-ticket
+    min-of-w-hashes race, the bit-exact cousin of Efraimidis-
+    Spirakis): 10 documents per source, selection pressure
+    proportional to whitespace token count — the "over-sample long
+    high-signal documents" curation step, reproducible across
+    engines because the race keys are pure md5 minima (zero float
+    arithmetic). Scan-local ticket expression (no explode) + one
+    windowed top-k per source."""
+    from charmpandas_spark.functions.sampling import weighted_sample
+    from charmpandas_spark.functions.text import whitespace_token_count
+    docs = _t(spark, sf_dir, "documents").sdf
+    w = docs.withColumn("w", whitespace_token_count(F.col("text")))
+    return (weighted_sample(w, "source", "doc_id", "w", 10,
+                            max_weight=32, hash_fn="md5")
+            .select("doc_id", "source", "w"))
+
+
+def q_winsorize_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization of event values at the [p5, p95]
+    DISCRETE quantiles — robust tail clipping before mean-based
+    rollups. Values go through integer micros and the bounds are
+    type-1 (positional) quantiles, so every step is integer
+    selection/comparison: bit-identical across engines with no
+    interpolation caveat."""
+    from charmpandas_spark.functions.encode import winsorize
+    ev = _t(spark, sf_dir, "events").sdf
+    v = ev.withColumn(
+        "vm", F.floor(F.col("value") * 1_000_000).cast("long"))
+    return winsorize(v, "vm", ["event_type"], 0.05, 0.95,
+                     out_col="vm_w")
+
+
+def q_quality_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-rater agreement audit between two curation rules: Cohen's
+    kappa of the Gopher A1 keep decision vs the C4 page filter over
+    the same documents (Cohen 1960). One row out — confusion counts
+    + chance-discounted agreement in exact micro-units. Each rater is
+    a scan-local projection; the join is id-to-id; the kappa itself
+    is one conditional-sum aggregate (5 longs per partition to the
+    reduce)."""
+    from charmpandas_spark.functions.quality import (
+        agreement_kappa, c4_clean, gopher_quality)
+    docs = _t(spark, sf_dir, "documents").sdf
+    g = gopher_quality(docs, "text", "doc_id",
+                       min_words=20, min_stopwords=1) \
+        .select("doc_id", F.col("keep").alias("rater_a"))
+    with_lines = docs.withColumn(
+        "text2",
+        F.replace(F.col("text"), F.lit(" table "), F.lit(".\n")))
+    c = c4_clean(with_lines, "text2", "doc_id") \
+        .select("doc_id", F.col("page_keep").alias("rater_b"))
+    return agreement_kappa(g.join(c, "doc_id"), "rater_a", "rater_b")
+
+
+def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the top-100 token
+    vocabulary of the src0 reference slice — the tokenizer-coverage /
+    new-source admission audit. The vocab is a per-partition top-k
+    merge broadcast to the coverage join; only the exploded tokens
+    ever shuffle (one doc-id groupBy)."""
+    from charmpandas_spark.functions.text import vocab_coverage
+    docs = _t(spark, sf_dir, "documents").sdf
+    ref = docs.where(F.col("source") == "src0")
+    return vocab_coverage(docs, ref, "text", "doc_id", vocab_size=100)
 
 
 # ---------------------------------------------------------------------------
@@ -4466,6 +4547,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivfpq_rerank": q_sim_ivfpq_rerank,
         "events_quantiles_by_group": q_events_quantiles_by_group,
         "join_salted": q_join_salted,
+        "events_anomaly_seasonal": q_events_anomaly_seasonal,
+        # --- (0e) NEW in r9 wave-7: weighted sampling, winsorize,
+        #     rater agreement, vocab coverage (queued for the r10
+        #     window with waves 4-6) ---
+        "weighted_sample": q_weighted_sample,
+        "winsorize_value": q_winsorize_value,
+        "quality_kappa": q_quality_kappa,
+        "vocab_oov": q_vocab_oov,
         # --- (2) SS2 core slice, re-proven every round ---
         "scan_project": q_scan_project,
         "flagship_join_groupby_count": q_flagship_join_groupby_count,
@@ -4904,10 +4993,12 @@ def oracle_sql() -> dict[str, str]:
         kmeans_oracle_sql, semantic_near_dup_oracle_sql)
     from charmpandas_spark.functions.sampling import (
         mixture_sample_sql, mixture_token_budget_sql,
-        negative_sample_sql)
+        negative_sample_sql, weighted_sample_sql)
     from charmpandas_spark.functions.quality import (
-        c4_clean_sql, classifier_score_sql, gopher_quality_sql,
-        quantile_keep_sql)
+        agreement_kappa_sql, c4_clean_sql, classifier_score_sql,
+        gopher_quality_sql, quantile_keep_sql)
+    from charmpandas_spark.functions.encode import winsorize_sql
+    from charmpandas_spark.functions.text import vocab_coverage_sql
     from charmpandas_spark.functions.dedup import (
         duplicate_spans_sql, jaccard_pairs_prefix_sql, line_dedup_sql,
         remove_duplicate_spans_sql)
@@ -4930,7 +5021,8 @@ def oracle_sql() -> dict[str, str]:
         bm25_topk_sql, phrase_match_sql, tf_cosine_topk_sql)
     from charmpandas_spark.operators.itemsets import association_rules_sql
     from charmpandas_spark.operators.seasonal import (
-        cusum_changepoint_sql, seasonal_decompose_sql)
+        cusum_changepoint_sql, seasonal_anomalies_sql,
+        seasonal_decompose_sql)
     from charmpandas_spark.functions.featsel import chi2_tokens_sql
     from charmpandas_spark.functions.quality import calibration_table_sql
     from charmpandas_spark.operators.sequence import top_sequences_sql
@@ -6891,6 +6983,31 @@ def oracle_sql() -> dict[str, str]:
             "events", "ts", ["event_type"], 3600 * 1_000_000, 24),
         "events_changepoint": cusum_changepoint_sql(
             "events", "ts", ["event_type"], 3600 * 1_000_000),
+        "events_anomaly_seasonal": seasonal_anomalies_sql(
+            "events", "ts", ["event_type"], 3600 * 1_000_000, 24, 3.0),
+        "weighted_sample": weighted_sample_sql(
+            "(SELECT doc_id, source, CAST(CASE WHEN trim(text) = ''"
+            " THEN 0 ELSE length(regexp_split_to_array(trim(text),"
+            " '\\s+')) END AS INT) AS w FROM documents)",
+            "source", "doc_id", "w", 10, max_weight=32,
+            cols="doc_id, source, w"),
+        "winsorize_value": winsorize_sql(
+            "events", "CAST(FLOOR(value * 1000000) AS BIGINT)",
+            ["event_type"], 0.05, 0.95, out_col="vm_w"),
+        "quality_kappa": agreement_kappa_sql(
+            "SELECT g.keep AS rater_a, c.page_keep AS rater_b FROM ("
+            + gopher_quality_sql("text", "doc_id", min_words=20,
+                                 min_stopwords=1)
+            + " FROM documents) g JOIN ("
+            + c4_clean_sql("text2", "doc_id")
+            + " FROM (SELECT doc_id, replace(text, ' table ', '.' ||"
+            " chr(10)) AS text2 FROM documents)) c"
+            " ON g.doc_id = c.doc_id",
+            "rater_a", "rater_b"),
+        "vocab_oov": vocab_coverage_sql(
+            "documents",
+            "(SELECT * FROM documents WHERE source = 'src0')",
+            "text", "doc_id", vocab_size=100),
         "chi2_source_terms": chi2_tokens_sql(
             "documents", "doc_id", "source", 5, 2),
         "classifier_calibration": calibration_table_sql(

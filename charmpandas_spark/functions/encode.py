@@ -32,6 +32,7 @@ __all__ = [
     "target_encoding", "target_encoding_sql",
     "target_encode_loo", "target_encode_loo_sql",
     "standard_scale", "standard_scale_sql",
+    "winsorize", "winsorize_sql",
 ]
 
 MICRO = 1_000_000
@@ -228,4 +229,91 @@ def standard_scale_sql(t: str, x_expr: str, by: list[str],
                         AS BIGINT)
                END AS {out_col}
         FROM st
+    """
+
+
+# ---------------------------------------------------------------------------
+# winsorization (robust per-group tail clipping)
+# ---------------------------------------------------------------------------
+
+def winsorize(df: SparkDF, col: str, by: list[str],
+              lo: float = 0.05, hi: float = 0.95,
+              out_col: str = "x_w") -> SparkDF:
+    """Group-wise winsorization: clip ``col`` to its per-group
+    [``lo``, ``hi``] quantiles — the standard robust preprocessing
+    step before mean-based statistics or scaling (one corrupt sensor
+    reading or pathological document length otherwise dominates a
+    mean; winsorizing bounds its leverage without dropping the row,
+    unlike a filter).
+
+    The bounds are DISCRETE (type-1) quantiles — the group's value at
+    sorted position ``ceil(p*n)`` (clamped to [1, n]) — so with an
+    integer-unit ``col`` every step is integer selection and
+    comparison: no interpolation, no float arithmetic, bit-identical
+    across engines by construction (``percentile``'s linear
+    interpolation is the alternative when the smoother estimate
+    matters; ``group_quantiles`` provides it).
+
+    Plan: one hash-partition on ``by`` computes per-group (rank, n)
+    in a single window pass; the two bound values fall out of one
+    grouped conditional aggregate (a group-cardinality table,
+    broadcast back); the clip itself is a scan-local
+    ``least/greatest``. Two shuffles of the data (window + the
+    broadcast-join probe side stays in place), never a global sort.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 <= lo <= hi <= 1.0:
+        raise ValueError("need 0 <= lo <= hi <= 1")
+    # NULL values are excluded up front: Spark sorts NULLs FIRST on
+    # ASC, DuckDB LAST — a silent cross-engine divergence if they
+    # entered the rank; and a NULL has no place in a clip anyway.
+    df = df.filter(F.col(col).isNotNull())
+    x = F.col(col)
+    w = Window.partitionBy(*by).orderBy(x.asc())
+    ranked = (df.withColumn("__cps_rn", F.row_number().over(w))
+                .withColumn("__cps_n",
+                            F.count(F.lit(1)).over(
+                                Window.partitionBy(*by))))
+    pos = lambda p: F.greatest(  # noqa: E731  (ceil(p*n) clamp, int)
+        F.ceil(F.lit(p) * F.col("__cps_n")).cast("long"), F.lit(1))
+    bounds = (ranked.groupBy(*by)
+              .agg(F.max(F.when(F.col("__cps_rn") == pos(lo), x))
+                    .alias("__cps_lo"),
+                   F.max(F.when(F.col("__cps_rn") == pos(hi), x))
+                    .alias("__cps_hi")))
+    return (df.join(F.broadcast(bounds), by)
+              .select(*by, x.cast("long").alias("x"),
+                      F.least(F.greatest(x, F.col("__cps_lo")),
+                              F.col("__cps_hi"))
+                       .cast("long").alias(out_col)))
+
+
+def winsorize_sql(t: str, x_expr: str, by: list[str],
+                  lo: float = 0.05, hi: float = 0.95,
+                  out_col: str = "x_w") -> str:
+    """DuckDB twin of :func:`winsorize` (same window-rank discrete
+    quantile — not ``quantile_disc``, whose index rule differs)."""
+    bys = ", ".join(by)
+    return f"""
+        WITH base AS (
+            SELECT {bys}, CAST({x_expr} AS BIGINT) AS x FROM {t}
+            WHERE ({x_expr}) IS NOT NULL),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                          PARTITION BY {bys} ORDER BY x ASC) AS rn,
+                   count(*) OVER (PARTITION BY {bys}) AS n
+            FROM base),
+        bounds AS (
+            SELECT {bys},
+                   max(CASE WHEN rn = greatest(
+                       CAST(ceil({lo} * n) AS BIGINT), 1)
+                       THEN x END) AS blo,
+                   max(CASE WHEN rn = greatest(
+                       CAST(ceil({hi} * n) AS BIGINT), 1)
+                       THEN x END) AS bhi
+            FROM ranked GROUP BY {bys})
+        SELECT b.{bys.replace(', ', ', b.')}, b.x,
+               least(greatest(b.x, d.blo), d.bhi) AS {out_col}
+        FROM base b JOIN bounds d USING ({bys})
     """

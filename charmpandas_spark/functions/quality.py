@@ -50,6 +50,8 @@ __all__ = [
     "curation_report_sql",
     "curation_funnel",
     "curation_funnel_sql",
+    "agreement_kappa",
+    "agreement_kappa_sql",
 ]
 
 # The 8 required English stopwords from Gopher A1 ("must contain at
@@ -593,3 +595,81 @@ def curation_funnel_sql(t: str, rules: "dict[str, str]") -> str:
         f"CAST(sum(CASE WHEN NOT ({anyf}) THEN 1 ELSE 0 END) AS BIGINT) "
         f"FROM {t}")
     return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# inter-rater agreement (Cohen's kappa) between two filter rules
+# ---------------------------------------------------------------------------
+
+def agreement_kappa(df: SparkDF, a_col: str, b_col: str) -> SparkDF:
+    """Cohen's kappa between two binary keep/drop raters — the audit a
+    pipeline owner runs before swapping one curation rule for another
+    (raw percent-agreement is inflated when both raters mostly say
+    "keep"; kappa discounts chance agreement). Cohen 1960,
+    "A coefficient of agreement for nominal scales".
+
+    Input: one row per item with two 0/1 integer columns. Output: ONE
+    row — the 2x2 confusion counts (``n, n11, n10, n01, n00``),
+    percent agreement, and kappa, the last two floored to micro-units
+    from EXACT integer counts:
+
+        kappa = (n*(n11+n00) - e) / (n*n - e),
+        e = (n11+n10)*(n11+n01) + (n00+n01)*(n00+n10)
+
+    — a single integer rational per term, so both engines floor the
+    identical double quotient. Degenerate chance agreement
+    (``n*n == e``: a rater is constant) yields NULL kappa rather than
+    a fake 0 or 1.
+
+    Plan: ONE scan-local conditional-sum aggregate to a 1-row table —
+    no shuffle of data rows at any scale (partial aggregation
+    map-side, 5 longs per partition to the final reduce).
+    """
+    a, b = F.col(a_col).cast("long"), F.col(b_col).cast("long")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(a * b).alias("n11"),
+        F.sum(a * (1 - b)).alias("n10"),
+        F.sum((1 - a) * b).alias("n01"),
+        F.sum((1 - a) * (1 - b)).alias("n00"))
+    n, n11, n10 = F.col("n"), F.col("n11"), F.col("n10")
+    n01, n00 = F.col("n01"), F.col("n00")
+    e = (n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)
+    po_micro = F.floor(F.lit(1_000_000.0) * (n11 + n00) / n)
+    kappa = F.when(
+        n * n != e,
+        F.floor(F.lit(1_000_000.0) * (n * (n11 + n00) - e)
+                / (n * n - e)))
+    return agg.select(
+        "n", "n11", "n10", "n01", "n00",
+        po_micro.cast("long").alias("po_micro"),
+        kappa.cast("long").alias("kappa_micro"))
+
+
+def agreement_kappa_sql(base_sql: str, a_expr: str, b_expr: str) -> str:
+    """DuckDB twin of :func:`agreement_kappa`; ``base_sql`` is a
+    subquery yielding one row per item with the two 0/1 columns."""
+    return f"""
+        WITH c AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum({a_expr} * {b_expr}) AS BIGINT) AS n11,
+                   CAST(sum({a_expr} * (1 - {b_expr})) AS BIGINT) AS n10,
+                   CAST(sum((1 - {a_expr}) * {b_expr}) AS BIGINT) AS n01,
+                   CAST(sum((1 - {a_expr}) * (1 - {b_expr})) AS BIGINT)
+                       AS n00
+            FROM ({base_sql}))
+        SELECT n, n11, n10, n01, n00,
+               CAST(floor(1000000.0 * (n11 + n00) / n) AS BIGINT)
+                   AS po_micro,
+               CASE WHEN n * n <> (n11 + n10) * (n11 + n01)
+                                  + (n00 + n01) * (n00 + n10) THEN
+                   CAST(floor(1000000.0
+                        * (n * (n11 + n00)
+                           - ((n11 + n10) * (n11 + n01)
+                              + (n00 + n01) * (n00 + n10)))
+                        / (n * n - ((n11 + n10) * (n11 + n01)
+                                    + (n00 + n01) * (n00 + n10))))
+                        AS BIGINT)
+               END AS kappa_micro
+        FROM c
+    """

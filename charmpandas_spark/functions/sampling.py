@@ -21,7 +21,8 @@ from .dedup import hash64
 __all__ = ["hash_bucket", "hash_sample", "assign_splits",
            "stratified_sample", "mixture_sample", "mixture_sample_sql",
            "mixture_token_budget", "mixture_token_budget_sql",
-           "negative_sample", "negative_sample_sql"]
+           "negative_sample", "negative_sample_sql",
+           "weighted_sample", "weighted_sample_sql"]
 
 #: buckets per unit of rate (rate resolution 0.01%)
 _BUCKETS = 10_000
@@ -242,6 +243,86 @@ def negative_sample_sql(t: str, id_expr: str, k: int = 4,
             JOIN (SELECT {id_expr} AS cand FROM {t}) c
               ON {probe} = {cb}
             WHERE c.cand <> s.anchor_id) WHERE rn = 1
+    """
+
+
+def weighted_sample(
+    df: SparkDF,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    n_per_group: int,
+    max_weight: int = 64,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> SparkDF:
+    """Deterministic WEIGHTED sampling without replacement, per group:
+    the n rows per group most favored by an integer-ticket race —
+    how a curation pipeline over-samples high-quality documents
+    (weight = quality score, recency tier, dup count) while staying
+    reproducible across runs, partitionings, and engines.
+
+    Mechanism (min-of-w-hashes race, the integer-exact cousin of
+    Efraimidis-Spirakis A-ES): each row draws ``w`` independent
+    64-bit hash "tickets" (``hash(key#1) .. hash(key#w)``, ``w`` =
+    its weight clamped to [1, max_weight]) and its race key is the
+    MINIMUM ticket; the per-group winners are the ``n_per_group``
+    smallest (race key, key) pairs. Since the minimum of ``w`` iid
+    uniforms stochastically dominates by ``w``, the first pick lands
+    on row i with probability exactly ``w_i / sum(w)`` (64-bit
+    collisions aside), and subsequent ranks follow the same
+    exhaustion race — a bona-fide weighted sample, with ZERO float
+    arithmetic (A-ES's ``u^(1/w)`` pow is libm-specific; integer
+    hash minima are bit-identical everywhere).
+
+    Plan: the ticket array is a scan-local ``transform(sequence(...))``
+    expression — no explode, no extra rows; then one hash-partition
+    on ``group_col`` with a windowed top-k (map-side rank pruning
+    under AQE). Cost is ``O(rows * avg_weight)`` hash evaluations at
+    scan speed; ``max_weight`` bounds the per-row work, so a
+    malicious 10^9 weight cannot stall a task."""
+    from pyspark.sql import Window
+
+    if n_per_group < 1 or max_weight < 1:
+        raise ValueError("n_per_group and max_weight must be >= 1")
+    k = F.col(key_col).cast("string")
+    # coalesce FIRST: least/greatest skip NULLs in both engines, so a
+    # NULL weight would otherwise clamp UP to max_weight tickets
+    w = F.greatest(F.least(F.coalesce(F.col(weight_col).cast("int"),
+                                      F.lit(1)),
+                           F.lit(max_weight)), F.lit(1))
+    race = F.array_min(F.transform(
+        F.sequence(F.lit(1), w),
+        lambda t: hash64(F.concat(k, F.lit("#"), t.cast("string")),
+                         seed, hash_fn)))
+    win = (Window.partitionBy(group_col)
+           .orderBy(F.col("__cps_race").asc(), F.col(key_col).asc()))
+    return (df.withColumn("__cps_race", race)
+              .withColumn("__cps_rk", F.row_number().over(win))
+              .filter(F.col("__cps_rk") <= n_per_group)
+              .drop("__cps_race", "__cps_rk"))
+
+
+def weighted_sample_sql(t: str, group_expr: str, key_expr: str,
+                        weight_expr: str, n_per_group: int,
+                        max_weight: int = 64, seed: int = 0,
+                        cols: str = "*") -> str:
+    """DuckDB twin of ``weighted_sample(..., hash_fn='md5')``."""
+    from .dedup import hash64_sql
+
+    w = (f"greatest(least(COALESCE(CAST({weight_expr} AS INT), 1), "
+         f"{max_weight}), 1)")
+    h = hash64_sql(
+        f"concat(CAST({key_expr} AS VARCHAR), '#', CAST(t AS VARCHAR))",
+        str(seed))
+    race = f"list_min(list_transform(range(1, {w} + 1), t -> {h}))"
+    return f"""
+        SELECT {cols} FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY {group_expr}
+                       ORDER BY ({race}) ASC, {key_expr} ASC) AS __rk
+            FROM {t})
+        WHERE __rk <= {n_per_group}
     """
 
 

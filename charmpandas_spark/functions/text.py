@@ -38,6 +38,8 @@ __all__ = [
     "repetition_stats",
     "token_drift",
     "token_drift_sql",
+    "vocab_coverage",
+    "vocab_coverage_sql",
     "LANG_STOPWORDS",
     "TOKEN_REGEX",
 ]
@@ -937,4 +939,92 @@ def token_drift_sql(t: str, pred_a: str, pred_b: str, id_expr: str,
                    AS chi_micro
         FROM c, tot
         WHERE o_a + o_b >= {min_count}
+    """
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage / OOV-rate audit against a reference vocab
+# ---------------------------------------------------------------------------
+
+def vocab_coverage(df, ref_df, text_col: str, id_col: str,
+                   vocab_size: int = 200):
+    """Per-document OUT-OF-VOCABULARY rate against the top-``vocab_size``
+    token vocabulary of a REFERENCE corpus — the audit run before
+    committing a tokenizer or when admitting a new data source (a
+    source whose tokens are mostly OOV to the reference either needs
+    vocab growth or is the wrong language/format for the model).
+
+    Output: ``(doc_id, n_tokens, n_oov, oov_micro)`` with
+    ``oov_micro = floor(1e6 * n_oov / n_tokens)`` — an exact integer
+    rational (empty documents emit 0 tokens and NULL rate rather
+    than a fake 0: "no evidence" is not "fully covered").
+
+    Plan: the vocabulary is ``corpus_vocab``'s per-partition top-k
+    merge (driver never holds more than ``vocab_size`` rows) and
+    broadcasts to the coverage join; the corpus side is one
+    scan-local explode + a broadcast LEFT join + one groupBy on the
+    doc id — the exploded tokens shuffle once, the corpus itself
+    never does. At 100 TB the vocab stays vocab_size rows no matter
+    the data; the doc-id groupBy is the only data-scale exchange.
+    """
+    from .dedup import spread
+
+    vocab = corpus_vocab(ref_df, text_col, id_col, vocab_size) \
+        .select(F.col("token").alias("__cps_v"))
+    toks = (spread(df).select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(F.split(normalize_text(text_col), " "))
+                 .alias("token"))
+            .filter(F.col("token") != ""))
+    hit = (toks.join(F.broadcast(vocab),
+                     toks["token"] == F.col("__cps_v"), "left")
+               .select("doc_id",
+                       F.col("__cps_v").isNull().cast("long")
+                        .alias("__cps_oov")))
+    counted = hit.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("__cps_oov").alias("n_oov"))
+    # empty docs vanish in the explode — restore them with 0/NULL
+    return (df.select(F.col(id_col).alias("doc_id"))
+              .join(counted, "doc_id", "left")
+              .select("doc_id",
+                      F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                      F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+                      F.floor(F.lit(1_000_000.0) * F.col("n_oov")
+                              / F.col("n_tokens"))
+                       .cast("long").alias("oov_micro")))
+
+
+def vocab_coverage_sql(corpus_t: str, ref_t: str, text_expr: str,
+                       id_expr: str, vocab_size: int = 200) -> str:
+    """DuckDB twin of :func:`vocab_coverage` (same normalize + top-k
+    vocab with (freq DESC, token ASC) tie-break)."""
+    norm = (f"trim(regexp_replace(lower({text_expr}), '\\s+', ' ', "
+            f"'g'))")
+    return f"""
+        WITH vocab AS (
+            SELECT token FROM (
+                SELECT unnest(string_split({norm}, ' ')) AS token
+                FROM {ref_t}) WHERE token <> ''
+            GROUP BY token
+            ORDER BY count(*) DESC, token ASC LIMIT {vocab_size}),
+        toks AS (
+            SELECT {id_expr} AS doc_id,
+                   unnest(string_split({norm}, ' ')) AS token
+            FROM {corpus_t}),
+        counted AS (
+            SELECT t.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oov
+            FROM (SELECT * FROM toks WHERE token <> '') t
+            LEFT JOIN vocab v USING (token)
+            GROUP BY t.doc_id)
+        SELECT d.doc_id,
+               COALESCE(c.n_tokens, 0) AS n_tokens,
+               COALESCE(c.n_oov, 0) AS n_oov,
+               CAST(floor(1000000.0 * COALESCE(c.n_oov, 0)
+                          / c.n_tokens) AS BIGINT) AS oov_micro
+        FROM (SELECT {id_expr} AS doc_id FROM {corpus_t}) d
+        LEFT JOIN counted c USING (doc_id)
     """

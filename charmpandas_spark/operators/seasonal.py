@@ -38,6 +38,7 @@ from ..timestamps import epoch_micros
 
 __all__ = [
     "seasonal_decompose", "seasonal_decompose_sql",
+    "seasonal_anomalies", "seasonal_anomalies_sql",
     "cusum_changepoint", "cusum_changepoint_sql",
 ]
 
@@ -68,8 +69,15 @@ def seasonal_decompose(df: SparkDF, ts_col: str,
     aggregations over the bucketed series + broadcast joins back —
     the event-scale work is the one counting exchange.
     """
+    from pyspark import StorageLevel
+
+    # the bucketed series feeds THREE branches (seasonal means, level
+    # means, and the final join) — pin it so the event-scale counting
+    # exchange runs once, not three times. It is groups x buckets
+    # rows: tiny at any corpus scale. Caller frees via dedup.release.
     s = _series(df, ts_col, group_cols, bucket_us) \
-        .withColumn("phase", F.expr(f"bucket % {period}"))
+        .withColumn("phase", F.expr(f"bucket % {period}")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     seas = (s.groupBy(*group_cols, "phase")
              .agg(F.expr(f"({MICRO} * sum(n)) div count(n)")
                    .alias("seasonal_micro")))
@@ -80,8 +88,10 @@ def seasonal_decompose(df: SparkDF, ts_col: str,
             .join(F.broadcast(lvl), group_cols)
             .withColumn("resid_micro",
                         F.expr(f"{MICRO} * n - seasonal_micro")))
-    return out.select(*group_cols, "bucket", "phase", "n",
-                      "seasonal_micro", "level_micro", "resid_micro")
+    out = out.select(*group_cols, "bucket", "phase", "n",
+                     "seasonal_micro", "level_micro", "resid_micro")
+    out._cps_persisted = [s]  # see dedup.release()
+    return out
 
 
 def seasonal_decompose_sql(t: str, ts_expr: str, group_exprs: list[str],
@@ -111,6 +121,71 @@ def seasonal_decompose_sql(t: str, ts_expr: str, group_exprs: list[str],
     """
 
 
+def seasonal_anomalies(df: SparkDF, ts_col: str,
+                       group_cols: list[str], bucket_us: int,
+                       period: int = 24, k: float = 3.0) -> SparkDF:
+    """Seasonally-ADJUSTED robust anomaly detection: the composition
+    a real monitoring rule needs — :func:`seasonal_decompose` first
+    (so the nightly trough is not an "anomaly"), then the
+    median/MAD flag (mad_outliers doctrine) on the RESIDUAL series.
+    A bucket is anomalous when ``|resid - median(resid)| >
+    k * MAD(resid)`` within its group. Emits every bucket with its
+    residual, the group's median/MAD (exact .5-interpolating
+    percentiles over integer micros — cross-engine-exact doubles)
+    and the boolean flag.
+
+    All percentile work happens on the BUCKETED series (groups x
+    buckets rows); the event-scale cost is still the single counting
+    exchange inside the decomposition."""
+    s = seasonal_decompose(df, ts_col, group_cols, bucket_us, period)
+    # the decomposition output feeds three more branches — its pinned
+    # bucketed series (s._cps_persisted) already caps the event-scale
+    # cost at one pass; the branches here re-derive only bucket-level
+    # joins over the cached series.
+    med = (s.groupBy(*group_cols)
+            .agg(F.expr("percentile(resid_micro, 0.5)").alias("med")))
+    dev = (s.join(F.broadcast(med), group_cols)
+            .withColumn("__dev", F.abs(F.col("resid_micro")
+                                       - F.col("med"))))
+    mad = (dev.groupBy(*group_cols)
+              .agg(F.expr("percentile(__dev, 0.5)").alias("mad"),
+                   F.first("med").alias("med")))
+    out = (s.join(F.broadcast(mad), group_cols)
+             .select(*group_cols, "bucket", "n", "resid_micro",
+                     "med", "mad",
+                     (F.abs(F.col("resid_micro") - F.col("med"))
+                      > F.lit(k) * F.col("mad")).alias("is_anomaly")))
+    out._cps_persisted = getattr(s, "_cps_persisted", [])
+    return out
+
+
+def seasonal_anomalies_sql(t: str, ts_expr: str,
+                           group_exprs: list[str], bucket_us: int,
+                           period: int = 24, k: float = 3.0) -> str:
+    """DuckDB twin of :func:`seasonal_anomalies` (decomposition as a
+    nested subquery, identical quantile_cont median/MAD)."""
+    g = ", ".join(group_exprs)
+    inner = seasonal_decompose_sql(t, ts_expr, group_exprs,
+                                   bucket_us, period)
+    return f"""
+        WITH s AS ({inner}),
+        med AS (
+            SELECT {g}, quantile_cont(resid_micro, 0.5) AS med
+            FROM s GROUP BY {g}),
+        dev AS (
+            SELECT s.*, m.med,
+                   abs(s.resid_micro - m.med) AS adev
+            FROM s JOIN med m USING ({g})),
+        mad AS (
+            SELECT {g}, quantile_cont(adev, 0.5) AS mad,
+                   any_value(med) AS med
+            FROM dev GROUP BY {g})
+        SELECT {g}, s.bucket, s.n, s.resid_micro, m.med, m.mad,
+               abs(s.resid_micro - m.med) > {k} * m.mad AS is_anomaly
+        FROM s JOIN mad m USING ({g})
+    """
+
+
 def cusum_changepoint(df: SparkDF, ts_col: str, group_cols: list[str],
                       bucket_us: int) -> SparkDF:
     """Offline CUSUM changepoint per group: with ``mean_micro`` the
@@ -120,23 +195,30 @@ def cusum_changepoint(df: SparkDF, ts_col: str, group_cols: list[str],
     group: the argmax bucket (ties -> earliest), the signed peak
     ``s_micro``, plus ``mean_micro`` and ``n_buckets`` context.
     """
-    s = _series(df, ts_col, group_cols, bucket_us)
-    mean = (s.groupBy(*group_cols)
-             .agg(F.expr(f"({MICRO} * sum(n)) div count(n)")
-                   .alias("mean_micro"),
-                  F.count(F.lit(1)).alias("n_buckets")))
-    s = s.join(F.broadcast(mean), group_cols)
+    from pyspark import StorageLevel
+
+    # series feeds the mean aggregate AND the join back — pin the
+    # (tiny, groups x buckets) series so events are counted once
+    series = _series(df, ts_col, group_cols, bucket_us) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    mean = (series.groupBy(*group_cols)
+            .agg(F.expr(f"({MICRO} * sum(n)) div count(n)")
+                  .alias("mean_micro"),
+                 F.count(F.lit(1)).alias("n_buckets")))
+    s = series.join(F.broadcast(mean), group_cols)
     w = (Window.partitionBy(*group_cols).orderBy("bucket")
                .rowsBetween(Window.unboundedPreceding, 0))
     s = s.withColumn(
         "s_micro", F.sum(F.expr(f"{MICRO} * n - mean_micro")).over(w))
     pick = Window.partitionBy(*group_cols).orderBy(
         F.abs(F.col("s_micro")).desc(), F.col("bucket").asc())
-    return (s.withColumn("__rn", F.row_number().over(pick))
-             .where(F.col("__rn") == 1)
-             .select(*group_cols,
-                     F.col("bucket").alias("cp_bucket"),
-                     "s_micro", "mean_micro", "n_buckets"))
+    out = (s.withColumn("__rn", F.row_number().over(pick))
+            .where(F.col("__rn") == 1)
+            .select(*group_cols,
+                    F.col("bucket").alias("cp_bucket"),
+                    "s_micro", "mean_micro", "n_buckets"))
+    out._cps_persisted = [series]  # see dedup.release()
+    return out
 
 
 def cusum_changepoint_sql(t: str, ts_expr: str, group_exprs: list[str],

@@ -150,3 +150,30 @@ def test_top_sequences_orders_and_ties(spark):
                          k=3).collect()]
     assert got[0] == ("a", "b", "c", 3)
     assert got[1:] == [("b", "c", "a", 1), ("c", "a", "b", 1)]
+
+
+def test_seasonal_anomalies_hand_computed(spark):
+    from charmpandas_spark.operators.seasonal import seasonal_anomalies
+    # 4 days of a 2-bucket "day" (period=2 on hourly buckets).
+    # phase0 counts 3,3,3,11 (day-3 spike); phase1 counts 1,1,1,1.
+    # seasonal(phase0) = (3+3+3+11)/4 = 5 -> resids -2,-2,-2,+6;
+    # seasonal(phase1) = 1 -> resids 0,0,0,0.
+    # med(resids) = (v[3]+v[4])/2 of [-2,-2,-2,0,0,0,0,6] = 0;
+    # MAD = median of [0,0,0,0,2,2,2,6] = (0+2)/2 = 1 MICRO.
+    # k=3 -> only the +6 residual exceeds 3*MAD.
+    rows = []
+    eid = 0
+    for day, n0 in enumerate([3, 3, 3, 11]):
+        for phase, n in ((0, n0), (1, 1)):
+            for _ in range(n):
+                rows.append((eid, _ts(day * 2 + phase), "t"))
+                eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type"])
+    out = seasonal_anomalies(df, "ts", ["event_type"], 3600 * MICRO,
+                             period=2, k=3.0).collect()
+    assert len(out) == 8
+    for r in out:
+        assert r.med == 0.0 and r.mad == 1.0 * MICRO
+    flagged = [r for r in out if r.is_anomaly]
+    assert len(flagged) == 1
+    assert flagged[0].n == 11 and flagged[0].resid_micro == 6 * MICRO
