@@ -4419,6 +4419,21 @@ def q_quality_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agreement_kappa(g.join(c, "doc_id"), "rater_a", "rater_b")
 
 
+def q_source_concentration(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Per-source size-concentration audit: exact Gini coefficient of
+    the document-size distribution plus the token share of the top
+    decile of documents — the "is this domain three giant docs in a
+    trenchcoat" check run before a source enters a training mixture.
+    One hash exchange (rank + count windows share it), then a
+    group-cardinality conditional-sum aggregate; integers end-to-end
+    until the final floored micro quotients."""
+    from charmpandas_spark.functions.profile import concentration_profile
+    docs = _t(spark, sf_dir, "documents").sdf
+    return concentration_profile(docs, "n_chars", "doc_id",
+                                 ["source"], top_frac=0.1)
+
+
 def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document out-of-vocabulary rate against the top-100 token
     vocabulary of the src0 reference slice — the tokenizer-coverage /
@@ -4555,6 +4570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_value": q_winsorize_value,
         "quality_kappa": q_quality_kappa,
         "vocab_oov": q_vocab_oov,
+        "source_concentration": q_source_concentration,
         # --- (2) SS2 core slice, re-proven every round ---
         "scan_project": q_scan_project,
         "flagship_join_groupby_count": q_flagship_join_groupby_count,
@@ -4999,6 +5015,8 @@ def oracle_sql() -> dict[str, str]:
         gopher_quality_sql, quantile_keep_sql)
     from charmpandas_spark.functions.encode import winsorize_sql
     from charmpandas_spark.functions.text import vocab_coverage_sql
+    from charmpandas_spark.functions.profile import (
+        concentration_profile_sql)
     from charmpandas_spark.functions.dedup import (
         duplicate_spans_sql, jaccard_pairs_prefix_sql, line_dedup_sql,
         remove_duplicate_spans_sql)
@@ -7008,6 +7026,9 @@ def oracle_sql() -> dict[str, str]:
             "documents",
             "(SELECT * FROM documents WHERE source = 'src0')",
             "text", "doc_id", vocab_size=100),
+        "source_concentration": concentration_profile_sql(
+            "documents", "n_chars", "doc_id", ["source"],
+            top_frac=0.1),
         "chi2_source_terms": chi2_tokens_sql(
             "documents", "doc_id", "source", 5, 2),
         "classifier_calibration": calibration_table_sql(

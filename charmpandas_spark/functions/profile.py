@@ -31,6 +31,8 @@ __all__ = [
     "mad_outliers_sql",
     "impute",
     "impute_sql",
+    "concentration_profile",
+    "concentration_profile_sql",
 ]
 
 
@@ -628,4 +630,112 @@ def impute_sql(t: str, col: str, by: list[str],
         WITH fills AS ({fill})
         SELECT {cols}, {expr} AS {out_col}
         FROM {t} b LEFT JOIN fills f USING ({bys})
+    """
+
+
+# ---------------------------------------------------------------------------
+# corpus concentration audit (Gini + top-decile share per group)
+# ---------------------------------------------------------------------------
+
+def concentration_profile(df: SparkDF, size_col: str, id_col: str,
+                          by: list[str],
+                          top_frac: float = 0.1) -> SparkDF:
+    """Per-group size-concentration audit: how dominated is each
+    source by its few largest documents? Emits one row per group —
+    ``n_docs``, ``total_size``, the exact GINI COEFFICIENT of the
+    size distribution and the share of total size held by the top
+    ``ceil(top_frac*n)`` largest members, both in floored micro-units.
+    The curation question behind it: a "diverse" domain whose token
+    mass is 90% three giant documents needs a cap or a split before
+    it enters a training mixture.
+
+    Gini from the rank formulation over ASC-sorted sizes
+    (Lorenz-curve identity):
+
+        G = (2*sum(r_i * x_i) - (n+1)*sum(x_i)) / (n * sum(x_i))
+
+    with ``r_i`` the 1-based rank. Every term is an exact
+    DECIMAL(38,0)/HUGEINT integer (``size_col`` must be non-negative
+    integers); only the final quotient is a double, floored to
+    micro-units — bit-identical across engines. Equal sizes commute
+    under any rank order (equal x at swapped ranks contribute the
+    same sum), so the (size, id) tie-break matters only for the
+    top-share cut, where it makes the answer total. An all-zero
+    group has no Lorenz curve: NULL, not 0.
+
+    Plan: ONE hash exchange on ``by`` (rank + count windows share the
+    partitioning), then a grouped conditional-sum aggregate to a
+    group-cardinality table. No joins, no second pass over the data.
+    """
+    if not 0.0 < top_frac <= 1.0:
+        raise ValueError("top_frac must be in (0, 1]")
+    from pyspark.sql import Window
+
+    _D38 = "decimal(38,0)"
+    x = F.col(size_col).cast(_D38)
+    wr = (Window.partitionBy(*by)
+          .orderBy(F.col(size_col).asc(), F.col(id_col).asc()))
+    wn = Window.partitionBy(*by)
+    ranked = (df.withColumn("__cps_r", F.row_number().over(wr)
+                            .cast(_D38))
+                .withColumn("__cps_n", F.count(F.lit(1)).over(wn)))
+    top_cut = (F.col("__cps_n")
+               - F.ceil(F.lit(top_frac) * F.col("__cps_n")))
+    agg = ranked.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(x).alias("__t"),
+        F.sum(F.col("__cps_r") * x).alias("__rx"),
+        F.sum(F.when(F.col("__cps_r") > top_cut, x)
+               .otherwise(F.lit(0).cast(_D38))).alias("__topx"))
+    n = F.col("n_docs").cast(_D38)
+    t, rx, topx = F.col("__t"), F.col("__rx"), F.col("__topx")
+    denom = (n * t).cast("double")
+    gini = F.when(t > 0, F.floor(
+        F.lit(1_000_000.0)
+        * (F.lit(2).cast(_D38) * rx - (n + 1) * t).cast("double")
+        / denom))
+    share = F.when(t > 0, F.floor(
+        F.lit(1_000_000.0) * topx.cast("double") / t.cast("double")))
+    return agg.select(
+        *by, "n_docs", t.cast("long").alias("total_size"),
+        gini.cast("long").alias("gini_micro"),
+        share.cast("long").alias("top_share_micro"))
+
+
+def concentration_profile_sql(t: str, size_expr: str, id_expr: str,
+                              by: list[str],
+                              top_frac: float = 0.1) -> str:
+    """DuckDB twin of :func:`concentration_profile` (HUGEINT sums,
+    identical rank formulation and final double floors)."""
+    bys = ", ".join(by)
+    return f"""
+        WITH ranked AS (
+            SELECT {bys}, CAST({size_expr} AS HUGEINT) AS x,
+                   CAST(row_number() OVER (
+                       PARTITION BY {bys}
+                       ORDER BY {size_expr} ASC, {id_expr} ASC)
+                       AS HUGEINT) AS r,
+                   count(*) OVER (PARTITION BY {bys}) AS n
+            FROM {t}),
+        agg AS (
+            SELECT {bys},
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   sum(x) AS tt,
+                   sum(r * x) AS rx,
+                   sum(CASE WHEN r > n - CAST(ceil({top_frac} * n)
+                                            AS BIGINT)
+                            THEN x ELSE 0::HUGEINT END) AS topx
+            FROM ranked GROUP BY {bys})
+        SELECT {bys}, n_docs, CAST(tt AS BIGINT) AS total_size,
+               CASE WHEN tt > 0 THEN
+                   CAST(floor(1000000.0
+                        * CAST(2::HUGEINT * rx
+                               - (n_docs::HUGEINT + 1) * tt AS DOUBLE)
+                        / CAST(n_docs::HUGEINT * tt AS DOUBLE))
+                        AS BIGINT) END AS gini_micro,
+               CASE WHEN tt > 0 THEN
+                   CAST(floor(1000000.0 * CAST(topx AS DOUBLE)
+                              / CAST(tt AS DOUBLE)) AS BIGINT)
+               END AS top_share_micro
+        FROM agg
     """

@@ -207,3 +207,44 @@ def test_vocab_coverage_vocab_join_is_broadcast(spark):
                           vocab_size=3)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# concentration_profile
+# ---------------------------------------------------------------------------
+
+def test_concentration_profile_hand_computed(spark):
+    from charmpandas_spark.functions.profile import concentration_profile
+
+    # group g: sizes [1,1,1,1,6] -> n=5, T=10, asc ranks 1..5,
+    # sum(r*x) = (1+2+3+4)*1 + 5*6 = 40
+    # gini = (2*40 - 6*10) / (5*10) = 0.4; top ceil(.5*5)=3 docs
+    # (sizes 6,1,1) hold 8/10 = 0.8
+    rows = [("g", i, s) for i, s in enumerate([1, 1, 1, 1, 6])]
+    # group e: perfect equality -> gini 0, top 2 of 4 hold exactly 1/2
+    rows += [("e", i, 2) for i in range(4)]
+    # group z: all-zero sizes -> no Lorenz curve, NULLs
+    rows += [("z", i, 0) for i in range(3)]
+    df = spark.createDataFrame(rows, ["src", "id", "sz"])
+    out = {r.src: r for r in concentration_profile(
+        df, "sz", "id", ["src"], top_frac=0.5).collect()}
+    assert (out["g"].n_docs, out["g"].total_size) == (5, 10)
+    assert out["g"].gini_micro == 400_000
+    assert out["g"].top_share_micro == 800_000
+    assert out["e"].gini_micro == 0
+    assert out["e"].top_share_micro == 500_000
+    assert out["z"].gini_micro is None
+    assert out["z"].top_share_micro is None
+
+
+def test_concentration_profile_single_exchange(spark):
+    from charmpandas_spark.functions.profile import concentration_profile
+
+    df = spark.createDataFrame(
+        [(f"s{i % 3}", i, i * 7 % 13 + 1) for i in range(60)],
+        ["src", "id", "sz"])
+    plan = concentration_profile(df, "sz", "id", ["src"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # rank + count windows and the final groupBy share one
+    # hash-partitioning on the group key — a single shuffle
+    assert plan.count("Exchange hashpartitioning") == 1
