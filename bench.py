@@ -307,6 +307,13 @@ def bench_queries(spark, sf_dir):
         "sim_ivfpq_rerank",
         "events_quantiles_by_group",
         "join_salted",
+        # r9 wave-7: sampling / preprocessing / audit family
+        "events_anomaly_seasonal",
+        "weighted_sample",
+        "winsorize_value",
+        "quality_kappa",
+        "vocab_oov",
+        "source_concentration",
     ]
     return {n: qs[n] for n in names if n in qs}
 
