@@ -594,46 +594,63 @@ def connected_components(edges: SparkDF, src: str, dst: str,
     propagation: every vertex repeatedly adopts the minimum label in
     its neighborhood until a fixed point.
 
-    Scale design: each round is one distributed join + groupBy (both
-    shuffling on vertex id — AQE reuses the partitioning); the driver
-    only runs the O(diameter) loop and a scalar convergence probe per
-    round. Near-dup graphs have tiny diameters (dup clusters are
-    near-cliques), so 3-5 rounds is typical; ``max_iter`` bounds
-    pathological chains. Each round is ``localCheckpoint``-ed: the
-    lineage is CUT per round (without it the logical plan doubles
-    every iteration — measured ~900 exchanges in the final plan after
-    4 rounds). On a fault-tolerant cluster job, switch to a reliable
-    ``checkpoint`` dir: localCheckpoint trades executor-loss recovery
-    for speed.
+    Scale design (r10 rewrite — the r9 shape cost 3 shuffles + 2 jobs
+    per round and read 5.5 s on a 256-edge sf0.1 graph, pure
+    fixed overhead): self-loops are appended to the symmetrized edge
+    list ONCE, so "min over neighborhood including myself" is a
+    single join + groupBy per round — no second labels join — and the
+    same aggregation carries ``min(label of self-edges)`` out as the
+    vertex's OLD label, so the convergence probe is a shuffle-free
+    ``filter(chg).count()`` over the just-checkpointed round output
+    instead of a third shuffle join. Per round: 1 shuffle join + 1
+    aggregation exchange + 1 cheap scan job. The driver only runs the
+    O(diameter) loop and reads one scalar per round; near-dup graphs
+    have tiny diameters (dup clusters are near-cliques), so 3-5
+    rounds is typical; ``max_iter`` bounds pathological chains. Each
+    round is ``localCheckpoint``-ed: the lineage is CUT per round
+    (without it the logical plan doubles every iteration — measured
+    ~900 exchanges in the final plan after 4 rounds). On a
+    fault-tolerant cluster job, switch to a reliable ``checkpoint``
+    dir: localCheckpoint trades executor-loss recovery for speed.
     """
     from pyspark import StorageLevel
 
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = sym.union(sym.select(F.col("b").alias("a"),
-                               F.col("a").alias("b"))) \
-             .persist(StorageLevel.MEMORY_AND_DISK)
-    labels = (sym.select(F.col("a").alias("v")).distinct()
-                 .withColumn("lbl", F.col("v"))
+    one_way = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")) \
+                   .localCheckpoint()  # eager: edge producer runs ONCE
+    # The upstream edge producer is typically the whole near-dup pair
+    # pipeline; every downstream fan-out (swap leg, self-loop leg,
+    # per-round join) must read a materialized copy, not the lineage —
+    # Spark submits independent union legs as parallel stages, and a
+    # lazily-persisted upstream gets computed once per leg in that
+    # first job (measured: the pairs pipeline ran 2x inside the first
+    # CC job at sf0.1).
+    sym0 = one_way.union(one_way.select(F.col("b").alias("a"),
+                                        F.col("a").alias("b")))
+    # self-loops fold the "keep my own label" leg into the SAME
+    # neighborhood-min aggregation (no labels left-join per round);
+    # is_self lets that aggregation also emit the old label so the
+    # driver's convergence probe never re-joins old vs new.
+    verts = sym0.select(F.col("a")).distinct()
+    sym = (sym0.withColumn("is_self", F.lit(False))
+               .union(verts.select("a", F.col("a").alias("b"))
+                           .withColumn("is_self", F.lit(True)))
+               .persist(StorageLevel.MEMORY_AND_DISK))
+    labels = (sym.filter("is_self")
+                 .select(F.col("a").alias("v"), F.col("a").alias("lbl"))
                  .localCheckpoint())
     changed = 0  # max_iter <= 0 must hit the for/else warn, not NameError
     for _ in range(max_iter):
-        nbr_min = (sym.join(labels.select(F.col("v").alias("b"),
-                                          F.col("lbl").alias("b_lbl")),
-                            "b")
-                      .groupBy(F.col("a").alias("v"))
-                      .agg(F.min("b_lbl").alias("nbr_lbl")))
-        new_labels = (labels.join(nbr_min, "v", "left")
-                            .select("v",
-                                    F.least("lbl", "nbr_lbl")
-                                     .alias("lbl"))
-                            .localCheckpoint())
-        changed = (new_labels
-                   .join(labels.select(F.col("v").alias("v"),
-                                       F.col("lbl").alias("old_lbl")),
-                         "v")
-                   .filter(F.col("lbl") != F.col("old_lbl"))
-                   .count())
-        labels = new_labels
+        new_labels = (
+            sym.join(labels.select(F.col("v").alias("b"),
+                                   F.col("lbl").alias("b_lbl")), "b")
+               .groupBy(F.col("a").alias("v"))
+               .agg(F.min("b_lbl").alias("lbl"),
+                    F.min(F.when(F.col("is_self"), F.col("b_lbl")))
+                     .alias("old_lbl"))
+               .withColumn("chg", F.col("lbl") < F.col("old_lbl"))
+               .localCheckpoint())
+        changed = new_labels.filter("chg").count()
+        labels = new_labels.select("v", "lbl")
         if changed == 0:
             break
     else:
