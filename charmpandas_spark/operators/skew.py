@@ -6,11 +6,30 @@ AQE's skew-join split (`spark.sql.adaptive.skewJoin`) handles most
 skew at runtime; this module adds the two explicit techniques for the
 cases AQE can't fix:
 
-- ``salted_join``: one hot key so large no single split helps — salt
-  the skewed side N ways, explode the build side N ways, join on
-  (key, salt). N× replication of the build side buys N-way
-  parallelism on the hot key.
+- ``salted_join``: salt the skewed side N ways, explode the build
+  side N ways, join on (key, salt). N× replication of the build side
+  buys N-way parallelism on the hot key.
 - ``broadcast_join``: force the planner when statistics mislead it.
+
+MEASURED CROSSOVER (bench.py skew_demo, r9/r10: 10M-row fact, one
+key = 95% of rows, broadcast disabled, local[32]): AQE's runtime
+split equalizes the straggler better than salting pays for itself —
+skew-blind 6.4 s / max-task 4.3 s, AQE split 4.7 s / 2.9 s, salted
+5.5 s / 2.7 s. Salting matches AQE on the straggler (max task) but
+loses wall-clock to the ×salt build replication and the extra
+exchange. The same ordering held with a same-key aggregation stacked
+on the join (partial aggregation collapses the hot key before the
+post-join shuffle, so AQE's split is not blocked by the downstream
+distribution requirement). So on any Spark with AQE available:
+LEAVE IT ON and skip the salt. ``salted_join`` earns its keep when
+(a) AQE is off or unavailable (static plans, some serverless
+runtimes), (b) the skewed shuffle feeds an operator AQE will not
+split — notably a WINDOW partitioned by the hot key has no partial
+phase and semantically needs the whole key in one task, where
+neither AQE nor salting helps and the fix is a different query shape
+(pre-aggregate or bounded windows), or (c) the hot partition is so
+large a single split-chunk of ``advisoryPartitionSizeInBytes`` still
+spills — at 100 TB, tune the advisory size first, salt second.
 """
 
 from __future__ import annotations
