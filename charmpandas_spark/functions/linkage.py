@@ -78,15 +78,30 @@ def jaro_winkler_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
                       for a, b in zip(s1, s2)])
 
 
-def er_jaro_winkler_pairs(df: SparkDF, id_col: str, name_col: str,
-                          block_col, threshold_bp: int = 90) -> SparkDF:
-    """Blocked Jaro-Winkler linkage: pairs (a < b by id) sharing a
-    block key, scored by :func:`jaro_winkler_udf`, kept when
-    ``floor(jw·100) >= threshold_bp``. Returns
-    ``(id_a, id_b, jw_bp)``. ``block_col`` is any deterministic
-    Column expression over the row (blocking quality is the recall
-    knob — standard ER practice is to union several cheap blockers).
-    """
+def er_block_candidates(df: SparkDF, id_col: str, name_col: str,
+                        block_col,
+                        threshold_bp: int | None = None) -> SparkDF:
+    """Candidate stage of :func:`er_jaro_winkler_pairs`, exposed so
+    the length band's selectivity is pytest-observable.
+
+    JVM-side LOSSLESS length-and-prefix band (r10, VERDICT r9 #7):
+    at most ``m = lmin`` characters can match and transpositions
+    only lower the score, so ``j <= (2 + lmin/lmax)/3``; the Winkler
+    bonus is ``p * 0.1 * (1 - j)`` with ``p`` = shared-prefix length
+    capped at 4 — and ``p`` is EXACTLY computable JVM-side (4
+    substring equalities). ``jw <= (1 - p/10) * (2 + r)/3 + p/10``
+    (monotone in ``j``, so the bound holds whether or not the
+    ``j > 0.7`` bonus gate fires). ``floor(jw*100) >= T`` therefore
+    forces the integer condition
+    ``10*(10-p)*(2*lmax + lmin) + 30*p*lmax >= 3*T*lmax`` — pairs
+    failing it are cut BEFORE the Python scorer, inside the block
+    join. At the registry's T=80 with no shared first char this is
+    ``lmin >= 0.4*lmax``; at T=90 it is ``lmin >= 0.7*lmax``.
+    Engaged when ``T > 67`` (at 67 even p=0, r=0 passes — the bound
+    is vacuous below). A shared-bigram gate was considered and
+    REJECTED: Jaro matches are not contiguous, so zero shared
+    bigrams does not bound jw — it would be a lossy prune and break
+    oracle parity."""
     side = df.select(F.col(id_col).alias("id"),
                      F.col(name_col).alias("nm"),
                      block_col.alias("blk"))
@@ -97,6 +112,31 @@ def er_jaro_winkler_pairs(df: SparkDF, id_col: str, name_col: str,
     cand = (a.join(b, "blk")
              .where(F.col("id_a") < F.col("id_b"))
              .where(F.col("nm_a") != F.col("nm_b")))
+    if threshold_bp is not None and threshold_bp > 67:
+        la, lb = F.length("nm_a"), F.length("nm_b")
+        lmin, lmax = F.least(la, lb), F.greatest(la, lb)
+        p = sum(F.when(F.substring("nm_a", 1, i)
+                       == F.substring("nm_b", 1, i), 1).otherwise(0)
+                for i in range(1, 5))
+        cand = cand.where(
+            (F.lit(10) - p) * (lmax * 2 + lmin) * 10 + p * 30 * lmax
+            >= 3 * threshold_bp * lmax)
+    return cand
+
+
+def er_jaro_winkler_pairs(df: SparkDF, id_col: str, name_col: str,
+                          block_col, threshold_bp: int = 90) -> SparkDF:
+    """Blocked Jaro-Winkler linkage: pairs (a < b by id) sharing a
+    block key, scored by :func:`jaro_winkler_udf`, kept when
+    ``floor(jw·100) >= threshold_bp``. Returns
+    ``(id_a, id_b, jw_bp)``. ``block_col`` is any deterministic
+    Column expression over the row (blocking quality is the recall
+    knob — standard ER practice is to union several cheap blockers).
+    The lossless length band in :func:`er_block_candidates` cuts
+    size-incompatible pairs JVM-side before the Python scorer.
+    """
+    cand = er_block_candidates(df, id_col, name_col, block_col,
+                               threshold_bp)
     jw = jaro_winkler_udf(F.col("nm_a"), F.col("nm_b"))
     scored = cand.withColumn(
         "jw_bp", F.floor(jw * 100).cast("long"))
@@ -128,5 +168,5 @@ def er_jaro_winkler_pairs_sql(t: str, id_expr: str, name_expr: str,
     """
 
 
-__all__ = ["jaro_winkler", "jaro_winkler_udf",
+__all__ = ["jaro_winkler", "jaro_winkler_udf", "er_block_candidates",
            "er_jaro_winkler_pairs", "er_jaro_winkler_pairs_sql"]
