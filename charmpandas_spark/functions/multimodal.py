@@ -39,6 +39,10 @@ __all__ = [
     "bmp_decoder",
     "png_decoder",
     "png_pixels",
+    "attach_jpeg_media",
+    "jpeg_encode_gray_blocks",
+    "jpeg_pixels",
+    "jpeg_decoder",
     "dhash64",
     "media_dhash",
     "dhash_near_dup",
@@ -365,6 +369,357 @@ def png_decoder(payload: bytes) -> dict:
     the cross-engine oracle recomputes them from the plaintext
     bit-for-bit."""
     w, h, recon = png_pixels(payload)
+    n_lower = sum(1 for b in recon if 0x61 <= b <= 0x7A)
+    n_digit = sum(1 for b in recon if 0x30 <= b <= 0x39)
+    n_space = sum(1 for b in recon if b == 0x20)
+    return {
+        "width": w,
+        "height": h,
+        "histogram": [float(n_lower), float(n_digit), float(n_space),
+                      float(len(recon) - n_lower - n_digit - n_space)],
+    }
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG (ITU-T T.81) — the LOSSY raster codec, with an
+# exactness-by-construction fixture
+# ---------------------------------------------------------------------------
+#
+# The decoder is a real generic baseline decoder: marker walk,
+# DHT-driven canonical Huffman (T.81 Annex C code construction /
+# F.2.2.3 decode), DQT dequantization, zigzag inversion, float IDCT —
+# it decodes any 8-bit single-component baseline JPEG regardless of
+# which Huffman/quant tables the file carries (tables are READ FROM
+# THE FILE, as the format requires). The ENCODER side makes the
+# fixture exact despite JPEG being lossy: every 8x8 block is constant
+# (one text byte per block), so the DCT has only a DC term
+# 8*(v-128), and with DC quant step 8 the quantized coefficient is
+# exactly v-128 — integers small enough that the float IDCT
+# round-trips bit-exactly. The cross-engine oracle can therefore
+# recompute pixel statistics from the plaintext, through a codec
+# whose decode path (bitstream, Huffman, dequant, IDCT) is the real
+# thing. A wrong inverse anywhere flips the hash.
+
+def _zigzag() -> list[int]:
+    """T.81 zigzag scan as flat row-major indices, generated from the
+    diagonal walk (even diagonals run bottom-left -> top-right)."""
+    out = []
+    for s in range(15):
+        ij = [(i, s - i) for i in range(max(0, s - 7), min(s, 7) + 1)]
+        out += [i * 8 + j for i, j in (ij if s % 2 else ij[::-1])]
+    return out
+
+
+_ZIGZAG = _zigzag()
+
+#: encoder-side Huffman specs (written into DHT, so any conforming
+#: decoder — including ours — reconstructs them; T.81 only suggests
+#: the Annex K "typical" tables). 12 DC categories at 5 bits; EOB,
+#: ZRL and runs 0-3 x sizes 1-8 at 6 bits. Canonical assignment
+#: never reaches the all-ones code at either length.
+_JPEG_DC_BITS = [0, 0, 0, 0, 12] + [0] * 11
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 0, 0, 0, 0, 34] + [0] * 10
+_JPEG_AC_VALS = [0x00, 0xF0] + [(r << 4) | s
+                                for r in range(4) for s in range(1, 9)]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) by T.81 Annex C canonical assignment."""
+    out, code = {}, 0
+    it = iter(vals)
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[next(it)] = (code, ln)
+            code += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with T.81 byte stuffing (an 0xFF
+    entropy byte is followed by 0x00)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, length: int):
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def done(self) -> bytes:
+        if self.n:
+            self.put(0x7F, 7 - ((self.n - 1) % 8) + 1)  # pad with 1s
+        return bytes(self.buf)
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+
+def jpeg_encode_gray_blocks(block_vals: bytes, blocks_per_row: int) -> bytes:
+    """Spec-compliant baseline JFIF/JPEG: one CONSTANT 8x8 block per
+    input byte, ``blocks_per_row`` blocks across, DC quant step 8 (so
+    the file round-trips exactly — module note above), grayscale,
+    no subsampling."""
+    import struct
+
+    n = max(len(block_vals), 1)
+    bw = blocks_per_row
+    bh = (n + bw - 1) // bw
+    vals = block_vals + b"\x00" * (bw * bh - len(block_vals))
+    w, h = bw * 8, bh * 8
+
+    qzz = bytes([8] + [16] * 63)  # zigzag order; index 0 is DC
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    wtr = _BitWriter()
+    pred = 0
+    eob_code, eob_len = ac_codes[0x00]
+    for v in vals:
+        dc = v - 128  # quantized DC == level-shifted value (step 8)
+        diff = dc - pred
+        pred = dc
+        s = diff.bit_length() if diff > 0 else (-diff).bit_length()
+        c, ln = dc_codes[s]
+        wtr.put(c, ln)
+        if s:
+            wtr.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+        wtr.put(eob_code, eob_len)  # all AC zero
+
+    app0 = b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    dht_dc = bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    return (b"\xff\xd8" + _seg(0xE0, app0)
+            + _seg(0xDB, bytes([0x00]) + qzz)
+            + _seg(0xC0, sof)
+            + _seg(0xC4, dht_dc) + _seg(0xC4, dht_ac)
+            + _seg(0xDA, sos)
+            + wtr.done() + b"\xff\xd9")
+
+
+def attach_jpeg_media(df: SparkDF, text_col: str,
+                      out_col: str = "media",
+                      blocks_per_row: int = 2) -> SparkDF:
+    """LOSSY-FORMAT raster fixture: the text's UTF-8 bytes rendered
+    one byte per constant 8x8 block into a baseline JPEG (see module
+    note on why this particular image content round-trips exactly
+    through a lossy codec). Arrow-batched pandas_udf, like every
+    other media encoder here."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def _jpeg(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: jpeg_encode_gray_blocks(
+            t.encode("utf-8"), blocks_per_row))
+
+    return df.withColumn(out_col, _jpeg(F.col(text_col)))
+
+
+class _BitReader:
+    """MSB-first reader over UNSTUFFED entropy bytes."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0   # byte index
+        self.bit = 0   # bits consumed in current byte
+
+    def read(self, n: int) -> int:
+        out = 0
+        for _ in range(n):
+            if self.pos >= len(self.data):
+                raise ValueError("entropy stream truncated")
+            out = (out << 1) | ((self.data[self.pos] >> (7 - self.bit))
+                               & 1)
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return out
+
+
+def _huff_decode_tables(bits: list[int], vals: list[int]):
+    """(mincode, maxcode, valptr) per code length — T.81 F.2.2.3."""
+    mincode, maxcode, valptr = [0] * 17, [-1] * 17, [0] * 17
+    code, k = 0, 0
+    for ln in range(1, 17):
+        if bits[ln - 1]:
+            valptr[ln] = k
+            mincode[ln] = code
+            code += bits[ln - 1]
+            k += bits[ln - 1]
+            maxcode[ln] = code - 1
+        code <<= 1
+    return mincode, maxcode, valptr, vals
+
+
+def _huff_read(rd: _BitReader, tbl) -> int:
+    mincode, maxcode, valptr, vals = tbl
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | rd.read(1)
+        if maxcode[ln] >= 0 and code <= maxcode[ln]:
+            return vals[valptr[ln] + code - mincode[ln]]
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map s received bits to a signed value."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def jpeg_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    """Generic baseline JPEG decode for 8-bit single-component
+    (grayscale, no subsampling) images: marker walk, DQT (8- or
+    16-bit entries), DHT canonical reconstruction, SOF0 geometry,
+    full DC+AC coefficient decode (EOB / ZRL / run-length), zigzag
+    inversion, dequantization, vectorized float IDCT, level shift.
+    Returns ``(width, height, pixels)`` row-major, cropped to the
+    SOF dimensions. Progressive (SOF2) and multi-component scans
+    raise — this engine's media fixtures are single-component."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], tuple] = {}
+    w = h = None
+    comp_q = comp_dc = comp_ac = 0
+    entropy = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4:pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:  # DQT: one or more tables
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if pq:
+                    vals = list(struct.unpack_from(f">{64}H", body, i))
+                    i += 128
+                else:
+                    vals = list(body[i:i + 64])
+                    i += 64
+                qtables[tq] = vals
+        elif marker == 0xC4:  # DHT: one or more tables
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1:i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17:i + 17 + nv])
+                htables[(tc, th)] = _huff_decode_tables(bits, vals)
+                i += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or nc != 1:
+                raise ValueError("only 8-bit single-component "
+                                 "baseline supported")
+            if body[6] != 0x11:
+                raise ValueError("subsampling unsupported")
+            comp_q = body[7]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG unsupported")
+        elif marker == 0xDA:  # SOS: entropy data follows
+            if body[0] != 1:
+                raise ValueError("multi-component scan unsupported")
+            comp_dc, comp_ac = body[2] >> 4, body[2] & 0x0F
+            # entropy segment: unstuff FF00, stop at any real marker
+            raw = bytearray()
+            p = pos
+            while p < len(payload):
+                b = payload[p]
+                if b == 0xFF:
+                    nxt = payload[p + 1]
+                    if nxt == 0x00:
+                        raw.append(0xFF)
+                        p += 2
+                        continue
+                    break  # real marker (EOI / RSTn unsupported)
+                raw.append(b)
+                p += 1
+            entropy = bytes(raw)
+            pos = p
+        # APPn / COM / DRI etc.: skipped by the generic walk
+    if w is None or entropy is None:
+        raise ValueError("missing SOF0 or SOS")
+    q = qtables[comp_q]
+    dc_tbl = htables[(0, comp_dc)]
+    ac_tbl = htables[(1, comp_ac)]
+
+    bx, by = (w + 7) // 8, (h + 7) // 8
+    rd = _BitReader(entropy)
+    pred = 0
+    coefs = np.zeros((bx * by, 64), dtype=np.float64)
+    qv = np.array(q, dtype=np.float64)
+    for bi in range(bx * by):
+        zz = coefs[bi]
+        s = _huff_read(rd, dc_tbl)
+        diff = _extend(rd.read(s), s) if s else 0
+        pred += diff
+        zz[0] = pred
+        k = 1
+        while k < 64:
+            rs = _huff_read(rd, ac_tbl)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL: sixteen zeros
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC run past block end")
+            zz[k] = _extend(rd.read(s), s)
+            k += 1
+        zz *= qv  # dequantize (zigzag order)
+
+    # de-zigzag + one vectorized IDCT over every block
+    S = np.zeros((bx * by, 64))
+    S[:, _ZIGZAG] = coefs
+    S = S.reshape(-1, 8, 8)
+    u = np.arange(8)
+    M = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) / 2
+    M[0] /= np.sqrt(2.0)
+    px = np.einsum("nuv,ux,vy->nxy", S, M, M)
+    px = np.clip(np.rint(px + 128), 0, 255).astype(np.uint8)
+
+    img = (px.reshape(by, bx, 8, 8)
+             .transpose(0, 2, 1, 3)
+             .reshape(by * 8, bx * 8)[:h, :w])
+    return int(w), int(h), img.tobytes()
+
+
+def jpeg_decoder(payload: bytes) -> dict:
+    """REAL decoder for the ``decoder=`` hook: :func:`jpeg_pixels`
+    (marker walk + Huffman + dequant + IDCT) followed by byte-class
+    statistics over the reconstructed pixels — same classes as
+    :func:`png_decoder`, so the oracle recomputes them from the
+    plaintext (x64: each text byte paints a full 8x8 block)."""
+    w, h, recon = jpeg_pixels(payload)
     n_lower = sum(1 for b in recon if 0x61 <= b <= 0x7A)
     n_digit = sum(1 for b in recon if 0x30 <= b <= 0x39)
     n_space = sum(1 for b in recon if b == 0x20)
