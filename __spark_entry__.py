@@ -1344,6 +1344,33 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("features")[3].cast("bigint").alias("n_other"))
 
 
+def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth REAL codec through the decode hook, and the first LOSSY
+    one (r11, VERDICT r10 #3): text rendered as spec-compliant
+    baseline JPEGs — one CONSTANT 8x8 block per text byte, DC quant
+    step 8, tables carried in DQT/DHT as the format requires — then
+    decoded back by a generic T.81 baseline decoder (marker walk,
+    canonical-Huffman reconstruction from DHT, DC/AC entropy decode,
+    dequant, zigzag inversion, float IDCT) inside mapInPandas. The
+    constant-block construction makes the lossy codec exact (the DCT
+    has only a DC term, quantized to exactly v-128), so the oracle
+    recomputes pixel byte-class counts from the plaintext x64: a bug
+    anywhere in the Huffman walk, dequant, or IDCT flips the hash.
+    Width is the fixed 16 (2 blocks across), height 8*ceil(len/2),
+    zero-pad blocks land in n_other."""
+    from charmpandas_spark.functions.dedup import spread
+    from charmpandas_spark.functions.multimodal import (
+        attach_jpeg_media, extract_features, jpeg_decoder)
+    docs = spread(_t(spark, sf_dir, "documents").sdf)
+    m = attach_jpeg_media(docs, "text")
+    feats = extract_features(m, "media", "doc_id", decoder=jpeg_decoder)
+    return feats.select(
+        "doc_id", "width", "height",
+        F.col("features")[0].cast("bigint").alias("n_lower"),
+        F.col("features")[1].cast("bigint").alias("n_digit"),
+        F.col("features")[3].cast("bigint").alias("n_other"))
+
+
 def q_multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image perceptual fingerprints (dHash, Krawetz 2013) computed
     THROUGH the compressed codec: PNG decode (chunk walk + CRC +
@@ -4462,11 +4489,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_correctness.py runs ALL entries locally each round
     # (ADVICE r3: never depend on the driver window size).
     return {
-        # --- (1) VERDICT r9 #1: the 30 wave-4/5/6/7 queries no
-        #     driver window has ever checked (judge gate r9: all
-        #     30 OK; local tools/check_correctness.py green every
-        #     round since they landed). 30 + 8-core + 12-backlog
-        #     fills the ~50-entry driver window. ---
+        # --- r11 driver window (ordering generated by
+        #     tools/staleness.py --window; VERDICT r10 #5/#9) ---
+        # (1) the r10-red five, oracle CAST(AS BIGINT) fixed this
+        #     round (VERDICT r10 #1) — lead the window
+        "events_seasonal": q_events_seasonal,
+        "events_changepoint": q_events_changepoint,
+        "events_anomaly_seasonal": q_events_anomaly_seasonal,
+        "chi2_source_terms": q_chi2_source_terms,
+        "classifier_calibration": q_classifier_calibration,
+        # (2) new this round: the JPEG codec's evidence query
+        #     (VERDICT r10 #3)
+        "multimodal_jpeg": q_multimodal_jpeg,
+        # (3) SS2 core slice, re-proven every round
+        "scan_project": q_scan_project,
+        "flagship_join_groupby_count": q_flagship_join_groupby_count,
+        "groupby_sum": q_groupby_sum,
+        "filter_expr": q_filter_expr,
+        "join_inner": q_join_inner,
+        "groupby_count": q_groupby_count,
+        "sort_topk": q_sort_topk,
+        "concat": q_concat,
+        # (4) stalest driver-green rows (r3/r5/r6 vintage per
+        #     tools/staleness.py)
+        "text_fingerprint": q_text_fingerprint,
+        "text_quality": q_text_quality,
+        "text_token_count": q_text_token_count,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q3": q_tpch_q3,
+        "case_when": q_case_when,
+        "curation_pipeline": q_curation_pipeline,
+        "dataset_split": q_dataset_split,
+        "datetime_parts": q_datetime_parts,
+        "dedup_corpus": q_dedup_corpus,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_simhash": q_dedup_simhash,
+        "distinct": q_distinct,
+        "events_histogram": q_events_histogram,
+        "events_interval_join": q_events_interval_join,
+        "events_sliding_window": q_events_sliding_window,
+        "events_window": q_events_window,
+        "except": q_except,
+        "intersect": q_intersect,
+        "join_left": q_join_left,
+        "join_left_anti": q_join_left_anti,
+        "join_left_semi": q_join_left_semi,
+        "join_multikey": q_join_multikey,
+        "join_right": q_join_right,
+        "join_right_anti": q_join_right_anti,
+        "join_right_semi": q_join_right_semi,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_meta": q_multimodal_meta,
+        "sample_hash": q_sample_hash,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ivf": q_sim_ivf,
+        "sim_topk": q_sim_topk,
+        # --- positions 51+: fresher greens ride their latest
+        #     driver row. tools/check_correctness.py still runs
+        #     ALL entries locally every round (ADVICE r3). ---
         "markov_transitions": q_markov_transitions,
         "locf_fill": q_locf_fill,
         "temporal_split": q_temporal_split,
@@ -4480,34 +4564,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_ntile": q_window_ntile,
         "purged_kfold": q_purged_kfold,
         "events_basket_rules": q_events_basket_rules,
-        "events_seasonal": q_events_seasonal,
-        "events_changepoint": q_events_changepoint,
-        "chi2_source_terms": q_chi2_source_terms,
         "grouping_sets": q_grouping_sets,
         "source_text_lines": q_source_text_lines,
         "streaming_late_data": q_streaming_late_data,
-        "classifier_calibration": q_classifier_calibration,
         "events_top_paths": q_events_top_paths,
         "sim_ivfpq_rerank": q_sim_ivfpq_rerank,
         "events_quantiles_by_group": q_events_quantiles_by_group,
         "join_salted": q_join_salted,
-        "events_anomaly_seasonal": q_events_anomaly_seasonal,
         "weighted_sample": q_weighted_sample,
         "winsorize_value": q_winsorize_value,
         "quality_kappa": q_quality_kappa,
         "vocab_oov": q_vocab_oov,
         "source_concentration": q_source_concentration,
-        # --- (2) SS2 core slice, re-proven every round ---
-        "scan_project": q_scan_project,
-        "flagship_join_groupby_count": q_flagship_join_groupby_count,
-        "groupby_sum": q_groupby_sum,
-        "filter_expr": q_filter_expr,
-        "join_inner": q_join_inner,
-        "groupby_count": q_groupby_count,
-        "sort_topk": q_sort_topk,
-        "concat": q_concat,
-        # --- (3) least-recently-driver-checked backlog (r6-window
-        #     vintage TPC-H) ---
         "tpch_q5": q_tpch_q5,
         "tpch_q4": q_tpch_q4,
         "tpch_q6": q_tpch_q6,
@@ -4520,9 +4588,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": q_tpch_q10,
         "tpch_q15": q_tpch_q15,
         "tpch_q13": q_tpch_q13,
-        # --- positions 51+: driver-green in r7/r8/r9 windows; ride
-        #     the latest green row. tools/check_correctness.py still
-        #     runs ALL entries locally every round (ADVICE r3). ---
         "curation_funnel": q_curation_funnel,
         "events_props_typed": q_events_props_typed,
         "mixture_sample": q_mixture_sample,
@@ -4573,13 +4638,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode_loo": q_target_encode_loo,
         "standard_scale": q_standard_scale,
         "group_topk": q_group_topk,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
         "text_pack": q_text_pack,
         "text_pack_greedy": q_text_pack_greedy,
-        "sim_ivf": q_sim_ivf,
         "sink_clustered_roundtrip": q_sink_clustered_roundtrip,
         "zorder_key": q_zorder_key,
         "stratified_sample": q_stratified_sample,
@@ -4628,11 +4689,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rolling": q_window_rolling,
         "events_json": q_events_json,
         "text_lang_id": q_text_lang_id,
-        "text_quality": q_text_quality,
-        "text_token_count": q_text_token_count,
-        "text_fingerprint": q_text_fingerprint,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
         "quality_lm_score": q_quality_lm_score,
         "hybrid_rrf": q_hybrid_rrf,
         "curation_report": q_curation_report,
@@ -4679,37 +4735,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_running_totals": q_streaming_running_totals,
         "streaming_stream_join": q_streaming_stream_join,
         "window_range_frame": q_window_range_frame,
-        "events_interval_join": q_events_interval_join,
-        "intersect": q_intersect,
-        "except": q_except,
-        "distinct": q_distinct,
         "string_functions": q_string_functions,
-        "case_when": q_case_when,
         "window_rank": q_window_rank,
-        "join_left": q_join_left,
-        "join_right": q_join_right,
-        "join_left_semi": q_join_left_semi,
-        "join_left_anti": q_join_left_anti,
-        "join_right_semi": q_join_right_semi,
-        "join_right_anti": q_join_right_anti,
-        "join_multikey": q_join_multikey,
-        "datetime_parts": q_datetime_parts,
         "text_vocab": q_text_vocab,
         "text_tfidf": q_text_tfidf,
-        "sample_hash": q_sample_hash,
-        "dataset_split": q_dataset_split,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "dedup_corpus": q_dedup_corpus,
-        "events_histogram": q_events_histogram,
-        "curation_pipeline": q_curation_pipeline,
-        "sim_topk": q_sim_topk,
-        "sim_ann_lsh": q_sim_ann_lsh,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_decode": q_multimodal_decode,
-        "events_window": q_events_window,
-        "events_sliding_window": q_events_sliding_window,
     }
 
 
@@ -6503,6 +6532,29 @@ def oracle_sql() -> dict[str, str]:
                    n_lower, n_digit,
                    16 * greatest((len + 15) // 16, 1)
                        - n_lower - n_digit - n_space AS n_other
+            FROM c
+        """,
+        # JPEG twin: every text byte paints one constant 8x8 block
+        # (64 px), 2 blocks per row -> width 16, height 8*ceil(len/2)
+        # min 8; zero-pad blocks land in n_other. Exact despite the
+        # lossy format — see the constant-block construction note on
+        # q_multimodal_jpeg.
+        "multimodal_jpeg": """
+            WITH c AS (
+                SELECT doc_id,
+                       CAST(octet_length(encode(text)) AS BIGINT) AS len,
+                       CAST(length(regexp_replace(text, '[^a-z]', '',
+                            'g')) AS BIGINT) AS n_lower,
+                       CAST(length(regexp_replace(text, '[^0-9]', '',
+                            'g')) AS BIGINT) AS n_digit,
+                       CAST(length(text) - length(replace(text, ' ', ''))
+                            AS BIGINT) AS n_space
+                FROM documents)
+            SELECT doc_id, CAST(16 AS INT) AS width,
+                   CAST(8 * greatest((len + 1) // 2, 1) AS INT) AS height,
+                   64 * n_lower AS n_lower, 64 * n_digit AS n_digit,
+                   128 * greatest((len + 1) // 2, 1)
+                       - 64 * (n_lower + n_digit + n_space) AS n_other
             FROM c
         """,
         "multimodal_bmp": """

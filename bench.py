@@ -841,6 +841,42 @@ def _stage_max_task_ms(spark, since_epoch_ms: float):
         return None
 
 
+def run_baseline_anchor(spark) -> float:
+    """The reference's ONLY published number — Demo.ipynb's 2x2M-row
+    string-key join + groupby-count + fetch, 10.72 s on 32 PEs
+    (BASELINE.md) — as a committed per-round artifact instead of an
+    ad-hoc judge run (VERDICT r10 #7: judges measured 3.9-4.1 s each
+    round by hand). Delegates to examples/demo_join_groupby.py's
+    ``run_workload`` (one source of truth: same generator, same
+    warmup shape, same timed region), with the demo's join-strategy
+    confs set around the call — equal-size sides, so shuffle-hash
+    beats both a 2M-row broadcast build and SMJ (see the demo's
+    docstring for the measured comparison and the cluster-scale
+    argument)."""
+    import importlib.util
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    spec = importlib.util.spec_from_file_location(
+        "demo_join_groupby",
+        os.path.join(here, "examples", "demo_join_groupby.py"))
+    demo = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(demo)
+
+    keys = ("spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.join.preferSortMergeJoin")
+    prev = {k: spark.conf.get(k) for k in keys}
+    spark.conf.set(keys[0], "-1")
+    spark.conf.set(keys[1], "false")
+    try:
+        elapsed = demo.run_workload(spark)
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    print(f"# baseline_anchor: {elapsed:.2f}s vs reference 10.72s "
+          f"({elapsed / 10.72:.2f}x)", file=sys.stderr)
+    return round(elapsed, 3)
+
+
 def run_skew_demo(spark, sf_dir: str) -> dict:
     """Measured skew-mitigation delta on a 10M-row fact keyed by
     events.user_id with one amplified hot key (95% of rows — one
@@ -982,6 +1018,17 @@ def main():
                       file=sys.stderr)
         except Exception as exc:  # probe must never sink the bench
             print(f"# sf1 probe failed: {exc}", file=sys.stderr)
+            # ADVICE r10: run_sf1_probe stops/replaces the session
+            # between heavy probes — if it raised mid-probe, `spark`
+            # may be a STOPPED session and the whole main sweep below
+            # would silently fail. Re-acquire one.
+            try:
+                spark.range(1).count()
+            except Exception:
+                print("# sf1 probe left a dead session; rebuilding",
+                      file=sys.stderr)
+                spark = _fresh_session(spark)
+                _mini_warm(spark)
 
     qs = bench_queries(spark, SF_DIR)
     timings, errors = {}, {}
@@ -1074,6 +1121,13 @@ def main():
             except Exception as exc:
                 print(f"# streaming block failed: {exc}",
                       file=sys.stderr)
+        if os.environ.get("SPARK_GRAFT_BENCH_ANCHOR", "1") != "0":
+            try:  # VERDICT r10 #7: committed baseline-anchor artifact
+                result["baseline_anchor_sec"] = run_baseline_anchor(
+                    spark)
+            except Exception as exc:
+                print(f"# baseline anchor failed: {exc}",
+                      file=sys.stderr)
     # The driver only captures the TAIL of stdout (~2.2 kB; the full
     # r4 line got truncated mid-dict -> "parsed": null). So: the full
     # result goes to BENCH_FULL.json + stderr, and the LAST stdout
@@ -1106,6 +1160,8 @@ def main():
     }
     if errors:  # visible in the compact line, details in BENCH_FULL
         compact["errors"] = sorted(errors)[:8]
+    if "baseline_anchor_sec" in result:
+        compact["baseline_anchor_sec"] = result["baseline_anchor_sec"]
     if "sf1" in result:
         compact["sf1"] = result["sf1"]
     if "skew_demo" in result:

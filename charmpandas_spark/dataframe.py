@@ -416,16 +416,6 @@ class DataFrame:
     def rename(self, columns: dict[str, str]) -> "DataFrame":
         return DataFrame(self._sdf.withColumnsRenamed(columns))
 
-    def value_counts(self, col: str, ascending: bool = False) -> "DataFrame":
-        """Pandas-style value_counts: (value, count) sorted by count."""
-        out = self._sdf.groupBy(col).agg(F.count(F.lit(1)).alias("count"))
-        order = F.col("count").asc() if ascending else F.col("count").desc()
-        return DataFrame(out.orderBy(order, F.col(col).asc()))
-
-    def describe(self, *cols: str):
-        """Summary statistics (count/mean/stddev/min/max) as pandas."""
-        return self._sdf.describe(*cols).toPandas()
-
     def sample(self, fraction: float, seed: int = 42) -> "DataFrame":
         return DataFrame(self._sdf.sample(fraction=fraction, seed=seed))
 

@@ -108,7 +108,8 @@ def chi2_tokens_sql(t: str, id_expr: str, label_expr: str,
             SELECT token, label, CAST(count(*) AS BIGINT) AS n11
             FROM toks WHERE token <> '' GROUP BY token, label),
         tok_n AS (
-            SELECT token, sum(n11) AS n1 FROM cell GROUP BY token
+            SELECT token, CAST(sum(n11) AS BIGINT) AS n1
+            FROM cell GROUP BY token
             HAVING sum(n11) >= {min_df}),
         lab_n AS (
             SELECT {label_expr} AS label,

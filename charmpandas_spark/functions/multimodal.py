@@ -457,8 +457,10 @@ class _BitWriter:
         self.acc &= (1 << self.n) - 1
 
     def done(self) -> bytes:
+        # T.81 F.1.2.3: pad the final partial byte with 1-bits only
+        # (8-n of them; padding 9-n would start the pad with a 0 bit)
         if self.n:
-            self.put(0x7F, 7 - ((self.n - 1) % 8) + 1)  # pad with 1s
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)
         return bytes(self.buf)
 
 
@@ -637,9 +639,11 @@ def jpeg_pixels(payload: bytes) -> tuple[int, int, bytes]:
             if prec != 8 or nc != 1:
                 raise ValueError("only 8-bit single-component "
                                  "baseline supported")
-            if body[6] != 0x11:
+            # component fields after the 6-byte frame header: id,
+            # H/V sampling byte, quant-table id (T.81 B.2.2)
+            if body[7] != 0x11:
                 raise ValueError("subsampling unsupported")
-            comp_q = body[7]
+            comp_q = body[8]
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG unsupported")

@@ -618,7 +618,10 @@ def impute_sql(t: str, col: str, by: list[str],
                 GROUP BY {bys}, {col}) WHERE rn = 1"""
         expr = f"coalesce(b.{col}, f.__fill)"
     elif strategy == "mean_micro":
-        fill = (f"SELECT {bys}, (1000000 * sum({col})) // count({col})"
+        # CAST: sum() widens to HUGEINT -> fetchdf float64; __fill
+        # reaches the final coalesce output (r10 oracle-CAST doctrine)
+        fill = (f"SELECT {bys}, CAST((1000000 * sum({col}))"
+                f" // count({col}) AS BIGINT)"
                 f" AS __fill FROM {t} WHERE {col} IS NOT NULL"
                 f" GROUP BY {bys}")
         expr = f"coalesce(b.{col}, f.__fill)"

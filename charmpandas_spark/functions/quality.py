@@ -484,8 +484,10 @@ def calibration_table_sql(scored: str, score_expr: str,
             FROM pts, b)
         SELECT bucket, CAST(count(*) AS BIGINT) AS n,
                CAST(sum(y) AS BIGINT) AS pos,
-               (1000000 * sum(y)) // count(*) AS pos_rate_micro,
-               sum(sm) // count(*) AS mean_score_micro
+               CAST((1000000 * sum(y)) // count(*) AS BIGINT)
+                   AS pos_rate_micro,
+               CAST(sum(sm) // count(*) AS BIGINT)
+                   AS mean_score_micro
         FROM assigned GROUP BY bucket
     """
 

@@ -108,13 +108,17 @@ def seasonal_decompose_sql(t: str, ts_expr: str, group_exprs: list[str],
             SELECT *, bucket % {period} AS phase FROM series),
         seas AS (
             SELECT {g}, phase,
-                   ({MICRO} * sum(n)) // count(n) AS seasonal_micro
+                   CAST(({MICRO} * sum(n)) // count(n) AS BIGINT)
+                       AS seasonal_micro
             FROM phased GROUP BY {g}, phase),
         lvl AS (
-            SELECT {g}, ({MICRO} * sum(n)) // count(n) AS level_micro
+            SELECT {g},
+                   CAST(({MICRO} * sum(n)) // count(n) AS BIGINT)
+                       AS level_micro
             FROM phased GROUP BY {g})
         SELECT p.*, s.seasonal_micro, l.level_micro,
-               {MICRO} * p.n - s.seasonal_micro AS resid_micro
+               CAST({MICRO} * p.n - s.seasonal_micro AS BIGINT)
+                   AS resid_micro
         FROM phased p
         JOIN seas s USING ({g}, phase)
         JOIN lvl l USING ({g})
@@ -232,14 +236,16 @@ def cusum_changepoint_sql(t: str, ts_expr: str, group_exprs: list[str],
                    CAST(count(*) AS BIGINT) AS n
             FROM {t} GROUP BY {g}, bucket),
         m AS (
-            SELECT {g}, ({MICRO} * sum(n)) // count(n) AS mean_micro,
+            SELECT {g},
+                   CAST(({MICRO} * sum(n)) // count(n) AS BIGINT)
+                       AS mean_micro,
                    CAST(count(*) AS BIGINT) AS n_buckets
             FROM series GROUP BY {g}),
         cum AS (
             SELECT s.*, m.mean_micro, m.n_buckets,
-                   sum({MICRO} * s.n - m.mean_micro) OVER (
+                   CAST(sum({MICRO} * s.n - m.mean_micro) OVER (
                        PARTITION BY {g} ORDER BY s.bucket
-                       ROWS UNBOUNDED PRECEDING) AS s_micro
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_micro
             FROM series s JOIN m USING ({g})),
         ranked AS (
             SELECT *, row_number() OVER (

@@ -41,38 +41,34 @@ def generate(tmp: str) -> tuple[str, str]:
     return p1, p2
 
 
-def main():
-    # Workload-shaped join strategy (r8): this is a join of two
-    # EQUAL-SIZE 2M-row tables — there is no small dimension side, so
-    # Catalyst's broadcast pick (both sides sit under the engine's
-    # aggressive 64 MB star-schema threshold) builds a 2M-row string
-    # hash relation mostly single-threaded and loses to a
-    # co-partitioned shuffle-hash join across 32 threads. Measured
-    # single-shot after identical warmup: broadcast 3.9-4.5 s,
-    # shuffle SMJ 2.4 s, shuffle-hash ~2.3 s (warm best-of-2 1.3 s).
-    # The same shape at cluster scale reaches the same conclusion for
-    # the opposite reason: a 2M-row broadcast ships to every executor.
-    spark = cps.get_spark(extra_conf={
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-        "spark.sql.join.preferSortMergeJoin": "false",
-    })
+def run_workload(spark, verbose: bool = False) -> float:
+    """Generate, warm up, run the timed join+groupby+fetch, return
+    elapsed seconds. Shared by the standalone demo below and
+    bench.py's ``baseline_anchor`` entry (VERDICT r10 #7) — ONE
+    source of truth for the baseline-comparison workload.
+
+    Requires a session configured like :func:`main`'s (shuffle-hash
+    join forced — no small dimension side in an equal-size 2M x 2M
+    string-key join); bench sets those two confs around the call.
+
+    The measurement is steady-state, same policy as bench.py: the
+    reference's 10.72 s came from a WARM notebook (cluster up, prior
+    cells executed), so pay the one-time JVM/codegen/shuffle-path
+    init before the timed region — on SYNTHETIC frames with the same
+    SHAPE (string join keys, string groupBy key, count agg, pandas
+    fetch), so the JVM's C2 compilation of the string-hash/shuffle/
+    Arrow paths lands in the warmup, not the measurement (r8: a
+    long-key warmup left ~1 s of string-path JIT inside the timed
+    region). None of the measured tables are touched or cached."""
+    from pyspark.sql import functions as F
+
     with tempfile.TemporaryDirectory() as tmp:
-        print(f"generating 2x{N} rows ...")
+        if verbose:
+            print(f"generating 2x{N} rows ...")
         p1, p2 = generate(tmp)
         df_ids = cps.read_parquet(spark, p1)
         df_ages = cps.read_parquet(spark, p2)
 
-        # steady-state measurement, same policy as bench.py: the
-        # reference's 10.72 s came from a WARM notebook (cluster up,
-        # prior cells executed), so pay the one-time JVM/codegen/
-        # shuffle-path init before the timed region — on SYNTHETIC
-        # frames with the same SHAPE (string join keys, string
-        # groupBy key, count agg, pandas fetch), so the JVM's C2
-        # compilation of the string-hash/shuffle/Arrow paths lands in
-        # the warmup, not the measurement (r8: a long-key warmup left
-        # ~1 s of string-path JIT inside the timed region). None of
-        # the measured tables are touched or cached.
-        from pyspark.sql import functions as F
         w1 = spark.range(0, 200_000, 1, 32).select(
             F.concat(F.lit("A"), F.col("id")).alias("first_name"),
             F.concat(F.lit("B"), F.col("id")).alias("last_name"),
@@ -92,10 +88,30 @@ def main():
         result = counts.get()
         elapsed = time.time() - t0
         total = int(result["count(user_id)"].sum())
-        print(result.head(10).to_string())
-        print(f"Total time = {elapsed:.6f}s  (cities={len(result)}, "
-              f"sum(counts)={total})")
+        if verbose:
+            print(result.head(10).to_string())
+            print(f"Total time = {elapsed:.6f}s  (cities={len(result)},"
+                  f" sum(counts)={total})")
         assert total == N
+    return elapsed
+
+
+def main():
+    # Workload-shaped join strategy (r8): this is a join of two
+    # EQUAL-SIZE 2M-row tables — there is no small dimension side, so
+    # Catalyst's broadcast pick (both sides sit under the engine's
+    # aggressive 64 MB star-schema threshold) builds a 2M-row string
+    # hash relation mostly single-threaded and loses to a
+    # co-partitioned shuffle-hash join across 32 threads. Measured
+    # single-shot after identical warmup: broadcast 3.9-4.5 s,
+    # shuffle SMJ 2.4 s, shuffle-hash ~2.3 s (warm best-of-2 1.3 s).
+    # The same shape at cluster scale reaches the same conclusion for
+    # the opposite reason: a 2M-row broadcast ships to every executor.
+    spark = cps.get_spark(extra_conf={
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.join.preferSortMergeJoin": "false",
+    })
+    run_workload(spark, verbose=True)
     spark.stop()
 
 

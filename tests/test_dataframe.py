@@ -178,3 +178,12 @@ def test_describe_and_value_counts(spark, sf_dir):
     assert len(vc) <= 2
     assert vc["count"].is_monotonic_decreasing
     assert vc["count"].sum() <= n
+
+    # pin the ONE surviving signature of each method (VERDICT r10 #4:
+    # earlier duplicate definitions with different signatures were
+    # silently shadowed — a reintroduced duplicate must fail here)
+    import inspect
+    assert list(inspect.signature(docs.describe).parameters) == \
+        ["columns"]
+    assert list(inspect.signature(docs.value_counts).parameters) == \
+        ["column", "k"]

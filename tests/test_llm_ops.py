@@ -1685,6 +1685,87 @@ def test_png_codec_roundtrip_filters_and_crc(docs):
     assert len(feats) == 20 and (feats["height"] >= 1).all()
 
 
+def test_jpeg_codec_roundtrip_exact(docs):
+    """attach_jpeg_media emits spec-compliant baseline JPEGs (one
+    constant 8x8 block per text byte, DC quant step 8 — the
+    exactness-by-construction fixture); jpeg_pixels walks markers,
+    rebuilds the canonical Huffman tables from DHT, entropy-decodes,
+    dequantizes, de-zigzags and IDCTs back to the EXACT pixels
+    (ADVICE r10: the SOF0 component-field offsets and the T.81
+    pad-with-1-bits rule are both load-bearing here)."""
+    import numpy as np
+    import pytest
+
+    from charmpandas_spark.functions.multimodal import (
+        _JPEG_DC_BITS, attach_jpeg_media, extract_features,
+        jpeg_decoder, jpeg_encode_gray_blocks, jpeg_pixels)
+
+    def roundtrip(data: bytes, bpr: int):
+        payload = jpeg_encode_gray_blocks(data, bpr)
+        w, h, px = jpeg_pixels(payload)
+        n = max(len(data), 1)
+        bh = (n + bpr - 1) // bpr
+        assert (w, h) == (bpr * 8, bh * 8)
+        img = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+        vals = data + b"\x00" * (bpr * bh - len(data))
+        want = np.repeat(np.repeat(
+            np.frombuffer(vals, dtype=np.uint8).reshape(bh, bpr),
+            8, axis=0), 8, axis=1)
+        assert (img == want).all()
+        return payload
+
+    # varied lengths x block geometries, full byte range
+    rng = np.random.RandomState(11)
+    for n, bpr in [(1, 1), (2, 2), (3, 2), (7, 3), (16, 2), (37, 5),
+                   (64, 8), (200, 2)]:
+        roundtrip(bytes(rng.randint(0, 256, n, dtype=np.uint8)), bpr)
+    roundtrip(b"", 2)  # empty text -> one zero pad block
+
+    # a payload whose entropy stream ends with residual bits == 1
+    # mod 8 (the _BitWriter.done pad bug class: 9-n pad bits would
+    # start the pad with a 0 bit). Bit cost per block is
+    # 5 (DC cat) + s + 6 (EOB) with s = bitlen(|diff|).
+    def bits_of(data: bytes) -> int:
+        total, pred = 0, 0
+        for v in data:
+            diff = (v - 128) - pred
+            pred = v - 128
+            total += 5 + abs(diff).bit_length() + 6
+        return total
+    found = None
+    for trial in range(2000):
+        cand = bytes(rng.randint(0, 256, 5, dtype=np.uint8))
+        if bits_of(cand) % 8 == 1:
+            found = cand
+            break
+    assert found is not None
+    payload = roundtrip(found, 2)
+    # pad bits are all 1s: the byte before EOI never ends in a 0 run
+    # introduced by the pad (strict T.81 decoders read 1-bits as a
+    # non-decodable prefix and stop)
+    assert payload.endswith(b"\xff\xd9")
+
+    # it is a real decoder: garbage and non-baseline inputs raise
+    with pytest.raises(ValueError):
+        jpeg_pixels(b"\x00\x01not a jpeg")
+    sof2 = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="non-baseline"):
+        jpeg_pixels(sof2)
+
+    # Spark-side plumbing: Arrow-batched encode + decode-hook feature
+    # extraction over real rows
+    m = attach_jpeg_media(docs.limit(12), "text")
+    feats = extract_features(m, "media", "doc_id",
+                             decoder=jpeg_decoder).toPandas()
+    assert len(feats) == 12 and (feats["width"] == 16).all()
+    row = m.selectExpr("text", "media").first()
+    d = jpeg_decoder(bytes(row["media"]))
+    n_lower = sum(1 for c in row["text"] if "a" <= c <= "z")
+    assert d["histogram"][0] == float(64 * n_lower)
+    # DC Huffman spec sanity: 12 categories, canonical table
+    assert sum(_JPEG_DC_BITS) == 12
+
+
 def test_dsir_weights_rank_target_like_docs_higher(spark):
     """DSIR importance weights: raw docs sharing the target's n-gram
     profile outweigh off-distribution docs; weights are partition-

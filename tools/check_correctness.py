@@ -27,16 +27,29 @@ TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
 
+def _kind(s: pd.Series) -> str:
+    """Dtype KIND for the strict compare: integer vs float vs bool vs
+    datetime vs object. The driver's value hash distinguishes
+    ``-30527120`` from ``-30527120.0`` (DuckDB HUGEINT -> float64 via
+    fetchdf), so the local gate must too — no Int64 coercion, no
+    check_dtype=False (the r10 blind spot)."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "object"
+
+
 def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
     for c in pdf.columns:
         s = pdf[c]
         if pd.api.types.is_datetime64_any_dtype(s):
             pdf[c] = pd.to_datetime(s).dt.tz_localize(None).astype("datetime64[us]")
-        elif pd.api.types.is_float_dtype(s):
-            pdf[c] = s.astype("float64")
-        elif pd.api.types.is_integer_dtype(s):
-            pdf[c] = s.astype("Int64")
         elif s.dtype == object:
             pdf[c] = s.astype(str)
     key = pdf.astype(str).agg("|".join, axis=1) if len(pdf) else None
@@ -50,6 +63,13 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> str
         return f"ROWS {len(spark_pdf)} != {len(oracle_pdf)}"
     if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
         return f"COLS {sorted(spark_pdf.columns)} != {sorted(oracle_pdf.columns)}"
+    # dtype-kind gate FIRST: a value-identical int64 vs float64 pair is
+    # a driver hash failure even though assert_frame_equal could be
+    # coerced to pass
+    for c in sorted(spark_pdf.columns):
+        ks, ko = _kind(spark_pdf[c]), _kind(oracle_pdf[c])
+        if ks != ko:
+            return f"DTYPE {c}: spark {ks}({spark_pdf[c].dtype}) != oracle {ko}({oracle_pdf[c].dtype})"
     a, b = _norm(spark_pdf), _norm(oracle_pdf)
     try:
         pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
