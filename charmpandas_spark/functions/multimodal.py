@@ -605,19 +605,28 @@ def jpeg_pixels(payload: bytes) -> tuple[int, int, bytes]:
     comp_q = comp_dc = comp_ac = 0
     entropy = None
     while pos < len(payload):
-        if payload[pos] != 0xFF:
+        # bounds-check every marker/length read: a truncated payload
+        # must raise the documented ValueError, never IndexError /
+        # struct.error (ADVICE r11)
+        if pos + 1 >= len(payload) or payload[pos] != 0xFF:
             raise ValueError("marker expected")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if pos + 4 > len(payload):
+            raise ValueError("truncated marker segment")
         (ln,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4:pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise ValueError("truncated marker segment")
         pos += 2 + ln
         if marker == 0xDB:  # DQT: one or more tables
             i = 0
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0x0F
                 i += 1
+                if i + (128 if pq else 64) > len(body):
+                    raise ValueError("truncated DQT segment")
                 if pq:
                     vals = list(struct.unpack_from(f">{64}H", body, i))
                     i += 128
@@ -631,10 +640,14 @@ def jpeg_pixels(payload: bytes) -> tuple[int, int, bytes]:
                 tc, th = body[i] >> 4, body[i] & 0x0F
                 bits = list(body[i + 1:i + 17])
                 nv = sum(bits)
+                if len(bits) < 16 or i + 17 + nv > len(body):
+                    raise ValueError("truncated DHT segment")
                 vals = list(body[i + 17:i + 17 + nv])
                 htables[(tc, th)] = _huff_decode_tables(bits, vals)
                 i += 17 + nv
         elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 9:
+                raise ValueError("truncated SOF0 segment")
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8 or nc != 1:
                 raise ValueError("only 8-bit single-component "
@@ -648,6 +661,8 @@ def jpeg_pixels(payload: bytes) -> tuple[int, int, bytes]:
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG unsupported")
         elif marker == 0xDA:  # SOS: entropy data follows
+            if len(body) < 3:
+                raise ValueError("truncated SOS segment")
             if body[0] != 1:
                 raise ValueError("multi-component scan unsupported")
             comp_dc, comp_ac = body[2] >> 4, body[2] & 0x0F
@@ -657,6 +672,8 @@ def jpeg_pixels(payload: bytes) -> tuple[int, int, bytes]:
             while p < len(payload):
                 b = payload[p]
                 if b == 0xFF:
+                    if p + 1 >= len(payload):
+                        raise ValueError("truncated entropy segment")
                     nxt = payload[p + 1]
                     if nxt == 0x00:
                         raw.append(0xFF)
@@ -670,9 +687,12 @@ def jpeg_pixels(payload: bytes) -> tuple[int, int, bytes]:
         # APPn / COM / DRI etc.: skipped by the generic walk
     if w is None or entropy is None:
         raise ValueError("missing SOF0 or SOS")
-    q = qtables[comp_q]
-    dc_tbl = htables[(0, comp_dc)]
-    ac_tbl = htables[(1, comp_ac)]
+    try:
+        q = qtables[comp_q]
+        dc_tbl = htables[(0, comp_dc)]
+        ac_tbl = htables[(1, comp_ac)]
+    except KeyError as exc:
+        raise ValueError(f"missing quant/Huffman table {exc}") from None
 
     bx, by = (w + 7) // 8, (h + 7) // 8
     rd = _BitReader(entropy)

@@ -1725,9 +1725,14 @@ def test_jpeg_codec_roundtrip_exact(docs):
     # mod 8 (the _BitWriter.done pad bug class: 9-n pad bits would
     # start the pad with a 0 bit). Bit cost per block is
     # 5 (DC cat) + s + 6 (EOB) with s = bitlen(|diff|).
-    def bits_of(data: bytes) -> int:
+    def bits_of(data: bytes, bpr: int) -> int:
+        # model the ENCODER's stream exactly: it entropy-codes the
+        # geometry-padding zero blocks too (vals = data + pad)
+        n = max(len(data), 1)
+        bh = (n + bpr - 1) // bpr
+        vals = data + b"\x00" * (bpr * bh - len(data))
         total, pred = 0, 0
-        for v in data:
+        for v in vals:
             diff = (v - 128) - pred
             pred = v - 128
             total += 5 + abs(diff).bit_length() + 6
@@ -1735,15 +1740,24 @@ def test_jpeg_codec_roundtrip_exact(docs):
     found = None
     for trial in range(2000):
         cand = bytes(rng.randint(0, 256, 5, dtype=np.uint8))
-        if bits_of(cand) % 8 == 1:
+        if bits_of(cand, 2) % 8 == 1:
             found = cand
             break
     assert found is not None
     payload = roundtrip(found, 2)
-    # pad bits are all 1s: the byte before EOI never ends in a 0 run
-    # introduced by the pad (strict T.81 decoders read 1-bits as a
-    # non-decodable prefix and stop)
+    # pad bits are all 1s (T.81 F.1.2.3): assert on the ACTUAL final
+    # entropy byte, not just the EOI suffix (the encoder appends EOI
+    # unconditionally, so endswith() alone is vacuous — ADVICE r11).
+    # This payload's entropy stream is 1 bit into its last byte, so
+    # the low 7 bits must all be set; a 0xFF data byte is FF00-stuffed.
     assert payload.endswith(b"\xff\xd9")
+    tail = payload[:-2]
+    last = tail[-1]
+    if last == 0x00 and tail[-2] == 0xFF:  # unstuff a 0xFF data byte
+        last = 0xFF
+    pad = 8 - bits_of(found, 2) % 8
+    assert pad == 7  # the geometry this fixture was searched for
+    assert last & 0x7F == 0x7F, "pad bits must be all 1s"
 
     # it is a real decoder: garbage and non-baseline inputs raise
     with pytest.raises(ValueError):
@@ -1751,6 +1765,16 @@ def test_jpeg_codec_roundtrip_exact(docs):
     sof2 = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(ValueError, match="non-baseline"):
         jpeg_pixels(sof2)
+    # ADVICE r11: TRUNCATED payloads consistently raise the documented
+    # ValueError — never IndexError / struct.error — for every cut
+    # class: inside a segment length, inside the SOS header, a lone
+    # trailing 0xFF mid-entropy, and an entropy stream cut short
+    sos = payload.index(b"\xff\xda")
+    sos_end = sos + 2 + int.from_bytes(payload[sos + 2:sos + 4], "big")
+    for bad in (payload[:5], payload[:sos + 3],
+                payload[:sos_end + 1] + b"\xff", payload[:sos_end]):
+        with pytest.raises(ValueError):
+            jpeg_pixels(bad)
 
     # Spark-side plumbing: Arrow-batched encode + decode-hook feature
     # extraction over real rows
