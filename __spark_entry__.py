@@ -4489,19 +4489,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_correctness.py runs ALL entries locally each round
     # (ADVICE r3: never depend on the driver window size).
     return {
-        # --- r11 driver window (ordering generated by
-        #     tools/staleness.py --window; VERDICT r10 #5/#9) ---
-        # (1) the r10-red five, oracle CAST(AS BIGINT) fixed this
-        #     round (VERDICT r10 #1) — lead the window
-        "events_seasonal": q_events_seasonal,
-        "events_changepoint": q_events_changepoint,
-        "events_anomaly_seasonal": q_events_anomaly_seasonal,
-        "chi2_source_terms": q_chi2_source_terms,
-        "classifier_calibration": q_classifier_calibration,
-        # (2) new this round: the JPEG codec's evidence query
-        #     (VERDICT r10 #3)
+        # --- r12 driver window (ordering generated verbatim from
+        #     tools/staleness.py; VERDICT r11 #2/#8) ---
+        # (1) changed this round: jpeg codec hardened to the
+        #     ValueError contract on truncated payloads (ADVICE r11)
         "multimodal_jpeg": q_multimodal_jpeg,
-        # (3) SS2 core slice, re-proven every round
+        # (2) SS2 core slice, re-proven every round
         "scan_project": q_scan_project,
         "flagship_join_groupby_count": q_flagship_join_groupby_count,
         "groupby_sum": q_groupby_sum,
@@ -4510,17 +4503,203 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_count": q_groupby_count,
         "sort_topk": q_sort_topk,
         "concat": q_concat,
-        # (4) stalest driver-green rows (r3/r5/r6 vintage per
-        #     tools/staleness.py)
-        "text_fingerprint": q_text_fingerprint,
-        "text_quality": q_text_quality,
-        "text_token_count": q_text_token_count,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q21": q_tpch_q21,
-        "tpch_q3": q_tpch_q3,
+        # (3) the 14 r6-vintage stalest greens (VERDICT r11 #2)
+        "sink_clustered_roundtrip": q_sink_clustered_roundtrip,
+        "stratified_sample": q_stratified_sample,
+        "streaming_running_totals": q_streaming_running_totals,
+        "streaming_stream_join": q_streaming_stream_join,
+        "string_functions": q_string_functions,
+        "text_pack": q_text_pack,
+        "text_pack_greedy": q_text_pack_greedy,
+        "text_tfidf": q_text_tfidf,
+        "text_token_stats": q_text_token_stats,
+        "text_vocab": q_text_vocab,
+        "tpch_q22": q_tpch_q22,
+        "window_range_frame": q_window_range_frame,
+        "window_rank": q_window_rank,
+        "zorder_key": q_zorder_key,
+        # (4) the stalest 27 of the 43 r7-vintage greens
+        "corpus_percentiles": q_corpus_percentiles,
+        "curation_report": q_curation_report,
+        "decontam_ngrams": q_decontam_ngrams,
+        "dedup_editdist": q_dedup_editdist,
+        "dedup_spans": q_dedup_spans,
+        "embedding_quantize": q_embedding_quantize,
+        "events_ab_welch": q_events_ab_welch,
+        "events_funnel": q_events_funnel,
+        "events_resample": q_events_resample,
+        "events_transitions": q_events_transitions,
+        "events_trend": q_events_trend,
+        "histogram_equidepth": q_histogram_equidepth,
+        "histogram_value": q_histogram_value,
+        "hybrid_rrf": q_hybrid_rrf,
+        "hybrid_rrf3": q_hybrid_rrf3,
+        "join_blowup": q_join_blowup,
+        "lineitem_corr": q_lineitem_corr,
+        "merge_upsert": q_merge_upsert,
+        "mixture_token_budget": q_mixture_token_budget,
+        "multimodal_bmp": q_multimodal_bmp,
+        "pii_scan": q_pii_scan,
+        "quality_c4": q_quality_c4,
+        "quality_classifier": q_quality_classifier,
+        "quality_expectations": q_quality_expectations,
+        "quality_gopher": q_quality_gopher,
+        "quality_lm_external": q_quality_lm_external,
+        "quality_lm_score": q_quality_lm_score,
+        # --- positions 51+: fresher greens ride their latest
+        #     driver row (staleness-ascending so the next rotation
+        #     is a pure front-slice). tools/check_correctness.py
+        #     still runs ALL entries locally every round. ---
+        "shard_assignment": q_shard_assignment,
+        "sim_bm25": q_sim_bm25,
+        "sim_quantized_topk": q_sim_quantized_topk,
+        "sim_sparse_topk": q_sim_sparse_topk,
+        "sink_compacted_roundtrip": q_sink_compacted_roundtrip,
+        "source_orc_roundtrip": q_source_orc_roundtrip,
+        "sparse_postings_lookup": q_sparse_postings_lookup,
+        "streaming_sessionize": q_streaming_sessionize,
+        "streaming_stream_join_outer": q_streaming_stream_join_outer,
+        "table_diff": q_table_diff,
+        "table_profile": q_table_profile,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "text_line_dedup": q_text_line_dedup,
+        "text_phrase_search": q_text_phrase_search,
+        "text_token_drift": q_text_token_drift,
+        "url_domain_filter": q_url_domain_filter,
+        "corpus_percentiles_approx": q_corpus_percentiles_approx,
+        "datetime_filter": q_datetime_filter,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_contamination": q_dedup_contamination,
+        "dedup_embedding_cosine_ann": q_dedup_embedding_cosine_ann,
+        "dedup_embedding_leakage": q_dedup_embedding_leakage,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_fast": q_dedup_minhash_fast,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_span_removal": q_dedup_span_removal,
+        "distinct_count_approx": q_distinct_count_approx,
+        "events_json": q_events_json,
+        "events_sessionize": q_events_sessionize,
+        "graph_pagerank": q_graph_pagerank,
+        "groupby_bool": q_groupby_bool,
+        "groupby_cube": q_groupby_cube,
+        "groupby_extended": q_groupby_extended,
+        "groupby_rollup": q_groupby_rollup,
+        "groupby_ts_key": q_groupby_ts_key,
+        "histogram_equidepth_approx": q_histogram_equidepth_approx,
+        "int_literal_widening": q_int_literal_widening,
+        "join_full": q_join_full,
+        "join_timestamp_key": q_join_timestamp_key,
+        "pivot": q_pivot,
+        "scalar_reduction": q_scalar_reduction,
+        "sim_knn_join": q_sim_knn_join,
+        "source_csv_roundtrip": q_source_csv_roundtrip,
+        "source_json_roundtrip": q_source_json_roundtrip,
+        "streaming_dedup": q_streaming_dedup,
+        "streaming_static_join": q_streaming_static_join,
+        "streaming_stream_join_full": q_streaming_stream_join_full,
+        "text_chunks": q_text_chunks,
+        "text_lang_id": q_text_lang_id,
+        "text_redact_pii": q_text_redact_pii,
+        "text_repetition": q_text_repetition,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "url_canonicalize": q_url_canonicalize,
+        "window_lag": q_window_lag,
+        "window_rolling": q_window_rolling,
+        "audience_overlap": q_audience_overlap,
+        "cdc_apply": q_cdc_apply,
+        "cdc_survivorship": q_cdc_survivorship,
+        "curation_funnel": q_curation_funnel,
+        "decontam_bloom": q_decontam_bloom,
+        "dedup_images": q_dedup_images,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        "dedup_keep_best": q_dedup_keep_best,
+        "dedup_minhash_incremental": q_dedup_minhash_incremental,
+        "dedup_semantic": q_dedup_semantic,
+        "dsir_select": q_dsir_select,
+        "dsir_weights": q_dsir_weights,
+        "embedding_kmeans": q_embedding_kmeans,
+        "er_jaro_winkler": q_er_jaro_winkler,
+        "events_anomaly_mad": q_events_anomaly_mad,
+        "events_asof_join": q_events_asof_join,
+        "events_asof_nearest": q_events_asof_nearest,
+        "events_attribution": q_events_attribution,
+        "events_attribution_linear": q_events_attribution_linear,
+        "events_cohort_retention": q_events_cohort_retention,
+        "events_ewm": q_events_ewm,
+        "events_merge_asof": q_events_merge_asof,
+        "events_props_typed": q_events_props_typed,
+        "graph_kcore": q_graph_kcore,
+        "graph_triangles": q_graph_triangles,
+        "group_topk": q_group_topk,
+        "heavy_hitters_cms": q_heavy_hitters_cms,
+        "impute_median": q_impute_median,
+        "leakage_safe_split": q_leakage_safe_split,
+        "mixture_sample": q_mixture_sample,
+        "multimodal_audiohash": q_multimodal_audiohash,
+        "multimodal_dhash": q_multimodal_dhash,
+        "multimodal_png": q_multimodal_png,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_video_dhash": q_multimodal_video_dhash,
+        "multimodal_wav": q_multimodal_wav,
+        "negative_sample": q_negative_sample,
+        "quality_quantile_keep": q_quality_quantile_keep,
+        "rollup_incremental": q_rollup_incremental,
+        "scd2_history": q_scd2_history,
+        "sim_ivfpq_topk": q_sim_ivfpq_topk,
+        "sim_pq_topk": q_sim_pq_topk,
+        "source_csv_malformed": q_source_csv_malformed,
+        "source_schema_evolution": q_source_schema_evolution,
+        "standard_scale": q_standard_scale,
+        "streaming_cdc_apply": q_streaming_cdc_apply,
+        "target_encode": q_target_encode,
+        "target_encode_loo": q_target_encode_loo,
+        "unpivot": q_unpivot,
+        "coreset_kcenter": q_coreset_kcenter,
+        "embedding_drift": q_embedding_drift,
+        "embedding_pca": q_embedding_pca,
+        "embedding_pca_incremental": q_embedding_pca_incremental,
+        "events_basket_rules": q_events_basket_rules,
+        "events_quantiles_by_group": q_events_quantiles_by_group,
+        "events_top_paths": q_events_top_paths,
+        "group_topk_incremental": q_group_topk_incremental,
+        "grouping_sets": q_grouping_sets,
+        "join_salted": q_join_salted,
+        "keyword_topk": q_keyword_topk,
+        "locf_fill": q_locf_fill,
+        "markov_transitions": q_markov_transitions,
+        "purged_kfold": q_purged_kfold,
+        "quality_kappa": q_quality_kappa,
+        "sim_ivfpq_rerank": q_sim_ivfpq_rerank,
+        "source_concentration": q_source_concentration,
+        "source_text_lines": q_source_text_lines,
+        "streaming_group_topk": q_streaming_group_topk,
+        "streaming_late_data": q_streaming_late_data,
+        "temporal_split": q_temporal_split,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q7": q_tpch_q7,
+        "vocab_oov": q_vocab_oov,
+        "weighted_sample": q_weighted_sample,
+        "window_ntile": q_window_ntile,
+        "winsorize_value": q_winsorize_value,
         "case_when": q_case_when,
+        "chi2_source_terms": q_chi2_source_terms,
+        "classifier_calibration": q_classifier_calibration,
         "curation_pipeline": q_curation_pipeline,
         "dataset_split": q_dataset_split,
         "datetime_parts": q_datetime_parts,
@@ -4528,8 +4707,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_simhash": q_dedup_simhash,
         "distinct": q_distinct,
+        "events_anomaly_seasonal": q_events_anomaly_seasonal,
+        "events_changepoint": q_events_changepoint,
         "events_histogram": q_events_histogram,
         "events_interval_join": q_events_interval_join,
+        "events_seasonal": q_events_seasonal,
         "events_sliding_window": q_events_sliding_window,
         "events_window": q_events_window,
         "except": q_except,
@@ -4548,197 +4730,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ivf": q_sim_ivf,
         "sim_topk": q_sim_topk,
-        # --- positions 51+: fresher greens ride their latest
-        #     driver row. tools/check_correctness.py still runs
-        #     ALL entries locally every round (ADVICE r3). ---
-        "markov_transitions": q_markov_transitions,
-        "locf_fill": q_locf_fill,
-        "temporal_split": q_temporal_split,
-        "coreset_kcenter": q_coreset_kcenter,
-        "embedding_pca": q_embedding_pca,
-        "keyword_topk": q_keyword_topk,
-        "group_topk_incremental": q_group_topk_incremental,
-        "streaming_group_topk": q_streaming_group_topk,
-        "embedding_pca_incremental": q_embedding_pca_incremental,
-        "embedding_drift": q_embedding_drift,
-        "window_ntile": q_window_ntile,
-        "purged_kfold": q_purged_kfold,
-        "events_basket_rules": q_events_basket_rules,
-        "grouping_sets": q_grouping_sets,
-        "source_text_lines": q_source_text_lines,
-        "streaming_late_data": q_streaming_late_data,
-        "events_top_paths": q_events_top_paths,
-        "sim_ivfpq_rerank": q_sim_ivfpq_rerank,
-        "events_quantiles_by_group": q_events_quantiles_by_group,
-        "join_salted": q_join_salted,
-        "weighted_sample": q_weighted_sample,
-        "winsorize_value": q_winsorize_value,
-        "quality_kappa": q_quality_kappa,
-        "vocab_oov": q_vocab_oov,
-        "source_concentration": q_source_concentration,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q13": q_tpch_q13,
-        "curation_funnel": q_curation_funnel,
-        "events_props_typed": q_events_props_typed,
-        "mixture_sample": q_mixture_sample,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_wav": q_multimodal_wav,
-        "negative_sample": q_negative_sample,
-        "quality_quantile_keep": q_quality_quantile_keep,
-        "unpivot": q_unpivot,
-        "events_cohort_retention": q_events_cohort_retention,
-        "cdc_apply": q_cdc_apply,
-        "scd2_history": q_scd2_history,
-        "heavy_hitters_cms": q_heavy_hitters_cms,
-        "events_attribution": q_events_attribution,
-        "graph_triangles": q_graph_triangles,
-        "leakage_safe_split": q_leakage_safe_split,
-        "events_ewm": q_events_ewm,
-        "events_anomaly_mad": q_events_anomaly_mad,
-        "graph_kcore": q_graph_kcore,
-        "audience_overlap": q_audience_overlap,
-        "events_attribution_linear": q_events_attribution_linear,
-        "er_jaro_winkler": q_er_jaro_winkler,
-        "source_schema_evolution": q_source_schema_evolution,
-        "source_csv_malformed": q_source_csv_malformed,
-        "dedup_keep_best": q_dedup_keep_best,
-        "streaming_cdc_apply": q_streaming_cdc_apply,
-        "cdc_survivorship": q_cdc_survivorship,
-        "impute_median": q_impute_median,
-        "rollup_incremental": q_rollup_incremental,
-        "sim_ivfpq_topk": q_sim_ivfpq_topk,
-        "multimodal_png": q_multimodal_png,
-        "dsir_weights": q_dsir_weights,
-        "dsir_select": q_dsir_select,
-        "multimodal_dhash": q_multimodal_dhash,
-        "multimodal_audiohash": q_multimodal_audiohash,
-        "multimodal_video_dhash": q_multimodal_video_dhash,
-        "dedup_images": q_dedup_images,
-        "sim_pq_topk": q_sim_pq_topk,
-        "embedding_kmeans": q_embedding_kmeans,
-        "dedup_semantic": q_dedup_semantic,
-        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_minhash_incremental": q_dedup_minhash_incremental,
-        "decontam_bloom": q_decontam_bloom,
-        "events_merge_asof": q_events_merge_asof,
-        "events_asof_nearest": q_events_asof_nearest,
-        "events_asof_join": q_events_asof_join,
-        "target_encode": q_target_encode,
-        "target_encode_loo": q_target_encode_loo,
-        "standard_scale": q_standard_scale,
-        "group_topk": q_group_topk,
-        "tpch_q22": q_tpch_q22,
-        "text_pack": q_text_pack,
-        "text_pack_greedy": q_text_pack_greedy,
-        "sink_clustered_roundtrip": q_sink_clustered_roundtrip,
-        "zorder_key": q_zorder_key,
-        "stratified_sample": q_stratified_sample,
-        "text_token_stats": q_text_token_stats,
-        "dedup_span_removal": q_dedup_span_removal,
-        "corpus_percentiles_approx": q_corpus_percentiles_approx,
-        "histogram_equidepth_approx": q_histogram_equidepth_approx,
-        "streaming_stream_join_full": q_streaming_stream_join_full,
-        "distinct_count_approx": q_distinct_count_approx,
-        "dedup_minhash_fast": q_dedup_minhash_fast,
-        "url_canonicalize": q_url_canonicalize,
-        "graph_pagerank": q_graph_pagerank,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_contamination": q_dedup_contamination,
-        "dedup_embedding_cosine_ann": q_dedup_embedding_cosine_ann,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_embedding_leakage": q_dedup_embedding_leakage,
-        "sim_knn_join": q_sim_knn_join,
-        "streaming_dedup": q_streaming_dedup,
-        "streaming_static_join": q_streaming_static_join,
-        "source_csv_roundtrip": q_source_csv_roundtrip,
-        "source_json_roundtrip": q_source_json_roundtrip,
-        "text_chunks": q_text_chunks,
-        "text_redact_pii": q_text_redact_pii,
-        "text_repetition": q_text_repetition,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q20": q_tpch_q20,
-        "join_full": q_join_full,
-        "groupby_extended": q_groupby_extended,
-        "groupby_ts_key": q_groupby_ts_key,
-        "join_timestamp_key": q_join_timestamp_key,
-        "groupby_bool": q_groupby_bool,
-        "groupby_cube": q_groupby_cube,
-        "groupby_rollup": q_groupby_rollup,
-        "pivot": q_pivot,
-        "scalar_reduction": q_scalar_reduction,
-        "datetime_filter": q_datetime_filter,
-        "int_literal_widening": q_int_literal_widening,
-        "events_sessionize": q_events_sessionize,
-        "window_lag": q_window_lag,
-        "window_rolling": q_window_rolling,
-        "events_json": q_events_json,
-        "text_lang_id": q_text_lang_id,
-        "quality_lm_score": q_quality_lm_score,
-        "hybrid_rrf": q_hybrid_rrf,
-        "curation_report": q_curation_report,
-        "streaming_stream_join_outer": q_streaming_stream_join_outer,
-        "events_trend": q_events_trend,
-        "embedding_quantize": q_embedding_quantize,
-        "events_transitions": q_events_transitions,
-        "mixture_token_budget": q_mixture_token_budget,
-        "quality_lm_external": q_quality_lm_external,
-        "sim_quantized_topk": q_sim_quantized_topk,
-        "lineitem_corr": q_lineitem_corr,
-        "events_ab_welch": q_events_ab_welch,
-        "text_token_drift": q_text_token_drift,
-        "pii_scan": q_pii_scan,
-        "join_blowup": q_join_blowup,
-        "histogram_equidepth": q_histogram_equidepth,
-        "dedup_editdist": q_dedup_editdist,
-        "sim_bm25": q_sim_bm25,
-        "hybrid_rrf3": q_hybrid_rrf3,
-        "table_profile": q_table_profile,
-        "histogram_value": q_histogram_value,
-        "decontam_ngrams": q_decontam_ngrams,
-        "text_line_dedup": q_text_line_dedup,
-        "quality_expectations": q_quality_expectations,
-        "merge_upsert": q_merge_upsert,
-        "shard_assignment": q_shard_assignment,
-        "sink_compacted_roundtrip": q_sink_compacted_roundtrip,
-        "text_phrase_search": q_text_phrase_search,
-        "sim_sparse_topk": q_sim_sparse_topk,
-        "streaming_sessionize": q_streaming_sessionize,
-        "dedup_spans": q_dedup_spans,
-        "table_diff": q_table_diff,
-        "events_funnel": q_events_funnel,
-        "quality_classifier": q_quality_classifier,
-        "sparse_postings_lookup": q_sparse_postings_lookup,
-        "events_resample": q_events_resample,
-        "text_bpe_tokens": q_text_bpe_tokens,
-        "multimodal_bmp": q_multimodal_bmp,
-        "url_domain_filter": q_url_domain_filter,
-        "quality_gopher": q_quality_gopher,
-        "quality_c4": q_quality_c4,
-        "source_orc_roundtrip": q_source_orc_roundtrip,
-        "corpus_percentiles": q_corpus_percentiles,
-        "streaming_running_totals": q_streaming_running_totals,
-        "streaming_stream_join": q_streaming_stream_join,
-        "window_range_frame": q_window_range_frame,
-        "string_functions": q_string_functions,
-        "window_rank": q_window_rank,
-        "text_vocab": q_text_vocab,
-        "text_tfidf": q_text_tfidf,
+        "text_fingerprint": q_text_fingerprint,
+        "text_quality": q_text_quality,
+        "text_token_count": q_text_token_count,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q3": q_tpch_q3,
     }
 
 

@@ -45,6 +45,19 @@ def history() -> dict[str, tuple[int, bool]]:
     return seen
 
 
+def window_suggestion(k: int = 50) -> list[str]:
+    """The k stalest registry queries (round-ascending, then name) —
+    the mechanical next-window tail after changed+core. Called by
+    bench.py each round (VERDICT r11 #8) so rotation is applied from
+    the tool's output rather than re-derived by hand."""
+    import __spark_entry__ as entry_mod
+
+    hist = history()
+    rows = sorted((hist.get(n, (0, False))[0], n)
+                  for n in entry_mod.queries())
+    return [f"{n} (r{rnd})" for rnd, n in rows[:k]]
+
+
 def main():
     import __spark_entry__ as entry_mod
 
