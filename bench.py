@@ -236,6 +236,8 @@ def bench_queries(spark, sf_dir):
         "source_csv_malformed",
         "dedup_keep_best",
         "multimodal_png",
+        # r12: the JPEG codec query joins the sweep (VERDICT r11 #3)
+        "multimodal_jpeg",
         "dsir_weights",
         "dsir_select",
         "multimodal_dhash",
@@ -359,10 +361,17 @@ SF1_QUERIES = {
     # JIT) landing exactly at the old 2x gate (13.0), so the retry
     # flapped. Expected = warm min per the doctrine; the cold first
     # run now always trips the retry and the min is recorded.
+    # r12 solo re-measure (VERDICT r11 #1): fresh-process 4-run probe
+    # = 15.6/6.4/5.2/5.5 — warm floor ~5.2, confirming 4.5 as the
+    # honest expected; the r11 sweep's 9.7 and a same-process
+    # 8-probe-batch reading of 25.8 were accumulated-JVM noise, which
+    # the new drift tripwire now flags instead of committing
     "dedup_embedding_cosine_ann": 4.5,
     # r7 wave-2 ops (warm best-of-2 minima, multi-file sf1 layout)
     "text_line_dedup": 2.0,
     "sim_sparse_topk": 5.1,
+    # r12 solo re-measure: 17.5(cold)/6.6 — the r11 sweep's 11.7 was
+    # contention; 6.6 warm is 1.4x the r10 floor, inside the band
     "dedup_spans": 4.8,
     "shard_assignment": 0.7,
     # r7 wave-3 (clean solo-run minima; a first 47 s pagerank reading
@@ -398,9 +407,11 @@ SF1_QUERIES = {
     # sf0.1) — probing it witnesses output explosion, not engine
     # scaling, hence the scaled override below.
     # r9 solo re-measure: 15.9 (sweep) / 20.2 / 32.4 (solo) — the
-    # iterative Lloyd passes are the most host-noise-sensitive probe;
-    # expected = min observed on the current fixture
-    "dedup_semantic_scaled": 16.0,
+    # iterative Lloyd passes are the most host-noise-sensitive probe.
+    # r12 variance protocol CLOSED (VERDICT r11 #5 / r10 #6): 3
+    # consecutive fresh-process solo runs = 30.7(cold)/18.29/18.33 —
+    # warm spread 0.04 s; expected re-based to the warm floor
+    "dedup_semantic_scaled": 18.3,
     # r9 ops: sampled training makes PQ/IVF-PQ sub-linear (sf0.1 ->
     # sf1 is 3.3 -> 4.7 s and 5.2 -> 7.0 s on 10x data: the Lloyd
     # passes are capped at 256 vectors, only encode/search scale);
@@ -423,7 +434,11 @@ SF1_QUERIES = {
     "embedding_pca": 1.1,
     "keyword_topk": 3.0,
     "group_topk": 1.3,
-    "graph_kcore": 3.2,
+    # r12 re-base (VERDICT r11 #1): r9's 3.2 was a best-case never
+    # reproduced since (r10 6.2, r11 8.1; r12 solo fresh-process
+    # 4 runs = 12.3/7.0/7.6/5.7) — expected = the repeatable warm
+    # floor from the committed 4-run probe, not the one-off best
+    "graph_kcore": 5.7,
     "heavy_hitters_cms": 2.7,
     "cdc_apply": 1.5,
     "events_cohort_retention": 0.9,
@@ -484,6 +499,121 @@ def _load_prior_timings() -> dict:
                 if isinstance(v, (int, float)) and v > 0:
                     best[k] = min(best.get(k, v), v)
     return best
+
+
+SF5_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "bench_sf5")
+
+
+def _ensure_sf5(src_dir: str) -> bool:
+    """Materialize ~sf5 ``documents``/``embeddings`` ONLY into
+    ``bench_sf5/`` (50 key-shifted copies of the sf0.1 tables — same
+    token-suffix / cyclic-dimension-shift recipe as
+    :func:`_ensure_sf1`, see the rationale there) for the dedup
+    family's third scaling point (VERDICT r11 #7): sf0.1 -> sf1 ->
+    sf5 turns the "sub-linear" claims into an observed exponent.
+    Only the two document-side tables: the dedup/ANN probes touch
+    nothing else, and 50 lineitem copies would be ~900 MB of unused
+    fixture. ~30 MB total, cached across runs."""
+    paths = [os.path.join(SF5_DIR, f"{t}.parquet")
+             for t in ("documents", "embeddings")]
+    if all(os.path.isdir(p) for p in paths):
+        return True
+    import duckdb
+
+    os.makedirs(SF5_DIR, exist_ok=True)
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{os.path.join(src_dir, t + '.parquet')}'")
+    did = con.execute("SELECT max(doc_id) + 1 FROM documents").fetchone()[0]
+    vid = con.execute("SELECT max(vec_id) + 1 FROM embeddings").fetchone()[0]
+    copies = {
+        "documents": f"SELECT s.* REPLACE (s.doc_id + t.i * {did} AS "
+                     f"doc_id, regexp_replace(s.text, '(\\S+)', "
+                     f"'\\1' || t.i, 'g') AS text) FROM documents s "
+                     f"CROSS JOIN range({{lo}}, {{hi}}) t(i)",
+        # gcd(7, 64) = 1, so the 50 per-copy cyclic shifts are all
+        # distinct — within-copy geometry exact, cross-copy cosine
+        # noise, exactly as at sf1
+        "embeddings": f"SELECT s.* REPLACE (s.vec_id + t.i * {vid} AS "
+                      f"vec_id, list_concat("
+                      f"s.embedding[(t.i * 7) % 64 + 1 :], "
+                      f"s.embedding[1 : (t.i * 7) % 64]) AS embedding) "
+                      f"FROM embeddings s CROSS JOIN "
+                      f"range({{lo}}, {{hi}}) t(i)",
+    }
+    for t, sql in copies.items():
+        dest = os.path.join(SF5_DIR, t + ".parquet")
+        os.makedirs(dest, exist_ok=True)
+        for j in range(50):
+            con.execute(
+                f"COPY ({sql.format(lo=j, hi=j + 1)}) TO "
+                f"'{os.path.join(dest, f'part-{j:02d}.parquet')}' "
+                f"(FORMAT PARQUET, ROW_GROUP_SIZE 250000)")
+    return True
+
+
+#: the dedup-family scaling slice probed at sf5 (VERDICT r11 #7) —
+#: document-side queries only (the sf5 fixture has no TPC-H tables).
+#: expected = 5x the committed sf1 figure as a rough band; the same
+#: >2x drift tripwire applies so a contended reading gets flagged.
+SF5_QUERIES = {
+    "dedup_minhash": 17.0,
+    "dedup_ngram_jaccard": 22.0,
+    "dedup_spans": 33.0,
+    "dedup_clusters": 35.0,
+}
+
+
+def run_sf5_probe(spark):
+    """One solo fresh-session run per sf5 query (min-of-2 would
+    double a ~2 min block for a curve witness; the drift tripwire
+    still retries a >2x-band first run once). Returns
+    ``(timings, spark)`` — caller adopts the returned session."""
+    import __spark_entry__ as entry_mod
+
+    out = {}
+    qs = entry_mod.queries()
+    for name, expected in SF5_QUERIES.items():
+        spark = _fresh_session(spark)
+        _mini_warm(spark)
+        best, n = None, 0
+        for attempt in range(2):
+            try:
+                t0 = time.time()
+                df = qs[name](spark, SF5_DIR)
+                n = len(df.toPandas())
+                dt = round(time.time() - t0, 4)
+                best = dt if best is None else min(best, dt)
+                release(df)
+                spark.catalog.clearCache()
+                _cleanup_entry(spark)
+            except Exception as exc:
+                if best is None:
+                    out[name] = {"err":
+                                 f"{type(exc).__name__}: {exc}"[:200]}
+                    print(f"# sf5 {name}: FAILED {out[name]['err']}",
+                          file=sys.stderr)
+                break
+            if best <= 2.0 * expected:
+                break  # single clean run is enough for the curve
+            if attempt == 0:
+                print(f"# sf5 {name}: {best:.2f}s > 2x band "
+                      f"{expected:.2f}s — drift retry",
+                      file=sys.stderr)
+        if best is not None:
+            if best > 2.0 * expected:
+                out[name] = {"sec": best, "expected": expected,
+                             "drift_x": round(best / expected, 2)}
+                print(f"# sf5 {name}: {best:.2f}s — DRIFT "
+                      f"{best / expected:.1f}x band (flagged)",
+                      file=sys.stderr)
+            else:
+                out[name] = best
+                print(f"# sf5 {name}: {best:.2f}s ({n} rows)",
+                      file=sys.stderr)
+    return out, spark
 
 
 def _ensure_sf1(src_dir: str) -> bool:
@@ -608,8 +738,15 @@ def _mini_warm(spark):
         from pyspark.sql.functions import pandas_udf as _pudf
         import pandas as _pd
 
+        # NO type annotations here: under this module's
+        # `from __future__ import annotations` they stringify to
+        # '_pd.Series', which pandas_udf cannot resolve (module
+        # globals lack the function-local `_pd`) and the WHOLE warmup
+        # silently no-ops — fresh-session probes then paid the 32
+        # python-worker pool spawns inside their first timed run
+        # (found r12 while chasing the sf1 drift).
         @_pudf("binary")
-        def _warm_bin(s: _pd.Series) -> _pd.Series:
+        def _warm_bin(s):
             return s.map(lambda v: str(v).encode())
 
         (spark.range(0, 3200, 1, 32)
@@ -680,10 +817,39 @@ def run_sf1_probe(spark, budget_sec: float = 780.0):
                 break
             if time.time() - start > budget_sec:
                 break  # keep the single-run figure; no budget left
-        if best is not None:
-            out[name] = best
-            print(f"# sf1 {name}: {best:.2f}s solo-min2 ({n} rows)",
+        # drift tripwire (VERDICT r11 #1): a min-of-2 still >2x the
+        # committed expected gets ONE extra fresh-session run — the
+        # r11 artifact committed 2.4-2.5x host-contention readings as
+        # if they were scaling numbers. If the min STAYS >2x, the
+        # figure is recorded FLAGGED (a dict carrying drift_x), so a
+        # contended probe can never again masquerade as a bare
+        # scaling number in a committed artifact.
+        if (best is not None and best > 2.0 * expected
+                and time.time() - start <= budget_sec):
+            print(f"# sf1 {name}: {best:.2f}s > 2x expected "
+                  f"{expected:.2f}s — drift retry (fresh session)",
                   file=sys.stderr)
+            spark = _fresh_session(spark)
+            _mini_warm(spark)
+            try:
+                dt, n = _one_run(spark, name)
+                best = min(best, dt)
+            except Exception as exc:
+                print(f"# sf1 {name}: drift retry failed "
+                      f"({type(exc).__name__}); keeping "
+                      f"{best:.2f}s", file=sys.stderr)
+        if best is not None:
+            if best > 2.0 * expected:
+                out[name] = {"sec": best, "expected": expected,
+                             "drift_x": round(best / expected, 2)}
+                print(f"# sf1 {name}: {best:.2f}s solo — DRIFT "
+                      f"{best / expected:.1f}x expected "
+                      f"{expected:.2f}s (flagged, not a scaling "
+                      f"number)", file=sys.stderr)
+            else:
+                out[name] = best
+                print(f"# sf1 {name}: {best:.2f}s solo-min2 "
+                      f"({n} rows)", file=sys.stderr)
 
     # ---- cheap probes: one shared session, unconditional min-of-2
     # (the r10 dry run showed the shared-session TAIL still drifting
@@ -713,9 +879,24 @@ def run_sf1_probe(spark, budget_sec: float = 780.0):
             if time.time() - start > budget_sec:
                 break  # no second-run budget left
         if best is not None:
-            out[name] = best
-            print(f"# sf1 {name}: {best:.2f}s min2 ({n} rows)",
-                  file=sys.stderr)
+            if best > 2.0 * expected:
+                # same tripwire as the heavy block: one extra run,
+                # then flag rather than commit a contended reading
+                try:
+                    dt, n = _one_run(spark, name)
+                    best = min(best, dt)
+                except Exception:
+                    pass
+            if best > 2.0 * expected:
+                out[name] = {"sec": best, "expected": expected,
+                             "drift_x": round(best / expected, 2)}
+                print(f"# sf1 {name}: {best:.2f}s — DRIFT "
+                      f"{best / expected:.1f}x expected "
+                      f"{expected:.2f}s (flagged)", file=sys.stderr)
+            else:
+                out[name] = best
+                print(f"# sf1 {name}: {best:.2f}s min2 ({n} rows)",
+                      file=sys.stderr)
     return out, spark
 
 
@@ -978,8 +1159,15 @@ def main():
         from pyspark.sql.functions import pandas_udf as _pudf
         import pandas as _pd
 
+        # NO type annotations here: under this module's
+        # `from __future__ import annotations` they stringify to
+        # '_pd.Series', which pandas_udf cannot resolve (module
+        # globals lack the function-local `_pd`) and the WHOLE warmup
+        # silently no-ops — fresh-session probes then paid the 32
+        # python-worker pool spawns inside their first timed run
+        # (found r12 while chasing the sf1 drift).
         @_pudf("binary")
-        def _warm_bin(s: _pd.Series) -> _pd.Series:
+        def _warm_bin(s):
             return s.map(lambda v: str(v).encode())
 
         (spark.range(0, 3200, 1, 32)
@@ -1029,6 +1217,23 @@ def main():
                       file=sys.stderr)
                 spark = _fresh_session(spark)
                 _mini_warm(spark)
+
+    # sf5 dedup-family curve (VERDICT r11 #7): a third scaling point
+    # so sf0.1 -> sf1 -> sf5 gives an observed exponent, not a
+    # two-point line. Fresh sessions inside, like the sf1 heavies.
+    sf5_result = None
+    if sf == 0.1 and os.environ.get("SPARK_GRAFT_BENCH_SF5", "1") != "0":
+        try:
+            _ensure_sf5(SF_DIR)
+            sf5_result, spark = run_sf5_probe(spark)
+        except Exception as exc:
+            print(f"# sf5 probe failed: {exc}", file=sys.stderr)
+            try:
+                spark.range(1).count()
+            except Exception:
+                spark = _fresh_session(spark)
+        # re-warm for the main sweep regardless of probe outcome
+        _mini_warm(spark)
 
     qs = bench_queries(spark, SF_DIR)
     timings, errors = {}, {}
@@ -1104,6 +1309,8 @@ def main():
     if sf == 0.1:
         if sf1_result is not None:
             result["sf1"] = sf1_result  # measured before the sweep
+        if sf5_result is not None:
+            result["sf5"] = sf5_result  # dedup-family curve point
         if os.environ.get("SPARK_GRAFT_BENCH_SKEW", "1") != "0":
             try:
                 result["skew_demo"] = run_skew_demo(spark, SF_DIR)
@@ -1175,6 +1382,20 @@ def main():
         compact.pop("skew_demo", None)
         line = json.dumps(compact)
     print(line)
+    try:  # VERDICT r11 #8: the next-round window rotation is printed
+        # by the round loop itself (stderr; the driver captures only
+        # the stdout tail) so it is mechanically applied, not
+        # re-derived by hand each round.
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from staleness import window_suggestion
+
+        print("# next-window suggestion (tools/staleness.py, "
+              "stalest 50):", file=sys.stderr)
+        for entry in window_suggestion(50):
+            print(f"#   {entry}", file=sys.stderr)
+    except Exception as exc:
+        print(f"# staleness report failed: {exc}", file=sys.stderr)
     spark.stop()
 
 
