@@ -556,13 +556,14 @@ def _ensure_sf5(src_dir: str) -> bool:
 
 #: the dedup-family scaling slice probed at sf5 (VERDICT r11 #7) —
 #: document-side queries only (the sf5 fixture has no TPC-H tables).
-#: expected = 5x the committed sf1 figure as a rough band; the same
-#: >2x drift tripwire applies so a contended reading gets flagged.
+#: expected = the r12 committed warm solo minima (SCALING.md round-12
+#: refresh has the full 3-point curves); the same >2x drift tripwire
+#: applies so a contended reading gets flagged, never committed bare.
 SF5_QUERIES = {
-    "dedup_minhash": 17.0,
-    "dedup_ngram_jaccard": 22.0,
-    "dedup_spans": 33.0,
-    "dedup_clusters": 35.0,
+    "dedup_minhash": 9.6,
+    "dedup_ngram_jaccard": 24.0,
+    "dedup_spans": 16.4,
+    "dedup_clusters": 18.1,
 }
 
 
