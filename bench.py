@@ -572,28 +572,36 @@ SF5_QUERIES = {
 
 
 def run_sf5_probe(spark):
-    """One solo fresh-session run per sf5 query (min-of-2 would
-    double a ~2 min block for a curve witness; the drift tripwire
-    still retries a >2x-band first run once). Returns
+    """Fresh session + warm + unconditional min-of-2 per sf5 query
+    (the same solo protocol as the heavy sf1 probes: first touches of
+    the 55 MB fixture are page-cache-cold, and the r12 dry runs
+    showed single-shot readings varying 1.4-1.9x), then the standard
+    drift tripwire — one more fresh-session run if the min is still
+    >2x the committed band, flagged if it stays there. Returns
     ``(timings, spark)`` — caller adopts the returned session."""
     import __spark_entry__ as entry_mod
 
     out = {}
     qs = entry_mod.queries()
+
+    def _one(spark, name):
+        t0 = time.time()
+        df = qs[name](spark, SF5_DIR)
+        n = len(df.toPandas())
+        dt = round(time.time() - t0, 4)
+        release(df)
+        spark.catalog.clearCache()
+        _cleanup_entry(spark)
+        return dt, n
+
     for name, expected in SF5_QUERIES.items():
         spark = _fresh_session(spark)
         _mini_warm(spark)
         best, n = None, 0
         for attempt in range(2):
             try:
-                t0 = time.time()
-                df = qs[name](spark, SF5_DIR)
-                n = len(df.toPandas())
-                dt = round(time.time() - t0, 4)
+                dt, n = _one(spark, name)
                 best = dt if best is None else min(best, dt)
-                release(df)
-                spark.catalog.clearCache()
-                _cleanup_entry(spark)
             except Exception as exc:
                 if best is None:
                     out[name] = {"err":
@@ -601,11 +609,18 @@ def run_sf5_probe(spark):
                     print(f"# sf5 {name}: FAILED {out[name]['err']}",
                           file=sys.stderr)
                 break
-            if best <= 2.0 * expected:
-                break  # single clean run is enough for the curve
-            if attempt == 0:
-                print(f"# sf5 {name}: {best:.2f}s > 2x band "
-                      f"{expected:.2f}s — drift retry",
+        if best is not None and best > 2.0 * expected:
+            print(f"# sf5 {name}: {best:.2f}s > 2x band "
+                  f"{expected:.2f}s — drift retry (fresh session)",
+                  file=sys.stderr)
+            spark = _fresh_session(spark)
+            _mini_warm(spark)
+            try:
+                dt, n = _one(spark, name)
+                best = min(best, dt)
+            except Exception as exc:
+                print(f"# sf5 {name}: drift retry failed "
+                      f"({type(exc).__name__}); keeping {best:.2f}s",
                       file=sys.stderr)
         if best is not None:
             if best > 2.0 * expected:
@@ -616,7 +631,7 @@ def run_sf5_probe(spark):
                       file=sys.stderr)
             else:
                 out[name] = best
-                print(f"# sf5 {name}: {best:.2f}s ({n} rows)",
+                print(f"# sf5 {name}: {best:.2f}s min2 ({n} rows)",
                       file=sys.stderr)
     return out, spark
 
