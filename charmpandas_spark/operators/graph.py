@@ -40,17 +40,20 @@ def triangle_count(edges: SparkDF, src: str = "src",
     — nodes are edge endpoints (isolated vertices are not the edge
     list's business).
     """
-    from pyspark import StorageLevel
-
     a, b = F.col(src), F.col(dst)
-    # persist: the edge subtree (often an expensive similarity join)
-    # is referenced by degrees, orientation, closure and the edge
-    # count — without a pin Spark recomputes it for each
+    # EAGER localCheckpoint, not persist: the edge subtree (often an
+    # expensive similarity join, ~20 exchanges) is referenced by
+    # degrees (x2), orientation, closure and the edge count — persist
+    # dedups the RUNTIME work but leaves the lineage inlined at every
+    # reference (measured: a 156-exchange static plan for the
+    # ngram-join edge producer; same pathology the CC loop documents
+    # at dedup.py:610). Checkpointing runs the producer once and
+    # gives every downstream leg a materialized, lineage-free copy.
     und = (edges.select(F.least(a, b).alias("a"),
                         F.greatest(a, b).alias("b"))
                 .where(F.col("a") != F.col("b"))
                 .distinct()
-                .persist(StorageLevel.MEMORY_AND_DISK))
+                .localCheckpoint())
     deg = (und.select(F.col("a").alias("v"))
               .unionAll(und.select(F.col("b").alias("v")))
               .groupBy("v").agg(F.count(F.lit(1)).alias("deg")))

@@ -54,6 +54,19 @@ CONTRACTS = {
     "er_jaro_winkler": (2, 0, 2),
     "coreset_kcenter": (1, 0, 2),
     "sim_ivfpq_rerank": (3, 7, 2),
+    # tier 2 (r12): the next-most-expensive sweep entries
+    "sim_ivfpq_topk": (2, 7, 2),
+    "corpus_percentiles": (1, 0, 2),
+    "dedup_incremental": (16, 0, 3),
+    "dsir_select": (15, 5, 3),
+    "dsir_weights": (7, 2, 3),
+    "histogram_equidepth": (2, 1, 1),
+    "dedup_keep_best": (3, 0, 2),
+    "leakage_safe_split": (9, 1, 1),
+    "graph_kcore": (3, 1, 2),
+    # pinned AFTER the r12 fix: localCheckpoint on the edge set cut
+    # the static plan from 156 inlined-lineage exchanges to 16
+    "graph_triangles": (16, 2, 2),
 }
 
 
