@@ -349,6 +349,14 @@ def bm25_topk(
     SHUFFLE_HASH join on term, partial-aggregated per-pair sum, one
     window per query doc; N and L ride the plan as a broadcast 1-row
     aggregate. ``max_df`` drops corpus stop-terms pre-join."""
+    # NB: `cp` is deliberately NOT persisted although doc lengths,
+    # corpus stats, df and the scoring join each reference it. A/B
+    # at sf1 (r12, solo min-of-2): unpersisted 11.5 s vs persisted
+    # 12.7 s — Catalyst prunes each recompute to the columns that
+    # reference needs (term-only for df, doc+tf for lengths) and the
+    # codegen'd tokenize+partial-agg beats re-reading a full-width
+    # 50M-row cache three times. Same verdict as the array-based
+    # verify alternative documented in dedup.jaccard_pairs_prefix.
     cp = term_postings(corpus, text_col, id_col)
     qp = term_postings(queries, text_col, id_col)
     if max_df is not None:

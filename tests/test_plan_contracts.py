@@ -76,6 +76,7 @@ def plans(spark):
     internally — iterative loops, sampled training) and snapshot the
     plan facts; individual tests then assert without re-running."""
     import __spark_entry__ as entry_mod
+    from charmpandas_spark.functions.dedup import release
 
     qs = entry_mod.queries()
     out = {}
@@ -87,6 +88,7 @@ def plans(spark):
             "pushed": pushed_filters(df),
             "scans": scan_columns(df),
         }
+        release(df)  # unpin pipeline intermediates between builds
     return out
 
 
