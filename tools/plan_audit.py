@@ -18,13 +18,21 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
 def main():
+    import json
+
     import __spark_entry__ as entry_mod
+    from charmpandas_spark.functions.dedup import release
     from charmpandas_spark.plans.explain import plan_report
     from charmpandas_spark.session import get_spark
 
+    argv = sys.argv[1:]
+    as_json = "--json" in argv
+    if as_json:
+        argv.remove("--json")
     spark = get_spark(app_name="plan-audit", master="local[8]",
                       shuffle_partitions=8)
-    only = set(sys.argv[1:])
+    only = set(argv)
+    out = {}
     for name, fn in entry_mod.queries().items():
         if only and name not in only:
             continue
@@ -34,6 +42,16 @@ def main():
             # real ones (sf0.01 here — cheap); the audit is explicitly
             # a query-running diagnostic
             r = plan_report(df, execute_for_codegen=True)
+            release(df)
+            if as_json:
+                out[name] = {
+                    "exchanges": r["exchanges"],
+                    "codegen_stages": r["codegen_stages"],
+                    "scan_widths": [len(c) for c in r["scan_columns"]],
+                    "joins": r["joins"],
+                    "pushed_filters": len(r["pushed_filters"]),
+                }
+                continue
             scans = "/".join(str(len(c)) for c in r["scan_columns"])
             joins = ",".join(r["joins"]) or "-"
             pf = len(r["pushed_filters"])
@@ -41,7 +59,12 @@ def main():
                   f"codegen={r['codegen_stages']:2d} scans[cols]={scans:8s} "
                   f"joins={joins} pushed={pf}")
         except Exception as e:
-            print(f"{name:28s} ERROR {e}")
+            if as_json:
+                out[name] = {"error": str(e)[:200]}
+            else:
+                print(f"{name:28s} ERROR {e}")
+    if as_json:
+        print(json.dumps(out, indent=2))
     spark.stop()
 
 
