@@ -1270,13 +1270,18 @@ def jaccard_pairs_prefix(
         df, text_col, id_col, threshold, shingle_n,
         length_filter=True, positional_filter=True)
     # verify via the exploded postings join (candidates ⋈ terms per
-    # side, groupBy pair). An array-based alternative — collect each
-    # doc's term set once and array_intersect per candidate — was
-    # measured SLOWER at sf0.1 (14-17 s vs 10.4 s): building and
-    # shuffling per-doc term arrays for EVERY doc costs more than the
-    # candidate fan-out when the prefix filter has already made
-    # candidates sparse. The exploded join's volume is Σ_cand |d|,
-    # paid only for surviving candidates.
+    # side, groupBy pair). TWO array-based alternatives were measured
+    # and rejected: (a) collect each doc's term set once and
+    # array_intersect per candidate — slower at sf0.1 (14-17 s vs
+    # 10.4 s; building arrays for EVERY doc dominates when candidates
+    # are sparse); (b, r12) arrays built only for docs APPEARING in a
+    # candidate (semi-join first) — slower at sf1 too (32.3 s vs
+    # 18.0 s same-host): array_intersect still needs both full term
+    # arrays co-located per pair, so the shuffle moves the same
+    # Σ_cand(|a|+|b|) strings as the exploded join but as wide
+    # array rows (no partial aggregation, worse memory shape). The
+    # exploded join's narrow rows partial-aggregate map-side and win
+    # in both regimes.
     ta = terms.select(F.col("doc").alias("doc_a"),
                       F.col("term").alias("__ta"))
     tb = terms.select(F.col("doc").alias("doc_b"),
