@@ -1195,6 +1195,18 @@ def _jaccard_prefix_parts(
                   F.ceil(F.lit(threshold) * F.col("b.sz"))
                   <= F.col("a.sz")]
     if positional_filter:
+        # NB: this is the per-token accumulated-overlap-1 form, not
+        # PPJoin's full pair-level filter (o_p shared prefix tokens +
+        # min-suffix bound after the last one, via a groupBy(pair)
+        # agg in place of the distinct). The full form was built and
+        # measured in r12: on the token-suffixed bench_sf1 fixture it
+        # produced the IDENTICAL candidate set (687,250 pairs) while
+        # paying four extra aggregates — near-dup text pairs that
+        # share 2+ rare prefix shingles essentially never fail the
+        # accumulated bound after passing the per-token ones. Keep
+        # the cheaper form; revisit only with a fixture where
+        # candidates share many prefix tokens at threshold-marginal
+        # similarity.
         alpha = F.ceil(F.lit(threshold / (1.0 + threshold))
                        * (F.col("a.sz") + F.col("b.sz")))
         ubound = F.lit(1) + F.least(F.col("a.sz") - F.col("a.__rn"),
