@@ -14,7 +14,7 @@ iteration — a rounding model, like fixed-point PageRank on GPUs, not
 an approximation of the graph.)
 
 Scale shape: out-degrees are joined into the edge list ONCE and the
-result checkpointed + hash-partitioned on ``src``; each iteration is then
+result persisted + hash-partitioned on ``src``; each iteration is then
 one co-partitioned join (ranks shuffle to the edges' layout — the
 edges, the big side, never move again) plus one groupBy(dst) — the
 canonical 2-shuffle-per-iteration distributed PR. Iterations are
@@ -41,29 +41,26 @@ def pagerank(edges: SparkDF, src_col: str = "src", dst_col: str = "dst",
     Duplicate edges are collapsed first (multi-edges would double
     mass). ``damping_num/damping_den`` is the rational damping factor
     (default 17/20 = 0.85)."""
+    from pyspark import StorageLevel
+
     # pin the deduped edge list FIRST: nodes (2 union branches), deg,
-    # and ed all re-derive from it — without a pin the caller's edge
-    # lineage (often a join) re-executes once per consumer. EAGER
-    # localCheckpoint rather than persist (r12, same change as
-    # triangle_count): persist dedups the runtime work but re-inlines
-    # the producer lineage at every reference — a 34-exchange static
-    # plan for 3 iterations — while the checkpoint gives every
-    # consumer a lineage-free materialized copy (~10 exchanges).
+    # and ed all re-derive from it — without the persist the caller's
+    # edge lineage (often a join) re-executes once per consumer
     e = (edges.select(F.col(src_col).alias("src"),
                       F.col(dst_col).alias("dst"))
                .distinct()
-               .localCheckpoint())
+               .persist(StorageLevel.MEMORY_AND_DISK))
     # distinct/groupBy/join leave the pinned tables HASH-PARTITIONED
     # on their join keys already (node / src) — no explicit
     # repartition needed, and adding one would just pin an extra
-    # full-width exchange into the checkpointed lineage
+    # full-width exchange into the persisted lineage
     nodes = (e.select(F.col("src").alias("node"))
               .union(e.select(F.col("dst").alias("node")))
               .distinct()
-              .localCheckpoint())
+              .persist(StorageLevel.MEMORY_AND_DISK))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ed = (e.join(deg, "src")
-           .localCheckpoint())
+           .persist(StorageLevel.MEMORY_AND_DISK))
     base = F.lit(((damping_den - damping_num) * MICRO) // damping_den)
     ranks = nodes.select("node", F.lit(MICRO).alias("rank_micro"))
     for i in range(iterations):

@@ -47,10 +47,7 @@ CONTRACTS = {
     "dedup_spans": (6, 0, 2),
     "sim_bm25": (18, 1, 2),
     "dedup_clusters": (2, 0, 2),
-    # re-pinned r12: eager localCheckpoint on the edge/node tables
-    # (same fix as triangle_count) cut the static plan from 34
-    # lineage-inlined exchanges to 10
-    "graph_pagerank": (10, 0, 2),
+    "graph_pagerank": (34, 0, 2),
     "dedup_jaccard_prefix": (20, 0, 2),
     "dedup_minhash_incremental": (29, 2, 4),
     "dedup_semantic": (2, 2, 2),
