@@ -4489,11 +4489,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_correctness.py runs ALL entries locally each round
     # (ADVICE r3: never depend on the driver window size).
     return {
-        # --- r12 driver window (ordering generated verbatim from
-        #     tools/staleness.py; VERDICT r11 #2/#8) ---
-        # (1) changed this round: jpeg codec hardened to the
-        #     ValueError contract on truncated payloads (ADVICE r11)
-        "multimodal_jpeg": q_multimodal_jpeg,
+        # --- r13 driver window (ordering generated verbatim from
+        #     tools/staleness.py; VERDICT r12 #2: rotate to the
+        #     r7/r8-vintage stalest greens) ---
+        # (1) changed this round: tracked localCheckpoint handles
+        #     (ADVICE r12 — release() now frees graph checkpoint
+        #     blocks deterministically)
+        "graph_triangles": q_graph_triangles,
+        "graph_kcore": q_graph_kcore,
         # (2) SS2 core slice, re-proven every round
         "scan_project": q_scan_project,
         "flagship_join_groupby_count": q_flagship_join_groupby_count,
@@ -4503,53 +4506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_count": q_groupby_count,
         "sort_topk": q_sort_topk,
         "concat": q_concat,
-        # (3) the 14 r6-vintage stalest greens (VERDICT r11 #2)
-        "sink_clustered_roundtrip": q_sink_clustered_roundtrip,
-        "stratified_sample": q_stratified_sample,
-        "streaming_running_totals": q_streaming_running_totals,
-        "streaming_stream_join": q_streaming_stream_join,
-        "string_functions": q_string_functions,
-        "text_pack": q_text_pack,
-        "text_pack_greedy": q_text_pack_greedy,
-        "text_tfidf": q_text_tfidf,
-        "text_token_stats": q_text_token_stats,
-        "text_vocab": q_text_vocab,
-        "tpch_q22": q_tpch_q22,
-        "window_range_frame": q_window_range_frame,
-        "window_rank": q_window_rank,
-        "zorder_key": q_zorder_key,
-        # (4) the stalest 27 of the 43 r7-vintage greens
-        "corpus_percentiles": q_corpus_percentiles,
-        "curation_report": q_curation_report,
-        "decontam_ngrams": q_decontam_ngrams,
-        "dedup_editdist": q_dedup_editdist,
-        "dedup_spans": q_dedup_spans,
-        "embedding_quantize": q_embedding_quantize,
-        "events_ab_welch": q_events_ab_welch,
-        "events_funnel": q_events_funnel,
-        "events_resample": q_events_resample,
-        "events_transitions": q_events_transitions,
-        "events_trend": q_events_trend,
-        "histogram_equidepth": q_histogram_equidepth,
-        "histogram_value": q_histogram_value,
-        "hybrid_rrf": q_hybrid_rrf,
-        "hybrid_rrf3": q_hybrid_rrf3,
-        "join_blowup": q_join_blowup,
-        "lineitem_corr": q_lineitem_corr,
-        "merge_upsert": q_merge_upsert,
-        "mixture_token_budget": q_mixture_token_budget,
-        "multimodal_bmp": q_multimodal_bmp,
-        "pii_scan": q_pii_scan,
-        "quality_c4": q_quality_c4,
-        "quality_classifier": q_quality_classifier,
-        "quality_expectations": q_quality_expectations,
-        "quality_gopher": q_quality_gopher,
-        "quality_lm_external": q_quality_lm_external,
-        "quality_lm_score": q_quality_lm_score,
-        # --- positions 51+: fresher greens ride their latest
-        #     driver row (staleness-ascending so the next rotation
-        #     is a pure front-slice). tools/check_correctness.py
-        #     still runs ALL entries locally every round. ---
+        # (3) the 16 r7-vintage stalest greens
         "shard_assignment": q_shard_assignment,
         "sim_bm25": q_sim_bm25,
         "sim_quantized_topk": q_sim_quantized_topk,
@@ -4566,6 +4523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_phrase_search": q_text_phrase_search,
         "text_token_drift": q_text_token_drift,
         "url_domain_filter": q_url_domain_filter,
+        # (4) the stalest 24 of the 34 r8-vintage greens
         "corpus_percentiles_approx": q_corpus_percentiles_approx,
         "datetime_filter": q_datetime_filter,
         "dedup_clusters": q_dedup_clusters,
@@ -4590,6 +4548,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_equidepth_approx": q_histogram_equidepth_approx,
         "int_literal_widening": q_int_literal_widening,
         "join_full": q_join_full,
+        # --- positions 51+: fresher greens ride their latest
+        #     driver row (staleness-ascending so the next rotation
+        #     is a pure front-slice). tools/check_correctness.py
+        #     still runs ALL entries locally every round. ---
         "join_timestamp_key": q_join_timestamp_key,
         "pivot": q_pivot,
         "scalar_reduction": q_scalar_reduction,
@@ -4634,8 +4596,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ewm": q_events_ewm,
         "events_merge_asof": q_events_merge_asof,
         "events_props_typed": q_events_props_typed,
-        "graph_kcore": q_graph_kcore,
-        "graph_triangles": q_graph_triangles,
         "group_topk": q_group_topk,
         "heavy_hitters_cms": q_heavy_hitters_cms,
         "impute_median": q_impute_median,
@@ -4738,6 +4698,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": q_tpch_q19,
         "tpch_q21": q_tpch_q21,
         "tpch_q3": q_tpch_q3,
+        "corpus_percentiles": q_corpus_percentiles,
+        "curation_report": q_curation_report,
+        "decontam_ngrams": q_decontam_ngrams,
+        "dedup_editdist": q_dedup_editdist,
+        "dedup_spans": q_dedup_spans,
+        "embedding_quantize": q_embedding_quantize,
+        "events_ab_welch": q_events_ab_welch,
+        "events_funnel": q_events_funnel,
+        "events_resample": q_events_resample,
+        "events_transitions": q_events_transitions,
+        "events_trend": q_events_trend,
+        "histogram_equidepth": q_histogram_equidepth,
+        "histogram_value": q_histogram_value,
+        "hybrid_rrf": q_hybrid_rrf,
+        "hybrid_rrf3": q_hybrid_rrf3,
+        "join_blowup": q_join_blowup,
+        "lineitem_corr": q_lineitem_corr,
+        "merge_upsert": q_merge_upsert,
+        "mixture_token_budget": q_mixture_token_budget,
+        "multimodal_bmp": q_multimodal_bmp,
+        "multimodal_jpeg": q_multimodal_jpeg,
+        "pii_scan": q_pii_scan,
+        "quality_c4": q_quality_c4,
+        "quality_classifier": q_quality_classifier,
+        "quality_expectations": q_quality_expectations,
+        "quality_gopher": q_quality_gopher,
+        "quality_lm_external": q_quality_lm_external,
+        "quality_lm_score": q_quality_lm_score,
+        "sink_clustered_roundtrip": q_sink_clustered_roundtrip,
+        "stratified_sample": q_stratified_sample,
+        "streaming_running_totals": q_streaming_running_totals,
+        "streaming_stream_join": q_streaming_stream_join,
+        "string_functions": q_string_functions,
+        "text_pack": q_text_pack,
+        "text_pack_greedy": q_text_pack_greedy,
+        "text_tfidf": q_text_tfidf,
+        "text_token_stats": q_text_token_stats,
+        "text_vocab": q_text_vocab,
+        "tpch_q22": q_tpch_q22,
+        "window_range_frame": q_window_range_frame,
+        "window_rank": q_window_rank,
+        "zorder_key": q_zorder_key,
     }
 
 

@@ -473,7 +473,7 @@ SF1_OVERRIDES = {
 }
 
 
-def _load_prior_timings() -> dict:
+def _load_prior_timings(artifact_dir: str | None = None) -> dict:
     """Per-query expected seconds for the RELATIVE noise-retry
     trigger: the min across the last three committed per-round bench
     artifacts plus ``BENCH_FULL.json`` — min, because each artifact
@@ -483,11 +483,13 @@ def _load_prior_timings() -> dict:
     ``parsed`` and keeps only a curated query subset there; the full
     125-query map is this repo's own committed ``BENCH_FULL.json``.
     Returns {} when no artifacts exist (fresh checkout) — every query
-    then falls back to the absolute bar."""
+    then falls back to the absolute bar. ``artifact_dir`` overrides
+    the repo root (tests inject a temp dir instead of monkeypatching
+    ``os.path.dirname`` module-globally — ADVICE r12)."""
     import glob
     import json
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = artifact_dir or os.path.dirname(os.path.abspath(__file__))
     best: dict = {}
     files = (sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))[-3:]
              + [os.path.join(here, "BENCH_FULL.json")])
@@ -518,13 +520,23 @@ def _ensure_sf5(src_dir: str) -> bool:
     sf5 turns the "sub-linear" claims into an observed exponent.
     Only the two document-side tables: the dedup/ANN probes touch
     nothing else, and 50 lineitem copies would be ~900 MB of unused
-    fixture. ~30 MB total, cached across runs."""
+    fixture. ~30 MB total, cached across runs.
+
+    Cache validity is keyed on a ``_SUCCESS`` sentinel written AFTER
+    the last COPY (ADVICE r12): directory existence alone would
+    accept an interrupted generation's partial fixture forever, and
+    sf5 timings on a truncated corpus would commit as real scaling
+    numbers (the drift tripwire only catches SLOW readings)."""
+    import shutil
+
+    sentinel = os.path.join(SF5_DIR, "_SUCCESS")
     paths = [os.path.join(SF5_DIR, f"{t}.parquet")
              for t in ("documents", "embeddings")]
-    if all(os.path.isdir(p) for p in paths):
+    if os.path.isfile(sentinel) and all(os.path.isdir(p) for p in paths):
         return True
     import duckdb
 
+    shutil.rmtree(SF5_DIR, ignore_errors=True)  # partial => rebuild
     os.makedirs(SF5_DIR, exist_ok=True)
     con = duckdb.connect()
     for t in ("documents", "embeddings"):
@@ -555,6 +567,8 @@ def _ensure_sf5(src_dir: str) -> bool:
                 f"COPY ({sql.format(lo=j, hi=j + 1)}) TO "
                 f"'{os.path.join(dest, f'part-{j:02d}.parquet')}' "
                 f"(FORMAT PARQUET, ROW_GROUP_SIZE 250000)")
+    with open(sentinel, "w") as fh:
+        fh.write("ok\n")
     return True
 
 
@@ -643,17 +657,22 @@ def _ensure_sf1(src_dir: str) -> bool:
     token-suffixed per copy so shingle document-frequency stays flat —
     dedup work then scales linearly with the corpus, as it would on
     real data, instead of quadratically on artificial 10x exact dupes.
-    Cached across runs; DuckDB does the generation in seconds."""
+    Cached across runs; DuckDB does the generation in seconds.
+    Cache validity is keyed on a ``_SUCCESS`` sentinel written AFTER
+    the last COPY (ADVICE r12, same latent pattern as ``_ensure_sf5``:
+    directory existence would accept an interrupted generation's
+    partial fixture as cached forever)."""
     tables = ["lineitem", "orders", "customer", "documents", "embeddings",
               "events"]
+    sentinel = os.path.join(SF1_DIR, "_SUCCESS")
     paths = [os.path.join(SF1_DIR, f"{t}.parquet") for t in tables]
-    if all(os.path.isdir(p) for p in paths):
+    if os.path.isfile(sentinel) and all(os.path.isdir(p) for p in paths):
         return True
     import shutil
 
     import duckdb
 
-    for p in paths:  # drop a stale single-file (pre-r7) layout
+    for p in paths:  # drop stale single-file (pre-r7) / partial layouts
         if os.path.isfile(p):
             os.unlink(p)
         elif os.path.isdir(p):
@@ -721,6 +740,8 @@ def _ensure_sf1(src_dir: str) -> bool:
                 f"COPY ({part}) TO "
                 f"'{os.path.join(dest, f'part-{j:02d}.parquet')}' "
                 f"(FORMAT PARQUET, ROW_GROUP_SIZE 250000)")
+    with open(sentinel, "w") as fh:
+        fh.write("ok\n")
     return True
 
 
@@ -899,9 +920,15 @@ def run_sf1_probe(spark, budget_sec: float = 780.0):
             if time.time() - start > budget_sec:
                 break  # no second-run budget left
         if best is not None:
-            if best > 2.0 * expected:
-                # same tripwire as the heavy block: one extra run,
-                # then flag rather than commit a contended reading
+            if (best > 2.0 * expected
+                    and time.time() - start <= budget_sec):
+                # same tripwire as the heavy block, with two honest
+                # differences (ADVICE r12): the retry respects the
+                # probe budget, and it reruns in the SAME shared
+                # session (no _fresh_session/_mini_warm — a full
+                # session rebuild per cheap probe would dominate the
+                # block), so a flag here can still reflect
+                # accumulated-session state; the flag output says so.
                 try:
                     dt, n = _one_run(spark, name)
                     best = min(best, dt)
@@ -909,10 +936,12 @@ def run_sf1_probe(spark, budget_sec: float = 780.0):
                     pass
             if best > 2.0 * expected:
                 out[name] = {"sec": best, "expected": expected,
-                             "drift_x": round(best / expected, 2)}
+                             "drift_x": round(best / expected, 2),
+                             "retry": "same-session"}
                 print(f"# sf1 {name}: {best:.2f}s — DRIFT "
                       f"{best / expected:.1f}x expected "
-                      f"{expected:.2f}s (flagged)", file=sys.stderr)
+                      f"{expected:.2f}s (flagged; cheap-block retry "
+                      f"is same-session)", file=sys.stderr)
             else:
                 out[name] = best
                 print(f"# sf1 {name}: {best:.2f}s min2 ({n} rows)",
@@ -1311,10 +1340,31 @@ def main():
             print(f"# {name}: retry failed "
                   f"({type(exc).__name__}: {exc}"[:200] +
                   f"); keeping first-run {best:.2f}s", file=sys.stderr)
-        timings[name] = best
-        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        # VERDICT r12 #1b: the main sweep was the last block allowed
+        # to commit a retry-still-high reading as a bare number
+        # (r12's join_inner landed 2.10 s, 2.47x its committed best).
+        # Same protocol as the sf1/sf5 blocks now: a post-retry best
+        # still over the relative bar is recorded as a FLAGGED dict —
+        # visibly contended, never a scaling/throughput claim — and
+        # _load_prior_timings already refuses dicts, so a flagged
+        # sweep can't loosen the next round's bar either. Queries
+        # with no committed history keep the bare number (there is no
+        # band to drift from).
+        if name in prior and best > retry_above:
+            timings[name] = {"sec": best,
+                             "expected": round(prior[name], 4),
+                             "drift_x": round(best / prior[name], 2)}
+            print(f"# {name}: {best:.2f}s — DRIFT "
+                  f"{best / prior[name]:.1f}x committed best "
+                  f"{prior[name]:.2f}s (flagged)", file=sys.stderr)
+        else:
+            timings[name] = best
+            print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
 
-    headline = timings.get("flagship_join_groupby_count", 0.0)
+    def _sec(v):  # flagged dicts carry their reading under "sec"
+        return v["sec"] if isinstance(v, dict) else v
+
+    headline = _sec(timings.get("flagship_join_groupby_count", 0.0))
     result = {
         "metric": "join_groupby_fetch_sec",
         "value": headline,
@@ -1355,11 +1405,41 @@ def main():
             except Exception as exc:
                 print(f"# baseline anchor failed: {exc}",
                       file=sys.stderr)
-    # The driver only captures the TAIL of stdout (~2.2 kB; the full
-    # r4 line got truncated mid-dict -> "parsed": null). So: the full
-    # result goes to BENCH_FULL.json + stderr, and the LAST stdout
-    # line is a compact JSON with the headline metric, a capped
-    # queries subset, and the sf1/skew summaries.
+    # The driver captures the TAIL of the MERGED stdout+stderr
+    # (~2.2 kB; r4 lost the line to stdout truncation, r12 lost it to
+    # the staleness block printing AFTER it on stderr — the merged
+    # tail no longer ended with the JSON). So: EVERYTHING informative
+    # (full result, staleness suggestion, plan-audit drift) prints
+    # first, the session is stopped (no trailing JVM log lines), both
+    # streams are flushed, and the compact JSON line is the absolute
+    # LAST thing this process emits.
+    try:  # VERDICT r11 #8 / r12 #1: next-round window rotation — now
+        # emitted BEFORE the JSON line and persisted into
+        # BENCH_FULL.json, so losing the stdout tail can never lose
+        # the rotation list again.
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from staleness import window_suggestion
+
+        suggestion = window_suggestion(50)
+        result["next_window"] = suggestion
+        print("# next-window suggestion (tools/staleness.py, "
+              "stalest 50):", file=sys.stderr)
+        for entry in suggestion:
+            print(f"#   {entry}", file=sys.stderr)
+    except Exception as exc:
+        print(f"# staleness report failed: {exc}", file=sys.stderr)
+    try:  # VERDICT r12 #7: mechanical plan drift vs last committed
+        # audit — one summary line, well before the JSON line.
+        from plan_audit import drift_summary
+
+        drift = drift_summary()
+        if drift:
+            result["plan_drift"] = drift
+        print(f"# plan-audit drift vs committed baseline: "
+              f"{drift if drift else 'none'}", file=sys.stderr)
+    except Exception as exc:
+        print(f"# plan-audit drift check failed: {exc}", file=sys.stderr)
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_FULL.json")
     try:
@@ -1401,22 +1481,11 @@ def main():
         compact.pop("sf1", None)
         compact.pop("skew_demo", None)
         line = json.dumps(compact)
-    print(line)
-    try:  # VERDICT r11 #8: the next-round window rotation is printed
-        # by the round loop itself (stderr; the driver captures only
-        # the stdout tail) so it is mechanically applied, not
-        # re-derived by hand each round.
-        sys.path.insert(0, os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "tools"))
-        from staleness import window_suggestion
-
-        print("# next-window suggestion (tools/staleness.py, "
-              "stalest 50):", file=sys.stderr)
-        for entry in window_suggestion(50):
-            print(f"#   {entry}", file=sys.stderr)
-    except Exception as exc:
-        print(f"# staleness report failed: {exc}", file=sys.stderr)
+    # Stop Spark BEFORE the final print: JVM shutdown may log to the
+    # merged stream, and nothing is allowed after the JSON line.
     spark.stop()
+    sys.stderr.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -97,9 +97,64 @@ def release(df: SparkDF) -> None:
     persisted shingle/signature handles to the returned DataFrame).
     Call after materializing the result in a long-lived session so
     cached blocks don't accumulate until the ContextCleaner happens
-    to run; a no-op for DataFrames without pinned intermediates."""
+    to run; a no-op for DataFrames without pinned intermediates.
+    Handles may be persisted DataFrames or
+    :class:`_CheckpointHandle`s — anything with ``unpersist()``."""
     for handle in getattr(df, "_cps_persisted", ()):
         handle.unpersist()
+
+
+class _CheckpointHandle:
+    """``unpersist()``-able handle for an eager ``localCheckpoint``'s
+    storage blocks. A checkpointed DataFrame is NOT in the
+    CacheManager, so ``df.unpersist()`` can't free it — the blocks
+    live as persisted RDDs reclaimed only on RDD GC (ADVICE r12: in a
+    long session repeated builds accumulate executor storage). The
+    handle frees them deterministically through the persistent-RDD
+    registry. After ``unpersist()`` the checkpointed DataFrame is
+    DEAD (its RDD is gone and non-recomputable) — release() is
+    correct only after the result is materialized, which is the
+    existing release() contract."""
+
+    def __init__(self, sc, rdd_ids):
+        self._sc, self._ids = sc, rdd_ids
+
+    def unpersist(self):
+        try:
+            reg = self._sc._jsc.sc().getPersistentRDDs()
+            for i in self._ids:
+                opt = reg.get(i)
+                if opt.isDefined():
+                    opt.get().unpersist(False)
+        except Exception:
+            pass  # freeing is hygiene; never fail a pipeline over it
+
+
+def tracked_local_checkpoint(df: SparkDF):
+    """Eager ``localCheckpoint`` that also returns a
+    :class:`_CheckpointHandle` for its storage blocks, so producers
+    can attach it to ``_cps_persisted`` and ``release()`` frees the
+    blocks instead of waiting for RDD GC.
+
+    localCheckpoint trades executor-loss recovery for speed: the
+    blocks are non-recomputable, so on a real cluster an executor
+    loss fails the job (Spark resubmits it from the source). That is
+    the standard trade for lineage-truncating iterative operators;
+    masters needing fault-tolerant checkpoints should configure
+    ``spark.checkpoint.dir`` and use reliable ``checkpoint()``
+    instead — same plan shape, extra HDFS round-trip."""
+    sc = df.sparkSession.sparkContext
+
+    def _ids():
+        reg = sc._jsc.sc().getPersistentRDDs()
+        it, out = reg.keysIterator(), []
+        while it.hasNext():
+            out.append(it.next())
+        return set(out)
+
+    before = _ids()
+    cp = df.localCheckpoint()
+    return cp, _CheckpointHandle(sc, _ids() - before)
 
 
 def hash64(col: Column, seed: int | Column = 0, hash_fn: str = "xxhash64") -> Column:

@@ -49,11 +49,18 @@ def triangle_count(edges: SparkDF, src: str = "src",
     # ngram-join edge producer; same pathology the CC loop documents
     # at dedup.py:610). Checkpointing runs the producer once and
     # gives every downstream leg a materialized, lineage-free copy.
-    und = (edges.select(F.least(a, b).alias("a"),
-                        F.greatest(a, b).alias("b"))
-                .where(F.col("a") != F.col("b"))
-                .distinct()
-                .localCheckpoint())
+    # TRACKED (ADVICE r12): the handle rides on the result so
+    # release() frees the blocks deterministically in long sessions
+    # instead of waiting for RDD GC; see tracked_local_checkpoint's
+    # docstring for the executor-loss trade on real clusters.
+    from charmpandas_spark.functions.dedup import (
+        tracked_local_checkpoint)
+
+    und, _und_handle = tracked_local_checkpoint(
+        edges.select(F.least(a, b).alias("a"),
+                     F.greatest(a, b).alias("b"))
+             .where(F.col("a") != F.col("b"))
+             .distinct())
     deg = (und.select(F.col("a").alias("v"))
               .unionAll(und.select(F.col("b").alias("v")))
               .groupBy("v").agg(F.count(F.lit(1)).alias("deg")))
@@ -82,7 +89,9 @@ def triangle_count(edges: SparkDF, src: str = "src",
         F.count(F.lit(1)).cast("long").alias("n_triangles"))
     n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     n_edges = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
-    return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+    out = n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+    out._cps_persisted = [_und_handle]  # see dedup.release()
+    return out
 
 
 def k_core(edges: SparkDF, k: int = 2, iterations: int = 6,
@@ -104,23 +113,31 @@ def k_core(edges: SparkDF, k: int = 2, iterations: int = 6,
     depth — social/web/similarity graphs fix-point in a handful of
     rounds because peeling cascades are shallow.
     """
+    from charmpandas_spark.functions.dedup import (
+        tracked_local_checkpoint)
+
     a, b = F.col(src), F.col(dst)
-    cur = (edges.select(F.least(a, b).alias("a"),
-                        F.greatest(a, b).alias("b"))
-                .where(F.col("a") != F.col("b"))
-                .distinct()
-                .localCheckpoint())
+    # tracked checkpoints (ADVICE r12): every round's blocks ride on
+    # the result for deterministic release(); see triangle_count.
+    handles = []
+    cur, h = tracked_local_checkpoint(
+        edges.select(F.least(a, b).alias("a"),
+                     F.greatest(a, b).alias("b"))
+             .where(F.col("a") != F.col("b"))
+             .distinct())
+    handles.append(h)
     for _ in range(iterations):
         deg = (cur.select(F.col("a").alias("v"))
                   .unionAll(cur.select(F.col("b").alias("v")))
                   .groupBy("v").agg(F.count(F.lit(1)).alias("deg")))
         keep = deg.where(F.col("deg") >= k).select("v")
-        cur = (cur.join(keep.withColumnRenamed("v", "a"), "a",
-                        "left_semi")
-                  .join(keep.withColumnRenamed("v", "b"), "b",
-                        "left_semi")
-                  .select("a", "b")
-                  .localCheckpoint())
+        cur, h = tracked_local_checkpoint(
+            cur.join(keep.withColumnRenamed("v", "a"), "a",
+                     "left_semi")
+               .join(keep.withColumnRenamed("v", "b"), "b",
+                     "left_semi")
+               .select("a", "b"))
+        handles.append(h)
     deg = (cur.select(F.col("a").alias("v"))
               .unionAll(cur.select(F.col("b").alias("v")))
               .groupBy("v").agg(F.count(F.lit(1)).alias("deg")))
@@ -128,9 +145,11 @@ def k_core(edges: SparkDF, k: int = 2, iterations: int = 6,
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.coalesce(F.min("deg"), F.lit(k)).alias("__mindeg"))
     n_edges = cur.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
-    return (stats.crossJoin(n_edges)
-                 .select("n_nodes", "n_edges",
-                         (F.col("__mindeg") >= k).alias("converged")))
+    out = (stats.crossJoin(n_edges)
+                .select("n_nodes", "n_edges",
+                        (F.col("__mindeg") >= k).alias("converged")))
+    out._cps_persisted = handles  # see dedup.release()
+    return out
 
 
 def k_core_sql(edges_sql: str, k: int = 2, iterations: int = 6) -> str:

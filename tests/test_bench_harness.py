@@ -47,19 +47,72 @@ def test_load_prior_timings_ignores_flagged_drift_entries():
                            "q_err": {"err": "boom"}}}
         with open(os.path.join(td, "BENCH_FULL.json"), "w") as fh:
             json.dump(doc, fh)
-        # point the loader at the temp artifact dir
-        real = os.path.dirname(os.path.abspath(bench.__file__))
-        orig = bench.os.path.dirname
-        try:
-            bench.os.path.dirname = lambda p: td if p.endswith(
-                "bench.py") else orig(p)
-            prior = bench._load_prior_timings()
-        finally:
-            bench.os.path.dirname = orig
+        # inject the artifact dir (ADVICE r12: the old version
+        # monkeypatched os.path.dirname module-globally)
+        prior = bench._load_prior_timings(artifact_dir=td)
         assert prior.get("q_ok") == 1.5
         assert "q_drift" not in prior
         assert "q_err" not in prior
-        assert real  # silence unused warning
+
+
+def test_sf5_fixture_cache_requires_success_sentinel(tmp_path,
+                                                     monkeypatch):
+    """ADVICE r12 (medium): a partial sf5 fixture — dest dirs exist
+    but generation was interrupted before all 50 COPYs — must NOT be
+    accepted as cached. Cache validity is keyed on the _SUCCESS
+    sentinel written after the final COPY."""
+    import bench
+
+    fake = tmp_path / "bench_sf5"
+    for t in ("documents", "embeddings"):
+        (fake / f"{t}.parquet").mkdir(parents=True)  # partial: no parts
+    monkeypatch.setattr(bench, "SF5_DIR", str(fake))
+    # no sentinel -> the cache check must fall through to a rebuild;
+    # intercept duckdb.connect to prove the generation path was taken
+    # without actually generating 30 MB in a unit test.
+    import duckdb
+
+    called = {}
+
+    def _boom():
+        called["rebuild"] = True
+        raise RuntimeError("rebuild path reached")
+
+    monkeypatch.setattr(duckdb, "connect", _boom)
+    try:
+        bench._ensure_sf5("/root/testdata/sf0.1")
+    except RuntimeError:
+        pass
+    assert called.get("rebuild"), \
+        "partial fixture (no _SUCCESS) was accepted as cached"
+    # and with the sentinel + dirs present, the cache short-circuits
+    for t in ("documents", "embeddings"):
+        (fake / f"{t}.parquet").mkdir(exist_ok=True)
+    (fake / "_SUCCESS").write_text("ok\n")
+    called.clear()
+    assert bench._ensure_sf5("/root/testdata/sf0.1") is True
+    assert not called
+
+
+def test_main_sweep_flags_not_commits_drift():
+    """VERDICT r12 #1b: the main-sweep recording logic must turn a
+    post-retry reading still above the relative bar into a flagged
+    dict, never a bare number. The logic is inline in main(), so pin
+    the contract at the source level: the drift branch exists and
+    produces the same {sec, expected, drift_x} shape the sf1/sf5
+    blocks use (which _load_prior_timings provably ignores)."""
+    import inspect
+
+    import bench
+
+    src = inspect.getsource(bench.main)
+    assert "drift_x" in src and "x committed best" in src, \
+        "main() lost the flag-not-commit drift branch"
+    # and the final JSON line is the last output: spark.stop() and a
+    # stderr flush must precede the flush=True print of the line.
+    tail = src[src.index("spark.stop()"):]
+    assert "sys.stderr.flush()" in tail
+    assert "print(line, flush=True)" in tail
 
 
 def test_sf1_and_sf5_expected_tables_are_sane():

@@ -161,6 +161,33 @@ def test_triangle_count_known_graph(spark):
     assert (row.n_nodes, row.n_edges, row.n_triangles) == (5, 7, 4)
 
 
+def test_triangle_count_release_frees_checkpoint_blocks(spark):
+    """ADVICE r12: triangle_count's eager localCheckpoint blocks were
+    reclaimable only on RDD GC — repeated builds in one long session
+    accumulated executor storage. The tracked handle on the result
+    must free them deterministically through release()."""
+    from charmpandas_spark.functions.dedup import release
+    from charmpandas_spark.operators.graph import triangle_count
+
+    def persistent_ids():
+        reg = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it, out = reg.keysIterator(), set()
+        while it.hasNext():
+            out.add(it.next())
+        return out
+
+    before = persistent_ids()
+    df = spark.createDataFrame([(1, 2), (2, 3), (1, 3)],
+                               "src long, dst long")
+    out = triangle_count(df)
+    assert out.collect()[0].n_triangles == 1
+    pinned = persistent_ids() - before
+    assert pinned, "checkpoint left no persistent RDD to track"
+    release(out)
+    assert not (persistent_ids() - before), \
+        "release() did not free the checkpoint blocks"
+
+
 def test_triangle_count_star_has_none(spark):
     """A hub star has many wedges but zero triangles — the degree
     orientation keeps the hub from fanning out d^2 wedges (hub is

@@ -4,37 +4,51 @@ Prints, per query: shuffle count, join strategies, scan column widths,
 pushed filters, codegen stages. Use while iterating on operators —
 "the plan you'd want, not the first one that passed".
 
-Usage: python tools/plan_audit.py [query ...]
+Usage:
+    python tools/plan_audit.py [query ...]          # human table
+    python tools/plan_audit.py --json [query ...]   # plan-fact JSON
+    python tools/plan_audit.py --json --diff PLAN_AUDIT_r12.json
+        # live-audit the baseline's queries and print drifted plan
+        # facts (VERDICT r12 #7): changes INSIDE contract headroom —
+        # an exchange count that grew 6->8 under a <=10 contract, a
+        # join strategy flip — that the pytest plan contracts would
+        # not fail but a human should review.
+
+``drift_summary()`` is the bench-loop hook: it diffs the two most
+recent committed ``PLAN_AUDIT_r*.json`` artifacts (pure file diff, no
+Spark — the live audit is run and committed once per round by the
+round loop itself), returning a short human string or None.
 """
 
 from __future__ import annotations
 
+import glob
+import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
+#: the plan facts a drift is reported on (the same five the committed
+#: artifacts carry).
+FACTS = ("exchanges", "codegen_stages", "scan_widths", "joins",
+         "pushed_filters")
 
-def main():
-    import json
 
+def audit(spark, names=None) -> dict:
+    """Run the live plan audit for ``names`` (default: all registry
+    queries); returns {query: plan-fact dict}."""
     import __spark_entry__ as entry_mod
     from charmpandas_spark.functions.dedup import release
     from charmpandas_spark.plans.explain import plan_report
-    from charmpandas_spark.session import get_spark
 
-    argv = sys.argv[1:]
-    as_json = "--json" in argv
-    if as_json:
-        argv.remove("--json")
-    spark = get_spark(app_name="plan-audit", master="local[8]",
-                      shuffle_partitions=8)
-    only = set(argv)
     out = {}
     for name, fn in entry_mod.queries().items():
-        if only and name not in only:
+        if names and name not in names:
             continue
         try:
             df = fn(spark, SF_DIR)
@@ -43,28 +57,96 @@ def main():
             # a query-running diagnostic
             r = plan_report(df, execute_for_codegen=True)
             release(df)
-            if as_json:
-                out[name] = {
-                    "exchanges": r["exchanges"],
-                    "codegen_stages": r["codegen_stages"],
-                    "scan_widths": [len(c) for c in r["scan_columns"]],
-                    "joins": r["joins"],
-                    "pushed_filters": len(r["pushed_filters"]),
-                }
-                continue
-            scans = "/".join(str(len(c)) for c in r["scan_columns"])
-            joins = ",".join(r["joins"]) or "-"
-            pf = len(r["pushed_filters"])
-            print(f"{name:28s} exch={r['exchanges']:2d} "
-                  f"codegen={r['codegen_stages']:2d} scans[cols]={scans:8s} "
-                  f"joins={joins} pushed={pf}")
+            out[name] = {
+                "exchanges": r["exchanges"],
+                "codegen_stages": r["codegen_stages"],
+                "scan_widths": [len(c) for c in r["scan_columns"]],
+                "joins": r["joins"],
+                "pushed_filters": len(r["pushed_filters"]),
+            }
         except Exception as e:
-            if as_json:
-                out[name] = {"error": str(e)[:200]}
-            else:
-                print(f"{name:28s} ERROR {e}")
+            out[name] = {"error": str(e)[:200]}
+    return out
+
+
+def diff_plans(baseline: dict, current: dict) -> list[str]:
+    """Per-query plan-fact drift lines between two audit dicts
+    (either raw {query: facts} or a committed artifact with a
+    ``plans`` wrapper)."""
+    base = baseline.get("plans", baseline)
+    cur = current.get("plans", current)
+    lines = []
+    for name in sorted(set(base) & set(cur)):
+        b, c = base[name], cur[name]
+        if "error" in b or "error" in c:
+            if b.get("error") != c.get("error"):
+                lines.append(f"{name}: error state changed")
+            continue
+        for fact in FACTS:
+            if b.get(fact) != c.get(fact):
+                lines.append(f"{name}: {fact} {b.get(fact)} -> "
+                             f"{c.get(fact)}")
+    return lines
+
+
+def drift_summary() -> str | None:
+    """Diff the two most recent committed PLAN_AUDIT_r*.json; returns
+    e.g. 'r12->r13: dedup_spans: exchanges 6 -> 8; ...' or None when
+    fewer than two artifacts exist or nothing drifted."""
+    files = sorted(glob.glob(os.path.join(REPO, "PLAN_AUDIT_r*.json")),
+                   key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
+    if len(files) < 2:
+        return None
+    prev, last = (json.load(open(f)) for f in files[-2:])
+    lines = diff_plans(prev, last)
+    if not lines:
+        return None
+    tag = "->".join(f"r{re.search(r'_r([0-9]+)', f).group(1)}"
+                    for f in files[-2:])
+    return f"{tag}: " + "; ".join(lines[:6]) + \
+        (f" (+{len(lines) - 6} more)" if len(lines) > 6 else "")
+
+
+def main():
+    from charmpandas_spark.session import get_spark
+
+    argv = sys.argv[1:]
+    as_json = "--json" in argv
+    if as_json:
+        argv.remove("--json")
+    diff_path = None
+    if "--diff" in argv:
+        i = argv.index("--diff")
+        diff_path = argv[i + 1]
+        del argv[i:i + 2]
+    spark = get_spark(app_name="plan-audit", master="local[8]",
+                      shuffle_partitions=8)
+    only = set(argv)
+    baseline = None
+    if diff_path:
+        baseline = json.load(open(diff_path))
+        if not only:
+            only = set(baseline.get("plans", baseline))
+    out = audit(spark, only or None)
+    if diff_path:
+        lines = diff_plans(baseline, out)
+        print(f"# drift vs {diff_path}: "
+              f"{len(lines)} fact(s) changed", file=sys.stderr)
+        for ln in lines:
+            print(f"#   {ln}", file=sys.stderr)
     if as_json:
         print(json.dumps(out, indent=2))
+    else:
+        for name, r in out.items():
+            if "error" in r:
+                print(f"{name:28s} ERROR {r['error']}")
+                continue
+            scans = "/".join(str(c) for c in r["scan_widths"])
+            joins = ",".join(r["joins"]) or "-"
+            print(f"{name:28s} exch={r['exchanges']:2d} "
+                  f"codegen={r['codegen_stages']:2d} "
+                  f"scans[cols]={scans:8s} joins={joins} "
+                  f"pushed={r['pushed_filters']}")
     spark.stop()
 
 
