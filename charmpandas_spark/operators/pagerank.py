@@ -22,6 +22,20 @@ canonical 2-shuffle-per-iteration distributed PR. Iterations are
 (the connected_components lesson). Dangling nodes (no out-edges) keep
 receiving mass but redistribute none — the standard simplification;
 callers who need mass conservation add a sink edge per dangling node.
+
+Why persist, not per-iteration eager checkpoints (r12 experiment,
+ROOT-CAUSED r13 — ``tools/checkpoint_repro.py``,
+``CHECKPOINT_REPRO_r13.json``): each eager checkpoint is a
+synchronous job barrier that waits on its slowest task, so k chained
+checkpoints pay k ADDITIVE straggler tails under host contention
+(measured chained/persist ratio 1.37x idle -> 2.48x with a competitor
+JVM; the r12 in-sweep 4x was this curve's far end), while the persist
+plan's single lazy action overlaps all the work. The 34-exchange
+static plan is lineage INLINING only — runtime executes 2
+shuffles/iteration with persist dedup. Checkpoints earn their barrier
+only where they deduplicate an expensive multi-consumer subtree
+(``graph.triangle_count``'s single checkpoint, 156->16 exchanges),
+never per-iteration on a cheap rank vector.
 """
 
 from __future__ import annotations
