@@ -1,0 +1,329 @@
+"""Third-engine witness: re-check a sample of oracle queries against
+an INDEPENDENT pandas/numpy replay (VERDICT r12 #8).
+
+The driver's correctness gate compares Spark against DuckDB. Both
+engines could in principle share a blind spot (same IEEE double
+semantics, same SQL-ish floor conventions) — a pandas/numpy replay
+written from the query SEMANTICS (not from either engine's SQL) is a
+third, structurally different witness. The sample leads with the
+integer-doctrine families (pagerank micro-units, k-center, scalar
+quantization) where all three engines floor identically BY
+CONSTRUCTION — if those ever disagree, the doctrine itself is broken
+— plus the §2 core shapes (filter/groupby/sort/scalar) and two text
+pipelines (md5 fingerprint dedup, token counting).
+
+Comparison mirrors the driver: columns sorted by name, rows sorted by
+every column, exact value equality (int64/float64-normalized).
+Float-summing queries are safe to compare exactly because BOTH sides
+quantize with the repo's ``floor(x*100)/100`` doctrine before
+emitting.
+
+Usage:
+    python tools/pandas_witness.py [--sf-dir DIR] [--out FILE]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+import sys
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+#: Java/Spark \s is ASCII-only; Python re \s is unicode-wide on str.
+#: Replays use the explicit ASCII class so the engines agree on e.g.
+#: NBSP bytes in document text.
+_WS = r"[ \t\n\r\f\x0b]"
+_TOKEN_RE = re.compile(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r\f\x0b]")
+
+
+def _read(sf_dir: str, table: str) -> pd.DataFrame:
+    return pd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def _floor2(s):
+    return np.floor(np.asarray(s, dtype=np.float64) * 100) / 100
+
+
+def _dsum(s: pd.Series) -> float:
+    """Replay of the registry's ``_dsum`` doctrine: DECIMAL(18,6)
+    accumulation (exact, order-independent), surfaced as double.
+    This is load-bearing: the first witness run summed
+    l_extendedprice as float64 (pairwise) and got ...271.6299996 ->
+    floor .62, while the decimal-exact sum is ...271.63 — the
+    engines only agree BECAUSE both accumulate in decimal, which is
+    precisely the doctrine this third engine is here to witness.
+    Spark's cast(double as decimal) goes through the double's
+    shortest string repr (java BigDecimal.valueOf), hence
+    ``Decimal(repr(x))``."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal("0.000001")
+    tot = sum((Decimal(repr(float(v))).quantize(q, ROUND_HALF_UP)
+               for v in s if pd.notna(v)), Decimal(0))
+    return float(tot)
+
+
+def _normalize_text(s: pd.Series) -> pd.Series:
+    return (s.str.lower()
+             .str.replace(_WS + "+", " ", regex=True)
+             .str.strip())
+
+
+def _md5_hash64(val: str, seed: int = 0) -> int:
+    """Python twin of dedup.hash64(..., hash_fn='md5')."""
+    return int(hashlib.md5(f"{seed}:{val}".encode()).hexdigest()[:15],
+               16)
+
+
+# --------------------------------------------------------------------
+# replays: each returns a pandas DataFrame with the SAME column names
+# as the registry query
+# --------------------------------------------------------------------
+
+def r_groupby_sum(sf_dir):
+    li = _read(sf_dir, "lineitem")
+    g = (li.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+           ["l_quantity"].agg(_dsum))
+    g["sum(l_quantity)"] = _floor2(g.pop("l_quantity"))
+    return g
+
+
+def r_scalar_reduction(sf_dir):
+    li = _read(sf_dir, "lineitem")
+    return pd.DataFrame({
+        "sum_qty": [_floor2(_dsum(li["l_quantity"]))[()]],
+        "count_qty": [int(li["l_quantity"].notna().sum())],
+        "sum_price": [_floor2(_dsum(li["l_extendedprice"]))[()]],
+    })
+
+
+def r_filter_expr(sf_dir):
+    li = _read(sf_dir, "lineitem")
+    rev = li["l_extendedprice"] * (1 - li["l_discount"])
+    keep = li[rev > 45000.0]
+    return pd.DataFrame({
+        "l_orderkey": keep["l_orderkey"],
+        "l_linenumber": keep["l_linenumber"],
+        "revenue": _floor2(rev[rev > 45000.0]),
+    })
+
+
+def r_sort_topk(sf_dir):
+    o = _read(sf_dir, "orders")
+    top = o.sort_values(["o_totalprice", "o_orderkey"],
+                        ascending=[False, True]).head(10)
+    return pd.DataFrame({
+        "o_orderkey": top["o_orderkey"],
+        "o_totalprice": _floor2(top["o_totalprice"]),
+    })
+
+
+def r_window_rank(sf_dir):
+    o = _read(sf_dir, "orders").sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True])
+    o["rn"] = o.groupby("o_orderpriority").cumcount() + 1
+    top = o[o["rn"] <= 3]
+    return pd.DataFrame({
+        "o_orderpriority": top["o_orderpriority"],
+        "o_orderkey": top["o_orderkey"],
+        "o_totalprice": _floor2(top["o_totalprice"]),
+        "rn": top["rn"].astype(np.int32),
+    })
+
+
+def r_dedup_exact(sf_dir):
+    d = _read(sf_dir, "documents")
+    fp = _normalize_text(d["text"]).map(
+        lambda t: hashlib.md5(t.encode()).hexdigest())
+    g = (pd.DataFrame({"fp": fp, "doc_id": d["doc_id"]})
+         .groupby("fp", as_index=False)
+         .agg(survivor_id=("doc_id", "min"),
+              n_copies=("doc_id", "size")))
+    g["n_copies"] = g["n_copies"].astype(np.int64)
+    return g
+
+
+def r_text_token_count(sf_dir):
+    d = _read(sf_dir, "documents")
+    trimmed = d["text"].str.strip()
+    ws = trimmed.map(
+        lambda t: 0 if t == "" else len(re.split(_WS + "+", t)))
+    return pd.DataFrame({
+        "doc_id": d["doc_id"],
+        "ws_tokens": ws.astype(np.int32),
+        "re_tokens": d["text"].map(
+            lambda t: len(_TOKEN_RE.findall(t))).astype(np.int32),
+    })
+
+
+def r_embedding_quantize(sf_dir):
+    e = _read(sf_dir, "embeddings")
+    mat = np.stack(e["embedding"].to_numpy()).astype(np.float64)
+    lo, hi = mat.min(axis=0), mat.max(axis=0)
+    span = hi - lo
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # same associativity as the Spark expression:
+        # ((x - lo) * 255.0) / (hi - lo), then floor, then clamp
+        raw = np.floor((mat - lo) * 255.0 / span)
+    codes = np.clip(raw, 0, 255)
+    codes[:, span == 0] = 0
+    n, d = codes.shape
+    return pd.DataFrame({
+        "vec_id": np.repeat(e["vec_id"].to_numpy(), d),
+        "d": np.tile(np.arange(d, dtype=np.int32), n),
+        "code": codes.astype(np.int32).ravel(),
+    })
+
+
+def r_graph_pagerank(sf_dir):
+    li = _read(sf_dir, "lineitem")[["l_orderkey", "l_suppkey"]]
+    o = _read(sf_dir, "orders")[["o_orderkey", "o_custkey"]]
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    c = "c" + j["o_custkey"].astype(str)
+    s = "s" + j["l_suppkey"].astype(str)
+    fwd = pd.DataFrame({"src": c, "dst": s})
+    e = (pd.concat([fwd, fwd.rename(columns={"src": "dst",
+                                             "dst": "src"})])
+           .drop_duplicates())
+    nodes = pd.Index(pd.concat([e["src"], e["dst"]]).unique(),
+                     name="node")
+    deg = e.groupby("src").size().rename("deg")
+    ed = e.merge(deg, left_on="src", right_index=True)
+    MICRO, dn, dd = 1_000_000, 17, 20
+    base = ((dd - dn) * MICRO) // dd
+    ranks = pd.Series(np.int64(MICRO), index=nodes, name="rank_micro")
+    for _ in range(3):
+        m = ed.merge(ranks.rename("r"), left_on="src",
+                     right_index=True)
+        contrib = (m["r"].to_numpy(np.int64)
+                   // m["deg"].to_numpy(np.int64))
+        srt = (pd.DataFrame({"dst": m["dst"], "c": contrib})
+               .groupby("dst")["c"].sum())
+        srt = srt.reindex(nodes, fill_value=0).astype(np.int64)
+        ranks = pd.Series(
+            base + (dn * srt.to_numpy(np.int64)) // dd,
+            index=nodes, name="rank_micro")
+    out = ranks.reset_index()
+    out.columns = ["node", "rank_micro"]
+    return out
+
+
+def r_coreset_kcenter(sf_dir, k=8, scale=1000, train_cap=256):
+    e = _read(sf_dir, "embeddings")
+    ids = e["vec_id"].to_numpy(np.int64)
+    q = np.floor(
+        np.stack(e["embedding"].to_numpy()).astype(np.float64)
+        * scale).astype(np.int64)
+    hkey = np.fromiter((_md5_hash64(str(i)) for i in ids),
+                       dtype=np.int64, count=len(ids))
+    order = np.lexsort((ids, hkey))[:train_cap]
+    sel_ids, sel_q = ids[order], q[order]
+    seed_pos = int(np.argmin(sel_ids))
+    centers = [(int(sel_ids[seed_pos]), sel_q[seed_pos])]
+    sel_r2 = [0]
+    for _ in range(1, k):
+        d2 = np.min(np.stack([
+            ((sel_q - c) ** 2).sum(axis=1) for _, c in centers]),
+            axis=0)
+        # argmax by (distance, then SMALLEST id)
+        best = np.lexsort((sel_ids, -d2))[0]
+        centers.append((int(sel_ids[best]), sel_q[best]))
+        sel_r2.append(int(d2[best]))
+    dall = np.stack([((q - c) ** 2).sum(axis=1) for _, c in centers])
+    rank = np.argmin(dall, axis=0)  # ties -> earliest rank, like
+    # least(struct(d, rank)) lexicographic
+    dmin = dall[rank, np.arange(q.shape[0])]
+    rows = []
+    for r, (cid, _) in enumerate(centers):
+        mask = rank == r
+        rows.append((r, cid, sel_r2[r], int(mask.sum()),
+                     int(dmin[mask].max()) if mask.any() else 0))
+    return pd.DataFrame(rows, columns=[
+        "rank", "center_id", "sel_r2", "n_assigned", "max_r2"])
+
+
+REPLAYS = {
+    "groupby_sum": r_groupby_sum,
+    "scalar_reduction": r_scalar_reduction,
+    "filter_expr": r_filter_expr,
+    "sort_topk": r_sort_topk,
+    "window_rank": r_window_rank,
+    "dedup_exact": r_dedup_exact,
+    "text_token_count": r_text_token_count,
+    "embedding_quantize": r_embedding_quantize,
+    "graph_pagerank": r_graph_pagerank,
+    "coreset_kcenter": r_coreset_kcenter,
+}
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-compare canonical form: columns sorted by name, rows
+    sorted by every column, dtypes normalized to int64/float64/str."""
+    out = df[sorted(df.columns)].copy()
+    for c in out.columns:
+        kind = out[c].dtype.kind
+        if kind in "iu":
+            out[c] = out[c].astype(np.int64)
+        elif kind == "f":
+            out[c] = out[c].astype(np.float64)
+        elif kind == "b":
+            out[c] = out[c].astype(bool)
+        else:
+            out[c] = out[c].astype(str)
+    return out.sort_values(list(out.columns)).reset_index(drop=True)
+
+
+def main():
+    from charmpandas_spark.session import get_spark
+    import __spark_entry__ as entry_mod
+
+    sf_dir = SF_DIR
+    if "--sf-dir" in sys.argv:
+        sf_dir = sys.argv[sys.argv.index("--sf-dir") + 1]
+    out_path = None
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+    spark = get_spark(app_name="pandas-witness")
+    qs = entry_mod.queries()
+    results, fails = {}, 0
+    for name, replay in REPLAYS.items():
+        try:
+            got = _canon(qs[name](spark, sf_dir).toPandas())
+            want = _canon(replay(sf_dir))
+            ok = (list(got.columns) == list(want.columns)
+                  and len(got) == len(want) and got.equals(want))
+            results[name] = {"rows": len(got), "match": bool(ok)}
+            if not ok:
+                fails += 1
+                diff = (got != want).any()
+                results[name]["diff_cols"] = \
+                    [c for c in got.columns if diff.get(c, True)] \
+                    if len(got) == len(want) else \
+                    f"rows {len(got)} vs {len(want)}"
+            print(f"{'OK  ' if ok else 'FAIL'} {name} "
+                  f"({len(got)} rows)", file=sys.stderr)
+        except Exception as exc:
+            fails += 1
+            results[name] = {"err": f"{type(exc).__name__}: {exc}"[:200]}
+            print(f"ERR  {name}: {results[name]['err']}",
+                  file=sys.stderr)
+    spark.stop()
+    doc = {"sf_dir": sf_dir, "engine": "pandas/numpy replay",
+           "n": len(REPLAYS), "failures": fails, "queries": results}
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(doc, fh, indent=2)
+    print(json.dumps(doc))
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
