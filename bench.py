@@ -423,6 +423,12 @@ SF1_QUERIES = {
     "sim_pq_topk": 4.7,
     "sim_ivfpq_topk": 6.7,
     "multimodal_png": 1.4,
+    # r13 (VERDICT r12 #5): the other two codec tiers at sf1 — jpeg
+    # is the heaviest decoder (entropy decode + IDCT per block), zlib
+    # the lightest; provisional bands from ~4x their sf0.1 sweep
+    # times, re-based to measured warm solo minima on first probe
+    "multimodal_jpeg": 12.0,
+    "multimodal_decode": 3.0,
     # r9 wave-3 ops (solo sf1, idle host): triangles/k-core ride the
     # Jaccard pair join (same scaling family as dedup_ngram_jaccard);
     # CMS is shuffle-bytes-independent-of-N by construction; the
@@ -572,29 +578,106 @@ def _ensure_sf5(src_dir: str) -> bool:
     return True
 
 
-#: the dedup-family scaling slice probed at sf5 (VERDICT r11 #7) —
-#: document-side queries only (the sf5 fixture has no TPC-H tables).
-#: expected = the r12 committed warm solo minima (SCALING.md round-12
-#: refresh has the full 3-point curves); the same >2x drift tripwire
+def _ensure_sf5_tpch(src_dir: str) -> bool:
+    """Materialize the sf5 TPC-H slice (``lineitem``/``orders`` as 50
+    orderkey-lockstep-shifted copies + the unshifted ``customer``)
+    that ``graph_pagerank`` needs for its third scaling point
+    (VERDICT r12 #3). Split from :func:`_ensure_sf5` behind its OWN
+    sentinel because it is ~25x the document-side fixture (~700 MB):
+    a doc-only sf5 run should not pay the TPC-H generation, and an
+    interrupted TPC-H build must not invalidate the (complete)
+    document fixture. Same densification axis as sf1: custkeys are
+    NOT shifted, so the bipartite trading graph gains 50x edge
+    multiplicity on a fixed node set — the iterative-join cost axis —
+    exactly as the sf1 comment documents for the 10x case."""
+    sentinel = os.path.join(SF5_DIR, "_SUCCESS_TPCH")
+    tables = ("lineitem", "orders", "customer")
+    paths = [os.path.join(SF5_DIR, f"{t}.parquet") for t in tables]
+    if os.path.isfile(sentinel) and all(os.path.isdir(p) for p in paths):
+        return True
+    import shutil
+
+    import duckdb
+
+    for p in paths:  # partial => rebuild (doc-side fixture untouched)
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(SF5_DIR, exist_ok=True)
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{os.path.join(src_dir, t + '.parquet')}'")
+    ok = con.execute("SELECT max(l_orderkey) + 1 FROM lineitem").fetchone()[0]
+    copies = {
+        "lineitem": f"SELECT s.* REPLACE (s.l_orderkey + t.i * {ok} "
+                    f"AS l_orderkey) FROM lineitem s CROSS JOIN "
+                    f"range({{lo}}, {{hi}}) t(i)",
+        "orders": f"SELECT s.* REPLACE (s.o_orderkey + t.i * {ok} "
+                  f"AS o_orderkey) FROM orders s CROSS JOIN "
+                  f"range({{lo}}, {{hi}}) t(i)",
+        "customer": "SELECT * FROM customer",
+    }
+    for t, sql in copies.items():
+        dest = os.path.join(SF5_DIR, t + ".parquet")
+        os.makedirs(dest, exist_ok=True)
+        shards = [(0, 1)] if "{lo}" not in sql else \
+            [(i, i + 1) for i in range(50)]
+        for j, (lo, hi) in enumerate(shards):
+            part = sql.format(lo=lo, hi=hi) if "{lo}" in sql else sql
+            con.execute(
+                f"COPY ({part}) TO "
+                f"'{os.path.join(dest, f'part-{j:02d}.parquet')}' "
+                f"(FORMAT PARQUET, ROW_GROUP_SIZE 250000)")
+    with open(sentinel, "w") as fh:
+        fh.write("ok\n")
+    return True
+
+
+#: the scaling slice probed at sf5 (VERDICT r11 #7: dedup family;
+#: VERDICT r12 #3: similarity, graph, and one streaming drain join
+#: it so the 3-point curves cover every family whose sub-linearity
+#: the 100 TB claims rest on). expected = committed warm solo minima
+#: (SCALING.md has the full curves); the same >2x drift tripwire
 #: applies so a contended reading gets flagged, never committed bare.
 SF5_QUERIES = {
     "dedup_minhash": 9.6,
     "dedup_ngram_jaccard": 24.0,
     "dedup_spans": 16.4,
     "dedup_clusters": 18.1,
+    # r13 (VERDICT r12 #3) — provisional bands from 5x the sf1
+    # committed minima, re-based to measured warm solo minima the
+    # first time the probe runs (see SCALING.md r13 refresh)
+    "sim_bm25": 40.0,
+    "sim_ivfpq_topk": 25.0,
+    "graph_triangles": 45.0,
+    "graph_pagerank": 30.0,
+    "streaming_dedup": 30.0,
 }
 
+#: sf5 entries that need the TPC-H slice of the fixture (everything
+#: else is document/embedding-side).
+SF5_TPCH_QUERIES = {"graph_pagerank"}
 
-def run_sf5_probe(spark):
+
+def run_sf5_probe(spark, budget_sec: float = 900.0):
     """Fresh session + warm + unconditional min-of-2 per sf5 query
     (the same solo protocol as the heavy sf1 probes: first touches of
     the 55 MB fixture are page-cache-cold, and the r12 dry runs
     showed single-shot readings varying 1.4-1.9x), then the standard
     drift tripwire — one more fresh-session run if the min is still
     >2x the committed band, flagged if it stays there. Returns
-    ``(timings, spark)`` — caller adopts the returned session."""
+    ``(timings, spark)`` — caller adopts the returned session.
+
+    Bounded like the sf1 probe: no NEW probe query starts after
+    ``budget_sec`` (override: ``SPARK_GRAFT_SF5_BUDGET``) — the r13
+    slice adds five multi-ten-second entries, and an unbounded block
+    could eat the whole sweep on a contended host. TPC-H-side entries
+    (``SF5_TPCH_QUERIES``) lazily generate their fixture slice here
+    so a budget-exhausted run never pays the ~700 MB build."""
     import __spark_entry__ as entry_mod
 
+    budget_sec = float(os.environ.get("SPARK_GRAFT_SF5_BUDGET",
+                                      budget_sec))
+    start = time.time()
     out = {}
     qs = entry_mod.queries()
 
@@ -609,6 +692,16 @@ def run_sf5_probe(spark):
         return dt, n
 
     for name, expected in SF5_QUERIES.items():
+        if time.time() - start > budget_sec:
+            print(f"# sf5 probe budget ({budget_sec:.0f}s) exhausted "
+                  f"before {name}; skipping the rest", file=sys.stderr)
+            break
+        if name in SF5_TPCH_QUERIES:
+            try:
+                _ensure_sf5_tpch(SF_DIR)
+            except Exception as exc:
+                out[name] = {"err": f"sf5 tpch fixture: {exc}"[:200]}
+                continue
         spark = _fresh_session(spark)
         _mini_warm(spark)
         best, n = None, 0
@@ -623,7 +716,8 @@ def run_sf5_probe(spark):
                     print(f"# sf5 {name}: FAILED {out[name]['err']}",
                           file=sys.stderr)
                 break
-        if best is not None and best > 2.0 * expected:
+        if (best is not None and best > 2.0 * expected
+                and time.time() - start <= budget_sec):
             print(f"# sf5 {name}: {best:.2f}s > 2x band "
                   f"{expected:.2f}s — drift retry (fresh session)",
                   file=sys.stderr)
