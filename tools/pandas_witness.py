@@ -250,8 +250,164 @@ def r_coreset_kcenter(sf_dir, k=8, scale=1000, train_cap=256):
         "rank", "center_id", "sel_r2", "n_assigned", "max_r2"])
 
 
+def r_flagship_join_groupby_count(sf_dir):
+    li = _read(sf_dir, "lineitem")[["l_orderkey", "l_quantity"]]
+    o = _read(sf_dir, "orders")[["o_orderkey", "o_orderpriority"]]
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    g = (j.groupby("o_orderpriority", as_index=False)["l_quantity"]
+          .agg(lambda s: int(s.notna().sum())))
+    g["count(l_quantity)"] = g.pop("l_quantity").astype(np.int64)
+    return g
+
+
+def r_join_inner(sf_dir):
+    o = _read(sf_dir, "orders")[["o_orderkey", "o_orderpriority"]]
+    li = _read(sf_dir, "lineitem")[
+        ["l_orderkey", "l_linenumber", "l_quantity"]]
+    j = o.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    return j[["o_orderkey", "o_orderpriority", "l_orderkey",
+              "l_linenumber", "l_quantity"]]
+
+
+def r_concat(sf_dir):
+    li = _read(sf_dir, "lineitem")
+    hi = li[li["l_quantity"] > 45.0][["l_orderkey", "l_linenumber"]]
+    lo = li[li["l_quantity"] < 3.0][["l_orderkey", "l_linenumber"]]
+    return pd.concat([hi, lo], ignore_index=True)
+
+
+def r_tpch_q1(sf_dir):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    li = _read(sf_dir, "lineitem")
+    li = li[li["l_shipdate"] <= pd.Timestamp("1999-09-02")]
+    q6 = Decimal("0.000001")
+
+    def _rowdec(arr):
+        """per-row CAST(double AS DECIMAL(18,6)) then exact sum —
+        the multiplication itself happens in IEEE double first, as
+        in both engines' expressions."""
+        return sum((Decimal(repr(float(v))).quantize(q6, ROUND_HALF_UP)
+                    for v in arr), Decimal(0))
+
+    rows = []
+    for (rf, ls), g in li.groupby(["l_returnflag", "l_linestatus"]):
+        n = len(g)
+        dq = _dsum(g["l_quantity"])
+        dp = _dsum(g["l_extendedprice"])
+        disc = (g["l_extendedprice"].to_numpy(np.float64)
+                * (1 - g["l_discount"].to_numpy(np.float64)))
+        charge = disc * (1 + g["l_tax"].to_numpy(np.float64))
+        rows.append({
+            "l_returnflag": rf, "l_linestatus": ls,
+            "sum_qty": np.floor(dq * 100) / 100,
+            "sum_base_price": np.floor(dp * 100) / 100,
+            "sum_disc_price": np.floor(float(_rowdec(disc)) * 100) / 100,
+            "sum_charge": np.floor(float(_rowdec(charge)) * 100) / 100,
+            "avg_qty": np.floor(dq / n * 100) / 100,
+            "avg_disc": np.floor(_dsum(g["l_discount"]) / n * 10000)
+            / 10000,
+            "count_order": np.int64(n),
+        })
+    return pd.DataFrame(rows)
+
+
+def r_histogram_value(sf_dir):
+    ev = _read(sf_dir, "events")
+    x = ev["value"].dropna().to_numpy(np.float64)
+    b_lo, b_hi = float(x.min()), float(x.max())
+    if b_hi == b_lo:
+        bins = np.zeros(len(x), dtype=np.int64)
+    else:
+        bins = np.minimum(
+            19, np.floor((x - b_lo) * 20.0 / (b_hi - b_lo))
+        ).astype(np.int64)
+    counts = pd.Series(bins).value_counts()
+    b = np.arange(20, dtype=np.int64)
+    return pd.DataFrame({
+        "bin": b.astype(np.int32),
+        "lo": b_lo + (b * (b_hi - b_lo)) / 20.0,
+        "hi": b_lo + ((b + 1) * (b_hi - b_lo)) / 20.0,
+        "n": counts.reindex(b, fill_value=0).to_numpy(np.int64),
+    })
+
+
+def r_events_sessionize(sf_dir):
+    ev = _read(sf_dir, "events")[["user_id", "ts"]].sort_values(
+        ["user_id", "ts"], kind="mergesort")
+    gap = ev.groupby("user_id")["ts"].diff()
+    new_s = gap.isna() | (gap >= pd.Timedelta(hours=4))
+    out = (pd.DataFrame({"user_id": ev["user_id"], "new_s": new_s})
+           .groupby("user_id", as_index=False)
+           .agg(n_sessions=("new_s", "sum"), n_events=("new_s", "size")))
+    out["n_sessions"] = out["n_sessions"].astype(np.int64)
+    out["n_events"] = out["n_events"].astype(np.int64)
+    return out
+
+
+def _shingles(text: str, n: int = 3) -> set:
+    toks = re.sub(_WS + "+", " ", text.lower()).strip().split(" ")
+    return {" ".join(toks[i:i + n])
+            for i in range(max(len(toks) - n, 0) + 1)}
+
+
+def r_dedup_ngram_jaccard(sf_dir):
+    d = _read(sf_dir, "documents")
+    sh = {int(i): _shingles(t)
+          for i, t in zip(d["doc_id"], d["text"])}
+    n_docs = len(d)
+    cap = max(100, int(np.ceil(0.01 * n_docs)))
+    df_count: dict = {}
+    for s in sh.values():
+        for g in s:
+            df_count[g] = df_count.get(g, 0) + 1
+    inv: dict = {}
+    for i, s in sh.items():
+        for g in s:
+            if df_count[g] <= cap:
+                inv.setdefault(g, []).append(i)
+    common: dict = {}
+    for ids in inv.values():
+        ids.sort()
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                k = (ids[ai], ids[bi])
+                common[k] = common.get(k, 0) + 1
+    rows = []
+    for (a, b), c in common.items():
+        jac = np.floor(
+            float(c) / (len(sh[a]) + len(sh[b]) - c) * 10000) / 10000
+        if jac >= 0.5:
+            rows.append((a, b, jac))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+
+def r_text_chunks(sf_dir, size=32, stride=28):
+    d = _read(sf_dir, "documents")
+    rows = []
+    for i, t in zip(d["doc_id"], d["text"]):
+        toks = re.sub(_WS + "+", " ", t.lower()).strip().split(" ")
+        n, k = len(toks), 0
+        while k * stride <= max(n - 1, 0):
+            s = k * stride
+            e = min(s + size, n)
+            rows.append((int(i), k, " ".join(toks[s:e]), e - s))
+            k += 1
+    return pd.DataFrame(rows, columns=[
+        "doc", "chunk_idx", "chunk_text", "n_tokens"]).astype(
+        {"chunk_idx": np.int32, "n_tokens": np.int32})
+
+
 REPLAYS = {
     "groupby_sum": r_groupby_sum,
+    "flagship_join_groupby_count": r_flagship_join_groupby_count,
+    "join_inner": r_join_inner,
+    "concat": r_concat,
+    "tpch_q1": r_tpch_q1,
+    "histogram_value": r_histogram_value,
+    "events_sessionize": r_events_sessionize,
+    "dedup_ngram_jaccard": r_dedup_ngram_jaccard,
+    "text_chunks": r_text_chunks,
     "scalar_reduction": r_scalar_reduction,
     "filter_expr": r_filter_expr,
     "sort_topk": r_sort_topk,
