@@ -1,0 +1,44 @@
+"""Smoke coverage for the pandas/numpy third-engine witness
+(tools/pandas_witness.py).
+
+The witness artifact is produced by a manual run; without a test, a
+registry-query change could silently break a replay and the drift
+would only surface at the next manual run. Pin a cheap subset at
+sf0.001 through the SAME canonical-compare path the tool uses, so
+`pytest` catches a diverging replay in the round loop. The full
+18-query run (including pagerank/k-center/jaccard) stays in the
+committed PANDAS_WITNESS_r*.json artifacts — these four cover each
+dtype family the canonicalizer handles (float agg, int projection,
+string chunk, timestamp-derived session counts).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tools"))
+
+import pytest
+
+
+@pytest.mark.parametrize("name", [
+    "groupby_sum", "concat", "text_chunks", "events_sessionize"])
+def test_witness_replay_matches_spark(spark, sf_dir, name):
+    import pandas_witness as pw
+    import __spark_entry__ as entry_mod
+
+    got = pw._canon(entry_mod.queries()[name](spark, sf_dir).toPandas())
+    want = pw._canon(pw.REPLAYS[name](sf_dir))
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    assert got.equals(want), f"{name}: witness replay diverged"
+
+
+def test_every_replay_is_a_registry_query():
+    import pandas_witness as pw
+    import __spark_entry__ as entry_mod
+
+    qs = set(entry_mod.queries())
+    missing = [n for n in pw.REPLAYS if n not in qs]
+    assert not missing, missing
