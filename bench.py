@@ -512,6 +512,17 @@ def _load_prior_timings(artifact_dir: str | None = None) -> dict:
             for k, v in (qd or {}).items():
                 if isinstance(v, (int, float)) and v > 0:
                     best[k] = min(best.get(k, v), v)
+                elif isinstance(v, dict) and v.get("expected"):
+                    # a flagged drift dict is not a timing, but its
+                    # ``expected`` IS the committed best that tripped
+                    # the flag — keep it as the prior, else a query
+                    # flagged once loses its relative bar entirely
+                    # (r13: three flagged entries would have fallen
+                    # back to the absolute 5 s bar next sweep, letting
+                    # a 4.9 s contended reading commit bare)
+                    e = v["expected"]
+                    if isinstance(e, (int, float)) and e > 0:
+                        best[k] = min(best.get(k, e), e)
     return best
 
 
