@@ -382,6 +382,30 @@ def r_dedup_ngram_jaccard(sf_dir):
     return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
 
 
+def r_streaming_running_totals(sf_dir):
+    """Replay of the STREAMING stateful running-totals query's final
+    state: the registered result is the max-n_events row per user,
+    which (state surviving every micro-batch boundary) must equal the
+    plain per-user totals over all events. value is quantized to
+    integer micro-units BEFORE streaming (exact decimal(18,6) cast),
+    so the Python-side accumulation the state store carries is exact
+    integer arithmetic — as is this replay's."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    ev = _read(sf_dir, "events")[["user_id", "value"]]
+    q6 = Decimal("0.000001")
+    micros = ev["value"].map(
+        lambda v: int(Decimal(repr(float(v))).quantize(
+            q6, ROUND_HALF_UP) * 1_000_000))
+    g = (pd.DataFrame({"user_id": ev["user_id"], "m": micros})
+         .groupby("user_id", as_index=False)
+         .agg(n_events=("m", "size"), total_micros=("m", "sum"),
+              max_micros=("m", "max")))
+    for c in ("n_events", "total_micros", "max_micros"):
+        g[c] = g[c].astype(np.int64)
+    return g
+
+
 def r_text_chunks(sf_dir, size=32, stride=28):
     d = _read(sf_dir, "documents")
     rows = []
@@ -408,6 +432,7 @@ REPLAYS = {
     "events_sessionize": r_events_sessionize,
     "dedup_ngram_jaccard": r_dedup_ngram_jaccard,
     "text_chunks": r_text_chunks,
+    "streaming_running_totals": r_streaming_running_totals,
     "scalar_reduction": r_scalar_reduction,
     "filter_expr": r_filter_expr,
     "sort_topk": r_sort_topk,
