@@ -667,6 +667,14 @@ SF5_QUERIES = {
     "graph_triangles": 14.9,
     "graph_pagerank": 13.3,
     "streaming_dedup": 10.0,
+    # k-means/coreset family third points (same protocol): kcenter's
+    # 0.82 exponent is the honest cost of k full-corpus assignment
+    # scans (train_cap bounds the selection side only — at 100 TB
+    # you also cap/sample the per-round scan, documented in
+    # SCALING.md); sampled-training k-means stays strongly
+    # sub-linear at 0.29.
+    "coreset_kcenter": 32.1,
+    "embedding_kmeans": 4.9,
 }
 
 #: sf5 entries that need the TPC-H slice of the fixture (everything
