@@ -153,11 +153,18 @@ def q_join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sdf
 
 
-def _dsum(col: str):
-    """Order-independent double sum: decimal-cast accumulation (exact,
-    so Spark's partition-order-dependent float summation can't flip
-    the hash vs the oracle), surfaced back as double."""
-    return F.sum(F.col(col).cast("decimal(18,6)")).cast("double")
+def _dsum(col):
+    """Order-independent double sum: exact fixed-point accumulation
+    (so Spark's partition-order-dependent float summation can't flip
+    the hash vs the oracle), surfaced back as double. r13: the
+    original ``sum(cast(x as decimal(18,6)))`` types its buffer
+    decimal(28,6) — past Spark's 18-digit long-backed limit, so every
+    row update allocated a BigDecimal; the sf5 curve exposed it
+    (TPC-H Q1 sf1->sf5 exponent 1.41). Now a split-long sum with the
+    SAME per-row decimal quantization — identical results, long
+    accumulators (functions/exact.py has the measurements)."""
+    from charmpandas_spark.functions.exact import exact_sum
+    return exact_sum(col)
 
 
 def q_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -244,14 +251,18 @@ def q_groupby_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension: pivot event values into per-type columns (explicit
     value list for a deterministic schema)."""
+    from charmpandas_spark.functions.exact import micro_parts, recombine
     ev = _t(spark, sf_dir, "events")
     types = ["click", "view", "purchase", "signup", "error"]
-    exact = ev.sdf.withColumn("v", F.col("value").cast("decimal(18,6)"))
-    p = (exact.groupBy("user_id").pivot("event_type", types)
-         .agg(F.sum("v")))
+    hi, lo = micro_parts("value")
+    base = ev.sdf.select("user_id", "event_type",
+                         hi.alias("__hi"), lo.alias("__lo"))
+    p = (base.groupBy("user_id").pivot("event_type", types)
+         .agg(F.sum("__hi").alias("hi"), F.sum("__lo").alias("lo")))
     return p.select(
         "user_id",
-        *[(F.floor(F.col(t).cast("double") * 10000) / 10000).alias(t)
+        *[(F.floor(recombine(F.col(f"{t}_hi"), F.col(f"{t}_lo"))
+                   * 10000) / 10000).alias(t)
           for t in types])
 
 
@@ -374,16 +385,15 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     flt = li[li["l_shipdate"] <= datetime.datetime(1999, 9, 2)]
     sdf = flt.sdf
-    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
-        .cast("decimal(18,6)")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
-              * (1 + F.col("l_tax"))).cast("decimal(18,6)")
+              * (1 + F.col("l_tax")))
     out = (sdf.groupBy("l_returnflag", "l_linestatus").agg(
         (F.floor(_dsum("l_quantity") * 100) / 100).alias("sum_qty"),
         (F.floor(_dsum("l_extendedprice") * 100) / 100).alias("sum_base_price"),
-        (F.floor(F.sum(disc_price).cast("double") * 100) / 100
+        (F.floor(_dsum(disc_price) * 100) / 100
          ).alias("sum_disc_price"),
-        (F.floor(F.sum(charge).cast("double") * 100) / 100).alias("sum_charge"),
+        (F.floor(_dsum(charge) * 100) / 100).alias("sum_charge"),
         (F.floor(_dsum("l_quantity") / F.count("l_quantity") * 100) / 100
          ).alias("avg_qty"),
         (F.floor(_dsum("l_discount") / F.count("l_discount") * 10000) / 10000
@@ -406,10 +416,9 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = li[li["l_shipdate"] > cut]
     j = c.merge(o, left_on="c_custkey", right_on="o_custkey") \
          .merge(l, left_on="o_orderkey", right_on="l_orderkey")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
-        .cast("decimal(18,6)")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     out = (j.sdf.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-           .agg((F.floor(F.sum(rev).cast("double") * 100) / 100)
+           .agg((F.floor(_dsum(rev) * 100) / 100)
                 .alias("revenue"))
            .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
            .limit(10))
@@ -432,10 +441,9 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
           .merge(cust, left_on="n_nationkey", right_on="c_nationkey")
           .merge(o, left_on="c_custkey", right_on="o_custkey")
           .merge(li, left_on="o_orderkey", right_on="l_orderkey"))
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
-        .cast("decimal(18,6)")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (j.sdf.groupBy("n_name")
-            .agg((F.floor(F.sum(rev).cast("double") * 100) / 100)
+            .agg((F.floor(_dsum(rev) * 100) / 100)
                  .alias("revenue")))
 
 
@@ -448,10 +456,9 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
              & (li["l_shipdate"] < datetime.datetime(1997, 1, 1))
              & (li["l_discount"] >= 0.02) & (li["l_discount"] <= 0.06)
              & (li["l_quantity"] < 24.0)]
-    rev = (F.col("l_extendedprice") * F.col("l_discount")) \
-        .cast("decimal(18,6)")
+    rev = F.col("l_extendedprice") * F.col("l_discount")
     return flt.sdf.agg(
-        (F.floor(F.sum(rev).cast("double") * 100) / 100).alias("revenue"),
+        (F.floor(_dsum(rev) * 100) / 100).alias("revenue"),
         F.count(F.lit(1)).alias("n_rows"))
 
 
@@ -463,13 +470,12 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     flt = li[(li["l_shipdate"] >= datetime.datetime(1997, 1, 1))
              & (li["l_shipdate"] < datetime.datetime(1997, 4, 1))]
     j = flt.merge(part, left_on="l_partkey", right_on="p_partkey")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
-        .cast("decimal(18,6)")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").startswith("PROMO"), rev) \
-        .otherwise(F.lit(0).cast("decimal(18,6)"))
+        .otherwise(F.lit(0.0))
     return j.sdf.agg(
-        (F.floor(F.sum(promo).cast("double")
-                 / F.sum(rev).cast("double") * 1000000) / 1000000
+        (F.floor(_dsum(promo)
+                 / _dsum(rev) * 1000000) / 1000000
          ).alias("promo_ratio"),
         F.count(F.lit(1)).alias("n_rows"))
 
@@ -551,8 +557,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("n_name").alias("supp_nation"))
     n2 = n.select(F.col("n_nationkey").alias("c_nk"),
                   F.col("n_name").alias("cust_nation"))
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
-        .cast("decimal(18,6)")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     j = (li.join(o, li.l_orderkey == o.o_orderkey)
            .join(c, o.o_custkey == c.c_custkey)
            .join(s, li.l_suppkey == s.s_suppkey)
@@ -564,7 +569,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
                       & (F.col("cust_nation") == "NATION_1"))))
     return (j.groupBy("supp_nation", "cust_nation",
                       F.year("l_shipdate").alias("l_year"))
-             .agg((F.floor(F.sum(rev).cast("double") * 100) / 100)
+             .agg((F.floor(_dsum(rev) * 100) / 100)
                   .alias("revenue")))
 
 
@@ -574,13 +579,12 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").sdf
     o = _t(spark, sf_dir, "orders").sdf
     c = _t(spark, sf_dir, "customer").sdf
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
-        .cast("decimal(18,6)")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     j = (li.filter(F.col("l_returnflag") == "R")
            .join(o, li.l_orderkey == o.o_orderkey)
            .join(c, o.o_custkey == c.c_custkey))
     agg = j.groupBy("c_custkey", "c_name", "c_mktsegment") \
-           .agg((F.floor(F.sum(rev).cast("double") * 100) / 100)
+           .agg((F.floor(_dsum(rev) * 100) / 100)
                 .alias("revenue"))
     return agg.orderBy(F.col("revenue").desc(),
                        F.col("c_custkey").asc()).limit(20)
@@ -592,14 +596,13 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     Q22's scalar subquery; ties all surface, deterministically)."""
     li = _t(spark, sf_dir, "lineitem").sdf
     s = _t(spark, sf_dir, "supplier").sdf
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
-        .cast("decimal(18,6)")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     revenue = (li.filter((F.col("l_shipdate")
                           >= F.lit("1996-01-01").cast("timestamp"))
                          & (F.col("l_shipdate")
                             < F.lit("1996-04-01").cast("timestamp")))
                  .groupBy(F.col("l_suppkey").alias("supplier_no"))
-                 .agg((F.floor(F.sum(rev).cast("double") * 100) / 100)
+                 .agg((F.floor(_dsum(rev) * 100) / 100)
                       .alias("total_revenue")))
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
     return (revenue.join(F.broadcast(mx),
@@ -656,10 +659,9 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3")
            & F.col("l_quantity").between(20, 30)
            & F.col("p_size").between(1, 15)))
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
-        .cast("decimal(18,6)")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return j.filter(band).agg(
-        (F.floor(F.sum(rev).cast("double") * 100) / 100).alias("revenue"),
+        (F.floor(_dsum(rev) * 100) / 100).alias("revenue"),
         F.count(F.lit(1)).alias("n_rows"))
 
 
@@ -771,10 +773,10 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("n_regionkey") == r.r_regionkey)
            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
            .join(F.broadcast(ns), s.s_nationkey == F.col("s_nk")))
-    num = F.sum(F.when(F.col("supp_nation") == "NATION_1", vol)
-                 .otherwise(F.lit(0.0)).cast("decimal(18,6)"))
-    den = F.sum(vol.cast("decimal(18,6)"))
-    share = num.cast("double") / den.cast("double")
+    num = _dsum(F.when(F.col("supp_nation") == "NATION_1", vol)
+                 .otherwise(F.lit(0.0)))
+    den = _dsum(vol)
+    share = num / den
     return (j.groupBy(F.year("o_orderdate").alias("o_year"))
              .agg((F.floor(share * 10000) / 10000).alias("mkt_share")))
 
@@ -798,8 +800,7 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey))
     return (j.groupBy(F.col("n_name").alias("nation"),
                       F.year("l_shipdate").alias("o_year"))
-             .agg((F.floor(F.sum(amount.cast("decimal(18,6)"))
-                            .cast("double") * 100) / 100)
+             .agg((F.floor(_dsum(amount) * 100) / 100)
                   .alias("profit")))
 
 
@@ -816,14 +817,13 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
                       s.s_nationkey == n.n_nationkey)
                 .select("l_partkey",
                         (F.col("l_extendedprice") * F.col("l_quantity"))
-                        .cast("decimal(18,6)").alias("v")))
-    agg = scoped.groupBy("l_partkey").agg(F.sum("v").alias("value_d"))
-    tot = scoped.agg(F.sum("v").alias("t"))
+                        .alias("v")))
+    agg = scoped.groupBy("l_partkey").agg(_dsum("v").alias("value_d"))
+    tot = scoped.agg(_dsum("v").alias("t"))
     return (agg.join(F.broadcast(tot))
-               .filter(F.col("value_d").cast("double")
-                       > 0.002 * F.col("t").cast("double"))
+               .filter(F.col("value_d") > 0.002 * F.col("t"))
                .select("l_partkey",
-                       (F.floor(F.col("value_d").cast("double") * 100)
+                       (F.floor(F.col("value_d") * 100)
                         / 100).alias("value")))
 
 
@@ -837,24 +837,23 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").sdf
     p = _t(spark, sf_dir, "part").sdf
     s = _t(spark, sf_dir, "supplier").sdf
-    qty = F.col("l_quantity").cast("decimal(18,6)")
+    qty = F.col("l_quantity")
     shipped = (li.filter((F.col("l_shipdate") >= "1998-01-01")
                          & (F.col("l_shipdate") < "1999-01-01"))
                  .join(F.broadcast(p.filter(F.col("p_name")
                                             .like("small%"))),
                        li.l_partkey == p.p_partkey)
                  .groupBy("l_suppkey", "l_partkey")
-                 .agg(F.sum(qty).alias("q98")))
+                 .agg(_dsum(qty).alias("q98")))
     alltime = li.groupBy(F.col("l_partkey").alias("pk")) \
-                .agg(F.sum(qty).alias("qall"))
+                .agg(_dsum(qty).alias("qall"))
     # the 1998+name-filtered aggregate is orders of magnitude smaller
     # than the all-time per-part aggregate: broadcast it, and broadcast
     # the surviving supplier keys into the semi-join — at scale neither
     # side of those joins should shuffle the big aggregate twice
     cand = (alltime.join(F.broadcast(shipped),
                          shipped.l_partkey == F.col("pk"))
-                   .filter(F.col("q98").cast("double")
-                           > 0.1 * F.col("qall").cast("double"))
+                   .filter(F.col("q98") > 0.1 * F.col("qall"))
                    .select("l_suppkey"))
     return (s.join(F.broadcast(cand), s.s_suppkey == cand.l_suppkey,
                    "left_semi")
@@ -897,10 +896,11 @@ def q_window_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     w = (Window.partitionBy("o_custkey")
          .orderBy("o_orderdate", "o_orderkey").rowsBetween(-2, 0))
-    roll = F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w)
+    from charmpandas_spark.functions.exact import exact_sum_over
+    roll = exact_sum_over("o_totalprice", w)
     return (orders.sdf.select(
         "o_custkey", "o_orderkey",
-        (F.floor(roll.cast("double") * 100) / 100).alias("rolling_spend")))
+        (F.floor(roll * 100) / 100).alias("rolling_spend")))
 
 
 def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -915,16 +915,18 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism is event_types x time-chunks. Frame multisets are
     identical, so the decimal sum (and the oracle row hash) is
     unchanged."""
+    from charmpandas_spark.functions.exact import micro_parts, recombine
     from charmpandas_spark.streaming.windows import chunked_range_agg
     ev = _t(spark, sf_dir, "events")
+    hi, lo = micro_parts("value")
     out = chunked_range_agg(
         ev.sdf, ["event_type"], "ts",
-        {"__cps_roll": F.sum(F.col("value").cast("decimal(18,6)"))},
+        {"__cps_hi": F.sum(hi), "__cps_lo": F.sum(lo)},
         window=3_600_000_000)
+    roll = recombine(F.col("__cps_hi"), F.col("__cps_lo"))
     return out.select(
         "event_id", "event_type",
-        (F.floor(F.col("__cps_roll").cast("double") * 10000) / 10000)
-        .alias("roll_1h"))
+        (F.floor(roll * 10000) / 10000).alias("roll_1h"))
 
 
 def q_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1650,11 +1652,11 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregation per event_type."""
     from charmpandas_spark.streaming.windows import tumbling_window_agg
     ev = _t(spark, sf_dir, "events")
-    exact = ev.sdf.withColumn("value", F.col("value").cast("decimal(18,6)"))
-    out = tumbling_window_agg(exact, "ts", ["event_type"], "1 hour")
+    out = tumbling_window_agg(ev.sdf, "ts", ["event_type"], "1 hour",
+                              exact=True)
     return out.select(
         "window_start", "event_type", "n_events",
-        (F.floor(F.col("sum_value").cast("double") * 10000) / 10000
+        (F.floor(F.col("sum_value") * 10000) / 10000
          ).alias("sum_value"))
 
 
@@ -1662,12 +1664,11 @@ def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 1-hour window, 15-minute hop."""
     from charmpandas_spark.streaming.windows import sliding_window_agg
     ev = _t(spark, sf_dir, "events")
-    exact = ev.sdf.withColumn("value", F.col("value").cast("decimal(18,6)"))
-    out = sliding_window_agg(exact, "ts", ["event_type"], "1 hour",
-                             "15 minutes")
+    out = sliding_window_agg(ev.sdf, "ts", ["event_type"], "1 hour",
+                             "15 minutes", exact=True)
     return out.select(
         "window_start", "event_type", "n_events",
-        (F.floor(F.col("sum_value").cast("double") * 10000) / 10000
+        (F.floor(F.col("sum_value") * 10000) / 10000
          ).alias("sum_value"))
 
 

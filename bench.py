@@ -339,7 +339,10 @@ SF1_QUERIES = {
     # 10x-population events fixture; the old 1.0 s predates it
     "flagship_join_groupby_count": 1.8,
     "tpch_q1": 1.1,
-    "tpch_q18": 3.0,
+    # r13 re-base: the exact-sum refactor (functions/exact.py — the
+    # decimal(28,6) agg buffer became two long accumulators) put the
+    # solo floor at 1.37 s; the old 3.0 predates it
+    "tpch_q18": 1.4,
     "dedup_ngram_jaccard": 4.5,
     # r8 contract change: dedup_minhash_fast became the recall-witness
     # join (xxhash64 LSH on WORD 3-grams + the exact truth set) when
@@ -675,11 +678,22 @@ SF5_QUERIES = {
     # sub-linear at 0.29.
     "coreset_kcenter": 32.1,
     "embedding_kmeans": 4.9,
+    # relational-core third points (r13): the FIRST sf5 probe of
+    # tpch_q1 read 13.8 s solo-warm — sf1->sf5 exponent 1.41,
+    # SUPER-linear — which root-caused to the exact-decimal agg
+    # buffer (decimal(28,6) exceeds Spark's 18-digit long-backed
+    # Decimal, so every row update allocated a BigDecimal; the cliff
+    # is invisible at sf0.1/sf1 where session overhead dominates).
+    # functions/exact.py replaced the buffer with two long
+    # accumulators, same per-row quantization: q1 2.89 s (e 0.62),
+    # q18 3.42 s (e 0.57) — measured min-of-3 solo warm.
+    "tpch_q1": 2.9,
+    "tpch_q18": 3.4,
 }
 
 #: sf5 entries that need the TPC-H slice of the fixture (everything
 #: else is document/embedding-side).
-SF5_TPCH_QUERIES = {"graph_pagerank"}
+SF5_TPCH_QUERIES = {"graph_pagerank", "tpch_q1", "tpch_q18"}
 
 
 def run_sf5_probe(spark, budget_sec: float = 900.0):

@@ -45,9 +45,9 @@ def resample_events(
                      *([F.col(value_col)] if value_col else []))
     aggs = [F.count(F.lit(1)).alias("n_events")]
     if value_col:
+        from ..functions.exact import exact_sum
         aggs.append(
-            (F.floor(F.sum(F.col(value_col).cast("decimal(18,6)"))
-                      .cast("double") * 100) / 100).alias("total"))
+            (F.floor(exact_sum(value_col) * 100) / 100).alias("total"))
     agg = base.groupBy(*group_cols, "bucket").agg(*aggs)
 
     bounds = base.agg(F.min("bucket").alias("__lo"),

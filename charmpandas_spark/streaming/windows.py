@@ -108,6 +108,17 @@ def chunked_range_agg(
                .drop("__cps_t", "__cps_chunk", "__cps_own"))
 
 
+def _sum_value(value_col: str, exact: bool):
+    """``sum_value`` aggregate: plain double sum, or the long-backed
+    exact fixed-point split (one output column built from two sum
+    aggregates — legal in both batch and streaming ``agg()``)."""
+    if not exact:
+        return F.sum(value_col).alias("sum_value")
+    from ..functions.exact import micro_parts, recombine
+    hi, lo = micro_parts(value_col)
+    return recombine(F.sum(hi), F.sum(lo)).alias("sum_value")
+
+
 def tumbling_window_agg(
     df: SparkDF,
     ts_col: str = "ts",
@@ -115,16 +126,20 @@ def tumbling_window_agg(
     window: str = "1 hour",
     value_col: str = "value",
     watermark: str | None = None,
+    exact: bool = False,
 ) -> SparkDF:
     """Tumbling-window count + sum. Works unchanged on batch and
     streaming inputs; pass ``watermark`` for streaming late-data
-    bounds."""
+    bounds. ``exact=True`` sums via the long-backed fixed-point split
+    (functions/exact.py) — order-independent exact doubles without
+    the decimal(28,6) BigDecimal buffer; the split is two plain sum
+    aggregates, so the streaming state-store path is unchanged."""
     if watermark:
         df = ensure_event_time(df, ts_col).withWatermark(ts_col, watermark)
     keys = keys or []
     return (df.groupBy(F.window(ts_col, window), *keys)
               .agg(F.count(F.lit(1)).alias("n_events"),
-                   F.sum(value_col).alias("sum_value"))
+                   _sum_value(value_col, exact))
               .select(F.col("window.start").alias("window_start"),
                       *keys, "n_events", "sum_value"))
 
@@ -137,14 +152,16 @@ def sliding_window_agg(
     slide: str = "15 minutes",
     value_col: str = "value",
     watermark: str | None = None,
+    exact: bool = False,
 ) -> SparkDF:
-    """Sliding (hopping) window aggregation."""
+    """Sliding (hopping) window aggregation. ``exact`` as in
+    :func:`tumbling_window_agg`."""
     if watermark:
         df = ensure_event_time(df, ts_col).withWatermark(ts_col, watermark)
     keys = keys or []
     return (df.groupBy(F.window(ts_col, window, slide), *keys)
               .agg(F.count(F.lit(1)).alias("n_events"),
-                   F.sum(value_col).alias("sum_value"))
+                   _sum_value(value_col, exact))
               .select(F.col("window.start").alias("window_start"),
                       *keys, "n_events", "sum_value"))
 
