@@ -670,13 +670,14 @@ SF5_QUERIES = {
     "graph_triangles": 14.9,
     "graph_pagerank": 13.3,
     "streaming_dedup": 10.0,
-    # k-means/coreset family third points (same protocol): kcenter's
-    # 0.82 exponent is the honest cost of k full-corpus assignment
-    # scans (train_cap bounds the selection side only — at 100 TB
-    # you also cap/sample the per-round scan, documented in
-    # SCALING.md); sampled-training k-means stays strongly
-    # sub-linear at 0.29.
-    "coreset_kcenter": 32.1,
+    # k-means/coreset family third points (same protocol). kcenter
+    # r13 re-base 32.1 -> 7.8: the first sf5 reading was itself
+    # contended (sweep 7.56 + solo 7.75/8.9/11.9 confirm the floor);
+    # the honest curve is FLAT through sf5 — cost is k driver
+    # round-trips x job latency, the per-round data term is not yet
+    # visible at this scale (at 100 TB it dominates and the
+    # documented cap/sample applies). k-means sampled training 0.29.
+    "coreset_kcenter": 7.8,
     "embedding_kmeans": 4.9,
     # relational-core third points (r13): the FIRST sf5 probe of
     # tpch_q1 read 13.8 s solo-warm — sf1->sf5 exponent 1.41,
@@ -689,6 +690,15 @@ SF5_QUERIES = {
     # q18 3.42 s (e 0.57) — measured min-of-3 solo warm.
     "tpch_q1": 2.9,
     "tpch_q18": 3.4,
+    # text / quality / sketch family third points (r13, documents
+    # fixture only — no TPC-H slice needed): solo min-of-3 floors.
+    # line-dedup e(sf1->sf5) 0.46 (normalize+explode+groupBy rides
+    # partial agg), gopher 0.20 over the 50x sf0.1->sf5 leg
+    # (scan-local HOFs, overhead-dominated), CMS 0.42 (mergeable
+    # sketch monoid — shuffle volume is sketch-width, not rows).
+    "text_line_dedup": 4.7,
+    "quality_gopher": 1.6,
+    "heavy_hitters_cms": 5.8,
 }
 
 #: sf5 entries that need the TPC-H slice of the fixture (everything
