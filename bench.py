@@ -699,11 +699,60 @@ SF5_QUERIES = {
     "text_line_dedup": 4.7,
     "quality_gopher": 1.6,
     "heavy_hitters_cms": 5.8,
+    # product-analytics third points (r13, events slice — 50 copies
+    # shifting event_id+user_id, population densification): all
+    # strongly sub-linear over the 50x sf0.1->sf5 leg (sessionize
+    # e 0.09, as-of 0.23, funnel 0.21) — per-user windows scale by
+    # population, so the one-exchange bucketed plans ride partial
+    # agg and the fixed time range keeps per-key series flat.
+    "events_sessionize": 1.2,
+    "events_asof_join": 1.3,
+    "events_funnel": 1.6,
 }
 
 #: sf5 entries that need the TPC-H slice of the fixture (everything
 #: else is document/embedding-side).
 SF5_TPCH_QUERIES = {"graph_pagerank", "tpch_q1", "tpch_q18"}
+
+#: sf5 probes that need the events slice (lazily built, own sentinel)
+SF5_EVENTS_QUERIES = {"events_sessionize", "events_asof_join",
+                      "events_funnel"}
+
+
+def _ensure_sf5_events(src_dir: str) -> bool:
+    """Materialize the sf5 ``events`` slice (50 copies shifting BOTH
+    event_id and user_id — population densification, the real
+    product-analytics workload axis, same rationale as the sf1
+    events recipe) behind its OWN sentinel so doc-only and TPC-H-only
+    sf5 runs never pay for it and an interrupted build can't poison
+    the other slices. ~40 MB; timestamps are untouched, so the time
+    range stays fixed while per-window populations grow 50x."""
+    sentinel = os.path.join(SF5_DIR, "_SUCCESS_EVENTS")
+    dest = os.path.join(SF5_DIR, "events.parquet")
+    if os.path.isfile(sentinel) and os.path.isdir(dest):
+        return True
+    import shutil
+
+    import duckdb
+
+    shutil.rmtree(dest, ignore_errors=True)  # partial => rebuild
+    os.makedirs(dest, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{os.path.join(src_dir, 'events.parquet')}'")
+    eid = con.execute("SELECT max(event_id) + 1 FROM events").fetchone()[0]
+    uid = con.execute("SELECT max(user_id) + 1 FROM events").fetchone()[0]
+    sql = (f"SELECT s.* REPLACE (s.event_id + t.i * {eid} AS event_id, "
+           f"s.user_id + t.i * {uid} AS user_id) FROM events s "
+           f"CROSS JOIN range({{lo}}, {{hi}}) t(i)")
+    for j in range(50):
+        con.execute(
+            f"COPY ({sql.format(lo=j, hi=j + 1)}) TO "
+            f"'{os.path.join(dest, f'part-{j:02d}.parquet')}' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE 250000)")
+    with open(sentinel, "w") as fh:
+        fh.write("ok\n")
+    return True
 
 
 def run_sf5_probe(spark, budget_sec: float = 900.0):
@@ -749,6 +798,12 @@ def run_sf5_probe(spark, budget_sec: float = 900.0):
                 _ensure_sf5_tpch(SF_DIR)
             except Exception as exc:
                 out[name] = {"err": f"sf5 tpch fixture: {exc}"[:200]}
+                continue
+        if name in SF5_EVENTS_QUERIES:
+            try:
+                _ensure_sf5_events(SF_DIR)
+            except Exception as exc:
+                out[name] = {"err": f"sf5 events fixture: {exc}"[:200]}
                 continue
         spark = _fresh_session(spark)
         _mini_warm(spark)

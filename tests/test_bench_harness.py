@@ -97,6 +97,38 @@ def test_sf5_fixture_cache_requires_success_sentinel(tmp_path,
     assert not called
 
 
+def test_sf5_events_fixture_cache_requires_success_sentinel(
+        tmp_path, monkeypatch):
+    """Same ADVICE-r12 contract for the r13 events slice: a dest dir
+    without the _SUCCESS_EVENTS sentinel must rebuild, and sentinel +
+    dir must short-circuit without touching duckdb."""
+    import bench
+
+    fake = tmp_path / "bench_sf5"
+    (fake / "events.parquet").mkdir(parents=True)  # partial: no parts
+    monkeypatch.setattr(bench, "SF5_DIR", str(fake))
+    import duckdb
+
+    called = {}
+
+    def _boom():
+        called["rebuild"] = True
+        raise RuntimeError("rebuild path reached")
+
+    monkeypatch.setattr(duckdb, "connect", _boom)
+    try:
+        bench._ensure_sf5_events("/root/testdata/sf0.1")
+    except RuntimeError:
+        pass
+    assert called.get("rebuild"), \
+        "partial events fixture (no _SUCCESS_EVENTS) accepted as cached"
+    (fake / "events.parquet").mkdir(exist_ok=True)
+    (fake / "_SUCCESS_EVENTS").write_text("ok\n")
+    called.clear()
+    assert bench._ensure_sf5_events("/root/testdata/sf0.1") is True
+    assert not called
+
+
 def test_main_sweep_flags_not_commits_drift():
     """VERDICT r12 #1b: the main-sweep recording logic must turn a
     post-retry reading still above the relative bar into a flagged
