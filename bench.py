@@ -607,7 +607,7 @@ def _ensure_sf5_tpch(src_dir: str) -> bool:
     multiplicity on a fixed node set — the iterative-join cost axis —
     exactly as the sf1 comment documents for the 10x case."""
     sentinel = os.path.join(SF5_DIR, "_SUCCESS_TPCH")
-    tables = ("lineitem", "orders", "customer")
+    tables = ("lineitem", "orders", "customer", "part")
     paths = [os.path.join(SF5_DIR, f"{t}.parquet") for t in tables]
     if os.path.isfile(sentinel) and all(os.path.isdir(p) for p in paths):
         return True
@@ -623,6 +623,7 @@ def _ensure_sf5_tpch(src_dir: str) -> bool:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"'{os.path.join(src_dir, t + '.parquet')}'")
     ok = con.execute("SELECT max(l_orderkey) + 1 FROM lineitem").fetchone()[0]
+    pk = con.execute("SELECT max(p_partkey) + 1 FROM part").fetchone()[0]
     copies = {
         "lineitem": f"SELECT s.* REPLACE (s.l_orderkey + t.i * {ok} "
                     f"AS l_orderkey) FROM lineitem s CROSS JOIN "
@@ -631,6 +632,18 @@ def _ensure_sf5_tpch(src_dir: str) -> bool:
                   f"AS o_orderkey) FROM orders s CROSS JOIN "
                   f"range({{lo}}, {{hi}}) t(i)",
         "customer": "SELECT * FROM customer",
+        # ER densification: suffix the TRAILING noun (the blocking
+        # key) per copy — 50x more distinct entities in 50x more
+        # blocks of UNCHANGED size, so blocked-pair work scales with
+        # population. A bare partkey shift would collapse under the
+        # query's distinct() (identical names); an unsuffixed 50x
+        # name multiplication would blow each block up 50x and the
+        # pair count 2500x — a fixture artifact, not workload
+        # scaling (same lesson as dedup_semantic's cyclic shift).
+        "part": f"SELECT s.* REPLACE (s.p_partkey + t.i * {pk} AS "
+                f"p_partkey, regexp_replace(s.p_name, '(\\S+)$', "
+                f"'\\1' || t.i) AS p_name) FROM part s CROSS JOIN "
+                f"range({{lo}}, {{hi}}) t(i)",
     }
     for t, sql in copies.items():
         dest = os.path.join(SF5_DIR, t + ".parquet")
@@ -655,8 +668,14 @@ def _ensure_sf5_tpch(src_dir: str) -> bool:
 #: (SCALING.md has the full curves); the same >2x drift tripwire
 #: applies so a contended reading gets flagged, never committed bare.
 SF5_QUERIES = {
-    "dedup_minhash": 9.6,
-    "dedup_ngram_jaccard": 24.0,
+    # r13 band re-bases (bands are committed warm solo minima — the
+    # drift tripwire is 2x the band, so a stale-HIGH band weakens
+    # it; each re-base below is this round's sweep/solo minimum):
+    # minhash 9.6->8.9 (solo), ngram 24->13.8 (sweep), bm25
+    # 25.6->20.2 (sweep), ivfpq 18.2->10.5 (sweep), pagerank
+    # 13.3->12.4 (sweep).
+    "dedup_minhash": 8.9,
+    "dedup_ngram_jaccard": 13.8,
     "dedup_spans": 16.4,
     "dedup_clusters": 18.1,
     # r13 (VERDICT r12 #3) — measured warm min-of-2 solo (idle host,
@@ -665,10 +684,10 @@ SF5_QUERIES = {
     # triangles 0.93, pagerank 0.42; streaming_dedup 0.19 over the
     # 50x sf0.1->sf5 leg (drain floor amortizes). SCALING.md r13
     # refresh has the full 3-point curves.
-    "sim_bm25": 25.6,
-    "sim_ivfpq_topk": 18.2,
+    "sim_bm25": 20.2,
+    "sim_ivfpq_topk": 10.5,
     "graph_triangles": 14.9,
-    "graph_pagerank": 13.3,
+    "graph_pagerank": 12.4,
     "streaming_dedup": 10.0,
     # k-means/coreset family third points (same protocol). kcenter
     # r13 re-base 32.1 -> 7.8: the first sf5 reading was itself
@@ -708,11 +727,24 @@ SF5_QUERIES = {
     "events_sessionize": 1.2,
     "events_asof_join": 1.3,
     "events_funnel": 1.6,
+    # sampling / ER / warehouse / multimodal third points (r13) —
+    # with these, EVERY SCALING.md family has an observed 3-point
+    # curve. dsir 0.35 over 50x (hash-feature scan + one broadcast
+    # of the 10k-bucket target histogram); er FLAT with the pair
+    # count scaling exactly 50x (trailing-noun suffix densification
+    # — 50x blocks of unchanged size, see _ensure_sf5_tpch); merge
+    # 0.46 (rank-by-seq dedup rides partial agg); decode 0.19
+    # (Arrow batch + worker-pool overhead amortizes).
+    "dsir_weights": 23.0,
+    "er_jaro_winkler": 1.0,
+    "merge_upsert": 5.3,
+    "multimodal_decode": 1.4,
 }
 
 #: sf5 entries that need the TPC-H slice of the fixture (everything
 #: else is document/embedding-side).
-SF5_TPCH_QUERIES = {"graph_pagerank", "tpch_q1", "tpch_q18"}
+SF5_TPCH_QUERIES = {"graph_pagerank", "tpch_q1", "tpch_q18",
+                    "er_jaro_winkler", "merge_upsert"}
 
 #: sf5 probes that need the events slice (lazily built, own sentinel)
 SF5_EVENTS_QUERIES = {"events_sessionize", "events_asof_join",
@@ -755,7 +787,11 @@ def _ensure_sf5_events(src_dir: str) -> bool:
     return True
 
 
-def run_sf5_probe(spark, budget_sec: float = 900.0):
+def run_sf5_probe(spark, budget_sec: float = 1300.0):
+    # budget raised 900 -> 1300 in r13: the block grew from 9 to 22
+    # entries (~216 s of bands x min-of-2 + ~22 fresh sessions);
+    # 900 s would silently skip the tail families on a noisy run —
+    # exactly the entries added to complete the per-family coverage.
     """Fresh session + warm + unconditional min-of-2 per sf5 query
     (the same solo protocol as the heavy sf1 probes: first touches of
     the 55 MB fixture are page-cache-cold, and the r12 dry runs
