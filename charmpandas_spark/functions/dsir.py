@@ -23,11 +23,29 @@ total n-grams per side ((n_f + 1) * 1e6 must fit). Past that, grow
 bucket table is still <= ``num_buckets`` rows and BROADCASTS.
 
 Plan shape (100 TB): two explode+groupBy passes build the bucket
-table (partial-aggregated, collapses to <= B rows map-side); the
-per-document pass joins doc-level bucket counts against the
-BROADCAST bucket table and aggregates by doc — one shuffle keyed by
-doc. The resampling filter is a pure per-row expression over the
-weight and a stable id hash: no driver state, no RNG.
+table (partial-aggregated, collapses to <= B rows map-side; the side
+totals Nt/Nr are re-aggregated from those <= B-row counts rather
+than re-counting the corpus streams); the per-document pass joins
+doc-level bucket counts against the BROADCAST bucket table and
+aggregates by doc — one shuffle keyed by doc. The resampling filter
+is a pure per-row expression over the weight and a stable id hash:
+no driver state, no RNG.
+
+Measured and REJECTED (r13, solo fresh-session min-of-3 at sf0.1,
+committed plan = dsir_weights 4.88 s / dsir_select 5.84 s):
+(a) skip the groupBy(doc, f) pre-aggregation and join the raw
+occurrence stream against the broadcast bucket table — removes the
+corpus-pair exchange entirely, but read 7.46 / 8.77 s (1.5x slower):
+in one JVM that exchange is nearly free while the un-collapsed
+broadcast-probe + doc-agg CPU is not. (b) compute (doc, f, c)
+scan-locally with higher-order functions (hash each n-gram to its
+bucket, array_sort, run-length encode) — zero feature exchanges,
+but read 8.19 / 9.57 s: HOF lambdas evaluate OUTSIDE whole-stage
+codegen, so the interpreted per-element work costs more than the
+codegen'd explode + hash-agg it replaces (and inlined multi-
+referenced lambda captures re-evaluate per element — the naive form
+was a >100x O(L^2) blowup until materialized as columns). Both
+variants are bit-identical in int64; both lose on time.
 """
 
 from __future__ import annotations
@@ -85,11 +103,15 @@ def dsir_weights(raw: SparkDF, target: SparkDF, text_col: str,
     rdoc = rf.groupBy("doc", "f").agg(F.count(F.lit(1))
                                        .alias("__ds_c"))
     rcnt = rdoc.groupBy("f").agg(F.sum("__ds_c").alias("__ds_nr"))
-    # totals from the raw feature streams (not from tcnt/rcnt: the
-    # re-join of a derived aggregate would be a self-join lineage
-    # Spark can't disambiguate); same values, independent lineage
-    nt_tot = tf.agg(F.count(F.lit(1)).alias("__ds_ttot"))
-    nr_tot = rf.agg(F.count(F.lit(1)).alias("__ds_rtot"))
+    # side totals re-aggregated from the <= B-row bucket counts: sum
+    # of per-bucket counts == count of the stream in int64, and it
+    # saves one full explode+hash pass over EACH side's corpus (r13;
+    # the crossJoin-of-derived-aggregate shape is the same one
+    # dsir_resample uses for mean_micro, so no self-join ambiguity)
+    nt_tot = tcnt.agg(F.coalesce(F.sum("__ds_nt"), F.lit(0))
+                       .alias("__ds_ttot"))
+    nr_tot = rcnt.agg(F.coalesce(F.sum("__ds_nr"), F.lit(0))
+                       .alias("__ds_rtot"))
     # bucket table: <= B rows, carries the ratio — then BROADCASTS
     bucket = (rcnt.join(tcnt, "f", "left")
                   .crossJoin(F.broadcast(nt_tot))

@@ -58,8 +58,13 @@ CONTRACTS = {
     "sim_ivfpq_topk": (2, 7, 2),
     "corpus_percentiles": (1, 0, 2),
     "dedup_incremental": (16, 0, 3),
-    "dsir_select": (15, 5, 3),
-    "dsir_weights": (7, 2, 3),
+    # r13: static counts UP 15->21 / 7->10 because the Nt/Nr side
+    # totals now re-aggregate the tcnt/rcnt subplans (duplicated in
+    # the static tree, REUSED at runtime via ReuseExchange) instead
+    # of re-counting the corpus streams — two fewer explode passes
+    # executed; solo min-of-3 dsir_select 5.84 -> 5.18 s at sf0.1
+    "dsir_select": (21, 5, 3),
+    "dsir_weights": (10, 2, 3),
     "histogram_equidepth": (2, 1, 1),
     "dedup_keep_best": (3, 0, 2),
     "leakage_safe_split": (9, 1, 1),
