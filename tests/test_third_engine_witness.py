@@ -6,10 +6,11 @@ registry-query change could silently break a replay and the drift
 would only surface at the next manual run. Pin a cheap subset at
 sf0.001 through the SAME canonical-compare path the tool uses, so
 `pytest` catches a diverging replay in the round loop. The full
-18-query run (including pagerank/k-center/jaccard) stays in the
-committed PANDAS_WITNESS_r*.json artifacts — these four cover each
+20-query run (including pagerank/k-center/jaccard) stays in the
+committed PANDAS_WITNESS_r*.json artifacts — these five cover each
 dtype family the canonicalizer handles (float agg, int projection,
-string chunk, timestamp-derived session counts).
+string chunk, timestamp-derived session counts, integer micro-unit
+division).
 """
 
 import os
@@ -23,7 +24,8 @@ import pytest
 
 
 @pytest.mark.parametrize("name", [
-    "groupby_sum", "concat", "text_chunks", "events_sessionize"])
+    "groupby_sum", "concat", "text_chunks", "events_sessionize",
+    "dsir_weights"])
 def test_witness_replay_matches_spark(spark, sf_dir, name):
     import pandas_witness as pw
     import __spark_entry__ as entry_mod

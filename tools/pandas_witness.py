@@ -422,6 +422,58 @@ def r_text_chunks(sf_dir, size=32, stride=28):
         {"chunk_idx": np.int32, "n_tokens": np.int32})
 
 
+def r_dsir_weights(sf_dir, n=2, B=512):
+    """Replay of q_dsir_weights (integer micro-ratio doctrine): word
+    bigrams WITH multiplicity over normalized text, md5-hashed to B
+    buckets, Laplace-smoothed integer micro-probabilities, and the
+    count-weighted integer-mean weight — all python-int exact, so any
+    disagreement is a doctrine break, not rounding. Guards the r13
+    ReuseExchange totals rewrite (dsir.py) with a third engine."""
+    d = _read(sf_dir, "documents")
+    norm = _normalize_text(d["text"])
+    is_tgt = d["source"].isin(["src0", "src1"])
+
+    def feats(text: str) -> list[int]:
+        words = text.split(" ")
+        # Spark _ngrams: i in 0..max(L-n, 0), slice truncates at end
+        grams = [" ".join(words[i:i + n])
+                 for i in range(max(len(words) - n, 0) + 1)]
+        return [_md5_hash64(g) % B for g in grams if g != ""]
+
+    tcnt: dict = {}
+    nt = 0
+    rdoc: dict = {}
+    rcnt: dict = {}
+    nr = 0
+    for doc, text, tgt in zip(d["doc_id"], norm, is_tgt):
+        fs = feats(text)
+        if tgt:
+            nt += len(fs)
+            for f in fs:
+                tcnt[f] = tcnt.get(f, 0) + 1
+        else:
+            nr += len(fs)
+            cnts: dict = {}
+            for f in fs:
+                cnts[f] = cnts.get(f, 0) + 1
+            if cnts:
+                rdoc[int(doc)] = cnts
+                for f, c in cnts.items():
+                    rcnt[f] = rcnt.get(f, 0) + c
+    ratio = {}
+    for f, nrf in rcnt.items():
+        pt = (tcnt.get(f, 0) + 1) * 1_000_000 // (nt + B) + 1
+        pr = (nrf + 1) * 1_000_000 // (nr + B) + 1
+        ratio[f] = pt * 1_000_000 // pr
+    rows = []
+    for doc, cnts in rdoc.items():
+        tot = sum(cnts.values())
+        num = sum(c * ratio[f] for f, c in cnts.items())
+        rows.append((doc, tot, num // tot))
+    return pd.DataFrame(rows,
+                        columns=["doc", "n_ngrams", "weight_micro"])
+
+
 REPLAYS = {
     "groupby_sum": r_groupby_sum,
     "flagship_join_groupby_count": r_flagship_join_groupby_count,
@@ -442,6 +494,7 @@ REPLAYS = {
     "embedding_quantize": r_embedding_quantize,
     "graph_pagerank": r_graph_pagerank,
     "coreset_kcenter": r_coreset_kcenter,
+    "dsir_weights": r_dsir_weights,
 }
 
 
