@@ -3401,6 +3401,35 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                              path, "text", "doc_id", num_buckets=16)
 
 
+def q_dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion index COMPACTION round-trip: the history
+    index is written in two appends (sources != src0/src1, then src1
+    — leaving multi-file buckets and two Bloom deltas), compacted
+    copy-on-write to one file per bucket + one OR-merged delta, and
+    the src0 batch probes the COMPACTED index. The oracle is
+    dedup_incremental's survivor SQL over the same two-source history
+    — a hash match proves compaction changed no probe result; the
+    file-count drop itself is pytest-witnessed (test_index_compact_*).
+    History is deliberately src1+src2 only: the operator under test
+    is the compaction round-trip, and a full-corpus index would just
+    re-pay dedup_incremental's build three times over in the sweep."""
+    from charmpandas_spark.functions.dedup import (
+        dedup_incremental, fingerprint_index_write, index_compact)
+    docs = _t(spark, sf_dir, "documents").sdf
+    path = _tmp_sink("fp_index_multi")
+    out = _tmp_sink("fp_index_compacted")
+    fingerprint_index_write(
+        docs.where(F.col("source") == "src2"),
+        "text", "doc_id", path, num_buckets=16)
+    fingerprint_index_write(
+        docs.where(F.col("source") == "src1"),
+        "text", "doc_id", path, num_buckets=16, mode="append")
+    index_compact(spark, path, out)
+    return dedup_incremental(spark,
+                             docs.where(F.col("source") == "src0"),
+                             out, "text", "doc_id", num_buckets=16)
+
+
 def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization ANN (Jegou et al. 2011): 8 subspaces x
     16-centroid codebooks trained with the bit-deterministic Lloyd
@@ -4580,6 +4609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_bloom": q_decontam_bloom,
         "dedup_images": q_dedup_images,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_index_compact": q_dedup_index_compact,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "dedup_keep_best": q_dedup_keep_best,
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
@@ -5172,6 +5202,22 @@ def oracle_sql() -> dict[str, str]:
             WITH idx AS (
                 SELECT DISTINCT {text_mod.fingerprint_sql('text')} AS fp
                 FROM documents WHERE source <> 'src0'),
+            b AS (
+                SELECT {text_mod.fingerprint_sql('text')} AS fp,
+                       min(doc_id) AS doc
+                FROM documents WHERE source = 'src0'
+                GROUP BY 1)
+            SELECT b.doc, b.fp
+            FROM b LEFT JOIN idx ON b.fp = idx.fp
+            WHERE idx.fp IS NULL
+        """,
+        # compaction must be invisible to the probe: the oracle is
+        # dedup_incremental's survivor SQL over the SAME two-source
+        # history the Spark side wrote-then-appended-then-compacted
+        "dedup_index_compact": f"""
+            WITH idx AS (
+                SELECT DISTINCT {text_mod.fingerprint_sql('text')} AS fp
+                FROM documents WHERE source IN ('src1', 'src2')),
             b AS (
                 SELECT {text_mod.fingerprint_sql('text')} AS fp,
                        min(doc_id) AS doc

@@ -1490,14 +1490,28 @@ def _index_meta_write(spark, path: str, meta: dict) -> None:
     """Persist the index's signing parameters as a one-row JSON
     sidecar at ``<path>/_cps_meta``. Underscore-prefixed children are
     hidden from Spark's parquet reader, so the sidecar rides INSIDE
-    the index directory (same FS, same lifecycle, any scheme Spark
-    can write — no driver-local file I/O)."""
+    the index directory (same FS, same lifecycle — the Hadoop
+    FileSystem API works on HDFS/S3A/local alike, so this is still
+    not driver-local file I/O). Written directly through the
+    FileSystem instead of a 1-row Spark ``.write.text()`` job: r13
+    profiling measured that job at a flat 4-5 s PER CALL (committer
+    overhead dwarfing the row) vs 0.03 s here — a fixed tax every
+    index write, append and compaction was paying, and the single
+    biggest addend in the dedup_incremental / minhash-index bench
+    entries. ``spark.read.text`` reads the result identically."""
     import json
 
-    (spark.createDataFrame([(json.dumps(meta, sort_keys=True),)],
-                           "meta string")
-          .coalesce(1).write.mode("overwrite")
-          .text(path.rstrip("/") + "/_cps_meta"))
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    dir_p = jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + "/_cps_meta")
+    fs = dir_p.getFileSystem(hconf)
+    fs.delete(dir_p, True)  # replace atomically-enough for a sidecar
+    out = fs.create(
+        jvm.org.apache.hadoop.fs.Path(dir_p, "part-00000"), True)
+    out.write(bytearray(
+        json.dumps(meta, sort_keys=True).encode() + b"\n"))
+    out.close()
 
 
 def _index_meta_read(spark, path: str) -> dict | None:
@@ -1660,6 +1674,76 @@ def dedup_incremental(spark, batch: SparkDF, path: str, text_col: str,
     result = out.select("doc", "fp")
     result._cps_persisted = persisted  # see release()
     return result
+
+
+def index_compact(spark, path: str, out_path: str,
+                  mode: str = "overwrite") -> dict:
+    """Compact a continuous-ingestion index (fingerprint OR banded
+    minhash — anything bucket-partitioned with optional ``_cps_bloom``
+    / ``_cps_meta`` children) COPY-ON-WRITE: rewrite the data so each
+    bucket directory holds ONE file, OR-merge the append-only Bloom
+    word-table deltas into a single delta, and carry the parameter
+    sidecar over unchanged.
+
+    Why it exists: every append (``fingerprint_index_write(mode=
+    'append')`` / ``dedup_incremental(append_survivors=True)`` /
+    ``minhash_index_write(mode='append')`` / ``minhash_dedup_
+    incremental(append_novel=True)``) adds one file per touched
+    bucket plus one Bloom delta, so after N batches a probe opens
+    O(N) files per bucket and OR-merges N deltas — at 100 TB of
+    history with hourly ingestion that is the dominant probe cost
+    within a quarter. Compaction restores both to 1 WITHOUT changing
+    any probe result: same rows, same ``bucket=`` directory layout
+    (so partition pruning is untouched), and the merged word table
+    is exactly the bitwise OR the probe would have computed from the
+    deltas (no false-negative risk — the geometry in the sidecar is
+    untouched).
+
+    Copy-on-write like :func:`~charmpandas_spark.sources.parquet.
+    compact_files`: Spark cannot atomically overwrite a directory it
+    is reading, and an interrupted in-place rewrite would corrupt
+    the accumulated history; the caller swaps paths after validating.
+
+    Returns ``{"rows", "buckets", "files_before", "files_after"}``
+    (file counts via the Hadoop FileSystem — works on HDFS/S3A/local
+    alike; no driver-side directory walking)."""
+    if out_path.rstrip("/") == path.rstrip("/"):
+        raise ValueError("index_compact is copy-on-write: out_path "
+                         "must differ from path")
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def file_count(p: str) -> int:
+        jp = jvm.org.apache.hadoop.fs.Path(p)
+        return int(jp.getFileSystem(hconf).getContentSummary(jp)
+                     .getFileCount())
+
+    files_before = file_count(path)
+    data = spark.read.parquet(path.rstrip("/"))
+    if "bucket" not in data.columns:
+        raise ValueError(f"{path!r} is not a bucket-partitioned "
+                         "index (no 'bucket' partition column)")
+    # one task per bucket value -> exactly one output file per bucket
+    (data.repartition("bucket")
+         .write.mode(mode).partitionBy("bucket")
+         .parquet(out_path.rstrip("/")))
+    try:
+        deltas = spark.read.parquet(path.rstrip("/") + "/_cps_bloom")
+    except Exception:
+        deltas = None  # index without a Bloom summary
+    if deltas is not None:
+        (deltas.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+               .repartition(1)
+               .write.mode(mode)
+               .parquet(out_path.rstrip("/") + "/_cps_bloom"))
+    meta = _index_meta_read(spark, path)
+    if meta is not None:
+        _index_meta_write(spark, out_path, meta)
+    counts = data.agg(F.count(F.lit(1)),
+                      F.countDistinct("bucket")).first()
+    return {"rows": int(counts[0]), "buckets": int(counts[1]),
+            "files_before": files_before,
+            "files_after": file_count(out_path)}
 
 
 def _banded_rows(df: SparkDF, text_col: str, id_col: str,

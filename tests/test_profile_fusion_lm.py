@@ -477,6 +477,101 @@ def test_dedup_incremental_append_survivors(spark, tmp_path):
     release(out2)
 
 
+def test_index_compact_fingerprint_roundtrip(spark, tmp_path):
+    """Compaction is invisible to the probe: identical survivors,
+    identical bucket pruning, strictly fewer files, ONE merged Bloom
+    delta, parameter sidecar carried over (a mismatched probe still
+    raises)."""
+    import os
+
+    from charmpandas_spark.functions.dedup import (
+        dedup_incremental, fingerprint_index_write, index_compact,
+        release)
+
+    hist = spark.createDataFrame(
+        [(1, "seen before"), (2, "also history")],
+        "doc_id bigint, t string")
+    path = str(tmp_path / "fpidx3")
+    fingerprint_index_write(hist, "t", "doc_id", path, num_buckets=8)
+    # two appends -> multi-file buckets + three Bloom deltas
+    fingerprint_index_write(
+        spark.createDataFrame([(3, "later history")],
+                              "doc_id bigint, t string"),
+        "t", "doc_id", path, num_buckets=8, mode="append")
+    b0 = spark.createDataFrame([(9, "appended survivor")],
+                               "doc_id bigint, t string")
+    release(dedup_incremental(spark, b0, path, "t", "doc_id",
+                              num_buckets=8, append_survivors=True))
+
+    out_path = str(tmp_path / "fpidx3_compact")
+    stats = index_compact(spark, path, out_path)
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["rows"] == 4 and stats["buckets"] >= 1
+    # exactly one merged Bloom delta parquet file
+    bloom_files = [f for f in os.listdir(out_path + "/_cps_bloom")
+                   if f.endswith(".parquet")]
+    assert len(bloom_files) == 1
+
+    batch = spark.createDataFrame(
+        [(10, "seen before"), (11, "brand new"),
+         (12, "appended survivor"), (13, "later history"),
+         (14, "another new one")],
+        "doc_id bigint, t string")
+    out_orig = dedup_incremental(spark, batch, path, "t", "doc_id",
+                                 num_buckets=8)
+    out_comp = dedup_incremental(spark, batch, out_path, "t",
+                                 "doc_id", num_buckets=8)
+    got_orig = sorted(r["doc"] for r in out_orig.collect())
+    got_comp = sorted(r["doc"] for r in out_comp.collect())
+    assert got_orig == got_comp == [11, 14]
+    plan = out_comp._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    release(out_orig)
+    release(out_comp)
+    # sidecar survived: probing with the wrong bucket count raises
+    with pytest.raises(ValueError, match="different parameters"):
+        dedup_incremental(spark, batch, out_path, "t", "doc_id",
+                          num_buckets=4)
+    # copy-on-write guard
+    with pytest.raises(ValueError, match="copy-on-write"):
+        index_compact(spark, out_path, out_path)
+
+
+def test_index_compact_minhash_roundtrip(spark, tmp_path):
+    """The same compaction works on the banded near-dup index (it is
+    bucket-partitioned with the same sidecar protocol): probe results
+    are unchanged after appends are compacted away."""
+    from charmpandas_spark.functions.dedup import (
+        index_compact, minhash_dedup_incremental, minhash_index_write,
+        release)
+
+    base = ("the quick brown fox jumps over the lazy dog again "
+            "and again with many shared tokens in this sentence")
+    hist = spark.createDataFrame(
+        [(1, base)], "doc_id bigint, t string")
+    path = str(tmp_path / "mhidx2")
+    minhash_index_write(hist, "t", "doc_id", path, num_buckets=8)
+    minhash_index_write(
+        spark.createDataFrame(
+            [(2, "completely different later content about other "
+                 "topics entirely unrelated to foxes")],
+            "doc_id bigint, t string"),
+        "t", "doc_id", path, num_buckets=8, mode="append")
+
+    out_path = str(tmp_path / "mhidx2_compact")
+    stats = index_compact(spark, path, out_path)
+    assert stats["files_after"] < stats["files_before"]
+
+    batch = spark.createDataFrame(
+        [(10, base + " extra")], "doc_id bigint, t string")
+    out = minhash_dedup_incremental(spark, batch, out_path, "t",
+                                    "doc_id", threshold=0.7,
+                                    num_buckets=8)
+    assert {(r["doc"], r["matched_doc"])
+            for r in out.collect()} == {(10, 1)}
+    release(out)
+
+
 def test_minhash_incremental_matches_and_prunes(spark, tmp_path):
     """Near-dup incremental: batch docs match history through the
     banded index (exact-verified jaccard), novel docs don't; the
