@@ -4522,11 +4522,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r13 driver window (ordering generated verbatim from
         #     tools/staleness.py; VERDICT r12 #2: rotate to the
         #     r7/r8-vintage stalest greens) ---
-        # (1) changed this round: tracked localCheckpoint handles
-        #     (ADVICE r12 — release() now frees graph checkpoint
-        #     blocks deterministically)
+        # (1) changed or added this round: tracked localCheckpoint
+        #     handles (ADVICE r12 — release() now frees graph
+        #     checkpoint blocks deterministically); the dsir
+        #     ReuseExchange totals rewrite; the index-sidecar
+        #     FileSystem write (dedup_incremental /
+        #     dedup_minhash_incremental path); NEW index-compaction
+        #     round-trip query
         "graph_triangles": q_graph_triangles,
         "graph_kcore": q_graph_kcore,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_minhash_incremental": q_dedup_minhash_incremental,
+        "dedup_index_compact": q_dedup_index_compact,
         # (2) SS2 core slice, re-proven every round
         "scan_project": q_scan_project,
         "flagship_join_groupby_count": q_flagship_join_groupby_count,
@@ -4573,15 +4582,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_bool": q_groupby_bool,
         "groupby_cube": q_groupby_cube,
         "groupby_extended": q_groupby_extended,
+        # --- positions 51+: fresher greens ride their latest
+        #     driver row (staleness-ascending so the next rotation
+        #     is a pure front-slice). tools/check_correctness.py
+        #     still runs ALL entries locally every round. The five
+        #     r8-vintage entries below were displaced from the r13
+        #     window by this round's changed/added queries (ordering
+        #     contract rule 2 beats rule 1); r8 rows still satisfy
+        #     the "nothing older than r8" rotation goal. ---
         "groupby_rollup": q_groupby_rollup,
         "groupby_ts_key": q_groupby_ts_key,
         "histogram_equidepth_approx": q_histogram_equidepth_approx,
         "int_literal_widening": q_int_literal_widening,
         "join_full": q_join_full,
-        # --- positions 51+: fresher greens ride their latest
-        #     driver row (staleness-ascending so the next rotation
-        #     is a pure front-slice). tools/check_correctness.py
-        #     still runs ALL entries locally every round. ---
         "join_timestamp_key": q_join_timestamp_key,
         "pivot": q_pivot,
         "scalar_reduction": q_scalar_reduction,
@@ -4608,14 +4621,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": q_curation_funnel,
         "decontam_bloom": q_decontam_bloom,
         "dedup_images": q_dedup_images,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_index_compact": q_dedup_index_compact,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "dedup_keep_best": q_dedup_keep_best,
-        "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "dedup_semantic": q_dedup_semantic,
-        "dsir_select": q_dsir_select,
-        "dsir_weights": q_dsir_weights,
         "embedding_kmeans": q_embedding_kmeans,
         "er_jaro_winkler": q_er_jaro_winkler,
         "events_anomaly_mad": q_events_anomaly_mad,
