@@ -1585,7 +1585,10 @@ def fingerprint_index_write(df: SparkDF, text_col: str, id_col: str,
         m_bits, k = stored["bloom_m"], stored["bloom_k"]
     else:
         m_bits, k = bloom_params(max(df.count(), 1), 0.001)
-    bloom_build(fp, "fp", m_bits, k) \
+    # one FILE per delta (repartition(1)): the word table is
+    # <= m_bits/64 rows, and without it each delta lands as ~32
+    # near-empty post-shuffle files the probe must open and list
+    bloom_build(fp, "fp", m_bits, k).repartition(1) \
         .write.mode("append" if mode == "append" else "overwrite") \
         .parquet(path.rstrip("/") + "/_cps_bloom")
     _index_meta_write(spark, path,
@@ -1669,7 +1672,7 @@ def dedup_incremental(spark, batch: SparkDF, path: str, text_col: str,
             .write.mode("append").partitionBy("bucket").parquet(path))
         if "bloom_m" in stored:
             bloom_build(out.select("fp"), "fp", m_bits, k) \
-                .write.mode("append") \
+                .repartition(1).write.mode("append") \
                 .parquet(path.rstrip("/") + "/_cps_bloom")
     result = out.select("doc", "fp")
     result._cps_persisted = persisted  # see release()
@@ -1814,6 +1817,7 @@ def minhash_index_write(df: SparkDF, text_col: str, id_col: str,
     else:
         m_bits, bk = bloom_params(max(df.count(), 1) * bands, 0.001)
     bloom_build(rows.select("band_key"), "band_key", m_bits, bk) \
+        .repartition(1) \
         .write.mode("append" if mode == "append" else "overwrite") \
         .parquet(path.rstrip("/") + "/_cps_bloom")
     meta.update(bloom_m=m_bits, bloom_k=bk)
@@ -1914,7 +1918,7 @@ def minhash_dedup_incremental(spark, batch: SparkDF, path: str,
         if "bloom_m" in stored:
             bloom_build(novel.select("band_key"), "band_key",
                         m_bits, bk) \
-                .write.mode("append") \
+                .repartition(1).write.mode("append") \
                 .parquet(path.rstrip("/") + "/_cps_bloom")
     matches._cps_persisted = persisted  # see release()
     return matches
