@@ -4512,10 +4512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the first ~50 entries, so ordering = (1) the longest-waiting
     # never-driver-checked queries, (2) queries changed or added this
     # round, (3) a §2 core slice re-proven every round, (4) the
-    # freshest greens at the back. r10 window: the 30 wave-4/5/6/7
-    # queries that have never had a driver row (VERDICT r9 #1) lead,
-    # then the 8-query core slice, then the r6-vintage TPC-H backlog
-    # (50 total). Everything driver-green in r7-r9 rides behind.
+    # freshest greens at the back (staleness-ascending, so each
+    # round's rotation is a pure front-slice per tools/staleness.py).
     # tools/check_correctness.py runs ALL entries locally each round
     # (ADVICE r3: never depend on the driver window size).
     return {
