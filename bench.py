@@ -208,6 +208,8 @@ def bench_queries(spark, sf_dir):
         "distinct_count_approx",
         "decontam_bloom",
         "dedup_minhash_incremental",
+        # r13: the index-compaction round-trip joins the sweep
+        "dedup_index_compact",
         "sim_pq_topk",
         # r9 additions: the rest of the registry joins the sweep so
         # every oracle query has a committed timing prior for the
