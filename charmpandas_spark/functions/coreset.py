@@ -34,6 +34,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame as SparkDF, functions as F
 
+from ..session import tiny_df
+
 from .kmeans import _quantize, _train_sample, train_sample_order_sql
 
 __all__ = ["kcenter_select", "kcenter_select_sql"]
@@ -111,7 +113,8 @@ def kcenter_select(df: SparkDF, vec_col: str, id_col: str, k: int,
                  .groupBy("rank")
                  .agg(F.count(F.lit(1)).alias("n_assigned"),
                       F.max("d").alias("max_r2")))
-    meta = df.sparkSession.createDataFrame(
+    meta = tiny_df(
+        df.sparkSession,
         [(r, cid, s) for r, ((cid, _), s)
          in enumerate(zip(centers, sel_r2))],
         "rank int, center_id long, sel_r2 long")

@@ -36,6 +36,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame as SparkDF, Window, functions as F
 
+from ..session import tiny_df
+
 from .kmeans import (_quantize, kmeans_fit_predict, kmeans_oracle_parts,
                      train_sample_order_sql)
 from .quantize import _rename_cte, pq_train_encode
@@ -54,8 +56,8 @@ def _residuals(asg: SparkDF, id_col: str,
     assignment CARRYING the quantized vector (``with_vector``), so
     this is a scan-local projection — no join back to the corpus."""
     spark = asg.sparkSession
-    cb = F.broadcast(spark.createDataFrame(
-        [(cents,)], "__ivq_cb array<array<double>>"))
+    cb = F.broadcast(tiny_df(
+        spark, [(cents,)], "__ivq_cb array<array<double>>"))
     return (asg.crossJoin(cb)
                .select(id_col, "cluster",
                        F.zip_with(
@@ -117,8 +119,8 @@ def ivfpq_search(codes: SparkDF, cents: list[list[float]],
     spark = queries.sparkSession
     m = len(books)
     d_sub = len(books[0][0])
-    cb = F.broadcast(spark.createDataFrame(
-        [(cents,)], "__ivq_cb array<array<double>>"))
+    cb = F.broadcast(tiny_df(
+        spark, [(cents,)], "__ivq_cb array<array<double>>"))
     qq = queries.select(F.col(id_col).alias("q_id"),
                         _quantize(vec_col, scale).alias("__ivq_qq"))
 
@@ -144,8 +146,8 @@ def ivfpq_search(codes: SparkDF, cents: list[list[float]],
         F.zip_with(F.col("__ivq_qq").cast("array<double>"),
                    F.col("__ivq_c"), lambda x, c: x - c),
         lambda x: F.floor(x).cast("long"))
-    bb = F.broadcast(spark.createDataFrame(
-        [(books,)], "__ivq_bb array<array<array<double>>>"))
+    bb = F.broadcast(tiny_df(
+        spark, [(books,)], "__ivq_bb array<array<array<double>>>"))
 
     def _lut(sub):
         # NB: a factory (not a loop-local lambda default arg) — an

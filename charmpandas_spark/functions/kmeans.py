@@ -39,6 +39,8 @@ import math
 
 from pyspark.sql import Column, DataFrame as SparkDF, functions as F
 
+from ..session import tiny_df
+
 __all__ = ["kmeans_fit_predict", "kmeans_oracle_sql",
            "kmeans_oracle_parts", "semantic_near_dup",
            "semantic_near_dup_oracle_sql"]
@@ -138,8 +140,8 @@ def kmeans_fit_predict(
         # aggregate left-associates, array_min + array_position's
         # first-match == the old strict-< fold's smallest-j
         # tie-break, so results are bit-identical.
-        cb = F.broadcast(spark.createDataFrame(
-            [(cur,)], "__cps_cb array<array<double>>"))
+        cb = F.broadcast(tiny_df(
+            spark, [(cur,)], "__cps_cb array<array<double>>"))
         darr = F.transform(
             F.col("__cps_cb"),
             lambda c: F.aggregate(

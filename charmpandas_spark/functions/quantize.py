@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame as SparkDF, functions as F
 
+from ..session import tiny_df
+
 from .dedup import spread
 
 __all__ = ["quantize_embeddings", "quantize_embeddings_sql",
@@ -292,8 +294,9 @@ def pq_train_encode(df: SparkDF, vec_col: str, id_col: str,
     spark = df.sparkSession
 
     def cb_df():
-        return F.broadcast(spark.createDataFrame(
-            [(codebooks,)], "__pq_cb array<array<array<double>>>"))
+        return F.broadcast(tiny_df(
+            spark, [(codebooks,)],
+            "__pq_cb array<array<array<double>>>"))
 
     def dist_arr(sub_vec, cb_sub):
         return F.transform(
@@ -368,8 +371,9 @@ def pq_adc_topk(codes: SparkDF, codebooks: list[list[list[float]]],
     d_sub = len(codebooks[0][0])
     # codebooks as a broadcast one-row DataFrame (not literal-array
     # expressions — see pq_train_encode's planning note)
-    cb = F.broadcast(queries.sparkSession.createDataFrame(
-        [(codebooks,)], "__pq_cb array<array<array<double>>>"))
+    cb = F.broadcast(tiny_df(
+        queries.sparkSession, [(codebooks,)],
+        "__pq_cb array<array<array<double>>>"))
 
     def _lut(sub):
         sc = F.slice(F.col("__pq_qv"), sub * d_sub + 1, d_sub) \

@@ -34,6 +34,8 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame as SparkDF, functions as F
 
+from ..session import tiny_df
+
 from charmpandas_spark.functions.psl_data import PSL_RULES
 
 __all__ = [
@@ -161,8 +163,8 @@ def with_registrable_domain(
                 cols.append(F.try_element_at(m, lastk))
             continue
         kn, nn, en = (f"__cps_pslk{k}", f"__cps_psln{k}", f"__cps_psle{k}")
-        rdf = spark.createDataFrame(
-            sub, schema=f"{kn} string, {nn} int, {en} int")
+        rdf = tiny_df(spark, sub,
+                      f"{kn} string, {nn} int, {en} int")
         out = out.join(F.broadcast(rdf), lastk == F.col(kn), "left")
         norm_cols.append(F.col(nn))
         exc_cols.append(F.col(en))
@@ -228,8 +230,8 @@ def filter_blocked_domains(
     """
     spark = df.sparkSession
     if not isinstance(blocked, SparkDF):
-        blocked = spark.createDataFrame(
-            [(d,) for d in blocked], "__cps_bdom string")
+        blocked = tiny_df(spark, [(d,) for d in blocked],
+                          "__cps_bdom string")
     else:
         blocked = blocked.toDF("__cps_bdom")
     bl = F.broadcast(blocked) if broadcast else blocked

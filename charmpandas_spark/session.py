@@ -100,3 +100,20 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def tiny_df(spark, data, schema):
+    """A driver-built small-relation DataFrame in ONE partition.
+
+    ``spark.createDataFrame(local_list)`` parallelizes over
+    ``sc.defaultParallelism`` python partitions (32 on the test
+    host), so even a ONE-ROW broadcast codebook pays ~32
+    python-worker round trips every time its subplan is evaluated —
+    measured at ~0.35 s extra per broadcast consumption warm on
+    ``local[32]`` (r13). ``parallelize(data, 1)`` makes it one
+    partition / one round trip. Use for every driver-built small
+    relation (codebooks, k-means centers, PSL tables, blocklists);
+    NEVER fix this with ``coalesce(1)``, which evaluates the 32
+    python partitions sequentially instead (see SCALING.md)."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 1), schema)
