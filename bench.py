@@ -749,6 +749,11 @@ SF5_QUERIES = {
     "er_jaro_winkler": 1.0,
     "merge_upsert": 5.3,
     "multimodal_decode": 1.4,
+    # r13 (post sidecar-write fix): the persisted-index family's
+    # third point — solo min-of-3 4.87 s; with sf0.1 1.69 / sf1 2.30
+    # the curve is e(sf1->sf5, 5x) = 0.47 (the index build is the
+    # linear part; the probe rides the batch's bucket coverage)
+    "dedup_incremental": 4.9,
 }
 
 #: sf5 entries that need the TPC-H slice of the fixture (everything
