@@ -58,6 +58,10 @@ CONTRACTS = {
     "sim_ivfpq_topk": (2, 7, 2),
     "corpus_percentiles": (1, 0, 2),
     "dedup_incremental": (16, 0, 3),
+    # r13: the compaction round-trip (two index writes + compact +
+    # probe of the compacted index; the probe plan is
+    # dedup_incremental's, the extra exchanges are the build legs)
+    "dedup_index_compact": (18, 0, 3),
     # r13: static counts UP 15->21 / 7->10 because the Nt/Nr side
     # totals now re-aggregate the tcnt/rcnt subplans (duplicated in
     # the static tree, REUSED at runtime via ReuseExchange) instead
