@@ -18,16 +18,24 @@ on any partitioning, any engine. The DuckDB oracle replays the full
 greedy loop as unrolled materialized CTE chains (the kmeans-oracle
 pattern, kmeans.py:179).
 
-Scale design: each of the k−1 rounds is ONE scan-local aggregation —
-the chosen centers ride into the plan as literal integer arrays (k·d
-values, driver-bounded exactly like kmeans' centroid collect), the
-min-distance is a codegen'd ``least`` over per-center zip_with folds,
-and the round's winner is a single ``max(struct)`` aggregate (no
-sort, no shuffle of the data — one partial-aggregated reduce). Total
-cost: k corpus passes of pure JVM expression work. At 100 TB one
-composes this with the sampled-training trick (`train_cap`, same
-hash-ordered sample as kmeans) so the passes run on a bounded sample
-— the guarantee degrades gracefully to the sample's cover.
+Scale design: with ``train_cap`` set (the documented 100 TB path),
+selection runs driver-side in numpy on the ``train_cap``-bounded
+sample — the collect is bounded by construction, exactly like the
+k·d center literals, and the alternative (one Spark job per greedy
+round on a 256-row cached sample) was measured at 0.87 s/ROUND at
+sf0.1: pure per-round plan-compile cost, because round i's plan
+inlines i zip_with/aggregate HOF distance folds and whole-stage
+codegen recompiles the growing expression every round (the r13
+HOF-codegen lesson, SCALING.md). Without ``train_cap`` the loop
+stays distributed but maintains an INCREMENTAL persisted
+min-distance column — round i computes one ``least(mind, dist2(qv,
+new_center))`` instead of re-evaluating all i centers, so the
+per-round plan is constant-size (O(k·n·d) total work, not O(k²·n·d),
+and constant codegen). Either way the round's winner is a single
+``max(struct)`` partial-aggregated reduce — no sort, no shuffle of
+the data — and the full-corpus assignment pass is one scan-local
+aggregation whose k·d center literals ride in codegen. The
+guarantee under sampling degrades gracefully to the sample's cover.
 """
 
 from __future__ import annotations
@@ -74,32 +82,80 @@ def kcenter_select(df: SparkDF, vec_col: str, id_col: str, k: int,
     q = df.select(F.col(id_col).alias("id"),
                   _quantize(vec_col, scale).alias("qv"))
     q = q.persist(StorageLevel.MEMORY_AND_DISK)
-    sel = q if train_cap is None else \
-        _train_sample(q, "id", train_cap) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
 
-    seed = sel.orderBy("id").limit(1).collect()
-    if not seed:
-        raise ValueError("empty corpus")
-    centers = [(int(seed[0]["id"]), [int(v) for v in seed[0]["qv"]])]
-    sel_r2 = [0]
-    for _ in range(1, k):
-        mind = F.least(*[_dist2(F.col("qv"), c) for _, c in centers]) \
-            if len(centers) > 1 else _dist2(F.col("qv"), centers[0][1])
-        # ONE bounded aggregate per round: max by (distance, then
-        # SMALLEST id) — encoded as max(struct(dist, -id, vec)) so
-        # ties resolve to min id and the winner's vector rides along
-        # (id is unique, so the array field never gets compared)
-        far = (sel.select(mind.alias("d"), F.col("id"), F.col("qv"))
-                  .agg(F.max(F.struct(F.col("d"),
-                                      (-F.col("id")).alias("nid"),
-                                      F.col("qv"))).alias("m"))
-                  .select(F.col("m.d").alias("d"),
-                          (-F.col("m.nid")).alias("id"),
-                          F.col("m.qv").alias("qv"))
-                  .collect()[0])
-        centers.append((int(far["id"]), [int(v) for v in far["qv"]]))
-        sel_r2.append(int(far["d"]))
+    persisted = [q]
+    if train_cap is not None:
+        # Selection on the bounded sample runs DRIVER-SIDE: the
+        # collect is capped at train_cap rows by construction (the
+        # same boundedness argument as the k·d center literals), and
+        # a numpy greedy loop replaces k−1 Spark jobs whose cost was
+        # measured to be per-round codegen compilation, not data
+        # (0.87 s/round on 256 cached rows at sf0.1 — see module
+        # docstring). Integer-exact: int64 throughout, seed = min
+        # id, argmax ties to the FIRST index of the id-ascending
+        # order = smallest id — bit-identical to the distributed
+        # path and the DuckDB oracle.
+        import numpy as np
+        rows = _train_sample(q, "id", train_cap).collect()
+        if not rows:
+            raise ValueError("empty corpus")
+        ids = np.array([r["id"] for r in rows], dtype=np.int64)
+        vecs = np.array([r["qv"] for r in rows], dtype=np.int64)
+        order = np.argsort(ids)  # ids unique: plain argsort is stable here
+        ids, vecs = ids[order], vecs[order]
+        centers = [(int(ids[0]), [int(v) for v in vecs[0]])]
+        sel_r2 = [0]
+        mind = ((vecs - vecs[0]) ** 2).sum(axis=1)
+        for _ in range(1, k):
+            j = int(np.argmax(mind))  # first max = smallest id
+            centers.append((int(ids[j]), [int(v) for v in vecs[j]]))
+            sel_r2.append(int(mind[j]))
+            np.minimum(mind, ((vecs - vecs[j]) ** 2).sum(axis=1),
+                       out=mind)
+    else:
+        # Full-corpus selection stays distributed; the min-distance
+        # column is INCREMENTAL (least(mind, dist2 to the one new
+        # center), re-persisted per round) so every round's plan is
+        # constant-size — O(k·n·d) total, constant codegen — instead
+        # of re-evaluating all i prior centers' HOF folds (O(k²·n·d)
+        # and a recompile of a growing expression each round).
+        seed = q.orderBy("id").limit(1).collect()
+        if not seed:
+            raise ValueError("empty corpus")
+        centers = [(int(seed[0]["id"]), [int(v) for v in seed[0]["qv"]])]
+        sel_r2 = [0]
+        cur = q.select("id", "qv",
+                       _dist2(F.col("qv"), centers[0][1]).alias("mind")) \
+               .persist(StorageLevel.MEMORY_AND_DISK)
+        prev = None
+        for i in range(1, k):
+            # ONE bounded aggregate per round: max by (distance, then
+            # SMALLEST id) — encoded as max(struct(dist, -id, vec)) so
+            # ties resolve to min id and the winner's vector rides
+            # along (id is unique, so the array never gets compared).
+            # This action materializes cur's cache; only then is the
+            # previous round's cache dropped (nxt below reads cur's
+            # CACHE — unpersisting earlier would re-chain lineage).
+            far = (cur.agg(F.max(F.struct(F.col("mind").alias("d"),
+                                          (-F.col("id")).alias("nid"),
+                                          F.col("qv"))).alias("m"))
+                      .select(F.col("m.d").alias("d"),
+                              (-F.col("m.nid")).alias("id"),
+                              F.col("m.qv").alias("qv"))
+                      .collect()[0])
+            if prev is not None:
+                prev.unpersist()
+            centers.append((int(far["id"]), [int(v) for v in far["qv"]]))
+            sel_r2.append(int(far["d"]))
+            if i < k - 1:
+                nxt = cur.select(
+                    "id", "qv",
+                    F.least(F.col("mind"),
+                            _dist2(F.col("qv"), centers[-1][1]))
+                     .alias("mind")) \
+                    .persist(StorageLevel.MEMORY_AND_DISK)
+                prev, cur = cur, nxt
+        cur.unpersist()
 
     # assignment pass over the FULL corpus: nearest center, ties to
     # the earliest rank — least(struct(dist, rank)) lexicographic
@@ -124,7 +180,7 @@ def kcenter_select(df: SparkDF, vec_col: str, id_col: str, k: int,
                         .cast("long").alias("n_assigned"),
                        F.coalesce("max_r2", F.lit(0)).cast("long")
                         .alias("max_r2")))
-    out._cps_persisted = [q] + ([sel] if sel is not q else [])
+    out._cps_persisted = persisted
     return out
 
 

@@ -116,17 +116,48 @@ def kmeans_fit_predict(
     q = df.select(F.col(id_col).alias("__cps_kid"),
                   _quantize(vec_col, scale).alias("__cps_kq"))
     q = q.persist(StorageLevel.MEMORY_AND_DISK)
-    tq = q if train_cap is None else \
-        _train_sample(q, "__cps_kid", train_cap) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    init = tq.orderBy("__cps_kid").limit(k).collect()
-    if len(init) < k:
-        raise ValueError(f"k={k} exceeds corpus size {len(init)}")
-    dim = len(init[0]["__cps_kq"])
-    cents: list[list[float]] = [
-        [float(v) for v in row["__cps_kq"]] for row in init]
 
     spark = df.sparkSession
+
+    if train_cap is not None:
+        # Sampled training runs DRIVER-SIDE in numpy: the collect is
+        # bounded at train_cap rows by construction (same boundedness
+        # as the k-row centroid collects), and the alternative —
+        # ``iters`` Spark jobs on a few hundred cached rows — costs
+        # per-job codegen compilation of the dim-wide sum aggregate,
+        # not data (the r13 HOF-codegen lesson; measured on kcenter:
+        # 0.87 s/round at sf0.1 on a 256-row cached sample).
+        # Bit-identical to the distributed loop: distances accumulate
+        # LEFT-FOLDED in element-index order (matching F.aggregate's
+        # association), cluster sums are exact int64, the update is
+        # the same Python int/int division, argmin ties to the first
+        # (smallest-j) match, empty clusters keep their centroid.
+        import numpy as np
+        rows = _train_sample(q, "__cps_kid", train_cap).collect()
+        rows.sort(key=lambda r: r["__cps_kid"])
+        if len(rows) < k:
+            raise ValueError(f"k={k} exceeds corpus size {len(rows)}")
+        dim = len(rows[0]["__cps_kq"])
+        vecs = np.array([r["__cps_kq"] for r in rows], dtype=np.int64)
+        cents = [[float(v) for v in vecs[i]] for i in range(k)]
+        x = vecs.astype(np.float64)
+        for _ in range(iters):
+            c = np.asarray(cents, dtype=np.float64)
+            d = np.zeros((x.shape[0], k))
+            for dd in range(dim):  # index order = F.aggregate's fold
+                diff = x[:, dd, None] - c[None, :, dd]
+                d += diff * diff
+            cl = np.argmin(d, axis=1)  # first-match tie-break
+            cents = [
+                ([int(s) / n for s in vecs[cl == j].sum(axis=0)]
+                 if (n := int((cl == j).sum())) else cents[j])
+                for j in range(k)]
+    else:
+        init = q.orderBy("__cps_kid").limit(k).collect()
+        if len(init) < k:
+            raise ValueError(f"k={k} exceeds corpus size {len(init)}")
+        dim = len(init[0]["__cps_kq"])
+        cents = [[float(v) for v in row["__cps_kq"]] for row in init]
 
     def assign(cur: list[list[float]], src: SparkDF) -> SparkDF:
         # centroids ride as a BROADCAST one-row array<array<double>>
@@ -157,19 +188,18 @@ def kmeans_fit_predict(
                                .cast("int"))
                    .drop("__cps_cb", "__cps_kda"))
 
-    for _ in range(iters):
-        assigned = assign(cents, tq)
-        sums = assigned.groupBy("__cps_kc").agg(
-            F.count(F.lit(1)).alias("__cps_kn"),
-            *[F.sum(F.element_at("__cps_kq", d + 1)).alias(f"__s{d}")
-              for d in range(dim)])
-        rows = {r["__cps_kc"]: r for r in sums.collect()}
-        cents = [
-            ([r[f"__s{d}"] / r["__cps_kn"] for d in range(dim)]
-             if (r := rows.get(j)) is not None else cents[j])
-            for j in range(k)]
-    if tq is not q:
-        tq.unpersist()
+    if train_cap is None:
+        for _ in range(iters):
+            assigned = assign(cents, q)
+            sums = assigned.groupBy("__cps_kc").agg(
+                F.count(F.lit(1)).alias("__cps_kn"),
+                *[F.sum(F.element_at("__cps_kq", d + 1))
+                   .alias(f"__s{d}") for d in range(dim)])
+            rows = {r["__cps_kc"]: r for r in sums.collect()}
+            cents = [
+                ([r[f"__s{d}"] / r["__cps_kn"] for d in range(dim)]
+                 if (r := rows.get(j)) is not None else cents[j])
+                for j in range(k)]
     keep = ([F.col("__cps_kq").alias(with_vector)]
             if with_vector else [])
     out = assign(cents, q).select(F.col("__cps_kid").alias(id_col),

@@ -257,10 +257,63 @@ def pq_train_encode(df: SparkDF, vec_col: str, id_col: str,
                   _quantize(vec_col, scale).alias("__pq_q"),
                   *[F.col(c) for c in carry_cols])
     q = q.persist(StorageLevel.MEMORY_AND_DISK)
-    tq = q if train_cap is None else \
-        _train_sample(q, "__pq_id", train_cap) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    head = tq.orderBy("__pq_id").limit(codebook_k).collect()
+    if train_cap is not None:
+        # Sampled training runs DRIVER-SIDE in numpy (the same move
+        # as kmeans_fit_predict's train_cap path, see the rationale
+        # there): the collect is bounded at train_cap rows, and the
+        # distributed alternative paid per-iteration codegen of the
+        # d_sub-wide sum aggregate on a few hundred cached rows.
+        # Bit-identical: left-folded element-index-order distance
+        # accumulation, exact int64 cluster sums, Python int/int
+        # centroid division, first-match argmin, empty clusters keep
+        # their centroid.
+        import numpy as np
+        srows = _train_sample(q, "__pq_id", train_cap).collect()
+        srows.sort(key=lambda r: r["__pq_id"])
+        if len(srows) < codebook_k:
+            raise ValueError(f"codebook_k={codebook_k} exceeds "
+                             f"corpus size {len(srows)}")
+        dim = len(srows[0]["__pq_q"])
+        if dim % m:
+            raise ValueError(f"dim={dim} not divisible by m={m}")
+        d_sub = dim // m
+        sv = np.array([r["__pq_q"] for r in srows], dtype=np.int64)
+        codebooks: list[list[list[float]]] = [
+            [[float(v) for v in sv[i, s * d_sub:(s + 1) * d_sub]]
+             for i in range(codebook_k)]
+            for s in range(m)]
+        for _ in range(iters):
+            new_books = []
+            for s in range(m):
+                iv = sv[:, s * d_sub:(s + 1) * d_sub]
+                xs = iv.astype(np.float64)
+                c = np.asarray(codebooks[s], dtype=np.float64)
+                d = np.zeros((xs.shape[0], codebook_k))
+                for dd in range(d_sub):  # F.aggregate's fold order
+                    diff = xs[:, dd, None] - c[None, :, dd]
+                    d += diff * diff
+                cl = np.argmin(d, axis=1)  # first-match tie-break
+                new_books.append([
+                    ([int(t) / n for t in iv[cl == j].sum(axis=0)]
+                     if (n := int((cl == j).sum()))
+                     else codebooks[s][j])
+                    for j in range(codebook_k)])
+            codebooks = new_books
+
+        def sub_col(sub: int):
+            return F.slice(F.col("__pq_q"), sub * d_sub + 1, d_sub)
+
+        spark = df.sparkSession
+
+        def cb_df():
+            return F.broadcast(tiny_df(
+                spark, [(codebooks,)],
+                "__pq_cb array<array<array<double>>>"))
+
+        return (_pq_encode(q, m, d_sub, sub_col, cb_df, id_col,
+                           carry_cols), codebooks)
+
+    head = q.orderBy("__pq_id").limit(codebook_k).collect()
     if len(head) < codebook_k:
         raise ValueError(f"codebook_k={codebook_k} exceeds corpus "
                          f"size {len(head)}")
@@ -272,14 +325,14 @@ def pq_train_encode(df: SparkDF, vec_col: str, id_col: str,
     def sub_col(sub: int):
         return F.slice(F.col("__pq_q"), sub * d_sub + 1, d_sub)
 
-    codebooks: list[list[list[float]]] = [
+    codebooks = [
         [[float(v) for v in row["__pq_q"][sub * d_sub:
                                           (sub + 1) * d_sub]]
          for row in head]
         for sub in range(m)]
 
     # exploded training layout: one row per (subspace, vector)
-    sub_rows = (tq.select(F.posexplode(F.array(
+    sub_rows = (q.select(F.posexplode(F.array(
                     *[sub_col(s) for s in range(m)]))
                     .alias("__pq_sub", "__pq_s"))
                  .persist(StorageLevel.MEMORY_AND_DISK))
@@ -329,10 +382,26 @@ def pq_train_encode(df: SparkDF, vec_col: str, id_col: str,
              for j in range(codebook_k)]
             for s in range(m)]
     sub_rows.unpersist()
-    if tq is not q:
-        tq.unpersist()
 
-    # one scan-local pass: all m argmins at once
+    return _pq_encode(q, m, d_sub, sub_col, cb_df, id_col,
+                      carry_cols), codebooks
+
+
+def _pq_encode(q: SparkDF, m: int, d_sub: int, sub_col, cb_df,
+               id_col: str, carry_cols: tuple[str, ...]) -> SparkDF:
+    """The encode stage shared by both training paths: ONE scan-local
+    pass over the persisted quantized corpus computing all ``m``
+    argmins at once against the broadcast codebook row (see
+    pq_train_encode's planning note on why broadcast, not literal
+    arrays)."""
+    def dist_arr(sub_vec, cb_sub):
+        return F.transform(
+            cb_sub,
+            lambda c: F.aggregate(
+                F.zip_with(sub_vec.cast("array<double>"), c,
+                           lambda x, cc: (x - cc) * (x - cc)),
+                F.lit(0.0), lambda a, t: a + t))
+
     code_cols = []
     for sub in range(m):
         darr = dist_arr(sub_col(sub), F.element_at("__pq_cb", sub + 1))
@@ -344,7 +413,7 @@ def pq_train_encode(df: SparkDF, vec_col: str, id_col: str,
                      *[F.col(c) for c in carry_cols],
                      F.array(*code_cols).alias("codes"))
     codes._cps_persisted = [q]  # see dedup.release()
-    return codes, codebooks
+    return codes
 
 
 def pq_adc_topk(codes: SparkDF, codebooks: list[list[list[float]]],
