@@ -459,3 +459,76 @@ def test_pca_drift_null_on_identical_sides(spark):
     out = pca_drift(df, "embedding", "vec_id", "side", bins=5).collect()
     tv_bp = sum(abs(r["pa_bp"] - r["pb_bp"]) for r in out) // 2
     assert tv_bp == 0            # identical distributions
+
+
+# ---------------------------------------------------------------------------
+# sampled-training equivalence: the driver-side numpy fast path used
+# when train_cap is set must be BIT-IDENTICAL to the distributed loop
+# run over the same materialized sample (same init, same fold order,
+# same int64 sums, same tie-breaks) — this is the guard for the
+# "bit-identical by construction" claim in kmeans.py / quantize.py /
+# coreset.py.
+# ---------------------------------------------------------------------------
+
+def _sampled_subframe(spark, df, id_col, cap):
+    """The rows of ``df`` whose ids land in the deterministic
+    hash-ordered training sample — the exact population the numpy
+    path trains on, rebuilt as a plain DataFrame so the distributed
+    (train_cap=None) loop can be pointed at it."""
+    from charmpandas_spark.functions.kmeans import (_quantize,
+                                                    _train_sample)
+    q = df.select(F.col(id_col).alias("id"),
+                  _quantize("embedding", 1000).alias("qv"))
+    ids = {r["id"] for r in _train_sample(q, "id", cap).collect()}
+    return df.filter(F.col(id_col).isin(list(ids)))
+
+
+def _rand_vec_df(spark, n, dim, seed):
+    import random
+    from pyspark.sql import Row
+    rng = random.Random(seed)
+    return spark.createDataFrame(
+        [Row(vec_id=i,
+             embedding=[rng.uniform(-1, 1) for _ in range(dim)])
+         for i in range(n)])
+
+
+def test_kmeans_numpy_training_matches_distributed(spark):
+    from charmpandas_spark.functions.kmeans import kmeans_fit_predict
+    df = _rand_vec_df(spark, 150, 4, seed=11)
+    sub = _sampled_subframe(spark, df, "vec_id", 64)
+    _, cents_np = kmeans_fit_predict(df, "embedding", "vec_id", k=5,
+                                     iters=3, train_cap=64,
+                                     return_centroids=True)
+    _, cents_dist = kmeans_fit_predict(sub, "embedding", "vec_id",
+                                       k=5, iters=3, train_cap=None,
+                                       return_centroids=True)
+    assert cents_np == cents_dist  # exact float equality
+
+
+def test_pq_numpy_training_matches_distributed(spark):
+    from charmpandas_spark.functions.quantize import pq_train_encode
+    df = _rand_vec_df(spark, 150, 4, seed=13)
+    sub = _sampled_subframe(spark, df, "vec_id", 64)
+    _, books_np = pq_train_encode(df, "embedding", "vec_id", m=2,
+                                  codebook_k=8, iters=2,
+                                  train_cap=64)
+    _, books_dist = pq_train_encode(sub, "embedding", "vec_id", m=2,
+                                    codebook_k=8, iters=2,
+                                    train_cap=None)
+    assert books_np == books_dist  # exact float equality
+
+
+def test_kcenter_numpy_selection_matches_distributed(spark):
+    from charmpandas_spark.functions.coreset import kcenter_select
+    df = _rand_vec_df(spark, 150, 4, seed=17)
+    sub = _sampled_subframe(spark, df, "vec_id", 64)
+    a = (kcenter_select(df, "embedding", "vec_id", 6, train_cap=64)
+         .orderBy("rank").collect())
+    b = (kcenter_select(sub, "embedding", "vec_id", 6,
+                        train_cap=None)
+         .orderBy("rank").collect())
+    # selection (order, ids, radii) identical; assignment counts
+    # differ because a covers the full corpus, b only the sample
+    assert ([(r["rank"], r["center_id"], r["sel_r2"]) for r in a]
+            == [(r["rank"], r["center_id"], r["sel_r2"]) for r in b])
