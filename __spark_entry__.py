@@ -2099,10 +2099,18 @@ def q_corpus_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the oracle-checkable anchor those bounds are tested against."""
     li = _t(spark, sf_dir, "lineitem").sdf
     ps = [0.25, 0.5, 0.75, 0.95, 0.99]
-    return li.groupBy("l_returnflag").agg(
+    # all 5 quantiles from ONE percentile buffer (array percentage
+    # form) — 5 separate aggregates each buffered + sorted the column
+    # independently (measured 4.9 -> 2.5 s warm at sf0.1); identical
+    # interpolation, value-equal output
+    base = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        *[(F.floor(F.percentile("l_extendedprice", F.lit(p)) * 100)
-           / 100).alias(f"p{int(p * 100)}") for p in ps])
+        F.percentile("l_extendedprice",
+                     F.array(*[F.lit(p) for p in ps])).alias("__pq"))
+    return base.select(
+        "l_returnflag", "n",
+        *[(F.floor(F.element_at("__pq", i + 1) * 100) / 100)
+          .alias(f"p{int(p * 100)}") for i, p in enumerate(ps)])
 
 
 def q_corpus_percentiles_approx(spark: SparkSession,

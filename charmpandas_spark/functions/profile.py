@@ -463,11 +463,16 @@ def group_quantiles(df: SparkDF, col: str, by: list[str],
     shuffles once on ``by``. The 100 TB path swaps
     ``percentile_approx`` into the same shape (gated like
     ``corpus_percentiles_approx``)."""
-    qs = [F.floor(F.expr(f"percentile({col}, {p})") * 10000) / 10000
-          for p in ps]
-    return df.groupBy(*by).agg(
+    # one percentile BUFFER for all ps (array percentage form) — per-p
+    # aggregates each buffer + sort the group's values independently
+    base = df.groupBy(*by).agg(
         F.count(F.lit(1)).alias("n"),
-        *[q.alias(f"q_{int(p * 10000)}") for p, q in zip(ps, qs)])
+        F.percentile(F.col(col),
+                     F.array(*[F.lit(p) for p in ps])).alias("__gq"))
+    return base.select(
+        *by, "n",
+        *[(F.floor(F.element_at("__gq", i + 1) * 10000) / 10000)
+          .alias(f"q_{int(p * 10000)}") for i, p in enumerate(ps)])
 
 
 def group_quantiles_sql(t: str, x_expr: str, by: list[str],
