@@ -4542,6 +4542,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "dedup_index_compact": q_dedup_index_compact,
+        #     ... and the second r13 change batch: driver-side capped
+        #     codebook training (coreset/pq/ivfpq) and the
+        #     one-buffer multi-quantile aggregates
+        "coreset_kcenter": q_coreset_kcenter,
+        "sim_pq_topk": q_sim_pq_topk,
+        "sim_ivfpq_topk": q_sim_ivfpq_topk,
+        "sim_ivfpq_rerank": q_sim_ivfpq_rerank,
+        "corpus_percentiles": q_corpus_percentiles,
+        "events_quantiles_by_group": q_events_quantiles_by_group,
         # (2) SS2 core slice, re-proven every round
         "scan_project": q_scan_project,
         "flagship_join_groupby_count": q_flagship_join_groupby_count,
@@ -4656,8 +4665,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_quantile_keep": q_quality_quantile_keep,
         "rollup_incremental": q_rollup_incremental,
         "scd2_history": q_scd2_history,
-        "sim_ivfpq_topk": q_sim_ivfpq_topk,
-        "sim_pq_topk": q_sim_pq_topk,
         "source_csv_malformed": q_source_csv_malformed,
         "source_schema_evolution": q_source_schema_evolution,
         "standard_scale": q_standard_scale,
@@ -4665,12 +4672,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode": q_target_encode,
         "target_encode_loo": q_target_encode_loo,
         "unpivot": q_unpivot,
-        "coreset_kcenter": q_coreset_kcenter,
         "embedding_drift": q_embedding_drift,
         "embedding_pca": q_embedding_pca,
         "embedding_pca_incremental": q_embedding_pca_incremental,
         "events_basket_rules": q_events_basket_rules,
-        "events_quantiles_by_group": q_events_quantiles_by_group,
         "events_top_paths": q_events_top_paths,
         "group_topk_incremental": q_group_topk_incremental,
         "grouping_sets": q_grouping_sets,
@@ -4680,7 +4685,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_transitions": q_markov_transitions,
         "purged_kfold": q_purged_kfold,
         "quality_kappa": q_quality_kappa,
-        "sim_ivfpq_rerank": q_sim_ivfpq_rerank,
         "source_concentration": q_source_concentration,
         "source_text_lines": q_source_text_lines,
         "streaming_group_topk": q_streaming_group_topk,
@@ -4743,7 +4747,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": q_tpch_q19,
         "tpch_q21": q_tpch_q21,
         "tpch_q3": q_tpch_q3,
-        "corpus_percentiles": q_corpus_percentiles,
         "curation_report": q_curation_report,
         "decontam_ngrams": q_decontam_ngrams,
         "dedup_editdist": q_dedup_editdist,
