@@ -25,7 +25,8 @@ import pytest
 
 @pytest.mark.parametrize("name", [
     "groupby_sum", "concat", "text_chunks", "events_sessionize",
-    "dsir_weights"])
+    "dsir_weights", "corpus_percentiles",
+    "events_quantiles_by_group"])
 def test_witness_replay_matches_spark(spark, sf_dir, name):
     import pandas_witness as pw
     import __spark_entry__ as entry_mod

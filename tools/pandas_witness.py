@@ -474,6 +474,56 @@ def r_dsir_weights(sf_dir, n=2, B=512):
                         columns=["doc", "n_ngrams", "weight_micro"])
 
 
+def _quantile_cont(v: np.ndarray, p: float) -> float:
+    """The Spark-percentile / DuckDB-quantile_cont interpolation:
+    position ``p*(n-1)``, value ``(1-g)*lower + g*higher``. NOT
+    np.quantile: numpy's 'linear' lerps ``lower + (higher-lower)*g``
+    — one ulp apart (measured: p25 of the sf0.01 N-flag group is
+    26965.02 in both engines vs ...019999999997 in numpy), and the
+    floor doctrine AMPLIFIES the ulp into a visible cent."""
+    v = np.sort(v)
+    pos = p * (len(v) - 1)
+    lo = int(np.floor(pos))
+    hi = int(np.ceil(pos))
+    g = pos - lo
+    return (1 - g) * v[lo] + g * v[hi]
+
+
+def r_corpus_percentiles(sf_dir):
+    """Exact interpolated per-group percentiles — witnesses the
+    one-buffer array-percentage form the query switched to in r13
+    (same interpolation either way; see :func:`_quantile_cont` for
+    the formula-choice trap)."""
+    li = _read(sf_dir, "lineitem")
+    ps = [0.25, 0.5, 0.75, 0.95, 0.99]
+    rows = []
+    for flag, g in li.groupby("l_returnflag"):
+        v = g["l_extendedprice"].to_numpy(dtype=np.float64)
+        rows.append({"l_returnflag": flag, "n": np.int64(len(v)),
+                     **{f"p{int(p * 100)}":
+                        np.floor(_quantile_cont(v, p) * 100) / 100
+                        for p in ps}})
+    return pd.DataFrame(rows)
+
+
+def r_events_quantiles_by_group(sf_dir):
+    """group_quantiles over integer event cents (p50/p90/p99),
+    floor-1e4 — same interpolation note as r_corpus_percentiles."""
+    ev = _read(sf_dir, "events")
+    cents = np.floor(
+        ev["value"].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+    df = pd.DataFrame({"event_type": ev["event_type"], "c": cents})
+    ps = [0.5, 0.9, 0.99]
+    rows = []
+    for et, g in df.groupby("event_type"):
+        v = g["c"].to_numpy(dtype=np.float64)
+        rows.append({"event_type": et, "n": np.int64(len(g)),
+                     **{f"q_{int(p * 10000)}":
+                        np.floor(_quantile_cont(v, p) * 10000) / 10000
+                        for p in ps}})
+    return pd.DataFrame(rows)
+
+
 REPLAYS = {
     "groupby_sum": r_groupby_sum,
     "flagship_join_groupby_count": r_flagship_join_groupby_count,
@@ -495,6 +545,8 @@ REPLAYS = {
     "graph_pagerank": r_graph_pagerank,
     "coreset_kcenter": r_coreset_kcenter,
     "dsir_weights": r_dsir_weights,
+    "corpus_percentiles": r_corpus_percentiles,
+    "events_quantiles_by_group": r_events_quantiles_by_group,
 }
 
 
