@@ -404,7 +404,9 @@ SF1_QUERIES = {
     "dedup_jaccard_prefix": 16.5,
     "sim_bm25": 8.5,
     "hybrid_rrf3": 4.3,
-    "corpus_percentiles": 7.4,
+    # r13 re-base (one-buffer array percentile): 2.02 / 1.85 across
+    # the two final-sweep probes; the 7.4 was the 5-buffer form
+    "corpus_percentiles": 1.9,
     "histogram_equidepth": 4.4,
     "embedding_kmeans": 3.2,
     # SemDeDup at its published operating point (threshold 0.6,
@@ -424,9 +426,12 @@ SF1_QUERIES = {
     # r9 ops: sampled training makes PQ/IVF-PQ sub-linear (sf0.1 ->
     # sf1 is 3.3 -> 4.7 s and 5.2 -> 7.0 s on 10x data: the Lloyd
     # passes are capped at 256 vectors, only encode/search scale);
-    # the PNG codec is scan-local Arrow-batched Python
-    "sim_pq_topk": 4.7,
-    "sim_ivfpq_topk": 6.7,
+    # the PNG codec is scan-local Arrow-batched Python.
+    # r13 re-base (capped training now runs driver-side in numpy —
+    # the old figures carried iters x m Spark jobs of pure overhead):
+    # pq 2.32 / 3.03, ivfpq 3.53 / 4.37 across the two final sweeps
+    "sim_pq_topk": 2.8,
+    "sim_ivfpq_topk": 4.0,
     "multimodal_png": 1.4,
     # r13 (VERDICT r12 #5): the other two codec tiers at sf1 — jpeg
     # is the heaviest decoder (entropy decode + IDCT per block), zlib
@@ -446,8 +451,11 @@ SF1_QUERIES = {
     # scan aggregates + assignment; PCA = one mapInPandas statistics
     # pass (warm 1.2 s — the cold 12.9 s is Python-pool first touch);
     # keyword_topk = explode + tf/df joins + doc-keyed window;
-    # group_topk = two bounded aggregations
-    "coreset_kcenter": 6.5,
+    # group_topk = two bounded aggregations.
+    # r13 re-base (selection now a numpy loop on the collected
+    # 256-row sample; the 6.5 was 7 Spark jobs of per-round plan
+    # compile): 2.12 / 2.25 across the two final sweeps
+    "coreset_kcenter": 2.3,
     "embedding_pca": 1.1,
     "keyword_topk": 3.0,
     "group_topk": 1.3,
@@ -685,7 +693,13 @@ SF5_QUERIES = {
     # 25.6->20.2 (sweep), ivfpq 18.2->10.5 (sweep), pagerank
     # 13.3->12.4 (sweep).
     "dedup_minhash": 8.9,
-    "dedup_ngram_jaccard": 13.8,
+    # ngram re-based BACK UP 13.8 -> 20.0 (late-r13): the 13.8 was a
+    # single sweep reading never reproduced — this session's solo
+    # min-of-3 fresh-session runs read 25.2/20.0/40.1 and the final
+    # clean sweep read 28.3, all consistent with the pre-re-base
+    # 23.9-24 s history (SCALING.md's committed curve row). Band =
+    # the solo min.
+    "dedup_ngram_jaccard": 20.0,
     "dedup_spans": 16.4,
     "dedup_clusters": 18.1,
     # r13 (VERDICT r12 #3) — measured warm min-of-2 solo (idle host,
@@ -695,7 +709,9 @@ SF5_QUERIES = {
     # 50x sf0.1->sf5 leg (drain floor amortizes). SCALING.md r13
     # refresh has the full 3-point curves.
     "sim_bm25": 20.2,
-    "sim_ivfpq_topk": 10.5,
+    # r13 re-base (driver-side capped training): 8.65 / 9.53 across
+    # the two final sweeps
+    "sim_ivfpq_topk": 8.7,
     "graph_triangles": 14.9,
     "graph_pagerank": 12.4,
     "streaming_dedup": 10.0,
@@ -706,7 +722,10 @@ SF5_QUERIES = {
     # round-trips x job latency, the per-round data term is not yet
     # visible at this scale (at 100 TB it dominates and the
     # documented cap/sample applies). k-means sampled training 0.29.
-    "coreset_kcenter": 7.8,
+    # Late-r13 re-base 7.8 -> 3.1 (driver-side numpy selection —
+    # the k driver round-trips are gone): 3.04 / 3.15 across the two
+    # final sweeps.
+    "coreset_kcenter": 3.1,
     "embedding_kmeans": 4.9,
     # relational-core third points (r13): the FIRST sf5 probe of
     # tpch_q1 read 13.8 s solo-warm — sf1->sf5 exponent 1.41,
