@@ -533,3 +533,55 @@ def test_histogram_equiwidth_matches_python_replay(spark, vals, bins):
                     math.floor((x - lo) * float(bins) / (hi - lo)))
             want[b] += 1
     assert rows == want
+
+
+@given(data=st.lists(
+           st.tuples(st.floats(min_value=-2, max_value=2,
+                               allow_nan=False, width=32),
+                     st.floats(min_value=-2, max_value=2,
+                               allow_nan=False, width=32)),
+           min_size=3, max_size=16),
+       k=st.integers(min_value=1, max_value=3))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_capped_training_equals_uncapped_when_cap_covers_corpus(
+        spark, data, k):
+    """When train_cap >= n the hash-ordered sample IS the corpus, so
+    the driver-side numpy training path must agree with the
+    distributed loop BIT-FOR-BIT on arbitrary inputs — centroids
+    (kmeans), selection (k-center), and codebooks (PQ) all compared
+    by exact float equality. Hypothesis-randomized counterpart of the
+    fixed-seed equivalence tests in test_encode_sequence.py."""
+    from pyspark.sql import Row
+
+    from charmpandas_spark.functions.coreset import kcenter_select
+    from charmpandas_spark.functions.kmeans import kmeans_fit_predict
+    from charmpandas_spark.functions.quantize import pq_train_encode
+
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(a), float(b)])
+         for i, (a, b) in enumerate(data)])
+    n = len(data)
+    kk = min(k, n)
+
+    _, c_np = kmeans_fit_predict(df, "embedding", "vec_id", k=kk,
+                                 iters=2, train_cap=64,
+                                 return_centroids=True)
+    _, c_dist = kmeans_fit_predict(df, "embedding", "vec_id", k=kk,
+                                   iters=2, train_cap=None,
+                                   return_centroids=True)
+    assert c_np == c_dist
+
+    a = (kcenter_select(df, "embedding", "vec_id", kk, train_cap=64)
+         .orderBy("rank").collect())
+    b = (kcenter_select(df, "embedding", "vec_id", kk,
+                        train_cap=None).orderBy("rank").collect())
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    ck = min(4, n)
+    _, b_np = pq_train_encode(df, "embedding", "vec_id", m=2,
+                              codebook_k=ck, iters=2, train_cap=64)
+    _, b_dist = pq_train_encode(df, "embedding", "vec_id", m=2,
+                                codebook_k=ck, iters=2,
+                                train_cap=None)
+    assert b_np == b_dist
