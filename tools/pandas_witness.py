@@ -524,6 +524,91 @@ def r_events_quantiles_by_group(sf_dir):
     return pd.DataFrame(rows)
 
 
+def r_heavy_hitters_cms(sf_dir, k=10, depth=4, width=2048,
+                        slack_num=8):
+    """Count-min heavy-hitters gate (sketches.cms_heavy_check): build
+    the same md5-bucketed CMS over whitespace tokens, probe the exact
+    top-k, and re-derive the never-undercount + slacked-expectation
+    ``ok`` bound — the sketch family's first third-engine witness."""
+    from collections import Counter
+
+    docs = _read(sf_dir, "documents")
+    toks = []
+    for t in _normalize_text(docs["text"]):
+        toks.extend(w for w in t.split(" ") if w != "")
+    freq = Counter(toks)
+    total = len(toks)
+    # CMS cells: depth rows x width buckets, summed counts
+    cells = [Counter() for _ in range(depth)]
+    for term, f in freq.items():
+        for r in range(depth):
+            cells[r][_md5_hash64(term, r) % width] += f
+    topk = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    slack = slack_num * -(-total // width)  # ceil
+    rows = []
+    for term, f in topk:
+        est = min(cells[r][_md5_hash64(term, r) % width]
+                  for r in range(depth))
+        rows.append({"term": term, "freq": np.int64(f),
+                     "est": np.int64(est),
+                     "ok": bool(f <= est <= f + slack)})
+    return pd.DataFrame(rows)
+
+
+def r_scd2_history(sf_dir):
+    """SCD Type-2 intervals from the deterministic orders-derived CDC
+    fixture (insert at seq 1; %3==0 price update at seq 2; %7==0
+    delete at seq 3): per-key lead over (seq, op-rank I<U<D), deletes
+    close the predecessor without emitting a row — the warehouse
+    family's first third-engine witness."""
+    o = _read(sf_dir, "orders")
+    price_c = np.floor(
+        o["o_totalprice"].to_numpy(dtype=np.float64) * 100
+    ).astype(np.int64)
+    base = pd.DataFrame({"o_orderkey": o["o_orderkey"],
+                         "o_custkey": o["o_custkey"],
+                         "price_c": price_c})
+    ins = base.assign(seq=np.int64(1), op="I")
+    upd = (base[base["o_orderkey"] % 3 == 0]
+           .assign(price_c=lambda d: d["price_c"] + 1000,
+                   seq=np.int64(2), op="U"))
+    dele = (base[base["o_orderkey"] % 7 == 0]
+            .assign(seq=np.int64(3), op="D"))
+    log = pd.concat([ins, upd, dele], ignore_index=True)
+    log["__rank"] = log["op"].map({"I": 0, "U": 1, "D": 2})
+    log = log.sort_values(["o_orderkey", "seq", "__rank"])
+    log["valid_to"] = log.groupby("o_orderkey")["seq"].shift(-1)
+    out = log[log["op"] != "D"].copy()
+    out["valid_from"] = out["seq"]
+    out["is_current"] = out["valid_to"].isna()
+    return out[["o_orderkey", "o_custkey", "price_c",
+                "valid_from", "valid_to", "is_current"]]
+
+
+def r_multimodal_bmp(sf_dir):
+    """BMP decode gate, recomputed from the PLAINTEXT (the oracle's
+    own shortcut): width is the fixed 16, height ceil(bytes/48),
+    byte-class counts over the text with the zero pad landing in
+    n_other. The Spark side decodes REAL 24-bit BMPs (header parse +
+    bottom-up pixel rows), so a codec bug diverges from this replay
+    — the multimodal family's first third-engine witness."""
+    docs = _read(sf_dir, "documents")
+    rows = []
+    for doc_id, t in zip(docs["doc_id"], docs["text"]):
+        blen = len(t.encode("utf-8"))
+        h = max(-(-blen // 48), 1)
+        n_lower = sum(1 for ch in t if "a" <= ch <= "z")
+        n_digit = sum(1 for ch in t if "0" <= ch <= "9")
+        n_space = t.count(" ")
+        rows.append({"doc_id": doc_id, "width": np.int64(16),
+                     "height": np.int64(h),
+                     "n_lower": np.int64(n_lower),
+                     "n_digit": np.int64(n_digit),
+                     "n_other": np.int64(48 * h - n_lower - n_digit
+                                         - n_space)})
+    return pd.DataFrame(rows)
+
+
 REPLAYS = {
     "groupby_sum": r_groupby_sum,
     "flagship_join_groupby_count": r_flagship_join_groupby_count,
@@ -547,6 +632,9 @@ REPLAYS = {
     "dsir_weights": r_dsir_weights,
     "corpus_percentiles": r_corpus_percentiles,
     "events_quantiles_by_group": r_events_quantiles_by_group,
+    "heavy_hitters_cms": r_heavy_hitters_cms,
+    "scd2_history": r_scd2_history,
+    "multimodal_bmp": r_multimodal_bmp,
 }
 
 
