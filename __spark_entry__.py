@@ -4358,6 +4358,25 @@ def q_events_quantiles_by_group(spark: SparkSession,
                            ps=(0.5, 0.9, 0.99))
 
 
+def q_corpus_weighted_quantiles(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Token-WEIGHTED per-source document-length quantiles: the
+    smallest n_chars whose cumulative whitespace-token mass reaches
+    p of the source's total tokens (type-1 weighted quantile,
+    functions/profile.weighted_quantiles). This is the denominator a
+    token-budget decision actually divides by — a few huge documents
+    move it the way they move the training mix, which the unweighted
+    doc-count quantile hides. Exact int64 threshold compare; the
+    emitted value is an actual n_chars."""
+    from charmpandas_spark.functions.profile import weighted_quantiles
+    from charmpandas_spark.functions.text import whitespace_token_count
+    docs = _t(spark, sf_dir, "documents").sdf
+    base = docs.select("source", "n_chars",
+                       whitespace_token_count("text").alias("w"))
+    return weighted_quantiles(base, "n_chars", "w", ["source"],
+                              ps=(0.5, 0.9, 0.99))
+
+
 def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted join on a PLANTED pathological key: 80% of event rows
     collapse onto hot key 0 (the one-hot-key case AQE's skew split
@@ -4551,6 +4570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivfpq_rerank": q_sim_ivfpq_rerank,
         "corpus_percentiles": q_corpus_percentiles,
         "events_quantiles_by_group": q_events_quantiles_by_group,
+        #     NEW this round: token-weighted quantiles
+        "corpus_weighted_quantiles": q_corpus_weighted_quantiles,
         # (2) SS2 core slice, re-proven every round
         "scan_project": q_scan_project,
         "flagship_join_groupby_count": q_flagship_join_groupby_count,
@@ -5098,7 +5119,8 @@ def oracle_sql() -> dict[str, str]:
     from charmpandas_spark.functions.featsel import chi2_tokens_sql
     from charmpandas_spark.functions.quality import calibration_table_sql
     from charmpandas_spark.operators.sequence import top_sequences_sql
-    from charmpandas_spark.functions.profile import group_quantiles_sql
+    from charmpandas_spark.functions.profile import (
+        group_quantiles_sql, weighted_quantiles_sql)
     join_cols = ('o_orderkey, o_orderpriority, l_orderkey, l_linenumber, '
                  'l_quantity')
     cos_pair = _cosine_sql("a.embedding", "b.embedding")
@@ -7137,6 +7159,11 @@ def oracle_sql() -> dict[str, str]:
         "events_quantiles_by_group": group_quantiles_sql(
             "events", "CAST(FLOOR(value * 100) AS BIGINT)",
             ["event_type"], ps=(0.5, 0.9, 0.99)),
+        "corpus_weighted_quantiles": weighted_quantiles_sql(
+            "(SELECT source, n_chars, CASE WHEN trim(text) = '' "
+            "THEN 0 ELSE length(regexp_split_to_array(trim(text), "
+            r"'\s+')) END AS w FROM documents)",
+            "n_chars", "w", ["source"], ps=(0.5, 0.9, 0.99)),
         "join_salted": """
             WITH ev AS (
                 SELECT event_id,

@@ -149,6 +149,7 @@ def bench_queries(spark, sf_dir):
         "embedding_kmeans",
         "source_orc_roundtrip",
         "corpus_percentiles",
+        "corpus_weighted_quantiles",
         "dedup_semantic",
         "mixture_sample",
         "negative_sample",

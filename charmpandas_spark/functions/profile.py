@@ -27,6 +27,8 @@ __all__ = [
     "join_blowup_profile_sql",
     "group_quantiles",
     "group_quantiles_sql",
+    "weighted_quantiles",
+    "weighted_quantiles_sql",
     "mad_outliers",
     "mad_outliers_sql",
     "impute",
@@ -746,4 +748,97 @@ def concentration_profile_sql(t: str, size_expr: str, id_expr: str,
                               / CAST(tt AS DOUBLE)) AS BIGINT)
                END AS top_share_micro
         FROM agg
+    """
+
+
+# ---------------------------------------------------------------------------
+# weighted quantiles (token-weighted corpus statistics)
+# ---------------------------------------------------------------------------
+
+def weighted_quantiles(df: SparkDF, x_col: str, w_col: str,
+                       by: list[str],
+                       ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+                       micro: int = 1_000_000) -> SparkDF:
+    """Per-group WEIGHTED lower quantiles: the smallest ``x`` whose
+    cumulative weight reaches ``p`` of the group's total weight
+    (type-1 / inclusive-CDF definition — no interpolation, so the
+    result is an ACTUAL data value and the whole operator is exact
+    int64, hash-checkable cross-engine).
+
+    This is the corpus-statistics workhorse the unweighted quantile
+    cannot express: "the document length at the 50th percentile of
+    TOKENS" weights every document by its token count, so a few huge
+    documents move the answer the way they move the training mix —
+    the denominator a token-budget decision actually divides by.
+
+    Returns ``(by..., n, total_w, wq_<p*micro> ...)``. Rows with null
+    or non-positive weight are dropped (they carry no mass); null
+    ``x`` is dropped with them.
+
+    Exactness contract: the threshold compare is
+    ``cum * micro >= p_micro * total`` on int64 — exact while
+    ``total_w * micro < 2^63`` (total weight below ~9.2e12 at the
+    default micro). DETERMINISM under ties: the cumulative sum's
+    order among equal ``x`` is arbitrary, but the emitted value is
+    the x of the first RUN whose end-of-run cumulative crosses the
+    threshold — run totals don't depend on intra-run order, so the
+    output is stable on any partitioning and any engine.
+
+    Plan shape: ONE hash exchange on ``by`` feeds both window passes
+    (cumulative and total), then the per-p thresholds collapse in the
+    same grouped aggregation — no second shuffle, no sort beyond the
+    per-group window sort. At 100 TB this is a per-group sort; for
+    heavy groups swap in the GK-sketch path (sketches.py) the same
+    way corpus_percentiles documents."""
+    from pyspark.sql import Window
+
+    gw = Window.partitionBy(*by)
+    ow = (gw.orderBy(F.col("__wq_x").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    base = (df.select(*by,
+                      F.col(x_col).cast("long").alias("__wq_x"),
+                      F.col(w_col).cast("long").alias("__wq_w"))
+              .where(F.col(x_col).isNotNull()
+                     & F.col(w_col).isNotNull()
+                     & (F.col(w_col) > 0)))
+    cum = (base.withColumn("__wq_cum", F.sum("__wq_w").over(ow))
+               .withColumn("__wq_tot", F.sum("__wq_w").over(gw)))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("__wq_tot").alias("total_w")]
+    for p in ps:
+        pn = int(round(p * micro))
+        aggs.append(
+            F.min(F.when(F.col("__wq_cum") * micro
+                         >= F.lit(pn) * F.col("__wq_tot"),
+                         F.col("__wq_x"))).alias(f"wq_{pn}"))
+    return cum.groupBy(*by).agg(*aggs)
+
+
+def weighted_quantiles_sql(t: str, x_expr: str, w_expr: str,
+                           by: list[str],
+                           ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+                           micro: int = 1_000_000) -> str:
+    """DuckDB twin of :func:`weighted_quantiles` — the identical
+    window cumulative + int64 threshold compare."""
+    bys = ", ".join(by)
+    cols = ", ".join(
+        f"MIN(CASE WHEN __cum * {micro} >= "
+        f"{int(round(p * micro))} * __tot THEN __x END)"
+        f" AS wq_{int(round(p * micro))}" for p in ps)
+    return f"""
+        WITH wq_base AS (
+            SELECT {bys}, CAST({x_expr} AS BIGINT) AS __x,
+                   CAST({w_expr} AS BIGINT) AS __w
+            FROM {t}
+            WHERE ({x_expr}) IS NOT NULL AND ({w_expr}) IS NOT NULL
+                  AND ({w_expr}) > 0),
+        wq_cum AS (
+            SELECT {bys}, __x, __w,
+                   SUM(__w) OVER (PARTITION BY {bys} ORDER BY __x ASC
+                                  ROWS UNBOUNDED PRECEDING) AS __cum,
+                   SUM(__w) OVER (PARTITION BY {bys}) AS __tot
+            FROM wq_base)
+        SELECT {bys}, CAST(count(*) AS BIGINT) AS n,
+               CAST(MAX(__tot) AS BIGINT) AS total_w, {cols}
+        FROM wq_cum GROUP BY {bys}
     """

@@ -1225,3 +1225,62 @@ def test_minhash_incremental_bloom_skips_clean_batch(spark, tmp_path):
     assert {(r["doc"], r["matched_doc"])
             for r in out3.collect()} == {(30, 10)}
     release(out3)
+
+
+# ---------------------------------------------------------------------------
+# weighted quantiles
+# ---------------------------------------------------------------------------
+
+def test_weighted_quantiles_basic(spark):
+    from charmpandas_spark.functions.profile import weighted_quantiles
+    # group g: x=1 w=1, x=2 w=1, x=10 w=8 -> total 10.
+    # p50: cum(1)=1 <5, cum(2)=2 <5, cum(10)=10 >=5 -> 10
+    # p10: cum(1)*1e6 >= 1e5*10 -> 1_000_000 >= 1_000_000 -> x=1
+    df = spark.createDataFrame(
+        [("g", 1, 1), ("g", 2, 1), ("g", 10, 8)],
+        "grp string, x long, w long")
+    out = weighted_quantiles(df, "x", "w", ["grp"],
+                             ps=(0.1, 0.5, 0.99)).collect()[0]
+    assert out["n"] == 3 and out["total_w"] == 10
+    assert out["wq_100000"] == 1
+    assert out["wq_500000"] == 10
+    assert out["wq_990000"] == 10
+
+
+def test_weighted_quantiles_uniform_weights_match_rank(spark):
+    from charmpandas_spark.functions.profile import weighted_quantiles
+    # w == 1 everywhere degenerates to the type-1 unweighted
+    # quantile: smallest x with rank/n >= p
+    xs = [5, 1, 9, 3, 7]  # sorted: 1 3 5 7 9
+    df = spark.createDataFrame([("g", x, 1) for x in xs],
+                               "grp string, x long, w long")
+    out = weighted_quantiles(df, "x", "w", ["grp"],
+                             ps=(0.2, 0.5, 0.8, 1.0)).collect()[0]
+    assert out["wq_200000"] == 1   # cum 1/5 >= 0.2
+    assert out["wq_500000"] == 5   # cum 3/5 >= 0.5
+    assert out["wq_800000"] == 7   # cum 4/5 >= 0.8
+    assert out["wq_1000000"] == 9
+
+
+def test_weighted_quantiles_drops_nonpositive_and_null_weights(spark):
+    from charmpandas_spark.functions.profile import weighted_quantiles
+    df = spark.createDataFrame(
+        [("g", 1, 4), ("g", 100, 0), ("g", 200, -3), ("g", 300, None)],
+        "grp string, x long, w long")
+    out = weighted_quantiles(df, "x", "w", ["grp"]).collect()[0]
+    assert out["n"] == 1 and out["total_w"] == 4
+    assert out["wq_990000"] == 1
+
+
+def test_weighted_quantiles_partition_invariant(spark):
+    import random
+    from charmpandas_spark.functions.profile import weighted_quantiles
+    rng = random.Random(3)
+    rows = [(f"g{i % 3}", rng.randint(0, 50), rng.randint(1, 9))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "grp string, x long, w long")
+    a = sorted(map(tuple, weighted_quantiles(
+        df, "x", "w", ["grp"]).collect()))
+    b = sorted(map(tuple, weighted_quantiles(
+        df.repartition(17), "x", "w", ["grp"]).collect()))
+    assert a == b

@@ -609,6 +609,39 @@ def r_multimodal_bmp(sf_dir):
     return pd.DataFrame(rows)
 
 
+def r_corpus_weighted_quantiles(sf_dir, ps=(0.5, 0.9, 0.99),
+                                micro=1_000_000):
+    """Token-weighted per-source n_chars quantiles (type-1 weighted
+    quantile: smallest x whose cumulative weight reaches p of the
+    total) — exact int64 threshold compare, replayed over the same
+    trim+whitespace-split token count."""
+    docs = _read(sf_dir, "documents")
+    rows = []
+    for src, g in docs.groupby("source"):
+        pairs = []
+        for t, nc in zip(g["text"], g["n_chars"]):
+            # Spark trim / DuckDB trim strip SPACES only, and Java /
+            # RE2 \s is ASCII — replicate both exactly (see _WS note)
+            ts = t.strip(" ")
+            w = 0 if ts == "" else len(re.split(_WS + "+", ts))
+            if w > 0:
+                pairs.append((int(nc), w))
+        pairs.sort()
+        tot = sum(w for _, w in pairs)
+        out = {"source": src, "n": np.int64(len(pairs)),
+               "total_w": np.int64(tot)}
+        for p in ps:
+            pn = int(round(p * micro))
+            cum = 0
+            for x, w in pairs:
+                cum += w
+                if cum * micro >= pn * tot:
+                    out[f"wq_{pn}"] = np.int64(x)
+                    break
+        rows.append(out)
+    return pd.DataFrame(rows)
+
+
 REPLAYS = {
     "groupby_sum": r_groupby_sum,
     "flagship_join_groupby_count": r_flagship_join_groupby_count,
@@ -635,6 +668,7 @@ REPLAYS = {
     "heavy_hitters_cms": r_heavy_hitters_cms,
     "scd2_history": r_scd2_history,
     "multimodal_bmp": r_multimodal_bmp,
+    "corpus_weighted_quantiles": r_corpus_weighted_quantiles,
 }
 
 
