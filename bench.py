@@ -408,6 +408,10 @@ SF1_QUERIES = {
     # r13 re-base (one-buffer array percentile): 2.02 / 1.85 across
     # the two final-sweep probes; the 7.4 was the 5-buffer form
     "corpus_percentiles": 1.9,
+    # NEW late-r13 operator (weighted quantiles): solo min-of-3
+    # fresh-session 0.89 at sf1 (sf0.1 0.83, sf5 1.49 — the window
+    # cumulative is overhead-dominated at these scales)
+    "corpus_weighted_quantiles": 0.9,
     "histogram_equidepth": 4.4,
     "embedding_kmeans": 3.2,
     # SemDeDup at its published operating point (threshold 0.6,
@@ -694,6 +698,8 @@ SF5_QUERIES = {
     # 25.6->20.2 (sweep), ivfpq 18.2->10.5 (sweep), pagerank
     # 13.3->12.4 (sweep).
     "dedup_minhash": 8.9,
+    # NEW late-r13 operator: solo min-of-3 1.49 (see the sf1 note)
+    "corpus_weighted_quantiles": 1.5,
     # ngram re-based BACK UP 13.8 -> 20.0 (late-r13): the 13.8 was a
     # single sweep reading never reproduced — this session's solo
     # min-of-3 fresh-session runs read 25.2/20.0/40.1 and the final
