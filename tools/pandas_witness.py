@@ -642,6 +642,61 @@ def r_corpus_weighted_quantiles(sf_dir, ps=(0.5, 0.9, 0.99),
     return pd.DataFrame(rows)
 
 
+def _jw(a: str, b: str) -> float:
+    """Jaro-Winkler written fresh from the published definition
+    (match window max(l)/2-1, transposition halving over the matched
+    sequences, 4-char-capped prefix bonus gated at jaro > 0.7) —
+    independent of linkage.py's scorer and of DuckDB's native
+    function."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    w = max(max(la, lb) // 2 - 1, 0)
+    ma, mb = [False] * la, [False] * lb
+    for i in range(la):
+        for j in range(max(0, i - w), min(lb, i + w + 1)):
+            if not mb[j] and a[i] == b[j]:
+                ma[i] = mb[j] = True
+                break
+    m = sum(ma)
+    if m == 0:
+        return 0.0
+    sa = [a[i] for i in range(la) if ma[i]]
+    sb = [b[j] for j in range(lb) if mb[j]]
+    t = sum(x != y for x, y in zip(sa, sb)) // 2
+    jaro = (m / la + m / lb + (m - t) / m) / 3
+    if jaro <= 0.7:
+        return jaro
+    p = 0
+    while p < min(4, la, lb) and a[p] == b[p]:
+        p += 1
+    return jaro + 0.1 * p * (1 - jaro)
+
+
+def r_er_jaro_winkler(sf_dir, threshold_bp=80):
+    """Blocked ER on distinct part names (block = last literal-space
+    token, matching F.split's empty-preserving behavior), scored by
+    the independent _jw above, floor-100 basis points, kept >=
+    threshold — the entity-resolution family's first third-engine
+    witness."""
+    from collections import defaultdict
+
+    part = _read(sf_dir, "part")
+    names = sorted(set(part["p_name"]))
+    blocks = defaultdict(list)
+    for nm in names:
+        blocks[nm.split(" ")[-1]].append(nm)
+    rows = []
+    for ns in blocks.values():
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                bp = int(np.floor(_jw(ns[i], ns[j]) * 100))
+                if bp >= threshold_bp:
+                    rows.append({"name_a": ns[i], "name_b": ns[j],
+                                 "jw_bp": np.int64(bp)})
+    return pd.DataFrame(rows)
+
+
 REPLAYS = {
     "groupby_sum": r_groupby_sum,
     "flagship_join_groupby_count": r_flagship_join_groupby_count,
@@ -669,6 +724,7 @@ REPLAYS = {
     "scd2_history": r_scd2_history,
     "multimodal_bmp": r_multimodal_bmp,
     "corpus_weighted_quantiles": r_corpus_weighted_quantiles,
+    "er_jaro_winkler": r_er_jaro_winkler,
 }
 
 
