@@ -585,3 +585,34 @@ def test_capped_training_equals_uncapped_when_cap_covers_corpus(
                                 codebook_k=ck, iters=2,
                                 train_cap=None)
     assert b_np == b_dist
+
+
+@given(rows=st.lists(st.tuples(st.integers(min_value=0, max_value=20),
+                               st.integers(min_value=1, max_value=9)),
+                     min_size=1, max_size=30),
+       p_micro=st.sampled_from([100_000, 500_000, 900_000, 1_000_000]))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_weighted_quantiles_match_python_replay(spark, rows, p_micro):
+    """weighted_quantiles == a direct python replay of the type-1
+    definition (sort, cumulate, first x whose cum*1e6 >= p*total) on
+    arbitrary integer data — including heavy duplicate-x runs, where
+    the intra-run cumulative order is arbitrary but the emitted value
+    must not be."""
+    from charmpandas_spark.functions.profile import weighted_quantiles
+
+    df = spark.createDataFrame([("g", x, w) for x, w in rows],
+                               "grp string, x long, w long")
+    p = p_micro / 1_000_000
+    out = weighted_quantiles(df, "x", "w", ["grp"],
+                             ps=(p,)).collect()[0]
+    srt = sorted(rows)
+    tot = sum(w for _, w in srt)
+    cum, want = 0, None
+    for x, w in srt:
+        cum += w
+        if cum * 1_000_000 >= p_micro * tot:
+            want = x
+            break
+    assert out["total_w"] == tot
+    assert out[f"wq_{p_micro}"] == want
