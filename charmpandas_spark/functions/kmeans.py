@@ -322,6 +322,15 @@ def semantic_near_dup(
     size, drives match counts). Norms are computed once per row below
     the join; the assignment joins back to the corpus by id (one
     co-shuffle).
+
+    Measured and REJECTED (late r13, interleaved warm A/B at sf0.1):
+    persisting the tagged (corpus ⋈ assignment) frame before the
+    self-join — the hypothesis was that the un-persisted assignment
+    plan executes once per join side — read 5.95/6.28 s vs
+    5.83/6.22 s un-persisted: a wash, because Spark reuses the
+    assignment subtree's exchange across the self-join sides, so the
+    persist only adds cache-write cost. Same verdict family as
+    sparse.py's no-persist decision.
     """
     from .similarity import dot, l2_norm
 
