@@ -194,6 +194,18 @@ def main():
         (F.max("seq_id") + 1).alias("n")).first()["n"]
     release(packed)
 
+    # 6a'. token-WEIGHTED length profile of the curated corpus: the
+    #      doc length at the 50th/90th percentile of TOKENS (not of
+    #      documents) — the denominator the shard budget below
+    #      actually divides by
+    from charmpandas_spark.functions.profile import weighted_quantiles
+    wq = weighted_quantiles(
+        curated.select("split", "n_chars",
+                       whitespace_token_count("text").alias("w")),
+        "n_chars", "w", ["split"], ps=(0.5, 0.9)).collect()
+    stats["token_wq50_chars"] = {r["split"]: r["wq_500000"]
+                                 for r in wq}
+
     # 6b. token-budget SHARD write of the train split: one file per
     #     ~4k-token shard (what a data loader memory-maps)
     with tempfile.TemporaryDirectory() as shard_tmp:
