@@ -697,6 +697,37 @@ def r_er_jaro_winkler(sf_dir, threshold_bp=80):
     return pd.DataFrame(rows)
 
 
+def r_sim_topk(sf_dir, k=10):
+    """Brute-force cosine top-10 vs the vec_id=0 embedding: the dot
+    and both norms accumulate LEFT-FOLDED in element-index order
+    (F.aggregate's association — the same formula-choice trap as
+    _quantile_cont), division as dot/(na*nb), floor-1e4, ties to the
+    smaller id, nulls (zero norms) last."""
+    emb = _read(sf_dir, "embeddings")
+    vecs = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    ids = emb["vec_id"].to_numpy()
+    q = vecs[ids == 0][0]
+    dim = vecs.shape[1]
+    dot = np.zeros(len(vecs))
+    na2 = np.zeros(len(vecs))
+    q2 = 0.0
+    for d in range(dim):  # index order = the engines' fold order
+        dot += vecs[:, d] * q[d]
+        na2 += vecs[:, d] * vecs[:, d]
+        q2 = q2 + q[d] * q[d]
+    na, nq = np.sqrt(na2), np.sqrt(q2)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cos = np.where((na == 0.0) | (nq == 0.0), np.nan,
+                       dot / (na * nq))
+    cosf = np.floor(cos * 10000) / 10000
+    order = sorted(range(len(ids)),
+                   key=lambda i: (np.isnan(cosf[i]), -cosf[i]
+                                  if not np.isnan(cosf[i]) else 0,
+                                  ids[i]))[:k]
+    return pd.DataFrame({"vec_id": [np.int64(ids[i]) for i in order],
+                         "cosine": [float(cosf[i]) for i in order]})
+
+
 REPLAYS = {
     "groupby_sum": r_groupby_sum,
     "flagship_join_groupby_count": r_flagship_join_groupby_count,
@@ -725,6 +756,7 @@ REPLAYS = {
     "multimodal_bmp": r_multimodal_bmp,
     "corpus_weighted_quantiles": r_corpus_weighted_quantiles,
     "er_jaro_winkler": r_er_jaro_winkler,
+    "sim_topk": r_sim_topk,
 }
 
 
