@@ -26,7 +26,8 @@ import pytest
 @pytest.mark.parametrize("name", [
     "groupby_sum", "concat", "text_chunks", "events_sessionize",
     "dsir_weights", "corpus_percentiles",
-    "events_quantiles_by_group"])
+    "events_quantiles_by_group", "corpus_weighted_quantiles",
+    "er_jaro_winkler", "sim_topk"])
 def test_witness_replay_matches_spark(spark, sf_dir, name):
     import pandas_witness as pw
     import __spark_entry__ as entry_mod
