@@ -6,6 +6,20 @@ JSON line. The headline metric mirrors the reference's only published
 number (BASELINE.md): shuffle join + groupby-count + fetch-to-client
 (examples/Demo.ipynb, 10.72 s on 2x2M rows / 32 PEs) — here
 lineitem ⋈ orders → groupby(o_orderpriority).count → toPandas.
+
+Contention protocol (VERDICT r12 #1b / r13 #2): every timing block
+(main sweep, sf1, sf5) retries a reading >2x its committed best once,
+and a post-retry reading still over the bar is recorded as a FLAGGED
+dict ``{"sec", "expected", "drift_x", "load"}`` — never a bare
+number, never adopted into the next round's expected table
+(``_load_prior_timings`` refuses dicts). ``load`` is a
+``_host_load()`` sample taken at read time (loadavg + kernel
+running-task count); the artifact also carries ``result["load1"]``,
+one sample per committed main-sweep reading. Adjudication rule: a
+flag with load1 well above this process's own steady-state (~2-5 on
+this host for a local[32] data pass; see _host_load's docstring) is
+host contention — confirm with tools/solo_witness.py; a flag at
+idle load is a real regression and must be root-caused, not re-based.
 """
 
 from __future__ import annotations
@@ -20,6 +34,37 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 from charmpandas_spark.functions.dedup import release  # noqa: E402
+
+
+def _host_load() -> dict:
+    """One-sample host-contention marker (VERDICT r13 #2): 1- and
+    5-minute loadavg plus the kernel's running-task count, read from
+    /proc/loadavg in one syscall. Attached to every FLAGGED drift
+    dict (and summarized per committed reading in the artifact's
+    ``load1`` map) so a 2-3x reading carries the evidence needed to
+    adjudicate contention-vs-regression in place, instead of costing
+    a builder round and a judge session each (three rounds running:
+    r11 sf1 drifters, r12's four contended sf0.1 entries, r13's 15
+    driver flags — all ultimately host noise).
+
+    Reading the marker: this process runs Spark local[32], so ~32 is
+    the self-load of a busy data pass; ``load1`` far above the
+    machine's core count, or ``running`` well beyond our own worker
+    threads, at the moment a slow reading lands is external
+    contention. A flagged dict with ``load`` near idle is the signal
+    that actually deserves investigation."""
+    try:
+        with open("/proc/loadavg") as f:
+            parts = f.read().split()
+        running, tasks = parts[3].split("/")
+        return {"load1": float(parts[0]), "load5": float(parts[1]),
+                "running": int(running), "tasks": int(tasks)}
+    except Exception:
+        try:
+            l1, l5, _ = os.getloadavg()
+            return {"load1": round(l1, 2), "load5": round(l5, 2)}
+        except OSError:
+            return {}
 
 
 def _cleanup_entry(spark):
@@ -913,7 +958,8 @@ def run_sf5_probe(spark, budget_sec: float = 1300.0):
         if best is not None:
             if best > 2.0 * expected:
                 out[name] = {"sec": best, "expected": expected,
-                             "drift_x": round(best / expected, 2)}
+                             "drift_x": round(best / expected, 2),
+                             "load": _host_load()}
                 print(f"# sf5 {name}: {best:.2f}s — DRIFT "
                       f"{best / expected:.1f}x band (flagged)",
                       file=sys.stderr)
@@ -1160,7 +1206,8 @@ def run_sf1_probe(spark, budget_sec: float = 900.0):
         if best is not None:
             if best > 2.0 * expected:
                 out[name] = {"sec": best, "expected": expected,
-                             "drift_x": round(best / expected, 2)}
+                             "drift_x": round(best / expected, 2),
+                             "load": _host_load()}
                 print(f"# sf1 {name}: {best:.2f}s solo — DRIFT "
                       f"{best / expected:.1f}x expected "
                       f"{expected:.2f}s (flagged, not a scaling "
@@ -1215,7 +1262,8 @@ def run_sf1_probe(spark, budget_sec: float = 900.0):
             if best > 2.0 * expected:
                 out[name] = {"sec": best, "expected": expected,
                              "drift_x": round(best / expected, 2),
-                             "retry": "same-session"}
+                             "retry": "same-session",
+                             "load": _host_load()}
                 print(f"# sf1 {name}: {best:.2f}s — DRIFT "
                       f"{best / expected:.1f}x expected "
                       f"{expected:.2f}s (flagged; cheap-block retry "
@@ -1577,17 +1625,27 @@ def main():
     # only as the fallback for queries with no committed history.
     NOISE_RETRY_FALLBACK_SEC = 5.0
     prior = _load_prior_timings()
+    # VERDICT r13 #2: per-reading contention markers. `load_mark` is
+    # the sample taken right after the reading that will be recorded
+    # (retries overwrite it); `sweep_load1` keeps one load1 float per
+    # COMMITTED number too, emitted as result["load1"], so next
+    # round's drift adjudication can see the whole sweep's load
+    # profile, not just the flagged tail.
+    sweep_load1: dict[str, float] = {}
     for name, fn in qs.items():
         runs = 2 if name == "flagship_join_groupby_count" else 1
         retry_above = (max(2.0 * prior[name], 1.0) if name in prior
                        else NOISE_RETRY_FALLBACK_SEC)
         best, n = None, 0
+        load_mark: dict = {}
         try:
             for attempt in range(2):
                 t0 = time.time()
                 df = fn(spark, SF_DIR)
                 n = len(df.toPandas())  # fetch included, like get()
                 dt = round(time.time() - t0, 4)
+                if best is None or dt <= best:
+                    load_mark = _host_load()
                 best = dt if best is None else min(best, dt)
                 # hygiene: the dedup/tfidf pipelines pin intermediates
                 # behind their exchanges; freeing them between timed
@@ -1631,13 +1689,17 @@ def main():
         if name in prior and best > retry_above:
             timings[name] = {"sec": best,
                              "expected": round(prior[name], 4),
-                             "drift_x": round(best / prior[name], 2)}
+                             "drift_x": round(best / prior[name], 2),
+                             "load": load_mark}
             print(f"# {name}: {best:.2f}s — DRIFT "
                   f"{best / prior[name]:.1f}x committed best "
-                  f"{prior[name]:.2f}s (flagged)", file=sys.stderr)
+                  f"{prior[name]:.2f}s (flagged; load1="
+                  f"{load_mark.get('load1', '?')})", file=sys.stderr)
         else:
             timings[name] = best
             print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
+        if load_mark.get("load1") is not None:
+            sweep_load1[name] = load_mark["load1"]
 
     def _sec(v):  # flagged dicts carry their reading under "sec"
         return v["sec"] if isinstance(v, dict) else v
@@ -1649,6 +1711,9 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # one load1 sample per committed reading (VERDICT r13 #2) —
+        # full markers ride the flagged dicts under "load"
+        "load1": sweep_load1,
     }
     if errors:
         result["errors"] = errors

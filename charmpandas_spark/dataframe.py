@@ -630,9 +630,15 @@ def _with_row_index(sdf: SparkDF, name: str) -> SparkDF:
     # there can't false-positive on plan text such as string literals
     # inside filter expressions ("... = 'Join me'").
     tree = sdf._jdf.queryExecution().analyzed().treeString()
+    # Sort included (VERDICT r13 #6): orderBy output is a range
+    # exchange whose row order among TIED keys is nondeterministic —
+    # and under AQE the exchange can be re-planned between the two
+    # zipWithIndex passes of an alignment, so ties may pair
+    # differently on each side. Coalesce surfaces as Repartition
+    # (shuffle=false) in the analyzed tree, already covered.
     shuffly = {"Join", "Aggregate", "Repartition",
                "RepartitionByExpression", "Window", "Distinct",
-               "Deduplicate"}
+               "Deduplicate", "Sort"}
     nodes = {m.group(1)
              for m in re.finditer(r"^[\s:+|-]*'?(\w+)", tree, re.M)}
     hits = sorted(nodes & shuffly)

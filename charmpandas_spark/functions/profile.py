@@ -457,19 +457,25 @@ def group_quantiles(df: SparkDF, col: str, by: list[str],
     """Per-group exact quantiles — the p50/p90/p99 readout every
     latency/value dashboard is built on: ``(by..., n, q_<bp>...)``
     with one wide column per requested quantile (named by basis
-    points: ``q_5000`` = p50). ``col`` should be integer units
-    (cents/micros) so interpolated values are cross-engine-exact
-    rationals; outputs floor to 1e-4 (mad_outliers doctrine).
+    points: ``q_5000`` = p50). ``col`` accepts a plain column name OR
+    an SQL expression string (e.g. ``'CAST(FLOOR(v*100) AS BIGINT)'``
+    — the shape :func:`group_quantiles_sql` mirrors; ADVICE r13: the
+    one-buffer rewrite had silently narrowed this to bare names) and
+    should be integer units (cents/micros) so interpolated values are
+    cross-engine-exact rationals; outputs floor to 1e-4
+    (mad_outliers doctrine).
 
     ONE grouped sort-based percentile aggregation — the data
     shuffles once on ``by``. The 100 TB path swaps
     ``percentile_approx`` into the same shape (gated like
     ``corpus_percentiles_approx``)."""
     # one percentile BUFFER for all ps (array percentage form) — per-p
-    # aggregates each buffer + sort the group's values independently
+    # aggregates each buffer + sort the group's values independently.
+    # F.expr keeps the pre-r13 contract: expression strings analyze,
+    # plain names pass through unchanged.
     base = df.groupBy(*by).agg(
         F.count(F.lit(1)).alias("n"),
-        F.percentile(F.col(col),
+        F.percentile(col if not isinstance(col, str) else F.expr(col),
                      F.array(*[F.lit(p) for p in ps])).alias("__gq"))
     return base.select(
         *by, "n",
@@ -795,12 +801,19 @@ def weighted_quantiles(df: SparkDF, x_col: str, w_col: str,
     gw = Window.partitionBy(*by)
     ow = (gw.orderBy(F.col("__wq_x").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # Filter on the POST-cast columns (ADVICE r13): filtering on the
+    # pre-projection names only resolved via Spark's missing-attribute
+    # rule, and a non-castable x (e.g. a string column) would produce
+    # __wq_x=NULL rows that survive a pre-cast null check, carry
+    # weight into total_w, and sort first in the window — skewing
+    # every emitted quantile while DuckDB's CAST errors instead.
+    # Post-cast filtering drops cast-failures with the nulls.
     base = (df.select(*by,
                       F.col(x_col).cast("long").alias("__wq_x"),
                       F.col(w_col).cast("long").alias("__wq_w"))
-              .where(F.col(x_col).isNotNull()
-                     & F.col(w_col).isNotNull()
-                     & (F.col(w_col) > 0)))
+              .where(F.col("__wq_x").isNotNull()
+                     & F.col("__wq_w").isNotNull()
+                     & (F.col("__wq_w") > 0)))
     cum = (base.withColumn("__wq_cum", F.sum("__wq_w").over(ow))
                .withColumn("__wq_tot", F.sum("__wq_w").over(gw)))
     aggs = [F.count(F.lit(1)).cast("long").alias("n"),

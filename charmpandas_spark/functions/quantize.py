@@ -351,17 +351,9 @@ def pq_train_encode(df: SparkDF, vec_col: str, id_col: str,
             spark, [(codebooks,)],
             "__pq_cb array<array<array<double>>>"))
 
-    def dist_arr(sub_vec, cb_sub):
-        return F.transform(
-            cb_sub,
-            lambda c: F.aggregate(
-                F.zip_with(sub_vec.cast("array<double>"), c,
-                           lambda x, cc: (x - cc) * (x - cc)),
-                F.lit(0.0), lambda a, t: a + t))
-
     for _ in range(iters):
-        darr = dist_arr(F.col("__pq_s"),
-                        F.element_at("__pq_cb", F.col("__pq_sub") + 1))
+        darr = _dist_arr(F.col("__pq_s"),
+                         F.element_at("__pq_cb", F.col("__pq_sub") + 1))
         tagged = (sub_rows.crossJoin(cb_df())
                           .withColumn("__pq_da", darr)
                           .withColumn(
@@ -387,6 +379,22 @@ def pq_train_encode(df: SparkDF, vec_col: str, id_col: str,
                       carry_cols), codebooks
 
 
+def _dist_arr(sub_vec, cb_sub):
+    """Squared-L2 distances from one sub-vector to every centroid of
+    one subspace codebook (array column), as a pure scan-local HOF
+    expression. SINGLE definition shared by the distributed-training
+    assignment pass and the encode stage (ADVICE r13: two identical
+    copies were a drift hazard for the bit-identity contract —
+    per-element index order, left-associated sum, first-match
+    tie-break all live here and only here)."""
+    return F.transform(
+        cb_sub,
+        lambda c: F.aggregate(
+            F.zip_with(sub_vec.cast("array<double>"), c,
+                       lambda x, cc: (x - cc) * (x - cc)),
+            F.lit(0.0), lambda a, t: a + t))
+
+
 def _pq_encode(q: SparkDF, m: int, d_sub: int, sub_col, cb_df,
                id_col: str, carry_cols: tuple[str, ...]) -> SparkDF:
     """The encode stage shared by both training paths: ONE scan-local
@@ -394,17 +402,9 @@ def _pq_encode(q: SparkDF, m: int, d_sub: int, sub_col, cb_df,
     argmins at once against the broadcast codebook row (see
     pq_train_encode's planning note on why broadcast, not literal
     arrays)."""
-    def dist_arr(sub_vec, cb_sub):
-        return F.transform(
-            cb_sub,
-            lambda c: F.aggregate(
-                F.zip_with(sub_vec.cast("array<double>"), c,
-                           lambda x, cc: (x - cc) * (x - cc)),
-                F.lit(0.0), lambda a, t: a + t))
-
     code_cols = []
     for sub in range(m):
-        darr = dist_arr(sub_col(sub), F.element_at("__pq_cb", sub + 1))
+        darr = _dist_arr(sub_col(sub), F.element_at("__pq_cb", sub + 1))
         code_cols.append(
             (F.array_position(darr, F.array_min(darr)) - 1)
             .cast("int"))

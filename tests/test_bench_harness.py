@@ -162,3 +162,55 @@ def test_sf1_and_sf5_expected_tables_are_sane():
         for name, expected in table.items():
             assert isinstance(expected, (int, float)) and expected > 0
             assert name in qs or name in bench.SF1_OVERRIDES, name
+
+
+def test_host_load_marker_shape():
+    """VERDICT r13 #2: the contention marker must parse /proc/loadavg
+    into load1/load5 + running/tasks (adjudication evidence riding
+    every flagged drift dict), and never raise."""
+    import bench
+
+    m = bench._host_load()
+    assert isinstance(m.get("load1"), float) and m["load1"] >= 0.0
+    assert isinstance(m.get("load5"), float)
+    # Linux path: the kernel's running/total task counts
+    assert m.get("running", 0) >= 1 and m.get("tasks", 0) > 1
+
+
+def test_main_sweep_attaches_load_to_flagged_dicts():
+    """The main sweep's flag branch and the sf1/sf5 probes must all
+    carry the marker — a flagged dict without `load` can't
+    self-adjudicate and costs a manual re-witness."""
+    import inspect
+
+    import bench
+
+    for fn in (bench.main, bench.run_sf1_probe, bench.run_sf5_probe):
+        src = inspect.getsource(fn)
+        flag_sites = src.count('"drift_x"')
+        assert flag_sites >= 1, fn.__name__
+        assert src.count('"load"') >= flag_sites, \
+            f"{fn.__name__}: a drift_x flag site lost its load marker"
+
+
+def test_plan_drift_gate(tmp_path):
+    """VERDICT r13 #7: unexplained >30% exchange drift on a
+    CONTRACTED query must be a gate violation; explained drift and
+    non-contracted queries pass."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from plan_audit import contracted_queries, gate_violations
+
+    cq = contracted_queries()
+    assert "dsir_select" in cq and len(cq) >= 15
+    base = {"plans": {"dsir_select": {"exchanges": 15},
+                      "dedup_spans": {"exchanges": 6},
+                      "not_contracted": {"exchanges": 5}}}
+    cur = {"plans": {"dsir_select": {"exchanges": 21},
+                     "dedup_spans": {"exchanges": 7},
+                     "not_contracted": {"exchanges": 50}}}
+    v = gate_violations(base, cur, {})
+    assert len(v) == 1 and v[0].startswith("dsir_select")
+    assert gate_violations(
+        base, cur, {"dsir_select": "totals rewrite"}) == []

@@ -93,6 +93,51 @@ def test_cross_dataframe_positional_alignment(spark, sf_dir):
     assert np.allclose(got["test"], 3 * got["s_acctbal"])
 
 
+def test_positional_alignment_aqe_probe(spark, sf_dir):
+    """VERDICT r13 #6: AQE-era robustness of the alignment guard.
+
+    (a) The sanctioned path — two identically-partitioned scans —
+        must give STABLE pairing with AQE enabled (it is: a parquet
+        scan has no exchange for AQE to re-plan, and file-split
+        ordering is deterministic). Asserted by running the same
+        alignment twice and comparing element-wise.
+    (b) Any plan AQE can re-plan between the two zipWithIndex passes
+        must WARN: an aggregate output (Aggregate node; AQE coalesces
+        its shuffle) and a sorted frame with tied keys (Sort node —
+        added to the guard set this round: tie order under a range
+        exchange is nondeterministic).
+    """
+    import warnings
+
+    import pytest
+
+    from charmpandas_spark.dataframe import _with_row_index
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+    # (a) stable pairing on the sanctioned path, twice
+    vals = []
+    for _ in range(2):
+        d1 = cps.read_table(spark, sf_dir, "supplier")
+        d2 = cps.read_table(spark, sf_dir, "supplier")
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)  # no warn
+            d1["test"] = d1["s_acctbal"] + 2 * d2["s_acctbal"]
+            got = d1.get().sort_values("s_suppkey")
+        assert np.allclose(got["test"], 3 * got["s_acctbal"])
+        vals.append(list(got["test"]))
+    assert vals[0] == vals[1]
+
+    # (b) AQE-re-plannable plans warn
+    sup = cps.read_table(spark, sf_dir, "supplier")._sdf
+    agg = sup.groupBy("s_nationkey").count()
+    with pytest.warns(RuntimeWarning, match="positional alignment"):
+        _with_row_index(agg, "__p__")
+    tied_sort = sup.orderBy("s_nationkey")  # ~4 suppliers per key: ties
+    with pytest.warns(RuntimeWarning, match="positional alignment"):
+        _with_row_index(tied_sort, "__p__")
+
+
 def test_scalar_reductions(li, li_pd):
     assert li["l_quantity"].sum() == pytest.approx(li_pd["l_quantity"].sum())
     assert li["l_quantity"].count() == li_pd["l_quantity"].count()

@@ -1272,6 +1272,49 @@ def test_weighted_quantiles_drops_nonpositive_and_null_weights(spark):
     assert out["wq_990000"] == 1
 
 
+def test_weighted_quantiles_drops_cast_failures(spark):
+    # ADVICE r13: a non-castable x used to survive a PRE-cast null
+    # check as __wq_x=NULL, carry weight into total_w, and sort first
+    # in the window — skewing every quantile. Under Spark 4's default
+    # ANSI mode the cast errors loudly (same as DuckDB's CAST — no
+    # silent divergence possible); with ANSI off, legacy cast yields
+    # NULL and the POST-cast filter must drop the row entirely
+    # (weight excluded from the denominator).
+    import pytest
+    from charmpandas_spark.functions.profile import weighted_quantiles
+    df = spark.createDataFrame(
+        [("g", "1", 1), ("g", "2", 1), ("g", "not-a-number", 98)],
+        "grp string, x string, w long")
+    with pytest.raises(Exception, match="(?i)number|cast|ansi"):
+        weighted_quantiles(df, "x", "w", ["grp"],
+                           ps=(0.5,)).collect()
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        out = weighted_quantiles(df, "x", "w", ["grp"],
+                                 ps=(0.5, 0.99)).collect()[0]
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert out["n"] == 2 and out["total_w"] == 2
+    assert out["wq_500000"] == 1
+    assert out["wq_990000"] == 2
+
+
+def test_group_quantiles_accepts_expression_string(spark):
+    # ADVICE r13: the one-buffer rewrite silently narrowed `col` to
+    # plain names; the public contract (mirrored by
+    # group_quantiles_sql) accepts SQL expression strings too.
+    from charmpandas_spark.functions.profile import group_quantiles
+    df = spark.createDataFrame(
+        [("g", 1.23), ("g", 4.56), ("g", 7.89)],
+        "grp string, v double")
+    out = group_quantiles(df, "CAST(FLOOR(v * 100) AS BIGINT)",
+                          ["grp"], ps=(0.5,)).collect()[0]
+    # FLOOR(4.56*100) = 455: 4.56*100 is 455.999... in binary — the
+    # same value DuckDB's twin expression produces.
+    assert out["n"] == 3 and out["q_5000"] == 455.0
+
+
 def test_weighted_quantiles_partition_invariant(spark):
     import random
     from charmpandas_spark.functions.profile import weighted_quantiles

@@ -107,6 +107,49 @@ def drift_summary() -> str | None:
         (f" (+{len(lines) - 6} more)" if len(lines) > 6 else "")
 
 
+#: unexplained-exchange-drift gate threshold (VERDICT r13 #7): a
+#: contracted query whose exchange count moves more than this
+#: fraction between audits needs a same-commit explanation line or
+#: --diff exits nonzero. 30% catches dsir_select-style rewrites
+#: (15->21) while ignoring one-exchange wiggle on small plans.
+DRIFT_GATE = 0.30
+
+
+def contracted_queries() -> set[str]:
+    """The queries pinned in tests/test_plan_contracts.py — the gate's
+    scope. Imported, not duplicated, so the two lists can't skew."""
+    import importlib.util
+
+    path = os.path.join(REPO, "tests", "test_plan_contracts.py")
+    spec = importlib.util.spec_from_file_location("_plan_contracts",
+                                                  path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return set(mod.CONTRACTS)
+
+
+def gate_violations(baseline: dict, current: dict,
+                    explanations: dict[str, str]) -> list[str]:
+    """Contracted queries whose exchange count drifted more than
+    DRIFT_GATE (either direction — shrink usually means a subplan
+    silently stopped running) WITHOUT an explanation entry. Returns
+    human lines; empty = gate passes."""
+    base = baseline.get("plans", baseline)
+    cur = current.get("plans", current)
+    bad = []
+    for name in sorted(contracted_queries() & set(base) & set(cur)):
+        b = base[name].get("exchanges")
+        c = cur[name].get("exchanges")
+        if not isinstance(b, int) or not isinstance(c, int) or b == 0:
+            continue
+        drift = abs(c - b) / b
+        if drift > DRIFT_GATE and name not in explanations:
+            bad.append(f"{name}: exchanges {b} -> {c} "
+                       f"({drift:+.0%}) UNEXPLAINED — re-run with "
+                       f"--explain '{name}=<why>' after auditing")
+    return bad
+
+
 def main():
     from charmpandas_spark.session import get_spark
 
@@ -119,6 +162,12 @@ def main():
         i = argv.index("--diff")
         diff_path = argv[i + 1]
         del argv[i:i + 2]
+    explanations: dict[str, str] = {}
+    while "--explain" in argv:
+        i = argv.index("--explain")
+        k, _, v = argv[i + 1].partition("=")
+        explanations[k] = v
+        del argv[i:i + 2]
     spark = get_spark(app_name="plan-audit", master="local[8]",
                       shuffle_partitions=8)
     only = set(argv)
@@ -128,14 +177,24 @@ def main():
         if not only:
             only = set(baseline.get("plans", baseline))
     out = audit(spark, only or None)
+    violations = []
     if diff_path:
         lines = diff_plans(baseline, out)
         print(f"# drift vs {diff_path}: "
               f"{len(lines)} fact(s) changed", file=sys.stderr)
         for ln in lines:
             print(f"#   {ln}", file=sys.stderr)
+        violations = gate_violations(baseline, out, explanations)
+        for ln in violations:
+            print(f"# GATE FAIL {ln}", file=sys.stderr)
     if as_json:
-        print(json.dumps(out, indent=2))
+        doc: dict = dict(out)
+        if explanations:
+            # same-commit explanation lines ride the emitted artifact
+            # (VERDICT r13 #7) so the next round's --diff reader sees
+            # WHY a contracted budget moved, in the JSON itself
+            doc = {"plans": out, "drift_explanations": explanations}
+        print(json.dumps(doc, indent=2))
     else:
         for name, r in out.items():
             if "error" in r:
@@ -148,6 +207,11 @@ def main():
                   f"scans[cols]={scans:8s} joins={joins} "
                   f"pushed={r['pushed_filters']}")
     spark.stop()
+    if violations:
+        # fail LOUD (VERDICT r13 #7): unexplained >30% exchange drift
+        # on a contracted query is exactly the class of silent plan
+        # regression the contracts exist to stop
+        sys.exit(2)
 
 
 if __name__ == "__main__":

@@ -61,13 +61,14 @@ def main():
             continue
         spark = bench._fresh_session(spark)
         bench._mini_warm(spark)
-        times, rows = [], 0
+        times, rows, loads = [], 0, []
         for _ in range(runs):
             try:
                 t0 = time.time()
                 df = fn(spark, bench.SF_DIR)
                 rows = len(df.toPandas())
                 times.append(round(time.time() - t0, 3))
+                loads.append(bench._host_load().get("load1"))
                 release(df)
                 spark.catalog.clearCache()
                 bench._cleanup_entry(spark)
@@ -79,7 +80,11 @@ def main():
         else:
             prior = priors.get(name)
             results[name] = {"runs": times, "min": min(times),
-                             "rows": rows, "committed_prior": prior}
+                             "rows": rows, "committed_prior": prior,
+                             # one load1 sample per run (VERDICT r13
+                             # #2): witness readings carry their own
+                             # contention evidence
+                             "load1": loads}
             flag = ""
             if prior and min(times) > 2.0 * prior:
                 flag = f"  ** >2x committed prior {prior} **"
