@@ -27,7 +27,14 @@ import pytest
     "groupby_sum", "concat", "text_chunks", "events_sessionize",
     "dsir_weights", "corpus_percentiles",
     "events_quantiles_by_group", "corpus_weighted_quantiles",
-    "er_jaro_winkler", "sim_topk"])
+    "er_jaro_winkler", "sim_topk",
+    # r14 extension representatives: one per new family (regex text
+    # scoring, published-ruleset quality, warehouse rank-dedup and
+    # attribute fusion, grouping sets, exact windowed sum, md5
+    # bucketing, boilerplate line dedup)
+    "text_lang_id", "quality_gopher", "quality_c4", "cdc_apply",
+    "cdc_survivorship", "table_diff", "groupby_cube",
+    "window_rolling", "dataset_split", "text_line_dedup"])
 def test_witness_replay_matches_spark(spark, sf_dir, name):
     import pandas_witness as pw
     import __spark_entry__ as entry_mod
