@@ -4544,34 +4544,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_correctness.py runs ALL entries locally each round
     # (ADVICE r3: never depend on the driver window size).
     return {
-        # --- r13 driver window (ordering generated verbatim from
-        #     tools/staleness.py; VERDICT r12 #2: rotate to the
-        #     r7/r8-vintage stalest greens) ---
-        # (1) changed or added this round: tracked localCheckpoint
-        #     handles (ADVICE r12 — release() now frees graph
-        #     checkpoint blocks deterministically); the dsir
-        #     ReuseExchange totals rewrite; the index-sidecar
-        #     FileSystem write (dedup_incremental /
-        #     dedup_minhash_incremental path); NEW index-compaction
-        #     round-trip query
-        "graph_triangles": q_graph_triangles,
-        "graph_kcore": q_graph_kcore,
-        "dsir_weights": q_dsir_weights,
-        "dsir_select": q_dsir_select,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_minhash_incremental": q_dedup_minhash_incremental,
-        "dedup_index_compact": q_dedup_index_compact,
-        #     ... and the second r13 change batch: driver-side capped
-        #     codebook training (coreset/pq/ivfpq) and the
-        #     one-buffer multi-quantile aggregates
-        "coreset_kcenter": q_coreset_kcenter,
+        # --- r14 driver window (ordering generated from
+        #     tools/staleness.py; VERDICT r13 #3: rotate to the
+        #     r8-vintage remainder + the 4 stalest r9 greens) ---
+        # (1) changed this round: the weighted-quantiles post-cast
+        #     filter + group_quantiles expression-string contract
+        #     (ADVICE r13) touch the quantile family; the shared
+        #     _dist_arr hoist touches the PQ/IVF-PQ encode path
+        "corpus_weighted_quantiles": q_corpus_weighted_quantiles,
+        "corpus_percentiles": q_corpus_percentiles,
+        "events_quantiles_by_group": q_events_quantiles_by_group,
         "sim_pq_topk": q_sim_pq_topk,
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
         "sim_ivfpq_rerank": q_sim_ivfpq_rerank,
-        "corpus_percentiles": q_corpus_percentiles,
-        "events_quantiles_by_group": q_events_quantiles_by_group,
-        #     NEW this round: token-weighted quantiles
-        "corpus_weighted_quantiles": q_corpus_weighted_quantiles,
         # (2) SS2 core slice, re-proven every round
         "scan_project": q_scan_project,
         "flagship_join_groupby_count": q_flagship_join_groupby_count,
@@ -4581,36 +4566,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_count": q_groupby_count,
         "sort_topk": q_sort_topk,
         "concat": q_concat,
-        # (3) the 16 r7-vintage stalest greens
-        "shard_assignment": q_shard_assignment,
-        "sim_bm25": q_sim_bm25,
-        "sim_quantized_topk": q_sim_quantized_topk,
-        "sim_sparse_topk": q_sim_sparse_topk,
-        "sink_compacted_roundtrip": q_sink_compacted_roundtrip,
-        "source_orc_roundtrip": q_source_orc_roundtrip,
-        "sparse_postings_lookup": q_sparse_postings_lookup,
-        "streaming_sessionize": q_streaming_sessionize,
-        "streaming_stream_join_outer": q_streaming_stream_join_outer,
-        "table_diff": q_table_diff,
-        "table_profile": q_table_profile,
-        "text_bpe_tokens": q_text_bpe_tokens,
-        "text_line_dedup": q_text_line_dedup,
-        "text_phrase_search": q_text_phrase_search,
-        "text_token_drift": q_text_token_drift,
-        "url_domain_filter": q_url_domain_filter,
-        # (4) the stalest 24 of the 34 r8-vintage greens
-        "corpus_percentiles_approx": q_corpus_percentiles_approx,
-        "datetime_filter": q_datetime_filter,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_contamination": q_dedup_contamination,
-        "dedup_embedding_cosine_ann": q_dedup_embedding_cosine_ann,
-        "dedup_embedding_leakage": q_dedup_embedding_leakage,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_minhash_fast": q_dedup_minhash_fast,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_span_removal": q_dedup_span_removal,
+        # (3) the 32 r8-vintage stalest greens (the full cohort
+        #     displaced from the r13 window) + the 4 stalest r9s
+        #     (audience_overlap, cdc_apply, cdc_survivorship,
+        #     curation_funnel) — after this round no query's
+        #     latest driver row is older than r9
         "distinct_count_approx": q_distinct_count_approx,
         "events_json": q_events_json,
         "events_sessionize": q_events_sessionize,
@@ -4618,14 +4578,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_bool": q_groupby_bool,
         "groupby_cube": q_groupby_cube,
         "groupby_extended": q_groupby_extended,
-        # --- positions 51+: fresher greens ride their latest
-        #     driver row (staleness-ascending so the next rotation
-        #     is a pure front-slice). tools/check_correctness.py
-        #     still runs ALL entries locally every round. The five
-        #     r8-vintage entries below were displaced from the r13
-        #     window by this round's changed/added queries (ordering
-        #     contract rule 2 beats rule 1); r8 rows still satisfy
-        #     the "nothing older than r8" rotation goal. ---
         "groupby_rollup": q_groupby_rollup,
         "groupby_ts_key": q_groupby_ts_key,
         "histogram_equidepth_approx": q_histogram_equidepth_approx,
@@ -4655,6 +4607,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply": q_cdc_apply,
         "cdc_survivorship": q_cdc_survivorship,
         "curation_funnel": q_curation_funnel,
+        # --- positions 51+: fresher greens, staleness-ascending,
+        #     so the next rotation is a pure front-slice.
+        #     tools/check_correctness.py still runs ALL entries
+        #     locally every round. ---
         "decontam_bloom": q_decontam_bloom,
         "dedup_images": q_dedup_images,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
@@ -4809,6 +4765,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_range_frame": q_window_range_frame,
         "window_rank": q_window_rank,
         "zorder_key": q_zorder_key,
+        "coreset_kcenter": q_coreset_kcenter,
+        "corpus_percentiles_approx": q_corpus_percentiles_approx,
+        "datetime_filter": q_datetime_filter,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_contamination": q_dedup_contamination,
+        "dedup_embedding_cosine_ann": q_dedup_embedding_cosine_ann,
+        "dedup_embedding_leakage": q_dedup_embedding_leakage,
+        "dedup_exact": q_dedup_exact,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_index_compact": q_dedup_index_compact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_fast": q_dedup_minhash_fast,
+        "dedup_minhash_incremental": q_dedup_minhash_incremental,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_span_removal": q_dedup_span_removal,
+        "dsir_select": q_dsir_select,
+        "dsir_weights": q_dsir_weights,
+        "graph_kcore": q_graph_kcore,
+        "graph_triangles": q_graph_triangles,
+        "shard_assignment": q_shard_assignment,
+        "sim_bm25": q_sim_bm25,
+        "sim_quantized_topk": q_sim_quantized_topk,
+        "sim_sparse_topk": q_sim_sparse_topk,
+        "sink_compacted_roundtrip": q_sink_compacted_roundtrip,
+        "source_orc_roundtrip": q_source_orc_roundtrip,
+        "sparse_postings_lookup": q_sparse_postings_lookup,
+        "streaming_sessionize": q_streaming_sessionize,
+        "streaming_stream_join_outer": q_streaming_stream_join_outer,
+        "table_diff": q_table_diff,
+        "table_profile": q_table_profile,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "text_line_dedup": q_text_line_dedup,
+        "text_phrase_search": q_text_phrase_search,
+        "text_token_drift": q_text_token_drift,
+        "url_domain_filter": q_url_domain_filter,
     }
 
 
