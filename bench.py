@@ -767,6 +767,13 @@ SF5_QUERIES = {
     "graph_triangles": 14.9,
     "graph_pagerank": 12.4,
     "streaming_dedup": 10.0,
+    # r14 (VERDICT r13 #5): the recurring stream-stream sf5 point —
+    # solo min-of-2 26.45 s (runs 37.3/26.5, load1 7.4/6.4;
+    # STREAMING_BUDGET_SF5_r14.json). streaming_sessionize's sf5
+    # curve is committed there too (drain 133 s, e 0.61/0.74 by leg)
+    # but deliberately NOT probed per-round: two ~145 s runs would
+    # dominate the probe budget for a curve that is already pinned.
+    "streaming_stream_join_outer": 26.5,
     # k-means/coreset family third points (same protocol). kcenter
     # r13 re-base 32.1 -> 7.8: the first sf5 reading was itself
     # contended (sweep 7.56 + solo 7.75/8.9/11.9 confirm the floor);
@@ -833,7 +840,8 @@ SF5_TPCH_QUERIES = {"graph_pagerank", "tpch_q1", "tpch_q18",
                     "er_jaro_winkler", "merge_upsert"}
 
 #: sf5 probes that need the events slice (lazily built, own sentinel)
-SF5_EVENTS_QUERIES = {"events_sessionize", "events_asof_join",
+SF5_EVENTS_QUERIES = {"streaming_stream_join_outer",
+                      "events_sessionize", "events_asof_join",
                       "events_funnel"}
 
 
