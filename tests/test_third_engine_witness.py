@@ -34,7 +34,13 @@ import pytest
     # bucketing, boilerplate line dedup)
     "text_lang_id", "quality_gopher", "quality_c4", "cdc_apply",
     "cdc_survivorship", "table_diff", "groupby_cube",
-    "window_rolling", "dataset_split", "text_line_dedup"])
+    "window_rolling", "dataset_split", "text_line_dedup",
+    # batch-2 representatives: pandas merge_asof as the independent
+    # as-of engine, integer attribution splits, RANGE frame via
+    # prefix sums, EWM integer weights, exists-semi TPC-H
+    "events_asof_join", "events_attribution_linear",
+    "events_cohort_retention", "events_ewm", "window_range_frame",
+    "tpch_q4"])
 def test_witness_replay_matches_spark(spark, sf_dir, name):
     import pandas_witness as pw
     import __spark_entry__ as entry_mod

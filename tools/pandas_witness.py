@@ -1388,6 +1388,350 @@ def r_events_window(sf_dir):
     return g
 
 
+# --------------------------------------------------------------------
+# r14 batch 2: product analytics (as-of family, attribution, cohort,
+# EWM, MAD, interval/sliding windows) + remaining TPC-H composites.
+# pandas.merge_asof IS an independent third implementation of the
+# as-of operator — semantics from the operator docstrings, not from
+# either engine's SQL.
+# --------------------------------------------------------------------
+
+def _ev_split(sf_dir, etype, cols):
+    ev = _read(sf_dir, "events")
+    return ev.loc[ev["event_type"] == etype, cols].copy()
+
+
+def _asof_backward(left, right, value_col, tol_us=None):
+    """pandas merge_asof backward on (user_id, ts); returns left +
+    <value_col> from the latest at-or-before right row."""
+    kw = {}
+    if tol_us is not None:
+        kw["tolerance"] = pd.Timedelta(microseconds=tol_us)
+    return pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"),
+        right.sort_values("ts", kind="mergesort"),
+        on="ts", by="user_id", direction="backward", **kw)
+
+
+def r_events_asof_join(sf_dir):
+    clicks = _ev_split(sf_dir, "click", ["event_id", "user_id", "ts"])
+    purch = _ev_split(sf_dir, "purchase", ["user_id", "ts", "value"])
+    m = _asof_backward(clicks, purch, "value")
+    return pd.DataFrame({"event_id": m["event_id"],
+                         "user_id": m["user_id"], "ts": m["ts"],
+                         "value_asof": m["value"]})
+
+
+def r_events_merge_asof(sf_dir):
+    views = _ev_split(sf_dir, "view", ["event_id", "user_id", "ts"])
+    purch = _ev_split(sf_dir, "purchase", ["user_id", "ts", "value"])
+    m = _asof_backward(views, purch, "value")
+    return pd.DataFrame({"event_id": m["event_id"],
+                         "user_id": m["user_id"], "ts": m["ts"],
+                         "value_asof": m["value"]})
+
+
+def r_events_asof_nearest(sf_dir, tol_us=2 * 3600 * 1_000_000):
+    # direction=nearest with tolerance, ties backward: composed from
+    # one backward and one forward merge_asof with the matched ts
+    # carried, then a distance compare (strictly-closer forward wins)
+    clicks = _ev_split(sf_dir, "click", ["event_id", "user_id", "ts"])
+    purch = _ev_split(sf_dir, "purchase", ["user_id", "ts", "value"])
+    b2 = pd.merge_asof(
+        clicks.sort_values("ts", kind="mergesort"),
+        purch.sort_values("ts", kind="mergesort").rename(
+            columns={"ts": "mts", "value": "bval"}),
+        left_on="ts", right_on="mts", by="user_id",
+        direction="backward",
+        tolerance=pd.Timedelta(microseconds=tol_us))
+    f2 = pd.merge_asof(
+        clicks.sort_values("ts", kind="mergesort"),
+        purch.sort_values("ts", kind="mergesort").rename(
+            columns={"ts": "mts", "value": "fval"}),
+        left_on="ts", right_on="mts", by="user_id",
+        direction="forward",
+        tolerance=pd.Timedelta(microseconds=tol_us))
+    m = b2.merge(f2[["event_id", "mts", "fval"]], on="event_id",
+                 suffixes=("_b", "_f"))
+    db = (m["ts"] - m["mts_b"]).dt.total_seconds()
+    df_ = (m["mts_f"] - m["ts"]).dt.total_seconds()
+    pick_f = m["mts_b"].isna() | (m["mts_f"].notna() & (df_ < db))
+    val = np.where(pick_f, m["fval"], m["bval"])
+    out = pd.DataFrame({"event_id": m["event_id"],
+                        "user_id": m["user_id"],
+                        "value_asof": _floorn(val, 100)})
+    out.loc[m["mts_b"].isna() & m["mts_f"].isna(),
+            "value_asof"] = np.nan
+    return out
+
+
+def r_events_attribution(sf_dir):
+    conv = _ev_split(sf_dir, "purchase",
+                     ["event_id", "user_id", "ts", "value"])
+    ev = _read(sf_dir, "events")
+    touch = (ev[ev["event_type"].isin(["view", "click"])]
+             .groupby(["user_id", "ts"], as_index=False)
+             .agg(channel=("event_type", "max")))
+    m = _asof_backward(conv, touch, "channel",
+                       tol_us=7 * 24 * 3600 * 1_000_000)
+    m["channel"] = m["channel"].fillna("direct")
+    m["rc"] = np.floor(m["value"] * 100).astype(np.int64)
+    g = (m.groupby("channel", as_index=False)
+         .agg(n_conversions=("rc", "size"), revenue_c=("rc", "sum")))
+    g["n_conversions"] = g["n_conversions"].astype(np.int64)
+    g["revenue_c"] = g["revenue_c"].astype(np.int64)
+    return g
+
+
+def r_events_attribution_linear(sf_dir,
+                                win_us=7 * 24 * 3600 * 1_000_000):
+    conv = _ev_split(sf_dir, "purchase",
+                     ["event_id", "user_id", "ts", "value"])
+    conv["cents"] = np.floor(conv["value"] * 100).astype(np.int64)
+    ev = _read(sf_dir, "events")
+    touch = ev.loc[ev["event_type"].isin(["view", "click"]),
+                   ["user_id", "ts", "event_type"]].rename(
+        columns={"ts": "tts", "event_type": "channel"})
+    hit = conv.merge(touch, on="user_id")
+    win = pd.Timedelta(microseconds=win_us)
+    hit = hit[(hit["tts"] <= hit["ts"])
+              & (hit["ts"] - hit["tts"] <= win)]
+    k = hit.groupby("event_id")["channel"].transform("size")
+    hit = hit.assign(k=k)
+    g = (hit.groupby("channel", as_index=False)
+         .apply(lambda s: pd.Series({
+             "credit_micro": int((1_000_000 // s["k"]).sum()),
+             "revenue_micro": int(((s["cents"] * 1_000_000)
+                                   // s["k"]).sum())}),
+             include_groups=False))
+    touched_ids = set(hit["event_id"])
+    direct = conv[~conv["event_id"].isin(touched_ids)]
+    g = pd.concat([g, pd.DataFrame([{
+        "channel": "direct",
+        "credit_micro": len(direct) * 1_000_000,
+        "revenue_micro": int(direct["cents"].sum()) * 1_000_000,
+    }])], ignore_index=True)
+    g["credit_micro"] = g["credit_micro"].astype(np.int64)
+    g["revenue_micro"] = g["revenue_micro"].astype(np.int64)
+    return g
+
+
+def r_events_cohort_retention(sf_dir, period_us=7 * 24 * 3600
+                              * 1_000_000):
+    ev = _read(sf_dir, "events")
+    p = (ev["ts"].astype("int64") // period_us).astype(np.int64)
+    up = pd.DataFrame({"u": ev["user_id"], "p": p}).drop_duplicates()
+    cohort = up.groupby("u")["p"].min().rename("cohort")
+    up = up.merge(cohort, left_on="u", right_index=True)
+    cells = (up.assign(week_offset=up["p"] - up["cohort"])
+               .groupby(["cohort", "week_offset"], as_index=False)
+               .agg(n_active=("u", "size")))
+    size = cells.loc[cells["week_offset"] == 0,
+                     ["cohort", "n_active"]].rename(
+        columns={"n_active": "cohort_size"})
+    out = cells.merge(size, on="cohort")
+    out["retention_bp"] = ((10_000 * out["n_active"])
+                           // out["cohort_size"]).astype(np.int64)
+    for c in ("cohort", "week_offset", "n_active", "cohort_size"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def r_events_ewm(sf_dir, alpha=0.2, terms=16):
+    ev = _read(sf_dir, "events")
+    base = pd.DataFrame({
+        "event_id": ev["event_id"], "user_id": ev["user_id"],
+        "ts": ev["ts"],
+        "cents": np.floor(ev["value"] * 100).astype(np.int64)})
+    ws = [round((1.0 - alpha) ** k * 1_000_000) for k in range(terms)]
+    base = base.sort_values(["user_id", "ts", "cents"],
+                            kind="mergesort")
+    ewm = np.empty(len(base), dtype=np.int64)
+    i = 0
+    for _, grp in base.groupby("user_id", sort=False):
+        x = grp["cents"].to_numpy()
+        for t in range(len(x)):
+            num = den = 0
+            for k in range(min(terms, t + 1)):
+                num += int(x[t - k]) * ws[k]
+                den += ws[k]
+            ewm[i] = num // den
+            i += 1
+    out = base[["event_id", "user_id", "cents"]].copy()
+    out["ewm"] = ewm
+    return out
+
+
+def r_events_anomaly_mad(sf_dir, k=3.0):
+    ev = _read(sf_dir, "events")
+    base = pd.DataFrame({
+        "event_type": ev["event_type"],
+        "x": np.floor(ev["value"] * 100).astype(np.int64)})
+    rows = []
+    for et, grp in base.groupby("event_type"):
+        x = grp["x"].to_numpy(dtype=np.float64)
+        med = np.percentile(x, 50, method="linear")
+        dev = np.abs(x - med)
+        mad = np.percentile(dev, 50, method="linear")
+        rows.append({"event_type": et, "n": np.int64(len(x)),
+                     "med": med, "mad": mad,
+                     "n_outliers": np.int64((dev > k * mad).sum())})
+    return pd.DataFrame(rows)
+
+
+def r_events_interval_join(sf_dir):
+    clicks = _ev_split(sf_dir, "click", ["event_id", "user_id", "ts"])
+    errors = _ev_split(sf_dir, "error",
+                       ["event_id", "user_id", "ts"]).rename(
+        columns={"event_id": "error_id", "ts": "ets"})
+    j = clicks.merge(errors, on="user_id")
+    j = j[(j["ts"] >= j["ets"])
+          & (j["ts"] <= j["ets"] + pd.Timedelta(hours=24))]
+    return j[["event_id", "error_id"]]
+
+
+def r_events_sliding_window(sf_dir, hop_min=15, k_max=4):
+    ev = _read(sf_dir, "events")
+    parts = []
+    base = ev["ts"].dt.floor(f"{hop_min}min")
+    for k in range(k_max):
+        parts.append(pd.DataFrame({
+            "window_start": base - pd.Timedelta(minutes=hop_min * k),
+            "event_type": ev["event_type"],
+            "mi": _micros(ev["value"])}))
+    df = pd.concat(parts, ignore_index=True)
+    g = (df.groupby(["window_start", "event_type"], as_index=False)
+           .agg(n_events=("mi", "size"), s=("mi", "sum")))
+    g["n_events"] = g["n_events"].astype(np.int64)
+    g["sum_value"] = _floorn(g.pop("s").to_numpy() / 1e6, 10000)
+    return g
+
+
+def r_events_json(sf_dir):
+    import json as _json
+
+    ev = _read(sf_dir, "events")
+
+    def getk(p):
+        try:
+            v = _json.loads(p).get("k")
+            return None if v is None else int(v)
+        except Exception:
+            return None
+
+    ks = ev["props"].map(getk)
+    g = (pd.DataFrame({"event_type": ev["event_type"], "k": ks})
+         .groupby("event_type", as_index=False)
+         .agg(sum_k=("k", lambda s: int(s.dropna().sum())),
+              n=("k", lambda s: int(s.notna().sum()))))
+    g["sum_k"] = g["sum_k"].astype(np.int64)
+    g["n"] = g["n"].astype(np.int64)
+    return g
+
+
+def r_window_range_frame(sf_dir, window_us=3_600_000_000):
+    ev = _read(sf_dir, "events").sort_values(["event_type", "ts"],
+                                             kind="mergesort")
+    out_roll = np.empty(len(ev), dtype=np.float64)
+    i = 0
+    for _, grp in ev.groupby("event_type", sort=False):
+        ts = grp["ts"].astype("int64").to_numpy()
+        mi = _micros(grp["value"]).to_numpy()
+        pref = np.concatenate([[0], np.cumsum(mi)])
+        lo = np.searchsorted(ts, ts - window_us, side="left")
+        hi = np.searchsorted(ts, ts, side="right")  # RANGE: all ties
+        out_roll[i:i + len(grp)] = (pref[hi] - pref[lo]) / 1e6
+        i += len(grp)
+    return pd.DataFrame({
+        "event_id": ev["event_id"].to_numpy(),
+        "event_type": ev["event_type"].to_numpy(),
+        "roll_1h": _floorn(out_roll, 10000)})
+
+
+def r_text_vocab(sf_dir, top_k=100):
+    d = _read(sf_dir, "documents")
+    counts: dict = {}
+    for t in d["text"]:
+        for tok in re.sub(_WS + "+", " ", t.lower()).strip().split(" "):
+            if tok != "":
+                counts[tok] = counts.get(tok, 0) + 1
+    rows = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return pd.DataFrame(rows[:top_k], columns=["token", "freq"]) \
+        .astype({"freq": np.int64})
+
+
+def r_curation_funnel(sf_dir):
+    d = _read(sf_dir, "documents")
+    trimmed = d["text"].str.strip()
+    words = trimmed.map(
+        lambda t: 0 if t == "" else len(re.split(_WS + "+", t)))
+    fails = {
+        "min_words": ~(words >= 10),
+        "is_en": ~(d["lang"] == "en"),
+        "max_chars": ~(d["n_chars"] <= 800),
+        "no_brace": d["text"].str.contains("{", regex=False),
+    }
+    rows, prior = [], None
+    for name, f in fails.items():
+        first = f if prior is None else (~prior & f)
+        rows.append((name, np.int64(f.sum()), np.int64(first.sum())))
+        prior = f if prior is None else (prior | f)
+    rows.append(("__total__", np.int64(len(d)), np.int64(len(d))))
+    kept = np.int64((~prior).sum())
+    rows.append(("__kept__", kept, kept))
+    return pd.DataFrame(rows, columns=["rule", "n_failed",
+                                       "n_first_failed"])
+
+
+def r_groupby_ts_key(sf_dir):
+    ev = _read(sf_dir, "events")
+    g = (ev.groupby("ts", as_index=False)["value"]
+           .agg(lambda s: int(s.notna().sum())))
+    g["count(value)"] = g.pop("value").astype(np.int64)
+    return g
+
+
+def r_tpch_q4(sf_dir):
+    o = _read(sf_dir, "orders")
+    li = _read(sf_dir, "lineitem")[["l_orderkey", "l_shipdate"]]
+    j = o.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    hit = j[j["l_shipdate"]
+            > j["o_orderdate"] + pd.Timedelta(days=60)]
+    sel = o[o["o_orderkey"].isin(set(hit["o_orderkey"]))]
+    g = (sel.groupby("o_orderpriority", as_index=False)
+            .agg(n_orders=("o_orderkey", "size")))
+    g["n_orders"] = g["n_orders"].astype(np.int64)
+    return g
+
+
+def r_tpch_q12(sf_dir):
+    li = _read(sf_dir, "lineitem")[["l_orderkey", "l_linestatus"]]
+    o = _read(sf_dir, "orders")[["o_orderkey", "o_orderpriority"]]
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    urgent = j["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+    g = (pd.DataFrame({"l_linestatus": j["l_linestatus"],
+                       "hi": urgent.astype(np.int64)})
+         .groupby("l_linestatus", as_index=False)
+         .agg(high_line_count=("hi", "sum"), low=("hi", "size")))
+    g["low_line_count"] = (g.pop("low")
+                           - g["high_line_count"]).astype(np.int64)
+    g["high_line_count"] = g["high_line_count"].astype(np.int64)
+    return g
+
+
+def r_tpch_q14(sf_dir):
+    li = _read(sf_dir, "lineitem")
+    li = li[(li["l_shipdate"] >= pd.Timestamp("1997-01-01"))
+            & (li["l_shipdate"] < pd.Timestamp("1997-04-01"))]
+    p = _read(sf_dir, "part")[["p_partkey", "p_type"]]
+    j = li.merge(p, left_on="l_partkey", right_on="p_partkey")
+    rev = j["l_extendedprice"] * (1 - j["l_discount"])
+    promo = rev.where(j["p_type"].str.startswith("PROMO"), 0.0)
+    ratio = np.floor(_dsum(promo) / _dsum(rev) * 1_000_000) / 1_000_000
+    return pd.DataFrame({"promo_ratio": [ratio],
+                         "n_rows": [np.int64(len(j))]})
+
+
 REPLAYS = {
     "groupby_sum": r_groupby_sum,
     "flagship_join_groupby_count": r_flagship_join_groupby_count,
@@ -1417,6 +1761,25 @@ REPLAYS = {
     "corpus_weighted_quantiles": r_corpus_weighted_quantiles,
     "er_jaro_winkler": r_er_jaro_winkler,
     "sim_topk": r_sim_topk,
+    # --- r14 batch 2: product analytics + TPC-H composites ---
+    "events_asof_join": r_events_asof_join,
+    "events_merge_asof": r_events_merge_asof,
+    "events_asof_nearest": r_events_asof_nearest,
+    "events_attribution": r_events_attribution,
+    "events_attribution_linear": r_events_attribution_linear,
+    "events_cohort_retention": r_events_cohort_retention,
+    "events_ewm": r_events_ewm,
+    "events_anomaly_mad": r_events_anomaly_mad,
+    "events_interval_join": r_events_interval_join,
+    "events_sliding_window": r_events_sliding_window,
+    "events_json": r_events_json,
+    "window_range_frame": r_window_range_frame,
+    "text_vocab": r_text_vocab,
+    "curation_funnel": r_curation_funnel,
+    "groupby_ts_key": r_groupby_ts_key,
+    "tpch_q4": r_tpch_q4,
+    "tpch_q12": r_tpch_q12,
+    "tpch_q14": r_tpch_q14,
     # --- r14 extension (VERDICT r13 #4) ---
     # core shapes
     "groupby_count": r_groupby_count,
