@@ -40,7 +40,12 @@ import pytest
     # prefix sums, EWM integer weights, exists-semi TPC-H
     "events_asof_join", "events_attribution_linear",
     "events_cohort_retention", "events_ewm", "window_range_frame",
-    "tpch_q4"])
+    "tpch_q4",
+    # batch-3 representatives: bipartite contamination pairs,
+    # 5-gram decontam hits, exact-stats correlation, rational BM25
+    # ranking, expectations, exclusive-prefix-sum sharding
+    "dedup_contamination", "decontam_ngrams", "lineitem_corr",
+    "sim_bm25", "quality_expectations", "shard_assignment"])
 def test_witness_replay_matches_spark(spark, sf_dir, name):
     import pandas_witness as pw
     import __spark_entry__ as entry_mod

@@ -1732,6 +1732,385 @@ def r_tpch_q14(sf_dir):
                          "n_rows": [np.int64(len(j))]})
 
 
+# --------------------------------------------------------------------
+# r14 batch 3: the dedup/decontamination core (cross-corpus pairs,
+# n-gram hits, duplicated spans), exact-stats profiling (correlation,
+# equi-depth histogram, imputation), lexical ranking (TF-cosine,
+# rational BM25, TF-IDF), and the warehouse/funnel remainder.
+# --------------------------------------------------------------------
+
+def _norm_tokens(t: str) -> list:
+    return re.sub(_WS + "+", " ", t.lower()).strip().split(" ")
+
+
+def _spans(toks: list, n: int) -> list:
+    """ALL rolling n-token spans (clamped like list_slice: a doc
+    shorter than n yields one span = the whole doc)."""
+    return [" ".join(toks[i:i + n])
+            for i in range(max(len(toks) - n, 0) + 1)]
+
+
+def r_dedup_contamination(sf_dir, n=3, threshold=0.5):
+    d = _read(sf_dir, "documents")
+    sh = {int(i): set(_spans(_norm_tokens(t), n))
+          for i, t in zip(d["doc_id"], d["text"])}
+    sides = {0: [i for i in sh if i % 2 == 0],
+             1: [i for i in sh if i % 2 == 1]}
+    inv = {0: {}, 1: {}}
+    for side, ids in sides.items():
+        cap = max(100, int(np.ceil(0.01 * len(ids))))
+        dfc: dict = {}
+        for i in ids:
+            for g in sh[i]:
+                dfc[g] = dfc.get(g, 0) + 1
+        for i in ids:
+            for g in sh[i]:
+                if dfc[g] <= cap:
+                    inv[side].setdefault(g, []).append(i)
+    common: dict = {}
+    for g, a_ids in inv[0].items():
+        for b in inv[1].get(g, ()):  # bipartite only
+            for a in a_ids:
+                k = (a, b)
+                common[k] = common.get(k, 0) + 1
+    rows = []
+    for (a, b), c in common.items():
+        jac = np.floor(c / (len(sh[a]) + len(sh[b]) - c) * 10000) \
+            / 10000
+        if jac >= threshold:
+            rows.append((a, b, jac))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+
+def r_decontam_ngrams(sf_dir, n=5):
+    d = _read(sf_dir, "documents")
+    bench = d["source"].isin(["src0", "src1"])
+    bset = set()
+    for t in d.loc[bench, "text"]:
+        bset.update(_spans(_norm_tokens(t), n))
+    rows = []
+    for i, t in zip(d.loc[~bench, "doc_id"], d.loc[~bench, "text"]):
+        grams = set(_spans(_norm_tokens(t), n))
+        hits = sum(1 for g in grams if g in bset)
+        rows.append((int(i), np.int64(len(grams)), np.int64(hits),
+                     np.int64(hits * 1_000_000 // len(grams))))
+    return pd.DataFrame(rows, columns=["doc", "n_ngrams", "n_hits",
+                                       "hit_micro_frac"])
+
+
+def r_dedup_spans(sf_dir, k=4, min_docs=2):
+    d = _read(sf_dir, "documents")
+    per_doc = {int(i): _spans(_norm_tokens(t), k)
+               for i, t in zip(d["doc_id"], d["text"])}
+    docs_of: dict = {}
+    for i, sp in per_doc.items():
+        for g in set(sp):
+            docs_of[g] = docs_of.get(g, 0) + 1
+    dup = {g for g, c in docs_of.items() if c >= min_docs}
+    rows = []
+    for i, sp in per_doc.items():
+        nd = sum(1 for g in sp if g in dup)
+        rows.append((i, np.int64(len(sp)), np.int64(nd),
+                     np.floor(1_000_000 * nd / len(sp)) / 1_000_000))
+    return pd.DataFrame(rows, columns=["doc", "n_spans",
+                                       "n_dup_spans", "dup_frac"])
+
+
+def r_impute_median(sf_dir):
+    ev = _read(sf_dir, "events")
+    cents = np.floor(ev["value"] * 100)
+    cents = pd.Series(np.where(ev["event_id"] % 11 == 0, np.nan,
+                               cents))
+    base = pd.DataFrame({"event_id": ev["event_id"],
+                         "event_type": ev["event_type"],
+                         "cents": cents})
+    med = base.groupby("event_type")["cents"].transform(
+        lambda s: np.percentile(s.dropna().to_numpy(), 50,
+                                method="linear"))
+    return pd.DataFrame({"event_id": base["event_id"],
+                         "event_type": base["event_type"],
+                         "cents_filled": base["cents"].fillna(med)})
+
+
+def r_events_funnel(sf_dir, within_us=7 * 24 * 3600 * 1_000_000):
+    ev = _read(sf_dir, "events")
+    t = ev["ts"].astype("int64")
+    e = pd.DataFrame({"u": ev["user_id"], "et": ev["event_type"],
+                      "t": t})
+    s0 = e[e["et"] == "view"].groupby("u")["t"].min()
+    c = e[e["et"] == "click"].merge(s0.rename("t0"), left_on="u",
+                                    right_index=True)
+    s1 = (c[(c["t"] >= c["t0"]) & (c["t"] <= c["t0"] + within_us)]
+          .groupby("u")["t"].min())
+    p = e[e["et"] == "purchase"].merge(s1.rename("t1"), left_on="u",
+                                       right_index=True)
+    s2 = (p[(p["t"] >= p["t1"]) & (p["t"] <= p["t1"] + within_us)]
+          .groupby("u")["t"].min())
+    nv, nc, np_ = len(s0), len(s1), len(s2)
+    return pd.DataFrame({
+        "n_view": [np.int64(nv)], "n_click": [np.int64(nc)],
+        "n_purchase": [np.int64(np_)],
+        "conversion": [np.floor(1_000_000 * np_ / nv) / 1_000_000]})
+
+
+def r_events_resample(sf_dir, bucket_us=3600 * 1_000_000):
+    ev = _read(sf_dir, "events")
+    bucket = (ev["ts"].astype("int64") // bucket_us).astype(np.int64)
+    df = pd.DataFrame({"event_type": ev["event_type"],
+                       "bucket": bucket,
+                       "mi": _micros(ev["value"])})
+    a = (df.groupby(["event_type", "bucket"], as_index=False)
+           .agg(n_events=("mi", "size"), s=("mi", "sum")))
+    a["total"] = _floorn(a.pop("s").to_numpy() / 1e6, 100)
+    lo, hi = int(bucket.min()), int(bucket.max())
+    scaffold = pd.MultiIndex.from_product(
+        [sorted(df["event_type"].unique()), range(lo, hi + 1)],
+        names=["event_type", "bucket"]).to_frame(index=False)
+    out = scaffold.merge(a, on=["event_type", "bucket"], how="left")
+    out["n_events"] = out["n_events"].fillna(0).astype(np.int64)
+    out["total"] = out["total"].fillna(0.0)
+    out["bucket"] = out["bucket"].astype(np.int64)
+    return out
+
+
+def r_lineitem_corr(sf_dir):
+    li = _read(sf_dir, "lineitem")
+    x = li["l_quantity"].astype(np.int64)
+    y = np.floor(li["l_extendedprice"] * 100).astype(np.int64)
+    rows = []
+    for rf, idx in li.groupby("l_returnflag").groups.items():
+        xi, yi = x[idx].to_numpy(), y[idx].to_numpy()
+        n = len(xi)
+        sx, sy = int(xi.sum()), int(yi.sum())
+        sxy = int((xi * yi).sum())
+        sxx, syy = int((xi * xi).sum()), int((yi * yi).sum())
+        vx = float(n) * float(sxx) - float(sx) * float(sx)
+        vy = float(n) * float(syy) - float(sy) * float(sy)
+        corr = (None if vx <= 0 or vy <= 0 else
+                np.int64(np.floor(
+                    1_000_000 * (float(n) * float(sxy)
+                                 - float(sx) * float(sy))
+                    / (np.sqrt(vx) * np.sqrt(vy)))))
+        rows.append((rf, np.int64(n), corr))
+    return pd.DataFrame(rows, columns=["l_returnflag", "n",
+                                       "corr_micro"])
+
+
+def r_histogram_equidepth(sf_dir, bins=8):
+    li = _read(sf_dir, "lineitem")
+    x = li["l_extendedprice"].dropna().to_numpy(dtype=np.float64)
+    ps = [100 * i / bins for i in range(1, bins)]
+    bs = [np.percentile(x, p, method="linear") for p in ps]
+    blo, bhi = x.min(), x.max()
+    bucket = np.sum(x[:, None] > np.asarray(bs)[None, :], axis=1)
+    rows = []
+    for b in sorted(set(bucket.tolist())):
+        lo = blo if b == 0 else bs[b - 1]
+        hi = bhi if b == bins - 1 else bs[b]
+        rows.append((np.int64(b), np.floor(lo * 10000) / 10000,
+                     np.floor(hi * 10000) / 10000,
+                     np.int64((bucket == b).sum())))
+    return pd.DataFrame(rows, columns=["bucket", "lo", "hi", "n"])
+
+
+def r_group_topk(sf_dir, k=3):
+    o = _read(sf_dir, "orders")
+    df = pd.DataFrame({
+        "o_orderpriority": o["o_orderpriority"],
+        "ord": np.floor(o["o_totalprice"] * 100).astype(np.int64),
+        "id": o["o_orderkey"].astype(np.int64)})
+    df = df.sort_values(["o_orderpriority", "ord", "id"],
+                        ascending=[True, False, True],
+                        kind="mergesort")
+    df["rank"] = (df.groupby("o_orderpriority").cumcount() + 1) \
+        .astype(np.int64)
+    return df[df["rank"] <= k][["o_orderpriority", "rank", "id",
+                                "ord"]]
+
+
+def r_shard_assignment(sf_dir, tokens_per_shard=2000):
+    d = _read(sf_dir, "documents").sort_values("doc_id",
+                                               kind="mergesort")
+    trimmed = d["text"].str.strip()
+    n_tok = trimmed.map(
+        lambda t: 0 if t == "" else len(re.split(_WS + "+", t))) \
+        .to_numpy(dtype=np.int64)
+    start = np.concatenate([[0], np.cumsum(n_tok)[:-1]])
+    shard = start // tokens_per_shard
+    g = (pd.DataFrame({"shard": shard.astype(np.int64),
+                       "n_tok": n_tok})
+         .groupby("shard", as_index=False)
+         .agg(n_docs=("n_tok", "size"), tokens=("n_tok", "sum")))
+    g["n_docs"] = g["n_docs"].astype(np.int64)
+    g["tokens"] = g["tokens"].astype(np.int64)
+    return g
+
+
+def r_merge_upsert(sf_dir):
+    o = _read(sf_dir, "orders")
+    t = pd.DataFrame({
+        "o_orderkey": o["o_orderkey"].astype(np.int64),
+        "o_custkey": o["o_custkey"].astype(np.int64),
+        "o_totalprice": _floor2(o["o_totalprice"]),
+        "o_orderstatus": o["o_orderstatus"]})
+    upd = t[t["o_orderkey"] % 10 == 0].copy()
+    upd["o_totalprice"] = np.floor(upd["o_totalprice"] * 1.1 * 100) \
+        / 100
+    upd["o_orderstatus"] = "U"
+    new = t[t["o_orderkey"] % 97 == 0].copy()
+    new["o_orderkey"] = new["o_orderkey"] + 100_000_000
+    new["o_totalprice"] = 42.0
+    new["o_orderstatus"] = "N"
+    src = pd.concat([upd, new], ignore_index=True)
+    src["batch_tag"] = "b1"
+    out = t.merge(src, on="o_orderkey", how="outer",
+                  suffixes=("", "_s"), indicator=True)
+    hit = out["_merge"] != "left_only"
+    for c in ("o_custkey", "o_totalprice", "o_orderstatus"):
+        out[c] = out[c + "_s"].where(hit, out[c])
+    out["batch_tag"] = out["batch_tag"].where(hit, None)
+    out["o_custkey"] = out["o_custkey"].astype(np.int64)
+    return out[["o_orderkey", "o_custkey", "o_totalprice",
+                "o_orderstatus", "batch_tag"]]
+
+
+def r_quality_expectations(sf_dir):
+    o = _read(sf_dir, "orders")
+    c = _read(sf_dir, "customer")
+    total = np.int64(len(o))
+    pri_ok = o["o_orderpriority"].str.match("^[1-5]-")
+    rows = [
+        ("not_null:o_custkey", int(o["o_custkey"].isna().sum())),
+        ("range:o_totalprice",
+         int((o["o_totalprice"].isna() | (o["o_totalprice"] < 0.0)
+              | (o["o_totalprice"] > 100000.0)).sum())),
+        ("regex:o_orderpriority",
+         int((o["o_orderpriority"].isna() | ~pri_ok).sum())),
+        ("in_set:o_orderstatus",
+         int((o["o_orderstatus"].isna()
+              | ~o["o_orderstatus"].isin(["O", "F", "P"])).sum())),
+        ("unique:o_orderkey",
+         int(o["o_orderkey"].notna().sum()
+             - o["o_orderkey"].nunique())),
+        ("fk:o_custkey",
+         int((o["o_custkey"].notna()
+              & ~o["o_custkey"].isin(set(c["c_custkey"]))).sum())),
+    ]
+    return pd.DataFrame(
+        [(r, np.int64(v), total, v == 0) for r, v in rows],
+        columns=["rule", "violations", "total", "ok"])
+
+
+def r_pii_scan(sf_dir):
+    d = _read(sf_dir, "documents")
+    contact = [
+        (f"reach me: user{i}@corp.example.com or 10.0.0.{i % 256}"
+         if i % 5 == 0 else "no contact info")
+        for i in d["doc_id"]]
+    cols = {"text": d["text"].tolist(), "contact": contact}
+    rows = []
+    for name, vals in cols.items():
+        rec = {"column": name, "n_rows": np.int64(len(vals))}
+        for tag, (pat, _) in zip(("email", "ipv4", "phone"),
+                                 _PII_REPLAY):
+            hits = [len(pat.findall(v)) for v in vals]
+            rec[f"{tag}_rows"] = np.int64(sum(1 for h in hits if h))
+            rec[f"{tag}_hits"] = np.int64(sum(hits))
+        rows.append(rec)
+    return pd.DataFrame(rows)
+
+
+def _postings(sf_dir):
+    """(doc -> {term: tf}) over non-empty normalized tokens."""
+    d = _read(sf_dir, "documents")
+    p = {}
+    for i, t in zip(d["doc_id"], d["text"]):
+        tfs: dict = {}
+        for tok in _norm_tokens(t):
+            if tok != "":
+                tfs[tok] = tfs.get(tok, 0) + 1
+        p[int(i)] = tfs
+    return d, p
+
+
+def r_sim_sparse_topk(sf_dir, k=5):
+    d, p = _postings(sf_dir)
+    n2 = {i: sum(v * v for v in tfs.values()) for i, tfs in p.items()}
+    inv: dict = {}
+    for i, tfs in p.items():
+        for term, tf in tfs.items():
+            inv.setdefault(term, []).append((i, tf))
+    rows = []
+    for q in [i for i in p if i % 101 == 0]:
+        dots: dict = {}
+        for term, tfq in p[q].items():
+            for cdoc, tfc in inv[term]:
+                if cdoc != q:
+                    dots[cdoc] = dots.get(cdoc, 0) + tfq * tfc
+        scored = sorted(
+            ((float(dot * dot) / float(n2[q] * n2[c]), c, dot)
+             for c, dot in dots.items()),
+            key=lambda s: (-s[0], s[1]))
+        for rk, (score, c, dot) in enumerate(scored[:k], 1):
+            rows.append((q, c, np.int64(dot),
+                         np.floor(score * 1_000_000) / 1_000_000,
+                         np.int64(rk)))
+    return pd.DataFrame(rows, columns=["q_doc", "c_doc", "dot",
+                                       "score", "rank"])
+
+
+def r_sim_bm25(sf_dir, k=5):
+    d, p = _postings(sf_dir)
+    dl = {i: sum(tfs.values()) for i, tfs in p.items()}
+    n_docs = len(dl)
+    total_len = sum(dl.values())
+    df: dict = {}
+    inv: dict = {}
+    for i, tfs in p.items():
+        for term in tfs:
+            df[term] = df.get(term, 0) + 1
+            inv.setdefault(term, []).append(i)
+    rows = []
+    for q in [i for i in p if i % 101 == 0]:
+        scores: dict = {}
+        for term in p[q]:
+            f = df[term]
+            for c in inv[term]:
+                if c == q:
+                    continue
+                tf = p[c][term]
+                # rational BM25 (k1=1.2, b=0.75 folded into integer
+                # coefficients), per-term micro contribution
+                contrib = int(np.floor(
+                    1_000_000.0
+                    * (float(2 * n_docs - 2 * f + 1)
+                       * float(22 * tf * total_len))
+                    / (float(2 * f + 1)
+                       * float(10 * tf * total_len + 3 * total_len
+                               + 9 * dl[c] * n_docs))))
+                scores[c] = scores.get(c, 0) + contrib
+        ranked = sorted(scores.items(), key=lambda s: (-s[1], s[0]))
+        for rk, (c, s) in enumerate(ranked[:k], 1):
+            rows.append((q, c, np.int64(s), np.int64(rk)))
+    return pd.DataFrame(rows, columns=["q_doc", "c_doc",
+                                       "bm25_micro", "rank"])
+
+
+def r_text_tfidf(sf_dir):
+    d, p = _postings(sf_dir)
+    dl = {i: sum(tfs.values()) for i, tfs in p.items()}
+    df: dict = {}
+    for tfs in p.values():
+        for term in tfs:
+            df[term] = df.get(term, 0) + 1
+    n = len(d)  # ALL documents, including token-less ones
+    rows = [(i, term,
+             np.floor((cnt / dl[i]) * (n / df[term]) * 1_000_000)
+             / 1_000_000)
+            for i, tfs in p.items() for term, cnt in tfs.items()]
+    return pd.DataFrame(rows, columns=["doc", "term", "weight"])
+
+
 REPLAYS = {
     "groupby_sum": r_groupby_sum,
     "flagship_join_groupby_count": r_flagship_join_groupby_count,
@@ -1761,6 +2140,24 @@ REPLAYS = {
     "corpus_weighted_quantiles": r_corpus_weighted_quantiles,
     "er_jaro_winkler": r_er_jaro_winkler,
     "sim_topk": r_sim_topk,
+    # --- r14 batch 3: dedup/decontam core + exact-stats profiling
+    #     + lexical ranking + warehouse remainder ---
+    "dedup_contamination": r_dedup_contamination,
+    "decontam_ngrams": r_decontam_ngrams,
+    "dedup_spans": r_dedup_spans,
+    "impute_median": r_impute_median,
+    "events_funnel": r_events_funnel,
+    "events_resample": r_events_resample,
+    "lineitem_corr": r_lineitem_corr,
+    "histogram_equidepth": r_histogram_equidepth,
+    "group_topk": r_group_topk,
+    "shard_assignment": r_shard_assignment,
+    "merge_upsert": r_merge_upsert,
+    "quality_expectations": r_quality_expectations,
+    "pii_scan": r_pii_scan,
+    "sim_sparse_topk": r_sim_sparse_topk,
+    "sim_bm25": r_sim_bm25,
+    "text_tfidf": r_text_tfidf,
     # --- r14 batch 2: product analytics + TPC-H composites ---
     "events_asof_join": r_events_asof_join,
     "events_merge_asof": r_events_merge_asof,
