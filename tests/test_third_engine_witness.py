@@ -45,7 +45,12 @@ import pytest
     # 5-gram decontam hits, exact-stats correlation, rational BM25
     # ranking, expectations, exclusive-prefix-sum sharding
     "dedup_contamination", "decontam_ngrams", "lineitem_corr",
-    "sim_bm25", "quality_expectations", "shard_assignment"])
+    "sim_bm25", "quality_expectations", "shard_assignment",
+    # batch-4 representatives: hardest TPC-H shapes (anti-join +
+    # exists, correlated average, global-threshold fraction),
+    # greedy next-fit packing, Laplace bigram LM, Welch t, Z-order
+    "tpch_q21", "tpch_q17", "tpch_q11", "text_pack_greedy",
+    "quality_lm_score", "events_ab_welch", "zorder_key"])
 def test_witness_replay_matches_spark(spark, sf_dir, name):
     import pandas_witness as pw
     import __spark_entry__ as entry_mod

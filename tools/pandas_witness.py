@@ -2111,6 +2111,415 @@ def r_text_tfidf(sf_dir):
     return pd.DataFrame(rows, columns=["doc", "term", "weight"])
 
 
+# --------------------------------------------------------------------
+# r14 batch 4: the TPC-H remainder (the full 22 are now witnessed)
+# + token packing, bigram LM scoring, Welch A/B, LOO target
+# encoding, Z-order keys.
+# --------------------------------------------------------------------
+
+def r_tpch_q7(sf_dir):
+    li = _read(sf_dir, "lineitem")
+    o = _read(sf_dir, "orders")[["o_orderkey", "o_custkey"]]
+    c = _read(sf_dir, "customer")[["c_custkey", "c_nationkey"]]
+    s = _read(sf_dir, "supplier")[["s_suppkey", "s_nationkey"]]
+    n = _read(sf_dir, "nation")[["n_nationkey", "n_name"]]
+    j = (li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+           .merge(c, left_on="o_custkey", right_on="c_custkey")
+           .merge(s, left_on="l_suppkey", right_on="s_suppkey")
+           .merge(n.rename(columns={"n_nationkey": "sk",
+                                    "n_name": "supp_nation"}),
+                  left_on="s_nationkey", right_on="sk")
+           .merge(n.rename(columns={"n_nationkey": "ck",
+                                    "n_name": "cust_nation"}),
+                  left_on="c_nationkey", right_on="ck"))
+    keep = (((j["supp_nation"] == "NATION_1")
+             & (j["cust_nation"] == "NATION_2"))
+            | ((j["supp_nation"] == "NATION_2")
+               & (j["cust_nation"] == "NATION_1")))
+    j = j[keep]
+    j = j.assign(l_year=j["l_shipdate"].dt.year.astype(np.int64),
+                 rev=j["l_extendedprice"] * (1 - j["l_discount"]))
+    g = (j.groupby(["supp_nation", "cust_nation", "l_year"],
+                   as_index=False)["rev"].agg(_dsum))
+    g["revenue"] = _floorn(g.pop("rev"), 100)
+    return g
+
+
+def r_tpch_q9(sf_dir):
+    li = _read(sf_dir, "lineitem")
+    p = _read(sf_dir, "part")[["p_partkey", "p_name",
+                               "p_retailprice"]]
+    s = _read(sf_dir, "supplier")[["s_suppkey", "s_nationkey"]]
+    n = _read(sf_dir, "nation")[["n_nationkey", "n_name"]]
+    j = (li.merge(p, left_on="l_partkey", right_on="p_partkey")
+           .merge(s, left_on="l_suppkey", right_on="s_suppkey")
+           .merge(n, left_on="s_nationkey", right_on="n_nationkey"))
+    j = j[j["p_name"].str.contains("gear", regex=False)]
+    amount = (j["l_extendedprice"] * (1 - j["l_discount"])
+              - j["p_retailprice"] * 0.2 * j["l_quantity"])
+    g = (pd.DataFrame({"nation": j["n_name"],
+                       "o_year": j["l_shipdate"].dt.year
+                       .astype(np.int32),
+                       "a": amount})
+         .groupby(["nation", "o_year"], as_index=False)["a"]
+         .agg(_dsum))
+    g["profit"] = _floorn(g.pop("a"), 100)
+    return g
+
+
+def r_tpch_q10(sf_dir):
+    li = _read(sf_dir, "lineitem")
+    li = li[li["l_returnflag"] == "R"]
+    o = _read(sf_dir, "orders")[["o_orderkey", "o_custkey"]]
+    c = _read(sf_dir, "customer")[["c_custkey", "c_name",
+                                   "c_mktsegment"]]
+    j = (li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+           .merge(c, left_on="o_custkey", right_on="c_custkey"))
+    j = j.assign(rev=j["l_extendedprice"] * (1 - j["l_discount"]))
+    g = (j.groupby(["c_custkey", "c_name", "c_mktsegment"],
+                   as_index=False)["rev"].agg(_dsum))
+    g["revenue"] = _floorn(g.pop("rev"), 100)
+    return g.sort_values(["revenue", "c_custkey"],
+                         ascending=[False, True]).head(20)
+
+
+def r_tpch_q11(sf_dir):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    li = _read(sf_dir, "lineitem")
+    s = _read(sf_dir, "supplier")[["s_suppkey", "s_nationkey"]]
+    n = _read(sf_dir, "nation")[["n_nationkey", "n_name"]]
+    j = (li.merge(s, left_on="l_suppkey", right_on="s_suppkey")
+           .merge(n, left_on="s_nationkey", right_on="n_nationkey"))
+    j = j[j["n_name"] == "NATION_3"]
+    q = Decimal("0.000001")
+    v = (j["l_extendedprice"] * j["l_quantity"]).map(
+        lambda x: Decimal(repr(float(x))).quantize(q, ROUND_HALF_UP))
+    agg = pd.DataFrame({"l_partkey": j["l_partkey"], "v": v}) \
+        .groupby("l_partkey")["v"].agg(lambda s_: sum(s_, Decimal(0)))
+    tot = float(sum(agg, Decimal(0)))
+    keep = agg[agg.map(float) > 0.002 * tot]
+    return pd.DataFrame({
+        "l_partkey": keep.index.to_numpy(),
+        "value": _floorn([float(x) for x in keep], 100)})
+
+
+def r_tpch_q15(sf_dir):
+    li = _read(sf_dir, "lineitem")
+    li = li[(li["l_shipdate"] >= pd.Timestamp("1996-01-01"))
+            & (li["l_shipdate"] < pd.Timestamp("1996-04-01"))]
+    rev = li.assign(r=li["l_extendedprice"] * (1 - li["l_discount"])) \
+        .groupby("l_suppkey")["r"].agg(_dsum)
+    rev = pd.Series(_floorn(rev.to_numpy(), 100), index=rev.index)
+    best = rev[rev == rev.max()]
+    s = _read(sf_dir, "supplier")[["s_suppkey", "s_name"]]
+    out = s[s["s_suppkey"].isin(set(best.index))].copy()
+    out["total_revenue"] = out["s_suppkey"].map(best)
+    return out
+
+
+def r_tpch_q16(sf_dir):
+    li = _read(sf_dir, "lineitem")[["l_partkey", "l_suppkey"]]
+    p = _read(sf_dir, "part")
+    p = p[(p["p_brand"] != "Brand#1") & (p["p_size"] <= 25)]
+    s = _read(sf_dir, "supplier")
+    bad = set(s.loc[s["s_acctbal"] < 0, "s_suppkey"])
+    j = li[~li["l_suppkey"].isin(bad)].merge(
+        p[["p_partkey", "p_brand", "p_type", "p_size"]],
+        left_on="l_partkey", right_on="p_partkey")
+    g = (j.groupby(["p_brand", "p_type", "p_size"], as_index=False)
+          .agg(supplier_cnt=("l_suppkey", "nunique")))
+    g["supplier_cnt"] = g["supplier_cnt"].astype(np.int64)
+    return g
+
+
+def r_tpch_q17(sf_dir):
+    li = _read(sf_dir, "lineitem")
+    avg = (li.groupby("l_partkey")["l_quantity"]
+             .agg(lambda s: _dsum(s) / int(s.notna().sum())))
+    p = _read(sf_dir, "part")
+    brand = set(p.loc[p["p_brand"] == "Brand#3", "p_partkey"])
+    keep = li[li["l_partkey"].isin(brand)].copy()
+    keep = keep[keep["l_quantity"]
+                < 0.2 * keep["l_partkey"].map(avg)]
+    return pd.DataFrame({
+        "avg_yearly": [np.floor(_dsum(keep["l_extendedprice"])
+                                / 7.0 * 100) / 100],
+        "n_rows": [np.int64(len(keep))]})
+
+
+def r_tpch_q18(sf_dir):
+    li = _read(sf_dir, "lineitem")
+    per = li.groupby("l_orderkey")["l_quantity"].agg(_dsum)
+    big = set(per[per > 250].index)
+    o = _read(sf_dir, "orders")
+    o = o[o["o_orderkey"].isin(big)]
+    c = _read(sf_dir, "customer")[["c_custkey", "c_name"]]
+    j = (o.merge(c, left_on="o_custkey", right_on="c_custkey")
+          .merge(li[["l_orderkey", "l_quantity"]],
+                 left_on="o_orderkey", right_on="l_orderkey"))
+    g = (j.groupby(["c_name", "c_custkey", "o_orderkey",
+                    "o_orderdate", "o_totalprice"], as_index=False)
+          ["l_quantity"].agg(_dsum))
+    g["sum_qty"] = _floorn(g.pop("l_quantity"), 100)
+    return g.sort_values(["o_totalprice", "o_orderkey"],
+                         ascending=[False, True]).head(100)
+
+
+def r_tpch_q19(sf_dir):
+    li = _read(sf_dir, "lineitem")
+    p = _read(sf_dir, "part")[["p_partkey", "p_brand", "p_size"]]
+    j = li.merge(p, left_on="l_partkey", right_on="p_partkey")
+    q, sz, br = j["l_quantity"], j["p_size"], j["p_brand"]
+    keep = (((br == "Brand#1") & q.between(1, 11) & sz.between(1, 5))
+            | ((br == "Brand#2") & q.between(10, 20)
+               & sz.between(1, 10))
+            | ((br == "Brand#3") & q.between(20, 30)
+               & sz.between(1, 15)))
+    j = j[keep]
+    rev = j["l_extendedprice"] * (1 - j["l_discount"])
+    return pd.DataFrame({"revenue": [_floorn(_dsum(rev), 100)[()]],
+                         "n_rows": [np.int64(len(j))]})
+
+
+def r_tpch_q20(sf_dir):
+    li = _read(sf_dir, "lineitem")
+    p = _read(sf_dir, "part")
+    small = set(p.loc[p["p_name"].str.startswith("small"),
+                      "p_partkey"])
+    w = li[li["l_partkey"].isin(small)
+           & (li["l_shipdate"] >= pd.Timestamp("1998-01-01"))
+           & (li["l_shipdate"] < pd.Timestamp("1999-01-01"))]
+    q98 = (w.groupby(["l_suppkey", "l_partkey"])["l_quantity"]
+            .agg(_dsum))
+    qall = li.groupby("l_partkey")["l_quantity"].agg(_dsum)
+    hit = {sk for (sk, pk), v in q98.items()
+           if v > 0.1 * qall[pk]}
+    s = _read(sf_dir, "supplier")
+    out = s[s["s_suppkey"].isin(hit)][["s_suppkey", "s_name",
+                                       "s_acctbal"]].copy()
+    out["s_acctbal"] = _floorn(out["s_acctbal"], 100)
+    return out
+
+
+def r_tpch_q21(sf_dir):
+    li = _read(sf_dir, "lineitem")[["l_orderkey", "l_suppkey",
+                                    "l_shipdate"]]
+    o = _read(sf_dir, "orders")[["o_orderkey", "o_orderdate"]]
+    lines = li[["l_orderkey", "l_suppkey"]].drop_duplicates()
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    late = j[j["l_shipdate"]
+             > j["o_orderdate"] + pd.Timedelta(days=60)][
+        ["l_orderkey", "l_suppkey"]].drop_duplicates()
+    n_sup = lines.groupby("l_orderkey")["l_suppkey"].nunique()
+    n_late = late.groupby("l_orderkey")["l_suppkey"].nunique()
+    alone = late[late["l_orderkey"].map(n_sup).gt(1)
+                 & late["l_orderkey"].map(n_late).eq(1)]
+    s = _read(sf_dir, "supplier")[["s_suppkey", "s_name"]]
+    g = (alone.merge(s, left_on="l_suppkey", right_on="s_suppkey")
+              .groupby("s_name", as_index=False)
+              .agg(numwait=("l_orderkey", "size")))
+    g["numwait"] = g["numwait"].astype(np.int64)
+    return g.sort_values(["numwait", "s_name"],
+                         ascending=[False, True]).head(10)
+
+
+def r_tpch_q22(sf_dir):
+    c = _read(sf_dir, "customer")
+    pos = c[c["c_acctbal"] > 0]
+    avg_bal = _dsum(pos["c_acctbal"]) / len(pos)
+    o = _read(sf_dir, "orders")
+    big = set(o.loc[o["o_totalprice"] > 400000, "o_custkey"])
+    keep = c[(c["c_acctbal"] > avg_bal)
+             & ~c["c_custkey"].isin(big)]
+    g = (keep.groupby("c_mktsegment", as_index=False)
+             .agg(numcust=("c_custkey", "size"),
+                  tot=("c_acctbal", _dsum)))
+    g["numcust"] = g["numcust"].astype(np.int64)
+    g["totacctbal"] = _floorn(g.pop("tot"), 100)
+    return g
+
+
+def r_tpch_q2(sf_dir):
+    li = _read(sf_dir, "lineitem")
+    mins = li.groupby("l_partkey")["l_extendedprice"].min()
+    best = li[li["l_extendedprice"]
+              == li["l_partkey"].map(mins)]
+    p = _read(sf_dir, "part")[["p_partkey", "p_name", "p_size"]]
+    p = p[p["p_size"] <= 15]
+    s = _read(sf_dir, "supplier")[["s_suppkey", "s_name"]]
+    j = (best.merge(p, left_on="l_partkey", right_on="p_partkey")
+             .merge(s, left_on="l_suppkey", right_on="s_suppkey"))
+    return pd.DataFrame({
+        "p_partkey": j["p_partkey"], "p_name": j["p_name"],
+        "s_name": j["s_name"],
+        "min_price": _floorn(j["l_extendedprice"], 100)})
+
+
+def _chunks(sf_dir, size=32, stride=28):
+    """(doc, chunk_idx, chunk_text, n_tokens) — the text_chunks
+    contract (also the packing input): windows of `size` tokens every
+    `stride` while the window start is within the doc."""
+    d = _read(sf_dir, "documents")
+    rows = []
+    for i, t in zip(d["doc_id"], d["text"]):
+        tk = _norm_tokens(t)
+        n = len(tk)
+        k = 0
+        while k * stride <= max(n - 1, 0):
+            s = k * stride
+            e = min(s + size, n)
+            rows.append((int(i), k, " ".join(tk[s:e]), e - s))
+            k += 1
+    return pd.DataFrame(rows, columns=["doc", "chunk_idx",
+                                       "chunk_text", "n_tokens"])
+
+
+def r_text_pack(sf_dir, seq_len=100):
+    ch = _chunks(sf_dir).sort_values(["doc", "chunk_idx"],
+                                     kind="mergesort")
+    n = ch["n_tokens"].to_numpy(dtype=np.int64)
+    st = np.concatenate([[0], np.cumsum(n)[:-1]])
+    ch = ch.reset_index(drop=True)
+    ch["seq_id"] = (st // seq_len).astype(np.int64)
+    ch["seq_offset"] = (st % seq_len).astype(np.int64)
+    ch["n_seqs"] = ((st + np.maximum(n, 1) - 1) // seq_len
+                    - st // seq_len + 1).astype(np.int32)
+    ch["n_tokens"] = ch["n_tokens"].astype(np.int32)
+    return ch
+
+
+def r_text_pack_greedy(sf_dir, cap=100, n_groups=64):
+    ch = _chunks(sf_dir)
+    ch["grp"] = (ch["doc"] % n_groups).astype(np.int64)
+    ch = ch.sort_values(["grp", "doc", "chunk_idx"],
+                        kind="mergesort").reset_index(drop=True)
+    bins = np.empty(len(ch), dtype=np.int64)
+    fills = np.empty(len(ch), dtype=np.int64)
+    i = 0
+    for _, grp in ch.groupby("grp", sort=False):
+        local_bin, fill = 0, 0
+        first = True
+        for n in grp["n_tokens"]:
+            if first:
+                fill = int(n)
+                first = False
+            elif fill > 0 and fill + n > cap:
+                local_bin += 1
+                fill = int(n)
+            else:
+                fill += int(n)
+            bins[i], fills[i] = local_bin, fill
+            i += 1
+    ch["bin_id"] = ch["grp"] * 4294967296 + bins
+    ch["bin_fill"] = fills
+    ch["overflow"] = ch["n_tokens"] > cap
+    ch["n_tokens"] = ch["n_tokens"].astype(np.int32)
+    return ch[["doc", "chunk_idx", "chunk_text", "n_tokens", "grp",
+               "bin_id", "bin_fill", "overflow"]]
+
+
+def r_quality_lm_score(sf_dir):
+    d = _read(sf_dir, "documents")
+    per_doc = {}
+    bigrams: dict = {}
+    contexts: dict = {}
+    vocab = set()
+    for i, t in zip(d["doc_id"], d["text"]):
+        toks = _norm_tokens(t)
+        bg = [(a, b) for a, b in zip(toks, toks[1:])
+              if a != "" and b != ""]
+        per_doc[int(i)] = bg
+        for a, b in bg:
+            bigrams[(a, b)] = bigrams.get((a, b), 0) + 1
+            contexts[a] = contexts.get(a, 0) + 1
+            vocab.add(a)
+            vocab.add(b)
+    v = len(vocab)
+    rows = []
+    for i, bg in per_doc.items():
+        if not bg:
+            continue
+        mps = [int(np.floor((bigrams[(a, b)] + 1) * 1_000_000.0
+                            / (contexts[a] + v))) for a, b in bg]
+        rows.append((i, np.int64(len(mps)), np.int64(sum(mps)),
+                     np.int64(sum(mps) // len(mps))))
+    return pd.DataFrame(rows, columns=["doc", "n_bigrams",
+                                       "sum_micro_p", "avg_micro_p"])
+
+
+def r_events_ab_welch(sf_dir):
+    ev = _read(sf_dir, "events")
+    ev = ev[ev["value"].notna()]
+    cents = np.floor(ev["value"] * 100).astype(np.int64)
+    va = (ev["user_id"] % 2 == 0).to_numpy()
+    rows = []
+    for et, idx in ev.groupby("event_type").groups.items():
+        m = ev.index.isin(idx)
+        ca, cb = cents[m & va], cents[m & ~va]
+        n_a, n_b = len(ca), len(cb)
+        sa, sb = int(ca.sum()), int(cb.sum())
+        qa = int((ca.astype(object) * ca.astype(object)).sum())
+        qb = int((cb.astype(object) * cb.astype(object)).sum())
+        mean_a = np.int64(np.floor(1_000_000 * float(sa) / n_a))
+        mean_b = np.int64(np.floor(1_000_000 * float(sb) / n_b))
+        se2 = None
+        if n_a >= 2 and n_b >= 2:
+            va_ = (float(qa) - float(sa) * float(sa) / n_a) / (n_a - 1)
+            vb_ = (float(qb) - float(sb) * float(sb) / n_b) / (n_b - 1)
+            se2 = va_ / n_a + vb_ / n_b
+        t = (None if se2 is None or se2 <= 0 else
+             np.int64(np.floor(1_000_000
+                               * (float(sa) / n_a - float(sb) / n_b)
+                               / np.sqrt(se2))))
+        rows.append((et, np.int64(n_a), np.int64(n_b), mean_a,
+                     mean_b, t))
+    return pd.DataFrame(rows, columns=["event_type", "n_a", "n_b",
+                                       "mean_a_micro", "mean_b_micro",
+                                       "t_micro"])
+
+
+def r_target_encode_loo(sf_dir):
+    o = _read(sf_dir, "orders")
+    y = np.floor(o["o_totalprice"] * 100).astype(np.int64)
+    df = pd.DataFrame({"id": o["o_orderkey"].astype(np.int64),
+                       "cat": o["o_orderpriority"], "y": y})
+    g = df.groupby("cat")["y"]
+    n = g.transform("size").astype(object)
+    sy = g.transform("sum").astype(object)
+    enc = [(1_000_000 * (int(s) - int(v))) // (int(c) - 1)
+           if c > 1 else None
+           for s, v, c in zip(sy, df["y"], n)]
+    # Spark emits a non-null long column on this fixture (every
+    # priority has >1 row); only fall back to float64 when a
+    # singleton category actually produces a null
+    df["enc_loo_micro"] = (np.asarray(enc, dtype=np.int64)
+                           if all(e is not None for e in enc)
+                           else pd.array(enc, dtype="Int64")
+                           .astype("float64"))
+    return df
+
+
+def r_zorder_key(sf_dir, bits=16):
+    li = _read(sf_dir, "lineitem")
+
+    def norm(col):
+        x = li[col].to_numpy(dtype=np.float64)
+        lo, hi = x.min(), x.max()
+        span = max(hi - lo, 1.0)
+        return np.clip(np.floor((x - lo) / span * 65535),
+                       0, 65535).astype(np.int64)
+
+    a, b = norm("l_orderkey"), norm("l_partkey")
+    z = np.zeros(len(li), dtype=np.int64)
+    for k in range(bits):
+        z += ((a >> k) & 1) << (2 * k)
+        z += ((b >> k) & 1) << (2 * k + 1)
+    return pd.DataFrame({"l_orderkey": li["l_orderkey"],
+                         "l_linenumber": li["l_linenumber"],
+                         "zkey": z})
+
+
 REPLAYS = {
     "groupby_sum": r_groupby_sum,
     "flagship_join_groupby_count": r_flagship_join_groupby_count,
@@ -2140,6 +2549,26 @@ REPLAYS = {
     "corpus_weighted_quantiles": r_corpus_weighted_quantiles,
     "er_jaro_winkler": r_er_jaro_winkler,
     "sim_topk": r_sim_topk,
+    # --- r14 batch 4: TPC-H remainder + packing/LM/encoding ---
+    "tpch_q2": r_tpch_q2,
+    "tpch_q7": r_tpch_q7,
+    "tpch_q9": r_tpch_q9,
+    "tpch_q10": r_tpch_q10,
+    "tpch_q11": r_tpch_q11,
+    "tpch_q15": r_tpch_q15,
+    "tpch_q16": r_tpch_q16,
+    "tpch_q17": r_tpch_q17,
+    "tpch_q18": r_tpch_q18,
+    "tpch_q19": r_tpch_q19,
+    "tpch_q20": r_tpch_q20,
+    "tpch_q21": r_tpch_q21,
+    "tpch_q22": r_tpch_q22,
+    "text_pack": r_text_pack,
+    "text_pack_greedy": r_text_pack_greedy,
+    "quality_lm_score": r_quality_lm_score,
+    "events_ab_welch": r_events_ab_welch,
+    "target_encode_loo": r_target_encode_loo,
+    "zorder_key": r_zorder_key,
     # --- r14 batch 3: dedup/decontam core + exact-stats profiling
     #     + lexical ranking + warehouse remainder ---
     "dedup_contamination": r_dedup_contamination,
