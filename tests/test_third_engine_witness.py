@@ -50,7 +50,13 @@ import pytest
     # exists, correlated average, global-threshold fraction),
     # greedy next-fit packing, Laplace bigram LM, Welch t, Z-order
     "tpch_q21", "tpch_q17", "tpch_q11", "text_pack_greedy",
-    "quality_lm_score", "events_ab_welch", "zorder_key"])
+    "quality_lm_score", "events_ab_welch", "zorder_key",
+    # batch-5 representatives: join semantics, ntile/cume/pr ranks,
+    # LOCF fill, type-1 winsorize bounds, exact z-scores, smoothed
+    # target encoding, Markov rows, 7-table snowflake ratio
+    "join_left_anti", "join_multikey", "window_ntile", "locf_fill",
+    "winsorize_value", "standard_scale", "target_encode",
+    "markov_transitions", "tpch_q8", "curation_report"])
 def test_witness_replay_matches_spark(spark, sf_dir, name):
     import pandas_witness as pw
     import __spark_entry__ as entry_mod

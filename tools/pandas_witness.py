@@ -2520,6 +2520,405 @@ def r_zorder_key(sf_dir, bits=16):
                          "zkey": z})
 
 
+# --------------------------------------------------------------------
+# r14 batch 5: the relational core remainder (all 8 join types, set
+# ops, reshapes, window ranks) + feature engineering (LOCF,
+# winsorize, z-score, smoothed target encoding, temporal split,
+# Markov) + the last text/curation profiles.
+# --------------------------------------------------------------------
+
+def _orders_lineitem(sf_dir, how):
+    o = _read(sf_dir, "orders")[["o_orderkey", "o_orderpriority"]]
+    li = _read(sf_dir, "lineitem")[["l_orderkey", "l_linenumber",
+                                    "l_quantity"]]
+    j = o.merge(li, left_on="o_orderkey", right_on="l_orderkey",
+                how=how)
+    return j[["o_orderkey", "o_orderpriority", "l_orderkey",
+              "l_linenumber", "l_quantity"]]
+
+
+def r_join_left(sf_dir):
+    return _orders_lineitem(sf_dir, "left")
+
+
+def r_join_right(sf_dir):
+    # lineitem RIGHT JOIN orders == orders LEFT JOIN lineitem
+    return _orders_lineitem(sf_dir, "left")
+
+
+def _orders_with_lineitems(sf_dir, semi):
+    o = _read(sf_dir, "orders")[["o_orderkey", "o_orderpriority"]]
+    keys = set(_read(sf_dir, "lineitem")["l_orderkey"])
+    m = o["o_orderkey"].isin(keys)
+    return o[m if semi else ~m]
+
+
+def r_join_left_semi(sf_dir):
+    return _orders_with_lineitems(sf_dir, True)
+
+
+def r_join_left_anti(sf_dir):
+    return _orders_with_lineitems(sf_dir, False)
+
+
+def r_join_right_semi(sf_dir):
+    return _orders_with_lineitems(sf_dir, True)
+
+
+def r_join_right_anti(sf_dir):
+    return _orders_with_lineitems(sf_dir, False)
+
+
+def r_join_multikey(sf_dir):
+    li = _read(sf_dir, "lineitem")[["l_orderkey", "l_linenumber",
+                                    "l_quantity"]]
+    j = li.merge(li, on=["l_orderkey", "l_linenumber"],
+                 suffixes=("_a", "_b"))
+    return pd.DataFrame({
+        "l_orderkey_l": j["l_orderkey"],
+        "l_orderkey_r": j["l_orderkey"],
+        "l_linenumber_l": j["l_linenumber"],
+        "l_linenumber_r": j["l_linenumber"],
+        "qty_l": _floorn(j["l_quantity_a"], 100),
+        "qty_r": _floorn(j["l_quantity_b"], 100)})
+
+
+def r_scan_project(sf_dir):
+    return _read(sf_dir, "lineitem")[["l_orderkey", "l_extendedprice",
+                                      "l_shipdate"]]
+
+
+def r_distinct(sf_dir):
+    return _read(sf_dir, "customer")[["c_mktsegment",
+                                      "c_nationkey"]].drop_duplicates()
+
+
+def r_intersect(sf_dir):
+    c = set(_read(sf_dir, "customer")["c_nationkey"])
+    s = set(_read(sf_dir, "supplier")["s_nationkey"])
+    return pd.DataFrame({"nationkey": sorted(c & s)})
+
+
+def r_except(sf_dir):
+    c = set(_read(sf_dir, "customer")["c_nationkey"])
+    s = set(_read(sf_dir, "supplier")["s_nationkey"])
+    return pd.DataFrame({"nationkey": sorted(c - s)}).astype(
+        {"nationkey": np.int64})
+
+
+def r_case_when(sf_dir):
+    o = _read(sf_dir, "orders")
+    bucket = np.where(o["o_totalprice"] > 300000.0, "high",
+                      np.where(o["o_totalprice"] > 100000.0, "mid",
+                               "low"))
+    status = o["o_orderstatus"].fillna("?")
+    g = (pd.DataFrame({"price_bucket": bucket, "status": status})
+         .groupby(["price_bucket", "status"], as_index=False)
+         .agg(n=("status", "size")))
+    g["n"] = g["n"].astype(np.int64)
+    return g
+
+
+def r_string_functions(sf_dir):
+    c = _read(sf_dir, "customer")
+    return pd.DataFrame({
+        "c_custkey": c["c_custkey"],
+        "seg_upper": c["c_mktsegment"].str.upper(),
+        "name_prefix": c["c_name"].str[:10],
+        "name_len": c["c_name"].str.len().astype(np.int32),
+        "joined": c["c_mktsegment"] + "|" + c["c_name"],
+        "has_42": c["c_name"].str.contains("0042", regex=False)})
+
+
+def r_unpivot(sf_dir):
+    li = _read(sf_dir, "lineitem")
+    parts = [pd.DataFrame({"l_orderkey": li["l_orderkey"],
+                           "l_linenumber": li["l_linenumber"],
+                           "measure": m, "value": li[m]})
+             for m in ("l_quantity", "l_extendedprice", "l_discount")]
+    return pd.concat(parts, ignore_index=True)
+
+
+def r_grouping_sets(sf_dir):
+    # GROUPING SETS ((rf,ls),(rf),(ls),()) == CUBE(rf,ls)
+    return r_groupby_cube(sf_dir)
+
+
+def r_window_ntile(sf_dir, tiles=4):
+    ev = _read(sf_dir, "events")
+    df = pd.DataFrame({
+        "event_id": ev["event_id"], "event_type": ev["event_type"],
+        "cents": np.floor(ev["value"] * 100).astype(np.int64)})
+    df = df.sort_values(["event_type", "cents", "event_id"],
+                        kind="mergesort").reset_index(drop=True)
+    q = np.empty(len(df), dtype=np.int32)
+    cume = np.empty(len(df), dtype=np.int64)
+    pr = np.empty(len(df), dtype=np.int64)
+    i = 0
+    for _, grp in df.groupby("event_type", sort=False):
+        n = len(grp)
+        base, extra = divmod(n, tiles)
+        tile = np.repeat(np.arange(1, tiles + 1),
+                         [base + (1 if t < extra else 0)
+                          for t in range(tiles)])
+        rn = np.arange(1, n + 1)
+        q[i:i + n] = tile[:n]
+        # full order is unique (event_id tie-break) -> no peers
+        cume[i:i + n] = np.floor(rn / n * 10000).astype(np.int64)
+        pr[i:i + n] = (np.floor((rn - 1) / (n - 1) * 10000)
+                       .astype(np.int64) if n > 1
+                       else np.zeros(n, dtype=np.int64))
+        i += n
+    df["quartile"], df["cume_bp"], df["pr_bp"] = q, cume, pr
+    return df
+
+
+def r_events_histogram(sf_dir):
+    ev = _read(sf_dir, "events")
+    df = pd.DataFrame({
+        "bucket": np.floor(ev["value"] / 10).astype(np.int64),
+        "mi": _micros(ev["value"])})
+    g = (df.groupby("bucket", as_index=False)
+           .agg(n=("mi", "size"), s=("mi", "sum")))
+    g["n"] = g["n"].astype(np.int64)
+    g["sum_value"] = _floorn(g.pop("s").to_numpy() / 1e6, 10000)
+    return g
+
+
+def r_text_fingerprint(sf_dir):
+    d = _read(sf_dir, "documents")
+    fp = _normalize_text(d["text"]).map(
+        lambda t: hashlib.md5(t.encode()).hexdigest())
+    return pd.DataFrame({"doc_id": d["doc_id"], "fp": fp})
+
+
+def r_vocab_oov(sf_dir, top_k=100):
+    d = _read(sf_dir, "documents")
+    counts: dict = {}
+    for t in d.loc[d["source"] == "src0", "text"]:
+        for tok in _norm_tokens(t):
+            if tok != "":
+                counts[tok] = counts.get(tok, 0) + 1
+    vocab = {t for t, _ in sorted(counts.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))
+             [:top_k]}
+    rows = []
+    for i, t in zip(d["doc_id"], d["text"]):
+        toks = [tok for tok in _norm_tokens(t) if tok != ""]
+        oov = sum(1 for tok in toks if tok not in vocab)
+        rows.append((int(i), np.int64(len(toks)), np.int64(oov),
+                     np.int64(np.floor(1_000_000.0 * oov
+                                       / len(toks)))
+                     if toks else None))
+    out = pd.DataFrame(rows, columns=["doc_id", "n_tokens", "n_oov",
+                                      "oov_micro"])
+    if out["oov_micro"].notna().all():
+        out["oov_micro"] = out["oov_micro"].astype(np.int64)
+    return out
+
+
+def r_text_token_stats(sf_dir):
+    d = _read(sf_dir, "documents")
+    per_doc = {int(i): [t for t in _norm_tokens(t) if t != ""]
+               for i, t in zip(d["doc_id"], d["text"])}
+    tc: dict = {}
+    for toks in per_doc.values():
+        for t in toks:
+            tc[t] = tc.get(t, 0) + 1
+    tot = sum(tc.values())
+    rows = []
+    for i, toks in per_doc.items():
+        if not toks:
+            continue
+        cnt = len(toks)
+        sum_tc = sum(tc[t] for t in toks)
+        rare = sum(1 for t in toks if tc[t] <= 2)
+        rows.append((
+            i, np.int64(cnt),
+            np.floor(float(sum_tc) / cnt / tot * 100_000_000)
+            / 100_000_000,
+            np.floor(float(rare) / cnt * 1_000_000) / 1_000_000))
+    return pd.DataFrame(rows, columns=["doc", "n_tokens",
+                                       "mean_tok_freq", "rare_frac"])
+
+
+def r_locf_fill(sf_dir):
+    ev = _read(sf_dir, "events")
+    vm = np.floor(ev["value"] * 1_000_000)
+    knocked = ev["event_id"].map(
+        lambda i: _md5_hash64(str(i)) % 5 == 0)
+    v = pd.Series(np.where(knocked, np.nan, vm), index=ev.index)
+    df = pd.DataFrame({"event_id": ev["event_id"],
+                       "user_id": ev["user_id"], "ts": ev["ts"],
+                       "v": v})
+    df = df.sort_values(["user_id", "ts", "event_id"],
+                        kind="mergesort")
+    df["filled"] = df.groupby("user_id")["v"].ffill()
+    return df[["event_id", "user_id", "v", "filled"]]
+
+
+def r_winsorize_value(sf_dir, lo=0.05, hi=0.95):
+    ev = _read(sf_dir, "events")
+    x = np.floor(ev["value"] * 1_000_000).astype(np.int64)
+    df = pd.DataFrame({"event_type": ev["event_type"], "x": x})
+    rows = []
+    for et, grp in df.groupby("event_type"):
+        xs = np.sort(grp["x"].to_numpy())
+        n = len(xs)
+        blo = xs[max(int(np.ceil(lo * n)), 1) - 1]
+        bhi = xs[max(int(np.ceil(hi * n)), 1) - 1]
+        w = np.clip(grp["x"].to_numpy(), blo, bhi)
+        rows.append(pd.DataFrame({"event_type": et, "x": grp["x"],
+                                  "vm_w": w}))
+    return pd.concat(rows, ignore_index=True)
+
+
+def r_standard_scale(sf_dir):
+    ev = _read(sf_dir, "events")
+    x = np.floor(ev["value"] * 1_000_000).astype(np.int64)
+    df = pd.DataFrame({"event_type": ev["event_type"], "x": x})
+    out = []
+    for et, grp in df.groupby("event_type"):
+        xs = grp["x"].to_numpy()
+        n = len(xs)
+        s = int(xs.sum())
+        qsum = sum(int(v) * int(v) for v in xs)  # exact (HUGEINT)
+        var_term = float(n * qsum - s * s)
+        z = [np.int64(np.floor(1_000_000.0 * float(n * int(v) - s)
+                               / np.sqrt(var_term)))
+             if n >= 2 and var_term > 0 else None for v in xs]
+        out.append(pd.DataFrame({"event_type": et, "x": xs,
+                                 "z_micro": z}))
+    res = pd.concat(out, ignore_index=True)
+    if res["z_micro"].notna().all():
+        res["z_micro"] = res["z_micro"].astype(np.int64)
+    return res
+
+
+def r_target_encode(sf_dir, m=50):
+    o = _read(sf_dir, "orders")
+    cents = np.floor(o["o_totalprice"] * 100).astype(np.int64)
+    df = pd.DataFrame({"cat": o["o_orderpriority"], "y": cents})
+    gn, gsy = len(df), int(df["y"].sum())
+    g = df.groupby("cat", as_index=False).agg(n=("y", "size"),
+                                              sy=("y", "sum"))
+    g["mean_micro"] = [
+        np.int64((1_000_000 * (int(sy) * gn + m * gsy))
+                 // (gn * (int(n) + m)))
+        for n, sy in zip(g["n"], g["sy"])]
+    g["n"] = g["n"].astype(np.int64)
+    return g[["cat", "n", "mean_micro"]]
+
+
+def r_temporal_split(sf_dir, embargo_us=3600 * 1_000_000):
+    ev = _read(sf_dir, "events")
+    us = ev["ts"].astype("int64")
+    cut = int(np.floor(np.percentile(us.to_numpy(), 80,
+                                     method="linear")))
+    split = np.where(us >= cut, "test",
+                     np.where(us < cut - embargo_us, "train",
+                              "embargo"))
+    g = (pd.DataFrame({"split": split, "us": us,
+                       "user_id": ev["user_id"]})
+         .groupby("split", as_index=False)
+         .agg(n=("us", "size"), n_users=("user_id", "nunique"),
+              min_us=("us", "min"), max_us=("us", "max")))
+    for c in ("n", "n_users", "min_us", "max_us"):
+        g[c] = g[c].astype(np.int64)
+    return g
+
+
+def r_markov_transitions(sf_dir):
+    ev = _read(sf_dir, "events").sort_values(
+        ["user_id", "ts", "event_id"], kind="mergesort")
+    dst = ev.groupby("user_id")["event_type"].shift(-1)
+    df = pd.DataFrame({"src": ev["event_type"], "dst": dst}).dropna()
+    cnt = (df.groupby(["src", "dst"], as_index=False)
+             .agg(n=("dst", "size")))
+    tot = cnt.groupby("src")["n"].transform("sum")
+    cnt["n"] = cnt["n"].astype(np.int64)
+    cnt["p_micro"] = ((1_000_000 * cnt["n"]) // tot).astype(np.int64)
+    return cnt
+
+
+def r_tpch_q8(sf_dir):
+    li = _read(sf_dir, "lineitem")
+    p = _read(sf_dir, "part")
+    p = p[p["p_type"] == "ECONOMY"][["p_partkey"]]
+    o = _read(sf_dir, "orders")
+    o = o[(o["o_orderdate"] >= pd.Timestamp("1995-01-01"))
+          & (o["o_orderdate"] <= pd.Timestamp("1996-12-31"))]
+    c = _read(sf_dir, "customer")[["c_custkey", "c_nationkey"]]
+    n = _read(sf_dir, "nation")
+    r = _read(sf_dir, "region")
+    asia = set(r.loc[r["r_name"] == "ASIA", "r_regionkey"])
+    nc = n[n["n_regionkey"].isin(asia)][["n_nationkey"]]
+    s = _read(sf_dir, "supplier")[["s_suppkey", "s_nationkey"]]
+    ns = n[["n_nationkey", "n_name"]].rename(
+        columns={"n_nationkey": "sk", "n_name": "supp_nation"})
+    j = (li.merge(p, left_on="l_partkey", right_on="p_partkey")
+           .merge(o[["o_orderkey", "o_custkey", "o_orderdate"]],
+                  left_on="l_orderkey", right_on="o_orderkey")
+           .merge(c, left_on="o_custkey", right_on="c_custkey")
+           .merge(nc, left_on="c_nationkey", right_on="n_nationkey")
+           .merge(s, left_on="l_suppkey", right_on="s_suppkey")
+           .merge(ns, left_on="s_nationkey", right_on="sk"))
+    vol = j["l_extendedprice"] * (1 - j["l_discount"])
+    df = pd.DataFrame({
+        "o_year": j["o_orderdate"].dt.year.astype(np.int64),
+        "vol": vol,
+        "n1": vol.where(j["supp_nation"] == "NATION_1", 0.0)})
+    g = df.groupby("o_year", as_index=False).agg(
+        num=("n1", _dsum), den=("vol", _dsum))
+    g["mkt_share"] = _floorn(g["num"] / g["den"], 10000)
+    return g[["o_year", "mkt_share"]]
+
+
+def r_dedup_jaccard_prefix(sf_dir, threshold=0.6, n=3):
+    d = _read(sf_dir, "documents")
+    sh = {int(i): {g for g in _spans(_norm_tokens(t), n) if g != ""}
+          for i, t in zip(d["doc_id"], d["text"])}
+    inv: dict = {}
+    for i, s in sh.items():
+        for g in s:
+            inv.setdefault(g, []).append(i)
+    common: dict = {}
+    for ids in inv.values():
+        ids.sort()
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                kk = (ids[ai], ids[bi])
+                common[kk] = common.get(kk, 0) + 1
+    rows = []
+    for (a, b), c in common.items():
+        union = len(sh[a]) + len(sh[b]) - c
+        if c / union >= threshold:
+            rows.append((a, b,
+                         np.floor(1_000_000 * c / union) / 1_000_000))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jacc"])
+
+
+def r_curation_report(sf_dir):
+    d = _read(sf_dir, "documents")
+    trimmed = d["text"].str.strip()
+    words = trimmed.map(
+        lambda t: 0 if t == "" else len(re.split(_WS + "+", t)))
+    rules = [
+        ("min_words", words >= 10),
+        ("is_en", d["lang"] == "en"),
+        ("max_chars", d["n_chars"] <= 800),
+        ("no_brace", ~d["text"].str.contains("{", regex=False)),
+    ]
+    reasons = [[name for name, ok in rules
+                if not bool(ok.iloc[i])] for i in range(len(d))]
+    return pd.DataFrame({
+        "doc_id": d["doc_id"],
+        "keep": [len(r) == 0 for r in reasons],
+        "n_failed": np.asarray([len(r) for r in reasons],
+                               dtype=np.int32),
+        "fail_reasons": [",".join(r) for r in reasons]})
+
+
 REPLAYS = {
     "groupby_sum": r_groupby_sum,
     "flagship_join_groupby_count": r_flagship_join_groupby_count,
@@ -2549,6 +2948,36 @@ REPLAYS = {
     "corpus_weighted_quantiles": r_corpus_weighted_quantiles,
     "er_jaro_winkler": r_er_jaro_winkler,
     "sim_topk": r_sim_topk,
+    # --- r14 batch 5: relational core remainder + feature ops ---
+    "join_left": r_join_left,
+    "join_right": r_join_right,
+    "join_left_semi": r_join_left_semi,
+    "join_left_anti": r_join_left_anti,
+    "join_right_semi": r_join_right_semi,
+    "join_right_anti": r_join_right_anti,
+    "join_multikey": r_join_multikey,
+    "scan_project": r_scan_project,
+    "distinct": r_distinct,
+    "intersect": r_intersect,
+    "except": r_except,
+    "case_when": r_case_when,
+    "string_functions": r_string_functions,
+    "unpivot": r_unpivot,
+    "grouping_sets": r_grouping_sets,
+    "window_ntile": r_window_ntile,
+    "events_histogram": r_events_histogram,
+    "text_fingerprint": r_text_fingerprint,
+    "vocab_oov": r_vocab_oov,
+    "text_token_stats": r_text_token_stats,
+    "locf_fill": r_locf_fill,
+    "winsorize_value": r_winsorize_value,
+    "standard_scale": r_standard_scale,
+    "target_encode": r_target_encode,
+    "temporal_split": r_temporal_split,
+    "markov_transitions": r_markov_transitions,
+    "tpch_q8": r_tpch_q8,
+    "dedup_jaccard_prefix": r_dedup_jaccard_prefix,
+    "curation_report": r_curation_report,
     # --- r14 batch 4: TPC-H remainder + packing/LM/encoding ---
     "tpch_q2": r_tpch_q2,
     "tpch_q7": r_tpch_q7,
