@@ -56,7 +56,13 @@ import pytest
     # target encoding, Markov rows, 7-table snowflake ratio
     "join_left_anti", "join_multikey", "window_ntile", "locf_fill",
     "winsorize_value", "standard_scale", "target_encode",
-    "markov_transitions", "tpch_q8", "curation_report"])
+    "markov_transitions", "tpch_q8", "curation_report",
+    # batch-6 representatives: md5 ticket-race weighted sampling,
+    # bucket-probe negatives, purged CV roles, q-gram editdist
+    # (losslessness proof), keep-first corpus dedup, exact knn
+    "weighted_sample", "negative_sample", "purged_kfold",
+    "dedup_editdist", "dedup_corpus", "sim_knn_join",
+    "source_concentration"])
 def test_witness_replay_matches_spark(spark, sf_dir, name):
     import pandas_witness as pw
     import __spark_entry__ as entry_mod

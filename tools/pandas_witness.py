@@ -2919,6 +2919,340 @@ def r_curation_report(sf_dir):
         "fail_reasons": [",".join(r) for r in reasons]})
 
 
+# --------------------------------------------------------------------
+# r14 batch 6: md5-deterministic sampling family, sequence mining,
+# OLS trend, purged CV, edit-distance dedup, end-to-end corpus dedup,
+# embedding cosine baselines, incremental rollup/leaderboard, salted
+# join neutrality, keyword extraction, concentration audit.
+# --------------------------------------------------------------------
+
+def r_events_top_paths(sf_dir, k=20):
+    ev = _read(sf_dir, "events").sort_values(
+        ["user_id", "ts", "event_id"], kind="mergesort")
+    g = ev.groupby("user_id")["event_type"]
+    df = pd.DataFrame({"s1": ev["event_type"], "s2": g.shift(-1),
+                       "s3": g.shift(-2)}).dropna()
+    cnt = (df.groupby(["s1", "s2", "s3"], as_index=False)
+             .agg(n=("s1", "size")))
+    cnt["n"] = cnt["n"].astype(np.int64)
+    return cnt.sort_values(["n", "s1", "s2", "s3"],
+                           ascending=[False, True, True, True],
+                           kind="mergesort").head(k)
+
+
+def r_events_transitions(sf_dir):
+    ev = _read(sf_dir, "events").sort_values(
+        ["user_id", "ts", "event_id"], kind="mergesort")
+    prev = ev.groupby("user_id")["event_type"].shift(1)
+    df = pd.DataFrame({"prev_type": prev,
+                       "event_type": ev["event_type"]}).dropna()
+    g = (df.groupby(["prev_type", "event_type"], as_index=False)
+           .agg(n=("event_type", "size")))
+    g["n"] = g["n"].astype(np.int64)
+    return g
+
+
+def r_events_trend(sf_dir):
+    ev = _read(sf_dir, "events")
+    ev = ev[ev["value"].notna() & ev["ts"].notna()]
+    us = ev["ts"].astype("int64")
+    t0 = int(us.min())
+    x = ((us - t0) // 1_000_000).astype(np.int64)
+    y = np.floor(ev["value"] * 100).astype(np.int64)
+    rows = []
+    for et, idx in ev.groupby("event_type").groups.items():
+        xi = x[idx].to_numpy()
+        yi = y[idx].to_numpy()
+        n = len(xi)
+        sx, sy = int(xi.sum()), int(yi.sum())
+        sxy = int((xi * yi).sum())
+        sxx = sum(int(v) * int(v) for v in xi)  # exact
+        den = float(n) * float(sxx) - float(sx) * float(sx)
+        slope = inter = None
+        if den != 0:
+            slope = np.int64(np.floor(
+                1_000_000 * (float(n) * float(sxy)
+                             - float(sx) * float(sy)) / den))
+            inter = np.int64(np.floor(
+                1_000_000 * (float(sy) * float(sxx)
+                             - float(sx) * float(sxy)) / den))
+        rows.append((et, np.int64(n), slope, inter))
+    return pd.DataFrame(rows, columns=["event_type", "n",
+                                       "slope_micro",
+                                       "intercept_micro"])
+
+
+def r_mixture_sample(sf_dir):
+    d = _read(sf_dir, "documents")
+    rates = {"src1": 2500, "src3": 0, "src5": 7500}
+    cut = d["source"].map(lambda s: rates.get(s, 5000))
+    keep = d["doc_id"].map(_md5_bucket) < cut
+    return d.loc[keep, ["doc_id", "source"]]
+
+
+def r_stratified_sample(sf_dir, n_per_group=5):
+    d = _read(sf_dir, "documents").copy()
+    d["hv"] = d["doc_id"].map(lambda i: _md5_hash64(str(i)))
+    d = d.sort_values(["source", "hv", "doc_id"], kind="mergesort")
+    out = d.groupby("source").head(n_per_group)
+    return out[["doc_id", "source"]]
+
+
+def r_weighted_sample(sf_dir, k=10, max_weight=32):
+    d = _read(sf_dir, "documents")
+    trimmed = d["text"].str.strip()
+    w = trimmed.map(
+        lambda t: 0 if t == "" else len(re.split(_WS + "+", t))) \
+        .astype(np.int32)
+    tickets = [
+        min(_md5_hash64(f"{i}#{t}")
+            for t in range(1, max(min(int(ww), max_weight), 1) + 1))
+        for i, ww in zip(d["doc_id"], w)]
+    df = pd.DataFrame({"doc_id": d["doc_id"], "source": d["source"],
+                       "w": w, "tk": tickets})
+    df = df.sort_values(["source", "tk", "doc_id"], kind="mergesort")
+    return df.groupby("source").head(k)[["doc_id", "source", "w"]]
+
+
+def r_negative_sample(sf_dir, k=2, buckets=64):
+    d = _read(sf_dir, "documents")
+    ids = d["doc_id"].astype(int).tolist()
+    cand_bucket: dict = {}
+    for c in ids:
+        cand_bucket.setdefault(
+            _md5_hash64(str(c), seed=1) % buckets, []).append(c)
+    rows = []
+    for a in ids:
+        for slot in range(k):
+            b = _md5_hash64(f"{a}#{slot}") % buckets
+            cands = [c for c in cand_bucket.get(b, ()) if c != a]
+            if not cands:
+                continue
+            best = min(cands, key=lambda c: (
+                _md5_hash64(f"{a}#{slot}#{c}", seed=2), c))
+            rows.append((a, slot, best))
+    return pd.DataFrame(rows, columns=["anchor_id", "slot",
+                                       "neg_id"]).astype(np.int64)
+
+
+def r_purged_kfold(sf_dir, folds=5, embargo_us=3600 * 1_000_000):
+    ev = _read(sf_dir, "events")
+    us = ev["ts"].astype("int64").to_numpy()
+    cs = [int(np.floor(np.percentile(us, 100 * q / folds,
+                                     method="linear")))
+          for q in range(1, folds)]
+    fold = np.sum(us[:, None] >= np.asarray(cs)[None, :], axis=1)
+    rows = []
+    for eid, u, f in zip(ev["event_id"], us, fold):
+        for cv in range(folds):
+            f_lo = None if cv == 0 else cs[cv - 1]
+            f_hi = None if cv == folds - 1 else cs[cv]
+            if f == cv:
+                role = "test"
+            elif ((f_lo is None or u >= f_lo - embargo_us)
+                  and (f_hi is None or u < f_hi + embargo_us)):
+                role = "purged"
+            else:
+                role = "train"
+            rows.append((int(eid), int(f), cv, role))
+    out = pd.DataFrame(rows, columns=["event_id", "fold", "cv_fold",
+                                      "role"])
+    for c in ("event_id", "fold", "cv_fold"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def _lev_le_1(a: str, b: str) -> bool:
+    """Levenshtein(a, b) <= 1, O(len) specialized check."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:  # exactly one substitution allowed
+        return sum(1 for x, y in zip(a, b) if x != y) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # one insertion into a
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def r_dedup_editdist(sf_dir, max_dist=1):
+    p = _read(sf_dir, "part")
+    names = sorted(set(p["p_name"]))
+    norm = {nm: re.sub(_WS + "+", " ", nm.lower()).strip()
+            for nm in names}
+    rows = []
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            a, b = names[i], names[j]
+            if abs(len(norm[a]) - len(norm[b])) <= max_dist \
+                    and _lev_le_1(norm[a], norm[b]):
+                dist = 0 if norm[a] == norm[b] else 1
+                rows.append((a, b, np.int32(dist)))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "dist"])
+
+
+def _capped_jaccard_pairs(sf_dir, n=3, threshold=0.5):
+    """(doc_a < doc_b, floored-1e4 jaccard >= threshold) with the
+    whole-corpus max_df stop-shingle cap — dedup_corpus' pair set."""
+    d = _read(sf_dir, "documents")
+    sh = {int(i): set(_spans(_norm_tokens(t), n))
+          for i, t in zip(d["doc_id"], d["text"])}
+    cap = max(100, int(np.ceil(0.01 * len(d))))
+    dfc: dict = {}
+    for s in sh.values():
+        for g in s:
+            dfc[g] = dfc.get(g, 0) + 1
+    inv: dict = {}
+    for i, s in sh.items():
+        for g in s:
+            if dfc[g] <= cap:
+                inv.setdefault(g, []).append(i)
+    common: dict = {}
+    for ids in inv.values():
+        ids.sort()
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                kk = (ids[ai], ids[bi])
+                common[kk] = common.get(kk, 0) + 1
+    pairs = []
+    for (a, b), c in common.items():
+        jac = np.floor(c / (len(sh[a]) + len(sh[b]) - c) * 10000) \
+            / 10000
+        if jac >= threshold:
+            pairs.append((a, b))
+    return d, pairs
+
+
+def r_dedup_corpus(sf_dir):
+    d, pairs = _capped_jaccard_pairs(sf_dir)
+    losers = {b for _, b in pairs}
+    keep = ~d["doc_id"].isin(losers)
+    return d.loc[keep, ["doc_id", "source", "n_chars"]]
+
+
+def _cosine_mat(e: pd.DataFrame):
+    m = np.stack(e["embedding"].to_numpy()).astype(np.float64)
+    return m, np.sqrt((m * m).sum(axis=1))
+
+
+def r_dedup_embedding_cosine(sf_dir, threshold=0.4):
+    e = _read(sf_dir, "embeddings")
+    keep = e["vec_id"].map(_md5_bucket) < 5000
+    e = e[keep].reset_index(drop=True)
+    m, nrm = _cosine_mat(e)
+    ids = e["vec_id"].to_numpy()
+    rows = []
+    for i in range(len(e)):
+        dots = m[i + 1:] @ m[i]
+        cos = np.floor(dots / (nrm[i] * nrm[i + 1:]) * 10000) / 10000
+        for j in np.nonzero(cos >= threshold)[0]:
+            rows.append((int(ids[i]), int(ids[i + 1 + j]), cos[j]))
+    out = pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"])
+    # the SQL pairs on vec_id < vec_id; our row order isn't id-sorted,
+    # so normalize each pair
+    flip = out["id_a"] > out["id_b"]
+    out.loc[flip, ["id_a", "id_b"]] = \
+        out.loc[flip, ["id_b", "id_a"]].to_numpy()
+    return out
+
+
+def r_sim_knn_join(sf_dir, k=3):
+    e = _read(sf_dir, "embeddings").reset_index(drop=True)
+    m, nrm = _cosine_mat(e)
+    ids = e["vec_id"].to_numpy()
+    qmask = e["vec_id"].map(_md5_bucket) < 2500
+    rows = []
+    for qi in np.nonzero(qmask.to_numpy())[0]:
+        cos = np.floor(m @ m[qi] / (nrm * nrm[qi]) * 10000) / 10000
+        order = sorted(((float(-cos[j]), int(ids[j]), j)
+                        for j in range(len(e)) if j != qi))
+        for rk, (_, nid, j) in enumerate(order[:k], 1):
+            rows.append((int(ids[qi]), nid, cos[j], np.int32(rk)))
+    return pd.DataFrame(rows, columns=["qid", "nid", "cosine",
+                                       "rank"])
+
+
+def r_keyword_topk(sf_dir, k=3):
+    d, p = _postings(sf_dir)
+    df: dict = {}
+    for tfs in p.values():
+        for term in tfs:
+            df[term] = df.get(term, 0) + 1
+    n = len(d)
+    rows = []
+    for i, tfs in p.items():
+        scored = sorted(
+            ((tf * ((1_000_000 * n) // df[term]), term)
+             for term, tf in tfs.items()),
+            key=lambda s: (-s[0], s[1]))
+        for rk, (score, term) in enumerate(scored[:k], 1):
+            rows.append((i, np.int32(rk), term, np.int64(score)))
+    return pd.DataFrame(rows, columns=["doc_id", "rank", "term",
+                                       "score_micro"])
+
+
+def r_source_concentration(sf_dir, top_frac=0.1):
+    d = _read(sf_dir, "documents").sort_values(
+        ["source", "n_chars", "doc_id"], kind="mergesort")
+    rows = []
+    for src, grp in d.groupby("source", sort=False):
+        x = grp["n_chars"].to_numpy(dtype=object)
+        n = len(x)
+        r = np.arange(1, n + 1, dtype=object)
+        tt = int(sum(x))
+        rx = int(sum(r * x))
+        topn = int(np.ceil(top_frac * n))
+        topx = int(sum(v for rr, v in zip(r, x) if rr > n - topn))
+        gini = (np.int64(np.floor(1_000_000.0
+                                  * float(2 * rx - (n + 1) * tt)
+                                  / float(n * tt)))
+                if tt > 0 else None)
+        share = (np.int64(np.floor(1_000_000.0 * float(topx)
+                                   / float(tt)))
+                 if tt > 0 else None)
+        rows.append((src, np.int64(n), np.int64(tt), gini, share))
+    return pd.DataFrame(rows, columns=["source", "n_docs",
+                                       "total_size", "gini_micro",
+                                       "top_share_micro"])
+
+
+def r_rollup_incremental(sf_dir):
+    ev = _read(sf_dir, "events")
+    cents = np.floor(ev["value"] * 100).astype(np.int64)
+    df = pd.DataFrame({
+        "event_type": ev["event_type"],
+        "day": (ev["ts"].astype("int64")
+                // 86_400_000_000).astype(np.int64),
+        "c": cents})
+    g = (df.groupby(["event_type", "day"], as_index=False)
+           .agg(n=("c", "size"), total=("c", "sum"),
+                vmin=("c", "min"), vmax=("c", "max")))
+    for c in ("n", "total", "vmin", "vmax"):
+        g[c] = g[c].astype(np.int64)
+    return g
+
+
+def r_group_topk_incremental(sf_dir):
+    # the incremental leaderboard's fixed point IS the from-scratch
+    # top-k — same replay
+    return r_group_topk(sf_dir)
+
+
+def r_join_salted(sf_dir):
+    ev = _read(sf_dir, "events")
+    k = np.where(ev["user_id"] % 5 != 0, 0, ev["user_id"])
+    df = pd.DataFrame({"k": k.astype(np.int64)})
+    g = df.groupby("k", as_index=False).agg(n=("k", "size"))
+    g["n"] = g["n"].astype(np.int64)
+    g["label_sum"] = (g["k"] % 7) * g["n"]
+    return g
+
+
 REPLAYS = {
     "groupby_sum": r_groupby_sum,
     "flagship_join_groupby_count": r_flagship_join_groupby_count,
@@ -2948,6 +3282,24 @@ REPLAYS = {
     "corpus_weighted_quantiles": r_corpus_weighted_quantiles,
     "er_jaro_winkler": r_er_jaro_winkler,
     "sim_topk": r_sim_topk,
+    # --- r14 batch 6: sampling family + sequences + dedup tails ---
+    "events_top_paths": r_events_top_paths,
+    "events_transitions": r_events_transitions,
+    "events_trend": r_events_trend,
+    "mixture_sample": r_mixture_sample,
+    "stratified_sample": r_stratified_sample,
+    "weighted_sample": r_weighted_sample,
+    "negative_sample": r_negative_sample,
+    "purged_kfold": r_purged_kfold,
+    "dedup_editdist": r_dedup_editdist,
+    "dedup_corpus": r_dedup_corpus,
+    "dedup_embedding_cosine": r_dedup_embedding_cosine,
+    "sim_knn_join": r_sim_knn_join,
+    "keyword_topk": r_keyword_topk,
+    "source_concentration": r_source_concentration,
+    "rollup_incremental": r_rollup_incremental,
+    "group_topk_incremental": r_group_topk_incremental,
+    "join_salted": r_join_salted,
     # --- r14 batch 5: relational core remainder + feature ops ---
     "join_left": r_join_left,
     "join_right": r_join_right,
