@@ -62,7 +62,14 @@ import pytest
     # (losslessness proof), keep-first corpus dedup, exact knn
     "weighted_sample", "negative_sample", "purged_kfold",
     "dedup_editdist", "dedup_corpus", "sim_knn_join",
-    "source_concentration"])
+    "source_concentration",
+    # batch-7 representatives: triangle/k-core graph analytics,
+    # leakage-safe cluster splits, calibration (Spark div-truncation
+    # semantics), Cohen's kappa, chi-square drift, CUSUM changepoint,
+    # DSIR selection
+    "graph_triangles", "graph_kcore", "leakage_safe_split",
+    "classifier_calibration", "quality_kappa", "text_token_drift",
+    "events_changepoint", "dsir_select"])
 def test_witness_replay_matches_spark(spark, sf_dir, name):
     import pandas_witness as pw
     import __spark_entry__ as entry_mod

@@ -3253,6 +3253,364 @@ def r_join_salted(sf_dir):
     return g
 
 
+# --------------------------------------------------------------------
+# r14 batch 7: graph analytics over the near-dup pair graph, seasonal
+# decomposition / changepoint / anomaly, classifier scoring +
+# calibration + kappa, chi-square drift, DSIR selection, token
+# budgets, typed JSON.
+# --------------------------------------------------------------------
+
+def r_graph_triangles(sf_dir):
+    _, pairs = _capped_jaccard_pairs(sf_dir)
+    edges = set(pairs)  # (a < b)
+    nodes = {v for e in edges for v in e}
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    tri = sum(1 for a, b in edges
+              for c in adj.get(b, ()) if c in adj.get(a, ()))
+    return pd.DataFrame({"n_nodes": [np.int64(len(nodes))],
+                         "n_edges": [np.int64(len(edges))],
+                         "n_triangles": [np.int64(tri)]})
+
+
+def r_graph_kcore(sf_dir, k=2, iterations=6):
+    _, pairs = _capped_jaccard_pairs(sf_dir)
+    edges = set(pairs)
+    for _ in range(iterations):
+        deg: dict = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        edges = {(a, b) for a, b in edges
+                 if deg[a] >= k and deg[b] >= k}
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    converged = min(deg.values()) >= k if deg else True
+    return pd.DataFrame({"n_nodes": [np.int64(len(deg))],
+                         "n_edges": [np.int64(len(edges))],
+                         "converged": [converged]})
+
+
+def r_leakage_safe_split(sf_dir):
+    d, comp = _cluster_map(sf_dir)
+    cl = pd.DataFrame({"doc": d["doc_id"],
+                       "cluster": d["doc_id"].map(comp)})
+    b = cl["cluster"].map(_md5_bucket)
+    cl["split"] = np.where(b < 8000, "train",
+                           np.where(b < 9000, "val", "test"))
+    strad = np.int64((cl.groupby("cluster")["split"]
+                        .nunique() > 1).sum())
+    g = (cl.groupby("split", as_index=False)
+           .agg(n_docs=("doc", "size"),
+                n_clusters=("cluster", "nunique")))
+    g["n_docs"] = g["n_docs"].astype(np.int64)
+    g["n_clusters"] = g["n_clusters"].astype(np.int64)
+    g["straddling_clusters"] = strad
+    return g
+
+
+def r_quality_quantile_keep(sf_dir, frac=0.4):
+    q = r_text_quality(sf_dir)
+    d = _read(sf_dir, "documents")[["doc_id", "source"]]
+    df = q.merge(d, on="doc_id").sort_values(
+        ["source", "quality", "doc_id"],
+        ascending=[True, False, True], kind="mergesort")
+    out = []
+    for _, grp in df.groupby("source", sort=False):
+        n = len(grp)
+        pr = (np.arange(n) / (n - 1)) if n > 1 else np.zeros(n)
+        out.append(grp[pr <= frac])
+    return pd.concat(out)[["doc_id", "source", "quality"]]
+
+
+_CLS_W = {"data": 500000, "query": 400000, "table": 300000,
+          "spark": 250000, "join": 200000, "slow": -400000,
+          "error": -500000, "dup": -600000, "batch": 100000,
+          "stream": 150000}
+
+
+def _classifier_scores(sf_dir):
+    _, p = _postings(sf_dir)
+    return {i: -1_000_000 + sum(tf * _CLS_W.get(t, 0)
+                                for t, tf in tfs.items())
+            for i, tfs in p.items() if tfs}
+
+
+def r_quality_classifier(sf_dir):
+    s = _classifier_scores(sf_dir)
+    return pd.DataFrame({
+        "doc": list(s.keys()),
+        "score_micro": np.asarray(list(s.values()), dtype=np.int64),
+        "keep": [v >= 2_000_000 for v in s.values()]})
+
+
+def r_classifier_calibration(sf_dir):
+    s = _classifier_scores(sf_dir)
+    d = _read(sf_dir, "documents")
+    ybm = dict(zip(d["doc_id"].astype(int),
+                   d["source"].isin(["src0", "src1"]).astype(int)))
+    sm = np.asarray(list(s.values()), dtype=np.int64)
+    y = np.asarray([ybm[i] for i in s], dtype=np.int64)
+    sd = sm.astype(np.float64)
+    bs = [np.percentile(sd, p, method="linear")
+          for p in range(10, 100, 10)]
+    bucket = np.sum(sd[:, None] > np.asarray(bs)[None, :], axis=1)
+    rows = []
+    for b in sorted(set(bucket.tolist())):
+        m = bucket == b
+        n = int(m.sum())
+        pos = int(y[m].sum())
+        ssum = int(sm[m].sum())
+        # Spark `div` truncates toward zero (unlike Python //)
+        mean_trunc = abs(ssum) // n * (1 if ssum >= 0 else -1)
+        rows.append((np.int64(b), np.int64(n), np.int64(pos),
+                     np.int64((1_000_000 * pos) // n),
+                     np.int64(mean_trunc)))
+    return pd.DataFrame(rows, columns=["bucket", "n", "pos",
+                                       "pos_rate_micro",
+                                       "mean_score_micro"])
+
+
+def _gopher_keep(sf_dir, min_words, min_stopwords):
+    g = r_quality_gopher(sf_dir)
+    keep = ((g["n_words"] >= min_words) & (g["n_words"] <= 100_000)
+            & (g["mean_word_len"] >= 3) & (g["mean_word_len"] <= 10)
+            & (g["symbol_word_ratio"] <= 0.1)
+            & (g["bullet_line_frac"] <= 0.9)
+            & (g["ellipsis_line_frac"] <= 0.3)
+            & (g["alpha_word_frac"] >= 0.8)
+            & (g["stopword_hits"] >= min_stopwords))
+    return dict(zip(g["doc_id"], keep.astype(int)))
+
+
+def r_quality_kappa(sf_dir):
+    # the kappa entry rates with RELAXED Gopher thresholds
+    # (min_words=20, min_stopwords=1) against the C4 page filter
+    a = _gopher_keep(sf_dir, min_words=20, min_stopwords=1)
+    c4 = r_quality_c4(sf_dir)
+    b = dict(zip(c4["doc_id"], c4["page_keep"]))
+    n = n11 = n10 = n01 = n00 = 0
+    for i, ra in a.items():
+        rb = b[i]
+        n += 1
+        n11 += int(ra and rb)
+        n10 += int(ra and not rb)
+        n01 += int((not ra) and rb)
+        n00 += int((not ra) and (not rb))
+    e = (n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)
+    kappa = (np.int64(np.floor(1_000_000.0 * (n * (n11 + n00) - e)
+                               / (n * n - e)))
+             if n * n != e else None)
+    return pd.DataFrame({
+        "n": [np.int64(n)], "n11": [np.int64(n11)],
+        "n10": [np.int64(n10)], "n01": [np.int64(n01)],
+        "n00": [np.int64(n00)],
+        "po_micro": [np.int64(np.floor(1_000_000.0 * (n11 + n00)
+                                       / n))],
+        "kappa_micro": [kappa]})
+
+
+def r_chi2_source_terms(sf_dir, k=5, min_df=2):
+    d = _read(sf_dir, "documents")
+    cell: dict = {}
+    tok_n: dict = {}
+    for src, t in zip(d["source"], d["text"]):
+        for tok in {x for x in _norm_tokens(t) if x != ""}:
+            cell[(tok, src)] = cell.get((tok, src), 0) + 1
+            tok_n[tok] = tok_n.get(tok, 0) + 1
+    lab_n = d.groupby("source").size().to_dict()
+    big_n = len(d)
+    rows = []
+    for (tok, lab), n11 in cell.items():
+        if tok_n[tok] < min_df:
+            continue
+        n10 = tok_n[tok] - n11
+        n01 = lab_n[lab] - n11
+        n00 = big_n - tok_n[tok] - lab_n[lab] + n11
+        diff = n11 * n00 - n10 * n01
+        den = float((n11 + n10) * (n01 + n00)) \
+            * float((n11 + n01) * (n10 + n00))
+        if den == 0.0:
+            continue
+        chi = np.int64(np.floor(
+            1000.0 * (float(big_n) * float(diff) * float(diff))
+            / den))
+        rows.append((lab, tok, np.int64(n11), np.int64(n10),
+                     np.int64(n01), np.int64(n00), chi))
+    df = pd.DataFrame(rows, columns=["label", "token", "n11", "n10",
+                                     "n01", "n00", "chi2_milli"])
+    df = df.sort_values(["label", "chi2_milli", "token"],
+                        ascending=[True, False, True],
+                        kind="mergesort")
+    df["rank"] = (df.groupby("label").cumcount() + 1) \
+        .astype(np.int32)
+    return df[df["rank"] <= k]
+
+
+def r_text_token_drift(sf_dir, min_total=5):
+    d = _read(sf_dir, "documents")
+    oa: dict = {}
+    ob: dict = {}
+    for src, t in zip(d["source"], d["text"]):
+        tgt = oa if src != "src0" else ob
+        for tok in _norm_tokens(t):
+            if tok != "":
+                tgt[tok] = tgt.get(tok, 0) + 1
+    ta, tb = sum(oa.values()), sum(ob.values())
+    rows = []
+    for tok in set(oa) | set(ob):
+        a, b = oa.get(tok, 0), ob.get(tok, 0)
+        if a + b < min_total:
+            continue
+        frac = (a + b) / float(ta + tb)
+        ea, eb = ta * frac, tb * frac
+        chi = (np.floor(1_000_000 * (a - ea) * (a - ea) / ea)
+               + np.floor(1_000_000 * (b - eb) * (b - eb) / eb))
+        rows.append((tok, np.int64(a), np.int64(b), np.int64(chi)))
+    return pd.DataFrame(rows, columns=["token", "o_a", "o_b",
+                                       "chi_micro"])
+
+
+def _hourly_series(sf_dir):
+    ev = _read(sf_dir, "events")
+    bucket = (ev["ts"].astype("int64") // 3_600_000_000) \
+        .astype(np.int64)
+    s = (pd.DataFrame({"event_type": ev["event_type"],
+                       "bucket": bucket})
+         .groupby(["event_type", "bucket"], as_index=False)
+         .agg(n=("bucket", "size")))
+    s["n"] = s["n"].astype(np.int64)
+    return s
+
+
+def r_events_seasonal(sf_dir, period=24):
+    s = _hourly_series(sf_dir)
+    s["phase"] = (s["bucket"] % period).astype(np.int64)
+    seas = (s.groupby(["event_type", "phase"])["n"]
+             .apply(lambda x: (1_000_000 * int(x.sum())) // len(x))
+             .rename("seasonal_micro"))
+    lvl = (s.groupby("event_type")["n"]
+            .apply(lambda x: (1_000_000 * int(x.sum())) // len(x))
+            .rename("level_micro"))
+    out = (s.merge(seas, left_on=["event_type", "phase"],
+                   right_index=True)
+            .merge(lvl, left_on="event_type", right_index=True))
+    out["resid_micro"] = (1_000_000 * out["n"]
+                          - out["seasonal_micro"]).astype(np.int64)
+    out["seasonal_micro"] = out["seasonal_micro"].astype(np.int64)
+    out["level_micro"] = out["level_micro"].astype(np.int64)
+    return out
+
+
+def r_events_anomaly_seasonal(sf_dir, k=3.0):
+    s = r_events_seasonal(sf_dir)
+    rows = []
+    for et, grp in s.groupby("event_type"):
+        r = grp["resid_micro"].to_numpy(dtype=np.float64)
+        med = np.percentile(r, 50, method="linear")
+        adev = np.abs(r - med)
+        mad = np.percentile(adev, 50, method="linear")
+        for b, n, rm, ad in zip(grp["bucket"], grp["n"],
+                                grp["resid_micro"], adev):
+            rows.append((et, b, n, rm, med, mad, ad > k * mad))
+    return pd.DataFrame(rows, columns=["event_type", "bucket", "n",
+                                       "resid_micro", "med", "mad",
+                                       "is_anomaly"])
+
+
+def r_events_changepoint(sf_dir):
+    s = _hourly_series(sf_dir).sort_values(["event_type", "bucket"],
+                                           kind="mergesort")
+    rows = []
+    for et, grp in s.groupby("event_type", sort=False):
+        n = grp["n"].to_numpy()
+        mean_micro = (1_000_000 * int(n.sum())) // len(n)
+        cum = np.cumsum(1_000_000 * n - mean_micro)
+        order = sorted(range(len(cum)),
+                       key=lambda i: (-abs(int(cum[i])),
+                                      grp["bucket"].iloc[i]))
+        i = order[0]
+        rows.append((et, np.int64(grp["bucket"].iloc[i]),
+                     np.int64(cum[i]), np.int64(mean_micro),
+                     np.int64(len(n))))
+    return pd.DataFrame(rows, columns=["event_type", "cp_bucket",
+                                       "s_micro", "mean_micro",
+                                       "n_buckets"])
+
+
+def r_source_text_lines(sf_dir):
+    d = _read(sf_dir, "documents")
+    norm = _normalize_text(d["text"])
+    return pd.DataFrame({
+        "doc_id": d["doc_id"],
+        "n_chars_norm": norm.str.len().astype(np.int64),
+        "fp": norm.map(lambda t: hashlib.md5(t.encode()).hexdigest())})
+
+
+def r_mixture_token_budget(sf_dir):
+    d = _read(sf_dir, "documents")
+    trimmed = d["text"].str.strip()
+    n_tok = trimmed.map(
+        lambda t: 0 if t == "" else len(re.split(_WS + "+", t))) \
+        .astype(np.int32)
+    df = pd.DataFrame({"doc_id": d["doc_id"], "source": d["source"],
+                       "n_tok": n_tok,
+                       "hb": d["doc_id"].map(_md5_bucket)})
+    budgets = {"src0": 300, "src1": 500}
+    df = df.sort_values(["source", "hb", "doc_id"], kind="mergesort")
+    prev = (df.groupby("source")["n_tok"].cumsum()
+            - df["n_tok"]).astype(np.int64)
+    b = df["source"].map(budgets)
+    keep = b.isna() | (prev < b)
+    return df.loc[keep, ["doc_id", "source", "n_tok"]]
+
+
+def r_events_props_typed(sf_dir):
+    import json as _json
+
+    ev = _read(sf_dir, "events")
+
+    def getk(p):
+        try:
+            v = _json.loads(p).get("k")
+            return None if v is None else int(v)
+        except Exception:
+            return None
+
+    ks = ev["props"].map(getk)
+    g = (pd.DataFrame({"event_type": ev["event_type"], "k": ks})
+         .groupby("event_type", as_index=False)
+         .agg(n_k=("k", lambda s: int(s.notna().sum())),
+              sum_k=("k", lambda s: int(s.dropna().sum())),
+              min_k=("k", "min"), max_k=("k", "max")))
+    for c in ("n_k", "sum_k"):
+        g[c] = g[c].astype(np.int64)
+    for c in ("min_k", "max_k"):
+        g[c] = g[c].astype(np.int32)
+    return g
+
+
+def r_dsir_select(sf_dir, cut_micro=400000):
+    w = r_dsir_weights(sf_dir)
+    mean_micro = int(w["weight_micro"].astype(object).sum()) \
+        // len(w)
+    hv = w["doc"].map(lambda i: _md5_hash64(str(i), seed=1)
+                      % 1_000_000)
+    keep = hv * mean_micro < cut_micro * w["weight_micro"]
+    return w[keep]
+
+
+def r_sparse_postings_lookup(sf_dir, terms=("data", "join")):
+    _, p = _postings(sf_dir)
+    rows = [(i, t, np.int64(tf))
+            for i, tfs in p.items()
+            for t, tf in tfs.items() if t in terms]
+    return pd.DataFrame(rows, columns=["doc", "term", "tf"])
+
+
 REPLAYS = {
     "groupby_sum": r_groupby_sum,
     "flagship_join_groupby_count": r_flagship_join_groupby_count,
@@ -3282,6 +3640,24 @@ REPLAYS = {
     "corpus_weighted_quantiles": r_corpus_weighted_quantiles,
     "er_jaro_winkler": r_er_jaro_winkler,
     "sim_topk": r_sim_topk,
+    # --- r14 batch 7: graph + seasonal + classifier + drift ---
+    "graph_triangles": r_graph_triangles,
+    "graph_kcore": r_graph_kcore,
+    "leakage_safe_split": r_leakage_safe_split,
+    "quality_quantile_keep": r_quality_quantile_keep,
+    "quality_classifier": r_quality_classifier,
+    "classifier_calibration": r_classifier_calibration,
+    "quality_kappa": r_quality_kappa,
+    "chi2_source_terms": r_chi2_source_terms,
+    "text_token_drift": r_text_token_drift,
+    "events_seasonal": r_events_seasonal,
+    "events_anomaly_seasonal": r_events_anomaly_seasonal,
+    "events_changepoint": r_events_changepoint,
+    "source_text_lines": r_source_text_lines,
+    "mixture_token_budget": r_mixture_token_budget,
+    "events_props_typed": r_events_props_typed,
+    "dsir_select": r_dsir_select,
+    "sparse_postings_lookup": r_sparse_postings_lookup,
     # --- r14 batch 6: sampling family + sequences + dedup tails ---
     "events_top_paths": r_events_top_paths,
     "events_transitions": r_events_transitions,
