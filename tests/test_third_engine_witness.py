@@ -69,7 +69,14 @@ import pytest
     # DSIR selection
     "graph_triangles", "graph_kcore", "leakage_safe_split",
     "classifier_calibration", "quality_kappa", "text_token_drift",
-    "events_changepoint", "dsir_select"])
+    "events_changepoint", "dsir_select",
+    # batch-8 representatives: md5 MinHash LSH end-to-end, hybrid
+    # RRF fusion, leftmost-lowest-rank BPE, PSL domain filter,
+    # ExactSubstr span removal, streaming sessionize/join twins
+    "dedup_minhash", "hybrid_rrf3", "text_bpe_tokens",
+    "url_domain_filter", "dedup_span_removal",
+    "streaming_sessionize", "streaming_stream_join_full",
+    "streaming_late_data"])
 def test_witness_replay_matches_spark(spark, sf_dir, name):
     import pandas_witness as pw
     import __spark_entry__ as entry_mod

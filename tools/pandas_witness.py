@@ -3611,6 +3611,453 @@ def r_sparse_postings_lookup(sf_dir, terms=("data", "join")):
     return pd.DataFrame(rows, columns=["doc", "term", "tf"])
 
 
+# --------------------------------------------------------------------
+# r14 batch 8: the streaming family's batch twins (state semantics
+# re-derived from event time, independent of Structured Streaming),
+# source round-trips, md5 MinHash+LSH end-to-end, hybrid RRF fusion,
+# int8 quantized ranking, BPE segmentation, PSL domain filtering,
+# basket rules, span removal, the composed curation pipeline.
+# --------------------------------------------------------------------
+
+def r_source_csv_roundtrip(sf_dir):
+    return _read(sf_dir, "nation")[["n_nationkey", "n_name",
+                                    "n_regionkey"]]
+
+
+def r_source_json_roundtrip(sf_dir):
+    s = _read(sf_dir, "supplier")
+    return pd.DataFrame({
+        "s_suppkey": s["s_suppkey"], "s_name": s["s_name"],
+        "s_nationkey": s["s_nationkey"],
+        "s_acctbal": _floor2(s["s_acctbal"])})
+
+
+def r_source_orc_roundtrip(sf_dir):
+    return _read(sf_dir, "customer")[["c_custkey", "c_name",
+                                      "c_nationkey", "c_acctbal"]]
+
+
+def r_streaming_dedup(sf_dir):
+    d = r_dedup_exact(sf_dir)
+    return pd.DataFrame({"fp": d["fp"],
+                         "n_kept": np.ones(len(d), dtype=np.int64)})
+
+
+def r_streaming_static_join(sf_dir):
+    e = _ev_split(sf_dir, "purchase", ["event_id", "user_id"])
+    c = _read(sf_dir, "customer")[["c_custkey", "c_name",
+                                   "c_mktsegment"]]
+    j = e.merge(c, left_on="user_id", right_on="c_custkey",
+                how="left")
+    return j[["event_id", "user_id", "c_name", "c_mktsegment"]]
+
+
+def r_streaming_cdc_apply(sf_dir):
+    return r_cdc_apply(sf_dir)
+
+
+def r_streaming_group_topk(sf_dir):
+    return r_group_topk(sf_dir)
+
+
+def r_streaming_late_data(sf_dir):
+    ev = _read(sf_dir, "events")
+    us = ev["ts"].astype("int64")
+    hr = (us // 3_600_000_000).astype(np.int64)
+    h0, hmax, wm = int(hr.min()), int(hr.max()), int(us.max())
+    r1 = (hmax - h0 + 1) // 4
+    dropped = (hr - h0 < r1) & (ev["event_id"] % 2 == 1)
+    complete = (hr + 1) * 3_600_000_000 <= wm
+    keep = ~dropped & complete
+    g = (pd.DataFrame({"ws_us": (hr[keep] * 3_600_000_000)
+                       .astype(np.int64),
+                       "event_type": ev.loc[keep, "event_type"]})
+         .groupby(["ws_us", "event_type"], as_index=False)
+         .agg(n_events=("event_type", "size")))
+    g["n_events"] = g["n_events"].astype(np.int64)
+    return g
+
+
+def r_streaming_sessionize(sf_dir, gap_ms=4 * 3600 * 1000):
+    ev = _read(sf_dir, "events")
+    df = pd.DataFrame({"user_id": ev["user_id"],
+                       "ts_ms": (ev["ts"].astype("int64") // 1000)
+                       .astype(np.int64)})
+    df = df.sort_values(["user_id", "ts_ms"], kind="mergesort")
+    gap = df.groupby("user_id")["ts_ms"].diff()
+    new_s = (gap.isna() | (gap > gap_ms)).astype(int)
+    sess = new_s.groupby(df["user_id"]).cumsum()
+    g = (df.assign(sess=sess)
+           .groupby(["user_id", "sess"], as_index=False)
+           .agg(start_ms=("ts_ms", "min"), end_ms=("ts_ms", "max"),
+                n_events=("ts_ms", "size")))
+    g["n_events"] = g["n_events"].astype(np.int64)
+    return g[["user_id", "start_ms", "end_ms", "n_events"]]
+
+
+def _click_purchase_window(sf_dir):
+    c = _ev_split(sf_dir, "click", ["event_id", "user_id", "ts"]) \
+        .rename(columns={"event_id": "click_id"})
+    p = _ev_split(sf_dir, "purchase", ["event_id", "user_id", "ts"]) \
+        .rename(columns={"event_id": "purchase_id", "ts": "pts"})
+    j = c.merge(p, on="user_id")
+    hit = j[(j["pts"] <= j["ts"])
+            & (j["pts"] >= j["ts"] - pd.Timedelta(hours=1))]
+    return c, p, hit
+
+
+def r_streaming_stream_join(sf_dir):
+    _, _, hit = _click_purchase_window(sf_dir)
+    return hit[["click_id", "purchase_id"]]
+
+
+def r_streaming_stream_join_outer(sf_dir):
+    c, _, hit = _click_purchase_window(sf_dir)
+    matched = set(hit["click_id"])
+    un = c[~c["click_id"].isin(matched)][["click_id"]].copy()
+    un["purchase_id"] = np.nan
+    out = pd.concat([hit[["click_id", "purchase_id"]], un],
+                    ignore_index=True)
+    out["purchase_id"] = out["purchase_id"].astype(np.float64)
+    return out
+
+
+def r_streaming_stream_join_full(sf_dir):
+    c, p, hit = _click_purchase_window(sf_dir)
+    mc, mp = set(hit["click_id"]), set(hit["purchase_id"])
+    un_c = c[~c["click_id"].isin(mc)][["click_id"]].copy()
+    un_c["purchase_id"] = np.nan
+    un_p = p[~p["purchase_id"].isin(mp)][["purchase_id"]].copy()
+    un_p["click_id"] = np.nan
+    out = pd.concat([hit[["click_id", "purchase_id"]], un_c,
+                     un_p[["click_id", "purchase_id"]]],
+                    ignore_index=True)
+    for col in ("click_id", "purchase_id"):
+        out[col] = out[col].astype(np.float64)
+    return out
+
+
+_MH_PARAMS = [(12345, 7), (506964459, 40510), (1013916573, 81013),
+              (1520868687, 121516), (2027820801, 162019),
+              (387289268, 202522), (894241382, 243025),
+              (1401193496, 283528), (1908145610, 324031),
+              (267614077, 364534), (774566191, 405037),
+              (1281518305, 445540), (1788470419, 486043),
+              (147938886, 526546), (654891000, 567049),
+              (1161843114, 607552)]
+_MH_P = 2147483647
+
+
+def r_dedup_minhash(sf_dir, bands=4, rows_per_band=4,
+                    sig_agree=0.49999999999999994, threshold=0.7):
+    d = _read(sf_dir, "documents")
+    sh = {int(i): set(_spans(_norm_tokens(t), 3))
+          for i, t in zip(d["doc_id"], d["text"])}
+    sig = {}
+    for i, s in sh.items():
+        hs = [_md5_hash64(g) % _MH_P for g in s]
+        sig[i] = [min((a * h + c) % _MH_P for h in hs)
+                  for a, c in _MH_PARAMS]
+    buckets: dict = {}
+    for i, m in sig.items():
+        for b in range(bands):
+            key = (b, tuple(m[b * rows_per_band:
+                              (b + 1) * rows_per_band]))
+            buckets.setdefault(key, []).append(i)
+    cand = set()
+    for ids in buckets.values():
+        ids.sort()
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                cand.add((ids[ai], ids[bi]))
+    rows = []
+    for a, b in cand:
+        agree = sum(1 for x, y in zip(sig[a], sig[b]) if x == y)
+        if agree / 16.0 < sig_agree:
+            continue
+        inter = len(sh[a] & sh[b])
+        jac = np.floor(inter / (len(sh[a]) + len(sh[b]) - inter)
+                       * 10000) / 10000
+        if jac >= threshold:
+            rows.append((a, b, jac))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+
+def _dense_leg(sf_dir, q_cut=10, k=10):
+    e = _read(sf_dir, "embeddings").reset_index(drop=True)
+    m, nrm = _cosine_mat(e)
+    ids = e["vec_id"].to_numpy()
+    legs = []
+    for qi in np.nonzero(ids < q_cut)[0]:
+        cos = np.floor(m @ m[qi] / (nrm * nrm[qi]) * 10000) / 10000
+        order = sorted(((float(-cos[j]), int(ids[j]))
+                        for j in range(len(e)) if j != qi))
+        legs += [(int(ids[qi]), iid, rk)
+                 for rk, (_, iid) in enumerate(order[:k], 1)]
+    return legs
+
+
+def _sparse_leg(sf_dir, q_cut=10, k=10):
+    _, p = _postings(sf_dir)
+    n2 = {i: sum(v * v for v in tfs.values()) for i, tfs in p.items()}
+    inv: dict = {}
+    for i, tfs in p.items():
+        for term, tf in tfs.items():
+            inv.setdefault(term, []).append((i, tf))
+    legs = []
+    for q in [i for i in p if i < q_cut]:
+        dots: dict = {}
+        for term, tfq in p[q].items():
+            for cdoc, tfc in inv[term]:
+                if cdoc != q:
+                    dots[cdoc] = dots.get(cdoc, 0) + tfq * tfc
+        scored = sorted(((float(dot * dot) / float(n2[q] * n2[c]), c)
+                         for c, dot in dots.items()),
+                        key=lambda s: (-s[0], s[1]))
+        legs += [(q, c, rk) for rk, (_, c) in enumerate(scored[:k], 1)]
+    return legs
+
+
+def _bm25_leg(sf_dir, q_cut=10, k=10):
+    _, p = _postings(sf_dir)
+    dl = {i: sum(tfs.values()) for i, tfs in p.items()}
+    n_docs, total_len = len(dl), sum(dl.values())
+    df: dict = {}
+    inv: dict = {}
+    for i, tfs in p.items():
+        for term in tfs:
+            df[term] = df.get(term, 0) + 1
+            inv.setdefault(term, []).append(i)
+    legs = []
+    for q in [i for i in p if i < q_cut]:
+        scores: dict = {}
+        for term in p[q]:
+            f = df[term]
+            for c in inv[term]:
+                if c == q:
+                    continue
+                tf = p[c][term]
+                scores[c] = scores.get(c, 0) + int(np.floor(
+                    1_000_000.0
+                    * (float(2 * n_docs - 2 * f + 1)
+                       * float(22 * tf * total_len))
+                    / (float(2 * f + 1)
+                       * float(10 * tf * total_len + 3 * total_len
+                               + 9 * dl[c] * n_docs))))
+        ranked = sorted(scores.items(), key=lambda s: (-s[1], s[0]))
+        legs += [(q, c, rk) for rk, (c, _) in enumerate(ranked[:k], 1)]
+    return legs
+
+
+def _rrf(legs_list, k=10, k_rrf=60.0):
+    fused: dict = {}
+    for legs in legs_list:
+        for q, item, rnk in legs:
+            cur = fused.setdefault((q, item), [0, 0])
+            cur[0] += 1
+            cur[1] += int(np.floor(1_000_000 / (k_rrf + rnk)))
+    df = pd.DataFrame(
+        [(q, i, np.int64(n), np.int64(s))
+         for (q, i), (n, s) in fused.items()],
+        columns=["q_id", "item_id", "n_legs", "rrf_micro"])
+    df = df.sort_values(["q_id", "rrf_micro", "item_id"],
+                        ascending=[True, False, True],
+                        kind="mergesort")
+    df["fused_rank"] = (df.groupby("q_id").cumcount() + 1) \
+        .astype(np.int32)
+    return df[df["fused_rank"] <= k]
+
+
+def r_hybrid_rrf(sf_dir):
+    return _rrf([_dense_leg(sf_dir), _sparse_leg(sf_dir)])
+
+
+def r_hybrid_rrf3(sf_dir):
+    return _rrf([_dense_leg(sf_dir), _sparse_leg(sf_dir),
+                 _bm25_leg(sf_dir)])
+
+
+def r_sim_quantized_topk(sf_dir, q_cut=5, k=10):
+    e = _read(sf_dir, "embeddings").reset_index(drop=True)
+    m = np.stack(e["embedding"].to_numpy()).astype(np.float64)
+    mx = np.abs(m).max(axis=0)
+    codes = np.where(mx == 0, 0.0,
+                     np.clip(np.floor(m * 127.0
+                                      / np.where(mx == 0, 1.0, mx)),
+                             -127, 127)).astype(np.int64)
+    ids = e["vec_id"].to_numpy()
+    rows = []
+    for qi in np.nonzero(ids < q_cut)[0]:
+        dots = codes @ codes[qi]
+        order = sorted(((-int(dots[j]), int(ids[j]))
+                        for j in range(len(e)) if j != qi))
+        rows += [(int(ids[qi]), iid, np.int64(-nd), np.int32(rk))
+                 for rk, (nd, iid) in enumerate(order[:k], 1)]
+    return pd.DataFrame(rows, columns=["q_id", "item_id", "dot",
+                                       "rank"])
+
+
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("t", "a"), ("a", "b"), ("ta", "b"),
+    ("l", "e"), ("tab", "le"), ("s", "c"), ("sc", "a"), ("sca", "n"),
+    ("v", "a"), ("va", "l"), ("u", "e"), ("val", "ue"), ("w", "i"),
+    ("n", "d"), ("wi", "nd"), ("o", "w"), ("wind", "ow"), ("e", "r"),
+    ("q", "u"), ("qu", "er"), ("quer", "y"), ("a", "a"), ("r", "o"),
+    ("ro", "w"), ("f", "a"), ("fa", "st"), ("s", "t"), ("d", "at"),
+    ("a", "t"), ("dat", "a"),
+]
+
+
+def _bpe_count(word: str, ranks: dict) -> int:
+    toks = list(word)
+    while len(toks) > 1:
+        best, best_i = None, None
+        for i in range(len(toks) - 1):
+            r = ranks.get((toks[i], toks[i + 1]))
+            if r is not None and (best is None or r < best):
+                best, best_i = r, i  # lowest rank, LEFTMOST occurrence
+        if best is None:
+            break
+        toks[best_i:best_i + 2] = [toks[best_i] + toks[best_i + 1]]
+    return len(toks)
+
+
+def r_text_bpe_tokens(sf_dir):
+    d = _read(sf_dir, "documents")
+    ranks = {pair: i for i, pair in enumerate(_BPE_MERGES)}
+    memo: dict = {}
+    rows = []
+    for i, t in zip(d["doc_id"], d["text"]):
+        words = [w for w in t.lower().split(" ") if w != ""]
+        n_bpe = 0
+        for w in words:
+            if w not in memo:
+                memo[w] = _bpe_count(w, ranks)
+            n_bpe += memo[w]
+        rows.append((int(i), np.int32(len(words)), np.int32(n_bpe)))
+    return pd.DataFrame(rows, columns=["doc_id", "n_words", "n_bpe"])
+
+
+def r_events_basket_rules(sf_dir, min_support_micro=1000):
+    ev = _read(sf_dir, "events")
+    items = ev[["user_id", "event_type"]].drop_duplicates()
+    n_baskets = items["user_id"].nunique()
+    item_n = items.groupby("event_type").size().to_dict()
+    j = items.merge(items, on="user_id")
+    j = j[j["event_type_x"] != j["event_type_y"]]
+    pair_n = (j.groupby(["event_type_x", "event_type_y"])
+               .size().to_dict())
+    rows = []
+    for (a, c), n_ab in pair_n.items():
+        support = (1_000_000 * n_ab) // n_baskets
+        if support < min_support_micro:
+            continue
+        conf = (1_000_000 * n_ab) // item_n[a]
+        lift = (conf * n_baskets) // item_n[c]
+        rows.append((a, c, np.int64(n_ab), np.int64(support),
+                     np.int64(conf), np.int64(lift)))
+    return pd.DataFrame(rows, columns=["antecedent", "consequent",
+                                       "n_ab", "support_micro",
+                                       "confidence_micro",
+                                       "lift_micro"])
+
+
+def r_dedup_span_removal(sf_dir, k=4, min_docs=2):
+    d = _read(sf_dir, "documents")
+    words_of = {int(i): _norm_tokens(t)
+                for i, t in zip(d["doc_id"], d["text"])}
+    occs: dict = {}
+    for i, ws in words_of.items():
+        for pos in range(max(len(ws) - k, 0) + 1):
+            span = " ".join(ws[pos:pos + k])
+            occs.setdefault(span, []).append((i, pos))
+    rows = []
+    covered: dict = {i: set() for i in words_of}
+    for span, lst in occs.items():
+        if len({i for i, _ in lst}) < min_docs:
+            continue
+        first = min(lst)
+        for i, pos in lst:
+            if (i, pos) == first:
+                continue
+            n = len(words_of[i])
+            covered[i].update(range(pos, min(pos + k, n)))
+    for i, ws in words_of.items():
+        cov = covered[i]
+        kept = [w for tp, w in enumerate(ws) if tp not in cov]
+        rows.append((i, " ".join(kept), np.int64(len(ws)),
+                     np.int64(len(cov))))
+    return pd.DataFrame(rows, columns=["doc", "text", "n_tokens",
+                                       "n_removed"])
+
+
+def r_curation_pipeline(sf_dir):
+    d = _read(sf_dir, "documents")
+    lid = r_text_lang_id(sf_dir).set_index("doc_id")["lang_pred"]
+    q = r_text_quality(sf_dir).set_index("doc_id")["quality"]
+    trimmed = d["text"].str.strip()
+    n_tok = trimmed.map(
+        lambda t: 0 if t == "" else len(re.split(_WS + "+", t))) \
+        .astype(np.int32)
+    out = pd.DataFrame({
+        "doc_id": d["doc_id"],
+        "lang_pred": d["doc_id"].map(lid),
+        "quality": d["doc_id"].map(q),
+        "n_tokens": n_tok})
+    return out[(out["lang_pred"] == "en") & (out["quality"] >= 0.5)
+               & (out["n_tokens"] >= 20)]
+
+
+def _psl_rules():
+    from charmpandas_spark.functions.psl_data import PSL_RULES
+    from charmpandas_spark.functions.urls import _compile_psl
+
+    # (key, _, normal_ps, exception_ps) — pure DATA, the algorithm
+    # below is the published PSL lookup re-implemented independently
+    return {key: (nps, eps)
+            for key, _k, nps, eps in _compile_psl(PSL_RULES)}
+
+
+def _registrable(host: str, rules: dict) -> str:
+    labels = host.split(".")
+    best_key_len, ps = -1, 1  # default rule: TLD is 1 label
+    for start in range(len(labels)):
+        key = ".".join(labels[start:])
+        if key in rules:
+            nps, eps = rules[key]
+            klen = len(labels) - start
+            if eps is not None:  # exception beats everything
+                ps = eps
+                break
+            if klen > best_key_len:
+                best_key_len, ps = klen, nps
+    n = ps + 1
+    return ".".join(labels[-n:]) if len(labels) >= n else host
+
+
+def r_url_domain_filter(sf_dir):
+    d = _read(sf_dir, "documents")
+    rules = _psl_rules()
+    blocked = {"src3.com", "src7.org", "src11.com", "src5.co.uk",
+               "src12.com.au"}
+    ad_path = re.compile(r"^/docs/[0-9]+/ads/")
+    rows = []
+    for i, src in zip(d["doc_id"], d["source"]):
+        i = int(i)
+        suffix = (".co.uk" if i % 5 == 0 else
+                  ".com.au" if i % 5 == 1 else
+                  ".org" if i % 3 == 0 else ".com")
+        host = ("cdn." if i % 4 == 0 else "") + src + suffix
+        path = f"/docs/{i}" + ("/ads/banner" if i % 7 == 0
+                               else "/body")
+        dom = _registrable(host, rules)
+        if dom in blocked or ad_path.match(path):
+            continue
+        rows.append((i, host, dom, path))
+    return pd.DataFrame(rows, columns=["doc_id", "url_host",
+                                       "url_domain", "url_path"])
+
+
 REPLAYS = {
     "groupby_sum": r_groupby_sum,
     "flagship_join_groupby_count": r_flagship_join_groupby_count,
@@ -3640,6 +4087,28 @@ REPLAYS = {
     "corpus_weighted_quantiles": r_corpus_weighted_quantiles,
     "er_jaro_winkler": r_er_jaro_winkler,
     "sim_topk": r_sim_topk,
+    # --- r14 batch 8: streaming twins + roundtrips + minhash/RRF ---
+    "source_csv_roundtrip": r_source_csv_roundtrip,
+    "source_json_roundtrip": r_source_json_roundtrip,
+    "source_orc_roundtrip": r_source_orc_roundtrip,
+    "streaming_dedup": r_streaming_dedup,
+    "streaming_static_join": r_streaming_static_join,
+    "streaming_cdc_apply": r_streaming_cdc_apply,
+    "streaming_group_topk": r_streaming_group_topk,
+    "streaming_late_data": r_streaming_late_data,
+    "streaming_sessionize": r_streaming_sessionize,
+    "streaming_stream_join": r_streaming_stream_join,
+    "streaming_stream_join_outer": r_streaming_stream_join_outer,
+    "streaming_stream_join_full": r_streaming_stream_join_full,
+    "dedup_minhash": r_dedup_minhash,
+    "hybrid_rrf": r_hybrid_rrf,
+    "hybrid_rrf3": r_hybrid_rrf3,
+    "sim_quantized_topk": r_sim_quantized_topk,
+    "text_bpe_tokens": r_text_bpe_tokens,
+    "events_basket_rules": r_events_basket_rules,
+    "dedup_span_removal": r_dedup_span_removal,
+    "curation_pipeline": r_curation_pipeline,
+    "url_domain_filter": r_url_domain_filter,
     # --- r14 batch 7: graph + seasonal + classifier + drift ---
     "graph_triangles": r_graph_triangles,
     "graph_kcore": r_graph_kcore,
