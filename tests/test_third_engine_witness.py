@@ -76,7 +76,13 @@ import pytest
     "dedup_minhash", "hybrid_rrf3", "text_bpe_tokens",
     "url_domain_filter", "dedup_span_removal",
     "streaming_sessionize", "streaming_stream_join_full",
-    "streaming_late_data"])
+    "streaming_late_data",
+    # batch-9 representatives: regenerated-hyperplane ANN candidate
+    # sets, IVF full-probe==exact identity (sequential-dot floor
+    # boundary), persisted-index incremental dedup fixed points
+    "sim_ann_lsh", "dedup_embedding_cosine_ann", "sim_ivf",
+    "dedup_incremental", "dedup_minhash_incremental",
+    "source_schema_evolution"])
 def test_witness_replay_matches_spark(spark, sf_dir, name):
     import pandas_witness as pw
     import __spark_entry__ as entry_mod

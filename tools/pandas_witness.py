@@ -4058,6 +4058,219 @@ def r_url_domain_filter(sf_dir):
                                        "url_domain", "url_path"])
 
 
+# --------------------------------------------------------------------
+# r14 batch 9: hyperplane-LSH ANN legs (planes regenerated from the
+# splitmix64 mix — a second independent implementation of the
+# deterministic plane generator), IVF full-probe == exact top-k,
+# sink round-trips, incremental persisted-index dedup fixed points,
+# multimodal metadata.
+# --------------------------------------------------------------------
+
+def _plane_comp(p: int, d: int, seed: int = 71) -> float:
+    """Independent reimplementation of the deterministic hyperplane
+    component (splitmix64-style (p, d) mix -> [-1, 1))."""
+    mask = (1 << 64) - 1
+    x = (p * 0x9E3779B97F4A7C15 + d * 0xBF58476D1CE4E5B9 + seed) \
+        & mask
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & mask
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & mask
+    x ^= x >> 31
+    return (x / 2 ** 63) - 1.0
+
+
+def _planes(num_planes: int, dims: int, seed: int = 71) -> np.ndarray:
+    return np.array([[_plane_comp(p, d, seed) for d in range(dims)]
+                     for p in range(num_planes)])
+
+
+def _seq_dot(a, b) -> float:
+    """Strict left-to-right float accumulation — the engines'
+    list_inner_product / zip_with-aggregate order. BLAS pairwise
+    summation can land one ulp away, which flips the floor exactly
+    at the self-pair's 1.0 boundary."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
+def r_sim_ivf(sf_dir, k=10):
+    # full-probe IVF == exact brute-force top-k (the oracle-checkable
+    # identity the query exists to pin). Self-pair included, so the
+    # cosine must be computed with the engines' sequential order.
+    e = _read(sf_dir, "embeddings").reset_index(drop=True)
+    m = np.stack(e["embedding"].to_numpy()).astype(np.float64)
+    nrm = np.array([np.sqrt(_seq_dot(v, v)) for v in m])
+    qi = int(np.nonzero(e["vec_id"].to_numpy() == 1)[0][0])
+    cos = np.floor(np.array([_seq_dot(v, m[qi]) for v in m])
+                   / (nrm * nrm[qi]) * 10000) / 10000
+    ids = e["vec_id"].to_numpy()
+    order = sorted(range(len(e)),
+                   key=lambda j: (-cos[j], int(ids[j])))
+    return pd.DataFrame({
+        "vec_id": [int(ids[j]) for j in order[:k]],
+        "cosine": [cos[j] for j in order[:k]]})
+
+
+def r_sim_ann_lsh(sf_dir, k=10, num_planes=6):
+    e = _read(sf_dir, "embeddings").reset_index(drop=True)
+    m, nrm = _cosine_mat(e)
+    ids = e["vec_id"].to_numpy()
+    pl = _planes(num_planes, m.shape[1])
+    bits = (m @ pl.T >= 0).astype(np.int64)
+    bucket = (bits * (1 << np.arange(num_planes))).sum(axis=1)
+    qi = int(np.nonzero(ids == 0)[0][0])
+    qb = int(bucket[qi])
+    probe = {qb} | {qb ^ (1 << p) for p in range(num_planes)}
+    cand = [j for j in range(len(e)) if int(bucket[j]) in probe]
+    cos = np.floor(m[cand] @ m[qi] / (nrm[cand] * nrm[qi])
+                   * 10000) / 10000
+    order = sorted(range(len(cand)),
+                   key=lambda x: (-cos[x], int(ids[cand[x]])))
+    return pd.DataFrame({
+        "vec_id": [int(ids[cand[x]]) for x in order[:k]],
+        "cosine": [cos[x] for x in order[:k]]})
+
+
+def _banded_candidates(m, num_tables=12, num_planes=8, seed=71):
+    """(table, bucket) -> row indices under the multi-table
+    hyperplane index."""
+    buckets = []
+    for t in range(num_tables):
+        pl = _planes(num_planes, m.shape[1], seed + 101 * t)
+        bits = (m @ pl.T >= 0).astype(np.int64)
+        buckets.append((bits * (1 << np.arange(num_planes)))
+                       .sum(axis=1))
+    return buckets
+
+
+def r_dedup_embedding_cosine_ann(sf_dir, threshold=0.4):
+    e = _read(sf_dir, "embeddings").reset_index(drop=True)
+    m, nrm = _cosine_mat(e)
+    ids = e["vec_id"].to_numpy()
+    cand = set()
+    for bucket in _banded_candidates(m):
+        groups: dict = {}
+        for j, b in enumerate(bucket):
+            groups.setdefault(int(b), []).append(j)
+        for g in groups.values():
+            for x in range(len(g)):
+                for y in range(x + 1, len(g)):
+                    a, b2 = int(ids[g[x]]), int(ids[g[y]])
+                    cand.add((min(a, b2), max(a, b2),
+                              min(g[x], g[y]), max(g[x], g[y])))
+    rows = []
+    for a, b, ja, jb in cand:
+        cos = np.floor(float(m[ja] @ m[jb]) / (nrm[ja] * nrm[jb])
+                       * 10000) / 10000
+        if cos >= threshold:
+            rows.append((a, b, cos))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"])
+
+
+def r_dedup_embedding_leakage(sf_dir, threshold=0.4):
+    e = _read(sf_dir, "embeddings").reset_index(drop=True)
+    m, nrm = _cosine_mat(e)
+    ids = e["vec_id"].to_numpy()
+    is_train = e["vec_id"].map(_md5_bucket) < 5000
+    tr = is_train.to_numpy()
+    cand = set()
+    for bucket in _banded_candidates(m):
+        groups: dict = {}
+        for j, b in enumerate(bucket):
+            groups.setdefault(int(b), []).append(j)
+        for g in groups.values():
+            a_side = [j for j in g if tr[j]]
+            b_side = [j for j in g if not tr[j]]
+            for ja in a_side:
+                for jb in b_side:
+                    cand.add((ja, jb))
+    rows = []
+    for ja, jb in cand:
+        cos = np.floor(float(m[ja] @ m[jb]) / (nrm[ja] * nrm[jb])
+                       * 10000) / 10000
+        if cos >= threshold:
+            rows.append((int(ids[ja]), int(ids[jb]), cos))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"])
+
+
+def r_sink_clustered_roundtrip(sf_dir):
+    o = _read(sf_dir, "orders")
+    return pd.DataFrame({
+        "o_orderkey": o["o_orderkey"], "o_custkey": o["o_custkey"],
+        "o_totalprice": _floor2(o["o_totalprice"])})
+
+
+def r_sink_compacted_roundtrip(sf_dir):
+    return _read(sf_dir, "documents")[["doc_id", "source",
+                                       "n_chars"]]
+
+
+def r_source_csv_malformed(sf_dir):
+    n = _read(sf_dir, "nation")
+    return pd.DataFrame({
+        "n_good": [np.int64(len(n))],
+        "n_bad": [np.int64((len(n) + 4) // 5)],
+        "key_sum": [np.int64(n["n_nationkey"].sum())]})
+
+
+def r_source_schema_evolution(sf_dir):
+    n = _read(sf_dir, "nation")
+    even = n[n["n_nationkey"] % 2 == 0].copy()
+    even["n_regionkey"] = np.nan
+    odd = n[n["n_nationkey"] % 2 == 1].copy()
+    odd["n_regionkey"] = odd["n_regionkey"].astype(np.float64)
+    return pd.concat([even, odd], ignore_index=True)[
+        ["n_nationkey", "n_name", "n_regionkey"]]
+
+
+def _fp_not_in_index(sf_dir, index_pred, batch_pred):
+    d = _read(sf_dir, "documents")
+    fp = _normalize_text(d["text"]).map(
+        lambda t: hashlib.md5(t.encode()).hexdigest())
+    idx = set(fp[index_pred(d)])
+    b = (pd.DataFrame({"fp": fp[batch_pred(d)],
+                       "doc_id": d.loc[batch_pred(d), "doc_id"]})
+         .groupby("fp", as_index=False)
+         .agg(doc=("doc_id", "min")))
+    out = b[~b["fp"].isin(idx)]
+    return pd.DataFrame({"doc": out["doc"].astype(np.int64),
+                         "fp": out["fp"]})
+
+
+def r_dedup_incremental(sf_dir):
+    return _fp_not_in_index(sf_dir,
+                            lambda d: d["source"] != "src0",
+                            lambda d: d["source"] == "src0")
+
+
+def r_dedup_index_compact(sf_dir):
+    return _fp_not_in_index(
+        sf_dir, lambda d: d["source"].isin(["src1", "src2"]),
+        lambda d: d["source"] == "src0")
+
+
+def r_dedup_minhash_incremental(sf_dir, threshold=0.7):
+    # the incremental banded index's fixed point: bipartite
+    # even/odd exact-jaccard pairs at >= 0.7 with per-side df caps
+    out = r_dedup_contamination(sf_dir, threshold=threshold)
+    out = out.rename(columns={})
+    out["found_incremental"] = True
+    return out
+
+
+def r_multimodal_meta(sf_dir):
+    d = _read(sf_dir, "documents")
+    return pd.DataFrame({
+        "doc_id": d["doc_id"],
+        "n_bytes": d["text"].map(
+            lambda t: len(t.encode("utf-8"))).astype(np.int64),
+        "content_hash": d["text"].map(
+            lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())})
+
+
 REPLAYS = {
     "groupby_sum": r_groupby_sum,
     "flagship_join_groupby_count": r_flagship_join_groupby_count,
@@ -4087,6 +4300,19 @@ REPLAYS = {
     "corpus_weighted_quantiles": r_corpus_weighted_quantiles,
     "er_jaro_winkler": r_er_jaro_winkler,
     "sim_topk": r_sim_topk,
+    # --- r14 batch 9: ANN legs + sinks + incremental dedup ---
+    "sim_ivf": r_sim_ivf,
+    "sim_ann_lsh": r_sim_ann_lsh,
+    "dedup_embedding_cosine_ann": r_dedup_embedding_cosine_ann,
+    "dedup_embedding_leakage": r_dedup_embedding_leakage,
+    "sink_clustered_roundtrip": r_sink_clustered_roundtrip,
+    "sink_compacted_roundtrip": r_sink_compacted_roundtrip,
+    "source_csv_malformed": r_source_csv_malformed,
+    "source_schema_evolution": r_source_schema_evolution,
+    "dedup_incremental": r_dedup_incremental,
+    "dedup_index_compact": r_dedup_index_compact,
+    "dedup_minhash_incremental": r_dedup_minhash_incremental,
+    "multimodal_meta": r_multimodal_meta,
     # --- r14 batch 8: streaming twins + roundtrips + minhash/RRF ---
     "source_csv_roundtrip": r_source_csv_roundtrip,
     "source_json_roundtrip": r_source_json_roundtrip,
