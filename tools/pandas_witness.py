@@ -4116,7 +4116,10 @@ def r_sim_ivf(sf_dir, k=10):
 
 def r_sim_ann_lsh(sf_dir, k=10, num_planes=6):
     e = _read(sf_dir, "embeddings").reset_index(drop=True)
-    m, nrm = _cosine_mat(e)
+    m = np.stack(e["embedding"].to_numpy()).astype(np.float64)
+    # sequential dots: the query vector sits in its own bucket, so
+    # the self-pair's 1.0 floor boundary is in play (see r_sim_ivf)
+    nrm = np.array([np.sqrt(_seq_dot(v, v)) for v in m])
     ids = e["vec_id"].to_numpy()
     pl = _planes(num_planes, m.shape[1])
     bits = (m @ pl.T >= 0).astype(np.int64)
@@ -4125,8 +4128,8 @@ def r_sim_ann_lsh(sf_dir, k=10, num_planes=6):
     qb = int(bucket[qi])
     probe = {qb} | {qb ^ (1 << p) for p in range(num_planes)}
     cand = [j for j in range(len(e)) if int(bucket[j]) in probe]
-    cos = np.floor(m[cand] @ m[qi] / (nrm[cand] * nrm[qi])
-                   * 10000) / 10000
+    cos = np.floor(np.array([_seq_dot(m[j], m[qi]) for j in cand])
+                   / (nrm[cand] * nrm[qi]) * 10000) / 10000
     order = sorted(range(len(cand)),
                    key=lambda x: (-cos[x], int(ids[cand[x]])))
     return pd.DataFrame({
