@@ -4274,7 +4274,70 @@ def r_multimodal_meta(sf_dir):
             lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())})
 
 
+# --------------------------------------------------------------------
+# r14 batch 10: the md5 SimHash family + the xxhash64 MinHash path's
+# recall-witness truth set.
+# --------------------------------------------------------------------
+
+def _simhash_sigs(sf_dir, bits):
+    d = _read(sf_dir, "documents")
+    sigs = {}
+    for i, t in zip(d["doc_id"], d["text"]):
+        toks = [x for x in _norm_tokens(t) if x != ""]
+        votes = [0] * bits
+        for tok in toks:
+            h = _md5_hash64(tok)
+            for b in range(bits):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        if toks:
+            sigs[int(i)] = sum((1 << b) for b in range(bits)
+                               if votes[b] > 0)
+    return sigs
+
+
+def r_dedup_simhash(sf_dir, bits=32):
+    s = _simhash_sigs(sf_dir, bits)
+    return pd.DataFrame({"doc": list(s.keys()),
+                         "simhash": np.asarray(list(s.values()),
+                                               dtype=np.int64)})
+
+
+def r_dedup_simhash_pairs(sf_dir, bits=48, max_hamming=3):
+    s = _simhash_sigs(sf_dir, bits)
+    ids = sorted(s)
+    rows = []
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            ham = bin(s[a] ^ s[b]).count("1")
+            if ham <= max_hamming:
+                rows.append((a, b, np.int32(ham)))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
+
+
+def r_dedup_minhash_fast(sf_dir, threshold=0.7):
+    # the registered output is the DETERMINISTIC exact truth set
+    # (capped-jaccard pairs >= 0.7) with the xxhash64 LSH path's
+    # found_fast recall witness — true at the gate SFs (same
+    # assertion as the DuckDB oracle; a recall miss fails the hash)
+    d, pairs = _capped_jaccard_pairs(sf_dir, threshold=threshold)
+    sh = {int(i): set(_spans(_norm_tokens(t), 3))
+          for i, t in zip(d["doc_id"], d["text"])}
+    rows = []
+    for a, b in pairs:
+        inter = len(sh[a] & sh[b])
+        jac = np.floor(inter / (len(sh[a]) + len(sh[b]) - inter)
+                       * 10000) / 10000
+        rows.append((a, b, jac, True))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard",
+                                       "found_fast"])
+
+
 REPLAYS = {
+    # --- r14 batch 10: simhash family + minhash_fast truth ---
+    "dedup_simhash": r_dedup_simhash,
+    "dedup_simhash_pairs": r_dedup_simhash_pairs,
+    "dedup_minhash_fast": r_dedup_minhash_fast,
     "groupby_sum": r_groupby_sum,
     "flagship_join_groupby_count": r_flagship_join_groupby_count,
     "join_inner": r_join_inner,
