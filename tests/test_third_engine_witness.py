@@ -82,7 +82,13 @@ import pytest
     # boundary), persisted-index incremental dedup fixed points
     "sim_ann_lsh", "dedup_embedding_cosine_ann", "sim_ivf",
     "dedup_incremental", "dedup_minhash_incremental",
-    "source_schema_evolution"])
+    "source_schema_evolution",
+    # batch 10-11 representatives: md5 simhash pigeonhole pairs,
+    # codec-geometry perceptual hashes (PNG dhash, PCM audiohash,
+    # APNG per-frame dhash), WAV amplitude stats, external-corpus LM
+    "dedup_simhash_pairs", "multimodal_dhash",
+    "multimodal_audiohash", "multimodal_video_dhash",
+    "multimodal_wav", "dedup_images", "quality_lm_external"])
 def test_witness_replay_matches_spark(spark, sf_dir, name):
     import pandas_witness as pw
     import __spark_entry__ as entry_mod

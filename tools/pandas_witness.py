@@ -4333,7 +4333,269 @@ def r_dedup_minhash_fast(sf_dir, threshold=0.7):
                                        "found_fast"])
 
 
+# --------------------------------------------------------------------
+# r14 batch 11: the multimodal codec family, replayed from the
+# plaintext byte geometry (the fixtures are deterministic renderings
+# of the document text; each oracle's recipe re-derives features,
+# perceptual hashes, and frame strides directly from the bytes —
+# codec correctness is checked because any encode/decode bug flips
+# the match). Plus the Bloom decontamination gate and the
+# external-reference bigram LM.
+# --------------------------------------------------------------------
+
+def _char_classes(t: str):
+    n_lower = len(re.sub(r"[^a-z]", "", t))
+    n_digit = len(re.sub(r"[^0-9]", "", t))
+    n_space = t.count(" ")
+    return n_lower, n_digit, n_space
+
+
+def r_multimodal_decode(sf_dir):
+    d = _read(sf_dir, "documents")
+    rows = []
+    for i, t in zip(d["doc_id"], d["text"]):
+        nl, nd, ns = _char_classes(t)
+        w = len(t.encode("utf-8"))
+        rows.append((int(i), np.int32(w), np.int32(ns),
+                     np.int64(nl), np.int64(nd),
+                     np.int64(w - nl - nd - ns)))
+    return pd.DataFrame(rows, columns=["doc_id", "width", "height",
+                                       "n_lower", "n_digit",
+                                       "n_other"])
+
+
+def r_multimodal_png(sf_dir):
+    d = _read(sf_dir, "documents")
+    rows = []
+    for i, t in zip(d["doc_id"], d["text"]):
+        nl, nd, ns = _char_classes(t)
+        ln = len(t.encode("utf-8"))
+        h = max((ln + 15) // 16, 1)
+        rows.append((int(i), np.int32(16), np.int32(h),
+                     np.int64(nl), np.int64(nd),
+                     np.int64(16 * h - nl - nd - ns)))
+    return pd.DataFrame(rows, columns=["doc_id", "width", "height",
+                                       "n_lower", "n_digit",
+                                       "n_other"])
+
+
+def r_multimodal_jpeg(sf_dir):
+    d = _read(sf_dir, "documents")
+    rows = []
+    for i, t in zip(d["doc_id"], d["text"]):
+        nl, nd, ns = _char_classes(t)
+        ln = len(t.encode("utf-8"))
+        blocks = max((ln + 1) // 2, 1)
+        rows.append((int(i), np.int32(16), np.int32(8 * blocks),
+                     np.int64(64 * nl), np.int64(64 * nd),
+                     np.int64(128 * blocks - 64 * (nl + nd + ns))))
+    return pd.DataFrame(rows, columns=["doc_id", "width", "height",
+                                       "n_lower", "n_digit",
+                                       "n_other"])
+
+
+def _pcm_samples(t: str):
+    ln = len(t)
+    return [ord(t[2 * i]) + 256 * (ord(t[2 * i + 1])
+                                   if 2 * i + 1 < ln else 0)
+            for i in range((ln + 1) // 2)]
+
+
+def r_multimodal_wav(sf_dir):
+    d = _read(sf_dir, "documents")
+    rows = []
+    for i, t in zip(d["doc_id"], d["text"]):
+        vals = _pcm_samples(t)
+        mx = max(vals) if vals else 0
+        rows.append((int(i), np.int32(8000), np.int64(len(vals)),
+                     np.int64(sum(vals)),
+                     np.int64(sum(1 for v in vals if v == mx))))
+    return pd.DataFrame(rows, columns=["doc_id", "sample_rate",
+                                       "n_samples", "sum_abs",
+                                       "n_peak"])
+
+
+def r_multimodal_resize(sf_dir):
+    d = _read(sf_dir, "documents")
+    rows = []
+    for i, t in zip(d["doc_id"], d["text"]):
+        ln = len(t)
+        h = max((ln + 47) // 48, 1)
+        kept = [p for p in range(48 * h)
+                if (p // 48) % 2 == 0 and ((p % 48) // 3) % 2 == 0]
+        nl = sum(1 for p in kept if p < ln and 97 <= ord(t[p]) <= 122)
+        nd = sum(1 for p in kept if p < ln and 48 <= ord(t[p]) <= 57)
+        known = sum(1 for p in kept if p < ln
+                    and (ord(t[p]) == 32 or 97 <= ord(t[p]) <= 122
+                         or 48 <= ord(t[p]) <= 57))
+        rows.append((int(i), np.int32(8), np.int32((h + 1) // 2),
+                     np.int64(nl), np.int64(nd),
+                     np.int64(len(kept) - known)))
+    return pd.DataFrame(rows, columns=["doc_id", "width", "height",
+                                       "n_lower", "n_digit",
+                                       "n_other"])
+
+
+def r_multimodal_frames(sf_dir):
+    d = _read(sf_dir, "documents")
+    rows = []
+    for i, t in zip(d["doc_id"], d["text"]):
+        nf = min(max(len(t.encode("utf-8")) // 64, 1), 8)
+        for f in range(nf):
+            chunk = t[f * 64:f * 64 + 64]
+            rows.append((int(i), np.int32(f),
+                         hashlib.md5(chunk.encode()).hexdigest()))
+    return pd.DataFrame(rows, columns=["doc_id", "frame_idx",
+                                       "frame_hash"])
+
+
+def _dhash_bits(pixel, w: int, h: int, grid: int = 8) -> int:
+    """dHash (Krawetz 2013): nearest-neighbor grid x (grid+1)
+    downsample, one bit per horizontal neighbor pair."""
+    bits = 0
+    for r in range(grid):
+        sr = r * h // grid
+        row = [pixel(sr, (c * w) // (grid + 1))
+               for c in range(grid + 1)]
+        for c in range(grid):
+            if row[c] < row[c + 1]:
+                bits |= 1 << (r * grid + c)
+    return bits
+
+
+def _text_image_dhash(t: str):
+    b = t.encode("utf-8")
+    ln = len(b)
+    h = max((ln + 15) // 16, 1)
+
+    def pixel(r, c):
+        p = r * 16 + c
+        return b[p] if p < ln else 0
+
+    bits = _dhash_bits(pixel, 16, h)
+    return bits >> 32, bits & 0xFFFFFFFF
+
+
+def r_multimodal_dhash(sf_dir):
+    d = _read(sf_dir, "documents")
+    rows = [(int(i), *(np.int64(x) for x in _text_image_dhash(t)))
+            for i, t in zip(d["doc_id"], d["text"])]
+    return pd.DataFrame(rows, columns=["doc_id", "dhash_hi",
+                                       "dhash_lo"])
+
+
+def r_dedup_images(sf_dir, max_hamming=6):
+    d = _read(sf_dir, "documents")
+    sig = {int(i): _text_image_dhash(t)
+           for i, t in zip(d["doc_id"], d["text"])}
+    ids = sorted(sig)
+    rows = []
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            ham = (bin(sig[a][0] ^ sig[b][0]).count("1")
+                   + bin(sig[a][1] ^ sig[b][1]).count("1"))
+            if ham <= max_hamming:
+                rows.append((a, b, np.int32(ham)))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
+
+
+def r_multimodal_audiohash(sf_dir):
+    d = _read(sf_dir, "documents")
+    rows = []
+    for i, t in zip(d["doc_id"], d["text"]):
+        smp = _pcm_samples(t)
+        n = len(smp)
+        nf = max(n // 4, 1)
+        eng = [sum(smp[4 * k + j] for j in range(4)
+                   if 4 * k + j < n) for k in range(nf)]
+        bits = [1 if eng[(j * nf) // 65] < eng[((j + 1) * nf) // 65]
+                else 0 for j in range(64)]
+        hi = sum(bits[j] << (j - 32) for j in range(32, 64))
+        lo = sum(bits[j] << j for j in range(32))
+        rows.append((int(i), np.int64(hi), np.int64(lo)))
+    return pd.DataFrame(rows, columns=["doc_id", "ahash_hi",
+                                       "ahash_lo"])
+
+
+def r_multimodal_video_dhash(sf_dir):
+    d = _read(sf_dir, "documents")
+    rows = []
+    for i, t in zip(d["doc_id"], d["text"]):
+        b = t.encode("utf-8")
+        ln = len(b)
+        nf = max((ln + 127) // 128, 1)
+        for f in range(nf):
+            def pixel(r, c, base=f * 128):
+                p = base + r * 16 + c
+                return b[p] if p < ln else 0
+
+            bits = _dhash_bits(pixel, 16, 8)
+            rows.append((int(i), np.int32(f),
+                         np.int64(bits >> 32),
+                         np.int64(bits & 0xFFFFFFFF)))
+    return pd.DataFrame(rows, columns=["doc_id", "frame_idx",
+                                       "dhash_hi", "dhash_lo"])
+
+
+def r_decontam_bloom(sf_dir):
+    # the gate's expected table: exact decontamination hits with the
+    # no-false-negative bloom flag asserted (same strength as the
+    # DuckDB oracle — a Bloom false negative fails the match)
+    out = r_decontam_ngrams(sf_dir)
+    out = out[out["n_hits"] > 0][["doc", "n_ngrams", "n_hits"]].copy()
+    out["bloom_ok"] = True
+    return out
+
+
+def r_quality_lm_external(sf_dir):
+    d = _read(sf_dir, "documents")
+    learn = d["source"] != "src0"
+    bigrams: dict = {}
+    contexts: dict = {}
+    vocab = set()
+    score_docs = {}
+    for i, t, ln in zip(d["doc_id"], d["text"], learn):
+        toks = _norm_tokens(t)
+        bg = [(a, b) for a, b in zip(toks, toks[1:])
+              if a != "" and b != ""]
+        if ln:
+            for a, b in bg:
+                bigrams[(a, b)] = bigrams.get((a, b), 0) + 1
+                contexts[a] = contexts.get(a, 0) + 1
+                vocab.add(a)
+                vocab.add(b)
+        else:
+            score_docs[int(i)] = bg
+    v = len(vocab)
+    rows = []
+    for i, bg in score_docs.items():
+        if not bg:
+            continue
+        mps = [int(np.floor((bigrams.get((a, b), 0) + 1)
+                            * 1_000_000.0
+                            / (contexts.get(a, 0) + v)))
+               for a, b in bg]
+        rows.append((i, np.int64(len(mps)), np.int64(sum(mps)),
+                     np.int64(sum(mps) // len(mps))))
+    return pd.DataFrame(rows, columns=["doc", "n_bigrams",
+                                       "sum_micro_p", "avg_micro_p"])
+
+
 REPLAYS = {
+    # --- r14 batch 11: multimodal codecs + bloom gate + ext LM ---
+    "multimodal_decode": r_multimodal_decode,
+    "multimodal_png": r_multimodal_png,
+    "multimodal_jpeg": r_multimodal_jpeg,
+    "multimodal_wav": r_multimodal_wav,
+    "multimodal_resize": r_multimodal_resize,
+    "multimodal_frames": r_multimodal_frames,
+    "multimodal_dhash": r_multimodal_dhash,
+    "multimodal_audiohash": r_multimodal_audiohash,
+    "multimodal_video_dhash": r_multimodal_video_dhash,
+    "dedup_images": r_dedup_images,
+    "decontam_bloom": r_decontam_bloom,
+    "quality_lm_external": r_quality_lm_external,
     # --- r14 batch 10: simhash family + minhash_fast truth ---
     "dedup_simhash": r_dedup_simhash,
     "dedup_simhash_pairs": r_dedup_simhash_pairs,
