@@ -4582,7 +4582,154 @@ def r_quality_lm_external(sf_dir):
                                        "sum_micro_p", "avg_micro_p"])
 
 
+# --------------------------------------------------------------------
+# r14 batch 12: the trained-structure family — deterministic Lloyd
+# k-means (integer quantization, first-k init, empty-cluster
+# carry-over), SemDeDup's cluster-bounded pairing, and the exact
+# integer power-iteration PCA with its drift histogram. Every step
+# re-derived from the documented recipes with python ints (the
+# HUGEINT doctrine) and sequential float chains.
+# --------------------------------------------------------------------
+
+def _kmeans_assign(sf_dir, k=8, iters=3):
+    """(ids, cluster) under the pinned deterministic Lloyd recipe:
+    q = floor(x*1000) ints, init = first k rows by id, squared
+    distance as a left-associated double chain, ties to the smaller
+    centroid index, empty clusters keep their previous centroid."""
+    e = _read(sf_dir, "embeddings").sort_values("vec_id") \
+        .reset_index(drop=True)
+    q = np.floor(np.stack(e["embedding"].to_numpy())
+                 .astype(np.float64) * 1000).astype(np.int64)
+    ids = e["vec_id"].to_numpy()
+    cents = [q[i].astype(np.float64) for i in range(k)]
+
+    def dist(row, c):
+        s = 0.0
+        for d in range(len(row)):
+            t = float(row[d]) - c[d]
+            s += t * t
+        return s
+
+    def assign():
+        out = np.empty(len(q), dtype=np.int64)
+        for i in range(len(q)):
+            best, bj = None, 0
+            for j in range(k):
+                dd = dist(q[i], cents[j])
+                if best is None or dd < best:
+                    best, bj = dd, j
+            out[i] = bj
+        return out
+
+    for _ in range(iters):
+        cl = assign()
+        for j in range(k):
+            m = cl == j
+            if m.any():
+                cents[j] = q[m].sum(axis=0).astype(np.float64) \
+                    / int(m.sum())
+    return ids, assign()
+
+
+def r_embedding_kmeans(sf_dir):
+    ids, cl = _kmeans_assign(sf_dir)
+    return pd.DataFrame({"vec_id": ids,
+                         "cluster": cl.astype(np.int32)})
+
+
+def r_dedup_semantic(sf_dir, threshold=0.25):
+    e = _read(sf_dir, "embeddings").sort_values("vec_id") \
+        .reset_index(drop=True)
+    ids, cl = _kmeans_assign(sf_dir)
+    m = np.stack(e["embedding"].to_numpy()).astype(np.float64)
+    nrm = np.array([np.sqrt(_seq_dot(v, v)) for v in m])
+    by_cluster: dict = {}
+    for i, c in enumerate(cl):
+        by_cluster.setdefault(int(c), []).append(i)
+    rows = []
+    for c, members in by_cluster.items():
+        members.sort(key=lambda i: int(ids[i]))
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                a, b = members[x], members[y]
+                cos = np.floor(_seq_dot(m[a], m[b])
+                               / (nrm[a] * nrm[b]) * 10000) / 10000
+                if cos >= threshold:
+                    rows.append((int(ids[a]), int(ids[b]),
+                                 np.int64(c), cos))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "cluster",
+                                       "cosine"])
+
+
+def _pca_projection(sf_dir, iters=12):
+    """Exact integer power iteration (the HUGEINT doctrine): cov =
+    n*X'X - s s' on q=floor(x*1000); v normalized per step to
+    sign(w)*((|w|*1e6)//max|w|); projection truncated toward zero."""
+    e = _read(sf_dir, "embeddings").reset_index(drop=True)
+    q = np.floor(np.stack(e["embedding"].to_numpy())
+                 .astype(np.float64) * 1000).astype(object)
+    q = np.vectorize(int)(q)
+    n = len(e)
+    s = q.sum(axis=0)  # python ints (object) — exact
+    dims = q.shape[1]
+    xtx = [[int(sum(int(q[r][i]) * int(q[r][j]) for r in range(n)))
+            for j in range(dims)] for i in range(dims)]
+    cov = [[n * xtx[i][j] - int(s[i]) * int(s[j])
+            for j in range(dims)] for i in range(dims)]
+    v = [1_000_000 if d == 0 else 0 for d in range(dims)]
+    for _ in range(iters):
+        w = [sum(cov[i][j] * v[j] for j in range(dims))
+             for i in range(dims)]
+        mx = max(abs(x) for x in w)
+        if mx == 0:
+            break
+        v = [(abs(x) * 1_000_000 // mx) * (1 if x >= 0 else -1)
+             for x in w]
+    proj = []
+    for r in range(n):
+        raw = sum((n * int(q[r][d]) - int(s[d])) * v[d]
+                  for d in range(dims))
+        den = n * 1_000_000
+        proj.append(abs(raw) // den * (1 if raw >= 0 else -1))
+    return e, proj
+
+
+def r_embedding_pca(sf_dir):
+    e, proj = _pca_projection(sf_dir)
+    return pd.DataFrame({"vec_id": e["vec_id"],
+                         "proj": np.asarray(proj, dtype=np.int64)})
+
+
+def r_embedding_pca_incremental(sf_dir):
+    # the incremental X'X fold's fixed point IS the one-shot PCA
+    return r_embedding_pca(sf_dir)
+
+
+def r_embedding_drift(sf_dir, bins=8):
+    e, proj = _pca_projection(sf_dir)
+    proj = np.asarray(proj, dtype=np.int64)
+    side = (e["label"].astype(np.int64) % 2).to_numpy()
+    mn, mx = int(proj.min()), int(proj.max())
+    b = ((proj - mn) * bins) // (mx - mn + 1)
+    df = pd.DataFrame({"bin": b.astype(np.int32), "side": side})
+    g = (df.groupby("bin", as_index=False)
+           .agg(n_a=("side", lambda x: int((x == 0).sum())),
+                n_b=("side", lambda x: int((x == 1).sum()))))
+    ta, tb = int(g["n_a"].sum()), int(g["n_b"].sum())
+    g["n_a"] = g["n_a"].astype(np.int64)
+    g["n_b"] = g["n_b"].astype(np.int64)
+    g["pa_bp"] = ((10_000 * g["n_a"]) // ta).astype(np.int64)
+    g["pb_bp"] = ((10_000 * g["n_b"]) // tb).astype(np.int64)
+    return g
+
+
 REPLAYS = {
+    # --- r14 batch 12: trained structures (k-means / PCA) ---
+    "embedding_kmeans": r_embedding_kmeans,
+    "dedup_semantic": r_dedup_semantic,
+    "embedding_pca": r_embedding_pca,
+    "embedding_pca_incremental": r_embedding_pca_incremental,
+    "embedding_drift": r_embedding_drift,
     # --- r14 batch 11: multimodal codecs + bloom gate + ext LM ---
     "multimodal_decode": r_multimodal_decode,
     "multimodal_png": r_multimodal_png,
