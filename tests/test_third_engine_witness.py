@@ -88,7 +88,12 @@ import pytest
     # APNG per-frame dhash), WAV amplitude stats, external-corpus LM
     "dedup_simhash_pairs", "multimodal_dhash",
     "multimodal_audiohash", "multimodal_video_dhash",
-    "multimodal_wav", "dedup_images", "quality_lm_external"])
+    "multimodal_wav", "dedup_images", "quality_lm_external",
+    # batch 12-13 representatives: deterministic Lloyd k-means,
+    # SemDeDup pairing, integer power-iteration PCA, the full
+    # PQ / IVF-PQ codebook pipelines, join cardinality profile
+    "embedding_kmeans", "dedup_semantic", "embedding_pca",
+    "sim_pq_topk", "sim_ivfpq_rerank", "join_blowup"])
 def test_witness_replay_matches_spark(spark, sf_dir, name):
     import pandas_witness as pw
     import __spark_entry__ as entry_mod

@@ -4723,7 +4723,193 @@ def r_embedding_drift(sf_dir, bins=8):
     return g
 
 
+# --------------------------------------------------------------------
+# r14 batch 13: the PQ / IVF-PQ codebook triple — md5-capped
+# training order, per-subspace Lloyd (k=16, 2 iterations, first-k
+# init, empty-cluster carry-over), residual quantization, ADC lookup
+# tables, nprobe=3 coarse probing, exact rerank. Plus join_blowup.
+# --------------------------------------------------------------------
+
+def _seq_sqdist(row, cent) -> float:
+    s = 0.0
+    for d in range(len(row)):
+        t = float(row[d]) - cent[d]
+        s += t * t
+    return s
+
+
+def _lloyd_train(train, k, iters):
+    """Centroids from the pinned Lloyd recipe over integer rows
+    (already in training order): init = first k rows, assignment by
+    left-associated double distance chains with smaller-index
+    tie-break, mean update with empty-cluster carry-over."""
+    cents = [train[i].astype(np.float64) for i in range(k)]
+    for _ in range(iters):
+        cl = np.array([min(range(k),
+                           key=lambda j: (_seq_sqdist(r, cents[j]), j))
+                       for r in train])
+        for j in range(k):
+            m = cl == j
+            if m.any():
+                cents[j] = train[m].sum(axis=0).astype(np.float64) \
+                    / int(m.sum())
+    return cents
+
+
+def _argmin_cent(row, cents):
+    return min(range(len(cents)),
+               key=lambda j: (_seq_sqdist(row, cents[j]), j))
+
+
+def _md5_train_order(ids):
+    return sorted(range(len(ids)),
+                  key=lambda i: (_md5_hash64(str(int(ids[i]))),
+                                 int(ids[i])))
+
+
+def r_sim_pq_topk(sf_dir, m_sub=8, d_sub=8, k_cb=16, iters=2,
+                  train_cap=256, q_cut=5, topk=10):
+    e = _read(sf_dir, "embeddings").reset_index(drop=True)
+    ids = e["vec_id"].to_numpy()
+    q = np.floor(np.stack(e["embedding"].to_numpy())
+                 .astype(np.float64) * 1000).astype(np.int64)
+    order = _md5_train_order(ids)[:train_cap]
+    train_rows = sorted(order, key=lambda i: int(ids[i]))  # init by id
+    cbs, codes = [], []
+    for s in range(m_sub):
+        sub = q[:, s * d_sub:(s + 1) * d_sub]
+        tr = sub[train_rows]
+        cents = _lloyd_train(tr, k_cb, iters)
+        cbs.append(cents)
+        codes.append([_argmin_cent(r, cents) for r in sub])
+    rows = []
+    for qi in range(len(e)):
+        if int(ids[qi]) >= q_cut:
+            continue
+        luts = [[_seq_sqdist(q[qi, s * d_sub:(s + 1) * d_sub],
+                             cbs[s][c]) for c in range(k_cb)]
+                for s in range(m_sub)]
+        scored = []
+        for it in range(len(e)):
+            if it == qi:
+                continue
+            adc = sum(luts[s][codes[s][it]] for s in range(m_sub))
+            scored.append((int(np.floor(adc * 1_000_000)),
+                           int(ids[it])))
+        scored.sort()
+        rows += [(int(ids[qi]), iid, np.int64(adc), np.int32(rk))
+                 for rk, (adc, iid) in enumerate(scored[:topk], 1)]
+    return pd.DataFrame(rows, columns=["q_id", "item_id",
+                                       "adc_micro", "rank"])
+
+
+def _ivfpq_state(sf_dir, coarse_k=8, m_sub=8, d_sub=8, k_cb=16,
+                 iters=2, train_cap=256):
+    e = _read(sf_dir, "embeddings").reset_index(drop=True)
+    ids = e["vec_id"].to_numpy()
+    q = np.floor(np.stack(e["embedding"].to_numpy())
+                 .astype(np.float64) * 1000).astype(np.int64)
+    order = _md5_train_order(ids)[:train_cap]
+    tr_rows = sorted(order, key=lambda i: int(ids[i]))
+    coarse = _lloyd_train(q[tr_rows], coarse_k, iters)
+    cl = np.array([_argmin_cent(r, coarse) for r in q])
+    resid = q.astype(np.float64) - np.stack([coarse[c] for c in cl])
+    # PQ on FLOORED residuals; train cap re-applied on the corpus
+    rq = np.floor(resid).astype(np.int64)
+    cbs, codes = [], []
+    for s in range(m_sub):
+        sub = rq[:, s * d_sub:(s + 1) * d_sub]
+        cents = _lloyd_train(sub[tr_rows], k_cb, iters)
+        cbs.append(cents)
+        codes.append([_argmin_cent(r, cents) for r in sub])
+    return e, ids, q, coarse, cl, cbs, codes
+
+
+def _ivfpq_adc(sf_dir, q_cut=5, nprobe=3, topk=10):
+    (e, ids, q, coarse, cl, cbs,
+     codes) = _ivfpq_state(sf_dir)
+    m_sub, d_sub, k_cb = 8, 8, 16
+    out = {}
+    for qi in range(len(e)):
+        if int(ids[qi]) >= q_cut:
+            continue
+        probes = sorted(range(len(coarse)),
+                        key=lambda j: (_seq_sqdist(q[qi], coarse[j]),
+                                       j))[:nprobe]
+        scored = []
+        for pc in probes:
+            rq = np.floor(q[qi].astype(np.float64)
+                          - coarse[pc]).astype(np.int64)
+            luts = [[_seq_sqdist(rq[s * d_sub:(s + 1) * d_sub],
+                                 cbs[s][c]) for c in range(k_cb)]
+                    for s in range(m_sub)]
+            for it in np.nonzero(cl == pc)[0]:
+                if it == qi:
+                    continue
+                adc = sum(luts[s][codes[s][it]]
+                          for s in range(m_sub))
+                scored.append((int(np.floor(adc * 1_000_000)),
+                               int(ids[it])))
+        scored.sort()
+        out[int(ids[qi])] = scored[:topk]
+    return e, out
+
+
+def r_sim_ivfpq_topk(sf_dir):
+    _, out = _ivfpq_adc(sf_dir, topk=10)
+    rows = [(q, iid, np.int64(adc), np.int32(rk))
+            for q, lst in out.items()
+            for rk, (adc, iid) in enumerate(lst, 1)]
+    return pd.DataFrame(rows, columns=["q_id", "item_id",
+                                       "adc_micro", "rank"])
+
+
+def r_sim_ivfpq_rerank(sf_dir, cand_k=50, topk=10):
+    e, out = _ivfpq_adc(sf_dir, topk=cand_k)
+    m = np.stack(e["embedding"].to_numpy()).astype(np.float64)
+    nrm = np.array([np.sqrt(_seq_dot(v, v)) for v in m])
+    pos = {int(v): i for i, v in enumerate(e["vec_id"])}
+    rows = []
+    for qd, lst in out.items():
+        qi = pos[qd]
+        scored = []
+        for _, iid in lst:
+            j = pos[iid]
+            cos = np.floor(_seq_dot(m[qi], m[j])
+                           / (nrm[qi] * nrm[j]) * 10000) / 10000
+            scored.append((-cos, iid))
+        scored.sort()
+        rows += [(qd, iid, -nc, np.int32(rk))
+                 for rk, (nc, iid) in enumerate(scored[:topk], 1)]
+    return pd.DataFrame(rows, columns=["q_id", "item_id", "cosine",
+                                       "rank"])
+
+
+def r_join_blowup(sf_dir, k=20):
+    o = _read(sf_dir, "orders")
+    li = _read(sf_dir, "lineitem")
+    lc = o.groupby(o["o_orderkey"].astype(str)).size()
+    rc = li.groupby(li["l_orderkey"].astype(str)).size()
+    p = pd.DataFrame({"n_left": lc, "n_right": rc}).dropna()
+    p = p.astype(np.int64)
+    p["pairs"] = p["n_left"] * p["n_right"]
+    p = p.reset_index(names="key")
+    top = p.sort_values(["pairs", "key"], ascending=[False, True],
+                        kind="mergesort").head(k).copy()
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int32)
+    total = pd.DataFrame([{
+        "key": None, "n_left": np.int64(p["n_left"].sum()),
+        "n_right": np.int64(p["n_right"].sum()),
+        "pairs": np.int64(p["pairs"].sum()), "rank": np.int32(0)}])
+    return pd.concat([top, total], ignore_index=True)
+
+
 REPLAYS = {
+    # --- r14 batch 13: PQ / IVF-PQ triple + join_blowup ---
+    "sim_pq_topk": r_sim_pq_topk,
+    "sim_ivfpq_topk": r_sim_ivfpq_topk,
+    "sim_ivfpq_rerank": r_sim_ivfpq_rerank,
+    "join_blowup": r_join_blowup,
     # --- r14 batch 12: trained structures (k-means / PCA) ---
     "embedding_kmeans": r_embedding_kmeans,
     "dedup_semantic": r_dedup_semantic,
