@@ -1,16 +1,32 @@
-"""Third-engine witness: re-check a sample of oracle queries against
-an INDEPENDENT pandas/numpy replay (VERDICT r12 #8).
+"""Third-engine witness: re-check oracle queries against an
+INDEPENDENT pandas/numpy replay (VERDICT r12 #8; extended r13 #4 to
+~60 and r14 to 236 — EVERY registry query except the four
+engine-internal approx-sketch gates, whose values come from Spark's
+own HLL/approx-percentile implementations and are bounds-gated, not
+exactly replayable by design).
 
 The driver's correctness gate compares Spark against DuckDB. Both
 engines could in principle share a blind spot (same IEEE double
 semantics, same SQL-ish floor conventions) — a pandas/numpy replay
 written from the query SEMANTICS (not from either engine's SQL) is a
-third, structurally different witness. The sample leads with the
-integer-doctrine families (pagerank micro-units, k-center, scalar
-quantization) where all three engines floor identically BY
-CONSTRUCTION — if those ever disagree, the doctrine itself is broken
-— plus the §2 core shapes (filter/groupby/sort/scalar) and two text
-pipelines (md5 fingerprint dedup, token counting).
+third, structurally different witness. Coverage now spans every
+operator family: the integer-doctrine exact-stats core, all 22 TPC-H
+composites, all 8 join types, text/quality regex scoring, warehouse
+CDC/SCD2/MERGE, the dedup stack end-to-end (exact, n-gram jaccard,
+prefix-filter, MinHash LSH with md5 permutations, SimHash pigeonhole,
+spans, clusters via union-find, semantic via replayed k-means),
+similarity (brute-force, hyperplane LSH with the splitmix64 plane
+generator reimplemented, IVF identity, PQ / IVF-PQ codebook training
+replayed step-for-step), sampling (md5 buckets, integer ticket
+races), product analytics (pandas merge_asof as the as-of engine),
+the whole streaming family against batch-derived state semantics,
+and the multimodal codecs from plaintext byte geometry.
+
+Lessons the witness itself surfaced (kept as replay doctrine):
+percentile lerp forms differ one ulp between numpy and the engines;
+BLAS pairwise dot summation can flip a floor at the self-pair 1.0
+boundary (use _seq_dot left-to-right chains near floor boundaries);
+Spark `div` truncates toward zero while Python // floors.
 
 Comparison mirrors the driver: columns sorted by name, rows sorted by
 every column, exact value equality (int64/float64-normalized).
