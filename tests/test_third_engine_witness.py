@@ -112,3 +112,75 @@ def test_every_replay_is_a_registry_query():
     qs = set(entry_mod.queries())
     missing = [n for n in pw.REPLAYS if n not in qs]
     assert not missing, missing
+
+
+# ---------------------------------------------------------------------
+# Property tests for the witness's own helper algorithms (they are
+# trusted-oracle code now — 236 replays rest on them, so drift here
+# would silently weaken the third engine).
+# ---------------------------------------------------------------------
+
+def _lev_ref(a: str, b: str) -> int:
+    """Textbook Wagner-Fischer Levenshtein (reference for _lev_le_1)."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_lev_le_1_matches_wagner_fischer():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pandas_witness as pw
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet="abc", max_size=8),
+           st.text(alphabet="abc", max_size=8))
+    def check(a, b):
+        assert pw._lev_le_1(a, b) == (_lev_ref(a, b) <= 1)
+
+    check()
+
+
+def test_bpe_count_convention():
+    # lowest-rank pair anywhere, LEFTMOST occurrence, one merge per
+    # step — the pinned convention from functions/bpe.py
+    import pandas_witness as pw
+
+    ranks = {p: i for i, p in enumerate(pw._BPE_MERGES)}
+    assert pw._bpe_count("the", ranks) == 1        # t+h, th+e
+    assert pw._bpe_count("table", ranks) == 1      # chained merges
+    assert pw._bpe_count("aaa", ranks) == 2        # overlap: leftmost
+    assert pw._bpe_count("zzz", ranks) == 3        # no merges apply
+    assert pw._bpe_count("x", ranks) == 1
+
+
+def test_dhash_bits_geometry():
+    # a strictly increasing row makes every comparison true; a
+    # constant image none — and the grid must sample row r*h//8
+    import pandas_witness as pw
+
+    inc = pw._dhash_bits(lambda r, c: c, 16, 8)
+    assert inc == (1 << 64) - 1
+    const = pw._dhash_bits(lambda r, c: 7, 16, 8)
+    assert const == 0
+    # only row 0 increasing: exactly the first 8 bits set
+    one_row = pw._dhash_bits(lambda r, c: c if r == 0 else 0, 16, 8)
+    assert one_row == 0xFF
+
+
+def test_seq_dot_is_left_associative():
+    import numpy as np
+
+    import pandas_witness as pw
+
+    # a vector engineered so pairwise (BLAS) and sequential sums
+    # differ in the last ulp: the witness doctrine requires the
+    # engines' left-to-right order
+    v = np.array([1e16, 1.0, -1e16, 1.0])
+    assert pw._seq_dot(v, np.ones(4)) == ((1e16 + 1.0) - 1e16) + 1.0
