@@ -460,7 +460,10 @@ def group_quantiles(df: SparkDF, col: str, by: list[str],
     points: ``q_5000`` = p50). ``col`` accepts a plain column name OR
     an SQL expression string (e.g. ``'CAST(FLOOR(v*100) AS BIGINT)'``
     — the shape :func:`group_quantiles_sql` mirrors; ADVICE r13: the
-    one-buffer rewrite had silently narrowed this to bare names) and
+    one-buffer rewrite had silently narrowed this to bare names; a
+    string that exactly matches a column in ``df.columns`` is treated
+    as a NAME even if it isn't a valid SQL identifier — ADVICE r14)
+    and
     should be integer units (cents/micros) so interpolated values are
     cross-engine-exact rationals; outputs floor to 1e-4
     (mad_outliers doctrine).
@@ -471,11 +474,17 @@ def group_quantiles(df: SparkDF, col: str, by: list[str],
     ``corpus_percentiles_approx``)."""
     # one percentile BUFFER for all ps (array percentage form) — per-p
     # aggregates each buffer + sort the group's values independently.
-    # F.expr keeps the pre-r13 contract: expression strings analyze,
-    # plain names pass through unchanged.
+    # String routing (ADVICE r14): an exact df.columns match is a
+    # bare NAME (F.col — so non-identifier names like 'a-b' keep
+    # their pre-r13 pass-through semantics instead of parsing as
+    # subtraction); anything else is an SQL expression (F.expr).
+    if isinstance(col, str):
+        xcol = F.col(col) if col in df.columns else F.expr(col)
+    else:
+        xcol = col
     base = df.groupBy(*by).agg(
         F.count(F.lit(1)).alias("n"),
-        F.percentile(col if not isinstance(col, str) else F.expr(col),
+        F.percentile(xcol,
                      F.array(*[F.lit(p) for p in ps])).alias("__gq"))
     return base.select(
         *by, "n",

@@ -180,17 +180,31 @@ def test_host_load_marker_shape():
 def test_main_sweep_attaches_load_to_flagged_dicts():
     """The main sweep's flag branch and the sf1/sf5 probes must all
     carry the marker — a flagged dict without `load` can't
-    self-adjudicate and costs a manual re-witness."""
+    self-adjudicate and costs a manual re-witness. Asserts on the
+    PARSED AST, not substring counts (ADVICE r14: a comment
+    mentioning load could keep a raw count balanced while a real
+    flag site lost its marker): every dict literal whose keys
+    include "drift_x" must also key "load"."""
+    import ast
     import inspect
+    import textwrap
 
     import bench
 
     for fn in (bench.main, bench.run_sf1_probe, bench.run_sf5_probe):
-        src = inspect.getsource(fn)
-        flag_sites = src.count('"drift_x"')
-        assert flag_sites >= 1, fn.__name__
-        assert src.count('"load"') >= flag_sites, \
-            f"{fn.__name__}: a drift_x flag site lost its load marker"
+        tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+        flag_dicts = [
+            node for node in ast.walk(tree)
+            if isinstance(node, ast.Dict)
+            and any(isinstance(k, ast.Constant) and k.value == "drift_x"
+                    for k in node.keys)]
+        assert flag_dicts, f"{fn.__name__}: no drift_x flag dict found"
+        for d in flag_dicts:
+            keys = {k.value for k in d.keys
+                    if isinstance(k, ast.Constant)}
+            assert "load" in keys, (
+                f"{fn.__name__}: a drift_x flag dict lost its load "
+                f"marker (keys={sorted(keys)})")
 
 
 def test_plan_drift_gate(tmp_path):

@@ -40,43 +40,10 @@ from charmpandas_spark.plans.explain import (join_strategies,
 
 SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
-#: name -> (max shuffle exchanges, max BroadcastNestedLoopJoins,
-#: max columns any single scan may read). Pinned r12 from
-#: tools/plan_audit.py at sf0.01; re-pin ONLY after re-auditing.
-CONTRACTS = {
-    "dedup_spans": (6, 0, 2),
-    "sim_bm25": (18, 1, 2),
-    "dedup_clusters": (2, 0, 2),
-    "graph_pagerank": (34, 0, 2),
-    "dedup_jaccard_prefix": (20, 0, 2),
-    "dedup_minhash_incremental": (29, 2, 4),
-    "dedup_semantic": (2, 2, 2),
-    "er_jaro_winkler": (2, 0, 2),
-    "coreset_kcenter": (1, 0, 2),
-    "sim_ivfpq_rerank": (3, 7, 2),
-    # tier 2 (r12): the next-most-expensive sweep entries
-    "sim_ivfpq_topk": (2, 7, 2),
-    "corpus_percentiles": (1, 0, 2),
-    "dedup_incremental": (16, 0, 3),
-    # r13: the compaction round-trip (two index writes + compact +
-    # probe of the compacted index; the probe plan is
-    # dedup_incremental's, the extra exchanges are the build legs)
-    "dedup_index_compact": (18, 0, 3),
-    # r13: static counts UP 15->21 / 7->10 because the Nt/Nr side
-    # totals now re-aggregate the tcnt/rcnt subplans (duplicated in
-    # the static tree, REUSED at runtime via ReuseExchange) instead
-    # of re-counting the corpus streams — two fewer explode passes
-    # executed; solo min-of-3 dsir_select 5.84 -> 5.18 s at sf0.1
-    "dsir_select": (21, 5, 3),
-    "dsir_weights": (10, 2, 3),
-    "histogram_equidepth": (2, 1, 1),
-    "dedup_keep_best": (3, 0, 2),
-    "leakage_safe_split": (9, 1, 1),
-    "graph_kcore": (3, 1, 2),
-    # pinned AFTER the r12 fix: localCheckpoint on the edge set cut
-    # the static plan from 156 inlined-lineage exchanges to 16
-    "graph_triangles": (16, 2, 2),
-}
+#: The contract table lives in tools/plan_contracts_data.py (plain
+#: shared module — ADVICE r14: plan_audit --diff used to exec THIS
+#: test file at tool runtime to read it; now both import the data).
+from tools.plan_contracts_data import CONTRACTS  # noqa: E402
 
 
 @pytest.fixture(scope="module")

@@ -1315,6 +1315,18 @@ def test_group_quantiles_accepts_expression_string(spark):
     assert out["n"] == 3 and out["q_5000"] == 455.0
 
 
+def test_group_quantiles_non_identifier_bare_name(spark):
+    # ADVICE r14: a string that exactly matches a column name must be
+    # treated as a NAME even when it is not a valid SQL identifier —
+    # 'a-b' routed through F.expr would parse as subtraction.
+    from charmpandas_spark.functions.profile import group_quantiles
+    df = spark.createDataFrame(
+        [("g", 10, 3), ("g", 20, 3), ("g", 30, 3)],
+        "grp string, `a-b` long, b long")
+    out = group_quantiles(df, "a-b", ["grp"], ps=(0.5,)).collect()[0]
+    assert out["n"] == 3 and out["q_5000"] == 20.0  # NOT (a-b)=17
+
+
 def test_weighted_quantiles_partition_invariant(spark):
     import random
     from charmpandas_spark.functions.profile import weighted_quantiles

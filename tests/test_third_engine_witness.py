@@ -184,3 +184,29 @@ def test_seq_dot_is_left_associative():
     # engines' left-to-right order
     v = np.array([1e16, 1.0, -1e16, 1.0])
     assert pw._seq_dot(v, np.ones(4)) == ((1e16 + 1.0) - 1e16) + 1.0
+
+
+def test_psl_registrable_spec_examples():
+    # ADVICE r14: the witness PSL path no longer imports the engine's
+    # _compile_psl — pin the standalone parser+lookup on the
+    # publicsuffix.org spec's own examples (every rule branch:
+    # normal, multi-label, wildcard, exception, default).
+    import pandas_witness as pw
+
+    rules = pw._psl_rules()
+    assert all(isinstance(e, bool) and isinstance(rl, list)
+               for e, rl in rules)
+    cases = {
+        "example.com": "example.com",            # normal 1-label
+        "a.b.example.com": "example.com",
+        "example.co.uk": "example.co.uk",        # normal 2-label
+        "a.example.co.uk": "example.co.uk",
+        "x.bar.ck": "x.bar.ck",                  # wildcard *.ck
+        "www.ck": "www.ck",                      # exception !www.ck
+        "foo.www.ck": "www.ck",
+        "unknowntld": "unknowntld",              # default rule, ps=1
+        "host.unknowntld": "host.unknowntld",
+        "sub.github.io": "sub.github.io",        # private section
+    }
+    for host, want in cases.items():
+        assert pw._registrable(host, rules) == want, host

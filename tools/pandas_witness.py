@@ -4025,28 +4025,43 @@ def r_curation_pipeline(sf_dir):
 
 
 def _psl_rules():
+    """Parse the RAW rule strings (publicsuffix.org syntax) with a
+    standalone parser — only ``PSL_RULES`` (pure data) is imported;
+    the engine's ``_compile_psl`` key/ps encoding is deliberately NOT
+    used (ADVICE r14: sharing it would let a compile bug hide from
+    the third-engine witness). Returns ``[(is_exception, labels)]``."""
     from charmpandas_spark.functions.psl_data import PSL_RULES
-    from charmpandas_spark.functions.urls import _compile_psl
 
-    # (key, _, normal_ps, exception_ps) — pure DATA, the algorithm
-    # below is the published PSL lookup re-implemented independently
-    return {key: (nps, eps)
-            for key, _k, nps, eps in _compile_psl(PSL_RULES)}
+    rules = []
+    for raw in PSL_RULES:
+        r = raw.strip().lower()
+        if not r or r.startswith("//"):
+            continue
+        exc = r.startswith("!")
+        rules.append((exc, r.lstrip("!").split(".")))
+    return rules
 
 
-def _registrable(host: str, rules: dict) -> str:
+def _registrable(host: str, rules: list) -> str:
+    """Spec-direct PSL lookup (publicsuffix.org algorithm): match
+    every rule right-to-left against the host's labels (``*`` matches
+    any one label), exception rules win outright (their public suffix
+    is the rule minus its leftmost label), otherwise the matching
+    rule with the most labels prevails, default rule ``*`` (ps=1)."""
     labels = host.split(".")
-    best_key_len, ps = -1, 1  # default rule: TLD is 1 label
-    for start in range(len(labels)):
-        key = ".".join(labels[start:])
-        if key in rules:
-            nps, eps = rules[key]
-            klen = len(labels) - start
-            if eps is not None:  # exception beats everything
-                ps = eps
-                break
-            if klen > best_key_len:
-                best_key_len, ps = klen, nps
+    ps, exc_ps = 1, None  # default rule "*": TLD is 1 label
+    for exc, rl in rules:
+        if len(rl) > len(labels):
+            continue
+        if any(rp != "*" and rp != hl
+               for rp, hl in zip(rl, labels[-len(rl):])):
+            continue
+        if exc:
+            exc_ps = len(rl) - 1
+        else:
+            ps = max(ps, len(rl))
+    if exc_ps is not None:
+        ps = exc_ps
     n = ps + 1
     return ".".join(labels[-n:]) if len(labels) >= n else host
 

@@ -116,13 +116,15 @@ DRIFT_GATE = 0.30
 
 
 def contracted_queries() -> set[str]:
-    """The queries pinned in tests/test_plan_contracts.py — the gate's
-    scope. Imported, not duplicated, so the two lists can't skew."""
+    """The queries pinned in tools/plan_contracts_data.py — the gate's
+    scope. Shared plain-data module (ADVICE r14: exec'ing the test
+    file made the production gate hostage to pytest-only imports).
+    Loaded by file path so the gate works from any cwd/sys.path."""
     import importlib.util
 
-    path = os.path.join(REPO, "tests", "test_plan_contracts.py")
-    spec = importlib.util.spec_from_file_location("_plan_contracts",
-                                                  path)
+    path = os.path.join(REPO, "tools", "plan_contracts_data.py")
+    spec = importlib.util.spec_from_file_location(
+        "_plan_contracts_data", path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return set(mod.CONTRACTS)
@@ -142,10 +144,10 @@ def gate_violations(baseline: dict, current: dict,
         c = cur[name].get("exchanges")
         if not isinstance(b, int) or not isinstance(c, int) or b == 0:
             continue
-        drift = abs(c - b) / b
-        if drift > DRIFT_GATE and name not in explanations:
+        signed = (c - b) / b  # signed: shrink prints negative
+        if abs(signed) > DRIFT_GATE and name not in explanations:
             bad.append(f"{name}: exchanges {b} -> {c} "
-                       f"({drift:+.0%}) UNEXPLAINED — re-run with "
+                       f"({signed:+.0%}) UNEXPLAINED — re-run with "
                        f"--explain '{name}=<why>' after auditing")
     return bad
 
