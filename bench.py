@@ -20,6 +20,16 @@ flag with load1 well above this process's own steady-state (~2-5 on
 this host for a local[32] data pass; see _host_load's docstring) is
 host contention — confirm with tools/solo_witness.py; a flag at
 idle load is a real regression and must be root-caused, not re-based.
+
+Sweep health (VERDICT r14 #3): ``BENCH_FULL.json["sweep_health"]``
+is one sweep-level line computed at sweep end by
+:func:`_sweep_health` — median ratio of this sweep's committed
+readings vs ``_load_prior_timings`` over the shared queries, the
+count (and names) of >1.5x movers, and the sweep's per-reading load1
+min/median/max. A uniformly contended rerun (like r14's driver rerun:
+median ratio 1.18, four 1.8-2.2x sub-second bare entries) now
+self-identifies at the artifact level the same way flagged dicts do
+per-query, without judge archaeology.
 """
 
 from __future__ import annotations
@@ -550,6 +560,54 @@ def _sf1_dedup_semantic_scaled(spark, sf_dir: str):
 SF1_OVERRIDES = {
     "dedup_semantic_scaled": _sf1_dedup_semantic_scaled,
 }
+
+
+def _sweep_health(timings: dict, prior: dict,
+                  sweep_load1: dict) -> dict:
+    """Sweep-level contention summary (VERDICT r14 #3): one dict
+    computed at sweep end so a uniformly slow rerun self-identifies
+    in the artifact instead of needing per-query archaeology.
+
+    - ``median_ratio_vs_prior``: median of (this sweep's reading /
+      committed best) over queries present in both — flagged dicts
+      contribute their ``sec``. 1.0 = in band; ~1.2 across 200+
+      queries = the whole sweep ran on a loaded host.
+    - ``movers_gt_1_5x``: count + names (capped at 12) of shared
+      queries over 1.5x their prior — catches the sub-second entries
+      the per-query flag floor (max(2x, 1.0 s)) deliberately ignores.
+    - ``load1``: min/median/max of the per-reading load1 samples.
+    """
+    def _sec(v):
+        return v["sec"] if isinstance(v, dict) else v
+
+    ratios = sorted(
+        _sec(v) / prior[k] for k, v in timings.items()
+        if k in prior and prior[k] > 0
+        and isinstance(_sec(v), (int, float)))
+    movers = sorted(
+        (k for k, v in timings.items()
+         if k in prior and prior[k] > 0
+         and isinstance(_sec(v), (int, float))
+         and _sec(v) / prior[k] > 1.5),
+        key=lambda k: -(_sec(timings[k]) / prior[k]))
+
+    def _med(xs):
+        n = len(xs)
+        if not n:
+            return None
+        return round((xs[n // 2] if n % 2 else
+                      (xs[n // 2 - 1] + xs[n // 2]) / 2), 3)
+
+    loads = sorted(sweep_load1.values())
+    return {
+        "shared_with_prior": len(ratios),
+        "median_ratio_vs_prior": _med(ratios),
+        "movers_gt_1_5x": len(movers),
+        "mover_names": movers[:12],
+        "load1": {"min": round(loads[0], 2) if loads else None,
+                  "median": _med(loads),
+                  "max": round(loads[-1], 2) if loads else None},
+    }
 
 
 def _load_prior_timings(artifact_dir: str | None = None) -> dict:
@@ -1722,6 +1780,8 @@ def main():
         # one load1 sample per committed reading (VERDICT r13 #2) —
         # full markers ride the flagged dicts under "load"
         "load1": sweep_load1,
+        # VERDICT r14 #3: sweep-level contention self-identification
+        "sweep_health": _sweep_health(timings, prior, sweep_load1),
     }
     if errors:
         result["errors"] = errors

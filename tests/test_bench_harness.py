@@ -228,3 +228,51 @@ def test_plan_drift_gate(tmp_path):
     assert len(v) == 1 and v[0].startswith("dsir_select")
     assert gate_violations(
         base, cur, {"dsir_select": "totals rewrite"}) == []
+
+
+def test_sweep_health_arithmetic():
+    """VERDICT r14 #3: the sweep-health header's median-vs-prior,
+    >1.5x mover census, and load1 profile — computed from a stubbed
+    sweep with a flagged dict, an unshared query, and a zero prior."""
+    import bench
+
+    timings = {
+        "a": 1.0,                       # prior 1.0 -> ratio 1.0
+        "b": 2.0,                       # prior 1.0 -> ratio 2.0 (mover)
+        "c": {"sec": 3.0, "expected": 2.0, "drift_x": 1.5,
+              "load": {}},              # flagged: sec/prior = 1.5 (not >)
+        "new": 9.9,                     # no prior -> excluded
+        "z": 5.0,                       # prior 0 -> excluded
+    }
+    prior = {"a": 1.0, "b": 1.0, "c": 2.0, "z": 0.0}
+    h = bench._sweep_health(timings, prior, {"a": 2.0, "b": 8.0})
+    assert h["shared_with_prior"] == 3
+    assert h["median_ratio_vs_prior"] == 1.5   # median(1.0, 1.5, 2.0)
+    assert h["movers_gt_1_5x"] == 1 and h["mover_names"] == ["b"]
+    assert h["load1"] == {"min": 2.0, "median": 5.0, "max": 8.0}
+    # empty sweep must not raise (fresh checkout: prior == {})
+    empty = bench._sweep_health({}, {}, {})
+    assert empty["shared_with_prior"] == 0
+    assert empty["median_ratio_vs_prior"] is None
+    assert empty["load1"]["median"] is None
+
+
+def test_sweep_health_in_result(monkeypatch):
+    """main() must attach sweep_health to the full result — pinned
+    structurally: the result-dict literal in main's source keys it."""
+    import ast
+    import inspect
+    import textwrap
+
+    import bench
+
+    tree = ast.parse(textwrap.dedent(inspect.getsource(bench.main)))
+    result_dicts = [
+        node for node in ast.walk(tree)
+        if isinstance(node, ast.Dict)
+        and any(isinstance(k, ast.Constant) and k.value == "metric"
+                for k in node.keys)]
+    assert result_dicts, "main(): result dict literal not found"
+    keys = {k.value for d in result_dicts for k in d.keys
+            if isinstance(k, ast.Constant)}
+    assert "sweep_health" in keys

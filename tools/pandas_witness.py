@@ -4935,7 +4935,84 @@ def r_join_blowup(sf_dir, k=20):
     return pd.concat([top, total], ignore_index=True)
 
 
+# --------------------------------------------------------------------
+# r15: BOUNDS-MODE replays of the four approx-sketch gates (VERDICT
+# r14 #2). The sketch ESTIMATES (HLL++ registers, GK/KLL summaries)
+# are Spark-internal and deliberately absent from the hashed columns;
+# what each gate query emits is (a) exact anchors and (b) an `ok`
+# boolean computed in-engine as |estimate - anchor| within the
+# documented envelope. The witness therefore replays the EXACT
+# anchors independently in pandas and asserts ok == True — a match
+# proves both that the anchors are right by a third engine AND that
+# the committed approx values sat inside the oracle's own envelope
+# (a bound violation flips ok to false and fails the value compare).
+# These entries are listed in BOUNDS_MODE and marked in the artifact.
+# --------------------------------------------------------------------
+
+def r_corpus_percentiles_approx(sf_dir):
+    li = _read(sf_dir, "lineitem")
+    g = (li[li["l_extendedprice"].notna()]
+         .groupby("l_returnflag").size().rename("n")
+         .reset_index())
+    rows = [(rf, np.int32(q), np.int64(n), True)
+            for rf, n in zip(g["l_returnflag"], g["n"])
+            for q in (25, 50, 75, 95, 99)]
+    return pd.DataFrame(rows, columns=["l_returnflag", "quantile",
+                                       "n", "ok"])
+
+
+def r_distinct_count_approx(sf_dir):
+    ev = _read(sf_dir, "events")
+    g = (ev.groupby("event_type")["user_id"].nunique()
+           .rename("n_distinct").reset_index())
+    g["n_distinct"] = g["n_distinct"].astype(np.int64)
+    g["ok"] = True
+    return g
+
+
+def r_histogram_equidepth_approx(sf_dir):
+    li = _read(sf_dir, "lineitem")
+    n_total = np.int64(li["l_extendedprice"].notna().sum())
+    return pd.DataFrame({"bucket": np.arange(8, dtype=np.int32),
+                         "n_total": n_total, "ok": True})
+
+
+def r_audience_overlap(sf_dir):
+    ev = _read(sf_dir, "events")
+    # distinct (set, key) pairs; sizes INCLUDE a null key (engine's
+    # count(lit(1)) and DuckDB's count(*) both count it), the
+    # intersection join excludes it (both engines' equi-join does)
+    sets = (ev[["event_type", "user_id"]].astype(
+                {"user_id": "string"})
+              .drop_duplicates())
+    size = sets.groupby("event_type", dropna=False).size()
+    members = {
+        s: set(k for k in grp["user_id"] if pd.notna(k))
+        for s, grp in sets.groupby("event_type")}
+    types = sorted(size.index)
+    rows = []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            rows.append((a, b, np.int64(size[a]), np.int64(size[b]),
+                         np.int64(len(members[a] & members[b])),
+                         True))
+    return pd.DataFrame(rows, columns=["set_a", "set_b", "n_a",
+                                       "n_b", "n_both", "ok"])
+
+
+#: replays whose approx content is verified via the in-query `ok`
+#: envelope + independently recomputed exact anchors (see the block
+#: comment above) — marked as bounds-mode in the artifact coverage.
+BOUNDS_MODE = {"corpus_percentiles_approx", "distinct_count_approx",
+               "histogram_equidepth_approx", "audience_overlap"}
+
+
 REPLAYS = {
+    # --- r15: approx-sketch gates, bounds-mode (VERDICT r14 #2) ---
+    "corpus_percentiles_approx": r_corpus_percentiles_approx,
+    "distinct_count_approx": r_distinct_count_approx,
+    "histogram_equidepth_approx": r_histogram_equidepth_approx,
+    "audience_overlap": r_audience_overlap,
     # --- r14 batch 13: PQ / IVF-PQ triple + join_blowup ---
     "sim_pq_topk": r_sim_pq_topk,
     "sim_ivfpq_topk": r_sim_ivfpq_topk,
@@ -5248,7 +5325,23 @@ def main():
                   file=sys.stderr)
     spark.stop()
     doc = {"sf_dir": sf_dir, "engine": "pandas/numpy replay",
-           "n": len(REPLAYS), "failures": fails, "queries": results}
+           "n": len(REPLAYS), "failures": fails,
+           "coverage": {
+               "replayed": len(REPLAYS),
+               "registry": len(qs),
+               "excluded": sorted(set(qs) - set(REPLAYS)),
+               "bounds_mode": sorted(BOUNDS_MODE),
+               "bounds_mode_rationale":
+                   "The four approx-sketch gates emit exact anchors "
+                   "plus an in-query `ok` envelope boolean (the "
+                   "sketch estimates themselves are Spark-internal "
+                   "and stay out of the hashed columns). Their "
+                   "replays recompute the exact anchors "
+                   "independently and assert ok=true — a bound "
+                   "violation flips ok and fails the value compare, "
+                   "so the committed approx values are witnessed to "
+                   "sit inside the oracle's own envelopes."},
+           "queries": results}
     if out_path:
         with open(out_path, "w") as fh:
             json.dump(doc, fh, indent=2)
