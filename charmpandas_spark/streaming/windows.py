@@ -23,6 +23,7 @@ __all__ = [
     "tumbling_window_agg",
     "sliding_window_agg",
     "sessionize",
+    "sessionize_stream_native",
     "session_stats",
     "stream_from_parquet",
     "replay_stream_ordered",
@@ -187,6 +188,50 @@ def sessionize(
               .select(user_col,
                       F.col("session_window.start").alias("session_start"),
                       "n_events", "sum_value"))
+
+
+def sessionize_stream_native(
+    stream_df: SparkDF,
+    gap_ms: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    ts_ms_col: str = "ts_ms",
+    watermark: str = "10 minutes",
+) -> SparkDF:
+    """Native ``session_window`` twin of
+    :func:`..stateful.sessionize_stream` — SAME signature, SAME output
+    schema ``(user_id, start_ms, end_ms, n_events)``, so the two are
+    drop-in interchangeable behind a registry query.
+
+    The JVM-side session-window state store does the gap merging
+    (no Python state workers, no Arrow batch transfer per key per
+    micro-batch); session bounds come from ``min/max(ts_ms_col)``
+    inside each session group, which equals the stateful walker's
+    first/last-event epoch millis exactly. Sessions finalize when the
+    event-time watermark passes ``last + gap`` — append mode emits
+    each closed session once, like the stateful variant.
+
+    Expressiveness boundary (why the applyInPandasWithState variant
+    still exists): ``session_window`` is an AGGREGATION — per-session
+    reductions of built-in aggregates only. It cannot run per-event
+    custom logic inside the session (CUSUM resets in
+    ``threshold_alerts_stream``, the running-totals update emission),
+    and it cannot EMIT A SESSION EARLY when a later same-user event
+    crosses the gap — closure always waits for the watermark. For
+    the closed-session readout both paths produce identical rows on
+    an availableNow drain; the measured A/B (SESSIONIZE_AB_r15.json)
+    is why the registry's ``streaming_sessionize`` routes here.
+    """
+    df = ensure_event_time(stream_df, ts_col) \
+        .withWatermark(ts_col, watermark)
+    return (df.groupBy(F.session_window(
+                           ts_col, f"{int(gap_ms)} milliseconds"),
+                       F.col(user_col))
+              .agg(F.min(ts_ms_col).alias("start_ms"),
+                   F.max(ts_ms_col).alias("end_ms"),
+                   F.count(F.lit(1)).alias("n_events"))
+              .select(F.col(user_col).alias("user_id"),
+                      "start_ms", "end_ms", "n_events"))
 
 
 def session_stats(
