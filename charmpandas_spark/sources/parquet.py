@@ -47,7 +47,12 @@ def _expand_regex_path(path: str) -> list[str] | str:
     except re.error:
         return path
     if "/" not in pattern:
-        names = os.listdir(base)
+        try:
+            names = os.listdir(base)
+        except OSError:  # base missing or a file (r15 property test:
+            # 'a/.*' where a is a FILE raised NotADirectoryError) —
+            # same contract as zero matches: FileNotFoundError below
+            names = []
         matches = sorted(
             os.path.join(base, f) for f in names
             if rx.fullmatch(f) or rx.match(f))
