@@ -2646,15 +2646,24 @@ def _replay_stream_ordered(spark: SparkSession, df: DataFrame,
 
 
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stateful streaming SESSIONIZATION (applyInPandasWithState +
-    EventTimeTimeout): closed sessions emitted when a later event
-    passes the 4h gap OR when the watermark expires an idle user's
-    timer — the flush no 'update'-mode aggregate can express. Events
-    replay as 4 time-range micro-batches plus 2 sentinel batches
-    (watermark push + timer-fire); all arithmetic is epoch-millis
-    (timezone-proof). The oracle is the batch lag/cumsum session
-    closure."""
-    from charmpandas_spark.streaming.stateful import sessionize_stream
+    """Streaming SESSIONIZATION via the native ``session_window``
+    state store: closed sessions emitted once the event-time
+    watermark passes ``last + gap``. Events replay as 4 time-range
+    micro-batches plus 2 sentinel batches (watermark push +
+    finalization); all arithmetic is epoch-millis (timezone-proof).
+    The oracle is the batch lag/cumsum session closure.
+
+    ROUTED r15 from ``stateful.sessionize_stream``
+    (applyInPandasWithState) to the JVM path on the measured A/B
+    (``SESSIONIZE_AB_r15.json``): identical closed-session tables at
+    sf0.1/sf1/sf5 and 2.3x/5.2x/8.2x faster drains — the Python-state
+    drain was the ONE streaming path whose cost grew with data
+    (e 0.65 vs 0.32). The stateful operator remains the
+    custom-per-event-logic pattern (pytest-pinned equivalence in
+    tests/test_stateful.py); what session_window cannot express is
+    named in ``sessionize_stream_native``'s docstring."""
+    from charmpandas_spark.streaming.windows import (
+        sessionize_stream_native)
     from charmpandas_spark.timestamps import epoch_micros
 
     gap_ms = 4 * 3600 * 1000
@@ -2670,7 +2679,8 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream, name = _replay_stream_ordered(spark, ev, "sess", "ts_ms",
                                           sentinel)
-    _run_stream(spark, sessionize_stream(stream, gap_ms), name, "append")
+    _run_stream(spark, sessionize_stream_native(stream, gap_ms),
+                name, "append")
     return (spark.table(name).where("user_id >= 0")
             .select("user_id", "start_ms", "end_ms", "n_events"))
 

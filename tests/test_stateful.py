@@ -253,21 +253,33 @@ def test_sessionize_stream_matches_batch(spark, events, tmp_path):
         shutil.copy(part, dst)
         os.utime(dst, (now + 100 * (i + 1), now + 100 * (i + 1)))
 
-    stream = stream_from_parquet(spark, src, max_files_per_trigger=1)
-    out = sessionize_stream(stream, gap_ms)
-    q = (out.writeStream.format("memory").queryName("sess_out")
-         .outputMode("append").trigger(availableNow=True).start())
-    assert q.awaitTermination(180)
-
-    got = (spark.table("sess_out").where("user_id >= 0")
-           .toPandas()
-           .sort_values(["user_id", "start_ms"]).reset_index(drop=True))
     want = (sessionize_batch(ev, gap_ms)
             .toPandas()
             .sort_values(["user_id", "start_ms"]).reset_index(drop=True))
-    assert len(got) == len(want) and len(want) > 0
-    for c in ("user_id", "start_ms", "end_ms", "n_events"):
-        assert got[c].tolist() == want[c].tolist(), c
+    # BOTH streaming variants drain the same replay: the Python-
+    # stateful walker (per-event custom-logic pattern, early emission
+    # on gap-crossing) and the native session_window twin the
+    # registry routes to since the r15 A/B — each must reproduce the
+    # batch closure exactly, which also pins their mutual identity.
+    from charmpandas_spark.streaming.windows import (
+        sessionize_stream_native)
+
+    for tag, op in (("stateful", sessionize_stream),
+                    ("native", sessionize_stream_native)):
+        stream = stream_from_parquet(spark, src, max_files_per_trigger=1)
+        out = op(stream, gap_ms)
+        q = (out.writeStream.format("memory")
+             .queryName(f"sess_out_{tag}")
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(180), tag
+
+        got = (spark.table(f"sess_out_{tag}").where("user_id >= 0")
+               .toPandas()
+               .sort_values(["user_id", "start_ms"])
+               .reset_index(drop=True))
+        assert len(got) == len(want) and len(want) > 0, tag
+        for c in ("user_id", "start_ms", "end_ms", "n_events"):
+            assert got[c].tolist() == want[c].tolist(), (tag, c)
 
 
 def test_watermark_drops_late_rows_ordered_replay(spark, tmp_path):
