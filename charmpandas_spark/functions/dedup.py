@@ -1798,30 +1798,45 @@ def minhash_index_write(df: SparkDF, text_col: str, id_col: str,
             "use_chars": use_chars, "n": n, "num_buckets": num_buckets}
     if mode == "append":
         _index_meta_check(spark, path, meta)
+    from pyspark import StorageLevel
+
     rows = _banded_rows(df, text_col, id_col, num_hashes, bands, k,
                         hash_fn, use_chars, n)
-    rows = rows.withColumn("bucket",
-                           (hash64(F.col("band_key"), 0, "md5")
-                            % num_buckets + num_buckets) % num_buckets)
-    (rows.repartition("bucket")
-         .write.mode(mode).partitionBy("bucket").parquet(path))
-    # Bloom summary over the indexed BAND KEYS (append-only deltas,
-    # same layout/lifecycle as fingerprint_index_write's): a batch
-    # band row whose key probes negative cannot share a band with
-    # any historical doc, so clean batches skip the index entirely —
-    # see minhash_dedup_incremental.
-    stored = (_index_meta_read(spark, path) or {}) \
-        if mode == "append" else {}
-    if "bloom_m" in stored:
-        m_bits, bk = stored["bloom_m"], stored["bloom_k"]
-    else:
-        m_bits, bk = bloom_params(max(df.count(), 1) * bands, 0.001)
-    bloom_build(rows.select("band_key"), "band_key", m_bits, bk) \
-        .repartition(1) \
-        .write.mode("append" if mode == "append" else "overwrite") \
-        .parquet(path.rstrip("/") + "/_cps_bloom")
-    meta.update(bloom_m=m_bits, bloom_k=bk)
-    _index_meta_write(spark, path, meta)
+    rows = (rows.withColumn("bucket",
+                            (hash64(F.col("band_key"), 0, "md5")
+                             % num_buckets + num_buckets) % num_buckets)
+                # pinned across the index write AND the bloom build:
+                # without it the (normalize -> shingle -> num_hashes
+                # minhash HOFs) lineage executed TWICE per build, and
+                # the bloom sizing paid a third scan for df.count()
+                # (r15 build-leg profile: build 3.4 -> 2.x s warm)
+                .persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        (rows.repartition("bucket")
+             .write.mode(mode).partitionBy("bucket").parquet(path))
+        # Bloom summary over the indexed BAND KEYS (append-only
+        # deltas, same layout/lifecycle as fingerprint_index_write's):
+        # a batch band row whose key probes negative cannot share a
+        # band with any historical doc, so clean batches skip the
+        # index entirely — see minhash_dedup_incremental.
+        stored = (_index_meta_read(spark, path) or {}) \
+            if mode == "append" else {}
+        if "bloom_m" in stored:
+            m_bits, bk = stored["bloom_m"], stored["bloom_k"]
+        else:
+            # rows has exactly bands rows per doc, so this count (off
+            # the persisted table the write just materialized) equals
+            # df.count() * bands without a third corpus scan
+            n_docs = rows.count() // bands
+            m_bits, bk = bloom_params(max(n_docs, 1) * bands, 0.001)
+        bloom_build(rows.select("band_key"), "band_key", m_bits, bk) \
+            .repartition(1) \
+            .write.mode("append" if mode == "append" else "overwrite") \
+            .parquet(path.rstrip("/") + "/_cps_bloom")
+        meta.update(bloom_m=m_bits, bloom_k=bk)
+        _index_meta_write(spark, path, meta)
+    finally:
+        rows.unpersist()
 
 
 def minhash_dedup_incremental(spark, batch: SparkDF, path: str,
