@@ -1565,35 +1565,47 @@ def fingerprint_index_write(df: SparkDF, text_col: str, id_col: str,
         _index_meta_check(spark, path,
                           {"kind": "fingerprint",
                            "num_buckets": num_buckets})
-    fp = df.select(fingerprint(text_col).alias("fp"),
-                   F.col(id_col).alias("doc"))
-    (fp.withColumn("bucket", (hash64(F.col("fp"), 0, "md5")
-                              % num_buckets + num_buckets)
-                             % num_buckets)
-       .repartition("bucket")
-       .write.mode(mode).partitionBy("bucket").parquet(path))
-    # Bloom summary of the index's fingerprints, kept as APPEND-ONLY
-    # word-table deltas under _cps_bloom (hidden from the index's own
-    # parquet scan): probes OR-merge the deltas (<= deltas * m/64
-    # rows) and batches whose fingerprints all probe negative skip
-    # the index scan entirely — see dedup_incremental. Geometry is
-    # fixed at creation (stored in the sidecar); appends past the
-    # design count degrade the FP rate, never add false negatives.
-    stored = (_index_meta_read(spark, path) or {}) \
-        if mode == "append" else {}
-    if "bloom_m" in stored:
-        m_bits, k = stored["bloom_m"], stored["bloom_k"]
-    else:
-        m_bits, k = bloom_params(max(df.count(), 1), 0.001)
-    # one FILE per delta (repartition(1)): the word table is
-    # <= m_bits/64 rows, and without it each delta lands as ~32
-    # near-empty post-shuffle files the probe must open and list
-    bloom_build(fp, "fp", m_bits, k).repartition(1) \
-        .write.mode("append" if mode == "append" else "overwrite") \
-        .parquet(path.rstrip("/") + "/_cps_bloom")
-    _index_meta_write(spark, path,
-                      {"kind": "fingerprint", "num_buckets": num_buckets,
-                       "bloom_m": m_bits, "bloom_k": k})
+    from pyspark import StorageLevel
+
+    fp = (df.select(fingerprint(text_col).alias("fp"),
+                    F.col(id_col).alias("doc"))
+            # pinned across the index write AND the bloom build —
+            # without it the fingerprint scan ran twice plus a third
+            # corpus pass for the bloom sizing count (r15, same fix
+            # as minhash_index_write)
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        (fp.withColumn("bucket", (hash64(F.col("fp"), 0, "md5")
+                                  % num_buckets + num_buckets)
+                                 % num_buckets)
+           .repartition("bucket")
+           .write.mode(mode).partitionBy("bucket").parquet(path))
+        # Bloom summary of the index's fingerprints, kept as
+        # APPEND-ONLY word-table deltas under _cps_bloom (hidden from
+        # the index's own parquet scan): probes OR-merge the deltas
+        # (<= deltas * m/64 rows) and batches whose fingerprints all
+        # probe negative skip the index scan entirely — see
+        # dedup_incremental. Geometry is fixed at creation (stored in
+        # the sidecar); appends past the design count degrade the FP
+        # rate, never add false negatives.
+        stored = (_index_meta_read(spark, path) or {}) \
+            if mode == "append" else {}
+        if "bloom_m" in stored:
+            m_bits, k = stored["bloom_m"], stored["bloom_k"]
+        else:  # one row per doc, so this count == df.count()
+            m_bits, k = bloom_params(max(fp.count(), 1), 0.001)
+        # one FILE per delta (repartition(1)): the word table is
+        # <= m_bits/64 rows, and without it each delta lands as ~32
+        # near-empty post-shuffle files the probe must open and list
+        bloom_build(fp, "fp", m_bits, k).repartition(1) \
+            .write.mode("append" if mode == "append" else "overwrite") \
+            .parquet(path.rstrip("/") + "/_cps_bloom")
+        _index_meta_write(spark, path,
+                          {"kind": "fingerprint",
+                           "num_buckets": num_buckets,
+                           "bloom_m": m_bits, "bloom_k": k})
+    finally:
+        fp.unpersist()
 
 
 def dedup_incremental(spark, batch: SparkDF, path: str, text_col: str,
