@@ -24,6 +24,7 @@ from ..timestamps import ensure_event_time
 
 __all__ = [
     "running_totals_stream",
+    "running_totals_stream_tws",
     "running_totals_batch",
     "threshold_alerts_stream",
     "sessionize_stream",
@@ -74,6 +75,68 @@ def running_totals_stream(
                 stateStructType=_RUNNING_STATE_SCHEMA,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def running_totals_stream_tws(
+    stream_df: SparkDF,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+) -> SparkDF:
+    """``transformWithStateInPandas`` twin of
+    :func:`running_totals_stream` — the Spark 4 stateful API that
+    supersedes ``applyInPandasWithState`` at cluster scale: typed
+    per-key state VARIABLES (value/list/map) instead of one opaque
+    tuple, state TTL, processing/event-time timers, initial-state
+    bootstrap, and a RocksDB-only store with changelog checkpointing.
+    Same output schema and same per-key arithmetic, so the batch twin
+    :func:`running_totals_batch` is the oracle for both.
+
+    Requires the RocksDB state-store provider (wrap the stream start
+    in ``streaming.state.use_rocksdb_state``) — the HDFS-backed
+    default store does not implement the TWS operator."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor)
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle):
+            self._state = handle.getValueState(
+                "agg",
+                StructType([StructField("n", LongType()),
+                            StructField("total", DoubleType()),
+                            StructField("mx", DoubleType())]))
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, total, mx = self._state.get()
+            else:
+                n, total, mx = 0, 0.0, float("-inf")
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                if len(pdf):
+                    mx = max(mx, float(pdf["value"].max()))
+            self._state.update((n, total, mx))
+            yield pd.DataFrame({
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "max_value": [mx],
+            })
+
+        def close(self):
+            pass
+
+    stream_df = ensure_event_time(stream_df, ts_col)
+    return (stream_df.withWatermark(ts_col, watermark)
+            .groupBy(F.col(user_col))
+            .transformWithStateInPandas(
+                _RunningTotals(),
+                outputStructType=_RUNNING_OUT_SCHEMA,
+                outputMode="update",
+                timeMode="none"))
 
 
 def running_totals_batch(df: SparkDF, user_col: str = "user_id") -> SparkDF:

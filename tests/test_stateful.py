@@ -315,3 +315,36 @@ def test_watermark_drops_late_rows_ordered_replay(spark, tmp_path):
     got = {r.window_start.hour: r.n_events
            for r in spark.table("late_small").collect()}
     assert got == {0: 2, 4: 2}  # late row dropped; hour-8 unclosed
+
+
+def test_running_totals_tws_matches_batch(spark, events, tmp_path):
+    """The transformWithStateInPandas twin (Spark 4 stateful API,
+    RocksDB-only) must agree with the same batch oracle as the
+    applyInPandasWithState operator — typed ValueState carrying
+    (n, total, max) across micro-batches."""
+    from charmpandas_spark.streaming.state import use_rocksdb_state
+    from charmpandas_spark.streaming.stateful import (
+        running_totals_batch, running_totals_stream_tws)
+    from charmpandas_spark.streaming.windows import stream_from_parquet
+
+    src = str(tmp_path / "ev_src_tws")
+    events.limit(3000).repartition(4).write.parquet(src)
+    stream = stream_from_parquet(spark, src, max_files_per_trigger=1)
+    out = running_totals_stream_tws(stream)
+    with use_rocksdb_state(spark):
+        q = (out.writeStream.format("memory").queryName("run_tot_tws")
+             .outputMode("update").trigger(availableNow=True).start())
+        assert q.awaitTermination(180)
+
+    got = spark.sql("""
+        SELECT user_id, n_events, total_value, max_value FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                ORDER BY n_events DESC) AS rn FROM run_tot_tws)
+        WHERE rn = 1
+    """).toPandas().set_index("user_id").sort_index()
+    want = running_totals_batch(spark.read.parquet(src)) \
+        .toPandas().set_index("user_id").sort_index()
+    assert len(got) == len(want) and len(want) > 0
+    assert (got["n_events"] == want["n_events"]).all()
+    assert (abs(got["total_value"] - want["total_value"]) < 1e-6).all()
+    assert (got["max_value"] == want["max_value"]).all()
