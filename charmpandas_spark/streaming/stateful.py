@@ -94,7 +94,10 @@ def running_totals_stream_tws(
 
     Requires the RocksDB state-store provider (wrap the stream start
     in ``streaming.state.use_rocksdb_state``) — the HDFS-backed
-    default store does not implement the TWS operator."""
+    default store does not implement the TWS operator — and the
+    ``protobuf`` package (PySpark's TWS state-server protocol;
+    ``pyspark[connect]`` ships it). The equivalence test skips with a
+    precise reason where protobuf is absent."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor)
     from pyspark.sql.types import (DoubleType, LongType, StructField,
