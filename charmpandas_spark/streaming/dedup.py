@@ -17,12 +17,12 @@ the watermark are NOT collapsed (document retention accordingly).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import DataFrame as SparkDF, functions as F
 
 from ..functions.text import fingerprint
 from ..timestamps import ensure_event_time
 
-__all__ = ["streaming_exact_dedup"]
+__all__ = ["streaming_exact_dedup", "streaming_minhash_dedup"]
 
 _FP = "__cps_fp"
 
@@ -47,3 +47,68 @@ def streaming_exact_dedup(
             ts_col, watermark_delay)
         return out.dropDuplicatesWithinWatermark([_FP]).drop(_FP)
     return out.dropDuplicates([_FP]).drop(_FP)
+
+
+def streaming_minhash_dedup(
+    stream_df: SparkDF,
+    index_path: str,
+    text_col: str,
+    id_col: str,
+    sink_path: str,
+    checkpoint_path: str,
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 5,
+    hash_fn: str = "md5",
+    use_chars: bool = False,
+    n: int = 3,
+    num_buckets: int = 64,
+):
+    """Continuous-ingestion NEAR-dup: each micro-batch probes the
+    persisted banded MinHash LSH index (``functions.dedup.
+    minhash_index_write`` layout) for near-duplicates of its
+    documents, appends its NOVEL documents' band rows so later
+    batches see them, and writes the matches ``(doc, matched_doc,
+    jaccard)`` to ``sink_path`` — the streaming composition of
+    :func:`..functions.dedup.minhash_dedup_incremental`, which is
+    RefinedWeb-style dedup-at-ingestion as a standing query.
+
+    Implementation is ``foreachBatch``: the probe is a BATCH plan
+    per micro-batch (bloom gate -> partition-pruned bucket scan ->
+    band join -> exact Jaccard verify), because the index lives on
+    disk, not in the state store — per-batch I/O is proportional to
+    the batch's bucket coverage, not history size, and the index is
+    shared with every batch consumer (compaction, backfills). State
+    semantics: intra-batch near-dups are out of scope (same contract
+    as the batch operator); matched docs are NOT appended (the
+    survivor represents the cluster). Exactly-once on the SINK comes
+    from the checkpoint; the index append is idempotent only at the
+    band-row level, so a batch REPLAYED after a crash between append
+    and commit can re-append its novel rows — duplicate band rows
+    cost probe work, never correctness (matches dedupe on
+    (doc, matched_doc)), and compaction (``index_compact``) removes
+    them.
+
+    Returns the started ``StreamingQuery`` (availableNow is the
+    caller's choice via ``stream_df``'s source options +
+    ``query.awaitTermination``).
+    """
+    from ..functions.dedup import minhash_dedup_incremental, release
+
+    def _probe_batch(batch_df: SparkDF, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        matches = minhash_dedup_incremental(
+            spark, batch_df, index_path, text_col, id_col,
+            threshold=threshold, num_hashes=num_hashes, bands=bands,
+            k=k, hash_fn=hash_fn, use_chars=use_chars, n=n,
+            num_buckets=num_buckets, append_novel=True)
+        (matches.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append").parquet(sink_path))
+        release(matches)
+
+    return (stream_df.writeStream
+            .foreachBatch(_probe_batch)
+            .option("checkpointLocation", checkpoint_path)
+            .trigger(availableNow=True)
+            .start())

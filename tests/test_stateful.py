@@ -357,3 +357,72 @@ def test_running_totals_tws_matches_batch(spark, events, tmp_path):
     assert (got["n_events"] == want["n_events"]).all()
     assert (abs(got["total_value"] - want["total_value"]) < 1e-6).all()
     assert (got["max_value"] == want["max_value"]).all()
+
+
+def test_streaming_minhash_dedup_matches_sequential_batches(
+        spark, sf_dir, tmp_path):
+    """The foreachBatch near-dup stream (probe persisted LSH index +
+    append novel) must produce exactly the matches the SEQUENTIAL
+    batch calls produce on the same two-batch split — streaming is a
+    composition, not a reimplementation, so the batch operator is the
+    oracle."""
+    import os
+
+    from charmpandas_spark.functions.dedup import (
+        minhash_dedup_incremental, minhash_index_write, release)
+    from charmpandas_spark.streaming.dedup import streaming_minhash_dedup
+    from charmpandas_spark.streaming.windows import stream_from_parquet
+
+    docs = cps.read_table(spark, sf_dir, "documents").sdf \
+        .select("doc_id", "text")
+    hist = docs.where(F.col("doc_id") % 3 == 0)
+    b1 = docs.where(F.col("doc_id") % 3 == 1)
+    b2 = docs.where(F.col("doc_id") % 3 == 2)
+
+    # sequential-batch oracle: probe+append b1, then b2
+    idx_a = str(tmp_path / "idx_a")
+    minhash_index_write(hist, "text", "doc_id", idx_a, num_buckets=8)
+    want = []
+    for b in (b1, b2):
+        m = minhash_dedup_incremental(spark, b, idx_a, "text",
+                                      "doc_id", threshold=0.5,
+                                      num_buckets=8,
+                                      append_novel=True)
+        want.append(m.toPandas())
+        release(m)
+    want = pd.concat(want, ignore_index=True) \
+        .sort_values(["doc", "matched_doc"]).reset_index(drop=True)
+
+    # streaming path: same split as two micro-batches
+    idx_b = str(tmp_path / "idx_b")
+    minhash_index_write(hist, "text", "doc_id", idx_b, num_buckets=8)
+    src = str(tmp_path / "nd_src")
+    os.makedirs(src)
+    import glob
+    import shutil
+    import time as _time
+
+    now = int(_time.time())
+    for i, b in enumerate((b1, b2)):
+        sdir = str(tmp_path / f"nd_slice{i}")
+        b.coalesce(1).write.parquet(sdir)
+        part = glob.glob(sdir + "/*.parquet")[0]
+        dst = os.path.join(src, f"m{i}.parquet")
+        shutil.copy(part, dst)
+        # forced mtimes pin micro-batch ORDER = oracle order (the
+        # append-novel index makes batch order observable)
+        os.utime(dst, (now - 60 + i, now - 60 + i))
+    stream = stream_from_parquet(spark, src, max_files_per_trigger=1)
+    q = streaming_minhash_dedup(
+        stream, idx_b, "text", "doc_id",
+        sink_path=str(tmp_path / "nd_sink"),
+        checkpoint_path=str(tmp_path / "nd_ckpt"),
+        threshold=0.5, num_buckets=8)
+    assert q.awaitTermination(180)
+
+    got = (spark.read.parquet(str(tmp_path / "nd_sink"))
+           .select("doc", "matched_doc", "jaccard").toPandas()
+           .sort_values(["doc", "matched_doc"]).reset_index(drop=True))
+    assert len(got) == len(want) and len(want) > 0
+    for c in ("doc", "matched_doc", "jaccard"):
+        assert got[c].tolist() == want[c].tolist(), c
