@@ -2393,6 +2393,73 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_kept")))
 
 
+def q_streaming_dedup_neardup(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup at ingestion (r15): docs with id%3==0
+    persist as the banded MinHash LSH index; the rest replay as two
+    ordered micro-batches through ``streaming_minhash_dedup``
+    (foreachBatch: bloom gate -> partition-pruned bucket probe ->
+    exact verify -> novel-band append). Gated with the recall-witness
+    pattern of ``dedup_minhash_incremental``: the emitted table is
+    the deterministic hist-x-batches truth set (word-3-gram Jaccard
+    >= 0.7, bipartite inverted-index join) annotated with
+    ``found_stream`` — the DuckDB oracle asserts the truth pairs with
+    the flag true, so a recall miss ANYWHERE in the streaming
+    composition (index write, per-batch probe, append plumbing)
+    fails the value hash. Batch-order effects (b1 novel appends
+    visible to b2) only ADD b1-x-b2 matches, which the hist-anchored
+    truth join excludes — the gate is order-stable."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from charmpandas_spark.functions.dedup import (
+        cross_corpus_pairs, minhash_index_write)
+    from charmpandas_spark.streaming.dedup import streaming_minhash_dedup
+    from charmpandas_spark.streaming.windows import stream_from_parquet
+
+    docs = _t(spark, sf_dir, "documents").sdf.select("doc_id", "text")
+    hist = docs.where(F.col("doc_id") % 3 == 0)
+    batches = [docs.where(F.col("doc_id") % 3 == 1),
+               docs.where(F.col("doc_id") % 3 == 2)]
+    idx = _tmp_sink("ndstream_idx")
+    shutil.rmtree(idx, ignore_errors=True)
+    minhash_index_write(hist, "text", "doc_id", idx, num_buckets=16)
+    src = _tmp_sink("ndstream_src")
+    sink = _tmp_sink("ndstream_sink")
+    ckpt = _tmp_sink("ndstream_ckpt")
+    for d in (src, sink, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src)
+    now = int(_time.time())
+    for i, b in enumerate(batches):
+        sdir = _tmp_sink(f"ndstream_slice{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(sdir)
+        part = glob.glob(os.path.join(sdir, "*.parquet"))[0]
+        dst = os.path.join(src, f"m{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (now - 600 + i, now - 600 + i))
+    stream = stream_from_parquet(spark, src, max_files_per_trigger=1)
+    q = streaming_minhash_dedup(stream, idx, "text", "doc_id",
+                                sink_path=sink, checkpoint_path=ckpt,
+                                threshold=0.7, num_buckets=16)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("near-dup stream did not finish in 300s")
+    found = (spark.read.parquet(sink)
+             .select(F.col("matched_doc").alias("doc_a"),
+                     F.col("doc").alias("doc_b"),
+                     F.lit(True).alias("__found"))
+             .dropDuplicates(["doc_a", "doc_b"]))
+    truth = cross_corpus_pairs(hist, batches[0].unionByName(batches[1]),
+                               "text", "doc_id", n=3, threshold=0.7)
+    return (truth.join(found, ["doc_a", "doc_b"], "left")
+                 .select("doc_a", "doc_b", "jaccard",
+                         F.coalesce("__found", F.lit(False))
+                          .alias("found_stream")))
+
+
 def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-STREAM windowed inner join, driver-checked against the
     batch interval join: clicks x purchases per user where the
@@ -4600,6 +4667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_csv_roundtrip": q_source_csv_roundtrip,
         "source_json_roundtrip": q_source_json_roundtrip,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_dedup_neardup": q_streaming_dedup_neardup,
         "streaming_static_join": q_streaming_static_join,
         "streaming_stream_join_full": q_streaming_stream_join_full,
         "text_chunks": q_text_chunks,
@@ -6507,6 +6575,30 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY cosine DESC, item_id ASC) AS INT)
                        AS rank
             FROM scored QUALIFY rank <= 10"""),
+        # same recall-witness shape as dedup_minhash_incremental but
+        # the bipartite split is hist (id%3=0) vs the streamed rest
+        "streaming_dedup_neardup": f"""
+            WITH base AS (
+                SELECT doc_id, {word_shingles_sql('text', 3)} AS sh
+                FROM documents),
+            sz AS (SELECT doc_id, len(sh) AS sz, sh FROM base),
+            inv0 AS (SELECT doc_id, sz, unnest(sh) AS shingle FROM sz),
+            {_capped_inv_cte("doc_id % 3 = 0", "inv_a")},
+            {_capped_inv_cte("doc_id % 3 <> 0", "inv_b")},
+            p AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.sz AS sz_a, b.sz AS sz_b, count(*) AS common
+                FROM inv_a a JOIN inv_b b ON a.shingle = b.shingle
+                GROUP BY 1, 2, 3, 4)
+            SELECT doc_a, doc_b,
+                   FLOOR(CAST(common AS DOUBLE)
+                         / (sz_a + sz_b - common) * 10000) / 10000
+                       AS jaccard,
+                   true AS found_stream
+            FROM p
+            WHERE FLOOR(CAST(common AS DOUBLE)
+                  / (sz_a + sz_b - common) * 10000) / 10000 >= 0.7
+        """,
         "dedup_minhash_incremental": f"""
             WITH base AS (
                 SELECT doc_id, {word_shingles_sql('text', 3)} AS sh

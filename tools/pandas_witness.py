@@ -1,9 +1,11 @@
 """Third-engine witness: re-check oracle queries against an
 INDEPENDENT pandas/numpy replay (VERDICT r12 #8; extended r13 #4 to
-~60 and r14 to 236 — EVERY registry query except the four
-engine-internal approx-sketch gates, whose values come from Spark's
-own HLL/approx-percentile implementations and are bounds-gated, not
-exactly replayable by design).
+~60, r14 to 236, r15 to ALL registry queries — the four
+engine-internal approx-sketch gates joined in BOUNDS-MODE: their
+exact anchors are replayed independently and the in-query envelope
+boolean is asserted, since the sketch values themselves come from
+Spark's own HLL/approx-percentile implementations and are
+bounds-gated, not exactly replayable by design).
 
 The driver's correctness gate compares Spark against DuckDB. Both
 engines could in principle share a blind spot (same IEEE double
@@ -1766,12 +1768,15 @@ def _spans(toks: list, n: int) -> list:
             for i in range(max(len(toks) - n, 0) + 1)]
 
 
-def r_dedup_contamination(sf_dir, n=3, threshold=0.5):
+def _bipartite_jaccard(sf_dir, n, threshold, side_a):
+    """Bipartite exact-Jaccard truth pairs with per-side auto df caps
+    (the cross_corpus_pairs contract); ``side_a`` maps a doc id to
+    the a-side (b-side = complement)."""
     d = _read(sf_dir, "documents")
     sh = {int(i): set(_spans(_norm_tokens(t), n))
           for i, t in zip(d["doc_id"], d["text"])}
-    sides = {0: [i for i in sh if i % 2 == 0],
-             1: [i for i in sh if i % 2 == 1]}
+    sides = {0: [i for i in sh if side_a(i)],
+             1: [i for i in sh if not side_a(i)]}
     inv = {0: {}, 1: {}}
     for side, ids in sides.items():
         cap = max(100, int(np.ceil(0.01 * len(ids))))
@@ -1796,6 +1801,21 @@ def r_dedup_contamination(sf_dir, n=3, threshold=0.5):
         if jac >= threshold:
             rows.append((a, b, jac))
     return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+
+def r_dedup_contamination(sf_dir, n=3, threshold=0.5):
+    return _bipartite_jaccard(sf_dir, n, threshold,
+                              side_a=lambda i: i % 2 == 0)
+
+
+def r_streaming_dedup_neardup(sf_dir):
+    # hist (id%3==0) x streamed-rest truth pairs at >= 0.7; the
+    # streaming path's recall flag asserted true (same witness shape
+    # as r_dedup_minhash_incremental)
+    out = _bipartite_jaccard(sf_dir, n=3, threshold=0.7,
+                             side_a=lambda i: i % 3 == 0)
+    out["found_stream"] = True
+    return out
 
 
 def r_decontam_ngrams(sf_dir, n=5):
@@ -5092,6 +5112,7 @@ REPLAYS = {
     "streaming_group_topk": r_streaming_group_topk,
     "streaming_late_data": r_streaming_late_data,
     "streaming_sessionize": r_streaming_sessionize,
+    "streaming_dedup_neardup": r_streaming_dedup_neardup,
     "streaming_stream_join": r_streaming_stream_join,
     "streaming_stream_join_outer": r_streaming_stream_join_outer,
     "streaming_stream_join_full": r_streaming_stream_join_full,
