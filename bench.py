@@ -1351,6 +1351,10 @@ STREAMING_NAMES = [
     "streaming_stream_join_outer", "streaming_stream_join_full",
     "streaming_static_join", "streaming_cdc_apply",
     "streaming_late_data", "streaming_group_topk",
+    # r15: foreachBatch near-dup-at-ingestion over the persisted LSH
+    # index — index build + 2-batch drain + the truth-set join all in
+    # one number (the recall-witness oracle needs the truth set)
+    "streaming_dedup_neardup",
 ]
 
 
