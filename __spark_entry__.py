@@ -963,6 +963,43 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                       qvec, k=10, nprobe=16)
 
 
+def q_sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL IVF ANN (r15): the coarse quantizer trains on the
+    vec_id%3!=2 two-thirds of the corpus; the remaining third arrives
+    later and is ingested by ``ivf_append`` — frozen-codebook
+    assignment (scan-local HOF argmin, zero shuffle) + append into
+    the same ``__cps_list=`` partitioned layout. The search then runs
+    over the PERSISTED updated index at FULL probe, which is
+    mathematically the exact brute-force top-k over the whole corpus
+    whatever centroids the initial fit picked — so the ingestion
+    path's COMPLETENESS (no row lost or duplicated across the
+    assignment + parquet append + read-back) is oracle-checkable
+    with the same plain SQL top-k as ``sim_ivf``. What full probe
+    cannot see — assignment PARITY with MLlib's transform and the
+    pruned nprobe<nlist path over an appended index — is pinned in
+    pytest (``test_ivf_assign_matches_mllib``,
+    ``test_ivf_append_pruned_search``)."""
+    import shutil
+
+    from charmpandas_spark.functions.ivf import (ivf_append, ivf_build,
+                                                 ivf_read_search,
+                                                 ivf_write)
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.sdf.filter(F.col("vec_id") == 1)
+               .select("embedding").first()["embedding"]]
+    initial = emb.sdf.where(F.col("vec_id") % 3 != 2)
+    late = emb.sdf.where(F.col("vec_id") % 3 == 2)
+    path = _tmp_sink("ivf_inc_idx")
+    shutil.rmtree(path, ignore_errors=True)
+    assigned, centroids = ivf_build(initial, "embedding", "vec_id",
+                                    nlist=16)
+    ivf_write(assigned, path)
+    ivf_append(late, "embedding", centroids, path)
+    return ivf_read_search(spark, path, centroids, "embedding",
+                           "vec_id", qvec, k=10, nprobe=16)
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extension: extract a JSON field from the events
     props column, aggregate per event_type."""
@@ -4793,6 +4830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": q_sample_hash,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ivf": q_sim_ivf,
+        "sim_ivf_incremental": q_sim_ivf_incremental,
         "sim_topk": q_sim_topk,
         "text_fingerprint": q_text_fingerprint,
         "text_quality": q_text_quality,
@@ -6650,6 +6688,14 @@ def oracle_sql() -> dict[str, str]:
         # full-probe IVF == exact brute force, independent of the
         # k-means clustering — that equivalence IS the contract
         "sim_ivf": f"""
+            WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 1)
+            SELECT e.vec_id,
+                   FLOOR(({cos_top}) * 10000) / 10000 AS cosine
+            FROM embeddings e, q
+            ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
+        """,
+        # full probe over the appended index == the same exact top-k
+        "sim_ivf_incremental": f"""
             WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 1)
             SELECT e.vec_id,
                    FLOOR(({cos_top}) * 10000) / 10000 AS cosine

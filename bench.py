@@ -334,6 +334,7 @@ def bench_queries(spark, sf_dir):
         "tpch_q12",
         "tpch_q14",
         "sim_ivf",
+        "sim_ivf_incremental",
         "dedup_corpus",
         "curation_pipeline",
         "multimodal_meta",

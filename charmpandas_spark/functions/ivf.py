@@ -17,7 +17,8 @@ from pyspark.sql import DataFrame as SparkDF, functions as F
 
 from .similarity import cosine_topk
 
-__all__ = ["ivf_build", "ivf_search", "ivf_write", "ivf_read_search"]
+__all__ = ["ivf_build", "ivf_assign", "ivf_append", "ivf_search",
+           "ivf_write", "ivf_read_search"]
 
 
 def ivf_build(
@@ -71,6 +72,61 @@ def ivf_search(
     cand = assigned.filter(F.col("__cps_list").isin(probes)) \
                    .drop("__cps_list")
     return cosine_topk(cand, vec_col, id_col, query_vec, k)
+
+
+def ivf_assign(
+    df: SparkDF,
+    vec_col: str,
+    centroids: list[list[float]],
+) -> SparkDF:
+    """Assign each vector to its nearest centroid (squared-Euclidean
+    argmin, first-min tie-break — the same rule MLlib's
+    ``model.transform`` applies) WITHOUT refitting: the frozen-
+    codebook half of incremental IVF ingestion. The centroid table
+    rides as one broadcast ``array<array<double>>`` row; distances
+    are scan-local ``transform``/``aggregate`` HOFs, so assignment is
+    a zero-shuffle map over the batch whatever ``nlist`` is."""
+    from ..session import tiny_df
+
+    spark = df.sparkSession
+    cb = F.broadcast(tiny_df(
+        spark, [([[float(x) for x in c] for c in centroids],)],
+        "__cps_icb array<array<double>>"))
+    darr = F.transform(
+        F.col("__cps_icb"),
+        lambda c: F.aggregate(
+            F.zip_with(F.col(vec_col).cast("array<double>"), c,
+                       lambda x, cc: (x - cc) * (x - cc)),
+            F.lit(0.0), lambda a, t: a + t))
+    return (df.crossJoin(cb)
+              .withColumn("__cps_ida", darr)
+              .withColumn("__cps_list",
+                          (F.array_position(
+                              "__cps_ida",
+                              F.array_min("__cps_ida")) - 1)
+                          .cast("int"))
+              .drop("__cps_icb", "__cps_ida"))
+
+
+def ivf_append(
+    df: SparkDF,
+    vec_col: str,
+    centroids: list[list[float]],
+    path: str,
+) -> None:
+    """Incremental IVF ingestion: assign a new batch under the FROZEN
+    coarse quantizer and append its rows to the partitioned inverted
+    lists at ``path``. This is the standard ANN ingestion regime —
+    the codebook is trained once (or re-trained offline on drift,
+    see ``embedding_drift``) and ingestion is assignment + append;
+    partition pruning for searches is untouched because the batch
+    lands in the same ``__cps_list=`` directory layout. Searching
+    the updated index with frozen centroids is EXACTLY equivalent to
+    having assigned the union in one pass (same argmin, same lists),
+    which is what the ``sim_ivf_incremental`` oracle gates via the
+    full-probe == exact-top-k identity."""
+    (ivf_assign(df, vec_col, centroids)
+     .write.mode("append").partitionBy("__cps_list").parquet(path))
 
 
 def ivf_write(assigned, path: str, mode: str = "overwrite") -> None:

@@ -614,3 +614,57 @@ def test_ivfpq_rerank_fixes_adc_order_with_exact_cosine(spark, sf_dir):
     ordered = got.sort_values("rank")
     assert list(ordered.cosine) == sorted(ordered.cosine,
                                           reverse=True)
+
+
+def test_ivf_assign_matches_mllib(spark, sf_dir):
+    """Frozen-codebook assignment (ivf_assign: broadcast HOF argmin,
+    first-min tie-break) must reproduce MLlib transform's list ids
+    on the same centroids — the parity the full-probe oracle cannot
+    see (any partition of the corpus passes full probe)."""
+    from charmpandas_spark.functions.ivf import ivf_assign, ivf_build
+
+    emb = cps.read_table(spark, sf_dir, "embeddings").sdf
+    assigned, centroids = ivf_build(emb, "embedding", "vec_id",
+                                    nlist=8)
+    want = {r["vec_id"]: r["__cps_list"] for r in
+            assigned.select("vec_id", "__cps_list").collect()}
+    got = {r["vec_id"]: r["__cps_list"] for r in
+           ivf_assign(emb, "embedding", centroids)
+           .select("vec_id", "__cps_list").collect()}
+    assert got == want and len(want) > 0
+
+
+def test_ivf_append_pruned_search(spark, sf_dir, tmp_path):
+    """ivf_append (frozen centroids, partitioned parquet append) must
+    leave the PRUNED search path equivalent to the in-memory search
+    over the one-pass-assigned union — and pruning itself must
+    survive the append (partition filter still on the scan)."""
+    from charmpandas_spark.functions.ivf import (
+        ivf_append, ivf_assign, ivf_build, ivf_read_search,
+        ivf_search, ivf_write)
+
+    emb = cps.read_table(spark, sf_dir, "embeddings").sdf
+    initial = emb.where(F.col("vec_id") % 3 != 2)
+    late = emb.where(F.col("vec_id") % 3 == 2)
+    assigned, centroids = ivf_build(initial, "embedding", "vec_id",
+                                    nlist=8)
+    path = str(tmp_path / "ivf_inc")
+    ivf_write(assigned, path)
+    ivf_append(late, "embedding", centroids, path)
+
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got_df = ivf_read_search(spark, path, centroids, "embedding",
+                             "vec_id", q, k=5, nprobe=2)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__cps_list" in plan
+    got = got_df.toPandas().sort_values("vec_id").reset_index(drop=True)
+    union = assigned.select("vec_id", "embedding", "__cps_list") \
+        .unionByName(ivf_assign(late, "embedding", centroids)
+                     .select("vec_id", "embedding", "__cps_list"))
+    want = (ivf_search(union, centroids, "embedding", "vec_id", q,
+                       k=5, nprobe=2)
+            .toPandas().sort_values("vec_id").reset_index(drop=True))
+    assert len(got) == 5
+    assert got["vec_id"].tolist() == want["vec_id"].tolist()
+    assert got["cosine"].tolist() == want["cosine"].tolist()

@@ -5091,6 +5091,8 @@ REPLAYS = {
     "sim_topk": r_sim_topk,
     # --- r14 batch 9: ANN legs + sinks + incremental dedup ---
     "sim_ivf": r_sim_ivf,
+    # incremental IVF, full probe: same exact-top-k identity
+    "sim_ivf_incremental": r_sim_ivf,
     "sim_ann_lsh": r_sim_ann_lsh,
     "dedup_embedding_cosine_ann": r_dedup_embedding_cosine_ann,
     "dedup_embedding_leakage": r_dedup_embedding_leakage,
