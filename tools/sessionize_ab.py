@@ -32,7 +32,7 @@ sys.path.insert(0, REPO)
 GAP_MS = 4 * 3600 * 1000
 
 
-def _load(repo_default: str) -> float:
+def _load() -> float:
     try:
         with open("/proc/loadavg") as fh:
             return float(fh.read().split()[0])
@@ -86,7 +86,7 @@ def run_ab(spark, sf_dir: str) -> dict:
                .reset_index(drop=True))
         frames[tag] = pdf
         out["variants"][tag] = {"drain_sec": drain, "rows": len(pdf),
-                                "load1": _load(REPO)}
+                                "load1": _load()}
         spark.catalog.clearCache()
     out["identical_output"] = bool(
         frames["stateful"].equals(frames["native"]))
