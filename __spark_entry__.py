@@ -2446,7 +2446,6 @@ def q_streaming_dedup_neardup(spark: SparkSession,
     fails the value hash. Batch-order effects (b1 novel appends
     visible to b2) only ADD b1-x-b2 matches, which the hist-anchored
     truth join excludes — the gate is order-stable."""
-    import glob
     import os
     import shutil
     import time as _time
@@ -2469,14 +2468,8 @@ def q_streaming_dedup_neardup(spark: SparkSession,
     for d in (src, sink, ckpt):
         shutil.rmtree(d, ignore_errors=True)
     os.makedirs(src)
-    now = int(_time.time())
-    for i, b in enumerate(batches):
-        sdir = _tmp_sink(f"ndstream_slice{i}")
-        b.coalesce(1).write.mode("overwrite").parquet(sdir)
-        part = glob.glob(os.path.join(sdir, "*.parquet"))[0]
-        dst = os.path.join(src, f"m{i}.parquet")
-        shutil.copy(part, dst)
-        os.utime(dst, (now - 600 + i, now - 600 + i))
+    _write_ordered_batches(batches, src, "ndstream",
+                           int(_time.time()) - 600)
     stream = stream_from_parquet(spark, src, max_files_per_trigger=1)
     q = streaming_minhash_dedup(stream, idx, "text", "doc_id",
                                 sink_path=sink, checkpoint_path=ckpt,
@@ -2698,6 +2691,26 @@ def q_sim_sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _write_ordered_batches(batches, src: str, prefix: str,
+                           base_mtime: int) -> None:
+    """Write pre-split DataFrames as mtime-ORDERED micro-batch files
+    m0.parquet, m1.parquet, ... under ``src`` (the file source
+    delivers oldest mtime first — the ordered-replay contract shared
+    by ``_replay_stream_ordered`` and the streaming near-dup query;
+    extracted r15 so the three fixture writers cannot diverge)."""
+    import glob
+    import os
+    import shutil
+
+    for i, b in enumerate(batches):
+        sdir = _tmp_sink(f"{prefix}_slice{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(sdir)
+        part = glob.glob(os.path.join(sdir, "*.parquet"))[0]
+        dst = os.path.join(src, f"m{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (base_mtime + i, base_mtime + i))
+
+
 def _replay_stream_ordered(spark: SparkSession, df: DataFrame,
                            prefix: str, ts_ms_col: str,
                            sentinel_row, n_files: int = 4,
@@ -2726,16 +2739,10 @@ def _replay_stream_ordered(spark: SparkSession, df: DataFrame,
     qs_ = [i / n_files for i in range(1, n_files)]
     bounds = df.approxQuantile(ts_ms_col, qs_, 0.0)
     cuts = [float("-inf")] + bounds + [float("inf")]
-    hi = 0
-    for i in range(n_files):
-        sl = df.where((F.col(ts_ms_col) > cuts[i])
-                      & (F.col(ts_ms_col) <= cuts[i + 1]))
-        sdir = _tmp_sink(f"{prefix}_slice{i}")
-        sl.coalesce(1).write.mode("overwrite").parquet(sdir)
-        part = glob.glob(os.path.join(sdir, "*.parquet"))[0]
-        dst = os.path.join(src, f"m{i}.parquet")
-        shutil.copy(part, dst)
-        os.utime(dst, (now - 600 + i, now - 600 + i))
+    _write_ordered_batches(
+        [df.where((F.col(ts_ms_col) > cuts[i])
+                  & (F.col(ts_ms_col) <= cuts[i + 1]))
+         for i in range(n_files)], src, prefix, now - 600)
     hi = df.agg(F.max(ts_ms_col)).collect()[0][0]
     for i, off_h in enumerate(sentinel_offsets_h):
         sent_ms = int(hi) + off_h * 3600 * 1000

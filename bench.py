@@ -1342,7 +1342,8 @@ def run_sf1_probe(spark, budget_sec: float = 900.0):
     return out, spark
 
 
-#: the 10 streaming replays, excluded from the batch sweep since r4
+#: the streaming replays (one per registry streaming query),
+#: excluded from the batch sweep since r4
 #: (their wall-clock is micro-batch replay overhead, not engine
 #: throughput) — timed in their OWN result block instead (VERDICT
 #: r9 #9) so every registry entry has a committed number.

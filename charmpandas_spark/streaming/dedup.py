@@ -64,6 +64,7 @@ def streaming_minhash_dedup(
     use_chars: bool = False,
     n: int = 3,
     num_buckets: int = 64,
+    processing_time: str | None = None,
 ):
     """Continuous-ingestion NEAR-dup: each micro-batch probes the
     persisted banded MinHash LSH index (``functions.dedup.
@@ -82,17 +83,21 @@ def streaming_minhash_dedup(
     shared with every batch consumer (compaction, backfills). State
     semantics: intra-batch near-dups are out of scope (same contract
     as the batch operator); matched docs are NOT appended (the
-    survivor represents the cluster). Exactly-once on the SINK comes
-    from the checkpoint; the index append is idempotent only at the
-    band-row level, so a batch REPLAYED after a crash between append
-    and commit can re-append its novel rows — duplicate band rows
-    cost probe work, never correctness (matches dedupe on
-    (doc, matched_doc)), and compaction (``index_compact``) removes
-    them.
+    survivor represents the cluster). Delivery is AT-LEAST-ONCE on
+    both outputs: the checkpoint prevents re-PROCESSING committed
+    batches, but a crash between the sink append / index append and
+    the checkpoint commit replays that batch — the same match rows
+    can land in the sink twice (consumers dedupe on
+    (doc, matched_doc), as the registry query does) and novel band
+    rows can re-append (duplicate band rows cost probe work, never
+    correctness; ``index_compact`` removes them). Exactly-once would
+    need a transactional sink (Delta-style), which plain parquet is
+    not.
 
-    Returns the started ``StreamingQuery`` (availableNow is the
-    caller's choice via ``stream_df``'s source options +
-    ``query.awaitTermination``).
+    Trigger: availableNow (drain-and-stop) by default; pass
+    ``processing_time`` (e.g. ``"30 seconds"``) to run as a
+    continuous standing query instead. Returns the started
+    ``StreamingQuery`` — callers ``awaitTermination``.
     """
     from ..functions.dedup import minhash_dedup_incremental, release
 
@@ -107,8 +112,9 @@ def streaming_minhash_dedup(
                 .write.mode("append").parquet(sink_path))
         release(matches)
 
-    return (stream_df.writeStream
-            .foreachBatch(_probe_batch)
-            .option("checkpointLocation", checkpoint_path)
-            .trigger(availableNow=True)
-            .start())
+    w = (stream_df.writeStream
+         .foreachBatch(_probe_batch)
+         .option("checkpointLocation", checkpoint_path))
+    w = (w.trigger(processingTime=processing_time) if processing_time
+         else w.trigger(availableNow=True))
+    return w.start()

@@ -40,7 +40,11 @@ _SEGMENTS = ["a", "b", "ab", "x1", "x2", "f.parquet"]
 # FIRST segment regex (base == tree root).
 _PAT_SEGMENTS = ["a", "b", "ab", ".*", "a.*", "(a|b)", "x(1|2)",
                  "a+", "[ab]", "x?", r"\w+", "f\\.parquet",
-                 r"a\/b", "(x1|x2)"]
+                 r"a\/b", "(x1|x2)",
+                 # mid-/leading-wildcard pieces: these exercise the
+                 # slash-free-vs-walk branch divergence the oracle's
+                 # two-branch replay pins (r15 review finding)
+                 ".*f", "(a|b)b", ".+1"]
 
 
 def _files_under(path):
@@ -55,10 +59,13 @@ def _files_under(path):
 
 
 def _brute(base_root: str, pattern: str):
-    """Spec replay, walk-only: split on '/', literal segments before
-    the first hint-bearing one anchor the base; every FILE under the
-    base whose relative path fullmatches OR prefix-matches the
-    remaining pattern is selected. Never uses the listdir branch."""
+    """Spec replay of the DOCUMENTED contract with independent
+    matching code: split on '/', literal segments before the first
+    hint-bearing one anchor the base; a slash-free remaining pattern
+    matches DIRECT CHILDREN of the base by name (a matched directory
+    means 'Spark reads it' — expanded to its files here), a
+    directory-spanning one matches every file's relative path under
+    the base. Match rule both ways: fullmatch OR prefix-match."""
     parts = pattern.split("/")
     first_rx = next((i for i, p in enumerate(parts)
                      if _REGEX_HINTS.search(p)), len(parts) - 1)
@@ -69,6 +76,15 @@ def _brute(base_root: str, pattern: str):
     except re.error:
         return None  # invalid regex: the function passes through
     out = set()
+    if "/" not in rel_pat:
+        try:
+            names = os.listdir(base)
+        except OSError:
+            names = []
+        for name in names:
+            if rx.fullmatch(name) or rx.match(name):
+                out |= _files_under(os.path.join(base, name))
+        return out
     for root, _dirs, files in os.walk(base):
         for f in files:
             rel = os.path.relpath(os.path.join(root, f), base)

@@ -5005,6 +5005,10 @@ def r_audience_overlap(sf_dir):
     sets = (ev[["event_type", "user_id"]].astype(
                 {"user_id": "string"})
               .drop_duplicates())
+    # a NULL set id never appears in the engine's output (its
+    # set_a < set_b pair predicate is NULL for null sets) — exclude
+    # it here too instead of crashing on sorted(NaN, str)
+    sets = sets[sets["event_type"].notna()]
     size = sets.groupby("event_type", dropna=False).size()
     members = {
         s: set(k for k in grp["user_id"] if pd.notna(k))
