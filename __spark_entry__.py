@@ -2445,7 +2445,21 @@ def q_streaming_dedup_neardup(spark: SparkSession,
     composition (index write, per-batch probe, append plumbing)
     fails the value hash. Batch-order effects (b1 novel appends
     visible to b2) only ADD b1-x-b2 matches, which the hist-anchored
-    truth join excludes — the gate is order-stable."""
+    truth join excludes — the gate is order-stable.
+
+    Gate hardening (ADVICE r15): LSH recall is probabilistic near
+    the threshold — at the default (16 hashes, 4 bands) a j=0.7 pair
+    is detected w.p. ~0.67, so asserting 100% recall at j>=0.7 was
+    fixture-dependent. The gate configuration now re-bands the same
+    16 hashes as 8 bands x r=2 (same signature CPU, 2x band rows)
+    AND asserts the flag only above a margin (j >= 0.8, where r=2
+    detection is 1 - 0.36^8 ~ 0.9997 per pair; 32x16 would give
+    1-8e-8 but was measured +2.5-6.4 s per gate query at sf0.1 —
+    the residual risk is the documented trade);
+    pairs in [0.7, 0.8) are still emitted but their flag is forced
+    true on both sides, so a borderline fixture pair cannot flake
+    the hash while a real recall miss above the margin still
+    fails it."""
     import os
     import shutil
     import time as _time
@@ -2461,7 +2475,8 @@ def q_streaming_dedup_neardup(spark: SparkSession,
                docs.where(F.col("doc_id") % 3 == 2)]
     idx = _tmp_sink("ndstream_idx")
     shutil.rmtree(idx, ignore_errors=True)
-    minhash_index_write(hist, "text", "doc_id", idx, num_buckets=16)
+    minhash_index_write(hist, "text", "doc_id", idx, num_hashes=16,
+                        bands=8, num_buckets=16)
     src = _tmp_sink("ndstream_src")
     sink = _tmp_sink("ndstream_sink")
     ckpt = _tmp_sink("ndstream_ckpt")
@@ -2473,7 +2488,8 @@ def q_streaming_dedup_neardup(spark: SparkSession,
     stream = stream_from_parquet(spark, src, max_files_per_trigger=1)
     q = streaming_minhash_dedup(stream, idx, "text", "doc_id",
                                 sink_path=sink, checkpoint_path=ckpt,
-                                threshold=0.7, num_buckets=16)
+                                threshold=0.7, num_hashes=16,
+                                bands=8, num_buckets=16)
     if not q.awaitTermination(300):
         q.stop()
         raise RuntimeError("near-dup stream did not finish in 300s")
@@ -2486,7 +2502,9 @@ def q_streaming_dedup_neardup(spark: SparkSession,
                                "text", "doc_id", n=3, threshold=0.7)
     return (truth.join(found, ["doc_a", "doc_b"], "left")
                  .select("doc_a", "doc_b", "jaccard",
-                         F.coalesce("__found", F.lit(False))
+                         F.when(F.col("jaccard") >= 0.8,
+                                F.coalesce("__found", F.lit(False)))
+                          .otherwise(F.lit(True))
                           .alias("found_stream")))
 
 
@@ -3588,13 +3606,15 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-ratio doctrine, so the full feature hash -> bucket counts
     -> smoothed ratio -> count-weighted mean pipeline replays
     bit-for-bit in DuckDB. The bucket table (<= 512 rows) is the
-    only model state and broadcasts."""
-    from charmpandas_spark.functions.dsir import dsir_weights
+    only model state and broadcasts. r16: raw/target are
+    complementary slices of one corpus, so the SPLIT form fuses the
+    two n-gram explode passes into one tagged pass (VERDICT r15 #7);
+    output is bit-identical to the two-filter form."""
+    from charmpandas_spark.functions.dsir import dsir_weights_split
     docs = _t(spark, sf_dir, "documents").sdf
-    tgt = docs.where(F.col("source").isin("src0", "src1"))
-    raw = docs.where(~F.col("source").isin("src0", "src1"))
-    return dsir_weights(raw, tgt, "text", "doc_id", n=2,
-                        num_buckets=512, hash_fn="md5")
+    return dsir_weights_split(
+        docs, F.col("source").isin("src0", "src1"), "text",
+        "doc_id", n=2, num_buckets=512, hash_fn="md5")
 
 
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3602,13 +3622,13 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     min(1, rate * w / mean_w) decided by the stable id hash — the
     deterministic equivalent of DSIR's proportional resampling, at
     expected rate 0.4. Pure per-row integer condition; the decision
-    itself is part of the value hash."""
-    from charmpandas_spark.functions.dsir import dsir_resample
+    itself is part of the value hash. r16: split form (one fused
+    n-gram pass, see ``dsir_weights``)."""
+    from charmpandas_spark.functions.dsir import dsir_resample_split
     docs = _t(spark, sf_dir, "documents").sdf
-    tgt = docs.where(F.col("source").isin("src0", "src1"))
-    raw = docs.where(~F.col("source").isin("src0", "src1"))
-    return dsir_resample(raw, tgt, "text", "doc_id", rate=0.4, n=2,
-                         num_buckets=512, hash_fn="md5")
+    return dsir_resample_split(
+        docs, F.col("source").isin("src0", "src1"), "text",
+        "doc_id", rate=0.4, n=2, num_buckets=512, hash_fn="md5")
 
 
 def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3641,7 +3661,12 @@ def q_dedup_minhash_incremental(spark: SparkSession,
     cross-corpus truth set (word-3-gram Jaccard >= 0.7, inverted-
     index exact join) annotated with found_incremental — the DuckDB
     oracle asserts the truth pairs with the flag true, so an LSH
-    recall miss fails the value hash."""
+    recall miss fails the value hash. Gate hardened like
+    ``streaming_dedup_neardup`` (ADVICE r15): 16 hashes re-banded
+    as 8 bands x r=2 for near-deterministic detection at the margin,
+    flag asserted only at
+    j >= 0.8 (forced true in [0.7, 0.8) on both sides) so a
+    borderline fixture pair cannot flake the gate."""
     from charmpandas_spark.functions.dedup import (
         cross_corpus_pairs, minhash_dedup_incremental,
         minhash_index_write)
@@ -3649,9 +3674,11 @@ def q_dedup_minhash_incremental(spark: SparkSession,
     hist = docs.where(F.col("doc_id") % 2 == 0)
     batch = docs.where(F.col("doc_id") % 2 == 1)
     path = _tmp_sink("mh_index")
-    minhash_index_write(hist, "text", "doc_id", path, num_buckets=16)
+    minhash_index_write(hist, "text", "doc_id", path, num_hashes=16,
+                        bands=8, num_buckets=16)
     inc = (minhash_dedup_incremental(spark, batch, path, "text",
                                      "doc_id", threshold=0.7,
+                                     num_hashes=16, bands=8,
                                      num_buckets=16)
            .select(F.col("matched_doc").alias("doc_a"),
                    F.col("doc").alias("doc_b"),
@@ -3660,7 +3687,9 @@ def q_dedup_minhash_incremental(spark: SparkSession,
                                n=3, threshold=0.7)
     return (truth.join(inc, ["doc_a", "doc_b"], "left")
                  .select("doc_a", "doc_b", "jaccard",
-                         F.coalesce("__found", F.lit(False))
+                         F.when(F.col("jaccard") >= 0.8,
+                                F.coalesce("__found", F.lit(False)))
+                          .otherwise(F.lit(True))
                           .alias("found_incremental")))
 
 
@@ -4665,74 +4694,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_correctness.py runs ALL entries locally each round
     # (ADVICE r3: never depend on the driver window size).
     return {
-        # --- r14 driver window (ordering generated from
-        #     tools/staleness.py; VERDICT r13 #3: rotate to the
-        #     r8-vintage remainder + the 4 stalest r9 greens) ---
-        # (1) changed this round: the weighted-quantiles post-cast
-        #     filter + group_quantiles expression-string contract
-        #     (ADVICE r13) touch the quantile family; the shared
-        #     _dist_arr hoist touches the PQ/IVF-PQ encode path
-        "corpus_weighted_quantiles": q_corpus_weighted_quantiles,
-        "corpus_percentiles": q_corpus_percentiles,
-        "events_quantiles_by_group": q_events_quantiles_by_group,
-        "sim_pq_topk": q_sim_pq_topk,
-        "sim_ivfpq_topk": q_sim_ivfpq_topk,
-        "sim_ivfpq_rerank": q_sim_ivfpq_rerank,
-        # (2) SS2 core slice, re-proven every round
-        "scan_project": q_scan_project,
-        "flagship_join_groupby_count": q_flagship_join_groupby_count,
-        "groupby_sum": q_groupby_sum,
-        "filter_expr": q_filter_expr,
-        "join_inner": q_join_inner,
-        "groupby_count": q_groupby_count,
-        "sort_topk": q_sort_topk,
-        "concat": q_concat,
-        # (3) the 32 r8-vintage stalest greens (the full cohort
-        #     displaced from the r13 window) + the 4 stalest r9s
-        #     (audience_overlap, cdc_apply, cdc_survivorship,
-        #     curation_funnel) — after this round no query's
-        #     latest driver row is older than r9
-        "distinct_count_approx": q_distinct_count_approx,
-        "events_json": q_events_json,
-        "events_sessionize": q_events_sessionize,
-        "graph_pagerank": q_graph_pagerank,
-        "groupby_bool": q_groupby_bool,
-        "groupby_cube": q_groupby_cube,
-        "groupby_extended": q_groupby_extended,
-        "groupby_rollup": q_groupby_rollup,
-        "groupby_ts_key": q_groupby_ts_key,
-        "histogram_equidepth_approx": q_histogram_equidepth_approx,
-        "int_literal_widening": q_int_literal_widening,
-        "join_full": q_join_full,
-        "join_timestamp_key": q_join_timestamp_key,
-        "pivot": q_pivot,
-        "scalar_reduction": q_scalar_reduction,
-        "sim_knn_join": q_sim_knn_join,
-        "source_csv_roundtrip": q_source_csv_roundtrip,
-        "source_json_roundtrip": q_source_json_roundtrip,
-        "streaming_dedup": q_streaming_dedup,
-        "streaming_dedup_neardup": q_streaming_dedup_neardup,
-        "streaming_static_join": q_streaming_static_join,
-        "streaming_stream_join_full": q_streaming_stream_join_full,
-        "text_chunks": q_text_chunks,
-        "text_lang_id": q_text_lang_id,
-        "text_redact_pii": q_text_redact_pii,
-        "text_repetition": q_text_repetition,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
-        "url_canonicalize": q_url_canonicalize,
-        "window_lag": q_window_lag,
-        "window_rolling": q_window_rolling,
-        "audience_overlap": q_audience_overlap,
-        "cdc_apply": q_cdc_apply,
-        "cdc_survivorship": q_cdc_survivorship,
-        "curation_funnel": q_curation_funnel,
-        # --- positions 51+: fresher greens, staleness-ascending,
-        #     so the next rotation is a pure front-slice.
-        #     tools/check_correctness.py still runs ALL entries
-        #     locally every round. ---
+
+        # --- r16 driver window: the staged BENCH_FULL next_window
+        #     list applied verbatim (VERDICT r15 #1).
+        #     sim_ivf_incremental first (never driver-checked), then
+        #     the 38 r9-vintage queries, then r10s to fill 50 — after
+        #     this round no registry query's latest driver row is
+        #     older than r10. Ordering generated by
+        #     tools/staleness.py; positions 51+ stay
+        #     staleness-ascending so the next rotation is again a
+        #     pure front-slice. tools/check_correctness.py runs ALL
+        #     entries locally every round. ---
+        "sim_ivf_incremental": q_sim_ivf_incremental,
         "decontam_bloom": q_decontam_bloom,
         "dedup_images": q_dedup_images,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
@@ -4782,6 +4755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_topk": q_keyword_topk,
         "locf_fill": q_locf_fill,
         "markov_transitions": q_markov_transitions,
+        # --- positions 51+: fresher greens, staleness-ascending ---
         "purged_kfold": q_purged_kfold,
         "quality_kappa": q_quality_kappa,
         "source_concentration": q_source_concentration,
@@ -4837,7 +4811,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": q_sample_hash,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ivf": q_sim_ivf,
-        "sim_ivf_incremental": q_sim_ivf_incremental,
         "sim_topk": q_sim_topk,
         "text_fingerprint": q_text_fingerprint,
         "text_quality": q_text_quality,
@@ -4924,6 +4897,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_phrase_search": q_text_phrase_search,
         "text_token_drift": q_text_token_drift,
         "url_domain_filter": q_url_domain_filter,
+        "curation_funnel": q_curation_funnel,
+        "audience_overlap": q_audience_overlap,
+        "cdc_apply": q_cdc_apply,
+        "cdc_survivorship": q_cdc_survivorship,
+        "concat": q_concat,
+        "corpus_percentiles": q_corpus_percentiles,
+        "corpus_weighted_quantiles": q_corpus_weighted_quantiles,
+        "distinct_count_approx": q_distinct_count_approx,
+        "events_json": q_events_json,
+        "events_quantiles_by_group": q_events_quantiles_by_group,
+        "events_sessionize": q_events_sessionize,
+        "filter_expr": q_filter_expr,
+        "flagship_join_groupby_count": q_flagship_join_groupby_count,
+        "graph_pagerank": q_graph_pagerank,
+        "groupby_bool": q_groupby_bool,
+        "groupby_count": q_groupby_count,
+        "groupby_cube": q_groupby_cube,
+        "groupby_extended": q_groupby_extended,
+        "groupby_rollup": q_groupby_rollup,
+        "groupby_sum": q_groupby_sum,
+        "groupby_ts_key": q_groupby_ts_key,
+        "histogram_equidepth_approx": q_histogram_equidepth_approx,
+        "int_literal_widening": q_int_literal_widening,
+        "join_full": q_join_full,
+        "join_inner": q_join_inner,
+        "join_timestamp_key": q_join_timestamp_key,
+        "pivot": q_pivot,
+        "scalar_reduction": q_scalar_reduction,
+        "scan_project": q_scan_project,
+        "sim_ivfpq_rerank": q_sim_ivfpq_rerank,
+        "sim_ivfpq_topk": q_sim_ivfpq_topk,
+        "sim_knn_join": q_sim_knn_join,
+        "sim_pq_topk": q_sim_pq_topk,
+        "sort_topk": q_sort_topk,
+        "source_csv_roundtrip": q_source_csv_roundtrip,
+        "source_json_roundtrip": q_source_json_roundtrip,
+        "streaming_dedup": q_streaming_dedup,
+        "streaming_dedup_neardup": q_streaming_dedup_neardup,
+        "streaming_static_join": q_streaming_static_join,
+        "streaming_stream_join_full": q_streaming_stream_join_full,
+        "text_chunks": q_text_chunks,
+        "text_lang_id": q_text_lang_id,
+        "text_redact_pii": q_text_redact_pii,
+        "text_repetition": q_text_repetition,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "url_canonicalize": q_url_canonicalize,
+        "window_lag": q_window_lag,
+        "window_rolling": q_window_rolling,
     }
 
 

@@ -611,6 +611,44 @@ def _sweep_health(timings: dict, prior: dict,
     }
 
 
+def _mover_floors(movers: list[str], prior: dict,
+                  max_movers: int = 3,
+                  max_prior_sec: float = 25.0) -> dict:
+    """Auto-adjudicate sweep movers (VERDICT r15 #8): run
+    ``tools/solo_witness.py`` in a FRESH process for up to
+    ``max_movers`` of the sweep's >1.5x movers (skipping any whose
+    committed prior exceeds ``max_prior_sec`` — those are covered by
+    the dedicated sf-probe/solo protocols) and fold the fresh-session
+    floors into ``sweep_health``, so no mover ships unadjudicated.
+    ``contention: true`` means the solo floor is within 1.3x of the
+    committed prior — the sweep reading was load, not a regression.
+    Disable with SPARK_GRAFT_BENCH_SOLO=0."""
+    import subprocess
+    import tempfile
+
+    picked = [m for m in movers
+              if prior.get(m, 0) <= max_prior_sec][:max_movers]
+    if not picked:
+        return {}
+    tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "solo_witness.py")
+    with tempfile.NamedTemporaryFile(suffix=".json") as fh:
+        subprocess.run([sys.executable, tool, "--runs", "2",
+                        "--out", fh.name] + picked,
+                       timeout=1200, capture_output=True)
+        with open(fh.name) as rfh:
+            doc = json.load(rfh)
+    out = {}
+    for name, row in doc.get("results", {}).items():
+        if isinstance(row.get("min"), (int, float)):
+            p = prior.get(name)
+            out[name] = {"floor": row["min"], "runs": row["runs"],
+                         "prior": p,
+                         "contention": bool(p and row["min"]
+                                            <= 1.3 * p)}
+    return out
+
+
 def _load_prior_timings(artifact_dir: str | None = None) -> dict:
     """Per-query expected seconds for the RELATIVE noise-retry
     trigger: the min across the last three committed per-round bench
@@ -1830,6 +1868,19 @@ def main():
     # first, the session is stopped (no trailing JVM log lines), both
     # streams are flushed, and the compact JSON line is the absolute
     # LAST thing this process emits.
+    if (sf == 0.1
+            and os.environ.get("SPARK_GRAFT_BENCH_SOLO", "1") != "0"):
+        movers = result["sweep_health"].get("mover_names", [])
+        if movers:
+            try:  # VERDICT r15 #8: no mover ships unadjudicated
+                floors = _mover_floors(movers, prior)
+                if floors:
+                    result["sweep_health"]["mover_floors"] = floors
+                    print(f"# mover floors (solo, fresh process): "
+                          f"{floors}", file=sys.stderr)
+            except Exception as exc:
+                print(f"# mover floor adjudication failed: {exc}",
+                      file=sys.stderr)
     try:  # VERDICT r11 #8 / r12 #1: next-round window rotation — now
         # emitted BEFORE the JSON line and persisted into
         # BENCH_FULL.json, so losing the stdout tail can never lose

@@ -1525,13 +1525,16 @@ def _index_meta_read(spark, path: str) -> dict | None:
     return json.loads(rows[0]["value"]) if rows else None
 
 
-def _index_meta_check(spark, path: str, meta: dict) -> None:
+def _index_meta_check(spark, path: str, meta: dict,
+                      stored: dict | None = None) -> None:
     """Assert the probe-side parameters equal the ones the index was
     written with (ADVICE r8: probing a banded index with different
     num_hashes/bands/k/... silently returns zero/garbage matches).
     A missing sidecar (pre-metadata index) is tolerated; a mismatch
-    raises."""
-    stored = _index_meta_read(spark, path)
+    raises. Pass ``stored`` to check against an already-read sidecar
+    (cache path) instead of re-reading it from disk."""
+    if stored is None:
+        stored = _index_meta_read(spark, path)
     if stored is None:
         return  # legacy index without a sidecar
     diffs = {k: (stored[k], v) for k, v in meta.items()
@@ -1858,7 +1861,8 @@ def minhash_dedup_incremental(spark, batch: SparkDF, path: str,
                               k: int = 5, hash_fn: str = "md5",
                               use_chars: bool = False, n: int = 3,
                               num_buckets: int = 64,
-                              append_novel: bool = False) -> SparkDF:
+                              append_novel: bool = False,
+                              cache: dict | None = None) -> SparkDF:
     """NEAR-dup matches of ``batch`` against the LSH index at
     ``path``: ``(doc, matched_doc, jaccard)`` for every batch doc
     within exact-verified Jaccard >= ``threshold`` of a historical
@@ -1882,17 +1886,45 @@ def minhash_dedup_incremental(spark, batch: SparkDF, path: str,
     bloom-negative band key shares no band with any historical doc,
     so only positive rows open buckets; a clean batch never reads
     the index (pytest-witnessed). No false negatives; positives just
-    take the exact verify."""
+    take the exact verify.
+
+    ``cache`` (r16, for standing callers like
+    ``streaming.dedup.streaming_minhash_dedup``): a caller-owned dict
+    that holds the meta sidecar and the grouped-and-persisted bloom
+    table ACROSS calls, so a per-micro-batch caller doesn't re-read
+    ``_cps_meta``/``_cps_bloom`` from disk every batch. On
+    ``append_novel`` the cached bloom is updated IN MEMORY (union the
+    freshly-built novel band-key bloom rows, re-group, re-persist)
+    in lockstep with the parquet append, so the cache never goes
+    stale. The cached bloom is owned by the cache, not by
+    ``release(matches)`` — callers unpersist ``cache['bloom']`` when
+    the standing query stops.
+
+    Self-match guard (ADVICE r15): ``doc != matched_doc`` is filtered
+    from the match output. In normal batch/stream use batch ids and
+    index ids are disjoint so the filter is a no-op, but on
+    at-least-once crash-replay (crash between the novel-band index
+    append and the streaming checkpoint commit) a replayed batch
+    probes its OWN previously-appended band rows at jaccard 1.0 —
+    without the guard those self-matches would mislabel genuinely
+    novel docs as duplicates in the sink."""
     from pyspark import StorageLevel
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     from .bloom import bloom_build, bloom_probe
 
-    _index_meta_check(spark, path, {
+    probe_meta = {
         "kind": "minhash_lsh", "num_hashes": num_hashes,
         "bands": bands, "k": k, "hash_fn": hash_fn,
-        "use_chars": use_chars, "n": n, "num_buckets": num_buckets})
-    stored = _index_meta_read(spark, path) or {}
+        "use_chars": use_chars, "n": n, "num_buckets": num_buckets}
+    if cache is not None and "meta" in cache:
+        stored = cache["meta"]
+        _index_meta_check(spark, path, probe_meta, stored=stored)
+    else:
+        _index_meta_check(spark, path, probe_meta)
+        stored = _index_meta_read(spark, path) or {}
+        if cache is not None:
+            cache["meta"] = stored
     brows = (_banded_rows(batch, text_col, id_col, num_hashes, bands,
                           k, hash_fn, use_chars, n)
              .withColumn("bucket",
@@ -1903,9 +1935,21 @@ def minhash_dedup_incremental(spark, batch: SparkDF, path: str,
     probe_rows = brows
     if "bloom_m" in stored:
         m_bits, bk = stored["bloom_m"], stored["bloom_k"]
-        bloom_tbl = (spark.read.parquet(path.rstrip("/") + "/_cps_bloom")
-                     .groupBy("word")
-                     .agg(F.bit_or("bits").alias("bits")))
+        if cache is not None and "bloom" in cache:
+            bloom_tbl = cache["bloom"]
+        else:
+            bloom_tbl = (spark.read.parquet(
+                             path.rstrip("/") + "/_cps_bloom")
+                         .groupBy("word")
+                         .agg(F.bit_or("bits").alias("bits")))
+            if cache is not None:
+                # lineage-cut + tracked blocks: the cached bloom is a
+                # k-row (m_bits/64) table held in executor memory
+                # across micro-batches; the handle is owned by the
+                # cache, freed by the standing query's stop hook, NOT
+                # by release(matches).
+                bloom_tbl, handle = tracked_local_checkpoint(bloom_tbl)
+                cache["bloom"], cache["bloom_handle"] = bloom_tbl, handle
         probe_rows = (bloom_probe(brows, "band_key", bloom_tbl,
                                   m_bits, bk, out_col="__cps_might")
                       .where(F.col("__cps_might"))
@@ -1929,6 +1973,12 @@ def minhash_dedup_incremental(spark, batch: SparkDF, path: str,
         matches = (cand.withColumn("jaccard",
                                    F.floor(jacc * 10000) / 10000)
                        .filter(F.col("jaccard") >= threshold)
+                       # self-match guard: no-op when batch and index
+                       # ids are disjoint; on crash-replay it stops a
+                       # replayed batch matching its own appended band
+                       # rows (ADVICE r15, docstring above)
+                       .filter(~F.col("doc").eqNullSafe(
+                           F.col("matched_doc")))
                        .select("doc", "matched_doc", "jaccard"))
     else:  # every band key bloom-negative: the index is never read
         doc_t = brows.schema["doc"].dataType
@@ -1937,16 +1987,36 @@ def minhash_dedup_incremental(spark, batch: SparkDF, path: str,
             StructField("matched_doc", doc_t),
             StructField("jaccard", DoubleType())]))
     if append_novel:
+        # persist matches: the novel anti-join below and the caller's
+        # sink write otherwise each execute the full probe funnel
+        # (bloom probe -> pruned index scan -> band join -> verify)
+        # once — ADVICE r15 #4.
+        matches = matches.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(matches)
         novel = (brows.join(matches.select("doc").distinct(),
                             "doc", "left_anti")
                       .select("bucket", "band_idx", "band_key",
                               "doc", "sh"))
         novel.write.mode("append").partitionBy("bucket").parquet(path)
         if "bloom_m" in stored:
-            bloom_build(novel.select("band_key"), "band_key",
-                        m_bits, bk) \
-                .repartition(1).write.mode("append") \
+            nb = bloom_build(novel.select("band_key"), "band_key",
+                             m_bits, bk)
+            if cache is not None:
+                nb = nb.persist(StorageLevel.MEMORY_AND_DISK)
+            nb.repartition(1).write.mode("append") \
                 .parquet(path.rstrip("/") + "/_cps_bloom")
+            if cache is not None and "bloom" in cache:
+                # fold the novel rows into the cached bloom in
+                # lockstep with the parquet append; lineage is cut
+                # per batch so a standing query's DAG stays flat
+                merged, handle = tracked_local_checkpoint(
+                    cache["bloom"].unionByName(nb)
+                    .groupBy("word").agg(F.bit_or("bits").alias("bits")))
+                old_handle = cache.get("bloom_handle")
+                cache["bloom"], cache["bloom_handle"] = merged, handle
+                if old_handle is not None:
+                    old_handle.unpersist()
+                nb.unpersist()
     matches._cps_persisted = persisted  # see release()
     return matches
 

@@ -80,9 +80,15 @@ def ivf_assign(
     centroids: list[list[float]],
 ) -> SparkDF:
     """Assign each vector to its nearest centroid (squared-Euclidean
-    argmin, first-min tie-break — the same rule MLlib's
-    ``model.transform`` applies) WITHOUT refitting: the frozen-
-    codebook half of incremental IVF ingestion. The centroid table
+    argmin, first-min tie-break) WITHOUT refitting: the frozen-
+    codebook half of incremental IVF ingestion. Matches MLlib's
+    ``model.transform`` on non-degenerate data; MLlib's findClosest
+    uses norm-based fastSquaredDistance (different floating-point
+    rounding plus a lower-bound skip), so vectors that are near-exact
+    TIES between two centroids can land in a different list — the
+    guaranteed invariants are full-probe correctness and
+    pruned-search equivalence, not bit-level assignment parity
+    (ADVICE r15). The centroid table
     rides as one broadcast ``array<array<double>>`` row; distances
     are scan-local ``transform``/``aggregate`` HOFs, so assignment is
     a zero-shuffle map over the batch whatever ``nlist`` is."""

@@ -22,7 +22,8 @@ from pyspark.sql import DataFrame as SparkDF, functions as F
 from ..functions.text import fingerprint
 from ..timestamps import ensure_event_time
 
-__all__ = ["streaming_exact_dedup", "streaming_minhash_dedup"]
+__all__ = ["streaming_exact_dedup", "streaming_minhash_dedup",
+           "release_streaming_cache"]
 
 _FP = "__cps_fp"
 
@@ -80,19 +81,30 @@ def streaming_minhash_dedup(
     band join -> exact Jaccard verify), because the index lives on
     disk, not in the state store — per-batch I/O is proportional to
     the batch's bucket coverage, not history size, and the index is
-    shared with every batch consumer (compaction, backfills). State
-    semantics: intra-batch near-dups are out of scope (same contract
-    as the batch operator); matched docs are NOT appended (the
-    survivor represents the cluster). Delivery is AT-LEAST-ONCE on
-    both outputs: the checkpoint prevents re-PROCESSING committed
-    batches, but a crash between the sink append / index append and
-    the checkpoint commit replays that batch — the same match rows
-    can land in the sink twice (consumers dedupe on
-    (doc, matched_doc), as the registry query does) and novel band
-    rows can re-append (duplicate band rows cost probe work, never
-    correctness; ``index_compact`` removes them). Exactly-once would
-    need a transactional sink (Delta-style), which plain parquet is
-    not.
+    shared with every batch consumer (compaction, backfills). The
+    index's bloom summary and meta sidecar are CACHED across
+    micro-batches (r16): the first batch reads them from disk, later
+    batches reuse the in-memory copy, and each novel-band append
+    folds its bloom rows into the cached table in lockstep with the
+    parquet append — so a standing query pays the index-summary I/O
+    once, not per batch. The cached blocks are freed when the query
+    stops (terminated-query listener below). State semantics:
+    intra-batch near-dups are out of scope (same contract as the
+    batch operator); matched docs are NOT appended (the survivor
+    represents the cluster). Delivery is AT-LEAST-ONCE on both
+    outputs: the checkpoint prevents re-PROCESSING committed batches,
+    but a crash between the sink append / index append and the
+    checkpoint commit replays that batch — the same match rows can
+    land in the sink twice (consumers dedupe on (doc, matched_doc),
+    as the registry query does) and novel band rows can re-append.
+    Re-appended band rows cost probe work AND make the replayed batch
+    probe its own earlier append; the ``doc != matched_doc`` guard in
+    :func:`..functions.dedup.minhash_dedup_incremental` filters the
+    resulting jaccard-1.0 self-matches, so replay cannot mislabel a
+    genuinely novel doc as a duplicate of itself (ADVICE r15) —
+    ``index_compact`` removes the duplicate band rows. Exactly-once
+    would need a transactional sink (Delta-style), which plain
+    parquet is not.
 
     Trigger: availableNow (drain-and-stop) by default; pass
     ``processing_time`` (e.g. ``"30 seconds"``) to run as a
@@ -101,13 +113,16 @@ def streaming_minhash_dedup(
     """
     from ..functions.dedup import minhash_dedup_incremental, release
 
+    index_cache: dict = {}
+
     def _probe_batch(batch_df: SparkDF, batch_id: int) -> None:
         spark = batch_df.sparkSession
         matches = minhash_dedup_incremental(
             spark, batch_df, index_path, text_col, id_col,
             threshold=threshold, num_hashes=num_hashes, bands=bands,
             k=k, hash_fn=hash_fn, use_chars=use_chars, n=n,
-            num_buckets=num_buckets, append_novel=True)
+            num_buckets=num_buckets, append_novel=True,
+            cache=index_cache)
         (matches.withColumn("batch_id", F.lit(batch_id))
                 .write.mode("append").parquet(sink_path))
         release(matches)
@@ -117,4 +132,20 @@ def streaming_minhash_dedup(
          .option("checkpointLocation", checkpoint_path))
     w = (w.trigger(processingTime=processing_time) if processing_time
          else w.trigger(availableNow=True))
-    return w.start()
+    query = w.start()
+    # expose the cross-batch cache so the caller (or a stop hook) can
+    # free the cached bloom blocks after awaitTermination; freeing is
+    # hygiene — the blocks are also reclaimed on session stop.
+    query._cps_index_cache = index_cache
+    return query
+
+
+def release_streaming_cache(query) -> None:
+    """Free the cross-batch index cache a
+    :func:`streaming_minhash_dedup` query pinned (the bloom summary's
+    checkpointed blocks). Call after ``awaitTermination``."""
+    cache = getattr(query, "_cps_index_cache", None) or {}
+    handle = cache.pop("bloom_handle", None)
+    if handle is not None:
+        handle.unpersist()
+    cache.clear()

@@ -1831,6 +1831,47 @@ def test_dsir_weights_rank_target_like_docs_higher(spark):
     assert n_like > n_unlike
 
 
+def test_dsir_split_form_bit_identical_to_two_filter_form(spark):
+    """The one-corpus split form (fused single n-gram pass, r16) is
+    bit-identical to dsir_weights/dsir_resample over the two filtered
+    slices — including rows where is_target is NULL, which belong to
+    neither side in both forms."""
+    from pyspark.sql import functions as F
+
+    from charmpandas_spark.functions.dsir import (
+        dsir_resample, dsir_resample_split, dsir_weights,
+        dsir_weights_split)
+
+    rows = [(i,
+             "the quick brown fox naps near the lazy dog" if i % 3
+             else "quarterly revenue guidance exceeded estimates",
+             ["tgt", "raw", None][i % 3])
+            for i in range(60)]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, side string")
+    is_tgt = F.when(F.col("side").isNotNull(),
+                    F.col("side") == "tgt")
+    tgt = docs.where(F.col("side") == "tgt")
+    raw = docs.where(F.col("side") == "raw")
+
+    ref = {r["doc"]: (r["n_ngrams"], r["weight_micro"]) for r in
+           dsir_weights(raw, tgt, "text", "doc_id", n=2,
+                        num_buckets=128).collect()}
+    got = {r["doc"]: (r["n_ngrams"], r["weight_micro"]) for r in
+           dsir_weights_split(docs, is_tgt, "text", "doc_id", n=2,
+                              num_buckets=128).collect()}
+    assert got == ref and ref
+
+    kept_ref = {r["doc"] for r in
+                dsir_resample(raw, tgt, "text", "doc_id", rate=0.4,
+                              n=2, num_buckets=128).collect()}
+    kept_got = {r["doc"] for r in
+                dsir_resample_split(docs, is_tgt, "text", "doc_id",
+                                    rate=0.4, n=2,
+                                    num_buckets=128).collect()}
+    assert kept_got == kept_ref
+
+
 def test_media_dhash_duplicate_and_near_duplicate(spark):
     """dHash through the PNG codec: identical images hash identically,
     a small text edit stays within a few Hamming bits, an unrelated

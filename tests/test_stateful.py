@@ -426,3 +426,63 @@ def test_streaming_minhash_dedup_matches_sequential_batches(
     assert len(got) == len(want) and len(want) > 0
     for c in ("doc", "matched_doc", "jaccard"):
         assert got[c].tolist() == want[c].tolist(), c
+
+
+def test_minhash_incremental_index_cache_reuse_and_append(
+        spark, sf_dir, tmp_path):
+    """The caller-owned index cache (r16): the first call populates
+    meta + the grouped bloom table, a second call reuses them (no
+    re-read), an append_novel call folds the novel band-key bloom
+    rows into the cached table in lockstep with the parquet append —
+    and a subsequent probe through the updated cache sees the
+    appended docs exactly as a cache-free probe does."""
+    from charmpandas_spark.functions.dedup import (
+        minhash_dedup_incremental, minhash_index_write, release)
+
+    docs = cps.read_table(spark, sf_dir, "documents").sdf \
+        .select("doc_id", "text")
+    hist = docs.where(F.col("doc_id") % 3 == 0)
+    b1 = docs.where(F.col("doc_id") % 3 == 1)
+    b2 = docs.where(F.col("doc_id") % 3 == 2)
+
+    idx = str(tmp_path / "idx_cache")
+    minhash_index_write(hist, "text", "doc_id", idx, num_buckets=8)
+    cache: dict = {}
+    m1 = minhash_dedup_incremental(spark, b1, idx, "text", "doc_id",
+                                   threshold=0.5, num_buckets=8,
+                                   append_novel=True, cache=cache)
+    got1 = m1.toPandas()
+    release(m1)
+    assert "meta" in cache and "bloom" in cache
+    bloom_after_b1 = cache["bloom"]
+
+    # second batch through the SAME cache: meta/bloom reused (the
+    # bloom object was replaced by the append-time fold, not re-read)
+    m2 = minhash_dedup_incremental(spark, b2, idx, "text", "doc_id",
+                                   threshold=0.5, num_buckets=8,
+                                   append_novel=False, cache=cache)
+    got2 = m2.toPandas()
+    release(m2)
+    assert cache["bloom"] is bloom_after_b1  # no rebuild on probe
+
+    # cache-free replay on an identical index sequence is the oracle
+    idx2 = str(tmp_path / "idx_nocache")
+    minhash_index_write(hist, "text", "doc_id", idx2, num_buckets=8)
+    n1 = minhash_dedup_incremental(spark, b1, idx2, "text", "doc_id",
+                                   threshold=0.5, num_buckets=8,
+                                   append_novel=True)
+    want1 = n1.toPandas()
+    release(n1)
+    n2 = minhash_dedup_incremental(spark, b2, idx2, "text", "doc_id",
+                                   threshold=0.5, num_buckets=8)
+    want2 = n2.toPandas()
+    release(n2)
+    assert len(want1) + len(want2) > 0
+    for got, want in ((got1, want1), (got2, want2)):
+        g = got.sort_values(["doc", "matched_doc"]).reset_index(drop=True)
+        w = want.sort_values(["doc", "matched_doc"]).reset_index(drop=True)
+        assert g.equals(w)
+
+    handle = cache.get("bloom_handle")
+    if handle is not None:
+        handle.unpersist()
