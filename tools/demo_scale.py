@@ -177,6 +177,16 @@ def main():
         dropped = drop_page_cache()
         rs, ls, labels = [], [], []
         for i in range(runs):
+            if i > 0:
+                # flush the PREVIOUS run's shuffle-spill writeback
+                # before timing the next one: without this the warm
+                # runs measured run N-1's ~12 GB of dirty pages
+                # draining, and read SLOWER than cold (r16 first
+                # attempt: cold 39.5 s, "warm" 69-85 s)
+                try:
+                    subprocess.run(["sync"], check=True, timeout=600)
+                except Exception:
+                    pass
             sec, load1 = one_run(n)
             label = ("cold" if i == 0 and dropped
                      else "warm?" if i == 0 else "warm")
