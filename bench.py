@@ -642,10 +642,17 @@ def _mover_floors(movers: list[str], prior: dict,
     for name, row in doc.get("results", {}).items():
         if isinstance(row.get("min"), (int, float)):
             p = prior.get(name)
-            out[name] = {"floor": row["min"], "runs": row["runs"],
-                         "prior": p,
-                         "contention": bool(p and row["min"]
-                                            <= 1.3 * p)}
+            entry = {"floor": row["min"], "runs": row["runs"],
+                     "prior": p,
+                     "contention": bool(p and row["min"]
+                                        <= 1.3 * p)}
+            if row["min"] < 1.0:
+                # sub-second floors sit inside per-reading jitter
+                # (session startup, GC, page cache); a floor >1.3x a
+                # min-across-3-artifacts prior is not evidence of a
+                # plan regression at this magnitude
+                entry["subsecond"] = True
+            out[name] = entry
     return out
 
 
