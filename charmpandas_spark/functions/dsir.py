@@ -208,8 +208,10 @@ def dsir_resample_split(docs: SparkDF, is_target: Column,
         raise ValueError("rate must be in [0, 1]")
     w = dsir_weights_split(docs, is_target, text_col, id_col, n,
                            num_buckets, hash_fn)
+    handles = list(getattr(w, "_cps_persisted", ()))
+    w, h = tracked_local_checkpoint(w)
     out = _resample_filter(w, rate, hash_fn, seed)
-    out._cps_persisted = getattr(w, "_cps_persisted", [])
+    out._cps_persisted = handles + [h]
     return out
 
 
@@ -233,13 +235,21 @@ def dsir_resample(raw: SparkDF, target: SparkDF, text_col: str,
         raise ValueError("rate must be in [0, 1]")
     w = dsir_weights(raw, target, text_col, id_col, n, num_buckets,
                      hash_fn)
-    return _resample_filter(w, rate, hash_fn, seed)
+    w, h = tracked_local_checkpoint(w)
+    out = _resample_filter(w, rate, hash_fn, seed)
+    out._cps_persisted = [h]
+    return out
 
 
 def _resample_filter(w: SparkDF, rate: float, hash_fn: str,
                      seed: int) -> SparkDF:
     """Condition (all int64): ``u * mean_micro < rate_micro * w``
-    with ``u = pmod(hash(doc, seed), 1e6)``."""
+    with ``u = pmod(hash(doc, seed), 1e6)``.
+
+    ``w`` is consumed TWICE (the mean aggregate and the filtered
+    output), so callers checkpoint it first — without that the whole
+    weight pipeline (explode + bucket join + doc agg) executes once
+    per consumer (r16 A/B at sf0.1: 5.9-10.2 s -> 5.3-6.5 s)."""
     mean = w.agg(F.expr("sum(weight_micro) div count(*)")
                  .alias("__ds_mean"))
     u = F.pmod(hash64(F.col("doc").cast("string"), seed, hash_fn),
