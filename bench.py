@@ -573,9 +573,11 @@ def _sweep_health(timings: dict, prior: dict,
       committed best) over queries present in both — flagged dicts
       contribute their ``sec``. 1.0 = in band; ~1.2 across 200+
       queries = the whole sweep ran on a loaded host.
-    - ``movers_gt_1_5x``: count + names (capped at 12) of shared
-      queries over 1.5x their prior — catches the sub-second entries
-      the per-query flag floor (max(2x, 1.0 s)) deliberately ignores.
+    - ``movers_gt_1_5x``: count + names (ALL of them since r17 — the
+      floor adjudication covers every mover, VERDICT r16 #2) of
+      shared queries over 1.5x their prior — catches the sub-second
+      entries the per-query flag floor (max(2x, 1.0 s)) deliberately
+      ignores.
     - ``load1``: min/median/max of the per-reading load1 samples.
     """
     def _sec(v):
@@ -604,55 +606,89 @@ def _sweep_health(timings: dict, prior: dict,
         "shared_with_prior": len(ratios),
         "median_ratio_vs_prior": _med(ratios),
         "movers_gt_1_5x": len(movers),
-        "mover_names": movers[:12],
+        "mover_names": movers,
         "load1": {"min": round(loads[0], 2) if loads else None,
                   "median": _med(loads),
                   "max": round(loads[-1], 2) if loads else None},
     }
 
 
-def _mover_floors(movers: list[str], prior: dict,
-                  max_movers: int = 3,
-                  max_prior_sec: float = 25.0) -> dict:
-    """Auto-adjudicate sweep movers (VERDICT r15 #8): run
-    ``tools/solo_witness.py`` in a FRESH process for up to
-    ``max_movers`` of the sweep's >1.5x movers (skipping any whose
-    committed prior exceeds ``max_prior_sec`` — those are covered by
-    the dedicated sf-probe/solo protocols) and fold the fresh-session
-    floors into ``sweep_health``, so no mover ships unadjudicated.
-    ``contention: true`` means the solo floor is within 1.3x of the
-    committed prior — the sweep reading was load, not a regression.
-    Disable with SPARK_GRAFT_BENCH_SOLO=0."""
+def _run_solo_witness(names: list[str], runs: int,
+                      timeout: float) -> dict:
+    """One fresh-process ``tools/solo_witness.py`` invocation;
+    returns its ``results`` map ({} on failure)."""
     import subprocess
     import tempfile
 
-    picked = [m for m in movers
-              if prior.get(m, 0) <= max_prior_sec][:max_movers]
-    if not picked:
-        return {}
     tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "tools", "solo_witness.py")
     with tempfile.NamedTemporaryFile(suffix=".json") as fh:
-        subprocess.run([sys.executable, tool, "--runs", "2",
-                        "--out", fh.name] + picked,
-                       timeout=1200, capture_output=True)
-        with open(fh.name) as rfh:
-            doc = json.load(rfh)
+        subprocess.run([sys.executable, tool, "--runs", str(runs),
+                        "--out", fh.name] + names,
+                       timeout=timeout, capture_output=True)
+        try:
+            with open(fh.name) as rfh:
+                return json.load(rfh).get("results", {})
+        except (OSError, ValueError):
+            return {}
+
+
+def _mover_floors(movers: list[str], prior: dict,
+                  max_prior_sec: float = 25.0) -> dict:
+    """Auto-adjudicate sweep movers (VERDICT r15 #8 / r16 #2): run
+    ``tools/solo_witness.py`` in a FRESH process (after the sweep JVM
+    stops — ADVICE r16) for EVERY >1.5x mover, so no mover ships
+    unadjudicated. First pass is min-of-2; any floor still >1.15x its
+    committed prior escalates to two more runs (>=4 total, min over
+    all) before the figure is recorded — a 2-run floor under residual
+    load must not be mistaken for a plan regression. Movers whose
+    committed prior exceeds ``max_prior_sec`` are covered by the
+    dedicated sf-probe/solo protocols; they get a ``skipped`` entry
+    carrying the exact solo_witness command line to run by hand.
+    ``contention: true`` means the solo floor is within 1.3x of the
+    committed prior — the sweep reading was load, not a regression.
+    Disable with SPARK_GRAFT_BENCH_SOLO=0."""
     out = {}
-    for name, row in doc.get("results", {}).items():
+    picked = []
+    for m in movers:
+        if prior.get(m, 0) > max_prior_sec:
+            out[m] = {"skipped": f"prior>{max_prior_sec}s",
+                      "cmd": f"python tools/solo_witness.py "
+                             f"--runs 3 {m}"}
+        else:
+            picked.append(m)
+    if not picked:
+        return out
+    # ~20 s session spin-up per query + generous per-run headroom
+    budget = 60.0 * len(picked) + 8.0 * sum(
+        prior.get(m, 5.0) for m in picked)
+    res = _run_solo_witness(picked, 2, max(1200.0, 2 * budget))
+    escalate = []
+    for name, row in res.items():
         if isinstance(row.get("min"), (int, float)):
             p = prior.get(name)
-            entry = {"floor": row["min"], "runs": row["runs"],
-                     "prior": p,
-                     "contention": bool(p and row["min"]
-                                        <= 1.3 * p)}
-            if row["min"] < 1.0:
-                # sub-second floors sit inside per-reading jitter
-                # (session startup, GC, page cache); a floor >1.3x a
-                # min-across-3-artifacts prior is not evidence of a
-                # plan regression at this magnitude
-                entry["subsecond"] = True
-            out[name] = entry
+            if p and row["min"] > 1.15 * p:
+                escalate.append(name)
+    res2 = (_run_solo_witness(escalate, 2, max(1200.0, 2 * budget))
+            if escalate else {})
+    for name, row in res.items():
+        if not isinstance(row.get("min"), (int, float)):
+            continue
+        p = prior.get(name)
+        all_runs = list(row["runs"])
+        row2 = res2.get(name, {})
+        if isinstance(row2.get("min"), (int, float)):
+            all_runs += list(row2["runs"])
+        floor = min(all_runs)
+        entry = {"floor": floor, "runs": all_runs, "prior": p,
+                 "contention": bool(p and floor <= 1.3 * p)}
+        if floor < 1.0:
+            # sub-second floors sit inside per-reading jitter
+            # (session startup, GC, page cache); a floor >1.3x a
+            # min-across-3-artifacts prior is not evidence of a
+            # plan regression at this magnitude
+            entry["subsecond"] = True
+        out[name] = entry
     return out
 
 
@@ -1889,16 +1925,24 @@ def main():
     # first, the session is stopped (no trailing JVM log lines), both
     # streams are flushed, and the compact JSON line is the absolute
     # LAST thing this process emits.
+    #
+    # The sweep session stops HERE (ADVICE r16): the mover-floor
+    # adjudication below spawns fresh solo_witness processes, and
+    # measuring "fresh-session floors" with the multi-GB sweep JVM
+    # still resident skewed the floors high (biasing against
+    # contention=true). Nothing after this point needs the session.
+    spark.stop()
     if (sf == 0.1
             and os.environ.get("SPARK_GRAFT_BENCH_SOLO", "1") != "0"):
         movers = result["sweep_health"].get("mover_names", [])
         if movers:
-            try:  # VERDICT r15 #8: no mover ships unadjudicated
+            try:  # VERDICT r15 #8 / r16 #2: ALL movers adjudicated
                 floors = _mover_floors(movers, prior)
                 if floors:
                     result["sweep_health"]["mover_floors"] = floors
-                    print(f"# mover floors (solo, fresh process): "
-                          f"{floors}", file=sys.stderr)
+                    print(f"# mover floors (solo, fresh process, "
+                          f"sweep JVM stopped): {floors}",
+                          file=sys.stderr)
             except Exception as exc:
                 print(f"# mover floor adjudication failed: {exc}",
                       file=sys.stderr)
@@ -1970,9 +2014,8 @@ def main():
         compact.pop("sf1", None)
         compact.pop("skew_demo", None)
         line = json.dumps(compact)
-    # Stop Spark BEFORE the final print: JVM shutdown may log to the
-    # merged stream, and nothing is allowed after the JSON line.
-    spark.stop()
+    # (Spark already stopped above, before the mover-floor block —
+    # nothing is allowed to log after the JSON line.)
     sys.stderr.flush()
     print(line, flush=True)
 

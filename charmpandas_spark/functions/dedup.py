@@ -1854,6 +1854,37 @@ def minhash_index_write(df: SparkDF, text_col: str, id_col: str,
         rows.unpersist()
 
 
+def _index_cache_fingerprint(spark, path: str) -> tuple:
+    """Cheap staleness probe for the cross-batch index cache (ADVICE
+    r16): the (name, length) listing of the index's ``_cps_bloom``
+    directory plus the meta sidecar's files. One Hadoop-FS
+    ``listStatus`` per micro-batch — if another writer appended bloom
+    deltas (``minhash_index_write(mode='append')``) or
+    ``index_compact`` rewrote the sidecars while a standing query
+    holds the cache, the listing changes and the caller drops the
+    cached copies instead of silently probing a stale bloom (a
+    stale-bloom NEGATIVE would skip the index scan and miss real
+    matches; re-reading restores the pre-cache per-batch behavior)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    out = []
+    for child in ("_cps_bloom", "_cps_meta"):
+        hpath = jvm.org.apache.hadoop.fs.Path(
+            path.rstrip("/") + "/" + child)
+        try:
+            fs = hpath.getFileSystem(conf)
+            if fs.exists(hpath):
+                for st in fs.listStatus(hpath):
+                    nm = st.getPath().getName()
+                    if not nm.startswith(("_", ".")):
+                        out.append((child, nm, st.getLen()))
+            else:
+                out.append((child, None, -1))
+        except Exception:
+            out.append((child, "?", -2))
+    return tuple(sorted(out))
+
+
 def minhash_dedup_incremental(spark, batch: SparkDF, path: str,
                               text_col: str, id_col: str,
                               threshold: float = 0.7,
@@ -1895,8 +1926,14 @@ def minhash_dedup_incremental(spark, batch: SparkDF, path: str,
     ``_cps_meta``/``_cps_bloom`` from disk every batch. On
     ``append_novel`` the cached bloom is updated IN MEMORY (union the
     freshly-built novel band-key bloom rows, re-group, re-persist)
-    in lockstep with the parquet append, so the cache never goes
-    stale. The cached bloom is owned by the cache, not by
+    in lockstep with the parquet append. Writes the cache CANNOT see
+    (another session's ``mode='append'`` index write, an
+    ``index_compact`` rewrite) are caught by a per-call sidecar
+    listing (:func:`_index_cache_fingerprint`, ADVICE r16): a changed
+    ``_cps_bloom``/``_cps_meta`` listing drops the cached copies and
+    re-reads from disk, so a concurrent writer degrades to the
+    pre-cache per-batch-read behavior instead of silently missing
+    matches. The cached bloom is owned by the cache, not by
     ``release(matches)`` — callers unpersist ``cache['bloom']`` when
     the standing query stops.
 
@@ -1917,6 +1954,21 @@ def minhash_dedup_incremental(spark, batch: SparkDF, path: str,
         "kind": "minhash_lsh", "num_hashes": num_hashes,
         "bands": bands, "k": k, "hash_fn": hash_fn,
         "use_chars": use_chars, "n": n, "num_buckets": num_buckets}
+    if cache is not None:
+        # staleness gate (ADVICE r16): one listing per batch; if the
+        # on-disk bloom/meta sidecars changed under the cache (another
+        # writer's append, index_compact rewrite), drop the cached
+        # copies and re-read below — a stale bloom's false NEGATIVES
+        # would silently skip real matches. Our own lockstep append
+        # at the bottom refreshes the fingerprint after it writes.
+        fp = _index_cache_fingerprint(spark, path)
+        if cache.get("sidecar_fp") not in (None, fp):
+            handle = cache.pop("bloom_handle", None)
+            if handle is not None:
+                handle.unpersist()
+            cache.pop("bloom", None)
+            cache.pop("meta", None)
+        cache["sidecar_fp"] = fp
     if cache is not None and "meta" in cache:
         stored = cache["meta"]
         _index_meta_check(spark, path, probe_meta, stored=stored)
@@ -2017,6 +2069,11 @@ def minhash_dedup_incremental(spark, batch: SparkDF, path: str,
                 if old_handle is not None:
                     old_handle.unpersist()
                 nb.unpersist()
+        if cache is not None:
+            # our own appends (band rows + bloom delta) changed the
+            # listing; refresh so the next batch's staleness gate
+            # doesn't read the lockstep-updated cache as stale
+            cache["sidecar_fp"] = _index_cache_fingerprint(spark, path)
     matches._cps_persisted = persisted  # see release()
     return matches
 

@@ -87,8 +87,15 @@ def streaming_minhash_dedup(
     batches reuse the in-memory copy, and each novel-band append
     folds its bloom rows into the cached table in lockstep with the
     parquet append — so a standing query pays the index-summary I/O
-    once, not per batch. The cached blocks are freed when the query
-    stops (terminated-query listener below). State semantics:
+    once, not per batch. Concurrent WRITERS are safe (ADVICE r16):
+    every batch re-lists the ``_cps_bloom``/``_cps_meta`` sidecars
+    (one Hadoop-FS listStatus); if another session appended bloom
+    deltas or ``index_compact`` rewrote them under the standing
+    query, the cache is dropped and re-read that batch — degrading
+    to the pre-cache per-batch-read path instead of silently
+    skipping matches on a stale bloom negative. The cached blocks
+    are freed when the query stops (terminated-query listener
+    below). State semantics:
     intra-batch near-dups are out of scope (same contract as the
     batch operator); matched docs are NOT appended (the survivor
     represents the cluster). Delivery is AT-LEAST-ONCE on both

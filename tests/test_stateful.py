@@ -486,3 +486,53 @@ def test_minhash_incremental_index_cache_reuse_and_append(
     handle = cache.get("bloom_handle")
     if handle is not None:
         handle.unpersist()
+
+
+def test_minhash_incremental_cache_invalidated_by_external_writer(
+        spark, tmp_path):
+    """ADVICE r16: a standing query's cross-batch cache must notice
+    on-disk index changes it did NOT make. An external
+    ``mode='append'`` index write lands a new doc; the next probe
+    through the SAME cache must match it — without the
+    sidecar-listing staleness gate the cached (stale) bloom reads the
+    new doc's band keys as negative and silently skips the index
+    scan (a recall hole, not an error)."""
+    from charmpandas_spark.functions.dedup import (
+        minhash_dedup_incremental, minhash_index_write, release)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    t_a = ("the quick brown fox jumps over the lazy dog "
+           "again and again today")
+    t_b = ("completely different content about spark shuffle "
+           "partitions and adaptive execution")
+    t_c = ("a third novel document that only the external writer "
+           "session knows about")
+    idx = str(tmp_path / "idx_ext")
+    minhash_index_write(mk([(1, t_a), (2, t_b)]), "text", "doc_id",
+                        idx, num_buckets=8)
+
+    cache: dict = {}
+    m1 = minhash_dedup_incremental(spark, mk([(10, t_a)]), idx,
+                                   "text", "doc_id", threshold=0.7,
+                                   num_buckets=8, cache=cache)
+    assert m1.toPandas()["matched_doc"].tolist() == [1]
+    release(m1)
+    assert "bloom" in cache and "sidecar_fp" in cache
+    stale_bloom = cache["bloom"]
+
+    # external writer: in production a SEPARATE session holding no
+    # reference to this cache (compaction job, backfill)
+    minhash_index_write(mk([(3, t_c)]), "text", "doc_id", idx,
+                        num_buckets=8, mode="append")
+
+    m2 = minhash_dedup_incremental(spark, mk([(11, t_c)]), idx,
+                                   "text", "doc_id", threshold=0.7,
+                                   num_buckets=8, cache=cache)
+    assert m2.toPandas()["matched_doc"].tolist() == [3]
+    release(m2)
+    assert cache["bloom"] is not stale_bloom  # dropped and re-read
+    handle = cache.get("bloom_handle")
+    if handle is not None:
+        handle.unpersist()

@@ -5401,11 +5401,20 @@ def main():
     only = [a for a in sys.argv[1:]
             if not a.startswith("--")
             and a not in (sf_dir, out_path)]
+    if only:
+        # ADVICE r16: a typo'd subset name used to vanish silently
+        # (n=0, failures=0 — indistinguishable from a clean pass)
+        unknown = sorted(set(only) - set(REPLAYS))
+        if unknown:
+            print(f"ERROR: unknown replay name(s): {unknown} "
+                  f"(not in REPLAYS)", file=sys.stderr)
+            sys.exit(2)
+        replays = {k: REPLAYS[k] for k in only}
+    else:
+        replays = REPLAYS
     spark = get_spark(app_name="pandas-witness")
     qs = entry_mod.queries()
     results, fails = {}, 0
-    replays = ({k: REPLAYS[k] for k in only if k in REPLAYS}
-               if only else REPLAYS)
     for name, replay in replays.items():
         try:
             got = _canon(qs[name](spark, sf_dir).toPandas())
@@ -5430,10 +5439,12 @@ def main():
     spark.stop()
     doc = {"sf_dir": sf_dir, "engine": "pandas/numpy replay",
            "n": len(replays), "failures": fails,
+           # a subset run must not read as full coverage (ADVICE r16)
+           "subset": sorted(replays) if only else None,
            "coverage": {
-               "replayed": len(REPLAYS),
+               "replayed": len(replays),
                "registry": len(qs),
-               "excluded": sorted(set(qs) - set(REPLAYS)),
+               "excluded": sorted(set(qs) - set(replays)),
                "bounds_mode": sorted(BOUNDS_MODE),
                "bounds_mode_rationale":
                    "The four approx-sketch gates emit exact anchors "
