@@ -4694,68 +4694,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_correctness.py runs ALL entries locally each round
     # (ADVICE r3: never depend on the driver window size).
     return {
-
-        # --- r16 driver window: the staged BENCH_FULL next_window
-        #     list applied verbatim (VERDICT r15 #1).
-        #     sim_ivf_incremental first (never driver-checked), then
-        #     the 38 r9-vintage queries, then r10s to fill 50 — after
-        #     this round no registry query's latest driver row is
-        #     older than r10. Ordering generated by
-        #     tools/staleness.py; positions 51+ stay
-        #     staleness-ascending so the next rotation is again a
-        #     pure front-slice. tools/check_correctness.py runs ALL
-        #     entries locally every round. ---
-        "sim_ivf_incremental": q_sim_ivf_incremental,
-        "decontam_bloom": q_decontam_bloom,
-        "dedup_images": q_dedup_images,
-        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
-        "dedup_keep_best": q_dedup_keep_best,
-        "dedup_semantic": q_dedup_semantic,
-        "embedding_kmeans": q_embedding_kmeans,
-        "er_jaro_winkler": q_er_jaro_winkler,
-        "events_anomaly_mad": q_events_anomaly_mad,
-        "events_asof_join": q_events_asof_join,
-        "events_asof_nearest": q_events_asof_nearest,
-        "events_attribution": q_events_attribution,
-        "events_attribution_linear": q_events_attribution_linear,
-        "events_cohort_retention": q_events_cohort_retention,
-        "events_ewm": q_events_ewm,
-        "events_merge_asof": q_events_merge_asof,
-        "events_props_typed": q_events_props_typed,
-        "group_topk": q_group_topk,
-        "heavy_hitters_cms": q_heavy_hitters_cms,
-        "impute_median": q_impute_median,
-        "leakage_safe_split": q_leakage_safe_split,
-        "mixture_sample": q_mixture_sample,
-        "multimodal_audiohash": q_multimodal_audiohash,
-        "multimodal_dhash": q_multimodal_dhash,
-        "multimodal_png": q_multimodal_png,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_video_dhash": q_multimodal_video_dhash,
-        "multimodal_wav": q_multimodal_wav,
-        "negative_sample": q_negative_sample,
-        "quality_quantile_keep": q_quality_quantile_keep,
-        "rollup_incremental": q_rollup_incremental,
-        "scd2_history": q_scd2_history,
-        "source_csv_malformed": q_source_csv_malformed,
-        "source_schema_evolution": q_source_schema_evolution,
-        "standard_scale": q_standard_scale,
-        "streaming_cdc_apply": q_streaming_cdc_apply,
-        "target_encode": q_target_encode,
-        "target_encode_loo": q_target_encode_loo,
-        "unpivot": q_unpivot,
-        "embedding_drift": q_embedding_drift,
-        "embedding_pca": q_embedding_pca,
-        "embedding_pca_incremental": q_embedding_pca_incremental,
-        "events_basket_rules": q_events_basket_rules,
-        "events_top_paths": q_events_top_paths,
-        "group_topk_incremental": q_group_topk_incremental,
-        "grouping_sets": q_grouping_sets,
-        "join_salted": q_join_salted,
-        "keyword_topk": q_keyword_topk,
-        "locf_fill": q_locf_fill,
-        "markov_transitions": q_markov_transitions,
-        # --- positions 51+: fresher greens, staleness-ascending ---
+        # --- r17 driver window: the staged BENCH_FULL next_window
+        #     list (r16 sweep) applied verbatim (VERDICT r16 #4):
+        #     the 23 r10-vintage queries then r11s to fill 50 —
+        #     after this round no registry query's latest driver
+        #     row is older than r11. Positions 51+ stay
+        #     staleness-ascending (tools/staleness.py) so the next
+        #     rotation is again a pure front-slice.
+        #     tools/check_correctness.py runs ALL entries locally
+        #     every round. ---
         "purged_kfold": q_purged_kfold,
         "quality_kappa": q_quality_kappa,
         "source_concentration": q_source_concentration,
@@ -4806,6 +4753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_right_anti": q_join_right_anti,
         "join_right_semi": q_join_right_semi,
         "multimodal_decode": q_multimodal_decode,
+        # --- positions 51+: fresher greens, staleness-ascending ---
         "multimodal_frames": q_multimodal_frames,
         "multimodal_meta": q_multimodal_meta,
         "sample_hash": q_sample_hash,
@@ -4948,6 +4896,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "window_lag": q_window_lag,
         "window_rolling": q_window_rolling,
+        "decontam_bloom": q_decontam_bloom,
+        "dedup_images": q_dedup_images,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        "dedup_keep_best": q_dedup_keep_best,
+        "dedup_semantic": q_dedup_semantic,
+        "embedding_drift": q_embedding_drift,
+        "embedding_kmeans": q_embedding_kmeans,
+        "embedding_pca": q_embedding_pca,
+        "embedding_pca_incremental": q_embedding_pca_incremental,
+        "er_jaro_winkler": q_er_jaro_winkler,
+        "events_anomaly_mad": q_events_anomaly_mad,
+        "events_asof_join": q_events_asof_join,
+        "events_asof_nearest": q_events_asof_nearest,
+        "events_attribution": q_events_attribution,
+        "events_attribution_linear": q_events_attribution_linear,
+        "events_basket_rules": q_events_basket_rules,
+        "events_cohort_retention": q_events_cohort_retention,
+        "events_ewm": q_events_ewm,
+        "events_merge_asof": q_events_merge_asof,
+        "events_props_typed": q_events_props_typed,
+        "events_top_paths": q_events_top_paths,
+        "group_topk": q_group_topk,
+        "group_topk_incremental": q_group_topk_incremental,
+        "grouping_sets": q_grouping_sets,
+        "heavy_hitters_cms": q_heavy_hitters_cms,
+        "impute_median": q_impute_median,
+        "join_salted": q_join_salted,
+        "keyword_topk": q_keyword_topk,
+        "leakage_safe_split": q_leakage_safe_split,
+        "locf_fill": q_locf_fill,
+        "markov_transitions": q_markov_transitions,
+        "mixture_sample": q_mixture_sample,
+        "multimodal_audiohash": q_multimodal_audiohash,
+        "multimodal_dhash": q_multimodal_dhash,
+        "multimodal_png": q_multimodal_png,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_video_dhash": q_multimodal_video_dhash,
+        "multimodal_wav": q_multimodal_wav,
+        "negative_sample": q_negative_sample,
+        "quality_quantile_keep": q_quality_quantile_keep,
+        "rollup_incremental": q_rollup_incremental,
+        "scd2_history": q_scd2_history,
+        "sim_ivf_incremental": q_sim_ivf_incremental,
+        "source_csv_malformed": q_source_csv_malformed,
+        "source_schema_evolution": q_source_schema_evolution,
+        "standard_scale": q_standard_scale,
+        "streaming_cdc_apply": q_streaming_cdc_apply,
+        "target_encode": q_target_encode,
+        "target_encode_loo": q_target_encode_loo,
+        "unpivot": q_unpivot,
     }
 
 
