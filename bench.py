@@ -1467,12 +1467,37 @@ def run_streaming_block(spark, sf_dir: str) -> dict:
     out = {}
     for name in STREAMING_NAMES:
         t0 = time.time()
+        legs: dict = {}
         try:
-            df = qs[name](spark, sf_dir)
+            if name == "streaming_dedup_neardup":
+                # VERDICT r16 #1a: the recall-witness oracle's exact
+                # cross_corpus_pairs truth join is ~40% of this
+                # query's wall-clock and is NOT engine work — the
+                # recorded figure is the ENGINE leg (index write +
+                # 2-batch drain + sink read); the oracle leg rides a
+                # sidecar entry so the split is committed, the way
+                # minhash_inc_legs splits build/probe.
+                df = entry_mod.q_streaming_dedup_neardup(
+                    spark, sf_dir, _legs=legs)
+            else:
+                df = qs[name](spark, sf_dir)
             n = len(df.toPandas())
-            out[name] = round(time.time() - t0, 4)
-            print(f"# streaming {name}: {out[name]:.2f}s drain "
-                  f"({n} rows)", file=sys.stderr)
+            total = round(time.time() - t0, 4)
+            if "engine" in legs:
+                out[name] = legs["engine"]
+                out[name + "_legs"] = {
+                    "engine": legs["engine"],
+                    "oracle_truth_join":
+                        round(total - legs["engine"], 4),
+                    "total": total}
+                print(f"# streaming {name}: {legs['engine']:.2f}s "
+                      f"engine + "
+                      f"{total - legs['engine']:.2f}s oracle truth "
+                      f"join ({n} rows)", file=sys.stderr)
+            else:
+                out[name] = total
+                print(f"# streaming {name}: {out[name]:.2f}s drain "
+                      f"({n} rows)", file=sys.stderr)
         except Exception as exc:
             out[name] = {"err": f"{type(exc).__name__}: {exc}"[:200]}
             print(f"# streaming {name}: FAILED {out[name]['err']}",

@@ -130,6 +130,23 @@ class _CheckpointHandle:
             pass  # freeing is hygiene; never fail a pipeline over it
 
 
+#: when not None, every tracked_local_checkpoint captures the
+#: PRE-checkpoint plan's facts here (VERDICT r16 #6): an eager
+#: checkpoint executes its subtree's scans before the final plan is
+#: ever audited, so a checkpoint-fronted query used to show empty
+#: scan_widths / zero pushed_filters — pushdown asserted in prose,
+#: not measured. tools/plan_audit.py flips this on around each query.
+_PRE_CHECKPOINT_AUDIT: list | None = None
+
+
+def capture_pre_checkpoint_plans(on: bool) -> list:
+    """Enable/disable pre-checkpoint plan capture; returns the live
+    capture list (audit tooling reads it after running a query)."""
+    global _PRE_CHECKPOINT_AUDIT
+    _PRE_CHECKPOINT_AUDIT = [] if on else None
+    return _PRE_CHECKPOINT_AUDIT if on else []
+
+
 def tracked_local_checkpoint(df: SparkDF):
     """Eager ``localCheckpoint`` that also returns a
     :class:`_CheckpointHandle` for its storage blocks, so producers
@@ -152,6 +169,12 @@ def tracked_local_checkpoint(df: SparkDF):
             out.append(it.next())
         return set(out)
 
+    if _PRE_CHECKPOINT_AUDIT is not None:
+        from ..plans.explain import plan_report
+        try:  # side-effect-free (no execute) — audit mode only
+            _PRE_CHECKPOINT_AUDIT.append(plan_report(df))
+        except Exception:
+            pass
     before = _ids()
     cp = df.localCheckpoint()
     return cp, _CheckpointHandle(sc, _ids() - before)
@@ -1206,9 +1229,15 @@ def _jaccard_prefix_parts(
     positional_filter: bool,
 ):
     """Shared candidate stage of the prefix-filtered AllPairs join:
-    returns ``(terms, sizes, cand)`` with ``terms`` PERSISTED (the
-    caller owns release). Candidates carry two additional LOSSLESS
-    prunes from the published algorithms, both evaluated inside the
+    returns ``(terms, cand)`` with ``terms`` PERSISTED (the caller
+    owns release) and ``cand`` carrying the two set sizes as
+    ``__sa``/``__sb`` (functionally dependent on the pair, so the
+    distinct's cardinality is unchanged — r17: riding them through
+    the candidate join removes the separate per-doc sizes aggregate
+    AND the two pair-keyed size joins the verify stage used to pay;
+    the set size is computed in the SAME window exchange as the
+    prefix rank). Candidates carry two additional LOSSLESS prunes
+    from the published algorithms, both evaluated inside the
     candidate join (they cut the pair stream before the distinct and
     before any verification I/O):
 
@@ -1230,13 +1259,16 @@ def _jaccard_prefix_parts(
                        F.explode(tok).alias("term"))
                .where(F.col("term") != "")
                .persist())
-    sizes = terms.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy("doc").orderBy(F.col("__df").asc(),
                                           F.col("term").asc())
+    # sz rides the SAME doc-partitioned exchange as the prefix rank
+    # (an unbounded-frame count adds a Window node, not a shuffle) —
+    # replacing the old groupBy(doc) sizes aggregate + join
     ranked = (terms.join(dfreq.hint("shuffle_hash"), "term")
                    .withColumn("__rn", F.row_number().over(w))
-                   .join(sizes, "doc"))
+                   .withColumn("sz", F.count(F.lit(1)).over(
+                       Window.partitionBy("doc"))))
     prefix_len = (F.col("sz")
                   - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
     prefix = ranked.where(F.col("__rn") <= prefix_len) \
@@ -1269,9 +1301,11 @@ def _jaccard_prefix_parts(
         conds.append(ubound >= alpha)
     cand = (a.join(b, on=conds)
              .select(F.col("a.doc").alias("doc_a"),
-                     F.col("b.doc").alias("doc_b"))
+                     F.col("b.doc").alias("doc_b"),
+                     F.col("a.sz").alias("__sa"),
+                     F.col("b.sz").alias("__sb"))
              .distinct())
-    return terms, sizes, cand
+    return terms, cand
 
 
 def jaccard_prefix_candidates(
@@ -1287,9 +1321,10 @@ def jaccard_prefix_candidates(
     exact verification — exposed so the filters' selectivity is
     observable (and pytest-witnessed: disabling a lossless filter
     may only ADD candidates, never change the verified output)."""
-    terms, _, cand = _jaccard_prefix_parts(
+    terms, cand = _jaccard_prefix_parts(
         df, text_col, id_col, threshold, shingle_n,
         length_filter, positional_filter)
+    cand = cand.select("doc_a", "doc_b")
     cand._cps_persisted = [terms]  # see release()
     return cand
 
@@ -1324,16 +1359,19 @@ def jaccard_pairs_prefix(
     index (and its candidate fan-out) shrinks ~5x before any
     verification work happens.
 
-    Shuffles: term-set agg, df agg, per-doc prefix window (keyed by
-    doc — parallelism grows with docs), prefix self-join on term,
-    verify joins keyed on doc. Output: (doc_a, doc_b, jacc) with
-    jacc floor-scaled (exact int/int division both engines).
+    Shuffles: df agg, per-doc prefix window (keyed by doc —
+    parallelism grows with docs; the set size is computed in the
+    same exchange as the rank), prefix self-join on term, verify
+    explode-joins keyed on doc + the pair groupBy (sizes ride the
+    candidate rows — no pair-keyed size joins). Output:
+    (doc_a, doc_b, jacc) with jacc floor-scaled (exact int/int
+    division both engines).
 
     ``shingle_n`` switches the set elements from distinct words to
     distinct word n-grams — far more distinctive on small
     vocabularies and the usual choice for near-dup detection.
     """
-    terms, sizes, cand = _jaccard_prefix_parts(
+    terms, cand = _jaccard_prefix_parts(
         df, text_col, id_col, threshold, shingle_n,
         length_filter=True, positional_filter=True)
     # verify via the exploded postings join (candidates ⋈ terms per
@@ -1353,17 +1391,19 @@ def jaccard_pairs_prefix(
                       F.col("term").alias("__ta"))
     tb = terms.select(F.col("doc").alias("doc_b"),
                       F.col("term").alias("__tb"))
+    # the pair's set sizes ride cand (16 B/row on the exploded join —
+    # cheaper at every scale than the two pair-keyed size joins this
+    # stage used to pay; the explode shuffle is dominated by the
+    # term strings either way)
     inter = (cand.join(ta, "doc_a")
                  .join(tb.withColumnRenamed("doc_b", "__db"),
                        on=[F.col("doc_b") == F.col("__db"),
                            F.col("__ta") == F.col("__tb")])
                  .groupBy("doc_a", "doc_b")
-                 .agg(F.count(F.lit(1)).alias("__inter")))
+                 .agg(F.count(F.lit(1)).alias("__inter"),
+                      F.first("__sa").alias("__sa"),
+                      F.first("__sb").alias("__sb")))
     out = (inter
-           .join(sizes.select(F.col("doc").alias("doc_a"),
-                              F.col("sz").alias("__sa")), "doc_a")
-           .join(sizes.select(F.col("doc").alias("doc_b"),
-                              F.col("sz").alias("__sb")), "doc_b")
            .withColumn("__j",
                        F.col("__inter").cast("double")
                        / (F.col("__sa") + F.col("__sb")

@@ -205,8 +205,8 @@ def r_graph_pagerank(sf_dir):
     li = _read(sf_dir, "lineitem")[["l_orderkey", "l_suppkey"]]
     o = _read(sf_dir, "orders")[["o_orderkey", "o_custkey"]]
     j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
-    c = "c" + j["o_custkey"].astype(str)
-    s = "s" + j["l_suppkey"].astype(str)
+    c = (j["o_custkey"].astype(np.int64) * 2)
+    s = (j["l_suppkey"].astype(np.int64) * 2 + 1)
     fwd = pd.DataFrame({"src": c, "dst": s})
     e = (pd.concat([fwd, fwd.rename(columns={"src": "dst",
                                              "dst": "src"})])

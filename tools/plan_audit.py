@@ -43,7 +43,8 @@ def audit(spark, names=None) -> dict:
     """Run the live plan audit for ``names`` (default: all registry
     queries); returns {query: plan-fact dict}."""
     import __spark_entry__ as entry_mod
-    from charmpandas_spark.functions.dedup import release
+    from charmpandas_spark.functions.dedup import (
+        capture_pre_checkpoint_plans, release)
     from charmpandas_spark.plans.explain import plan_report
 
     out = {}
@@ -51,21 +52,47 @@ def audit(spark, names=None) -> dict:
         if names and name not in names:
             continue
         try:
+            # VERDICT r16 #6: an eager localCheckpoint executes its
+            # subtree (scans included) BEFORE the final plan exists,
+            # so checkpoint-fronted queries audited with empty
+            # scan_widths / 0 pushed_filters. Capture each
+            # pre-checkpoint plan as the query runs and fold its
+            # scans/pushdown into the query's facts — measured again,
+            # not asserted in a drift note.
+            captured = capture_pre_checkpoint_plans(True)
             df = fn(spark, SF_DIR)
             # execute: finalizes AQE plans so codegen counts are the
             # real ones (sf0.01 here — cheap); the audit is explicitly
             # a query-running diagnostic
             r = plan_report(df, execute_for_codegen=True)
             release(df)
-            out[name] = {
+            facts = {
                 "exchanges": r["exchanges"],
                 "codegen_stages": r["codegen_stages"],
                 "scan_widths": [len(c) for c in r["scan_columns"]],
                 "joins": r["joins"],
                 "pushed_filters": len(r["pushed_filters"]),
             }
+            if captured:
+                # scans/pushdown of the checkpointed subtrees belong
+                # to the query; exchanges stay final-plan (that is
+                # what the contracts pin) and ride a sidecar
+                for pre in captured:
+                    facts["scan_widths"] += [
+                        len(c) for c in pre["scan_columns"]]
+                    facts["pushed_filters"] += len(
+                        pre["pushed_filters"])
+                facts["pre_checkpoint"] = {
+                    "segments": len(captured),
+                    "exchanges": [p["exchanges"] for p in captured],
+                    "joins": sorted({j for p in captured
+                                     for j in p["joins"]}),
+                }
+            out[name] = facts
         except Exception as e:
             out[name] = {"error": str(e)[:200]}
+        finally:
+            capture_pre_checkpoint_plans(False)
     return out
 
 

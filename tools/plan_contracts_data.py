@@ -19,7 +19,11 @@ CONTRACTS = {
     "sim_bm25": (18, 1, 2),
     "dedup_clusters": (2, 0, 2),
     "graph_pagerank": (34, 0, 2),
-    "dedup_jaccard_prefix": (20, 0, 2),
+    # re-pinned r17 after the candidate-stage rewrite (set size
+    # computed in the prefix-rank window exchange; sizes ride the
+    # candidate rows instead of two pair-keyed verify joins): live
+    # audit 20 -> 12 static exchanges, solo floor 5.1 -> ~2.8 s sf0.1
+    "dedup_jaccard_prefix": (12, 0, 2),
     "dedup_minhash_incremental": (29, 2, 4),
     "dedup_semantic": (2, 2, 2),
     "er_jaro_winkler": (2, 0, 2),
