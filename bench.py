@@ -1449,8 +1449,9 @@ STREAMING_NAMES = [
     "streaming_static_join", "streaming_cdc_apply",
     "streaming_late_data", "streaming_group_topk",
     # r15: foreachBatch near-dup-at-ingestion over the persisted LSH
-    # index — index build + 2-batch drain + the truth-set join all in
-    # one number (the recall-witness oracle needs the truth set)
+    # index. r17 (VERDICT r16 #1a): the recorded figure is the ENGINE
+    # leg (index build + 2-batch drain + sink read); the exact
+    # truth-join the recall oracle needs rides the _legs sidecar.
     "streaming_dedup_neardup",
 ]
 
