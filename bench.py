@@ -446,7 +446,9 @@ SF1_QUERIES = {
     # table, so the 10x orders densify the bipartite graph instead of
     # growing the node set; 3 iterations over the denser edge list is
     # the honest iterative-scaling witness.
-    "graph_pagerank": 6.7,
+    # r17 re-base (int64 node ids — custkey*2/suppkey*2+1 replace
+    # string keys in every exchange): min-of-3 idle-start 5.25
+    "graph_pagerank": 5.3,
     "quality_lm_score": 4.6,
     "decontam_ngrams": 2.7,
     # r8 (VERDICT r7 #6): the heavy r7 analytics ops join the probe.
@@ -458,7 +460,10 @@ SF1_QUERIES = {
     # r9 solo re-measure: 16.9-20.3 s across sweep + 2 idle-host solo
     # runs — the ~13 s figure was a best-case; re-based to the
     # repeatable floor
-    "dedup_jaccard_prefix": 16.5,
+    # r17 re-base (fused candidate stage: sz in the prefix-rank
+    # window exchange, sizes ride the candidate rows): min-of-3
+    # idle-start 12.1
+    "dedup_jaccard_prefix": 12.1,
     "sim_bm25": 8.5,
     "hybrid_rrf3": 4.3,
     # r13 re-base (one-buffer array percentile): 2.02 / 1.85 across
@@ -905,7 +910,9 @@ SF5_QUERIES = {
     # the two final sweeps
     "sim_ivfpq_topk": 8.7,
     "graph_triangles": 14.9,
-    "graph_pagerank": 12.4,
+    # r17 re-base (int64 node ids): min-of-3 idle-start 10.0 —
+    # e(sf1->sf5) 0.40 on the new floors (5.25 -> 10.0)
+    "graph_pagerank": 10.0,
     "streaming_dedup": 10.0,
     # r14 (VERDICT r13 #5): the recurring stream-stream sf5 point —
     # solo min-of-2 26.45 s (runs 37.3/26.5, load1 7.4/6.4;

@@ -78,6 +78,10 @@ def main():
         sf_dir = bench.SF1_DIR
     elif base == "bench_sf5":
         bench._ensure_sf5(bench.SF_DIR)
+        if set(names) & bench.SF5_TPCH_QUERIES:
+            bench._ensure_sf5_tpch(bench.SF_DIR)
+        if set(names) & bench.SF5_EVENTS_QUERIES:
+            bench._ensure_sf5_events(bench.SF_DIR)
         sf_dir = bench.SF5_DIR
 
     qs = entry_mod.queries()
