@@ -37,13 +37,17 @@ CONTRACTS = {
     # probe of the compacted index; the probe plan is
     # dedup_incremental's, the extra exchanges are the build legs)
     "dedup_index_compact": (18, 0, 3),
-    # r13: static counts UP 15->21 / 7->10 because the Nt/Nr side
-    # totals now re-aggregate the tcnt/rcnt subplans (duplicated in
-    # the static tree, REUSED at runtime via ReuseExchange) instead
-    # of re-counting the corpus streams — two fewer explode passes
-    # executed; solo min-of-3 dsir_select 5.84 -> 5.18 s at sf0.1
-    "dsir_select": (21, 5, 3),
-    "dsir_weights": (10, 2, 3),
+    # re-pinned r17 after the fused bucket aggregate (one
+    # conditional groupBy(f) over the checkpoint + global-window
+    # side totals replaces the r13/r16 tcnt/rcnt pair and both
+    # crossJoin-of-aggregate subtrees): dsir_weights live audit
+    # 7 -> 3 exchanges / BNLJ 2 -> 0; dsir_select's final plan is
+    # the post-checkpoint resample filter (1 exchange + the 1-row
+    # mean-broadcast BNLJ), its weight pipeline shrinks identically
+    # in the pre_checkpoint sidecar. Interleaved same-host solo A/B:
+    # weights 5.89 -> 5.08 s, select 6.24 -> 4.93 s best-of-legs.
+    "dsir_select": (1, 1, 3),
+    "dsir_weights": (3, 0, 3),
     "histogram_equidepth": (2, 1, 1),
     "dedup_keep_best": (3, 0, 2),
     "leakage_safe_split": (9, 1, 1),
