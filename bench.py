@@ -43,6 +43,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: committed-median baseline anchor (rounds 13-16, anchor code
+#: unchanged since r10) — the reference point the sweep-total
+#: normalization divides by (VERDICT r17 #4). Re-pin only if the
+#: anchor workload itself ever changes.
+ANCHOR_REF_SEC = 1.63
+
 from charmpandas_spark.functions.dedup import release  # noqa: E402
 
 
@@ -1950,6 +1956,35 @@ def main():
             except Exception as exc:
                 print(f"# baseline anchor failed: {exc}",
                       file=sys.stderr)
+    # VERDICT r17 #4: anchor-normalized sweep-total protocol. Host
+    # drift kept invalidating the raw-total target (r17: 292.3 s raw
+    # vs the <=265 s bar on a host measured 1.15x slower on untouched
+    # queries), so the committed artifact now carries BOTH figures:
+    # the raw sweep total and the total divided by the baseline
+    # anchor's drift against its committed reference band. The anchor
+    # (examples/demo_join_groupby.py via run_baseline_anchor) has been
+    # code-unchanged since r10, so its ratio vs ANCHOR_REF_SEC is a
+    # pure host-speed witness; ANCHOR_REF_SEC = 1.63 is the median of
+    # the committed r13-r16 anchors (1.595 / 1.712 / 1.601 / 1.658).
+    # The target restated in normalized form: <=265 s at ratio 1.0.
+    sweep_total = round(sum(
+        _sec(v) for v in timings.values()
+        if isinstance(_sec(v), (int, float))), 2)
+    result["sweep_total_sec"] = sweep_total
+    print(f"# sweep total (raw, {len(timings)} entries): "
+          f"{sweep_total}s", file=sys.stderr)
+    if isinstance(result.get("baseline_anchor_sec"), (int, float)):
+        anchor_ratio = round(
+            result["baseline_anchor_sec"] / ANCHOR_REF_SEC, 3)
+        result["anchor_ratio_vs_ref"] = anchor_ratio
+        if anchor_ratio > 0:
+            result["sweep_total_anchor_normalized_sec"] = round(
+                sweep_total / anchor_ratio, 2)
+            print(f"# sweep total anchor-normalized: "
+                  f"{result['sweep_total_anchor_normalized_sec']}s "
+                  f"(anchor {result['baseline_anchor_sec']}s / ref "
+                  f"{ANCHOR_REF_SEC}s = {anchor_ratio}x host)",
+                  file=sys.stderr)
     # The driver captures the TAIL of the MERGED stdout+stderr
     # (~2.2 kB; r4 lost the line to stdout truncation, r12 lost it to
     # the staleness block printing AFTER it on stderr — the merged

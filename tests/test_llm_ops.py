@@ -1872,6 +1872,51 @@ def test_dsir_split_form_bit_identical_to_two_filter_form(spark):
     assert kept_got == kept_ref
 
 
+def test_dsir_weights_nt_includes_target_only_buckets(spark):
+    """Direct Nt/Nr-semantics guard (ADVICE r17): the fused
+    bucket-count back half must count TARGET-ONLY buckets toward the
+    target total Nt (they carry no raw count, so they vanish from the
+    output rows — but not from the denominator). The split-vs-two-
+    filter bit-identity test can no longer catch a bug common to both
+    forms since they share ``_weights_from_bucket_counts``; this one
+    recomputes the expected weights in plain Python from the bucket
+    counts, so a regression (e.g. the isNotNull filter moving above
+    the window totals) fails here independently of the DuckDB twin."""
+    from charmpandas_spark.functions.dsir import (_MICRO, _feats,
+                                                  dsir_weights)
+
+    B = 64
+    tgt = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id bigint, text string")
+    raw = spark.createDataFrame(
+        [(10, "alpha beta gamma delta"),
+         (11, "omega psi chi phi upsilon tau")],
+        "doc_id bigint, text string")
+    tf = _feats(tgt, "text", "doc_id", 2, B, "xxhash64").toPandas()
+    rf = _feats(raw, "text", "doc_id", 2, B, "xxhash64").toPandas()
+    nt = tf.groupby("f").size()
+    nr = rf.groupby("f").size()
+    # the fixture must actually exercise the hazard: >= 1 bucket that
+    # only the target populates
+    assert set(nt.index) - set(nr.index)
+    Nt, Nr = int(nt.sum()), int(nr.sum())
+    ratio = {}
+    for f in nr.index:
+        pt = (int(nt.get(f, 0)) + 1) * _MICRO // (Nt + B) + 1
+        pr = (int(nr[f]) + 1) * _MICRO // (Nr + B) + 1
+        ratio[f] = pt * _MICRO // pr
+    expected = {}
+    for doc, g in rf.groupby("doc"):
+        cs = g.groupby("f").size()
+        num = sum(int(c) * ratio[f] for f, c in cs.items())
+        expected[int(doc)] = (int(cs.sum()), num // int(cs.sum()))
+    got = {r["doc"]: (r["n_ngrams"], r["weight_micro"]) for r in
+           dsir_weights(raw, tgt, "text", "doc_id", n=2,
+                        num_buckets=B).collect()}
+    assert got == expected
+
+
 def test_media_dhash_duplicate_and_near_duplicate(spark):
     """dHash through the PNG codec: identical images hash identically,
     a small text edit stays within a few Hamming bits, an unrelated

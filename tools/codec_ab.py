@@ -61,6 +61,15 @@ def main() -> None:
         i = argv.index("--codecs")
         codecs = argv[i + 1].split(","); del argv[i:i + 2]
     names = argv
+    # fail fast (ADVICE r17): runs < 1 would leave every per-query
+    # min() empty and the ratio block below would blow up only AFTER
+    # the expensive legs already ran
+    if runs < 1:
+        print("codec_ab: --runs must be >= 1", file=sys.stderr)
+        sys.exit(2)
+    if not names:
+        print("codec_ab: no query names given", file=sys.stderr)
+        sys.exit(2)
     import __spark_entry__ as entry_mod
     from charmpandas_spark.functions.dedup import release
     from charmpandas_spark.session import get_spark
@@ -97,9 +106,12 @@ def main() -> None:
         spark.stop()
         time.sleep(3)
     base = codecs[0]
+    # guard the division (ADVICE r17): a degenerate 0.0 s min (e.g. a
+    # sub-ms query rounding down) must not crash after the legs ran
     result["ratio_vs_" + base] = {
         c: {n: round(result["codecs"][c]["queries"][n]["min"]
-                     / result["codecs"][base]["queries"][n]["min"], 3)
+                     / max(result["codecs"][base]["queries"][n]["min"],
+                           1e-4), 3)
             for n in names}
         for c in codecs[1:]}
     if out_path:

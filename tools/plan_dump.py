@@ -50,16 +50,22 @@ def main() -> None:
             print(f"# {name}: NOT IN REGISTRY", file=sys.stderr)
             rc = 1
             continue
+        df = None
         try:
             df = qs[name](spark, SF_DIR)
             sdf = getattr(df, "sdf", df)
             text = plan_string(sdf, "formatted")
-            release(df)
         except Exception as exc:  # noqa: BLE001
             print(f"# {name}: FAILED {type(exc).__name__}: {exc}",
                   file=sys.stderr)
             rc = 1
             continue
+        finally:
+            # release even on plan-string failure (ADVICE r17): a
+            # constructed df may hold tracked localCheckpoint blocks,
+            # which would otherwise leak for the rest of the dump run
+            if df is not None:
+                release(df)
         path = os.path.join(args.out, f"{name}_{args.suffix}.txt")
         with open(path, "w") as fh:
             fh.write(text)
