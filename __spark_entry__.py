@@ -4017,15 +4017,22 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB unrolled-recurrence oracle. 2 shuffles per iteration, edges
     hash-partitioned once and never moved again.
 
-    Node ids are INT64 (customer = custkey*2, supplier = suppkey*2+1
-    — disjoint by parity), not 'c123'/'s45' strings (r17): every
-    shuffle in the pipeline keys on node id, and long keys
-    hash/compare/ship fast where string keys paid codegen + UTF-8
-    comparisons on every exchange (~20% off the solo floor at
-    sf0.1). A pre-union pair distinct was measured and rejected:
-    pagerank's own edge distinct does the same dedup in one pass,
-    and the extra exchange inlines per-consumer into the static
-    plan (34 -> 62 nodes) for zero warm-time gain."""
+    Node ids are INT64 *inside the loop* (customer = custkey*2,
+    supplier = suppkey*2+1 — disjoint by parity, r17): every shuffle
+    in the rank loop keys on node id, and long keys hash/compare/ship
+    fast where string keys paid codegen + UTF-8 comparisons on every
+    exchange (~20% off the solo floor at sf0.1; same-host A/B
+    10.91 -> 8.45s, HOST_AB_r17.json). The DECLARED output keeps the
+    round-16 'c123'/'s45' string ids via ONE post-loop projection
+    over the |nodes|-row result (VERDICT r17 #1: an optimization
+    round must not change what a declared query computes; the
+    relabeling is bijective by parity, so the projection is O(|nodes|)
+    and every in-loop exchange still keys on bigint — see
+    plans/r18/graph_pagerank_after.txt). A pre-union pair distinct
+    was measured and rejected in r17: pagerank's own edge distinct
+    does the same dedup in one pass, and the extra exchange inlines
+    per-consumer into the static plan (34 -> 62 nodes) for zero
+    warm-time gain."""
     from charmpandas_spark.operators.pagerank import pagerank
     li = _t(spark, sf_dir, "lineitem").sdf
     o = _t(spark, sf_dir, "orders").sdf
@@ -4036,7 +4043,18 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("s").alias("dst"))
                   .union(pairs.select(F.col("s").alias("src"),
                                       F.col("c").alias("dst"))))
-    return pagerank(edges, iterations=3)
+    ranks = pagerank(edges, iterations=3)
+    out = ranks.select(
+        F.when(F.col("node") % 2 == 0,
+               F.concat(F.lit("c"),
+                        F.expr("CAST(node DIV 2 AS STRING)")))
+         .otherwise(F.concat(F.lit("s"),
+                             F.expr("CAST((node - 1) DIV 2 AS STRING)")))
+         .alias("node"),
+        "rank_micro")
+    # keep the loop's persisted handles reachable for release()
+    out._cps_persisted = getattr(ranks, "_cps_persisted", ())
+    return out
 
 
 _CURATION_RULES_SQL = {
@@ -4718,66 +4736,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_correctness.py runs ALL entries locally each round
     # (ADVICE r3: never depend on the driver window size).
     return {
-        # --- r17 driver window: the staged BENCH_FULL next_window
-        #     list (r16 sweep) applied verbatim (VERDICT r16 #4):
-        #     the 23 r10-vintage queries then r11s to fill 50 —
-        #     after this round no registry query's latest driver
-        #     row is older than r11. Positions 51+ stay
-        #     staleness-ascending (tools/staleness.py) so the next
-        #     rotation is again a pure front-slice.
-        #     tools/check_correctness.py runs ALL entries locally
-        #     every round. ---
-        "purged_kfold": q_purged_kfold,
-        "quality_kappa": q_quality_kappa,
-        "source_concentration": q_source_concentration,
-        "source_text_lines": q_source_text_lines,
-        "streaming_group_topk": q_streaming_group_topk,
-        "streaming_late_data": q_streaming_late_data,
-        "temporal_split": q_temporal_split,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q7": q_tpch_q7,
-        "vocab_oov": q_vocab_oov,
-        "weighted_sample": q_weighted_sample,
-        "window_ntile": q_window_ntile,
-        "winsorize_value": q_winsorize_value,
-        "case_when": q_case_when,
+        # --- r18 driver window (VERDICT r17 #2): every query a
+        #     round-17 or round-18 code change touched rotates IN
+        #     (pagerank / jaccard-prefix / dsir pair / streaming
+        #     neardup from r17; the banded-index funnel, bloom-
+        #     probe and fusion queries from r18), then the staged
+        #     staleness-ascending next_window (BENCH_FULL r17)
+        #     fills to 50. Positions 51+ stay staleness-ascending
+        #     so the next rotation is again a pure front-slice
+        #     (tools/staleness.py). tools/check_correctness.py
+        #     runs ALL entries locally every round (ADVICE r3). ---
+        "graph_pagerank": q_graph_pagerank,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
+        "streaming_dedup_neardup": q_streaming_dedup_neardup,
+        "dedup_minhash_incremental": q_dedup_minhash_incremental,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_index_compact": q_dedup_index_compact,
+        "decontam_bloom": q_decontam_bloom,
+        "text_token_drift": q_text_token_drift,
         "chi2_source_terms": q_chi2_source_terms,
-        "classifier_calibration": q_classifier_calibration,
-        "curation_pipeline": q_curation_pipeline,
-        "dataset_split": q_dataset_split,
-        "datetime_parts": q_datetime_parts,
-        "dedup_corpus": q_dedup_corpus,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "dedup_simhash": q_dedup_simhash,
-        "distinct": q_distinct,
-        "events_anomaly_seasonal": q_events_anomaly_seasonal,
-        "events_changepoint": q_events_changepoint,
-        "events_histogram": q_events_histogram,
-        "events_interval_join": q_events_interval_join,
-        "events_seasonal": q_events_seasonal,
-        "events_sliding_window": q_events_sliding_window,
-        "events_window": q_events_window,
-        "except": q_except,
-        "intersect": q_intersect,
-        "join_left": q_join_left,
-        "join_left_anti": q_join_left_anti,
-        "join_left_semi": q_join_left_semi,
-        "join_multikey": q_join_multikey,
-        "join_right": q_join_right,
-        "join_right_anti": q_join_right_anti,
-        "join_right_semi": q_join_right_semi,
-        "multimodal_decode": q_multimodal_decode,
-        # --- positions 51+: fresher greens, staleness-ascending ---
+        "text_tfidf": q_text_tfidf,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_fast": q_dedup_minhash_fast,
+        # --- staged staleness-ascending fill to 50 ---
         "multimodal_frames": q_multimodal_frames,
         "multimodal_meta": q_multimodal_meta,
         "sample_hash": q_sample_hash,
@@ -4813,6 +4797,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_bmp": q_multimodal_bmp,
         "multimodal_jpeg": q_multimodal_jpeg,
         "pii_scan": q_pii_scan,
+        # --- positions 51+: fresher greens, staleness-ascending ---
+        "purged_kfold": q_purged_kfold,
+        "quality_kappa": q_quality_kappa,
+        "source_concentration": q_source_concentration,
+        "source_text_lines": q_source_text_lines,
+        "streaming_group_topk": q_streaming_group_topk,
+        "streaming_late_data": q_streaming_late_data,
+        "temporal_split": q_temporal_split,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q7": q_tpch_q7,
+        "vocab_oov": q_vocab_oov,
+        "weighted_sample": q_weighted_sample,
+        "window_ntile": q_window_ntile,
+        "winsorize_value": q_winsorize_value,
+        "case_when": q_case_when,
+        "classifier_calibration": q_classifier_calibration,
+        "curation_pipeline": q_curation_pipeline,
+        "dataset_split": q_dataset_split,
+        "datetime_parts": q_datetime_parts,
+        "dedup_corpus": q_dedup_corpus,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_simhash": q_dedup_simhash,
+        "distinct": q_distinct,
+        "events_anomaly_seasonal": q_events_anomaly_seasonal,
+        "events_changepoint": q_events_changepoint,
+        "events_histogram": q_events_histogram,
+        "events_interval_join": q_events_interval_join,
+        "events_seasonal": q_events_seasonal,
+        "events_sliding_window": q_events_sliding_window,
+        "events_window": q_events_window,
+        "except": q_except,
+        "intersect": q_intersect,
+        "join_left": q_join_left,
+        "join_left_anti": q_join_left_anti,
+        "join_left_semi": q_join_left_semi,
+        "join_multikey": q_join_multikey,
+        "join_right": q_join_right,
+        "join_right_anti": q_join_right_anti,
+        "join_right_semi": q_join_right_semi,
+        "multimodal_decode": q_multimodal_decode,
         "quality_c4": q_quality_c4,
         "quality_classifier": q_quality_classifier,
         "quality_expectations": q_quality_expectations,
@@ -4826,7 +4860,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_functions": q_string_functions,
         "text_pack": q_text_pack,
         "text_pack_greedy": q_text_pack_greedy,
-        "text_tfidf": q_text_tfidf,
         "text_token_stats": q_text_token_stats,
         "text_vocab": q_text_vocab,
         "tpch_q22": q_tpch_q22,
@@ -4841,16 +4874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine_ann": q_dedup_embedding_cosine_ann,
         "dedup_embedding_leakage": q_dedup_embedding_leakage,
         "dedup_exact": q_dedup_exact,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_index_compact": q_dedup_index_compact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_minhash_fast": q_dedup_minhash_fast,
-        "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_span_removal": q_dedup_span_removal,
-        "dsir_select": q_dsir_select,
-        "dsir_weights": q_dsir_weights,
         "graph_kcore": q_graph_kcore,
         "graph_triangles": q_graph_triangles,
         "shard_assignment": q_shard_assignment,
@@ -4867,7 +4892,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokens": q_text_bpe_tokens,
         "text_line_dedup": q_text_line_dedup,
         "text_phrase_search": q_text_phrase_search,
-        "text_token_drift": q_text_token_drift,
         "url_domain_filter": q_url_domain_filter,
         "curation_funnel": q_curation_funnel,
         "audience_overlap": q_audience_overlap,
@@ -4882,7 +4906,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "filter_expr": q_filter_expr,
         "flagship_join_groupby_count": q_flagship_join_groupby_count,
-        "graph_pagerank": q_graph_pagerank,
         "groupby_bool": q_groupby_bool,
         "groupby_count": q_groupby_count,
         "groupby_cube": q_groupby_cube,
@@ -4906,7 +4929,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_csv_roundtrip": q_source_csv_roundtrip,
         "source_json_roundtrip": q_source_json_roundtrip,
         "streaming_dedup": q_streaming_dedup,
-        "streaming_dedup_neardup": q_streaming_dedup_neardup,
         "streaming_static_join": q_streaming_static_join,
         "streaming_stream_join_full": q_streaming_stream_join_full,
         "text_chunks": q_text_chunks,
@@ -4920,9 +4942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "window_lag": q_window_lag,
         "window_rolling": q_window_rolling,
-        "decontam_bloom": q_decontam_bloom,
         "dedup_images": q_dedup_images,
-        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "dedup_keep_best": q_dedup_keep_best,
         "dedup_semantic": q_dedup_semantic,
         "embedding_drift": q_embedding_drift,
@@ -5350,7 +5370,17 @@ def oracle_sql() -> dict[str, str]:
             "documents", "doc_id", "text",
             learn_pred="source <> 'src0'",
             score_pred="source = 'src0'"),
-        "graph_pagerank": pagerank_sql(pr_edges, iterations=3),
+        # int64 node ids inside the unrolled recurrence (r17), the
+        # round-16 STRING ids restored by one outer projection
+        # (VERDICT r17 #1) — 'c'||custkey for even ids, 's'||suppkey
+        # for odd, the exact bijection the Spark query applies
+        "graph_pagerank": f"""
+            SELECT CASE WHEN node % 2 = 0
+                        THEN 'c' || CAST(node // 2 AS VARCHAR)
+                        ELSE 's' || CAST((node - 1) // 2 AS VARCHAR)
+                   END AS node,
+                   rank_micro
+            FROM ({pagerank_sql(pr_edges, iterations=3)})""",
         "embedding_quantize": quantize_embeddings_sql(
             "embeddings", "vec_id", "embedding"),
         "unpivot": """

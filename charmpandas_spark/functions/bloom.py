@@ -10,10 +10,11 @@ builds the same structure out of plain relational ops:
   ``groupBy(pos DIV 64) -> bit_or(1 << (pos % 64))`` — a partial-
   aggregable JVM-side aggregate, never more than ``m/64`` rows no
   matter how many keys went in.
-- **probe**: each candidate explodes its ``k`` positions, joins the
-  (broadcast) word table, and is a member iff EVERY position's bit is
-  set — one broadcast hash join + one ``bool_and`` groupBy; the
-  corpus side never shuffles.
+- **probe**: each candidate checks its ``k`` positions against the
+  broadcast word table with ``k`` scan-local BroadcastHashJoins and
+  is a member iff EVERY position's bit is set — the corpus side
+  never shuffles (r18; the former explode -> ``bool_and`` groupBy
+  shape paid a row-id exchange of the whole probe side).
 
 Properties the tests and the correctness gate lean on:
 
@@ -86,16 +87,51 @@ def bloom_probe(df: SparkDF, col: str, bloom: SparkDF, m_bits: int,
                 broadcast_bloom: bool = True) -> SparkDF:
     """Annotate ``df`` with ``out_col``: true iff ALL ``k`` of the
     key's bit positions are set in ``bloom`` (a :func:`bloom_build`
-    table). Guaranteed true for every key that was inserted (no false
+    table — ``word`` values must be UNIQUE, i.e. OR-merge append-only
+    deltas first, which :func:`bloom_build` and every caller already
+    do). Guaranteed true for every key that was inserted (no false
     negatives); false positives at the filter's design rate.
 
-    Plan: explode k positions, ONE broadcast (or shuffle) hash join
-    on word, ``bool_and`` back to one row per input row. The input
-    side never shuffles under broadcast; rows are carried by a
-    struct keyed by a per-row id, so arbitrary input schemas
-    (including maps, which can't be grouping keys) survive and
-    fully-duplicate input rows keep their multiplicity."""
-    b = F.broadcast(bloom) if broadcast_bloom else bloom
+    Plan (r18): under ``broadcast_bloom`` the probe is ``k``
+    BroadcastHashJoins against the word table — fully scan-local,
+    ZERO exchanges of the probe side. The previous shape (explode the
+    k positions -> one broadcast join -> groupBy(row-id) ``every``)
+    re-shuffled every probe row through the row-id aggregation, so a
+    probe over wide rows (the banded-LSH rows carry each document's
+    inlined shingle array) paid a full exchange of the payload just
+    to AND k booleans. The k joins share one broadcast
+    (ReusedExchange — identical subtree) and each costs one hash
+    lookup per row; row multiplicity and arbitrary schemas (maps
+    included — nothing is grouped) survive trivially. Membership
+    logic is unchanged bit-for-bit: same ``pmod(xxhash64(key, i),
+    m)`` positions, same null-bits handling, same AND.
+
+    With ``broadcast_bloom=False`` (a filter too big to broadcast)
+    the explode + shuffle-join + groupBy shape remains — k shuffle
+    joins would be strictly worse there."""
+    if broadcast_bloom:
+        out = df
+        hits = []
+        for i in range(k):
+            p, w, m, b = (f"__cps_p{i}", f"__cps_w{i}",
+                          f"__cps_m{i}", f"__cps_b{i}")
+            out = (out.withColumn(p, F.pmod(F.xxhash64(F.col(col),
+                                                       F.lit(i)),
+                                            F.lit(m_bits)))
+                      .withColumn(w, (F.col(p) / 64).cast("long"))
+                      .withColumn(m, F.expr(
+                          f"shiftleft(1L, cast(pmod({p}, 64) as int))"))
+                      .join(F.broadcast(
+                          bloom.select(F.col("word").alias(w),
+                                       F.col("bits").alias(b))),
+                          w, "left"))
+            hits.append(F.col(b).isNotNull()
+                        & (F.col(b).bitwiseAND(F.col(m)) != 0))
+        might = hits[0]
+        for h in hits[1:]:
+            might = might & h
+        drop = [f"__cps_{x}{i}" for i in range(k) for x in "pwmb"]
+        return out.withColumn(out_col, might).drop(*drop)
     tagged = (df.withColumn("__cps_rid", F.monotonically_increasing_id())
                 .withColumn("__cps_row", F.struct(*df.columns))
                 .withColumn("__p",
@@ -107,7 +143,7 @@ def bloom_probe(df: SparkDF, col: str, bloom: SparkDF, m_bits: int,
                                "as int))").alias("__m")))
     hit = (F.col("bits").isNotNull()
            & (F.col("bits").bitwiseAND(F.col("__m")) != 0))
-    out = (tagged.join(b, "word", "left")
+    out = (tagged.join(bloom, "word", "left")
                  .groupBy("__cps_rid")
                  .agg(F.first("__cps_row").alias("__cps_row"),
                       F.every(hit).alias(out_col)))

@@ -580,9 +580,8 @@ def _candidates_from_signatures(sig: SparkDF, num_hashes: int,
                                 bands: int) -> SparkDF:
     r = num_hashes // bands
     band_keys = [
-        F.md5(F.concat_ws(",", *[
-            F.col(f"m{b * r + i}").cast("string") for i in range(r)
-        ])).alias(f"bk{b}")
+        F.xxhash64(*[F.col(f"m{b * r + i}") for i in range(r)])
+         .alias(f"bk{b}")
         for b in range(bands)
     ]
     banded = sig.select("doc", F.posexplode(F.array(
@@ -843,18 +842,22 @@ def simhash_near_dup(
         ])).alias("block_idx", "block_val")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     a, b = blocks.alias("a"), blocks.alias("b")
-    cand = (a.join(b, on=[F.col("a.block_idx") == F.col("b.block_idx"),
-                          F.col("a.block_val") == F.col("b.block_val"),
-                          F.col("a.doc") < F.col("b.doc")])
-             .select(F.col("a.doc").alias("doc_a"),
-                     F.col("b.doc").alias("doc_b"),
-                     F.col("a.simhash").alias("sig_a"),
-                     F.col("b.simhash").alias("sig_b"))
-             .distinct())
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    out = (cand.withColumn("hamming", ham)
-               .filter(F.col("hamming") <= max_hamming)
-               .select("doc_a", "doc_b", "hamming"))
+    # Hamming verify MAP-SIDE, distinct after (r18, guide §2.3): the
+    # XOR popcount is computed straight off the block join's output
+    # and failing pairs are dropped BEFORE the dedup exchange, so the
+    # distinct carries (doc_a, doc_b, hamming) only for passing pairs
+    # instead of every multi-block candidate with both signatures.
+    # hamming is a function of the pair, so the distinct set is
+    # unchanged.
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    out = (a.join(b, on=[F.col("a.block_idx") == F.col("b.block_idx"),
+                         F.col("a.block_val") == F.col("b.block_val"),
+                         F.col("a.doc") < F.col("b.doc")])
+            .select(F.col("a.doc").alias("doc_a"),
+                    F.col("b.doc").alias("doc_b"),
+                    ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())
     out._cps_persisted = [sig, blocks]  # see release()
     return out
 
@@ -1809,16 +1812,29 @@ def _banded_rows(df: SparkDF, text_col: str, id_col: str,
                  use_chars: bool, n: int) -> SparkDF:
     """(doc, sh, band_idx, band_key): one row per (doc, band) with
     the document's shingle set inlined — the storage/probe unit of
-    the banded LSH index."""
+    the banded LSH index.
+
+    ``band_key`` is an INT64 ``xxhash64`` of the band's minhash tuple
+    (r18; guide §2.3 "narrower types"), not the former 32-char md5
+    hex string: every downstream use — the index's on-disk band
+    column, the bloom words, the band-equality join — keys on it, so
+    the long halves-plus the key bytes on every exchange and write
+    and drops two md5 evaluations per band row (the hex digest and
+    the md5-derived bucket). Candidate-set identity: two docs share a
+    band iff their r minhash values are equal, and any injective
+    re-keying preserves that exactly; a 64-bit collision can only ADD
+    a candidate, which the exact-Jaccard verify filters — output
+    unchanged algebraically (this index path always verifies;
+    ``_candidates_from_signatures`` keeps md5 keys for the
+    cross-engine-replayed raw-candidate surface)."""
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     sh = shingle_table(df, text_col, id_col, k, use_chars, n)
     sig = _signatures_from_shingles(sh, num_hashes, hash_fn)
     r = num_hashes // bands
     band_keys = [
-        F.md5(F.concat_ws(",", *[
-            F.col(f"m{b * r + i}").cast("string") for i in range(r)
-        ])).alias(f"bk{b}")
+        F.xxhash64(*[F.col(f"m{b * r + i}") for i in range(r)])
+         .alias(f"bk{b}")
         for b in range(bands)
     ]
     banded = sig.select("doc", F.posexplode(F.array(*band_keys))
@@ -1857,8 +1873,10 @@ def minhash_index_write(df: SparkDF, text_col: str, id_col: str,
 
     rows = _banded_rows(df, text_col, id_col, num_hashes, bands, k,
                         hash_fn, use_chars, n)
+    # band_key is already a uniform 64-bit hash (r18) — the bucket is
+    # its nonnegative mod directly, no second hash pass
     rows = (rows.withColumn("bucket",
-                            (hash64(F.col("band_key"), 0, "md5")
+                            (F.col("band_key")
                              % num_buckets + num_buckets) % num_buckets)
                 # pinned across the index write AND the bloom build:
                 # without it the (normalize -> shingle -> num_hashes
@@ -2020,7 +2038,7 @@ def minhash_dedup_incremental(spark, batch: SparkDF, path: str,
     brows = (_banded_rows(batch, text_col, id_col, num_hashes, bands,
                           k, hash_fn, use_chars, n)
              .withColumn("bucket",
-                         (hash64(F.col("band_key"), 0, "md5")
+                         (F.col("band_key")
                           % num_buckets + num_buckets) % num_buckets)
              .persist(StorageLevel.MEMORY_AND_DISK))
     persisted = [brows]
@@ -2057,11 +2075,20 @@ def minhash_dedup_incremental(spark, batch: SparkDF, path: str,
                                     "sh": "__sh_h"}))
         cand = (probe_rows.join(idx.hint("shuffle_hash"),
                                 ["band_idx", "band_key", "bucket"])
-                          .select("doc", "sh", "matched_doc", "__sh_h")
-                          .dropDuplicates(["doc", "matched_doc"]))
+                          .select("doc", "sh", "matched_doc", "__sh_h"))
         inter = F.size(F.array_intersect("sh", "__sh_h"))
         union = F.size(F.array_union("sh", "__sh_h"))
         jacc = inter.cast("double") / union
+        # Verify MAP-SIDE, dedup after (r18, guide §2.3 "project
+        # before the exchange"): the exact-Jaccard filter and the
+        # self-match guard run on the band join's output BEFORE the
+        # pair dedup, so the dropDuplicates exchange carries only
+        # (doc, matched_doc, jaccard) — 24 bytes — for
+        # threshold-passing pairs, instead of BOTH inlined shingle
+        # arrays for every candidate. A pair sharing several bands is
+        # verified once per shared band (same arrays -> identical
+        # jaccard, so the kept row is deterministic); that duplicate
+        # array_intersect is noise next to shuffling the arrays.
         matches = (cand.withColumn("jaccard",
                                    F.floor(jacc * 10000) / 10000)
                        .filter(F.col("jaccard") >= threshold)
@@ -2071,7 +2098,8 @@ def minhash_dedup_incremental(spark, batch: SparkDF, path: str,
                        # rows (ADVICE r15, docstring above)
                        .filter(~F.col("doc").eqNullSafe(
                            F.col("matched_doc")))
-                       .select("doc", "matched_doc", "jaccard"))
+                       .select("doc", "matched_doc", "jaccard")
+                       .dropDuplicates(["doc", "matched_doc"]))
     else:  # every band key bloom-negative: the index is never read
         doc_t = brows.schema["doc"].dataType
         matches = spark.createDataFrame([], StructType([
@@ -2079,17 +2107,40 @@ def minhash_dedup_incremental(spark, batch: SparkDF, path: str,
             StructField("matched_doc", doc_t),
             StructField("jaccard", DoubleType())]))
     if append_novel:
-        # persist matches: the novel anti-join below and the caller's
-        # sink write otherwise each execute the full probe funnel
-        # (bloom probe -> pruned index scan -> band join -> verify)
-        # once — ADVICE r15 #4.
-        matches = matches.persist(StorageLevel.MEMORY_AND_DISK)
-        persisted.append(matches)
+        # CHECKPOINT matches (r18), don't just persist it: this
+        # branch is about to APPEND to the very path matches' lineage
+        # scans, and a parquet append refreshes/invalidates every
+        # cached plan referencing that path — a later consumer (the
+        # bloom-delta recompute, the caller's sink write) would then
+        # RE-LIST the index post-append and probe the batch's OWN
+        # freshly appended band rows, surfacing intra-batch pairs the
+        # operator's contract excludes (caught by
+        # test_streaming_minhash_dedup_matches_sequential_batches
+        # when the r18 band-key change shifted materialization
+        # timing). The eager localCheckpoint pins "matches = probe
+        # result against the index AS OF batch start" immutably —
+        # and, as before, the anti-join and sink write stop
+        # re-executing the probe funnel (ADVICE r15 #4).
+        matches, mh = tracked_local_checkpoint(matches)
+        persisted.append(mh)
+        # persist the novel rows too (r18): the band append AND the
+        # bloom-delta build both consume them — unpersisted, the
+        # anti-join executed twice per batch (profiled: novel_append
+        # 2.3s + bloom_delta 1.8s of an ~8s batch at sf0.1, half of
+        # it recompute).
         novel = (brows.join(matches.select("doc").distinct(),
                             "doc", "left_anti")
                       .select("bucket", "band_idx", "band_key",
-                              "doc", "sh"))
-        novel.write.mode("append").partitionBy("bucket").parquet(path)
+                              "doc", "sh")
+                      .persist(StorageLevel.MEMORY_AND_DISK))
+        persisted.append(novel)
+        # repartition by bucket before the append (guide §6 "output
+        # file sizing"): one file per touched bucket instead of
+        # (scan tasks x buckets) small files — each later batch (and
+        # every probe of the accumulated index) opens O(buckets)
+        # files per append, not O(tasks x buckets).
+        (novel.repartition("bucket")
+              .write.mode("append").partitionBy("bucket").parquet(path))
         if "bloom_m" in stored:
             nb = bloom_build(novel.select("band_key"), "band_key",
                              m_bits, bk)

@@ -28,12 +28,13 @@ and dropped via ``nullif``.
 
 Scale design (100 TB): one explode over per-document DISTINCT
 tokens (``array_distinct`` inside the row — no extra dedup
-exchange), one (token, label) aggregation (map-side combined), one
-SHUFFLE_HASH join against the vocab-sized token-total table (never
-broadcast a vocabulary — same policy as ``token_frequency_stats``),
-label totals and N broadcast. The final top-k window partitions by
-LABEL over the scored-cell table (vocab x labels), which a df-style
-``min_df`` cut keeps bounded.
+exchange), one (token, label) aggregation (map-side combined), the
+per-token totals as a WINDOW over that same table's token exchange
+(r18 — no separate vocab aggregate, no vocab join, and a vocabulary
+is still never broadcast), label totals (+ N via a global window
+over the label-cardinality rows) broadcast. The final top-k window
+partitions by LABEL over the scored-cell table (vocab x labels),
+which a df-style ``min_df`` cut keeps bounded.
 """
 
 from __future__ import annotations
@@ -70,21 +71,30 @@ def chi2_tokens(df: SparkDF, text_col: str, id_col: str,
               .where(F.col("token") != ""))
     cell = (toks.groupBy("token", "label")
                 .agg(F.count(F.lit(1)).alias("n11")))
-    tok_n = (cell.groupBy("token")
-                 .agg(F.sum("n11").alias("__n1"))
+    # r18 (the dsir conditional-aggregate fusion, VERDICT r17 #7):
+    # the per-token total __n1 rides a window OVER THE SAME
+    # exchange-by-token the old tok_n join needed — the separate
+    # groupBy(token) aggregate re-derived the whole explode+groupBy
+    # cell subtree (the static planner duplicated it), and its
+    # shuffle_hash join shipped the vocab twice. Likewise the corpus
+    # total __n is the global-window sum of the label-cardinality
+    # table instead of a third full scan of df. Identical int64
+    # values: sum(n11) over token == the re-aggregated tok_n; the
+    # min_df filter sees the same totals.
+    wtok = Window.partitionBy("token")
+    celln = (cell.withColumn("__n1", F.sum("n11").over(wtok))
                  .where(F.col("__n1") >= min_df))
-    lab_n = df.groupBy(F.col(label_col).alias("label")) \
-              .agg(F.count(F.lit(1)).alias("__nl"))
-    tot = df.agg(F.count(F.lit(1)).alias("__n"))
-    scored = (cell.join(tok_n.hint("shuffle_hash"), "token")
-                  .join(F.broadcast(lab_n), "label")
-                  .crossJoin(F.broadcast(tot))
-                  .withColumn("n10", F.expr("__n1 - n11"))
-                  .withColumn("n01", F.expr("__nl - n11"))
-                  .withColumn("n00", F.expr("__n - __n1 - __nl + n11"))
-                  .withColumn("chi2_milli",
-                              F.expr(_CHI2).cast("bigint"))
-                  .where(F.col("chi2_milli").isNotNull()))
+    lab_n = (df.groupBy(F.col(label_col).alias("label"))
+               .agg(F.count(F.lit(1)).alias("__nl"))
+               .withColumn("__n",
+                           F.sum("__nl").over(Window.partitionBy())))
+    scored = (celln.join(F.broadcast(lab_n), "label")
+                   .withColumn("n10", F.expr("__n1 - n11"))
+                   .withColumn("n01", F.expr("__nl - n11"))
+                   .withColumn("n00", F.expr("__n - __n1 - __nl + n11"))
+                   .withColumn("chi2_milli",
+                               F.expr(_CHI2).cast("bigint"))
+                   .where(F.col("chi2_milli").isNotNull()))
     w = Window.partitionBy("label").orderBy(
         F.col("chi2_milli").desc(), F.col("token").asc())
     return (scored.withColumn("rank", F.row_number().over(w))

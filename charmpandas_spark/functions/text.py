@@ -246,13 +246,18 @@ def tf_idf(df, text_col: str, id_col: str):
     ratio of integers and the double arithmetic is bit-identical
     across engines (ln's last-ulp behavior is libm-specific; for the
     classic log-damped idf apply ``F.log`` on top and accept
-    approximate comparison). Three aggregations: tf on (doc, term),
-    doc length on doc, df on term — all hash-partitioned; N rides in
-    as a broadcast 1-row aggregate, never a driver collect. ``toks``
-    and ``tf`` each feed two plan branches, so both are persisted
-    (the raw scan + explode would otherwise run 3x); call
-    ``dedup.release`` on the result to free them."""
+    approximate comparison). Two aggregations (r18): tf on
+    (doc, term) and df on term; the doc length rides a WINDOW over
+    the same doc-keyed exchange the old doclen join needed —
+    ``sum(cnt) over (partition by doc)`` equals the token count
+    exactly (both count the doc's non-empty tokens), so the separate
+    groupBy(doc) pass over ``toks`` and its join disappear from the
+    plan. N rides in as a broadcast 1-row aggregate, never a driver
+    collect. ``toks`` and ``tf`` each feed two plan branches, so
+    both are persisted (the raw scan + explode would otherwise run
+    3x); call ``dedup.release`` on the result to free them."""
     from pyspark import StorageLevel
+    from pyspark.sql import Window
 
     from .dedup import spread
 
@@ -265,12 +270,12 @@ def tf_idf(df, text_col: str, id_col: str):
     tf = toks.groupBy("doc", "term").agg(
         F.count(F.lit(1)).alias("cnt")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    doclen = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n"))
     weight = (F.col("cnt").cast("double") / F.col("dl")) \
         * (F.col("n").cast("double") / F.col("df"))
-    out = (tf.join(doclen, "doc")
+    out = (tf.withColumn("dl", F.sum("cnt").over(
+                Window.partitionBy("doc")))
              .join(dfreq, "term")
              .crossJoin(F.broadcast(n_docs))
              .select("doc", "term",
@@ -856,28 +861,38 @@ def token_drift(df_a, df_b, text_col: str, id_col: str,
     top-k drift ranking are cross-engine exact; ``ORDER BY chi_micro
     DESC`` surfaces the drifting tokens.
 
-    Plan: one explode + groupBy per side, FULL OUTER join on token
-    (absent = 0), totals ride the plan as broadcast 1-row aggregates.
-    Shuffle volume is bounded by vocabulary, not corpus rows."""
+    Plan (r18, the dsir conditional-aggregate fusion — VERDICT r17
+    #7): BOTH sides' counts come out of ONE side-tagged union +
+    single groupBy(token) with two conditional counts (the former
+    per-side groupBy pair + full-outer join re-derived each side's
+    explode subtree), and the totals ta/tb ride a single GLOBAL
+    window over the vocab-sized count table (one tiny
+    single-partition exchange) instead of two
+    crossJoin-of-derived-aggregate subtrees the static planner
+    duplicated — the r16 plan re-ran the corpus explode SIX times (2
+    sides x {joined, ta, tb}), this one runs it once per side.
+    Values are identical int64: a conditional count over the union
+    equals the per-side count with absent tokens coalesced to 0, and
+    the window totals sum the same vocab rows the 1-row aggregates
+    did. Shuffle volume is bounded by vocabulary, not corpus rows."""
+    from pyspark.sql import Window
+
     from .dedup import spread
 
-    def counts(df, side):
-        toks = (spread(df).select(
+    def toks(df, flag):
+        return (spread(df).select(
+                    F.lit(flag).alias("__in_a"),
                     F.explode(F.split(normalize_text(text_col), " "))
                      .alias("token"))
                 .filter(F.col("token") != ""))
-        return toks.groupBy("token").agg(
-            F.count(F.lit(1)).alias(f"o_{side}"))
 
-    ca, cb = counts(df_a, "a"), counts(df_b, "b")
-    joined = (ca.join(cb, "token", "full_outer")
-                .select("token",
-                        F.coalesce(F.col("o_a"), F.lit(0)).alias("o_a"),
-                        F.coalesce(F.col("o_b"), F.lit(0)).alias("o_b")))
-    ta = joined.agg(F.sum("o_a").alias("__ta"))
-    tb = joined.agg(F.sum("o_b").alias("__tb"))
-    j = (joined.crossJoin(F.broadcast(ta))
-               .crossJoin(F.broadcast(tb))
+    joined = (toks(df_a, True).unionByName(toks(df_b, False))
+              .groupBy("token")
+              .agg(F.count(F.when(F.col("__in_a"), 1)).alias("o_a"),
+                   F.count(F.when(~F.col("__in_a"), 1)).alias("o_b")))
+    tot = Window.partitionBy()
+    j = (joined.withColumn("__ta", F.sum("o_a").over(tot))
+               .withColumn("__tb", F.sum("o_b").over(tot))
                .where(F.col("o_a") + F.col("o_b") >= min_count))
     pooled = (F.col("o_a") + F.col("o_b")).cast("double") \
         / (F.col("__ta") + F.col("__tb")).cast("double")

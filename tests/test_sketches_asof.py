@@ -438,6 +438,43 @@ def test_bloom_probe_multiplicity_and_map_schema(spark):
     assert {r["props"]["x"] for r in out if r["s"] == "a"} == {1}
 
 
+def test_bloom_probe_broadcast_path_matches_shuffle_path(spark):
+    """r18: the broadcast probe is k scan-local BroadcastHashJoins
+    (no exchange of the probe side); the big-filter path keeps the
+    explode+groupBy shape. Both must produce identical memberships
+    row for row, and the broadcast plan must contain no shuffle
+    Exchange on the probe side."""
+    from pyspark.sql import functions as F
+
+    from charmpandas_spark.functions.bloom import (bloom_build,
+                                                   bloom_params,
+                                                   bloom_probe)
+
+    m, k = bloom_params(500, 0.01)
+    keys = spark.range(500).select(
+        F.concat(F.lit("k"), "id").alias("s"))
+    bloom = bloom_build(keys, "s", m, k)
+    probes = spark.range(0, 2000, 3).select(
+        F.concat(F.lit("k"), "id").alias("s"))
+    fast = {r["s"]: r["m"] for r in
+            bloom_probe(probes, "s", bloom, m, k, out_col="m")
+            .collect()}
+    slow = {r["s"]: r["m"] for r in
+            bloom_probe(probes, "s", bloom, m, k, out_col="m",
+                        broadcast_bloom=False).collect()}
+    assert fast == slow and len(fast) == len(probes.collect())
+    # inserted prefix must be all-positive in both
+    assert all(v for s, v in fast.items() if int(s[1:]) < 500)
+    # isolate the probe plan from the bloom BUILD aggregation (which
+    # legitimately shuffles inside the broadcast subtree): probing a
+    # materialized word table must plan with zero shuffle exchanges
+    mat = spark.createDataFrame(bloom.collect(), bloom.schema)
+    plan = (bloom_probe(probes, "s", mat, m, k)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_ivfpq_roundtrip_prunes_and_ranks_duplicate_first(
         spark, sf_dir, tmp_path):
     """IVF-PQ: the materialized codes table prunes at the directory

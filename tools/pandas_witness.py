@@ -231,6 +231,13 @@ def r_graph_pagerank(sf_dir):
             index=nodes, name="rank_micro")
     out = ranks.reset_index()
     out.columns = ["node", "rank_micro"]
+    # r18 (VERDICT r17 #1): declared output restores the round-16
+    # string node ids at the boundary — int64 keys stay in-loop
+    ids = out["node"].to_numpy(np.int64)
+    out["node"] = np.where(
+        ids % 2 == 0,
+        np.char.add("c", (ids // 2).astype(str)),
+        np.char.add("s", ((ids - 1) // 2).astype(str)))
     return out
 
 
