@@ -1545,15 +1545,24 @@ def run_minhash_legs(spark, sf_dir: str) -> dict:
     path = tempfile.mkdtemp(prefix="cps_bench_mh_")
     out = {}
     try:
+        # r18: legs mirror the REGISTRY query's configuration
+        # (16 hashes re-banded 8x2 — the gate's hardened geometry)
+        # instead of the library defaults (4 bands) they measured
+        # through r17; a legs split that times a different config
+        # than the query it attributes is not attribution. DECLARED
+        # basis change — old-basis continuity: r17 committed build
+        # 2.9351 / probe 2.1172, r18 pre-change build 2.5064 /
+        # probe 2.9918.
         t0 = time.time()
         minhash_index_write(hist, "text", "doc_id", path,
-                            num_buckets=16)
+                            num_hashes=16, bands=8, num_buckets=16)
         out["build"] = round(time.time() - t0, 4)
         # warm min-of-2 on the probe leg: it is the steady-state cost
         for _ in range(2):
             t0 = time.time()
             n = (minhash_dedup_incremental(spark, batch, path, "text",
                                            "doc_id", threshold=0.7,
+                                           num_hashes=16, bands=8,
                                            num_buckets=16)
                  .count())
             dt = round(time.time() - t0, 4)

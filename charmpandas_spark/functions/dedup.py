@@ -1807,6 +1807,16 @@ def index_compact(spark, path: str, out_path: str,
             "files_after": file_count(out_path)}
 
 
+def _band_bucket(num_buckets: int) -> Column:
+    """Bucket of a banded-index row: the nonnegative mod of its int64
+    ``band_key`` (already a uniform xxhash64, r18 — no second hash).
+    ONE definition shared by the index writer and the probe: a
+    divergent bucket expression between the two silently empties the
+    band join (the bucket rides the join key), which is exactly the
+    bug class centralizing this prevents."""
+    return (F.col("band_key") % num_buckets + num_buckets) % num_buckets
+
+
 def _banded_rows(df: SparkDF, text_col: str, id_col: str,
                  num_hashes: int, bands: int, k: int, hash_fn: str,
                  use_chars: bool, n: int) -> SparkDF:
@@ -1873,11 +1883,7 @@ def minhash_index_write(df: SparkDF, text_col: str, id_col: str,
 
     rows = _banded_rows(df, text_col, id_col, num_hashes, bands, k,
                         hash_fn, use_chars, n)
-    # band_key is already a uniform 64-bit hash (r18) — the bucket is
-    # its nonnegative mod directly, no second hash pass
-    rows = (rows.withColumn("bucket",
-                            (F.col("band_key")
-                             % num_buckets + num_buckets) % num_buckets)
+    rows = (rows.withColumn("bucket", _band_bucket(num_buckets))
                 # pinned across the index write AND the bloom build:
                 # without it the (normalize -> shingle -> num_hashes
                 # minhash HOFs) lineage executed TWICE per build, and
@@ -2037,9 +2043,7 @@ def minhash_dedup_incremental(spark, batch: SparkDF, path: str,
             cache["meta"] = stored
     brows = (_banded_rows(batch, text_col, id_col, num_hashes, bands,
                           k, hash_fn, use_chars, n)
-             .withColumn("bucket",
-                         (F.col("band_key")
-                          % num_buckets + num_buckets) % num_buckets)
+             .withColumn("bucket", _band_bucket(num_buckets))
              .persist(StorageLevel.MEMORY_AND_DISK))
     persisted = [brows]
     probe_rows = brows
@@ -2060,6 +2064,15 @@ def minhash_dedup_incremental(spark, batch: SparkDF, path: str,
                 # by release(matches).
                 bloom_tbl, handle = tracked_local_checkpoint(bloom_tbl)
                 cache["bloom"], cache["bloom_handle"] = bloom_tbl, handle
+        # classic probe shape on purpose (r18, measured): the
+        # wide_rows k-join variant avoids exchanging the
+        # array-carrying band rows, but its k per-join broadcast
+        # BUILDS cost more than the exchange they remove at bench
+        # scale (bloom_probe leg 0.94s classic vs 1.45s k-join per
+        # batch; Spark 4.1 does not reuse the broadcast across join
+        # instances). wide_rows stays available as the
+        # parameterized lever for payloads where the exchange
+        # dominates the k builds.
         probe_rows = (bloom_probe(brows, "band_key", bloom_tbl,
                                   m_bits, bk, out_col="__cps_might")
                       .where(F.col("__cps_might"))

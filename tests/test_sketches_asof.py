@@ -438,12 +438,13 @@ def test_bloom_probe_multiplicity_and_map_schema(spark):
     assert {r["props"]["x"] for r in out if r["s"] == "a"} == {1}
 
 
-def test_bloom_probe_broadcast_path_matches_shuffle_path(spark):
-    """r18: the broadcast probe is k scan-local BroadcastHashJoins
-    (no exchange of the probe side); the big-filter path keeps the
-    explode+groupBy shape. Both must produce identical memberships
-    row for row, and the broadcast plan must contain no shuffle
-    Exchange on the probe side."""
+def test_bloom_probe_wide_rows_path_matches_classic_paths(spark):
+    """r18: the wide-rows probe is k scan-local BroadcastHashJoins
+    (no exchange of the probe side, for rows hauling heavy payloads);
+    the classic explode+groupBy shape stays the default and the
+    big-filter (shuffle) path keeps working. All three must produce
+    identical memberships row for row, and the wide-rows plan must
+    contain no shuffle Exchange on the probe side."""
     from pyspark.sql import functions as F
 
     from charmpandas_spark.functions.bloom import (bloom_build,
@@ -456,20 +457,25 @@ def test_bloom_probe_broadcast_path_matches_shuffle_path(spark):
     bloom = bloom_build(keys, "s", m, k)
     probes = spark.range(0, 2000, 3).select(
         F.concat(F.lit("k"), "id").alias("s"))
-    fast = {r["s"]: r["m"] for r in
-            bloom_probe(probes, "s", bloom, m, k, out_col="m")
-            .collect()}
-    slow = {r["s"]: r["m"] for r in
+    wide = {r["s"]: r["m"] for r in
             bloom_probe(probes, "s", bloom, m, k, out_col="m",
-                        broadcast_bloom=False).collect()}
-    assert fast == slow and len(fast) == len(probes.collect())
-    # inserted prefix must be all-positive in both
-    assert all(v for s, v in fast.items() if int(s[1:]) < 500)
+                        wide_rows=True).collect()}
+    classic = {r["s"]: r["m"] for r in
+               bloom_probe(probes, "s", bloom, m, k, out_col="m")
+               .collect()}
+    shuffle = {r["s"]: r["m"] for r in
+               bloom_probe(probes, "s", bloom, m, k, out_col="m",
+                           broadcast_bloom=False).collect()}
+    assert wide == classic == shuffle
+    assert len(wide) == len(probes.collect())
+    # inserted prefix must be all-positive in all paths
+    assert all(v for s, v in wide.items() if int(s[1:]) < 500)
     # isolate the probe plan from the bloom BUILD aggregation (which
     # legitimately shuffles inside the broadcast subtree): probing a
-    # materialized word table must plan with zero shuffle exchanges
+    # materialized word table with wide_rows must plan with zero
+    # shuffle exchanges
     mat = spark.createDataFrame(bloom.collect(), bloom.schema)
-    plan = (bloom_probe(probes, "s", mat, m, k)
+    plan = (bloom_probe(probes, "s", mat, m, k, wide_rows=True)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange hashpartitioning" not in plan
     assert "BroadcastHashJoin" in plan

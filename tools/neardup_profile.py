@@ -103,9 +103,7 @@ def profile_fine(spark, sf_dir: str) -> dict:
     mark("banded rows (shingle+sign+band)")
     brows = (d._banded_rows(b1, "text", "doc_id", 16, 8, 5, "md5",
                             False, 3)
-             .withColumn("bucket",
-                         (d.hash64(F.col("band_key"), 0, "md5")
-                          % 16 + 16) % 16)
+             .withColumn("bucket", d._band_bucket(16))
              .persist(StorageLevel.MEMORY_AND_DISK))
     n_brows = brows.count()
     seg["banded_rows"] = round(time.time() - t, 4)
@@ -134,14 +132,13 @@ def profile_fine(spark, sf_dir: str) -> dict:
     seg["bucket_collect"] = round(time.time() - t, 4)
 
     t = time.time()
-    mark("band join + verify")
+    mark("band join + verify (+ matches checkpoint)")
     idxdf = (spark.read.parquet(idx)
              .where(F.col("bucket").isin(buckets))
              .withColumnsRenamed({"doc": "matched_doc", "sh": "__sh_h"}))
     cand = (probe_rows.join(idxdf.hint("shuffle_hash"),
                             ["band_idx", "band_key", "bucket"])
-            .select("doc", "sh", "matched_doc", "__sh_h")
-            .dropDuplicates(["doc", "matched_doc"]))
+            .select("doc", "sh", "matched_doc", "__sh_h"))
     inter = F.size(F.array_intersect("sh", "__sh_h"))
     union = F.size(F.array_union("sh", "__sh_h"))
     matches = (cand.withColumn("jaccard",
@@ -150,7 +147,8 @@ def profile_fine(spark, sf_dir: str) -> dict:
                .filter(F.col("jaccard") >= 0.7)
                .filter(~F.col("doc").eqNullSafe(F.col("matched_doc")))
                .select("doc", "matched_doc", "jaccard")
-               .persist(StorageLevel.MEMORY_AND_DISK))
+               .dropDuplicates(["doc", "matched_doc"]))
+    matches, mc = d.tracked_local_checkpoint(matches)
     n_matches = matches.count()
     seg["band_join_verify"] = round(time.time() - t, 4)
 
@@ -158,8 +156,10 @@ def profile_fine(spark, sf_dir: str) -> dict:
     mark("novel anti-join + index append")
     novel = (brows.join(matches.select("doc").distinct(),
                         "doc", "left_anti")
-             .select("bucket", "band_idx", "band_key", "doc", "sh"))
-    novel.write.mode("append").partitionBy("bucket").parquet(idx)
+             .select("bucket", "band_idx", "band_key", "doc", "sh")
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    (novel.repartition("bucket")
+          .write.mode("append").partitionBy("bucket").parquet(idx))
     seg["novel_append"] = round(time.time() - t, 4)
 
     t = time.time()
@@ -183,10 +183,11 @@ def profile_fine(spark, sf_dir: str) -> dict:
     seg["n_bloom_pos"] = n_pos
     seg["n_matches"] = n_matches
     seg["n_buckets"] = len(buckets)
-    for x in (brows, probe_rows, matches):
+    for x in (brows, probe_rows, novel):
         x.unpersist()
     handle.unpersist()
     h2.unpersist()
+    mc.unpersist()
     shutil.rmtree(idx, ignore_errors=True)
     return seg
 
@@ -203,26 +204,33 @@ def main():
         i = argv.index("--out")
         out_path = argv[i + 1]
         del argv[i:i + 2]
+    do_coarse = "--fine-only" not in argv
+    do_fine = "--coarse-only" not in argv
+
+    import subprocess
 
     import bench
     from charmpandas_spark.session import get_spark
 
+    subprocess.run(["sync"], check=False)
     spark = get_spark(app_name="cps-neardup-profile")
     bench._mini_warm(spark)
     doc = {"sf_dir": bench.SF_DIR, "coarse": [], "fine": [],
            "load_start": bench._host_load()}
-    for _ in range(runs):
+    for _ in range(runs if do_coarse else 0):
         spark = bench._fresh_session(spark)
         bench._mini_warm(spark)
         c = profile_coarse(spark, bench.SF_DIR)
+        c["load1"] = bench._host_load().get("load1")
         doc["coarse"].append(c)
         print(f"# coarse: {json.dumps(c)}", file=sys.stderr)
         bench._cleanup_entry(spark)
         spark.catalog.clearCache()
-    for _ in range(runs):
+    for _ in range(runs if do_fine else 0):
         spark = bench._fresh_session(spark)
         bench._mini_warm(spark)
         f = profile_fine(spark, bench.SF_DIR)
+        f["load1"] = bench._host_load().get("load1")
         doc["fine"].append(f)
         print(f"# fine: {json.dumps(f)}", file=sys.stderr)
         bench._cleanup_entry(spark)
